@@ -1,0 +1,34 @@
+"""Query registry: every implemented operator from SURVEY.md §2 has a
+(spark, sf_dir) -> DataFrame callable and, where SQL-expressible, a
+DuckDB oracle SQL string with IDENTICAL column names and types.
+
+Conventions that keep the oracle hash-match green:
+- alias every computed column identically on both sides;
+- round post-aggregation doubles (FP summation order differs between
+  engines; rounding to 2-6 decimals absorbs the ulps);
+- cast DuckDB integer sums to BIGINT (DuckDB widens to HUGEINT);
+- never emit raw TIMESTAMP columns — cast to DATE or format as string
+  (Spark timestamps are tz-aware UTC, DuckDB's are naive).
+"""
+
+from __future__ import annotations
+
+from shc_spark.queries import connector, pipeline, relational, streaming_q
+
+
+def all_queries():
+    q = {}
+    q.update(relational.QUERIES)
+    q.update(connector.QUERIES)
+    q.update(pipeline.QUERIES)
+    q.update(streaming_q.QUERIES)
+    return q
+
+
+def all_oracles():
+    o = {}
+    o.update(relational.ORACLE)
+    o.update(connector.ORACLE)
+    o.update(pipeline.ORACLE)
+    o.update(streaming_q.ORACLE)
+    return o

@@ -1,0 +1,615 @@
+"""Relational operator surface (SURVEY.md §2.3): the queries the
+reference delegates to Catalyst — scan, projection, the full filter
+zoo (§2.2), equi/semi/anti joins, aggregation, distinct, sort, limit,
+SQL-over-temp-view, windows, set ops, rollup/cube, pivot.
+
+Each query is declarative DataFrame/SQL: Catalyst pushes filters and
+prunes columns into the parquet scan, AQE picks join strategies at
+runtime. Small dimension tables (region/nation/supplier/part/customer)
+are explicitly broadcast where the join is guaranteed small-vs-large —
+at 100 TB the lineitem side never shuffles for those joins.
+
+Reference evidence for the surface: DefaultSourceSuite.scala:206-324
+(filter zoo, counts), :248-262 (SQL agg), JoinTablesFrom2Clusters.scala:133
+(join), :135 (sort), DefaultSourceSuite.scala:388 (distinct).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects; read nanos as long and truncate to micros
+    (matching DuckDB's nanos->micros truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# q01: TPC-H Q1 pricing summary — groupBy + 8 aggregates over lineitem.
+# Map-side partial aggregation (Spark HashAggregate) means the shuffle
+# carries ≤ |groups| rows per task regardless of scale.
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# q02: projection + filter pushdown — raw row passthrough, no arithmetic,
+# so values match the oracle bit-for-bit. Catalyst pushes both predicates
+# into the parquet scan (PushedFilters) and prunes to 4 columns (ReadSchema).
+@register(
+    "q02_filter_scan",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 47 AND l_discount > 0.08
+    """,
+)
+def q02_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") >= 47) & (F.col("l_discount") > 0.08)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+# q03: shipping-priority style 3-way join + top-k. Broadcast the filtered
+# customer dim; order by (rounded revenue, key) so the LIMIT is deterministic.
+@register(
+    "q03_top_revenue_orders",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# q04: EXISTS → left-semi join (no row duplication, no fan-out shuffle).
+@register(
+    "q04_priority_semi_join",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# q05: 6-table star join (region→nation→{customer,supplier}→orders→lineitem).
+# All dims broadcast; only orders⋈lineitem is a real shuffle at scale.
+@register(
+    "q05_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            (li.l_suppkey == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# q06: scalar filter-aggregate (TPC-H Q6 shape) — fully pushed-down scan.
+@register(
+    "q06_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# q10: returned-items report — join + group + top-k per revenue.
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name", "c_acctbal")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# anti join: NOT EXISTS — customers with no orders.
+@register(
+    "q_anti_join_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# left outer join with null-producing side + conditional aggregation.
+@register(
+    "q_left_join_order_counts",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+# The reference's filter zoo (§2.2): IN / NOT-IN set-difference semantics
+# (HBaseFilter.scala:252-266), string startsWith/endsWith/contains
+# (HBaseFilter.scala:320-368), compound AND/OR (DefaultSourceSuite.scala:236-246).
+@register(
+    "q_filter_in_notin",
+    """
+    SELECT l_linenumber, count(*) AS n
+    FROM lineitem
+    WHERE l_linenumber IN (1, 3, 5, 7) AND l_linenumber NOT IN (3, 7)
+    GROUP BY l_linenumber
+    """,
+)
+def q_filter_in_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_linenumber").isin(1, 3, 5, 7) & ~F.col("l_linenumber").isin(3, 7))
+        .groupBy("l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_filter_string_zoo",
+    """
+    SELECT
+      count(*) FILTER (WHERE p_name LIKE 'bl%')       AS n_prefix,
+      count(*) FILTER (WHERE p_name LIKE '%d')        AS n_suffix,
+      count(*) FILTER (WHERE p_type LIKE '%BRASS%')   AS n_contains,
+      count(*) FILTER (WHERE p_type NOT LIKE '%BRASS%') AS n_not_contains,
+      count(*) FILTER (WHERE p_brand = 'Brand#23' OR (p_size >= 10 AND p_size < 20)) AS n_compound
+    FROM part
+    """,
+)
+def q_filter_string_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.agg(
+        F.count(F.when(F.col("p_name").startswith("bl"), 1)).alias("n_prefix"),
+        F.count(F.when(F.col("p_name").endswith("d"), 1)).alias("n_suffix"),
+        F.count(F.when(F.col("p_type").contains("BRASS"), 1)).alias("n_contains"),
+        F.count(F.when(~F.col("p_type").contains("BRASS"), 1)).alias("n_not_contains"),
+        F.count(
+            F.when(
+                (F.col("p_brand") == "Brand#23")
+                | ((F.col("p_size") >= 10) & (F.col("p_size") < 20)),
+                1,
+            )
+        ).alias("n_compound"),
+    )
+
+
+# distinct (DefaultSourceSuite.scala:388).
+@register(
+    "q_distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# SQL over temp view (README.md:114-120, DefaultSourceSuite.scala:248-262).
+@register(
+    "q_sql_tempview_agg",
+    """
+    SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+    FROM orders WHERE o_custkey < 500 GROUP BY o_orderstatus
+    """,
+)
+def q_sql_tempview_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+        FROM orders WHERE o_custkey < 500 GROUP BY o_orderstatus
+        """
+    )
+
+
+# set operations: UNION / INTERSECT / EXCEPT (distinct semantics both engines).
+@register(
+    "q_set_ops",
+    """
+    WITH big_spenders AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000),
+         urgent       AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT custkey FROM big_spenders UNION SELECT custkey FROM urgent)
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n FROM (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM urgent)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM urgent)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    rows = [
+        big.union(urgent).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("union").alias("op"), "n"
+        ),
+        big.intersect(urgent).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("intersect").alias("op"), "n"
+        ),
+        big.subtract(urgent).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("except").alias("op"), "n"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# rollup: hierarchical totals with NULL group markers (same in DuckDB).
+@register(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# cube over two dims.
+@register(
+    "q_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# pivot → conditional aggregation (FILTER clauses in the oracle).
+@register(
+    "q_pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_O,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+    )
+
+
+# window: top-3 orders per customer segment by price (rank) — deterministic
+# tie-break on orderkey.
+@register(
+    "q_window_topk_per_segment",
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# window: running (cumulative) aggregate per key ordered by event time.
+@register(
+    "q_window_running_sum",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+    FROM events WHERE user_id < 10
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias(
+            "running_value"
+        ),
+        F.lag("event_id").over(w).alias("prev_event"),
+    )
+
+
+# statistics aggregates: min/max/stddev/variance/median-free percentile-free
+# (approx versions are rows-only checked elsewhere).
+@register(
+    "q_agg_stats",
+    """
+    SELECT o_orderstatus,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(stddev_samp(o_totalprice), 2) AS sd_price,
+           round(sum(o_totalprice), 2) AS sum_price,
+           count(DISTINCT o_custkey) AS n_custs
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+
+
+# correlated scalar subquery → join against a grouped aggregate.
+@register(
+    "q_above_avg_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+                              WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    avgs = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.avg("o_totalprice").alias("avg_price")
+    )
+    return (
+        orders.join(avgs, orders.o_custkey == avgs.ck)
+        .filter(F.col("o_totalprice") > 2 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# grouped having + join reordering fodder: brand stats over joined part/lineitem.
+@register(
+    "q_part_brand_volume",
+    """
+    SELECT p_brand, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 30
+    GROUP BY p_brand
+    HAVING count(*) > 50
+    """,
+)
+def q_part_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter(F.col("n_lines") > 50)
+    )
+
+
+# approximate aggregates — algorithm-specific, so no DuckDB oracle
+# (driver records rows-only check). At 100 TB these replace exact
+# countDistinct: fixed-size sketch per group vs unbounded hash set.
+@register("q_approx_distinct", None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
+    )

@@ -1,0 +1,114 @@
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry at sf0.01 on Spark AND its
+oracle_sql() on DuckDB (tables pre-registered as views), compares
+row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [name_substring ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def canon(val):
+    """Canonicalize a cell for order-insensitive comparison."""
+    if val is None:
+        return None
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return round(val, 6)
+    if isinstance(val, (list, tuple)):
+        return tuple(canon(v) for v in val)
+    if hasattr(val, "isoformat"):
+        return val.isoformat()
+    return val
+
+
+def rows_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(canon(r[i]) for i in order))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def main():
+    filters = sys.argv[1:]
+    import __spark_entry__ as entry_mod
+    from shc_spark.session import get_spark
+
+    spark = get_spark("check_oracle", cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed, passed, rows_only = [], [], []
+    for name, fn in queries.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failed.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failed.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems:
+            sk, dk = rows_key(srows, scols), rows_key(drows, dcols)
+            if sk != dk:
+                diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
+                problems.append(f"values differ, e.g. {diff}")
+        if problems:
+            failed.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            passed.append(name)
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+
+    print(
+        f"\n{len(passed)} ok, {len(failed)} failed, {len(rows_only)} rows-only "
+        f"of {len(queries)} queries"
+    )
+    if failed:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

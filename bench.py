@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized through the `noop` sink (full execution, no
+driver-side collect overhead). One warm-up query primes the JVM/JIT and
+is not counted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from shc_spark.session import DEFAULT_SF_DIR, get_spark  # noqa: E402
+
+# Headline set: scan-heavy agg, pushdown scan, broadcast joins, star join,
+# window, set ops, and the pipeline operators once registered.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_scan",
+    "q03_top_revenue_orders",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q_window_topk_per_segment",
+    "q_agg_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_scores",
+    "sim_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from shc_spark.queries import all_queries
+
+    queries = all_queries()
+    spark = get_spark("bench")
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    # warm-up (not counted): JIT, codegen, parquet footer caches
+    run("q06_forecast_revenue")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,2 +1,203 @@
+"""Connector-layer correctness queries (SURVEY.md §2.1 S1-S19):
+write a testdata-derived table through the "shc" data source, read it
+back with pushdown/pruning in play, and compare against DuckDB running
+the equivalent SQL directly on the source parquet. A value surviving
+the encode -> region-split -> sorted-write -> range-scan -> merge
+pipeline unchanged is the roundtrip proof.
+
+Each query materializes its table under /tmp keyed by (table, sf_dir)
+and rewrites it only when absent, so repeated runs are cheap and
+deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shc_spark.sources import read_table, write_table
+
 QUERIES: dict = {}
 ORACLE: dict = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _root(sf_dir: str, tag: str) -> str:
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/shc_tables_{tag}_{h}"
+
+
+CAT_CUSTOMER = json.dumps(
+    {
+        "table": {"namespace": "q", "name": "customer", "tableCoder": "OrderedType", "version": "2.0"},
+        "rowkey": "key",
+        "columns": {
+            "c_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "c_name": {"cf": "cf", "col": "name", "type": "string"},
+            "c_nationkey": {"cf": "cf", "col": "nk", "type": "int"},
+            "c_acctbal": {"cf": "cf", "col": "bal", "type": "double"},
+            "c_mktsegment": {"cf": "cf", "col": "seg", "type": "string"},
+        },
+    }
+)
+
+CAT_ORDERS_CK = json.dumps(
+    {
+        "table": {"namespace": "q", "name": "orders_ck", "tableCoder": "OrderedType", "version": "2.0"},
+        "rowkey": "key1:key2",
+        "columns": {
+            "o_custkey": {"cf": "rowkey", "col": "key1", "type": "bigint"},
+            "o_orderkey": {"cf": "rowkey", "col": "key2", "type": "bigint"},
+            "o_totalprice": {"cf": "cf", "col": "tp", "type": "double"},
+            "o_orderstatus": {"cf": "cf", "col": "st", "type": "string"},
+        },
+    }
+)
+
+
+def _ensure_customer(spark: SparkSession, sf_dir: str) -> str:
+    root = _root(sf_dir, "cust")
+    if not os.path.exists(os.path.join(root, "q.customer", "_regions.json")):
+        df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        write_table(
+            df.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+            CAT_CUSTOMER,
+            root=root,
+            num_regions=8,
+            mode="overwrite",
+            timestamp=1000,
+        )
+    return root
+
+
+def _ensure_orders_ck(spark: SparkSession, sf_dir: str) -> str:
+    root = _root(sf_dir, "ordck")
+    if not os.path.exists(os.path.join(root, "q.orders_ck", "_regions.json")):
+        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        write_table(
+            df.select("o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus"),
+            CAT_ORDERS_CK,
+            root=root,
+            num_regions=8,
+            mode="overwrite",
+            timestamp=1000,
+        )
+    return root
+
+
+# S1/S2/S4/S13: full write-read roundtrip, every value bit-identical.
+@register(
+    "shc_roundtrip_scan",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def shc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _ensure_customer(spark, sf_dir)
+    return read_table(spark, CAT_CUSTOMER, root=root)
+
+
+# S6/S8/S10: range + IN pushdown with region pruning on the rowkey.
+@register(
+    "shc_pushdown_range",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE (c_custkey > 100 AND c_custkey <= 300) OR c_custkey IN (7, 11, 1200)
+    """,
+)
+def shc_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _ensure_customer(spark, sf_dir)
+    t = read_table(spark, CAT_CUSTOMER, root=root)
+    return t.filter(
+        ((F.col("c_custkey") > 100) & (F.col("c_custkey") <= 300))
+        | F.col("c_custkey").isin(7, 11, 1200)
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# S5 + §2.2 string filters on value columns (Spark re-evaluates above scan).
+@register(
+    "shc_value_filters",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_mktsegment LIKE 'BUIL%' AND c_acctbal >= 0 AND c_custkey < 800
+    """,
+)
+def shc_value_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _ensure_customer(spark, sf_dir)
+    t = read_table(spark, CAT_CUSTOMER, root=root)
+    return t.filter(
+        F.col("c_mktsegment").startswith("BUIL")
+        & (F.col("c_acctbal") >= 0)
+        & (F.col("c_custkey") < 800)
+    ).select("c_custkey", "c_mktsegment")
+
+
+# S19: composite rowkey — first-dim pruning + second-dim re-filter
+# (CompositeKeySuite semantics on real data).
+@register(
+    "shc_composite_key",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus FROM orders
+    WHERE o_custkey <= 50 AND o_orderkey % 2 = 0
+    """,
+)
+def shc_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _ensure_orders_ck(spark, sf_dir)
+    t = read_table(spark, CAT_ORDERS_CK, root=root)
+    return t.filter((F.col("o_custkey") <= 50) & (F.col("o_orderkey") % 2 == 0))
+
+
+# S14/S15: versioned append + merge-to-latest. Gen2 updates c_name for
+# custkey%10==0 (other cells null => not stored => old values survive).
+@register(
+    "shc_version_merge",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN concat(c_name, ':v2') ELSE c_name END AS name_latest,
+           c_acctbal
+    FROM customer
+    """,
+)
+def shc_version_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _root(sf_dir, "custv")
+    marker = os.path.join(root, "q.customer", "_regions.json")
+    if not os.path.exists(marker) or len(json.load(open(marker))) <= 8:
+        df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+        write_table(df, CAT_CUSTOMER, root=root, num_regions=8, mode="overwrite", timestamp=1000)
+        gen2 = df.filter(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey",
+            F.concat(F.col("c_name"), F.lit(":v2")).alias("c_name"),
+            F.lit(None).cast("int").alias("c_nationkey"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+        write_table(gen2, CAT_CUSTOMER, root=root, timestamp=2000)
+    t = read_table(spark, CAT_CUSTOMER, root=root)
+    return t.select(
+        "c_custkey", F.col("c_name").alias("name_latest"), "c_acctbal"
+    )
+
+
+# S15 time travel: reading AS OF ts=1000 hides the v2 generation.
+@register(
+    "shc_time_travel",
+    "SELECT c_custkey, c_name FROM customer",
+)
+def shc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shc_version_merge(spark, sf_dir)  # ensure both generations exist
+    root = _root(sf_dir, "custv")
+    t = read_table(spark, CAT_CUSTOMER, root=root, max_stamp=1001)
+    return t.select("c_custkey", "c_name")

@@ -44,6 +44,7 @@ def get_spark(app_name: str = "shc_spark", cpus: str | int | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SHC_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

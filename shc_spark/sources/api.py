@@ -1,0 +1,211 @@
+"""High-level connector API: the reference's read/write surface
+re-expressed Spark-first.
+
+- ``write_table(df, catalog, ...)`` = S2/S3/S4: pre-split via
+  ``repartitionByRange`` on the encoded rowkey (the Spark-native
+  analog of `Bytes.split` pre-splitting, HBaseRelation.scala:124-175),
+  sort within partitions, write through the "shc" data source.
+- ``read_table(spark, catalog, ...)`` = S1 + S14/S15: returns a
+  DataFrame with the catalog schema; time-travel options
+  (timestamp/minStamp/maxStamp, HBaseRelation.scala:77-81) and version
+  semantics (maxVersions × mergeToLatest, MaxVersionsSuite.scala:45-98)
+  are DataFrame aggregations ABOVE the source, so Catalyst pushes
+  rowkey predicates through them into the scan (filter pushdown +
+  region pruning live in ShcReader).
+
+Divergences from the reference, on purpose (SURVEY.md §4.3):
+- version-exploded reads keep multiset semantics (the reference's
+  `Set[Row]` silently drops duplicate rows, HBaseTableScan.scala:245);
+- merge-to-latest treats a map-typed cell as one value (latest non-null
+  map wins) rather than per-qualifier overlay; per-qualifier merge is
+  available explicitly via ``merge_dynamic_maps=True``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shc_spark.catalog import Catalog, parse_catalog
+from shc_spark.coders import get_coder
+from shc_spark.sources.shc_source import ROWKEY_COL, TS_COL, ShcDataSource
+
+DEFAULT_ROOT = "/tmp/shc_tables"
+
+
+def register(spark: SparkSession) -> None:
+    """Register format("shc") with this session and enable Python data
+    source filter pushdown (off by default in Spark 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ShcDataSource)
+
+
+def _rowkey_encoder(cat: Catalog):
+    """Vectorized rowkey encoder: pandas UDF over the key columns
+    (Arrow-batched — the write-side fix for the reference's per-row
+    `convertToPut` cost, HBaseRelation.scala:202-267)."""
+    key_fields = cat.rowkey_fields()
+    coders = [get_coder(f.coder) for f in key_fields]
+    dts = [f.dt for f in key_fields]
+    lengths = [f.length if f.var_length is False else None for f in key_fields]
+    names = [f.col_name for f in key_fields]
+    phoenix_like = [type(c).__name__ == "PhoenixType" for c in coders]
+
+    @F.pandas_udf(T.BinaryType())
+    def encode(*cols: pd.Series) -> pd.Series:
+        n = len(cols[0])
+        out = []
+        for i in range(n):
+            parts = []
+            for j, (coder, dt) in enumerate(zip(coders, dts)):
+                v = cols[j].iloc[i]
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    raise ValueError(f"rowkey dimension {names[j]!r} is null")
+                enc = coder.to_bytes(v, dt)
+                if lengths[j] is not None and len(enc) != lengths[j]:
+                    raise ValueError(
+                        f"rowkey dim {names[j]!r}: encoded length {len(enc)} != "
+                        f"declared length {lengths[j]}"
+                    )
+                parts.append(enc)
+                if phoenix_like[j] and lengths[j] is None and j != len(coders) - 1:
+                    parts.append(b"\x00")
+            out.append(b"".join(parts))
+        return pd.Series(out)
+
+    return encode, names
+
+
+def write_table(
+    df: DataFrame,
+    catalog: str,
+    root: str = DEFAULT_ROOT,
+    num_regions: int | None = None,
+    timestamp: int | None = None,
+    mode: str = "append",
+) -> None:
+    """Write ``df`` as an shc table (pre-split, sorted regions).
+
+    ``num_regions`` mirrors the `newtable` option: required > 3 when
+    creating a new table (HBaseRelation.scala:150-153).
+    """
+    import os
+
+    cat = parse_catalog(catalog)
+    path = os.path.join(root, f"{cat.namespace}.{cat.name}")
+    exists = os.path.exists(os.path.join(path, "_regions.json"))
+    if not exists or mode == "overwrite":
+        if num_regions is None:
+            num_regions = 8
+        if num_regions <= 3:
+            raise ValueError("new tables need num_regions > 3 (reference `newtable` rule)")
+
+    register(df.sparkSession)
+    encode, key_names = _rowkey_encoder(cat)
+    ts = timestamp if timestamp is not None else int(time.time() * 1000)
+
+    out = df.select([f.col_name for f in cat.fields.values()])
+    out = out.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
+    out = out.withColumn(TS_COL, F.lit(ts).cast("long"))
+    if num_regions:
+        # range-partition on the encoded key = HBase pre-split; each
+        # task then writes one sorted region file
+        out = out.repartitionByRange(num_regions, F.col(ROWKEY_COL))
+    (
+        out.write.format("shc")
+        .mode(mode)
+        .option("catalog", catalog)
+        .option("root", root)
+        .save()
+    )
+
+
+def read_table(
+    spark: SparkSession,
+    catalog: str,
+    root: str = DEFAULT_ROOT,
+    timestamp: int | None = None,
+    min_stamp: int | None = None,
+    max_stamp: int | None = None,
+    max_versions: int | None = None,
+    merge_to_latest: bool = True,
+    merge_dynamic_maps: bool = False,
+    keep_internal: bool = False,
+) -> DataFrame:
+    """Read an shc table back as a DataFrame with the catalog schema."""
+    register(spark)
+    cat = parse_catalog(catalog)
+    df = (
+        spark.read.format("shc")
+        .option("catalog", catalog)
+        .option("root", root)
+        .load()
+    )
+
+    # S15 time semantics (handleTimeSemantics, HBaseTableScan.scala:496-516)
+    if timestamp is not None:
+        df = df.filter(F.col(TS_COL) == timestamp)
+    if min_stamp is not None:
+        df = df.filter(F.col(TS_COL) >= min_stamp)
+    if max_stamp is not None:
+        df = df.filter(F.col(TS_COL) < max_stamp)  # half-open, like Scan.setTimeRange
+
+    key_names = [f.col_name for f in cat.rowkey_fields()]
+    value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
+
+    if max_versions is not None:
+        # keep the N newest versions per key (Window; rowkey predicates
+        # still push through — partition keys are grouping columns)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*key_names).orderBy(F.col(TS_COL).desc())
+        df = df.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= max_versions
+        ).drop("__rn")
+
+    if merge_to_latest:
+        # per-cell latest-non-null merge (buildRow, HBaseTableScan.scala:114-175):
+        # max_by ignores rows whose ordering key is null, so a newer
+        # version with a null cell does NOT shadow an older value —
+        # matching HBase "nulls are not stored" semantics
+        aggs = []
+        for f in value_fields:
+            if merge_dynamic_maps and isinstance(f.dt, T.MapType):
+                # per-qualifier overlay (HBase dynamic-column merge,
+                # HBaseTableScan.scala:139-151): fold version maps in
+                # ts order, newer keys shadowing older ones; keys are
+                # removed from the accumulator before map_concat so no
+                # dedup policy is needed
+                dt_sql = f.dt.simpleString()
+                # maps aren't orderable, entry arrays are: sort (ts,
+                # entries) structs by ts, fold newer-shadows-older
+                aggs.append(
+                    F.expr(
+                        f"aggregate("
+                        f"  array_sort(collect_list(struct(`{TS_COL}` AS ts,"
+                        f"    map_entries(coalesce(`{f.col_name}`, cast(map() AS {dt_sql}))) AS e))),"
+                        f"  cast(map() AS {dt_sql}),"
+                        f"  (acc, x) -> map_concat("
+                        f"    map_filter(acc, (k, v) -> NOT array_contains(transform(x.e, p -> p.key), k)),"
+                        f"    map_from_entries(x.e)))"
+                    ).alias(f.col_name)
+                )
+            else:
+                aggs.append(
+                    F.expr(
+                        f"max_by(`{f.col_name}`, CASE WHEN `{f.col_name}` IS NOT NULL "
+                        f"THEN `{TS_COL}` END)"
+                    ).alias(f.col_name)
+                )
+        keep = [F.max(TS_COL).alias(TS_COL)] if keep_internal else []
+        df = df.groupBy(*key_names).agg(*aggs, *keep)
+        cols = key_names + [f.col_name for f in value_fields]
+    else:
+        cols = key_names + [f.col_name for f in value_fields]
+    if keep_internal:
+        cols = cols + [TS_COL]
+    return df.select(*cols)

@@ -1,0 +1,302 @@
+"""The "shc" Python Data Source: an HBase-shaped table format over an
+embedded sorted-KV parquet backend.
+
+Layer mapping to the reference (SURVEY.md §2.1):
+- S1/S2 source+sink factory  -> ``ShcDataSource.reader/writer``
+  (HBaseRelation.scala:46-65)
+- S5 projection              -> declared schema; Catalyst prunes above
+- S6/S7 filter pushdown      -> ``ShcReader.pushFilters`` consuming
+  exactly-representable rowkey filters, yielding the rest back
+  (HBaseFilter.scala:126-390, HBaseRelation.scala:316-318)
+- S10 partition pruning      -> ``partitions()`` intersects pushed
+  ranges with region boundaries; empty intersection => no partition
+  (HBaseTableScan.scala:63-89)
+- S11 scan-vs-get            -> point ranges become parquet row-group
+  skipping + exact binary-key filtering inside ``read``
+- S13 row materialization    -> Arrow batches (vectorized — fixes the
+  reference's per-row TODO at HBaseTableScan.scala:113)
+- S19 composite rowkey       -> ``__rowkey`` = concat of encoded dims
+
+Physical layout of a table at ``<root>/<namespace>.<name>/``:
+- ``_catalog.json``  — catalog + coder + write metadata
+- ``_regions.json``  — [{id, path, start, end, rows}] hex-encoded
+  tight key boundaries per region file (HBase region metadata analog)
+- ``gen=<n>/region-<i>.parquet`` — rows sorted by ``__rowkey``; one
+  generation per write (appends add generations, like HBase
+  memstore flushes producing new HFiles)
+
+Each parquet file carries the catalog's typed columns PLUS
+``__rowkey`` (binary, encoded composite key) and ``__ts`` (long,
+cell-version timestamp). Version semantics (merge-to-latest,
+time-travel, explode) are applied ABOVE the source with DataFrame
+aggregations (see api.read_table) so Catalyst can push rowkey filters
+through them down to this scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.pandas.types import to_arrow_schema
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+from shc_spark.catalog import Catalog, parse_catalog
+from shc_spark.coders import get_coder
+from shc_spark.filters import HRF, ScanRange, _prefix_upper, ranges_and, translate_filters
+
+ROWKEY_COL = "__rowkey"
+TS_COL = "__ts"
+
+
+def table_path(root: str, cat: Catalog) -> str:
+    return os.path.join(root, f"{cat.namespace}.{cat.name}")
+
+
+def internal_schema(cat: Catalog) -> StructType:
+    fields = list(cat.spark_schema().fields)
+    fields.append(StructField(ROWKEY_COL, BinaryType(), False))
+    fields.append(StructField(TS_COL, LongType(), False))
+    return StructType(fields)
+
+
+def _load_regions(path: str) -> list[dict]:
+    with open(os.path.join(path, "_regions.json")) as fh:
+        return json.load(fh)
+
+
+def _dim_to_key_ranges(hrf: HRF, fixed_first_width: int | None, single_dim: bool) -> HRF:
+    """Map first-dimension ranges onto full ``__rowkey`` ranges.
+
+    Single-dim keys map 1:1 (exact). Composite keys with a fixed-width
+    first dim use prefix semantics: dim <= v  =>  key < next_prefix(v)
+    (exact, see filters.py docstring). Composite var-length first dims
+    are widened to a superset and marked unhandled — the reference
+    behaves identically (HBaseFilter.scala:150-159) and Spark
+    re-filters.
+    """
+    if single_dim:
+        return hrf
+    out = []
+    exact = fixed_first_width is not None
+    for r in hrf.ranges:
+        start, start_inc = r.start, r.start_inclusive
+        end, end_inc = r.end, r.end_inclusive
+        if start is not None and not start_inc:
+            # dim > v  =>  key >= next_prefix(v)
+            start, start_inc = _prefix_upper(start), True
+        if end is not None and end_inc:
+            # dim <= v  =>  key < next_prefix(v)
+            end, end_inc = _prefix_upper(end), False
+        out.append(ScanRange(start, start_inc, end, end_inc))
+    return HRF(out, hrf.handled and exact)
+
+
+@dataclass
+class RegionPartition(InputPartition):
+    path: str
+    ranges: tuple  # tuple of (start, start_inc, end, end_inc) or None = full
+
+
+class ShcReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.options = options
+        cat_json = options.get("catalog")
+        if not cat_json:
+            raise ValueError("'catalog' option is required")
+        self.cat = parse_catalog(cat_json)
+        root = options.get("root", "/tmp/shc_tables")
+        self.path = options.get("path") or table_path(root, self.cat)
+        self.hrf = HRF.full()
+        self.hrf.handled = True  # no filters yet
+
+    # -- pushdown (S6/S7) -------------------------------------------------
+    def pushFilters(self, filters):
+        key_fields = self.cat.rowkey_fields()
+        first = key_fields[0]
+        coder = get_coder(first.coder)
+        single_dim = len(key_fields) == 1
+        fixed_w = first.length if not first.var_length else None
+
+        def encode(v):
+            return coder.to_bytes(v, first.dt)
+
+        consumed_ranges = HRF.full()
+        consumed_ranges.handled = True
+        for f in filters:
+            try:
+                sub = translate_filters([f], first.col_name, encode)
+            except Exception:
+                yield f
+                continue
+            key_hrf = _dim_to_key_ranges(sub, fixed_w, single_dim)
+            consumed_ranges = HRF(
+                ranges_and(consumed_ranges.ranges, key_hrf.ranges), True
+            )
+            if not key_hrf.handled:
+                # superset only — Spark must re-evaluate (unhandledFilters,
+                # HBaseRelation.scala:316-318)
+                yield f
+        self.hrf = consumed_ranges
+
+    # -- partition planning + pruning (S10) -------------------------------
+    def partitions(self):
+        regions = _load_regions(self.path)
+        parts = []
+        for reg in regions:
+            start = bytes.fromhex(reg["start"]) if reg["start"] is not None else None
+            end = bytes.fromhex(reg["end"]) if reg["end"] is not None else None
+            # region covers [start, end] inclusive (tight file min/max)
+            region_range = ScanRange(start, True, end, True)
+            live = ranges_and(self.hrf.ranges, [region_range])
+            if live:
+                parts.append(
+                    RegionPartition(
+                        path=reg["path"],
+                        ranges=tuple(
+                            (r.start, r.start_inclusive, r.end, r.end_inclusive)
+                            for r in live
+                        ),
+                    )
+                )
+        if not parts:
+            # Spark requires >= 1 partition; emit an empty scan marker
+            parts.append(RegionPartition(path="", ranges=()))
+        return parts
+
+    # -- execution (S11/S13, vectorized) ----------------------------------
+    def read(self, partition: RegionPartition):
+        if not partition.path:
+            return
+        table = pq.read_table(partition.path)
+        key = table.column(ROWKEY_COL)
+        mask = None
+        for start, start_inc, end, end_inc in partition.ranges:
+            cond = None
+            if start is not None:
+                op = pc.greater_equal if start_inc else pc.greater
+                cond = op(key, pa.scalar(start, pa.binary()))
+            if end is not None:
+                op = pc.less_equal if end_inc else pc.less
+                c2 = op(key, pa.scalar(end, pa.binary()))
+                cond = c2 if cond is None else pc.and_(cond, c2)
+            if cond is None:
+                mask = None  # full range — keep everything
+                break
+            mask = cond if mask is None else pc.or_(mask, cond)
+        if mask is not None:
+            table = table.filter(mask)
+        for batch in table.to_batches(max_chunksize=65536):
+            yield batch
+
+
+class ShcWriter(DataSourceArrowWriter):
+    """Batch write path (S2/S4): each task writes one sorted region
+    file per generation; commit() assembles tight region metadata —
+    the analog of `insert` + region assignment
+    (HBaseRelation.scala:182-267)."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool) -> None:
+        self.options = options
+        self.cat = parse_catalog(options["catalog"])
+        root = options.get("root", "/tmp/shc_tables")
+        self.path = options.get("path") or table_path(root, self.cat)
+        self.overwrite = overwrite
+        self.gen = uuid.uuid4().hex[:12]
+
+    def write(self, iterator):
+        rows = 0
+        lo = hi = None
+        gen_dir = os.path.join(self.path, f"gen={self.gen}")
+        os.makedirs(gen_dir, exist_ok=True)
+        out_path = os.path.join(gen_dir, f"region-{uuid.uuid4().hex[:8]}.parquet")
+        writer = None
+        for batch in iterator:
+            table = pa.Table.from_batches([batch])
+            table = table.sort_by(ROWKEY_COL)
+            if writer is None:
+                writer = pq.ParquetWriter(out_path, table.schema)
+            writer.write_table(table)
+            keys = table.column(ROWKEY_COL)
+            if len(keys):
+                bmin = pc.min_max(keys)
+                kmin, kmax = bmin["min"].as_py(), bmin["max"].as_py()
+                lo = kmin if lo is None or kmin < lo else lo
+                hi = kmax if hi is None or kmax > hi else hi
+            rows += len(table)
+        if writer is not None:
+            writer.close()
+        if rows == 0:
+            if os.path.exists(out_path):
+                os.remove(out_path)
+            return ShcCommit(None)
+        return ShcCommit(
+            {
+                "path": out_path,
+                "start": lo.hex() if lo is not None else None,
+                "end": hi.hex() if hi is not None else None,
+                "rows": rows,
+            }
+        )
+
+    def commit(self, messages):
+        regions = []
+        if not self.overwrite and os.path.exists(os.path.join(self.path, "_regions.json")):
+            regions = _load_regions(self.path)
+        elif self.overwrite:
+            # drop old generations' metadata; files of prior gens are
+            # left on disk (a vacuum would remove them; out of scope)
+            regions = []
+        new = [m.info for m in messages if m and m.info]
+        for i, info in enumerate(sorted(new, key=lambda x: x["start"] or "")):
+            info["id"] = len(regions) + i
+            regions.append(info)
+        with open(os.path.join(self.path, "_regions.json"), "w") as fh:
+            json.dump(regions, fh)
+        with open(os.path.join(self.path, "_catalog.json"), "w") as fh:
+            fh.write(self.options["catalog"])
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.info and os.path.exists(m.info["path"]):
+                os.remove(m.info["path"])
+
+
+@dataclass
+class ShcCommit(WriterCommitMessage):
+    info: dict | None
+
+
+class ShcDataSource(DataSource):
+    """format("shc") — register with
+    ``spark.dataSource.register(ShcDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "shc"
+
+    def schema(self) -> StructType:
+        cat = parse_catalog(self.options["catalog"])
+        return internal_schema(cat)
+
+    def reader(self, schema: StructType) -> ShcReader:
+        return ShcReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> ShcWriter:
+        return ShcWriter(schema, dict(self.options), overwrite)
+
+
+def arrow_schema_for(cat: Catalog) -> pa.Schema:
+    return to_arrow_schema(internal_schema(cat))

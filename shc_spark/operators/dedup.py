@@ -1,0 +1,288 @@
+"""Deduplication operators, exact and fuzzy, designed for 100 TB:
+
+- exact_dedup: hash-groupBy — one shuffle on a 16-byte digest, not the
+  payload; min-id winner is deterministic.
+- jaccard_pairs: exact n-gram-Jaccard pair finding via explode +
+  equi-join on shingle (the verification oracle for the fuzzy paths).
+  The self-join shuffles on the shingle string — fine at test scale,
+  superseded by MinHash at scale.
+- minhash_lsh_pairs: shingle -> 64-permutation MinHash (vectorized
+  numpy in a pandas UDF) -> banded LSH bucketing -> candidate join on
+  (band, bucket-hash) -> exact-Jaccard verification of candidates
+  only. At scale the candidate join shuffles ~doc_count * bands tiny
+  rows instead of the quadratic pair space.
+- simhash64 + simhash_near_dups: 64-bit SimHash, hamming<=3 via the
+  4-block pigeonhole trick (any pair at distance<=3 agrees on >=1 of 4
+  16-bit blocks -> equi-join per block, no quadratic scan).
+- embedding_near_dups: cosine>=t pairs via block-nested joins on
+  normalized vectors (brute force) — the LSH path lives in
+  similarity.py.
+"""
+
+from __future__ import annotations
+
+
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shc_spark.operators.text import shingles
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct combination of ``cols``.
+    Shuffles a digest, not the payload: groupBy(md5(concat(cols)))."""
+    digest = F.md5(F.concat_ws("\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+    keep = (
+        df.select(F.col(id_col), digest.alias("__digest"))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__digest")
+    )
+    # broadcast-free semi join on the id — at scale both sides hash on id
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct pairs."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold pairs (id_a < id_b).
+
+    |A ∩ B| from the shingle equi-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+    Output: id_a, id_b, jaccard (rounded 4dp)."""
+    ds = shingle_sets(df, text_col, id_col, n).cache()
+    sizes = ds.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Small-file inputs arrive as 1-2 partitions; fan the CPU-bound
+    shingle/signature stage out to the cluster. Only repartitions when
+    the input is narrower than half the default parallelism — a 100 TB
+    input already has thousands of partitions and skips the shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
+def _hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, hs: array<long>) — shingle hashing stays JVM-side
+    (xxhash64, whole-stage codegen); Python only ever sees int64
+    arrays. This is the 100 TB split: strings never cross the Arrow
+    boundary."""
+    sh = shingles(F.col(text_col), n)
+    return _widen(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("hs"),
+    )
+
+
+def _sig_expr(num_perm: int):
+    """array<long> minhash signature, 100% JVM-side: permutation p =
+    min over shingle-hashes of xxhash64(h, seed=p). No Python worker,
+    no Arrow crossing — the whole signature stage is one projection."""
+    def perm(p):
+        # factory closure: a 2-arg lambda would receive (element, index)
+        return lambda h: F.xxhash64(h, F.lit(p))
+
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(F.col("hs"), perm(p))), F.lit(0).cast("long")
+            )
+            for p in range(num_perm)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int = 64, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures via seeded xxhash64 —
+    independent 64-bit hash per permutation, entirely inside the JVM
+    (the reference's serde layer is the only Python-side code left in
+    this path)."""
+    hashed = _hashed_shingles(df, text_col, id_col, n)
+    return hashed.select("id", _sig_expr(num_perm).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, exact-verified.
+
+    bands=32 over 64 perms (r=2): P[missed | j>=0.8] ~= (1-j^2)^32 < 1e-6.
+    Candidate generation joins on (band_idx, band_hash) — the shuffle
+    carries doc_count*bands small rows. ``verify`` re-checks candidates
+    with exact Jaccard so false positives are eliminated; the output
+    matches jaccard_pairs up to LSH recall."""
+    r = num_perm // bands
+    # hashed shingles feed BOTH signature generation and verification,
+    # and the banding self-join references the signature plan twice —
+    # cache both so the shingle transform + UDF run exactly once
+    # (at 100 TB: persist signatures to storage instead)
+    hashed = _hashed_shingles(df, text_col, id_col, n).cache()
+    sigs = hashed.select("id", _sig_expr(num_perm).alias("sig")).cache()
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.hash(F.slice(F.col("sig"), bi * r + 1, r), bi),
+            )
+        ).alias("band", "bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    # exact verification over the candidate pairs only: join each side's
+    # hashed shingle array (cheap id-equi-joins) and intersect the
+    # arrays set-wise. array_intersect runs JVM-side; |A∩B| via hashes
+    # equals the string-shingle intersection up to 64-bit collisions
+    # (~1e-15 per pair). The quadratic shingle self-join never happens.
+    ha = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, simhash: long) 64-bit SimHash over n-gram shingles —
+    numpy bit-count accumulation per Arrow batch."""
+
+    @F.pandas_udf(T.LongType())
+    def sh(hashes: pd.Series) -> pd.Series:
+        out = []
+        weights = 1 << np.arange(64, dtype=np.uint64)
+        for hs in hashes:
+            full = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            if full.size == 0:
+                out.append(0)
+                continue
+            bits = ((full[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int32
+            )
+            votes = bits.sum(axis=0) * 2 - len(full)
+            val = np.uint64((weights * (votes > 0)).sum(dtype=np.uint64))
+            out.append(int(val.astype(np.int64)))
+        return pd.Series(out)
+
+    hashed = _hashed_shingles(df, text_col, id_col, n)
+    return hashed.select("id", sh(F.col("hs")).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, n: int = 3
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming via the pigeonhole
+    block join: split 64 bits into 4 16-bit blocks; any pair within
+    distance 3 agrees exactly on >= 1 block -> equi-join per block."""
+    sigs = simhash64(df, text_col, id_col, n).cache()
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[(F.shiftrightunsigned("simhash", 16 * i) % 65536) for i in range(4)])
+        ).alias("blk", "bval"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Cosine >= threshold pairs (id_a < id_b, cosine rounded 4dp).
+    Brute-force O(n^2) comparisons via self-join — correct baseline;
+    use similarity.lsh_topk for the 100 TB path."""
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x / norm).alias("nv"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

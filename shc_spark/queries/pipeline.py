@@ -1,2 +1,294 @@
+"""Training-data pipeline queries over documents/embeddings/events,
+oracle-checked where the computation is SQL-expressible in DuckDB.
+
+Shingle definitions, hash inputs, rounding, and tie-breaks are written
+IDENTICALLY on both sides (1-based element_at, round(...,4), ties by
+id) so value-hashes match exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shc_spark.operators import dedup, multimodal, similarity, text
+
 QUERIES: dict = {}
 ORACLE: dict = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# Shared DuckDB CTE: distinct 3-gram shingles per document (1-based
+# ws[i], identical to the Spark element_at expression in operators.text).
+_SHINGLE_CTE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS s
+       FROM t, range(1, 4096) g(i) WHERE g.i <= len(ws) - 2),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+"""
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_id IN (SELECT min(event_id) FROM events GROUP BY user_id, event_type)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.queries.relational import _events
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    return dedup.exact_dedup(ev, ["user_id", "event_type"], "event_id")
+
+
+@register("dedup_ngram_jaccard", _SHINGLE_CTE + "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+
+
+# MinHash-LSH with exact verification: output equals the exact-Jaccard
+# pairs as long as banding recall holds (64 perms / 32 bands:
+# P[miss | j>=0.8] < 1e-6) — the oracle IS the exact computation.
+@register("dedup_minhash_lsh", _SHINGLE_CTE + "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=32, n=3, threshold=0.8
+    )
+
+
+# SimHash hamming<=3 pairs — hash function not SQL-expressible: rows-only.
+@register("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH n AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    nn AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.45)
+
+
+# -- similarity search ------------------------------------------------------
+
+
+@register(
+    "sim_topk_bruteforce",
+    """
+    WITH n AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+      FROM nn q JOIN nn c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(queries, emb, "embedding", "vec_id", k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+# LSH / IVF ANN are approximate by construction — rows-only checks.
+@register("sim_topk_lsh", None)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)
+
+
+@register("sim_topk_ivf", None)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)
+
+
+# -- text analysis ----------------------------------------------------------
+
+_MARKERS_SQL = ", ".join(
+    f"'{m}'" for ms in (text.LANG_MARKERS[k] for k in sorted(text.LANG_MARKERS)) for m in ms
+)
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS q_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS q_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '), w -> w IN ({_MARKERS_SQL}))) AS n_stop
+      FROM documents)
+    SELECT doc_id, q_chars, CAST(q_tokens AS INT) AS q_tokens,
+           round(n_alpha * 1.0 / greatest(q_tokens, 1), 4) AS q_avg_word_len,
+           round(n_punct * 1.0 / greatest(q_chars, 1), 4) AS q_punct_ratio,
+           round(n_stop * 1.0 / greatest(q_tokens, 1), 4) AS q_stop_ratio,
+           round(least(q_tokens / 64.0, 1.0) * 0.4
+                 + least((n_stop * 1.0 / greatest(q_tokens, 1)) * 4, 1.0) * 0.4
+                 + (1 - least((n_punct * 1.0 / greatest(q_chars, 1)) * 10, 1.0)) * 0.2,
+                 4) AS q_score
+    FROM f
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.quality_features(docs, "text").select(
+        "doc_id",
+        F.col("q_chars").cast("long").alias("q_chars"),
+        "q_tokens",
+        "q_avg_word_len",
+        "q_punct_ratio",
+        "q_stop_ratio",
+        "q_score",
+    )
+
+
+def _langid_oracle() -> str:
+    rows = []
+    for code in sorted(text.LANG_MARKERS):
+        ms = ", ".join(f"'{m}'" for m in text.LANG_MARKERS[code])
+        rows.append(
+            f"SELECT doc_id, '{code}' AS lang,"
+            f" len(list_filter(string_split(text, ' '), w -> w IN ({ms}))) AS hits"
+            f" FROM documents"
+        )
+    unioned = " UNION ALL ".join(rows)
+    return f"""
+    WITH hits AS ({unioned}),
+    ranked AS (
+      SELECT doc_id, lang, hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+      FROM hits)
+    SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("text_langid", _langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS s
+           FROM t, range(1, 4096) g(i) WHERE g.i <= len(ws) - 2),
+    agg AS (
+      SELECT doc_id, md5(string_agg(s, chr(1) ORDER BY s)) AS fp
+      FROM (SELECT DISTINCT doc_id, s FROM sh) GROUP BY doc_id)
+    SELECT doc_id, fp FROM agg
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text"), 3).alias("fp"))
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tc = text.token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        F.round(F.avg(tc), 4).alias("avg_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+# -- multimodal (payload plumbing; codecs stubbed) --------------------------
+
+
+@register(
+    "mm_image_features",
+    """
+    SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.make_media_df(
+        docs.withColumn("payload", F.encode("text", "utf-8")), "doc_id", "payload", "image/fake"
+    )
+    feats = multimodal.extract_image_features(media, feat_dim=16, fake=True)
+    return feats.select("media_id", "n_bytes", "sha256")
+
+
+@register("mm_frame_sample", None)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").limit(50)
+    media = multimodal.make_media_df(
+        docs.withColumn("payload", F.encode("text", "utf-8")), "doc_id", "payload", "video/fake"
+    )
+    return multimodal.frame_sample(media, every_ms=1000, fake=True)

@@ -1,2 +1,84 @@
+"""Streaming queries for the correctness gate: each runs a REAL
+Structured Streaming query (file source -> watermark/window/state ->
+memory sink, drained with processAllAvailable) and returns the
+materialized result; the DuckDB oracle is the equivalent batch SQL
+over events — streaming results must converge to the batch answer once
+the stream drains.
+
+events.ts nanos -> micros truncation matches the batch convention;
+window starts are epoch-aligned so window('1 hour') == date_trunc('hour').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from shc_spark.streaming import (
+    run_sessionization,
+    run_stateful_totals,
+    run_tumbling_counts,
+)
+
 QUERIES: dict = {}
 ORACLE: dict = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@register(
+    "stream_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_tumbling_counts(spark, sf_dir)
+
+
+@register(
+    "stream_sessionization",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM o),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sessionization(spark, sf_dir, gap="30 minutes")
+
+
+@register(
+    "stream_stateful_totals",
+    """
+    SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stateful_totals(spark, sf_dir)

@@ -1,0 +1,15 @@
+from shc_spark.streaming.events import (
+    run_sessionization,
+    run_stateful_totals,
+    run_tumbling_counts,
+    stream_events,
+    stream_write_table,
+)
+
+__all__ = [
+    "run_sessionization",
+    "run_stateful_totals",
+    "run_tumbling_counts",
+    "stream_events",
+    "stream_write_table",
+]

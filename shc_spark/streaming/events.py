@@ -1,0 +1,168 @@
+"""Structured Streaming over the events stream.
+
+The reference has NO streaming surface (SURVEY.md §2.3: no watermark /
+window / stateful code anywhere in core/src/main) — this module is the
+M6 extension built entirely on Spark's native streaming engine:
+
+- ``stream_events``: file-source readStream over the events table
+  (nanos ts read as long, truncated to micros — same convention as the
+  batch path);
+- ``run_tumbling_counts``: watermarked tumbling event-time window
+  aggregation;
+- ``run_sessionization``: native ``session_window`` (gap-close
+  semantics) per user;
+- ``run_stateful_totals``: custom stateful operator via
+  ``applyInPandasWithState`` — running per-user totals kept in
+  executor state, the streaming analog of a grouped aggregate;
+- ``stream_write_table``: exactly-once-per-batch sink into an shc
+  table via foreachBatch -> write_table (each microbatch becomes one
+  generation, like an HBase memstore flush).
+
+All helpers drive the query with ``processAllAvailable`` against a
+memory sink and return the materialized DataFrame, so batch oracles
+can check streaming results.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """File streaming sources read directories; expose the single
+    events.parquet file through a symlinked staging dir."""
+    src = os.path.join(sf_dir, "events.parquet")
+    d = os.path.join(
+        tempfile.gettempdir(), f"shc_stream_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events with event-time ``ts`` (timestamp)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_events_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return result.sparkSession.table(name)
+
+
+def run_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event_type with a
+    10-minute watermark (late rows beyond it would be dropped)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+def run_sessionization(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessions: events closer than ``gap`` merge into one
+    session (native session_window)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+def run_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running totals held in
+    ``applyInPandasWithState`` state across microbatches. After the
+    stream drains, the emitted state equals the batch aggregate — the
+    correctness hook for the oracle."""
+    ev = stream_events(spark, sf_dir)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [round(total, 2)], "n_events": [n]}
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, total_value double, n_events long",
+        stateStructType="total double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(result, "update")
+    # update-mode memory sink appends one row per state change; the
+    # newest row per user is the final state
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "total_value", "n_events")
+    )
+
+
+def stream_write_table(
+    stream_df: DataFrame, catalog: str, root: str, checkpoint: str | None = None
+):
+    """Streaming sink into an shc table: each microbatch appends one
+    generation (timestamped with the batch id), mirroring HBase
+    memstore flushes. foreachBatch gives exactly-once per batch on top
+    of checkpointing."""
+    from shc_spark.sources import write_table
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_table(batch_df, catalog, root=root, timestamp=batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -201,3 +201,55 @@ def shc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _root(sf_dir, "custv")
     t = read_table(spark, CAT_CUSTOMER, root=root, max_stamp=1001)
     return t.select("c_custkey", "c_name")
+
+
+CAT_PART_AVRO = json.dumps(
+    {
+        "table": {"namespace": "q", "name": "part_avro", "tableCoder": "OrderedType", "version": "2.0"},
+        "rowkey": "key",
+        "columns": {
+            "p_partkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "p_info": {"cf": "cf", "col": "info", "avro": "schema_part"},
+        },
+        "schema_part": json.dumps(
+            {
+                "type": "record",
+                "name": "partinfo",
+                "fields": [
+                    {"name": "p_brand", "type": "string"},
+                    {"name": "p_type", "type": ["string", "null"]},
+                    {"name": "p_retailprice", "type": "double"},
+                ],
+            }
+        ),
+    }
+)
+
+
+# S17 Avro serde: struct cell -> Avro binary -> struct, nested access +
+# filter on a nested field (AvroSourceSuite.scala:105-192 on real data).
+@register(
+    "shc_avro_cells",
+    """
+    SELECT p_partkey, p_brand, p_type, p_retailprice
+    FROM part WHERE p_retailprice > 950 AND p_brand = 'Brand#2'
+    """,
+)
+def shc_avro_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _root(sf_dir, "partavro")
+    if not os.path.exists(os.path.join(root, "q.part_avro", "_regions.json")):
+        part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        df = part.select(
+            "p_partkey",
+            F.struct("p_brand", "p_type", "p_retailprice").alias("p_info"),
+        )
+        write_table(df, CAT_PART_AVRO, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+    t = read_table(spark, CAT_PART_AVRO, root=root)
+    return t.filter(
+        (F.col("p_info.p_retailprice") > 950) & (F.col("p_info.p_brand") == "Brand#2")
+    ).select(
+        "p_partkey",
+        F.col("p_info.p_brand").alias("p_brand"),
+        F.col("p_info.p_type").alias("p_type"),
+        F.col("p_info.p_retailprice").alias("p_retailprice"),
+    )

@@ -613,3 +613,116 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
     )
+
+
+# as-of join — an operator Spark lacks natively (guide: "As-of / range
+# join"): for each purchase event, the most recent click at-or-before
+# it by the same user. Implemented shuffle-once: union both streams,
+# one window pass with last(ignorenulls) — no per-group pandas, no
+# range-explode. The oracle is DuckDB's native ASOF JOIN.
+@register(
+    "q_asof_join",
+    """
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         clicks    AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS prev_click_ts
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("tag")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+    )
+    un = purchases.unionByName(clicks).withColumn(
+        "click_ts", F.when(F.col("tag") == 0, F.col("ts"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")  # click sorts before purchase at equal ts => >= semantics
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        un.withColumn("prev_click", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("prev_click", "yyyy-MM-dd HH:mm:ss").alias("prev_click_ts"),
+        )
+    )
+
+
+# semi-structured JSON column: extract + aggregate (props is a JSON string).
+@register(
+    "q_json_props",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# grouping sets (explicit, beyond rollup/cube).
+@register(
+    "q_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+# unpivot / stack: wide -> long.
+@register(
+    "q_unpivot",
+    """
+    SELECT o_orderkey, metric, val FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS totalprice,
+             CAST(o_custkey AS DOUBLE) AS custkey
+      FROM orders WHERE o_orderkey < 100
+    ) UNPIVOT (val FOR metric IN (totalprice, custkey))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return orders.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', CAST(o_totalprice AS DOUBLE), "
+            "'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, val)"
+        ),
+    )

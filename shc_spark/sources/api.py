@@ -80,6 +80,80 @@ def _rowkey_encoder(cat: Catalog):
     return encode, names
 
 
+def _avro_encode_udf(field):
+    """struct value -> Avro binary cell (pure-python serde — the
+    spark-avro jar is not loadable here; mirrors AvroSerde.serialize,
+    types/Avro.scala:401-414)."""
+    from shc_spark.coders.avro import AvroType
+
+    coder = AvroType(field.avro_schema)
+    struct_fields = list(field.dt.fields)
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(pdf: pd.DataFrame) -> pd.Series:
+        out = []
+        for _, row in pdf.iterrows():
+            if row.isna().all():
+                out.append(None)
+                continue
+            value = tuple(_coerce(row[sf.name], sf.dataType) for sf in struct_fields)
+            out.append(coder.to_bytes(value))
+        return pd.Series(out)
+
+    return enc
+
+
+def _coerce(v, dt: T.DataType):
+    """pandas/numpy value -> python value matching the Spark type
+    (nullable ints arrive as float64 from pandas; arrays as ndarray)."""
+    import numpy as np
+
+    if v is None or (not isinstance(v, (list, dict, np.ndarray, tuple)) and pd.isna(v)):
+        return None
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(v)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(dt, T.BooleanType):
+        return bool(v)
+    if isinstance(dt, T.StringType):
+        return str(v)
+    if isinstance(dt, T.BinaryType):
+        return bytes(v)
+    if isinstance(dt, T.ArrayType):
+        return [_coerce(x, dt.elementType) for x in v]
+    if isinstance(dt, T.MapType):
+        items = v.items() if isinstance(v, dict) else v  # arrow may give pair-lists
+        return {k: _coerce(x, dt.valueType) for k, x in items}
+    if isinstance(dt, T.StructType):
+        if isinstance(v, dict):
+            return tuple(_coerce(v.get(sf.name), sf.dataType) for sf in dt.fields)
+        return tuple(_coerce(x, sf.dataType) for x, sf in zip(v, dt.fields))
+    return v
+
+
+def _avro_decode_udf(field):
+    """Avro binary cell -> struct value (AvroSerde.deserialize,
+    types/Avro.scala:416-426)."""
+    from shc_spark.coders.avro import AvroType
+
+    coder = AvroType(field.avro_schema)
+    names = [sf.name for sf in field.dt.fields]
+
+    @F.pandas_udf(field.dt)
+    def dec(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            if b is None:
+                rows.append({n: None for n in names})
+            else:
+                tup = coder.from_bytes(bytes(b))
+                rows.append(dict(zip(names, tup)))
+        return pd.DataFrame(rows)
+
+    return dec
+
+
 def write_table(
     df: DataFrame,
     catalog: str,
@@ -109,6 +183,9 @@ def write_table(
     ts = timestamp if timestamp is not None else int(time.time() * 1000)
 
     out = df.select([f.col_name for f in cat.fields.values()])
+    for f in cat.fields.values():
+        if f.avro_schema is not None:
+            out = out.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
     out = out.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
     out = out.withColumn(TS_COL, F.lit(ts).cast("long"))
     if num_regions:
@@ -136,7 +213,14 @@ def read_table(
     merge_dynamic_maps: bool = False,
     keep_internal: bool = False,
 ) -> DataFrame:
-    """Read an shc table back as a DataFrame with the catalog schema."""
+    """Read an shc table back as a DataFrame with the catalog schema.
+
+    Call read_table once per logical query: Spark 4.1 caches the
+    planned scan per relation, so reusing ONE returned DataFrame
+    across differently-filtered queries can reuse stale partition
+    pruning (see ShcReader.pushFilters). Each call here builds a fresh
+    relation, which is always safe.
+    """
     register(spark)
     cat = parse_catalog(catalog)
     df = (
@@ -145,7 +229,6 @@ def read_table(
         .option("root", root)
         .load()
     )
-
     # S15 time semantics (handleTimeSemantics, HBaseTableScan.scala:496-516)
     if timestamp is not None:
         df = df.filter(F.col(TS_COL) == timestamp)
@@ -208,4 +291,10 @@ def read_table(
         cols = key_names + [f.col_name for f in value_fields]
     if keep_internal:
         cols = cols + [TS_COL]
+    # Avro cells travel as binary through filter/merge (pushdown and
+    # max_by never look inside); decode to the logical struct last, on
+    # the merged row count
+    for f in value_fields:
+        if f.avro_schema is not None:
+            df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))
     return df.select(*cols)

@@ -66,7 +66,17 @@ def table_path(root: str, cat: Catalog) -> str:
 
 
 def internal_schema(cat: Catalog) -> StructType:
-    fields = list(cat.spark_schema().fields)
+    """Physical schema: catalog columns typed as declared, EXCEPT
+    Avro-coded cells which are stored as the serialized Avro binary —
+    one cell, one blob, exactly like the reference (AvroSerde,
+    types/Avro.scala:401-426). The logical struct view is reconstructed
+    in read_table."""
+    fields = []
+    for f in cat.fields.values():
+        if f.avro_schema is not None:
+            fields.append(StructField(f.col_name, BinaryType(), not f.is_rowkey))
+        else:
+            fields.append(f.spark_field())
     fields.append(StructField(ROWKEY_COL, BinaryType(), False))
     fields.append(StructField(TS_COL, LongType(), False))
     return StructType(fields)
@@ -120,10 +130,25 @@ class ShcReader(DataSourceReader):
         root = options.get("root", "/tmp/shc_tables")
         self.path = options.get("path") or table_path(root, self.cat)
         self.hrf = HRF.full()
-        self.hrf.handled = True  # no filters yet
 
     # -- pushdown (S6/S7) -------------------------------------------------
     def pushFilters(self, filters):
+        """Spark Filter list (implicit AND) -> rowkey scan ranges.
+
+        Exactly-representable rowkey filters are consumed (the
+        reference's unhandledFilters contract,
+        HBaseRelation.scala:316-318); superset translations are yielded
+        back for Spark re-evaluation.
+
+        KNOWN ENGINE CAVEAT (Spark 4.1): the JVM caches the planned
+        (partitions, read function) per DataSourceV2 relation
+        (PythonDataSourceV2 read-info). A query WITHOUT pushable
+        filters reuses the most recent cached plan of the same
+        DataFrame — if that plan was pruned by an earlier filtered
+        query, rows are missing. Always materialize a fresh relation
+        per logical query (``api.read_table`` does) instead of reusing
+        one loaded DataFrame across differently-filtered queries.
+        """
         key_fields = self.cat.rowkey_fields()
         first = key_fields[0]
         coder = get_coder(first.coder)
@@ -133,34 +158,31 @@ class ShcReader(DataSourceReader):
         def encode(v):
             return coder.to_bytes(v, first.dt)
 
-        consumed_ranges = HRF.full()
-        consumed_ranges.handled = True
+        pushed = HRF.full()
         for f in filters:
             try:
                 sub = translate_filters([f], first.col_name, encode)
+                key_hrf = _dim_to_key_ranges(sub, fixed_w, single_dim)
             except Exception:
                 yield f
                 continue
-            key_hrf = _dim_to_key_ranges(sub, fixed_w, single_dim)
-            consumed_ranges = HRF(
-                ranges_and(consumed_ranges.ranges, key_hrf.ranges), True
-            )
+            pushed = HRF(ranges_and(pushed.ranges, key_hrf.ranges), False)
             if not key_hrf.handled:
-                # superset only — Spark must re-evaluate (unhandledFilters,
-                # HBaseRelation.scala:316-318)
+                # superset only -> Spark must re-evaluate
                 yield f
-        self.hrf = consumed_ranges
+        self.hrf = pushed
 
     # -- partition planning + pruning (S10) -------------------------------
     def partitions(self):
         regions = _load_regions(self.path)
         parts = []
+        hrf, self.hrf = self.hrf, HRF.full()  # pop: ranges are per-query
         for reg in regions:
             start = bytes.fromhex(reg["start"]) if reg["start"] is not None else None
             end = bytes.fromhex(reg["end"]) if reg["end"] is not None else None
             # region covers [start, end] inclusive (tight file min/max)
             region_range = ScanRange(start, True, end, True)
-            live = ranges_and(self.hrf.ranges, [region_range])
+            live = ranges_and(hrf.ranges, [region_range])
             if live:
                 parts.append(
                     RegionPartition(

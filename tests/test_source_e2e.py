@@ -273,3 +273,29 @@ def test_partition_pruning_effective(spark, basic_table, root):
     assert 1 <= len(real) <= 3
     all_parts = ShcReader(None, {"catalog": CAT_BASIC, "root": root}).partitions()
     assert len(real) < len([p for p in all_parts if p.path])
+
+
+def test_phoenix_coder_composite(spark, root):
+    """PhoenixType coder through the source: var-length dims with NUL
+    separators (PhoenixCompositeKeySuite.scala:79-176 analog)."""
+    cat = json.dumps(
+        {
+            "table": {"namespace": "default", "name": "phx", "tableCoder": "PhoenixType", "version": "2.0"},
+            "rowkey": "key1:key2",
+            "columns": {
+                "name": {"cf": "rowkey", "col": "key1", "type": "string"},
+                "seq": {"cf": "rowkey", "col": "key2", "type": "int"},
+                "val": {"cf": "cf1", "col": "v", "type": "double"},
+            },
+        }
+    )
+    rows = [(f"user{i % 7}", i, float(i)) for i in range(64)]
+    df = spark.createDataFrame(rows, schema="name string, seq int, val double")
+    write_table(df, cat, root=root, num_regions=4, mode="overwrite")
+    t = read_table(spark, cat, root=root)
+    assert t.count() == 64
+    # both dims roundtrip through the NUL-separated encoding
+    got = t.filter((F.col("name") == "user3") & (F.col("seq") == 10)).collect()
+    assert len(got) == 1 and got[0]["val"] == 10.0
+    # prefix pushdown on the var-length first dim (superset + re-filter)
+    assert t.filter(F.col("name").startswith("user1")).count() == 9

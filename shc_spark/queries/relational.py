@@ -36,7 +36,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (matching DuckDB's nanos->micros truncation)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def register(name: str, sql: str | None = None):
@@ -937,3 +937,149 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
     )
+
+
+# range join — bucketize + equi-join on (bucket, bucket±1) + exact
+# re-filter: the scalable pattern for interval joins (a naive theta
+# join is quadratic). Pairs of events by the same user within 5
+# minutes of each other. Oracle: DuckDB's native inequality join.
+@register(
+    "q_range_join",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    bucket_us = 5 * 60 * 1_000_000
+    a = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id"),
+        F.col("us").alias("us_a"),
+        F.floor(F.col("us") / bucket_us).alias("bkt"),
+    )
+    # each left row probes its own bucket and the next (a 5-min window
+    # spans at most 2 buckets)
+    a = a.withColumn("probe", F.explode(F.array(F.col("bkt"), F.col("bkt") + 1))).drop("bkt")
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id"),
+        F.col("us").alias("us_b"),
+        F.floor(F.col("us") / bucket_us).alias("probe"),
+    )
+    return (
+        a.join(b, ["user_id", "probe"])
+        .filter((F.col("us_b") > F.col("us_a")) & (F.col("us_b") <= F.col("us_a") + bucket_us))
+        .select("id_a", "id_b", (F.col("us_b") - F.col("us_a")).alias("gap_us"))
+    )
+
+
+# exact percentiles (interpolated) + datetime function battery.
+@register(
+    "q_percentiles_datetime",
+    """
+    WITH g AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(month(o_orderdate) AS INT) AS o_month,
+             list_sort(list(o_totalprice)) AS vals
+      FROM orders WHERE dayofweek(o_orderdate) NOT IN (0, 6)
+      GROUP BY 1, 2)
+    SELECT o_year, o_month,
+           vals[CAST(floor((len(vals) - 1) * 0.5) AS INT) + 1] AS p50,
+           vals[CAST(floor((len(vals) - 1) * 0.9) AS INT) + 1] AS p90,
+           CAST(len(vals) AS BIGINT) AS n
+    FROM g
+    """,
+)
+def q_percentiles_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # discrete percentile (element at floor((n-1)*p)) — identical
+    # element selection on both engines, no interpolation ulps;
+    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark dayofweek: 1=Sunday..7
+    def pdisc(p):
+        return F.expr(
+            f"element_at(sort_array(collect_list(o_totalprice)), "
+            f"CAST(floor((count(o_totalprice) - 1) * {p}) AS INT) + 1)"
+        )
+
+    return (
+        orders.filter(~(F.dayofweek("o_orderdate") - 1).isin(0, 6))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.month("o_orderdate").cast("int").alias("o_month"),
+        )
+        .agg(
+            pdisc(0.5).alias("p50"),
+            pdisc(0.9).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# string function battery incl. levenshtein (both engines implement it).
+@register(
+    "q_string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           substr(p_name, 1, 5) AS prefix5,
+           length(p_name) AS name_len,
+           levenshtein(p_brand, 'Brand#1') AS brand_dist,
+           concat(p_brand, '/', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS snake
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("brand_dist"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+    )
+
+
+# array function battery over the embeddings vectors.
+@register(
+    "q_array_functions",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+           round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_max,
+           round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS head_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        F.round(F.array_max(dbl), 4).alias("vec_max"),
+        F.round(
+            F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("head_sum"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+# deterministic sampling is engine-specific -> rows-only check.
+@register("q_sample", None)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.01, seed=42).select("l_orderkey", "l_linenumber")

@@ -82,3 +82,21 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_totals(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_window",
+    """
+    WITH expanded AS (
+      SELECT event_type,
+             make_timestamp((CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - g.i) * 900000000) AS window_start
+      FROM events, range(0, 4) g(i))
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.streaming.events import run_sliding_counts
+
+    return run_sliding_counts(spark, sf_dir)

@@ -202,7 +202,21 @@ class ShcReader(DataSourceReader):
     def read(self, partition: RegionPartition):
         if not partition.path:
             return
-        table = pq.read_table(partition.path)
+        # S11 scan-vs-get: rows are sorted by __rowkey, so parquet
+        # row-group statistics on it are tight — pass the coarse
+        # bounding range as a pyarrow filter to skip whole row groups
+        # (the BulkGet analog: a point lookup touches ~1 row group).
+        filters = None
+        starts = [r[0] for r in partition.ranges]
+        ends = [r[2] for r in partition.ranges]
+        if partition.ranges and all(s is not None for s in starts):
+            conj = [(ROWKEY_COL, ">=", min(starts))]
+            if all(e is not None for e in ends):
+                conj.append((ROWKEY_COL, "<=", max(ends)))
+            filters = [conj]
+        elif partition.ranges and all(e is not None for e in ends):
+            filters = [[(ROWKEY_COL, "<=", max(ends))]]
+        table = pq.read_table(partition.path, filters=filters)
         key = table.column(ROWKEY_COL)
         mask = None
         for start, start_inc, end, end_inc in partition.ranges:

@@ -84,21 +84,29 @@ def _widen(df: DataFrame) -> DataFrame:
     shingle/signature stage out to the cluster. Only repartitions when
     the input is narrower than half the default parallelism — a 100 TB
     input already has thousands of partitions and skips the shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    target = min(df.sparkSession.sparkContext.defaultParallelism, 8)
     if df.rdd.getNumPartitions() < max(target // 2, 2):
         return df.repartition(target)
     return df
 
 
 def _hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, hs: array<long>) — shingle hashing stays JVM-side
-    (xxhash64, whole-stage codegen); Python only ever sees int64
-    arrays. This is the 100 TB split: strings never cross the Arrow
-    boundary."""
-    sh = shingles(F.col(text_col), n)
+    """(id, hs: array<long>) distinct hashed n-gram shingles.
+
+    The hash is computed directly from the n words at each position
+    (multi-arg xxhash64) — no concat_ws string allocation — and
+    dedup/min run over longs, not strings. Equivalent to hashing the
+    joined shingle text: xxhash64(w1, w2, w3) is injective in the word
+    tuple up to 64-bit collisions, which is all MinHash needs."""
+    ws = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+
+    def gram_hash(i):
+        return F.xxhash64(*[F.element_at(ws, i + k) for k in range(n)])
+
     return _widen(df).select(
         F.col(id_col).alias("id"),
-        F.transform(sh, lambda s: F.xxhash64(s)).alias("hs"),
+        F.array_distinct(F.transform(idx, gram_hash)).alias("hs"),
     )
 
 
@@ -135,15 +143,15 @@ def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_perm: int = 64,
-    bands: int = 32,
+    num_perm: int = 32,
+    bands: int = 16,
     n: int = 3,
     threshold: float = 0.8,
     verify: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, exact-verified.
 
-    bands=32 over 64 perms (r=2): P[missed | j>=0.8] ~= (1-j^2)^32 < 1e-6.
+    bands=16 over 32 perms (r=2): P[missed | j>=0.8] ~= (1-j^2)^16 < 1e-4.
     Candidate generation joins on (band_idx, band_hash) — the shuffle
     carries doc_count*bands small rows. ``verify`` re-checks candidates
     with exact Jaccard so false positives are eliminated; the output
@@ -151,8 +159,10 @@ def minhash_lsh_pairs(
     r = num_perm // bands
     # hashed shingles feed BOTH signature generation and verification,
     # and the banding self-join references the signature plan twice —
-    # cache both so the shingle transform + UDF run exactly once
-    # (at 100 TB: persist signatures to storage instead)
+    # cache both so the shingle transform and the signature expression
+    # are each evaluated exactly once (the cache is also a projection-
+    # collapse barrier: without it Catalyst would inline the signature
+    # expression into every band hash). At 100 TB: persist signatures.
     hashed = _hashed_shingles(df, text_col, id_col, n).cache()
     sigs = hashed.select("id", _sig_expr(num_perm).alias("sig")).cache()
     banded = sigs.select(

@@ -65,22 +65,24 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, num_planes: int, seed: int = 7) -> np.ndarray:
+def lsh_table_udf(dim: int, num_tables: int, planes_per_table: int, seed: int = 7):
+    """array<int> of bucket ids, one per hash table. Multi-table LSH is
+    the standard recall lever when neighbors are weakly separated
+    (single-table sign-LSH recall collapses as cosine -> 0.5):
+    P[collide in >=1 of L tables] = 1 - (1 - p^k)^L."""
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((num_planes, dim))
+    planes = rng.standard_normal((num_tables * planes_per_table, dim))
+    weights = 1 << np.arange(planes_per_table)
 
-
-def lsh_bucket_udf(dim: int, num_planes: int = 8, seed: int = 7):
-    planes = _hyperplanes(dim, num_planes, seed)
-
-    @F.pandas_udf(T.IntegerType())
-    def bucket(vecs: pd.Series) -> pd.Series:
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
         M = np.stack(vecs.to_numpy())  # (batch, dim)
-        signs = (M @ planes.T) > 0  # (batch, planes)
-        vals = (signs * (1 << np.arange(num_planes))).sum(axis=1)
-        return pd.Series(vals.astype(np.int32))
+        signs = (M @ planes.T) > 0  # (batch, L*k)
+        signs = signs.reshape(len(M), num_tables, planes_per_table)
+        vals = (signs * weights).sum(axis=2).astype(np.int32)  # (batch, L)
+        return pd.Series(list(vals))
 
-    return bucket
+    return buckets
 
 
 def lsh_topk(
@@ -90,30 +92,39 @@ def lsh_topk(
     id_col: str = "vec_id",
     k: int = 5,
     dim: int = 64,
-    num_planes: int = 8,
+    num_tables: int = 8,
+    planes_per_table: int = 6,
     multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: compare only within shared hyperplane-sign
-    buckets (plus 1-bit-flip probes). Recall < 1 by construction; the
-    exact path is cosine_topk. At 100 TB the corpus hashes once and
-    the per-query candidate set is |corpus| / 2^planes on average."""
-    bucket = lsh_bucket_udf(dim, num_planes)
-    c = _normalized(corpus, vec_col, id_col).withColumn("bkt", bucket(F.col("nv")))
-    q = _normalized(queries, vec_col, id_col).withColumn("bkt0", bucket(F.col("nv")))
+    """Approximate top-k via multi-table sign-LSH: a query compares
+    only against corpus rows sharing a bucket in at least one of
+    ``num_tables`` tables (plus 1-bit-flip probes per table). The
+    corpus hashes once; per-query candidates ~ |corpus| * L * probes /
+    2^k — at 100 TB the candidate join shuffles bucket ids, never the
+    vectors of non-candidates."""
+    buckets = lsh_table_udf(dim, num_tables, planes_per_table)
+    c = (
+        _normalized(corpus, vec_col, id_col)
+        .withColumn("bkts", buckets(F.col("nv")))
+        .select(
+            "id", "nv", F.posexplode("bkts").alias("tbl", "bkt")
+        )
+    )
+    q = _normalized(queries, vec_col, id_col).withColumn("bkts", buckets(F.col("nv")))
+    q = q.select(
+        F.col("id").alias("query_id"), F.col("nv").alias("qv"),
+        F.posexplode("bkts").alias("tbl", "bkt0"),
+    )
     if multiprobe:
         probes = F.array(
             F.col("bkt0"),
-            *[F.col("bkt0").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)],
+            *[F.col("bkt0").bitwiseXOR(F.lit(1 << i)) for i in range(planes_per_table)],
         )
     else:
         probes = F.array(F.col("bkt0"))
-    q = q.select(
-        F.col("id").alias("query_id"),
-        F.col("nv").alias("qv"),
-        F.explode(probes).alias("bkt"),
-    )
+    q = q.select("query_id", "qv", "tbl", F.explode(probes).alias("bkt"))
     scored = (
-        c.join(F.broadcast(q), "bkt")
+        c.join(F.broadcast(q), ["tbl", "bkt"])
         .filter(F.col("id") != F.col("query_id"))
         .select(
             "query_id",

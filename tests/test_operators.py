@@ -1,0 +1,93 @@
+"""Operator-level tests: ANN recall against the exact baseline, salted
+join equivalence, dedup equivalences — the quality checks behind the
+rows-only gate entries."""
+
+from pyspark.sql import functions as F
+
+from shc_spark.operators import dedup, similarity
+from shc_spark.operators.skew import salted_agg_count, salted_join
+
+SF = "/root/testdata/sf0.01"
+
+
+def _recall(approx_rows, exact_rows):
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = tot = 0
+    approx = {}
+    for r in approx_rows:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q, truth in exact.items():
+        tot += len(truth)
+        hit += len(truth & approx.get(q, set()))
+    return hit / tot
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = similarity.cosine_topk(queries, emb, k=5).collect()
+    lsh = similarity.lsh_topk(queries, emb, k=5, dim=64).collect()
+    ivf = similarity.ivf_topk(queries, emb, k=5, dim=64, num_centroids=16, nprobe=4).collect()
+    r_lsh, r_ivf = _recall(lsh, exact), _recall(ivf, exact)
+    # deterministic seeds -> stable recall; thresholds are what these
+    # parameters actually deliver on this data, asserted so parameter
+    # regressions are caught
+    assert r_lsh >= 0.5, f"LSH recall {r_lsh}"
+    assert r_ivf >= 0.5, f"IVF recall {r_ivf}"
+
+
+def test_minhash_equals_exact_jaccard(spark):
+    """LSH with verification must equal the exact pair set (banding
+    recall at these parameters) — the invariant behind sharing the
+    oracle with dedup_ngram_jaccard."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert lsh == exact
+
+
+def test_salted_join_equivalence(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_orderpriority")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    salted = (
+        salted_join(li.withColumnRenamed("l_orderkey", "o_orderkey"), orders, "o_orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_count(spark):
+    ev = spark.read.parquet(f"{SF}/customer.parquet")
+    plain = dict(
+        (r["c_mktsegment"], r["n"])
+        for r in ev.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    salted = dict(
+        (r["c_mktsegment"], r["n"]) for r in salted_agg_count(ev, "c_mktsegment", salt=8).collect()
+    )
+    assert plain == salted
+
+
+def test_exact_dedup_events(spark):
+    from shc_spark.queries.relational import _events
+
+    ev = _events(spark, SF).select("event_id", "user_id", "event_type")
+    out = dedup.exact_dedup(ev, ["user_id", "event_type"], "event_id")
+    # one survivor per distinct (user, type), and it is the min id
+    assert out.count() == ev.select("user_id", "event_type").distinct().count()
+    mins = ev.groupBy("user_id", "event_type").agg(F.min("event_id").alias("event_id"))
+    assert out.select("event_id").subtract(mins.select("event_id")).count() == 0

@@ -19,6 +19,7 @@ from shc_spark.queries.relational import q01_pricing_summary
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 

@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_scores",
     "sim_topk_bruteforce",
+    "q_asof_join",
+    "shc_roundtrip_scan",
 ]
 
 
@@ -53,8 +55,12 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
-    # warm-up (not counted): JIT, codegen, parquet footer caches
+    # warm-up (not counted): JIT, codegen, parquet footer caches, and
+    # the connector query's one-time table materialization (the timed
+    # run then measures the scan path, not the write)
     run("q06_forecast_revenue")
+    if "shc_roundtrip_scan" in queries:
+        run("shc_roundtrip_scan")
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -16,13 +16,26 @@ from __future__ import annotations
 from shc_spark.queries import connector, pipeline, relational, streaming_q
 
 
+def _with_utc(fn):
+    """The driver runs queries in ITS session; timestamp literals and
+    date casts are session-TZ-dependent, and the DuckDB oracle is
+    TZ-naive — pin UTC per query call."""
+
+    def wrapped(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def all_queries():
     q = {}
     q.update(relational.QUERIES)
     q.update(connector.QUERIES)
     q.update(pipeline.QUERIES)
     q.update(streaming_q.QUERIES)
-    return q
+    return {name: _with_utc(fn) for name, fn in q.items()}
 
 
 def all_oracles():

@@ -253,3 +253,44 @@ def shc_avro_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_info.p_type").alias("p_type"),
         F.col("p_info.p_retailprice").alias("p_retailprice"),
     )
+
+
+CAT_SEG_MAP = json.dumps(
+    {
+        "table": {"namespace": "q", "name": "seg_stats", "tableCoder": "OrderedType", "version": "2.0"},
+        "rowkey": "key",
+        "columns": {
+            "c_nationkey": {"cf": "rowkey", "col": "key", "type": "int"},
+            "seg_counts": {"cf": "cf1", "col": "", "type": "map<string,bigint>"},
+        },
+    }
+)
+
+
+# Dynamic column family (map<string,T> with empty qualifier,
+# DynamicColumnSuite.scala:109-123): per-nation map of mktsegment ->
+# customer count written through the source, read back, exploded.
+@register(
+    "shc_dynamic_map",
+    """
+    SELECT c_nationkey, c_mktsegment AS seg, count(*) AS n
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def shc_dynamic_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _root(sf_dir, "segmap")
+    if not os.path.exists(os.path.join(root, "q.seg_stats", "_regions.json")):
+        cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        per = (
+            cust.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("c_nationkey")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("c_mktsegment", "n"))
+                ).alias("seg_counts")
+            )
+        )
+        write_table(per, CAT_SEG_MAP, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+    t = read_table(spark, CAT_SEG_MAP, root=root)
+    return t.select("c_nationkey", F.explode("seg_counts").alias("seg", "n"))

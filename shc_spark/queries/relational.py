@@ -1083,3 +1083,82 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.01, seed=42).select("l_orderkey", "l_linenumber")
+
+
+# window rank battery: dense_rank / ntile / percent_rank / cume_dist.
+@register(
+    "q_window_ranks",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           dense_rank()   OVER w AS drank,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WHERE o_orderkey <= 500
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# window first/last with explicit frames.
+@register(
+    "q_window_first_last",
+    """
+    SELECT user_id, event_id,
+           first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_event,
+           last_value(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+    FROM events WHERE user_id < 20
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(wfull).alias("last_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+# NOT IN with a nullable subquery — three-valued logic corner: any NULL
+# in the NOT IN list makes every row non-matching. Both engines must
+# agree; the list here is made nullable via a CASE.
+@register(
+    "q_conditional_null_semantics",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n,
+           count(nullif(c_nationkey, 0)) AS n_nonzero_nation,
+           CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_bal,
+           round(coalesce(avg(CASE WHEN c_acctbal > 0 THEN c_acctbal END), -1), 4) AS avg_pos_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_conditional_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.nullif(F.col("c_nationkey"), F.lit(0))).alias("n_nonzero_nation"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("n_null_bal"),
+        F.round(
+            F.coalesce(F.avg(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))), F.lit(-1.0)),
+            4,
+        ).alias("avg_pos_bal"),
+    )

@@ -44,3 +44,74 @@ def test_stream_write_table_roundtrip(spark, tmp_path):
     # pushdown works on the streamed-in table too
     one = back.filter(F.col("event_id") == 7).collect()
     assert len(one) == 1 and one[0]["user_id"] is not None
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 10-min watermark across two
+    microbatches: a row arriving in batch 2 that is older than the
+    watermark must NOT be counted (late-data semantics the reference
+    has no notion of)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(minute, uid):
+        return (uid, base + dt.timedelta(minutes=minute), 1.0)
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+
+    def write_file(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        path = str(d / name)
+        papq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: rows at t=5 and t=100 -> watermark will advance to 90
+    write_file("b1.parquet", [mk(5, 1), mk(100, 2)], 1_000_000)
+    # batch 2: watermark propagation batch (Spark applies the advanced
+    # watermark starting the batch AFTER the one that computed it)
+    write_file("b2.parquet", [mk(105, 5)], 2_000_000)
+    # batch 3: t=10 is now genuinely late (window [0,30) closed) + t=110
+    write_file("b3.parquet", [mk(10, 3), mk(110, 4)], 3_000_000)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        r["w"]["start"].minute + 60 * r["w"]["start"].hour: r["n"]
+        for r in spark.table("late_test").collect()
+    }
+    # window [0,30) finalized with ONLY the on-time row; the late t=10
+    # row was dropped
+    assert rows.get(0) == 1, rows

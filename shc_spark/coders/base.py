@@ -13,6 +13,12 @@ class Coder:
     #: whether byte-wise lexicographic order of encodings equals value order
     order_preserving: bool = False
 
+    def order_preserving_for(self, dt: T.DataType) -> bool:
+        """Order preservation is per (coder, dtype): e.g. HBase-raw
+        PrimitiveType strings/binary/boolean sort correctly but the
+        int family and floats do NOT (sign bit)."""
+        return self.order_preserving
+
     def to_bytes(self, value, dt: T.DataType) -> bytes:
         raise NotImplementedError
 

@@ -33,6 +33,12 @@ _INT_WIDTH = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4, T.LongType: 8}
 class PrimitiveType(Coder):
     order_preserving = False
 
+    def order_preserving_for(self, dt: T.DataType) -> bool:
+        # UTF-8 strings, raw binary, and 0x00/0xFF booleans sort
+        # byte-wise == value-wise; signed numerics do not (the §4.2
+        # sign hazard)
+        return type(dt) in (T.StringType, T.BinaryType, T.BooleanType)
+
     def to_bytes(self, value, dt: T.DataType) -> bytes:
         if value is None:
             raise ValueError("cannot encode null (nulls are skipped on write)")

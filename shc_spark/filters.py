@@ -207,15 +207,20 @@ def _attr(f) -> str | None:
     return None
 
 
-def _translate(f, key_name: str, encode) -> HRF:
+def _translate(f, key_name: str, encode, points_only: bool = False) -> HRF:
+    """``points_only``: the encoding is NOT order-preserving for the
+    key's type (e.g. raw HBase two's-complement ints, ScanRange.scala
+    §4.2 sign hazard) — only equality/IN translate (points are valid
+    under any injective encoding); every order-dependent predicate
+    falls back to full scan + Spark re-filter."""
     kind = type(f).__name__
     if kind in ("And",):
-        left = _translate(f.left, key_name, encode)
-        right = _translate(f.right, key_name, encode)
+        left = _translate(f.left, key_name, encode, points_only)
+        right = _translate(f.right, key_name, encode, points_only)
         return HRF(ranges_and(left.ranges, right.ranges), left.handled and right.handled)
     if kind in ("Or",):
-        left = _translate(f.left, key_name, encode)
-        right = _translate(f.right, key_name, encode)
+        left = _translate(f.left, key_name, encode, points_only)
+        right = _translate(f.right, key_name, encode, points_only)
         # conservative OR: either side full-scan => whole disjunction
         # full-scan (TypedFilter.or, HBaseFilter.scala:108-114)
         if not left.handled or not right.handled:
@@ -226,12 +231,15 @@ def _translate(f, key_name: str, encode) -> HRF:
         ikind = type(inner).__name__
         if ikind == "And":  # De Morgan (HBaseFilter.scala:270-275)
             return _translate(
-                _Or(_Not(inner.left), _Not(inner.right)), key_name, encode
+                _Or(_Not(inner.left), _Not(inner.right)), key_name, encode, points_only
             )
         if ikind == "Or":
             return _translate(
-                _And(_Not(inner.left), _Not(inner.right)), key_name, encode
+                _And(_Not(inner.left), _Not(inner.right)), key_name, encode, points_only
             )
+        if points_only:
+            # exclusion ranges are order-dependent -> full scan
+            return HRF.full()
         if ikind in ("EqualTo",) and _attr(inner) == key_name:
             v = encode(inner.value)
             return HRF(
@@ -259,6 +267,14 @@ def _translate(f, key_name: str, encode) -> HRF:
     if kind == "EqualTo":
         v = encode(f.value)
         return HRF([ScanRange(v, True, v, True)], True)
+    if kind == "In":
+        pts = [encode(v) for v in f.values]
+        rs: list[ScanRange] = []
+        for p in pts:
+            rs = ranges_or(rs, [ScanRange(p, True, p, True)])
+        return HRF(rs, True)
+    if points_only:
+        return HRF.full()
     if kind == "GreaterThan":
         return HRF([ScanRange(encode(f.value), False, None, False)], True)
     if kind == "GreaterThanOrEqual":
@@ -267,12 +283,6 @@ def _translate(f, key_name: str, encode) -> HRF:
         return HRF([ScanRange(None, True, encode(f.value), False)], True)
     if kind == "LessThanOrEqual":
         return HRF([ScanRange(None, True, encode(f.value), True)], True)
-    if kind == "In":
-        pts = [encode(v) for v in f.values]
-        rs: list[ScanRange] = []
-        for p in pts:
-            rs = ranges_or(rs, [ScanRange(p, True, p, True)])
-        return HRF(rs, True)
     if kind == "StringStartsWith":
         # prefix -> REAL range [prefix, next(prefix)) — improves on the
         # reference's full-scan-plus-PrefixFilter (HBaseFilter.scala:320-326)
@@ -299,10 +309,10 @@ class _Or:
         self.right = right
 
 
-def translate_filters(filters, key_name: str, encode) -> HRF:
+def translate_filters(filters, key_name: str, encode, points_only: bool = False) -> HRF:
     """AND-fold of all pushed filters (buildFilters, HBaseFilter.scala:126-138)."""
     hrf = HRF(list(FULL_SCAN), True)
     for f in filters:
-        sub = _translate(f, key_name, encode)
+        sub = _translate(f, key_name, encode, points_only)
         hrf = HRF(ranges_and(hrf.ranges, sub.ranges), hrf.handled and sub.handled)
     return hrf

@@ -44,10 +44,35 @@ def register(spark: SparkSession) -> None:
     spark.dataSource.register(ShcDataSource)
 
 
+def _encode_dim_vectorized(col: pd.Series, coder, dt: T.DataType) -> "list[bytes] | None":
+    """numpy fast path for OrderedType/PhoenixType int-family and
+    string dims: whole-column encode without a Python loop. Returns
+    None when no fast path applies."""
+    import numpy as np
+
+    if not getattr(coder, "order_preserving", False):
+        return None
+    widths = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4, T.LongType: 8}
+    w = widths.get(type(dt))
+    if w is not None:
+        vals = col.to_numpy()
+        if pd.isna(vals).any():
+            raise ValueError("rowkey dimension is null")
+        bits = vals.astype(np.uint64) ^ np.uint64(1 << (8 * w - 1))
+        be = bits.astype(">u8").view(np.uint8).reshape(-1, 8)[:, 8 - w :]
+        return [r.tobytes() for r in be]
+    if isinstance(dt, T.StringType):
+        if col.isna().any():
+            raise ValueError("rowkey dimension is null")
+        return [s.encode("utf-8") for s in col]
+    return None
+
+
 def _rowkey_encoder(cat: Catalog):
     """Vectorized rowkey encoder: pandas UDF over the key columns
-    (Arrow-batched — the write-side fix for the reference's per-row
-    `convertToPut` cost, HBaseRelation.scala:202-267)."""
+    (Arrow-batched, numpy-encoded per dimension — the write-side fix
+    for the reference's per-row `convertToPut` cost,
+    HBaseRelation.scala:202-267)."""
     key_fields = cat.rowkey_fields()
     coders = [get_coder(f.coder) for f in key_fields]
     dts = [f.dt for f in key_fields]
@@ -55,27 +80,35 @@ def _rowkey_encoder(cat: Catalog):
     names = [f.col_name for f in key_fields]
     phoenix_like = [type(c).__name__ == "PhoenixType" for c in coders]
 
-    @F.pandas_udf(T.BinaryType())
-    def encode(*cols: pd.Series) -> pd.Series:
-        n = len(cols[0])
-        out = []
-        for i in range(n):
-            parts = []
-            for j, (coder, dt) in enumerate(zip(coders, dts)):
-                v = cols[j].iloc[i]
-                if v is None or (isinstance(v, float) and pd.isna(v)):
+    def encode_dim(col: pd.Series, j: int) -> list[bytes]:
+        fast = _encode_dim_vectorized(col, coders[j], dts[j])
+        if fast is None:
+            fast = []
+            for v in col:
+                if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
                     raise ValueError(f"rowkey dimension {names[j]!r} is null")
-                enc = coder.to_bytes(v, dt)
-                if lengths[j] is not None and len(enc) != lengths[j]:
+                fast.append(coders[j].to_bytes(v, dts[j]))
+        if lengths[j] is not None:
+            for enc in fast:
+                if len(enc) != lengths[j]:
                     raise ValueError(
                         f"rowkey dim {names[j]!r}: encoded length {len(enc)} != "
                         f"declared length {lengths[j]}"
                     )
-                parts.append(enc)
-                if phoenix_like[j] and lengths[j] is None and j != len(coders) - 1:
-                    parts.append(b"\x00")
-            out.append(b"".join(parts))
-        return pd.Series(out)
+        return fast
+
+    @F.pandas_udf(T.BinaryType())
+    def encode(*cols: pd.Series) -> pd.Series:
+        dims = [encode_dim(col, j) for j, col in enumerate(cols)]
+        seps = [
+            b"\x00" if phoenix_like[j] and lengths[j] is None and j != len(cols) - 1 else b""
+            for j in range(len(cols))
+        ]
+        if len(dims) == 1:
+            return pd.Series(dims[0])
+        return pd.Series(
+            [b"".join(d[i] + s for d, s in zip(dims, seps)) for i in range(len(dims[0]))]
+        )
 
     return encode, names
 
@@ -183,15 +216,19 @@ def write_table(
     ts = timestamp if timestamp is not None else int(time.time() * 1000)
 
     out = df.select([f.col_name for f in cat.fields.values()])
+    if num_regions:
+        # range-partition + sort on the TYPED key columns (same order
+        # as encoded bytes for order-preserving coders) BEFORE the
+        # encode projection: the range-sampling pass then prunes to the
+        # key columns and never evaluates the encode UDF, and the UDF
+        # runs exactly once, above the exchange. (= HBase pre-split.)
+        out = out.repartitionByRange(num_regions, *[F.col(k) for k in key_names])
+    out = out.sortWithinPartitions(*[F.col(k) for k in key_names])
     for f in cat.fields.values():
         if f.avro_schema is not None:
             out = out.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
     out = out.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
     out = out.withColumn(TS_COL, F.lit(ts).cast("long"))
-    if num_regions:
-        # range-partition on the encoded key = HBase pre-split; each
-        # task then writes one sorted region file
-        out = out.repartitionByRange(num_regions, F.col(ROWKEY_COL))
     (
         out.write.format("shc")
         .mode(mode)

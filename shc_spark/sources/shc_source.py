@@ -154,6 +154,9 @@ class ShcReader(DataSourceReader):
         coder = get_coder(first.coder)
         single_dim = len(key_fields) == 1
         fixed_w = first.length if not first.var_length else None
+        # non-order-preserving encodings (raw PrimitiveType numerics,
+        # §4.2 sign hazard): only equality/IN translate to ranges
+        points_only = not coder.order_preserving_for(first.dt)
 
         def encode(v):
             return coder.to_bytes(v, first.dt)
@@ -161,7 +164,7 @@ class ShcReader(DataSourceReader):
         pushed = HRF.full()
         for f in filters:
             try:
-                sub = translate_filters([f], first.col_name, encode)
+                sub = translate_filters([f], first.col_name, encode, points_only)
                 key_hrf = _dim_to_key_ranges(sub, fixed_w, single_dim)
             except Exception:
                 yield f
@@ -260,8 +263,10 @@ class ShcWriter(DataSourceArrowWriter):
         out_path = os.path.join(gen_dir, f"region-{uuid.uuid4().hex[:8]}.parquet")
         writer = None
         for batch in iterator:
+            # api.write_table sorts within partitions on the key
+            # columns upstream, so batches arrive in key order — no
+            # per-batch re-sort (which would only be batch-local anyway)
             table = pa.Table.from_batches([batch])
-            table = table.sort_by(ROWKEY_COL)
             if writer is None:
                 writer = pq.ParquetWriter(out_path, table.schema)
             writer.write_table(table)

@@ -299,3 +299,32 @@ def test_phoenix_coder_composite(spark, root):
     assert len(got) == 1 and got[0]["val"] == 10.0
     # prefix pushdown on the var-length first dim (superset + re-filter)
     assert t.filter(F.col("name").startswith("user1")).count() == 9
+
+
+def test_primitive_coder_signed_int_keys(spark, root):
+    """The §4.2 sign hazard with the RAW HBase coder: negative int keys
+    sort byte-wise ABOVE positives, so range pushdown must disable
+    itself (points-only) and fall back to Spark re-filtering. Counts
+    from DataTypeSuite.scala:90-151."""
+    cat = json.dumps(
+        {
+            "table": {"namespace": "default", "name": "prim_ik", "tableCoder": "PrimitiveType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "col0": {"cf": "rowkey", "col": "key", "type": "int"},
+                "col4": {"cf": "cf4", "col": "col4", "type": "int"},
+            },
+        }
+    )
+    rows = [(i if i % 2 == 0 else -i, i) for i in range(32)]
+    df = spark.createDataFrame(rows, schema="col0 int, col4 int")
+    write_table(df, cat, root=root, num_regions=4, mode="overwrite")
+    t = read_table(spark, cat, root=root)
+    assert t.count() == 32
+    assert t.filter(F.col("col0") < 0).count() == 16
+    assert t.filter(F.col("col0") <= -10).count() == 11
+    assert t.filter(F.col("col0") > 10).count() == 10
+    assert t.filter((F.col("col0") > -10) & (F.col("col0") <= 10)).count() == 11
+    # equality/IN still push as exact points under any injective coder
+    assert t.filter(F.col("col0") == -13).count() == 1
+    assert t.filter(F.col("col0").isin(-13, 4, 99)).count() == 2

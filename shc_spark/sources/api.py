@@ -238,6 +238,28 @@ def write_table(
     )
 
 
+def _merge_is_noop(table_path: str) -> bool:
+    """True when every region file has unique keys (writer-recorded)
+    and region key ranges are pairwise disjoint — then one row per key
+    exists and merge-to-latest is the identity."""
+    import json as _json
+    import os as _os
+
+    meta = _os.path.join(table_path, "_regions.json")
+    if not _os.path.exists(meta):
+        return False
+    regions = _json.load(open(meta))
+    if not regions or not all(r.get("unique") for r in regions):
+        return False
+    spans = sorted(
+        ((r["start"] or "", r["end"] or "") for r in regions), key=lambda x: x[0]
+    )
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        if s2 <= e1:  # hex strings compare like the underlying bytes
+            return False
+    return True
+
+
 def read_table(
     spark: SparkSession,
     catalog: str,
@@ -276,6 +298,16 @@ def read_table(
 
     key_names = [f.col_name for f in cat.rowkey_fields()]
     value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
+
+    import os as _os
+
+    table_dir = _os.path.join(root, f"{cat.namespace}.{cat.name}")
+    if merge_to_latest and max_versions is None and _merge_is_noop(table_dir):
+        # single write, every file's keys unique, files key-disjoint:
+        # each key exists exactly once, so merge-to-latest is the
+        # identity — skip the groupBy entirely. At 100 TB this turns
+        # every plain read into a shuffle-FREE scan.
+        merge_to_latest = False
 
     if max_versions is not None:
         # keep the N newest versions per key (Window; rowkey predicates

@@ -258,6 +258,8 @@ class ShcWriter(DataSourceArrowWriter):
     def write(self, iterator):
         rows = 0
         lo = hi = None
+        unique = True
+        prev_last = None
         gen_dir = os.path.join(self.path, f"gen={self.gen}")
         os.makedirs(gen_dir, exist_ok=True)
         out_path = os.path.join(gen_dir, f"region-{uuid.uuid4().hex[:8]}.parquet")
@@ -274,6 +276,16 @@ class ShcWriter(DataSourceArrowWriter):
             if len(keys):
                 bmin = pc.min_max(keys)
                 kmin, kmax = bmin["min"].as_py(), bmin["max"].as_py()
+                # keys arrive sorted: uniqueness within the file is an
+                # adjacent-equality check, and batch boundaries only
+                # need the previous batch's max
+                if prev_last is not None and keys[0].as_py() == prev_last:
+                    unique = False
+                if unique and len(keys) > 1:
+                    eq = pc.equal(keys.slice(0, len(keys) - 1), keys.slice(1))
+                    if pc.any(eq).as_py():
+                        unique = False
+                prev_last = kmax
                 lo = kmin if lo is None or kmin < lo else lo
                 hi = kmax if hi is None or kmax > hi else hi
             rows += len(table)
@@ -289,6 +301,7 @@ class ShcWriter(DataSourceArrowWriter):
                 "start": lo.hex() if lo is not None else None,
                 "end": hi.hex() if hi is not None else None,
                 "rows": rows,
+                "unique": unique,
             }
         )
 

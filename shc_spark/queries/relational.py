@@ -1162,3 +1162,98 @@ def q_conditional_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_pos_bal"),
     )
+
+
+# custom grouped operator via applyInPandas: per-user OLS trend of
+# event values over time. The numpy math inside the Arrow batch is the
+# "custom operator" slot (guide: grouped-map); the oracle is DuckDB's
+# built-in regr_slope/regr_intercept.
+@register(
+    "q_grouped_regression",
+    """
+    SELECT user_id,
+           round(regr_slope(value, epoch_us(ts) / 3600000000.0), 6) AS slope_per_hour,
+           round(regr_intercept(value, epoch_us(ts) / 3600000000.0), 2) AS intercept,
+           count(*) AS n
+    FROM events GROUP BY user_id HAVING count(*) >= 2
+    """,
+)
+def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", (F.unix_micros("ts") / F.lit(3600000000.0)).alias("x"), F.col("value").alias("y")
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                columns=["user_id", "slope_per_hour", "intercept", "n"]
+            ).astype({"user_id": "int64", "slope_per_hour": "float64", "intercept": "float64", "n": "int64"})
+        x = pdf["x"].to_numpy(dtype=np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        xm, ym = x.mean(), y.mean()
+        dx = x - xm
+        slope = float((dx * (y - ym)).sum() / (dx * dx).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "slope_per_hour": [round(slope, 6)],
+                "intercept": [round(ym - slope * xm, 2)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fit, schema="user_id long, slope_per_hour double, intercept double, n long"
+    )
+
+
+# as-of join, cogroup variant: applyInPandas over cogrouped purchases/
+# clicks with pandas merge_asof per user — the per-group imperative
+# implementation of the same operator as q_asof_join (same oracle).
+@register(
+    "q_asof_join_cogroup",
+    """
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         clicks    AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS prev_click_ts
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def merge(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame(columns=["event_id", "user_id", "purchase_ts", "prev_click_ts"])
+        p = p.sort_values("ts")
+        c = c.sort_values("ts")
+        if c.empty:
+            out = p.assign(click_ts=pd.NaT)
+        else:
+            clicks_only = c[["ts"]].rename(columns={"ts": "click_ts"})
+            out = pd.merge_asof(
+                p, clicks_only, left_on="ts",
+                right_on="click_ts", direction="backward",
+            )
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "purchase_ts": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "prev_click_ts": out["click_ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+        )
+
+    return purchases.groupBy("user_id").cogroup(clicks.groupBy("user_id")).applyInPandas(
+        merge, schema="event_id long, user_id long, purchase_ts string, prev_click_ts string"
+    )

@@ -1195,12 +1195,19 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         y = pdf["y"].to_numpy(dtype=np.float64)
         xm, ym = x.mean(), y.mean()
         dx = x - xm
-        slope = float((dx * (y - ym)).sum() / (dx * dx).sum())
+        sxx = float((dx * dx).sum())
+        if sxx == 0.0:
+            # zero variance in x: regr_slope returns NULL
+            slope = intercept = None
+        else:
+            raw_slope = float((dx * (y - ym)).sum() / sxx)
+            slope = round(raw_slope, 6)
+            intercept = round(ym - raw_slope * xm, 2)
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
-                "slope_per_hour": [round(slope, 6)],
-                "intercept": [round(ym - slope * xm, 2)],
+                "slope_per_hour": [slope],
+                "intercept": [intercept],
                 "n": [len(pdf)],
             }
         )

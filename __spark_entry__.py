@@ -9,12 +9,19 @@ conventions that keep the hash-match green).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from shc_spark.queries import all_oracles, all_queries
-from shc_spark.queries.relational import q01_pricing_summary
+# make the package importable regardless of the driver's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from shc_spark.queries import all_oracles, all_queries  # noqa: E402
+from shc_spark.queries.relational import q01_pricing_summary  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

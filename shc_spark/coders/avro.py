@@ -55,10 +55,12 @@ def _avro_to_spark(schema) -> tuple[T.DataType, bool]:
         if len(non_null) == 1:
             dt, _ = _avro_to_spark(non_null[0])
             return dt, True
-        if set(non_null) == {"int", "long"}:
-            return T.LongType(), len(non_null) != len(schema)
-        if set(non_null) == {"float", "double"}:
-            return T.DoubleType(), len(non_null) != len(schema)
+        # dict branches are unhashable — only set-compare all-string unions
+        if all(isinstance(s, str) for s in non_null):
+            if set(non_null) == {"int", "long"}:
+                return T.LongType(), len(non_null) != len(schema)
+            if set(non_null) == {"float", "double"}:
+                return T.DoubleType(), len(non_null) != len(schema)
         fields = [
             T.StructField(f"member{i}", _avro_to_spark(s)[0], nullable=True)
             for i, s in enumerate(non_null)
@@ -191,8 +193,14 @@ def _encode(buf: io.BytesIO, schema, value) -> None:
         _write_long(buf, len(data))
         buf.write(data)
     elif t == "record":
-        for f, v in zip(schema["fields"], value):
-            _encode(buf, f["type"], v)
+        if isinstance(value, dict):
+            # dict records encode by FIELD NAME — zipping over a dict
+            # would iterate its keys as the values
+            for f in schema["fields"]:
+                _encode(buf, f["type"], value.get(f["name"]))
+        else:
+            for f, v in zip(schema["fields"], value):
+                _encode(buf, f["type"], v)
     elif t == "array":
         items = list(value)
         if items:

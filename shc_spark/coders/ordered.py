@@ -42,11 +42,14 @@ class OrderedType(Coder):
             bits ^= 1 << (8 * w - 1)  # flip sign bit
             return bits.to_bytes(w, "big")
         if t is T.FloatType:
-            bits = struct.unpack(">I", struct.pack(">f", float(value)))[0]
+            # -0.0 + 0.0 == +0.0: normalize so keys Spark compares as
+            # EQUAL encode identically (else key == 0.0 pushdown would
+            # silently miss rows stored with -0.0)
+            bits = struct.unpack(">I", struct.pack(">f", float(value) + 0.0))[0]
             bits = bits ^ 0x80000000 if not (bits & 0x80000000) else bits ^ 0xFFFFFFFF
             return struct.pack(">I", bits)
         if t is T.DoubleType:
-            bits = struct.unpack(">Q", struct.pack(">d", float(value)))[0]
+            bits = struct.unpack(">Q", struct.pack(">d", float(value) + 0.0))[0]
             bits = (
                 bits ^ 0x8000000000000000
                 if not (bits & 0x8000000000000000)

@@ -33,8 +33,11 @@ from shc_spark.operators.text import shingles
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep one row (min id) per distinct combination of ``cols``.
-    Shuffles a digest, not the payload: groupBy(md5(concat(cols)))."""
-    digest = F.md5(F.concat_ws("\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+    Shuffles a digest, not the payload. The digest is the typed
+    xxhash64 over the columns — injective up to 64-bit collisions,
+    with none of the separator/NULL-sentinel ambiguity a string
+    concat would have ('x\\x01y'+'z' vs 'x'+'y\\x01z')."""
+    digest = F.xxhash64(*[F.col(c) for c in cols])
     keep = (
         df.select(F.col(id_col), digest.alias("__digest"))
         .groupBy("__digest")
@@ -99,24 +102,26 @@ def _hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataF
     joined shingle text: xxhash64(w1, w2, w3) is injective in the word
     tuple up to 64-bit collisions, which is all MinHash needs."""
     ws = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
 
     def gram_hash(i):
         return F.xxhash64(*[F.element_at(ws, i + k) for k in range(n)])
 
-    return _widen(df).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(F.transform(idx, gram_hash)).alias("hs"),
-    )
+    # short docs -> empty array (sequence(1,0) is DESCENDING [1,0], so
+    # the transform must be guarded, not fed a clamped bound)
+    hs = F.when(
+        F.size(ws) >= n, F.array_distinct(F.transform(idx, gram_hash))
+    ).otherwise(F.array().cast("array<long>"))
+    return _widen(df).select(F.col(id_col).alias("id"), hs.alias("hs"))
 
 
-def _sig_expr(num_perm: int):
+def _sig_expr(num_perm: int, seed: int = 42):
     """array<long> minhash signature, 100% JVM-side: permutation p =
-    min over shingle-hashes of xxhash64(h, seed=p). No Python worker,
+    min over shingle-hashes of xxhash64(h, p, seed). No Python worker,
     no Arrow crossing — the whole signature stage is one projection."""
     def perm(p):
         # factory closure: a 2-arg lambda would receive (element, index)
-        return lambda h: F.xxhash64(h, F.lit(p))
+        return lambda h: F.xxhash64(h, F.lit(p), F.lit(seed))
 
     return F.array(
         *[
@@ -136,7 +141,7 @@ def minhash_signatures(
     (the reference's serde layer is the only Python-side code left in
     this path)."""
     hashed = _hashed_shingles(df, text_col, id_col, n)
-    return hashed.select("id", _sig_expr(num_perm).alias("sig"))
+    return hashed.select("id", _sig_expr(num_perm, seed).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -163,7 +168,9 @@ def minhash_lsh_pairs(
     # are each evaluated exactly once (the cache is also a projection-
     # collapse barrier: without it Catalyst would inline the signature
     # expression into every band hash). At 100 TB: persist signatures.
-    hashed = _hashed_shingles(df, text_col, id_col, n).cache()
+    # docs with no shingles (< n words) can't be near-dups and would
+    # all share the zero signature (and divide by zero in verification)
+    hashed = _hashed_shingles(df, text_col, id_col, n).filter(F.size("hs") > 0).cache()
     sigs = hashed.select("id", _sig_expr(num_perm).alias("sig")).cache()
     banded = sigs.select(
         "id",

@@ -41,7 +41,17 @@ def salted_join(
     Deterministic salting: hash of the large side's full row spread via
     pmod, not rand() — reruns and retried tasks produce identical
     partitioning (rand() in a shuffle input is a correctness hazard
-    under task retry)."""
+    under task retry).
+
+    Only join types where the exploded small side cannot leak
+    unmatched duplicates are allowed: inner / left / left_semi /
+    left_anti (a right/full outer would emit each unmatched small-side
+    row ``salt`` times)."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the exploded small "
+            "side would duplicate unmatched rows in right/full outer joins"
+        )
     lcols = [c for c in large.columns]
     salted_large = large.withColumn(
         SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt)).cast("int")

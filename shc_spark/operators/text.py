@@ -99,11 +99,17 @@ def fingerprint(text: Column, n: int = 3) -> Column:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string> (1-based
-    element_at keeps the expression identical to the DuckDB oracle)."""
+    element_at keeps the expression identical to the DuckDB oracle).
+
+    Documents with fewer than n words yield an EMPTY array — guarded
+    explicitly because Spark's sequence(1, 0) is the DESCENDING
+    [1, 0], not [] (which would crash element_at)."""
     ws = words(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, gram))
+    return F.when(
+        F.size(ws) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def rolling_hash(text: Column, window: int = 8) -> Column:

@@ -105,10 +105,16 @@ def _dim_to_key_ranges(hrf: HRF, fixed_first_width: int | None, single_dim: bool
         start, start_inc = r.start, r.start_inclusive
         end, end_inc = r.end, r.end_inclusive
         if start is not None and not start_inc:
-            # dim > v  =>  key >= next_prefix(v)
-            start, start_inc = _prefix_upper(start), True
+            # dim > v  =>  key >= next_prefix(v). next_prefix(0xFF..)
+            # is None: NO key is above v, the range is EMPTY — it must
+            # be dropped, not widened to -infinity.
+            start = _prefix_upper(start)
+            start_inc = True
+            if start is None:
+                continue
         if end is not None and end_inc:
-            # dim <= v  =>  key < next_prefix(v)
+            # dim <= v  =>  key < next_prefix(v); next_prefix None
+            # correctly means unbounded above
             end, end_inc = _prefix_upper(end), False
         out.append(ScanRange(start, start_inc, end, end_inc))
     return HRF(out, hrf.handled and exact)
@@ -276,16 +282,25 @@ class ShcWriter(DataSourceArrowWriter):
             if len(keys):
                 bmin = pc.min_max(keys)
                 kmin, kmax = bmin["min"].as_py(), bmin["max"].as_py()
-                # keys arrive sorted: uniqueness within the file is an
-                # adjacent-equality check, and batch boundaries only
-                # need the previous batch's max
-                if prev_last is not None and keys[0].as_py() == prev_last:
+                first, last = keys[0].as_py(), keys[-1].as_py()
+                # uniqueness via adjacent-equality is only sound when
+                # keys arrive in non-decreasing BYTE order (equal keys
+                # then adjacent). Typed-sorted-but-byte-unsorted input
+                # (raw PrimitiveType numerics) or unsorted direct
+                # writes conservatively record unique=False.
+                if prev_last is not None and first == prev_last:
                     unique = False
-                if unique and len(keys) > 1:
-                    eq = pc.equal(keys.slice(0, len(keys) - 1), keys.slice(1))
-                    if pc.any(eq).as_py():
-                        unique = False
-                prev_last = kmax
+                if unique:
+                    if prev_last is not None and first < prev_last:
+                        unique = False  # byte order broken across batches
+                    if len(keys) > 1:
+                        head = keys.slice(0, len(keys) - 1)
+                        tail = keys.slice(1)
+                        if pc.any(pc.equal(head, tail)).as_py():
+                            unique = False
+                        elif pc.any(pc.greater(head, tail)).as_py():
+                            unique = False  # byte order broken in batch
+                prev_last = last
                 lo = kmin if lo is None or kmin < lo else lo
                 hi = kmax if hi is None or kmax > hi else hi
             rows += len(table)
@@ -314,8 +329,9 @@ class ShcWriter(DataSourceArrowWriter):
             # left on disk (a vacuum would remove them; out of scope)
             regions = []
         new = [m.info for m in messages if m and m.info]
+        base = len(regions)
         for i, info in enumerate(sorted(new, key=lambda x: x["start"] or "")):
-            info["id"] = len(regions) + i
+            info["id"] = base + i
             regions.append(info)
         with open(os.path.join(self.path, "_regions.json"), "w") as fh:
             json.dump(regions, fh)

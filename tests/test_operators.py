@@ -91,3 +91,51 @@ def test_exact_dedup_events(spark):
     assert out.count() == ev.select("user_id", "event_type").distinct().count()
     mins = ev.groupBy("user_id", "event_type").agg(F.min("event_id").alias("event_id"))
     assert out.select("event_id").subtract(mins.select("event_id")).count() == 0
+
+
+def test_short_documents_no_crash(spark):
+    """Docs with < n words must yield empty shingle sets, not crash
+    (sequence(1,0) is DESCENDING in Spark — regression for the
+    element_at out-of-bounds bug)."""
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "two words"), (3, "three words here"), (4, "")],
+        "doc_id long, text string",
+    )
+    from shc_spark.operators import text as t
+
+    rows = df.select("doc_id", t.shingles(F.col("text"), 3).alias("sh")).collect()
+    got = {r["doc_id"]: len(r["sh"]) for r in rows}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+    assert df.select("doc_id", t.fingerprint(F.col("text"))).count() == 4
+    assert dedup.jaccard_pairs(df, "text", "doc_id").count() == 0
+    assert dedup.minhash_lsh_pairs(df, "text", "doc_id").count() == 0
+    assert dedup.simhash_near_dups(df, "text", "doc_id").count() >= 0
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="right/full"):
+        salted_join(df, df, "k", how="full")
+
+
+def test_exact_dedup_separator_safety(spark):
+    """Values straddling column boundaries must NOT collide (regression
+    for the concat-digest ambiguity)."""
+    df = spark.createDataFrame(
+        [(1, "x\x01y", "z"), (2, "x", "y\x01z"), (3, None, "\x00")],
+        "id long, a string, b string",
+    )
+    out = dedup.exact_dedup(df, ["a", "b"], "id")
+    assert out.count() == 3  # all rows distinct, none dropped
+
+
+def test_ordered_coder_negative_zero():
+    from pyspark.sql import types as T
+
+    from shc_spark.coders import get_coder
+
+    coder = get_coder("OrderedType")
+    assert coder.to_bytes(-0.0, T.DoubleType()) == coder.to_bytes(0.0, T.DoubleType())
+    assert coder.to_bytes(-0.0, T.FloatType()) == coder.to_bytes(0.0, T.FloatType())

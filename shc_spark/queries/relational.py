@@ -1264,3 +1264,22 @@ def q_asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases.groupBy("user_id").cogroup(clicks.groupBy("user_id")).applyInPandas(
         merge, schema="event_id long, user_id long, purchase_ts string, prev_click_ts string"
     )
+
+
+# global top-k: ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+# each partition keeps only k rows, the driver merges k*partitions
+# (no global sort at any scale).
+@register(
+    "q_global_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )

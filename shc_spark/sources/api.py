@@ -367,3 +367,21 @@ def read_table(
         if f.avro_schema is not None:
             df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))
     return df.select(*cols)
+
+
+def bulk_get(
+    spark: SparkSession,
+    catalog: str,
+    keys: list,
+    root: str = DEFAULT_ROOT,
+    **read_opts,
+) -> DataFrame:
+    """BulkGet (S11, HBaseTableScan.scala:424-447): point lookups for a
+    list of first-dimension key values. The IN-list pushes down to
+    point ranges, so only the region files (and row groups) containing
+    those keys are opened — the multi-Get analog, without a batch-size
+    knob because partitions parallelize naturally."""
+    cat = parse_catalog(catalog)
+    first = cat.rowkey_fields()[0].col_name
+    df = read_table(spark, catalog, root=root, **read_opts)
+    return df.filter(F.col(first).isin(list(keys)))

@@ -328,3 +328,12 @@ def test_primitive_coder_signed_int_keys(spark, root):
     # equality/IN still push as exact points under any injective coder
     assert t.filter(F.col("col0") == -13).count() == 1
     assert t.filter(F.col("col0").isin(-13, 4, 99)).count() == 2
+
+
+def test_bulk_get(spark, basic_table, root):
+    """S11 BulkGet: IN-list of keys -> point-range pushdown, exact rows."""
+    from shc_spark.sources import bulk_get
+
+    got = bulk_get(spark, CAT_BASIC, ["row010", "row200", "rowNope"], root=root)
+    rows = {r["col0"]: r["col4"] for r in got.collect()}
+    assert rows == {"row010": 10, "row200": 200}

@@ -172,7 +172,15 @@ def shc_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shc_version_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _root(sf_dir, "custv")
     marker = os.path.join(root, "q.customer", "_regions.json")
-    if not os.path.exists(marker) or len(json.load(open(marker))) <= 8:
+
+    def _gen_count() -> int:
+        if not os.path.exists(marker):
+            return 0
+        with open(marker) as fh:
+            regions = json.load(fh)
+        return len({os.path.dirname(r["path"]) for r in regions})
+
+    if _gen_count() < 2:
         df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
             "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
         )

@@ -37,8 +37,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ws[i], identical to the Spark element_at expression in operators.text).
 _SHINGLE_CTE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS s
-       FROM t, range(1, 4096) g(i) WHERE g.i <= len(ws) - 2),
+pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM t),
+sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM pos),
 ds AS (SELECT DISTINCT doc_id, s FROM sh),
 sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
 inter AS (
@@ -230,8 +230,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    sh AS (SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS s
-           FROM t, range(1, 4096) g(i) WHERE g.i <= len(ws) - 2),
+    pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM t),
+    sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM pos),
     agg AS (
       SELECT doc_id, md5(string_agg(s, chr(1) ORDER BY s)) AS fp
       FROM (SELECT DISTINCT doc_id, s FROM sh) GROUP BY doc_id)

@@ -877,8 +877,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "o_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.col("total_qty") > 250)
+        .agg(F.sum("l_quantity").alias("__raw_qty"))
+        .filter(F.col("__raw_qty") > 250)  # HAVING on the UNROUNDED sum, like the oracle
+        .select("c_custkey", "o_orderkey", F.round(F.col("__raw_qty"), 2).alias("total_qty"))
     )
 
 

@@ -49,17 +49,17 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sessionization",
     """
     WITH o AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events),
     flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN prev_ts IS NULL
                        OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
       FROM o),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged)
     SELECT user_id,

@@ -40,13 +40,21 @@ EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value 
 
 def _events_stream_dir(sf_dir: str) -> str:
     """File streaming sources read directories; expose the single
-    events.parquet file through a symlinked staging dir."""
+    events.parquet file through a symlinked staging dir (md5-keyed —
+    builtin hash() is process-salted and collisions would silently
+    serve another sf_dir's data)."""
+    import hashlib
+
     src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(src):
+        raise FileNotFoundError(src)
     d = os.path.join(
-        tempfile.gettempdir(), f"shc_stream_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"shc_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:16]}"
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
+    if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(src):
+        os.remove(link)  # stale/foreign symlink
     if not os.path.exists(link):
         os.symlink(src, link)
     return d
@@ -72,7 +80,13 @@ def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
-    return result.sparkSession.table(name)
+    spark = result.sparkSession
+    # detach from the memory sink (localCheckpoint materializes the
+    # rows) and drop the sink table — otherwise every invocation pins
+    # a full result copy in the driver for the session lifetime
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def run_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,9 +18,8 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings".split()
-)
+
+from shc_spark.session import TABLES  # noqa: E402 — single source of truth
 
 
 def canon(val):
@@ -106,6 +105,9 @@ def main():
         f"\n{len(passed)} ok, {len(failed)} failed, {len(rows_only)} rows-only "
         f"of {len(queries)} queries"
     )
+    if filters and not (passed or failed or rows_only):
+        print(f"ERROR: filters {filters} matched no query")
+        sys.exit(2)
     if failed:
         sys.exit(1)
 

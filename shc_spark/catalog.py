@@ -184,13 +184,19 @@ class RowKey:
         return [k for k in self.raw.split(":") if k]
 
     def validate(self, coder: str) -> None:
-        if coder == TABLE_CODER_PRIMITIVE:
-            for f in self.fields[:-1]:
-                if f.var_length:
-                    raise ValueError(
-                        f"composite key dimension {f.col_name!r} before the last "
-                        "must have fixed length with the PrimitiveType coder"
-                    )
+        # Only PhoenixType writes a separator after var-length dims
+        # (Phoenix.scala:63-74). Every other coder concatenates raw
+        # bytes, so a var-length dim before the last makes distinct
+        # tuples like ('ab','c') and ('a','bc') encode to the SAME
+        # rowkey — ambiguous keys break decode_rowkey and writer
+        # uniqueness stats. Reject at parse time (ADVICE r1).
+        for f in self.fields[:-1]:
+            if f.var_length and f.coder != TABLE_CODER_PHOENIX:
+                raise ValueError(
+                    f"composite key dimension {f.col_name!r} before the last "
+                    f"must have fixed length with the {f.coder} coder "
+                    "(only PhoenixType separates var-length dimensions)"
+                )
 
 
 @dataclass

@@ -156,10 +156,46 @@ def _read_long(buf: io.BytesIO) -> int:
     return (acc >> 1) ^ -(acc & 1)  # un-zigzag
 
 
+def _union_members(schema: list):
+    """Non-null branches of a union that maps to the member-struct
+    Spark representation (struct<member0,member1,...>), else None —
+    nullable-single and the int/long, float/double widened unions keep
+    a scalar representation (mirrors _avro_to_spark's list case)."""
+    non_null = [s for s in schema if s != "null"]
+    if len(non_null) == 1:
+        return None
+    if all(isinstance(s, str) for s in non_null) and set(non_null) in (
+        {"int", "long"},
+        {"float", "double"},
+    ):
+        return None
+    return non_null
+
+
 def _encode(buf: io.BytesIO, schema, value) -> None:
     if isinstance(schema, str):
         t = schema
     elif isinstance(schema, list):  # union: pick branch
+        members = _union_members(schema)
+        if members is not None and value is not None:
+            # member-struct representation (the reference's
+            # SchemaConverters, Avro.scala:83-135): exactly one
+            # populated slot picks the branch; unwrap and encode it.
+            if isinstance(value, dict):
+                vals = [value.get(f"member{j}") for j in range(len(members))]
+            else:
+                vals = list(value)  # Row / tuple / list
+            populated = [j for j, v in enumerate(vals) if v is not None]
+            if not populated:
+                if "null" in schema:
+                    _write_long(buf, schema.index("null"))
+                    return
+                raise ValueError(f"all-null member struct for non-nullable union {schema!r}")
+            mi = populated[0]
+            idx = [i for i, s in enumerate(schema) if s != "null"][mi]
+            _write_long(buf, idx)
+            _encode(buf, schema[idx], vals[mi])
+            return
         for i, branch in enumerate(schema):
             bt = branch if isinstance(branch, str) else branch.get("type")
             if value is None and branch == "null":
@@ -251,7 +287,13 @@ def _decode(buf: io.BytesIO, schema):
         t = schema
     elif isinstance(schema, list):
         idx = _read_long(buf)
-        return _decode(buf, schema[idx])
+        val = _decode(buf, schema[idx])
+        members = _union_members(schema)
+        if members is None or schema[idx] == "null":
+            return val
+        # wrap into the member struct with the decoded branch populated
+        mi = sum(1 for s in schema[:idx] if s != "null")
+        return tuple(val if j == mi else None for j in range(len(members)))
     else:
         t = schema["type"]
     if t == "null":

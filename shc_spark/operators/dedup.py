@@ -238,6 +238,18 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFram
     return hashed.select("id", sh(F.col("hs")).alias("simhash"))
 
 
+def _simhash_blocks(col):
+    """The 4 16-bit blocks of a 64-bit simhash, low block first.
+
+    Mask, not ``% 65536``: Spark's % keeps the dividend's sign, so a
+    negative simhash (bit 63 set) would disagree with a positive one
+    sharing the same low 16 bits — silent candidate false negatives on
+    block 0 (ADVICE r1)."""
+    return F.array(
+        *[F.shiftrightunsigned(col, 16 * i).bitwiseAND(F.lit(65535)) for i in range(4)]
+    )
+
+
 def simhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, n: int = 3
 ) -> DataFrame:
@@ -248,9 +260,7 @@ def simhash_near_dups(
     blocks = sigs.select(
         "id",
         "simhash",
-        F.posexplode(
-            F.array(*[(F.shiftrightunsigned("simhash", 16 * i) % 65536) for i in range(4)])
-        ).alias("blk", "bval"),
+        F.posexplode(_simhash_blocks(F.col("simhash"))).alias("blk", "bval"),
     )
     a = blocks.alias("a")
     b = blocks.alias("b")

@@ -104,10 +104,19 @@ def _dim_to_key_ranges(hrf: HRF, fixed_first_width: int | None, single_dim: bool
     for r in hrf.ranges:
         start, start_inc = r.start, r.start_inclusive
         end, end_inc = r.end, r.end_inclusive
-        if start is not None and not start_inc:
-            # dim > v  =>  key >= next_prefix(v). next_prefix(0xFF..)
-            # is None: NO key is above v, the range is EMPTY — it must
-            # be dropped, not widened to -infinity.
+        if start is not None and not start_inc and exact:
+            # Fixed-width first dim only: dim > v  =>  key >=
+            # next_prefix(v) (every key extends the exactly-w-byte dim
+            # encoding, so no key with dim > v sorts below it).
+            # next_prefix(0xFF..) is None: NO key is above v, the range
+            # is EMPTY — it must be dropped, not widened to -infinity.
+            #
+            # For VAR-LENGTH first dims this rewrite would NARROW the
+            # range (name > 'user3' must not prune 'user30', whose key
+            # b'user30...' < b'user4'): keep the original exclusive
+            # start — key > encode(v) is a valid superset because every
+            # composite key strictly extends the dim encoding, and
+            # handled=False makes Spark re-filter the extras.
             start = _prefix_upper(start)
             start_inc = True
             if start is None:

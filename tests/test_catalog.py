@@ -157,3 +157,22 @@ def test_avro_field():
     assert dt["favorite_number"].dataType == T.IntegerType()
     assert dt["favorite_number"].nullable
     assert dt["favorite_array"].dataType == T.ArrayType(T.StringType(), False)
+
+
+def test_ordered_var_length_before_last_rejected():
+    """OrderedType has no separator: a var-length dim before the last
+    makes ('ab','c') and ('a','bc') encode identically — rejected at
+    parse time (ADVICE r1). PhoenixType (NUL separators) is allowed."""
+    def cat(coder):
+        return {
+            "table": {"namespace": "default", "name": "vl", "tableCoder": coder, "version": "2.0"},
+            "rowkey": "key1:key2",
+            "columns": {
+                "c0": {"cf": "rowkey", "col": "key1", "type": "string"},
+                "c1": {"cf": "rowkey", "col": "key2", "type": "int"},
+            },
+        }
+
+    with pytest.raises(ValueError, match="fixed length"):
+        parse_catalog(cat("OrderedType"))
+    parse_catalog(cat("PhoenixType"))  # separator-based: fine

@@ -178,3 +178,51 @@ def test_avro_schema_converters():
     # Spark -> Avro -> Spark fixpoint
     back = avro_to_spark_type(spark_to_avro_schema(dt))
     assert back == dt
+
+
+def test_avro_multi_branch_union_member_struct():
+    """Multi-branch non-null unions materialize the member struct on
+    decode and unwrap it on encode (ADVICE r1; reference
+    SchemaConverters behavior, Avro.scala:83-135)."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "u", "type": ["null", "int", "string"]}],
+    }
+    dt = avro_to_spark_type(schema)
+    assert dt == T.StructType(
+        [
+            T.StructField(
+                "u",
+                T.StructType(
+                    [
+                        T.StructField("member0", T.IntegerType()),
+                        T.StructField("member1", T.StringType()),
+                    ]
+                ),
+                nullable=True,
+            )
+        ]
+    )
+    codec = AvroType(schema)
+    for rec in [((5, None),), ((None, "x"),), (None,)]:
+        assert codec.from_bytes(codec.to_bytes(rec)) == rec
+
+
+def test_avro_widened_unions_stay_scalar():
+    """[int,long] -> long and [float,double] -> double keep scalar
+    representation; no member struct is produced."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": ["int", "long"]},
+            {"name": "b", "type": ["null", "float", "double"]},
+        ],
+    }
+    dt = avro_to_spark_type(schema)
+    assert dt["a"].dataType == T.LongType()
+    assert dt["b"].dataType == T.DoubleType()
+    codec = AvroType(schema)
+    assert codec.from_bytes(codec.to_bytes((7, 1.5))) == (7, 1.5)
+    assert codec.from_bytes(codec.to_bytes((2**40, None))) == (2**40, None)

@@ -139,3 +139,21 @@ def test_ordered_coder_negative_zero():
     coder = get_coder("OrderedType")
     assert coder.to_bytes(-0.0, T.DoubleType()) == coder.to_bytes(0.0, T.DoubleType())
     assert coder.to_bytes(-0.0, T.FloatType()) == coder.to_bytes(0.0, T.FloatType())
+
+
+def test_simhash_blocks_negative_sign(spark):
+    """Block extraction must mask, not mod: a negative simhash (bit 63
+    set) and a positive one sharing the same low 16 bits must agree on
+    block 0 (ADVICE r1)."""
+    vals = [-(2**63) + 0xBEEF, 0xBEEF, -1, 2**63 - 1, 0]
+    df = spark.createDataFrame([(v,) for v in vals], "simhash long")
+    got = {
+        r["simhash"]: r["blocks"]
+        for r in df.select(
+            "simhash", dedup._simhash_blocks(F.col("simhash")).alias("blocks")
+        ).collect()
+    }
+    for v in vals:
+        u = v & 0xFFFFFFFFFFFFFFFF
+        assert got[v] == [(u >> (16 * i)) & 0xFFFF for i in range(4)], hex(u)
+    assert got[-(2**63) + 0xBEEF][0] == got[0xBEEF][0] == 0xBEEF

@@ -337,3 +337,34 @@ def test_bulk_get(spark, basic_table, root):
     got = bulk_get(spark, CAT_BASIC, ["row010", "row200", "rowNope"], root=root)
     rows = {r["col0"]: r["col4"] for r in got.collect()}
     assert rows == {"row010": 10, "row200": 200}
+
+
+def test_phoenix_varlen_exclusive_start_not_narrowed(spark, root):
+    """ADVICE r1: `name > 'user3'` on a VAR-LENGTH first dim must not
+    be rewritten to key >= next_prefix('user3') — that would prune
+    'user30' (key b'user30\\x00...' < b'user4'). Spark re-filters the
+    superset, so correctness == completeness here."""
+    cat = json.dumps(
+        {
+            "table": {"namespace": "default", "name": "phxvl", "tableCoder": "PhoenixType", "version": "2.0"},
+            "rowkey": "key1:key2",
+            "columns": {
+                "name": {"cf": "rowkey", "col": "key1", "type": "string"},
+                "seq": {"cf": "rowkey", "col": "key2", "type": "int"},
+                "val": {"cf": "cf1", "col": "v", "type": "double"},
+            },
+        }
+    )
+    names = ["user1", "user3", "user30", "user31", "user4", "zed"]
+    rows = [(nm, i, float(i)) for i, nm in enumerate(names)]
+    df = spark.createDataFrame(rows, schema="name string, seq int, val double")
+    write_table(df, cat, root=root, num_regions=4, mode="overwrite")
+
+    got = {r["name"] for r in read_table(spark, cat, root=root).filter(F.col("name") > "user3").collect()}
+    assert got == {"user30", "user31", "user4", "zed"}
+    # Not(EqualTo) reaches the same exclusive-start path
+    got2 = {r["name"] for r in read_table(spark, cat, root=root).filter(F.col("name") != "user3").collect()}
+    assert got2 == set(names) - {"user3"}
+    # inclusive-end rewrite must keep prefix-extensions of shorter names
+    got3 = {r["name"] for r in read_table(spark, cat, root=root).filter(F.col("name") <= "user30").collect()}
+    assert got3 == {"user1", "user3", "user30"}

@@ -15,6 +15,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from shc_spark.session import DEFAULT_SF_DIR, get_spark  # noqa: E402
@@ -61,6 +63,17 @@ def main() -> None:
     run("q06_forecast_revenue")
     if "shc_roundtrip_scan" in queries:
         run("shc_roundtrip_scan")
+    # spawn the 32 Python workers once (pandas imports dominate the
+    # first Arrow UDF otherwise; a long-lived cluster has warm workers)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 64, 1, 32).select(_warm("id")).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -84,11 +84,20 @@ def jaccard_pairs(
 
 def _widen(df: DataFrame) -> DataFrame:
     """Small-file inputs arrive as 1-2 partitions; fan the CPU-bound
-    shingle/signature stage out to the cluster. Only repartitions when
-    the input is narrower than half the default parallelism — a 100 TB
-    input already has thousands of partitions and skips the shuffle."""
-    target = min(df.sparkSession.sparkContext.defaultParallelism, 8)
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    shingle/signature stage out to every core. The width probe uses
+    ``inputFiles()`` (pure metadata) rather than
+    ``df.rdd.getNumPartitions()`` — constructing the RDD converter
+    plans the whole query (ADVICE r1). Few files -> repartition to
+    defaultParallelism; a 100 TB input has thousands of splittable
+    files and skips the shuffle (parquet splits give >= one partition
+    per 128 MB regardless)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < max(target // 2, 2):
         return df.repartition(target)
     return df
 
@@ -116,9 +125,14 @@ def _hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataF
 
 
 def _sig_expr(num_perm: int, seed: int = 42):
-    """array<long> minhash signature, 100% JVM-side: permutation p =
-    min over shingle-hashes of xxhash64(h, p, seed). No Python worker,
-    no Arrow crossing — the whole signature stage is one projection."""
+    """array<long> minhash signature as a pure column expression:
+    permutation p = min over shingle-hashes of xxhash64(h, p, seed).
+
+    KEPT AS THE DEFINITIONAL ORACLE ONLY: transform/array_min are
+    interpreted (not codegen'd) higher-order functions, and 64 of them
+    per row made the signature stage half the round-1 bench. The hot
+    path is ``_sig_udf`` — a numpy replica of the exact same hash chain
+    (tests pin bit-equality)."""
     def perm(p):
         # factory closure: a 2-arg lambda would receive (element, index)
         return lambda h: F.xxhash64(h, F.lit(p), F.lit(seed))
@@ -133,15 +147,100 @@ def _sig_expr(num_perm: int, seed: int = 42):
     )
 
 
+# xxHash64 primes (public algorithm; same constants as Spark's
+# common/unsafe XXH64 used by the xxhash64() SQL function)
+_XXP1 = np.uint64(0x9E3779B185EBCA87)
+_XXP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXP3 = np.uint64(0x165667B19E3779F9)
+_XXP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x, r: int):
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _xx_fmix(h):
+    h = h ^ (h >> np.uint64(33))
+    h = h * _XXP2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _XXP3
+    return h ^ (h >> np.uint64(32))
+
+
+def _xx_hash_long(inp, seed):
+    """XXH64 of one 8-byte long — Spark hashes LongType children this
+    way inside xxhash64(). ``inp``/``seed`` are uint64 arrays/scalars."""
+    h = seed + _XXP5 + np.uint64(8)
+    h = h ^ (_rotl64(inp * _XXP2, 31) * _XXP1)
+    h = _rotl64(h, 27) * _XXP1 + _XXP4
+    return _xx_fmix(h)
+
+
+def _xx_hash_int(inp: int, seed):
+    """XXH64 of one 4-byte int (IntegerType children, e.g. lit(p))."""
+    h = seed + _XXP5 + np.uint64(4)
+    with np.errstate(over="ignore"):  # modular wrap is the algorithm
+        h = h ^ (np.uint64(inp & 0xFFFFFFFF) * _XXP1)
+        h = _rotl64(h, 23) * _XXP2 + _XXP3
+    return _xx_fmix(h)
+
+
+def _sig_udf(num_perm: int, seed: int = 42):
+    """Vectorized minhash signature: bit-identical to ``_sig_expr`` but
+    one Arrow-batched pandas UDF instead of 64 interpreted HOF
+    expressions per row (round-1 bench: the HOF version was half the
+    headline wall).
+
+    Per batch: flatten every row's shingle hashes into one uint64
+    vector, run the 3-step xxhash64 chain (hashLong(h, 42) is shared
+    across permutations; only the two hashInt steps depend on p), and
+    take per-row minima with ``np.minimum.reduceat``. Rows with no
+    shingles get the all-zero signature, same as the coalesce in
+    ``_sig_expr``."""
+
+    if not 0 <= seed < 2**31:
+        # F.lit(seed) in _sig_expr is an IntegerType child; the numpy
+        # replica hashes it with the 4-byte path — keep them in lockstep
+        raise ValueError("seed must fit a signed 32-bit int")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hs: pd.Series) -> pd.Series:
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        n = len(arrs)
+        out = np.zeros((n, num_perm), dtype=np.uint64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate([a for a in arrs if a.size]).view(np.uint64)
+            # offsets of each nonempty row's segment in flat
+            ne_lens = lens[nonempty]
+            offsets = np.zeros(len(ne_lens), dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=offsets[1:])
+            base = _xx_hash_long(flat, np.uint64(42))  # shared across perms
+            mins = np.empty((len(ne_lens), num_perm), dtype=np.uint64)
+            for p in range(num_perm):
+                hp = _xx_hash_int(seed & 0xFFFFFFFF, _xx_hash_int(p, base))
+                # min over the SIGNED interpretation (array_min on longs)
+                mins[:, p] = np.minimum.reduceat(
+                    hp ^ np.uint64(1 << 63), offsets
+                ) ^ np.uint64(1 << 63)
+            out[nonempty] = mins
+        signed = out.view(np.int64)
+        return pd.Series([signed[i].tolist() for i in range(n)])
+
+    return sig(F.col("hs"))
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_perm: int = 64, n: int = 3, seed: int = 42
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures via seeded xxhash64 —
-    independent 64-bit hash per permutation, entirely inside the JVM
-    (the reference's serde layer is the only Python-side code left in
-    this path)."""
+    independent 64-bit hash per permutation. Signature minima run in
+    one vectorized pandas UDF (``_sig_udf``); the definition is the
+    seeded-xxhash64 chain of ``_sig_expr``, bit-identical."""
     hashed = _hashed_shingles(df, text_col, id_col, n)
-    return hashed.select("id", _sig_expr(num_perm, seed).alias("sig"))
+    return hashed.select("id", _sig_udf(num_perm, seed).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -169,9 +268,18 @@ def minhash_lsh_pairs(
     # collapse barrier: without it Catalyst would inline the signature
     # expression into every band hash). At 100 TB: persist signatures.
     # docs with no shingles (< n words) can't be near-dups and would
-    # all share the zero signature (and divide by zero in verification)
-    hashed = _hashed_shingles(df, text_col, id_col, n).filter(F.size("hs") > 0).cache()
-    sigs = hashed.select("id", _sig_expr(num_perm).alias("sig")).cache()
+    # all share the zero signature (and divide by zero in verification).
+    # The size() filter sits ABOVE the cache: below it, Catalyst inlines
+    # the whole interpreted shingle expression into the Filter node and
+    # evaluates it twice per row (measured 4.4s vs 1.2s at sf0.1).
+    # The count() materializes the cache EAGERLY: its three consumers
+    # (signatures + both verify sides) otherwise race to scan the
+    # uncached InMemoryRelation in concurrent stages and each computes
+    # the shingle stage again (measured 2x at sf0.1).
+    hashed = _hashed_shingles(df, text_col, id_col, n).cache()
+    hashed.count()
+    hashed = hashed.filter(F.size("hs") > 0)
+    sigs = hashed.select("id", _sig_udf(num_perm).alias("sig"))
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -181,16 +289,21 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bh"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # candidate pairs per (band, bucket) via groupBy + in-bucket pair
+    # expansion — ONE scan of the signatures and one shuffle, where the
+    # classic self-join on (band, bh) exchanges the banded rows twice
+    # and re-computes the signature plan for each side. Bucket width is
+    # bounded by the duplicate-cluster size (quadratic expansion within
+    # a bucket is inherent to LSH pair output either way).
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     if not verify:

@@ -41,7 +41,13 @@ def get_spark(app_name: str = "shc_spark", cpus: str | int | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SHC_SPARK_DRIVER_MEM", "48g"))
+        # 8g, not "as much as the box has": a larger heap makes G1 size
+        # its regions/young gen aggressively and fault in tens of GB of
+        # fresh pages during early heap growth — measured 8-30s stalls
+        # on first queries with 48g in this (virtualized) environment,
+        # stable with 8g. sf0.1 working set is MBs; override via env for
+        # bigger local runs. On a real cluster this is per-executor mem.
+        .config("spark.driver.memory", os.environ.get("SHC_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")

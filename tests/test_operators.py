@@ -157,3 +157,23 @@ def test_simhash_blocks_negative_sign(spark):
         u = v & 0xFFFFFFFFFFFFFFFF
         assert got[v] == [(u >> (16 * i)) & 0xFFFF for i in range(4)], hex(u)
     assert got[-(2**63) + 0xBEEF][0] == got[0xBEEF][0] == 0xBEEF
+
+
+def test_sig_udf_bit_identical_to_expr(spark):
+    """The vectorized numpy signature must equal the definitional
+    seeded-xxhash64 column expression BIT FOR BIT — same candidate set,
+    same verified pairs."""
+    docs = spark.read.parquet(SF + "/documents.parquet").limit(200)
+    hashed = dedup._hashed_shingles(docs, "text", "doc_id", 3)
+    both = hashed.select(
+        "id",
+        dedup._sig_expr(16).alias("expect"),
+        dedup._sig_udf(16).alias("got"),
+    )
+    bad = both.filter(F.col("expect") != F.col("got")).count()
+    assert bad == 0
+    # empty-shingle rows produce the all-zero signature in both
+    empty = spark.createDataFrame([("e1", "two words")], "doc_id string, text string")
+    he = dedup._hashed_shingles(empty, "text", "doc_id", 3)
+    row = he.select(dedup._sig_expr(4).alias("e"), dedup._sig_udf(4).alias("g")).collect()[0]
+    assert row["e"] == row["g"] == [0, 0, 0, 0]

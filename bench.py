@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_scores",
     "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "dedup_embedding_cosine",
     "q_asof_join",
     "shc_roundtrip_scan",
 ]

@@ -403,26 +403,46 @@ def embedding_near_dups(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
 ) -> DataFrame:
     """Cosine >= threshold pairs (id_a < id_b, cosine rounded 4dp).
-    Brute-force O(n^2) comparisons via self-join — correct baseline;
-    use similarity.lsh_topk for the 100 TB path."""
-    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x / norm).alias("nv"),
+
+    Exact O(n^2) baseline — the 100 TB path is LSH bucketing
+    (similarity.lsh_topk). The quadratic compare runs as one numpy
+    matmul per Arrow batch against the full normalized corpus shipped
+    as a Spark broadcast: O(n*d) memory per executor, zero shuffles,
+    and no per-pair rows ever materialize (round 1 ran the n^2 pairs
+    through an interpreted aggregate() dot, the slowest shape
+    possible). Selection uses half-up rounding to match the F.round
+    applied to the emitted values."""
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    bc = spark.sparkContext.broadcast((ids, M / nrm))
+
+    def gen(batches):
+        c_ids, C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf["__id"].to_numpy()
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+            an = np.linalg.norm(A, axis=1, keepdims=True)
+            an[an == 0] = 1.0
+            S = (A / an) @ C.T  # (batch, n)
+            s = 10.0**4
+            Sr = np.sign(S) * np.floor(np.abs(S) * s + 0.5) / s
+            mask = (Sr >= threshold) & (a_ids[:, None] < c_ids[None, :])
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                yield pd.DataFrame(
+                    {"id_a": a_ids[ii], "id_b": c_ids[jj], "cosine": S[ii, jj]}
+                )
+
+    out = (
+        _widen(df)
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+        .mapInPandas(gen, f"id_a {id_type}, id_b {id_type}, cosine double")
     )
-    a = v.alias("a")
-    b = v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(dot, 4).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    return out.withColumn("cosine", F.round("cosine", 4))

@@ -1,15 +1,37 @@
 """Similarity search over embedding columns (array<float>).
 
-- cosine_topk: brute-force top-k — exact baseline. The query side is
-  broadcast (queries are few), the corpus side streams: no shuffle of
-  the corpus, one window per query for the top-k cut.
-- lsh_topk: random-hyperplane LSH bucketing — the 100 TB path. Corpus
-  vectors hash into 2^num_planes buckets; a query only compares
-  against candidates sharing a bucket (multi-probe: exact bucket plus
-  all 1-bit-flip neighbors to recover boundary losses).
-- ivf_topk: IVF-style coarse quantization: k-means-free variant using
-  seeded random centroids (deterministic); probe the nprobe nearest
-  centroids' posting lists.
+All three paths share one execution shape, the right one for a corpus
+that is huge and a query set that is small:
+
+- the query side is collected into a numpy matrix and shipped to
+  executors via the UDF closure / Spark broadcast (exactly what a
+  broadcast hash join does with its build side);
+- the corpus NEVER shuffles: one `mapInPandas` pass computes, per
+  Arrow batch, the candidate set and its cosine scores as numpy
+  matmuls, and emits only the per-batch top-k per query;
+- the single shuffle in any plan is the final global top-k window,
+  whose input is ~num_batches * nq * k rows, not |corpus| * nq.
+
+Partitioning comes from the source (a 100 TB corpus arrives with
+thousands of parquet splits); no repartition is forced — at bench
+scale a forced widen costs a full shuffle stage to parallelize
+microseconds of matmul.
+
+- cosine_topk: exact brute force — every corpus row is a candidate.
+- lsh_topk: multi-table random-hyperplane LSH. Bucket ids, probe
+  matching (exact bucket + 1-bit flips), scoring, and local top-k all
+  happen inside the one corpus pass; a corpus row's candidacy for all
+  tables is resolved in its own batch, so candidates are globally
+  unique without any dedup shuffle.
+- ivf_topk: IVF-style coarse quantization with deterministic seeded
+  centroids; each corpus row joins its single nearest centroid's
+  posting list, queries probe their nprobe nearest lists.
+
+Round-1 lesson baked in here: per-candidate `F.aggregate(zip_with())`
+dots are interpreted per row and made both ANN paths slower than the
+brute force they approximate; and every extra stage (explode + bucket
+equi-join + dedup groupBy) costs more at moderate scale than the
+masked matmul it saves.
 """
 
 from __future__ import annotations
@@ -18,18 +40,85 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
-def _normalized(df: DataFrame, vec_col: str, id_col: str, out_vec: str = "nv") -> DataFrame:
-    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
-    return df.select(
-        F.col(id_col).alias("id"), F.transform(F.col(vec_col), lambda x: x / norm).alias(out_vec)
+def _round_half_up(x: np.ndarray, nd: int = 4) -> np.ndarray:
+    """ROUND_HALF_UP (away from zero) like Spark's F.round and DuckDB's
+    round(); np.round is half-to-even. Used only for candidate
+    SELECTION inside UDFs — emitted values are rounded by F.round so
+    the output bits carry engine semantics."""
+    s = 10.0**nd
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
+def _collect_queries(queries: DataFrame, vec_col: str, id_col: str):
+    """(ids list, normalized float64 matrix) for the small query side."""
+    rows = queries.select(id_col, vec_col).collect()
+    ids = [r[0] for r in rows]
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    n = np.linalg.norm(qm, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return ids, qm / n
+
+
+def _normalize_batch(vecs) -> np.ndarray:
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def _emit_topk(q_ids, ids, S, cand_lists, k):
+    """Per-batch top-k per query, ordered exactly like the global
+    window (cosine rounded half-up 4dp desc, id asc) so pruning to k
+    rows per query per batch is lossless. ``cand_lists[j]`` holds the
+    batch-row indices that are candidates for query j (None = all).
+    Yields pandas DataFrames."""
+    Sr = _round_half_up(S)
+    for j, qid in enumerate(q_ids):
+        rows = cand_lists[j] if cand_lists is not None else None
+        if rows is None:
+            rows = np.arange(len(ids))
+        elif len(rows) == 0:
+            continue
+        else:
+            rows = np.asarray(rows)
+        # stable sort by id then by rounded -cosine -> (cos desc, id asc)
+        rows = rows[np.argsort(ids[rows], kind="stable")]
+        order = rows[np.argsort(-Sr[rows, j], kind="stable")]
+        picked = []
+        for i in order:
+            if ids[i] == qid:
+                continue
+            picked.append(i)
+            if len(picked) == k:
+                break
+        if picked:
+            yield pd.DataFrame(
+                {
+                    "query_id": [qid] * len(picked),
+                    "neighbor_id": ids[picked],
+                    "cosine": S[picked, j],
+                }
+            )
+
+
+def _topk_window(part: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        part.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+def _run(corpus: DataFrame, vec_col: str, id_col: str, k: int, score_fn) -> DataFrame:
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    part = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(score_fn, f"query_id {id_type}, neighbor_id {id_type}, cosine double")
+    return _topk_window(part, k)
 
 
 def cosine_topk(
@@ -42,47 +131,20 @@ def cosine_topk(
     """Exact cosine top-k of corpus for each query vector.
 
     Output: query_id, neighbor_id, cosine (4dp), rank. Ties broken by
-    neighbor id -> fully deterministic. Self-matches excluded.
-    """
-    q = _normalized(queries, vec_col, id_col).select(
-        F.col("id").alias("query_id"), F.col("nv").alias("qv")
-    )
-    c = _normalized(corpus, vec_col, id_col).select(
-        F.col("id").alias("neighbor_id"), F.col("nv").alias("cv")
-    )
-    scored = c.crossJoin(F.broadcast(q)).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(_dot(F.col("qv"), F.col("cv")), 4).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    neighbor id -> fully deterministic. Self-matches excluded."""
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast(_collect_queries(queries, vec_col, id_col))
 
+    def score(batches):
+        q_ids, q_mat = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy()
+            S = _normalize_batch(pdf["__vec"]) @ q_mat.T  # (batch, nq)
+            yield from _emit_topk(q_ids, ids, S, None, k)
 
-def lsh_table_udf(dim: int, num_tables: int, planes_per_table: int, seed: int = 7):
-    """array<int> of bucket ids, one per hash table. Multi-table LSH is
-    the standard recall lever when neighbors are weakly separated
-    (single-table sign-LSH recall collapses as cosine -> 0.5):
-    P[collide in >=1 of L tables] = 1 - (1 - p^k)^L."""
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((num_tables * planes_per_table, dim))
-    weights = 1 << np.arange(planes_per_table)
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def buckets(vecs: pd.Series) -> pd.Series:
-        M = np.stack(vecs.to_numpy())  # (batch, dim)
-        signs = (M @ planes.T) > 0  # (batch, L*k)
-        signs = signs.reshape(len(M), num_tables, planes_per_table)
-        vals = (signs * weights).sum(axis=2).astype(np.int32)  # (batch, L)
-        return pd.Series(list(vals))
-
-    return buckets
+    return _run(corpus, vec_col, id_col, k, score)
 
 
 def lsh_topk(
@@ -93,52 +155,68 @@ def lsh_topk(
     k: int = 5,
     dim: int = 64,
     num_tables: int = 8,
-    planes_per_table: int = 6,
+    planes_per_table: int = 8,
     multiprobe: bool = True,
+    seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k via multi-table sign-LSH: a query compares
-    only against corpus rows sharing a bucket in at least one of
-    ``num_tables`` tables (plus 1-bit-flip probes per table). The
-    corpus hashes once; per-query candidates ~ |corpus| * L * probes /
-    2^k — at 100 TB the candidate join shuffles bucket ids, never the
-    vectors of non-candidates."""
-    buckets = lsh_table_udf(dim, num_tables, planes_per_table)
-    c = (
-        _normalized(corpus, vec_col, id_col)
-        .withColumn("bkts", buckets(F.col("nv")))
-        .select(
-            "id", "nv", F.posexplode("bkts").alias("tbl", "bkt")
-        )
-    )
-    q = _normalized(queries, vec_col, id_col).withColumn("bkts", buckets(F.col("nv")))
-    q = q.select(
-        F.col("id").alias("query_id"), F.col("nv").alias("qv"),
-        F.posexplode("bkts").alias("tbl", "bkt0"),
-    )
-    if multiprobe:
-        probes = F.array(
-            F.col("bkt0"),
-            *[F.col("bkt0").bitwiseXOR(F.lit(1 << i)) for i in range(planes_per_table)],
-        )
-    else:
-        probes = F.array(F.col("bkt0"))
-    q = q.select("query_id", "qv", "tbl", F.explode(probes).alias("bkt"))
-    scored = (
-        c.join(F.broadcast(q), ["tbl", "bkt"])
-        .filter(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            F.round(_dot(F.col("qv"), F.col("nv")), 4).alias("cosine"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    """Approximate top-k via multi-table sign-LSH.
+
+    A query scores only corpus rows sharing a bucket in >=1 of
+    ``num_tables`` tables (plus 1-bit-flip probes per table):
+    P[candidate] = 1 - (1 - p^planes)^tables for per-plane agreement
+    p = 1 - theta/pi. At the defaults (8 tables x 8 planes = 256
+    buckets/table, 9 probes) a query scores ~L*(1+planes)/2^planes
+    ~= 28% of the corpus; the fraction shrinks geometrically with
+    planes_per_table as the corpus grows — tune both up at scale.
+
+    The probe map {(table, bucket) -> query rows} is built driver-side
+    (nq * tables * (1+planes) entries) and rides the UDF closure;
+    bucketing (sign-LSH is scale-invariant — raw vectors hash
+    directly), candidate masking, scoring, and local top-k all run in
+    the single corpus pass."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_tables, planes_per_table, dim))
+    weights = (1 << np.arange(planes_per_table)).astype(np.int64)
+    flat = planes.reshape(num_tables * planes_per_table, dim)
+
+    q_ids, qm = _collect_queries(queries, vec_col, id_col)
+    probe_map: dict = {}
+    for t in range(num_tables):
+        b0 = (((qm @ planes[t].T) > 0) * weights).sum(axis=1).astype(np.int64)
+        for qi in range(len(q_ids)):
+            cand_bkts = [int(b0[qi])]
+            if multiprobe:
+                cand_bkts += [int(b0[qi]) ^ (1 << p) for p in range(planes_per_table)]
+            for b in cand_bkts:
+                probe_map.setdefault((t, b), []).append(qi)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, qm, probe_map))
+
+    def score(batches):
+        qids_, qm_, pmap = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy()
+            M = _normalize_batch(pdf["__vec"])
+            # (batch, tables) bucket ids — normalization doesn't change
+            # signs, so hashing the normalized matrix is equivalent
+            signs = (M @ flat.T) > 0
+            bkts = (
+                signs.reshape(len(M), num_tables, planes_per_table) * weights
+            ).sum(axis=2)
+            cand = [set() for _ in qids_]
+            for t in range(num_tables):
+                col = bkts[:, t]
+                for i in range(len(ids)):
+                    for qi in pmap.get((t, int(col[i])), ()):
+                        cand[qi].add(i)
+            S = M @ qm_.T
+            yield from _emit_topk(
+                qids_, ids, S, [sorted(c) for c in cand], k
+            )
+
+    return _run(corpus, vec_col, id_col, k, score)
 
 
 def ivf_topk(
@@ -153,43 +231,36 @@ def ivf_topk(
     seed: int = 11,
 ) -> DataFrame:
     """IVF-style ANN with deterministic random centroids: corpus rows
-    attach to their nearest centroid (posting lists); each query scans
-    only its nprobe nearest lists."""
+    attach to their single nearest centroid (posting list, argmax is
+    scale-invariant so raw vectors assign directly); each query scans
+    its nprobe nearest lists — nprobe/num_centroids of the corpus in
+    expectation. Tune num_centroids ~ sqrt(|corpus|) at scale."""
     rng = np.random.RandomState(seed)
     cent = rng.standard_normal((num_centroids, dim))
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
 
-    def assign_udf(top_n: int):
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def assign(vecs: pd.Series) -> pd.Series:
-            M = np.stack(vecs.to_numpy())
-            sims = M @ cent.T
-            idx = np.argsort(-sims, axis=1)[:, :top_n]
-            return pd.Series(list(idx.astype(np.int32)))
+    q_ids, qm = _collect_queries(queries, vec_col, id_col)
+    probe_idx = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    probe_map: dict = {}
+    for qi in range(len(q_ids)):
+        for c in probe_idx[qi]:
+            probe_map.setdefault(int(c), []).append(qi)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, qm, probe_map))
 
-        return assign
+    def score(batches):
+        qids_, qm_, pmap = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy()
+            M = _normalize_batch(pdf["__vec"])
+            cid = np.argmax(M @ cent.T, axis=1)
+            cand = [[] for _ in qids_]
+            for i in range(len(ids)):
+                for qi in pmap.get(int(cid[i]), ()):
+                    cand[qi].append(i)
+            S = M @ qm_.T
+            yield from _emit_topk(qids_, ids, S, cand, k)
 
-    c = _normalized(corpus, vec_col, id_col).withColumn(
-        "cid", F.element_at(assign_udf(1)(F.col("nv")), 1)
-    )
-    q = _normalized(queries, vec_col, id_col).select(
-        F.col("id").alias("query_id"),
-        F.col("nv").alias("qv"),
-        F.explode(assign_udf(nprobe)(F.col("nv"))).alias("cid"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "cid")
-        .filter(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            F.round(_dot(F.col("qv"), F.col("nv")), 4).alias("cosine"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _run(corpus, vec_col, id_col, k, score)

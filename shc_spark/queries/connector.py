@@ -275,6 +275,94 @@ CAT_SEG_MAP = json.dumps(
 )
 
 
+CAT_CUST_WIDE = json.dumps(
+    {
+        "table": {"namespace": "q", "name": "cust_wide", "tableCoder": "OrderedType", "version": "2.0"},
+        "rowkey": "key",
+        "columns": {
+            "c_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "c_name": {"cf": "cfa", "col": "nm", "type": "string"},
+            "c_mktsegment": {"cf": "cfa", "col": "sg", "type": "string"},
+            "c_acctbal": {"cf": "cfb", "col": "bl", "type": "double"},
+        },
+    }
+)
+
+
+def _ensure_cust_wide(spark: SparkSession, sf_dir: str) -> str:
+    root = _root(sf_dir, "custwide")
+    if not os.path.exists(os.path.join(root, "q.cust_wide", "_regions.json")):
+        df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        write_table(
+            df.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+            CAT_CUST_WIDE,
+            root=root,
+            num_regions=8,
+            mode="overwrite",
+            timestamp=1000,
+        )
+    return root
+
+
+# restrictive=FAMILY + cross-catalog dynamic capture
+# (DynamicColumnSuite.scala:151-248, HBaseRelation.scala:348-352): the
+# table written with the wide static catalog is re-read through a
+# catalog that captures family cfa as a qualifier->value map; exploding
+# the map reproduces the cells.
+@register(
+    "shc_restrictive",
+    """
+    SELECT c_custkey, 'nm' AS qual, c_name AS val FROM customer
+    UNION ALL
+    SELECT c_custkey, 'sg' AS qual, c_mktsegment AS val FROM customer
+    """,
+)
+def shc_restrictive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _ensure_cust_wide(spark, sf_dir)
+    dyn = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "cust_wide", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "c_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "cfa": {"cf": "cfa", "col": "", "type": "map<string,string>"},
+            },
+        }
+    )
+    t = read_table(spark, dyn, root=root, restrictive="family")
+    return t.select("c_custkey", F.explode("cfa").alias("qual", "val"))
+
+
+# map<long, T> version maps on read (keepVersions,
+# HBaseTableScan.scala:107-110): the two-generation customer table read
+# through a catalog typing c_name as map<long,string>; exploding gives
+# one row per stored version.
+@register(
+    "shc_versions_map",
+    """
+    SELECT c_custkey, CAST(1000 AS BIGINT) AS ts, c_name AS name FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(2000 AS BIGINT) AS ts, concat(c_name, ':v2') AS name
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def shc_versions_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shc_version_merge(spark, sf_dir)  # ensure both generations exist
+    root = _root(sf_dir, "custv")
+    vcat = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "customer", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "c_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "name_vers": {"cf": "cf", "col": "name", "type": "map<long,string>"},
+            },
+        }
+    )
+    t = read_table(spark, vcat, root=root)
+    return t.select("c_custkey", F.explode("name_vers").alias("ts", "name"))
+
+
 # Dynamic column family (map<string,T> with empty qualifier,
 # DynamicColumnSuite.scala:109-123): per-nation map of mktsegment ->
 # customer count written through the source, read back, exploded.

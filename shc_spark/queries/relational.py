@@ -929,11 +929,12 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a")).collect()[0]["a"]
-    )
+    # scalar subquery as a broadcast single-row join: the whole plan
+    # stays lazy and the scalar never round-trips through the driver
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg_bal"))
     return (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))

@@ -260,6 +260,23 @@ def _merge_is_noop(table_path: str) -> bool:
     return True
 
 
+def _stored_catalog_json(table_dir: str) -> str | None:
+    import os as _os
+
+    p = _os.path.join(table_dir, "_catalog.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return fh.read()
+
+
+def _same_catalog(a: str, b: str) -> bool:
+    import json as _json
+
+    da, db = _json.loads(a), _json.loads(b)
+    return da.get("columns") == db.get("columns") and da.get("rowkey") == db.get("rowkey")
+
+
 def read_table(
     spark: SparkSession,
     catalog: str,
@@ -271,6 +288,8 @@ def read_table(
     merge_to_latest: bool = True,
     merge_dynamic_maps: bool = False,
     keep_internal: bool = False,
+    restrictive: str = "column",
+    reader_options: dict | None = None,
 ) -> DataFrame:
     """Read an shc table back as a DataFrame with the catalog schema.
 
@@ -279,15 +298,48 @@ def read_table(
     across differently-filtered queries can reuse stale partition
     pruning (see ShcReader.pushFilters). Each call here builds a fresh
     relation, which is always safe.
+
+    When ``catalog`` differs from the catalog the table was written
+    with, the read goes through the cross-catalog path (multiple
+    catalogs viewing one physical table, DynamicColumnSuite.scala:
+    151-248): columns are matched by (column family, qualifier),
+    ``map<long,T>`` columns materialize ts->value version maps
+    (keepVersions, HBaseTableScan.scala:107-110), dynamic ``col:""``
+    map columns capture whole families, and ``restrictive``
+    (COLUMN/FAMILY/NONE, HBaseRelation.scala:348-352) governs what a
+    dynamic map may capture.
     """
     register(spark)
     cat = parse_catalog(catalog)
-    df = (
+
+    import os as _os
+
+    table_dir = _os.path.join(root, f"{cat.namespace}.{cat.name}")
+    stored = _stored_catalog_json(table_dir)
+    if stored is not None and not _same_catalog(stored, catalog):
+        return _read_cross_catalog(
+            spark,
+            catalog,
+            stored,
+            root=root,
+            table_dir=table_dir,
+            timestamp=timestamp,
+            min_stamp=min_stamp,
+            max_stamp=max_stamp,
+            max_versions=max_versions,
+            merge_to_latest=merge_to_latest,
+            restrictive=restrictive,
+            reader_options=reader_options,
+        )
+
+    reader = (
         spark.read.format("shc")
         .option("catalog", catalog)
         .option("root", root)
-        .load()
     )
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
     # S15 time semantics (handleTimeSemantics, HBaseTableScan.scala:496-516)
     if timestamp is not None:
         df = df.filter(F.col(TS_COL) == timestamp)
@@ -299,9 +351,6 @@ def read_table(
     key_names = [f.col_name for f in cat.rowkey_fields()]
     value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
 
-    import os as _os
-
-    table_dir = _os.path.join(root, f"{cat.namespace}.{cat.name}")
     if merge_to_latest and max_versions is None and _merge_is_noop(table_dir):
         # single write, every file's keys unique, files key-disjoint:
         # each key exists exactly once, so merge-to-latest is the
@@ -367,6 +416,252 @@ def read_table(
         if f.avro_schema is not None:
             df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))
     return df.select(*cols)
+
+
+def _read_cross_catalog(
+    spark: SparkSession,
+    read_catalog: str,
+    stored_catalog: str,
+    root: str,
+    table_dir: str,
+    timestamp: int | None,
+    min_stamp: int | None,
+    max_stamp: int | None,
+    max_versions: int | None,
+    merge_to_latest: bool,
+    restrictive: str,
+    reader_options: dict | None,
+) -> DataFrame:
+    """One physical table viewed through a different catalog.
+
+    Columns resolve by (cf, qualifier) against the stored writer
+    catalog; the physical scan uses a pruned writer-shaped catalog so
+    only needed parquet columns decode, and rowkey filter pushdown
+    keeps working (renames are projections above the scan).
+
+    Field interpretations (reference DynamicColumnSuite semantics):
+    - static column: the writer cell with the same (cf, qualifier),
+      cast to the declared type; NULL column if the cell doesn't exist;
+    - ``map<long, V>`` with a qualifier: ts -> value version map of
+      that cell (HBaseTableScan.scala:107-110) — unless the writer
+      stored exactly that map type, which passes through as static;
+    - ``map<string, V>`` with ``"col": ""``: dynamic capture of every
+      family cell not declared elsewhere in the read catalog, keyed by
+      qualifier; ``V = map<long, W>`` nests a version map per
+      qualifier (HBaseRecordDynamic.col7 shape);
+    - ``restrictive``: COLUMN (default) fetches only declared cells, so
+      a dynamic map captures nothing (scan.addColumn semantics,
+      HBaseTableScan.scala:406-411); FAMILY and NONE let dynamic maps
+      capture their whole family. This columnar backend never fetches
+      families outside the catalog, so NONE's extra I/O has no analog
+      (an improvement, like prefix->range in filters.py).
+
+    Version maps are built with a per-key aggregation when the table
+    has multiple generations; single-write tables with unique keys
+    build single-entry maps per row and stay shuffle-FREE
+    (_merge_is_noop). When any version map is requested, static
+    columns merge to latest regardless of merge_to_latest.
+    """
+    import json as _json
+
+    mode = (restrictive or "column").lower()
+    if mode not in ("column", "family", "none"):
+        raise ValueError(f"restrictive must be COLUMN, FAMILY, or NONE, got {restrictive!r}")
+
+    rcat = parse_catalog(read_catalog)
+    wcat = parse_catalog(stored_catalog)
+    rkeys, wkeys = rcat.rowkey_fields(), wcat.rowkey_fields()
+    if len(rkeys) != len(wkeys) or any(
+        rf.dt != wf.dt or rf.coder != wf.coder for rf, wf in zip(rkeys, wkeys)
+    ):
+        raise ValueError(
+            "read catalog rowkey is incompatible with the stored catalog "
+            f"(stored dims: {[(f.col_name, f.type_str) for f in wkeys]})"
+        )
+
+    wmap = {(f.cf, f.col): f for f in wcat.value_fields()}
+    declared = {(f.cf, f.col) for f in rcat.value_fields() if f.col != ""}
+
+    def _is_vmap_type(dt) -> bool:
+        return isinstance(dt, T.MapType) and isinstance(dt.keyType, T.LongType)
+
+    # resolve each read field to a plan over writer columns
+    plans = []  # (kind, read_field, payload)
+    needed: list = []
+
+    def _need(wf):
+        if wf.col_name not in needed:
+            needed.append(wf.col_name)
+
+    for f in rcat.value_fields():
+        if f.col == "" and isinstance(f.dt, T.MapType):
+            fams = []
+            if mode != "column":
+                fams = [
+                    wf
+                    for wf in wcat.value_fields()
+                    if wf.cf == f.cf and (wf.cf, wf.col) not in declared
+                    and wf.avro_schema is None
+                ]
+            for wf in fams:
+                _need(wf)
+            plans.append(("dyn", f, fams))
+        elif _is_vmap_type(f.dt) and f.col != "":
+            wf = wmap.get((f.cf, f.col))
+            if wf is not None and wf.dt == f.dt:
+                plans.append(("static", f, wf))  # stored map passes through
+            else:
+                plans.append(("vmap", f, wf))
+            if wf is not None:
+                _need(wf)
+        else:
+            wf = wmap.get((f.cf, f.col))
+            if wf is not None:
+                _need(wf)
+            plans.append(("static", f, wf))
+
+    # physical scan through a pruned writer-shaped catalog (keeps avro
+    # schema refs and table/rowkey spec intact)
+    sj = _json.loads(stored_catalog)
+    keep_cols = {kf.col_name for kf in wkeys} | set(needed)
+    sj["columns"] = {k: v for k, v in sj["columns"].items() if k in keep_cols}
+    scan_catalog = _json.dumps(sj)
+
+    reader = (
+        spark.read.format("shc").option("catalog", scan_catalog).option("root", root)
+    )
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+
+    if timestamp is not None:
+        df = df.filter(F.col(TS_COL) == timestamp)
+    if min_stamp is not None:
+        df = df.filter(F.col(TS_COL) >= min_stamp)
+    if max_stamp is not None:
+        df = df.filter(F.col(TS_COL) < max_stamp)
+
+    wkey_names = [f.col_name for f in wkeys]
+    if max_versions is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*wkey_names).orderBy(F.col(TS_COL).desc())
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_versions)
+            .drop("__rn")
+        )
+
+    has_versions = any(
+        k == "vmap" or (k == "dyn" and _is_vmap_type(f.dt.valueType))
+        for k, f, _ in plans
+    )
+    noop = _merge_is_noop(table_dir)
+    grouped = (has_versions or merge_to_latest) and not noop
+
+    def _vcast(wf, vt):
+        c = F.col(wf.col_name)
+        return c.cast(vt) if wf.dt != vt else c
+
+    def _vmap_agg(wf, vt):
+        """ts -> value map across this key's versions (null cells are
+        'not stored'); entries sorted by ts for determinism."""
+        entry = F.when(
+            F.col(wf.col_name).isNotNull(),
+            F.struct(F.col(TS_COL).alias("key"), _vcast(wf, vt).alias("value")),
+        )
+        return F.map_from_entries(F.array_sort(F.collect_list(entry)))
+
+    def _vmap_row(wf, vt):
+        """single-version table: one-entry map built per row, no shuffle"""
+        return F.when(
+            F.col(wf.col_name).isNotNull(),
+            F.map_from_entries(
+                F.array(F.struct(F.col(TS_COL).alias("key"), _vcast(wf, vt).alias("value")))
+            ),
+        ).otherwise(F.map_from_entries(F.array().cast(f"array<struct<key:long,value:{vt.simpleString()}>>")))
+
+    def _empty_map(dt):
+        return F.map_from_entries(
+            F.array().cast(
+                f"array<struct<key:{dt.keyType.simpleString()},value:{dt.valueType.simpleString()}>>"
+            )
+        )
+
+    def _static_merge(wf, vt):
+        return F.expr(
+            f"max_by(`{wf.col_name}`, CASE WHEN `{wf.col_name}` IS NOT NULL "
+            f"THEN `{TS_COL}` END)"
+        ).cast(vt) if wf.dt != vt else F.expr(
+            f"max_by(`{wf.col_name}`, CASE WHEN `{wf.col_name}` IS NOT NULL "
+            f"THEN `{TS_COL}` END)"
+        )
+
+    def _dyn_expr(f, fams, agg: bool):
+        """qualifier-keyed map over the family's cells; inner version
+        maps when the value type is map<long, W>."""
+        vt = f.dt.valueType
+        if _is_vmap_type(vt):
+            inner = vt.valueType
+            mk = (lambda wf: _vmap_agg(wf, inner)) if agg else (lambda wf: _vmap_row(wf, inner))
+            entries = [
+                F.struct(F.lit(wf.col).alias("key"), mk(wf).alias("value")) for wf in fams
+            ]
+            if not entries:
+                return _empty_map(f.dt)
+            return F.map_from_entries(
+                F.filter(
+                    F.array(*entries),
+                    lambda x: F.size(F.map_keys(x.getField("value"))) > 0,
+                )
+            )
+        mk = (lambda wf: _static_merge(wf, vt)) if agg else (lambda wf: _vcast(wf, vt))
+        entries = [
+            F.struct(F.lit(wf.col).alias("key"), mk(wf).alias("value")) for wf in fams
+        ]
+        if not entries:
+            return _empty_map(f.dt)
+        return F.map_from_entries(
+            F.filter(F.array(*entries), lambda x: x.getField("value").isNotNull())
+        )
+
+    out_exprs = []
+    for kind, f, payload in plans:
+        if kind == "static":
+            wf = payload
+            if wf is None:
+                e = F.lit(None).cast(f.dt)
+            elif grouped:
+                e = _static_merge(wf, f.dt)
+            else:
+                e = _vcast(wf, f.dt)
+        elif kind == "vmap":
+            wf = payload
+            if wf is None:
+                e = _empty_map(f.dt)
+            elif grouped:
+                e = _vmap_agg(wf, f.dt.valueType)
+            else:
+                e = _vmap_row(wf, f.dt.valueType)
+        else:  # dyn
+            e = _dyn_expr(f, payload, grouped)
+        out_exprs.append(e.alias(f.col_name))
+
+    rkey_names = [f.col_name for f in rkeys]
+    if grouped:
+        df = df.groupBy(
+            *[F.col(w).alias(r) for w, r in zip(wkey_names, rkey_names)]
+        ).agg(*out_exprs)
+    else:
+        df = df.select(
+            *[F.col(w).alias(r) for w, r in zip(wkey_names, rkey_names)], *out_exprs
+        )
+
+    # Avro-coded read fields decode last, on merged rows
+    for f in rcat.value_fields():
+        if f.avro_schema is not None:
+            df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))
+    return df.select(*[f.col_name for f in rcat.fields.values()])
 
 
 def bulk_get(

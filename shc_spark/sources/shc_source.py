@@ -144,6 +144,7 @@ class ShcReader(DataSourceReader):
         self.cat = parse_catalog(cat_json)
         root = options.get("root", "/tmp/shc_tables")
         self.path = options.get("path") or table_path(root, self.cat)
+        self.batch_size = int(options.get("batch_size", 65536))
         self.hrf = HRF.full()
 
     # -- pushdown (S6/S7) -------------------------------------------------
@@ -220,40 +221,79 @@ class ShcReader(DataSourceReader):
     def read(self, partition: RegionPartition):
         if not partition.path:
             return
-        # S11 scan-vs-get: rows are sorted by __rowkey, so parquet
-        # row-group statistics on it are tight — pass the coarse
-        # bounding range as a pyarrow filter to skip whole row groups
+        # Streaming read: iter_batches + per-batch range mask bounds
+        # executor memory at ~batch_size rows regardless of region file
+        # size (a whole-file read_table peaks at full region size on an
+        # over-wide region). S11 scan-vs-get: rows are sorted by
+        # __rowkey, so row-group statistics on it are tight — whole row
+        # groups outside the coarse bounding range are skipped up front
         # (the BulkGet analog: a point lookup touches ~1 row group).
-        filters = None
+        # Parquet stat truncation is safe here: a truncated min is a
+        # byte-prefix (<= real min) and a truncated max is bumped
+        # upward (>= real max), so both skip tests stay conservative.
         starts = [r[0] for r in partition.ranges]
         ends = [r[2] for r in partition.ranges]
-        if partition.ranges and all(s is not None for s in starts):
-            conj = [(ROWKEY_COL, ">=", min(starts))]
-            if all(e is not None for e in ends):
-                conj.append((ROWKEY_COL, "<=", max(ends)))
-            filters = [conj]
-        elif partition.ranges and all(e is not None for e in ends):
-            filters = [[(ROWKEY_COL, "<=", max(ends))]]
-        table = pq.read_table(partition.path, filters=filters)
-        key = table.column(ROWKEY_COL)
-        mask = None
-        for start, start_inc, end, end_inc in partition.ranges:
-            cond = None
-            if start is not None:
-                op = pc.greater_equal if start_inc else pc.greater
-                cond = op(key, pa.scalar(start, pa.binary()))
-            if end is not None:
-                op = pc.less_equal if end_inc else pc.less
-                c2 = op(key, pa.scalar(end, pa.binary()))
-                cond = c2 if cond is None else pc.and_(cond, c2)
-            if cond is None:
-                mask = None  # full range — keep everything
-                break
-            mask = cond if mask is None else pc.or_(mask, cond)
-        if mask is not None:
-            table = table.filter(mask)
-        for batch in table.to_batches(max_chunksize=65536):
-            yield batch
+        lo = min(starts) if partition.ranges and all(s is not None for s in starts) else None
+        hi = max(ends) if partition.ranges and all(e is not None for e in ends) else None
+        full_scan = any(
+            s is None and e is None for s, _, e, _ in partition.ranges
+        ) or not partition.ranges
+
+        want = arrow_schema_for(self.cat)
+        with pq.ParquetFile(partition.path) as pf:
+            md = pf.metadata
+            key_leaf = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == ROWKEY_COL
+            )
+            row_groups = []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(key_leaf).statistics
+                if st is not None and st.has_min_max:
+                    if hi is not None and st.min > hi:
+                        continue
+                    if lo is not None and st.max < lo:
+                        continue
+                row_groups.append(rg)
+            # column pruning at the parquet decoder: only the catalog's
+            # columns are materialized — a subset catalog over a wide
+            # physical table never decodes the other columns
+            file_cols = {pf.schema_arrow.names[i] for i in range(len(pf.schema_arrow.names))}
+            read_cols = [n for n in want.names if n in file_cols]
+            for batch in pf.iter_batches(
+                batch_size=self.batch_size, row_groups=row_groups, columns=read_cols
+            ):
+                if not full_scan:
+                    key = batch.column(ROWKEY_COL)
+                    mask = None
+                    for start, start_inc, end, end_inc in partition.ranges:
+                        cond = None
+                        if start is not None:
+                            op = pc.greater_equal if start_inc else pc.greater
+                            cond = op(key, pa.scalar(start, pa.binary()))
+                        if end is not None:
+                            op = pc.less_equal if end_inc else pc.less
+                            c2 = op(key, pa.scalar(end, pa.binary()))
+                            cond = c2 if cond is None else pc.and_(cond, c2)
+                        mask = cond if mask is None else pc.or_(mask, cond)
+                    if mask is not None:
+                        batch = batch.filter(mask)
+                if not len(batch):
+                    continue
+                # project to the declared schema: reorder, null-fill
+                # columns missing from this file (catalog drift across
+                # generations / subset reads)
+                arrays = []
+                for field in want:
+                    if field.name in file_cols:
+                        col = batch.column(field.name)
+                        if col.type != field.type:
+                            col = pc.cast(col, field.type)
+                        arrays.append(col)
+                    else:
+                        arrays.append(pa.nulls(len(batch), field.type))
+                yield pa.RecordBatch.from_arrays(arrays, schema=want)
 
 
 class ShcWriter(DataSourceArrowWriter):

@@ -1,0 +1,217 @@
+"""Multiple catalogs viewing one physical table + restrictive modes +
+map<long,T> version maps (reference DynamicColumnSuite.scala:151-248,
+HBaseTableScan.scala:107-110, HBaseRelation.scala:348-352)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from shc_spark.sources import read_table, write_table
+
+ROOT = "/tmp/shc_tables_crosscat"
+
+
+def _cat(name, columns, rowkey="key"):
+    return json.dumps(
+        {
+            "table": {
+                "namespace": "x",
+                "name": name,
+                "tableCoder": "OrderedType",
+                "version": "2.0",
+            },
+            "rowkey": rowkey,
+            "columns": columns,
+        }
+    )
+
+
+WIDE = _cat(
+    "wide",
+    {
+        "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+        "name": {"cf": "cfa", "col": "nm", "type": "string"},
+        "seg": {"cf": "cfa", "col": "sg", "type": "string"},
+        "bal": {"cf": "cfb", "col": "bl", "type": "double"},
+        "nk": {"cf": "cfb", "col": "nk", "type": "int"},
+    },
+)
+
+
+@pytest.fixture(scope="module")
+def wide_table(spark):
+    import shutil
+
+    shutil.rmtree(ROOT, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(i, f"name{i}", f"seg{i % 3}", float(i) * 1.5, i % 7) for i in range(50)],
+        "k long, name string, seg string, bal double, nk int",
+    )
+    write_table(df, WIDE, root=ROOT, num_regions=4, mode="overwrite", timestamp=1000)
+    # second generation: update nm for k % 10 == 0 (other cells null ->
+    # not stored -> old values survive the merge)
+    gen2 = df.filter(F.col("k") % 10 == 0).select(
+        "k",
+        F.concat(F.col("name"), F.lit(":v2")).alias("name"),
+        F.lit(None).cast("string").alias("seg"),
+        F.lit(None).cast("double").alias("bal"),
+        F.lit(None).cast("int").alias("nk"),
+    )
+    write_table(gen2, WIDE, root=ROOT, timestamp=2000)
+    return df
+
+
+def test_subset_catalog_renamed(spark, wide_table):
+    sub = _cat(
+        "wide",
+        {
+            "ck": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "cust_name": {"cf": "cfa", "col": "nm", "type": "string"},
+            "balance": {"cf": "cfb", "col": "bl", "type": "double"},
+        },
+    )
+    got = {r["ck"]: (r["cust_name"], r["balance"]) for r in read_table(spark, sub, root=ROOT).collect()}
+    assert len(got) == 50
+    assert got[3] == ("name3", 4.5)
+    assert got[10] == ("name10:v2", 15.0)  # merged latest name, surviving bal
+
+
+def test_missing_cell_is_null(spark, wide_table):
+    sub = _cat(
+        "wide",
+        {
+            "ck": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "ghost": {"cf": "cfa", "col": "nope", "type": "string"},
+        },
+    )
+    rows = read_table(spark, sub, root=ROOT).collect()
+    assert len(rows) == 50 and all(r["ghost"] is None for r in rows)
+
+
+DYN = _cat(
+    "wide",
+    {
+        "ck": {"cf": "rowkey", "col": "key", "type": "bigint"},
+        "cfa_map": {"cf": "cfa", "col": "", "type": "map<string,string>"},
+    },
+)
+
+
+def test_dynamic_family_capture(spark, wide_table):
+    got = {r["ck"]: r["cfa_map"] for r in read_table(spark, DYN, root=ROOT, restrictive="family").collect()}
+    assert got[3] == {"nm": "name3", "sg": "seg0"}
+    assert got[10] == {"nm": "name10:v2", "sg": "seg1"}  # per-cell latest
+
+
+def test_restrictive_column_captures_nothing(spark, wide_table):
+    got = read_table(spark, DYN, root=ROOT, restrictive="column").collect()
+    assert all(r["cfa_map"] == {} for r in got)
+    with pytest.raises(ValueError):
+        read_table(spark, DYN, root=ROOT, restrictive="bogus")
+
+
+def test_dynamic_skips_explicitly_declared(spark, wide_table):
+    cat = _cat(
+        "wide",
+        {
+            "ck": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "name": {"cf": "cfa", "col": "nm", "type": "string"},
+            "rest": {"cf": "cfa", "col": "", "type": "map<string,string>"},
+        },
+    )
+    r = {x["ck"]: x for x in read_table(spark, cat, root=ROOT, restrictive="none").collect()}
+    assert r[4]["name"] == "name4" and r[4]["rest"] == {"sg": "seg1"}
+
+
+VMAP = _cat(
+    "wide",
+    {
+        "ck": {"cf": "rowkey", "col": "key", "type": "bigint"},
+        "nm_vers": {"cf": "cfa", "col": "nm", "type": "map<long,string>"},
+        "seg": {"cf": "cfa", "col": "sg", "type": "string"},
+    },
+)
+
+
+def test_version_map(spark, wide_table):
+    got = {r["ck"]: r for r in read_table(spark, VMAP, root=ROOT).collect()}
+    assert got[3]["nm_vers"] == {1000: "name3"}
+    assert got[10]["nm_vers"] == {1000: "name10", 2000: "name10:v2"}
+    assert got[10]["seg"] == "seg1"  # static col still merges to latest
+    # max_versions limits the map (MaxVersionsSuite semantics)
+    got1 = {
+        r["ck"]: r["nm_vers"]
+        for r in read_table(spark, VMAP, root=ROOT, max_versions=1).collect()
+    }
+    assert got1[10] == {2000: "name10:v2"}
+
+
+def test_family_version_map(spark, wide_table):
+    cat = _cat(
+        "wide",
+        {
+            "ck": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "cfa_hist": {"cf": "cfa", "col": "", "type": "map<string,map<long,string>>"},
+        },
+    )
+    got = {r["ck"]: r["cfa_hist"] for r in read_table(spark, cat, root=ROOT, restrictive="family").collect()}
+    assert got[10] == {
+        "nm": {1000: "name10", 2000: "name10:v2"},
+        "sg": {1000: "seg1"},
+    }
+    assert got[7] == {"nm": {1000: "name7"}, "sg": {1000: "seg1"}}
+
+
+def test_pushdown_through_cross_catalog(spark, wide_table):
+    sub = _cat(
+        "wide",
+        {
+            "ck": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "cust_name": {"cf": "cfa", "col": "nm", "type": "string"},
+        },
+    )
+    rows = read_table(spark, sub, root=ROOT).filter(F.col("ck").between(5, 9)).collect()
+    assert sorted(r["ck"] for r in rows) == [5, 6, 7, 8, 9]
+
+
+def test_reader_batch_size_equivalent(spark, wide_table):
+    """iter_batches memory bound: artificially tiny batches must give
+    identical results (VERDICT r1 #7)."""
+    base = read_table(spark, WIDE, root=ROOT)
+    tiny = read_table(spark, WIDE, root=ROOT, reader_options={"batch_size": 3})
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, tiny.collect()))
+    assert a == b and len(a) == 50
+
+
+def test_single_gen_version_map_shuffle_free(spark):
+    """On a single-generation unique-key table, version maps build
+    per-row: the plan must contain no shuffle (Exchange)."""
+    import shutil
+
+    root = ROOT + "_nogen"
+    shutil.rmtree(root, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, name string"
+    )
+    cat = _cat(
+        "single",
+        {
+            "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "name": {"cf": "cfa", "col": "nm", "type": "string"},
+        },
+    )
+    write_table(df, cat, root=root, num_regions=4, mode="overwrite", timestamp=500)
+    vcat = _cat(
+        "single",
+        {
+            "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "nm_vers": {"cf": "cfa", "col": "nm", "type": "map<long,string>"},
+        },
+    )
+    out = read_table(spark, vcat, root=root)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["k"]: r["nm_vers"] for r in out.collect()}
+    assert got[5] == {500: "v5"}

@@ -332,11 +332,35 @@ def read_table(
             reader_options=reader_options,
         )
 
+    # shuffle-free merge for appended tables: when no time-travel /
+    # version options interfere and every cell is a flat type arrow can
+    # hash-aggregate, the source itself merges overlapping generations
+    # per key sub-range (LSM merge-read) and the groupBy below is
+    # skipped — a plain read of an appended table never shuffles.
+    value_fields_ = [f for f in cat.fields.values() if not f.is_rowkey]
+    in_source_merge = (
+        merge_to_latest
+        and max_versions is None
+        and timestamp is None
+        and min_stamp is None
+        and max_stamp is None
+        and not merge_dynamic_maps
+        and all(
+            f.avro_schema is not None
+            or not isinstance(f.dt, (T.MapType, T.ArrayType, T.StructType))
+            for f in value_fields_
+        )
+        and not _merge_is_noop(table_dir)
+    )
+
     reader = (
         spark.read.format("shc")
         .option("catalog", catalog)
         .option("root", root)
     )
+    if in_source_merge:
+        reader = reader.option("merge", "latest")
+        merge_to_latest = False  # the source already merged
     for k, v in (reader_options or {}).items():
         reader = reader.option(k, v)
     df = reader.load()

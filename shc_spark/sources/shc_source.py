@@ -135,6 +135,18 @@ class RegionPartition(InputPartition):
     ranges: tuple  # tuple of (start, start_inc, end, end_inc) or None = full
 
 
+@dataclass
+class MergePartition(InputPartition):
+    """One disjoint key sub-range + every region file overlapping it.
+    The reader merges the files latest-wins per cell, so appended
+    tables scan shuffle-free (the LSM merge-read: what HBase does
+    across HFiles per region, done here per key sub-range)."""
+
+    paths: tuple
+    ranges: tuple  # as RegionPartition.ranges; already ∩ the sub-range
+    dedup: bool  # False = provably one version per key, skip the merge
+
+
 class ShcReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self.options = options
@@ -194,8 +206,18 @@ class ShcReader(DataSourceReader):
     # -- partition planning + pruning (S10) -------------------------------
     def partitions(self):
         regions = _load_regions(self.path)
-        parts = []
         hrf, self.hrf = self.hrf, HRF.full()  # pop: ranges are per-query
+        if self.options.get("merge") == "latest":
+            parts = self._merge_partitions(regions, hrf)
+        else:
+            parts = self._region_partitions(regions, hrf)
+        if not parts:
+            # Spark requires >= 1 partition; emit an empty scan marker
+            parts.append(RegionPartition(path="", ranges=()))
+        return parts
+
+    def _region_partitions(self, regions, hrf):
+        parts = []
         for reg in regions:
             start = bytes.fromhex(reg["start"]) if reg["start"] is not None else None
             end = bytes.fromhex(reg["end"]) if reg["end"] is not None else None
@@ -212,15 +234,101 @@ class ShcReader(DataSourceReader):
                         ),
                     )
                 )
-        if not parts:
-            # Spark requires >= 1 partition; emit an empty scan marker
-            parts.append(RegionPartition(path="", ranges=()))
+        return parts
+
+    def _merge_partitions(self, regions, hrf):
+        """Boundary-cut planning for the shuffle-free merge read: cut
+        the key space at every region's start key into disjoint
+        sub-ranges, and give each sub-range the regions overlapping it.
+        Bulk-loaded tables (disjoint unique regions) degenerate to one
+        single-file no-dedup partition per region — identical cost to
+        the plain scan. Appended tables get ~num_regions partitions
+        each merging the generations that overlap it; row-group
+        skipping bounds the re-read of a wide newer generation."""
+        spans = []
+        for reg in regions:
+            start = bytes.fromhex(reg["start"]) if reg["start"] is not None else None
+            end = bytes.fromhex(reg["end"]) if reg["end"] is not None else None
+            spans.append((start, end, reg))
+        cuts = sorted({s for s, _, _ in spans if s is not None})
+        # sub-range i: [cuts[i], cuts[i+1]); first starts at -inf, last
+        # is unbounded above. With no finite starts: one full range.
+        bounds = [None] + cuts
+        parts = []
+        for i, lo in enumerate(bounds):
+            hi = bounds[i + 1] if i + 1 < len(bounds) else None
+            sub = ScanRange(lo, True, hi, False)
+            live = ranges_and(hrf.ranges, [sub])
+            if not live:
+                continue
+            over = [
+                (s, e, reg)
+                for s, e, reg in spans
+                if ranges_and([ScanRange(s, True, e, True)], [sub])
+            ]
+            if not over:
+                continue
+            dedup = not (len(over) == 1 and over[0][2].get("unique"))
+            parts.append(
+                MergePartition(
+                    paths=tuple(reg["path"] for _, _, reg in over),
+                    ranges=tuple(
+                        (r.start, r.start_inclusive, r.end, r.end_inclusive)
+                        for r in live
+                    ),
+                    dedup=dedup,
+                )
+            )
         return parts
 
     # -- execution (S11/S13, vectorized) ----------------------------------
-    def read(self, partition: RegionPartition):
+    def read(self, partition):
+        want = arrow_schema_for(self.cat)
+        if isinstance(partition, MergePartition):
+            yield from self._read_merge(partition, want)
+            return
         if not partition.path:
             return
+        yield from self._scan_file(partition.path, partition.ranges, want)
+
+    def _read_merge(self, partition: MergePartition, want):
+        """LSM merge-read: scan every overlapping file masked to this
+        sub-range, then latest-wins per CELL (a newer version with a
+        null cell does not shadow an older value — HBase 'nulls are not
+        stored'). Sorting (key asc, ts desc) then taking the first
+        non-null per key per column via arrow's hash_first implements
+        exactly the max_by merge read_table would otherwise do in a
+        shuffle. Memory peaks at the sub-range's slice across
+        generations, not the whole region."""
+        tables = []
+        for path in partition.paths:
+            batches = list(self._scan_file(path, partition.ranges, want))
+            if batches:
+                tables.append(pa.Table.from_batches(batches, schema=want))
+        if not tables:
+            return
+        t = pa.concat_tables(tables)
+        if partition.dedup and len(t):
+            idx = pc.sort_indices(
+                t, sort_keys=[(ROWKEY_COL, "ascending"), (TS_COL, "descending")]
+            )
+            gb = pa.TableGroupBy(t.take(idx), ROWKEY_COL, use_threads=False)
+            agg = gb.aggregate(
+                [(f.name, "first") for f in want if f.name != ROWKEY_COL]
+            )
+            t = pa.table(
+                {
+                    f.name: agg.column(
+                        f.name if f.name == ROWKEY_COL else f"{f.name}_first"
+                    )
+                    for f in want
+                }
+            )
+        for batch in t.to_batches(max_chunksize=self.batch_size):
+            if len(batch):
+                yield batch
+
+    def _scan_file(self, path: str, ranges: tuple, want):
         # Streaming read: iter_batches + per-batch range mask bounds
         # executor memory at ~batch_size rows regardless of region file
         # size (a whole-file read_table peaks at full region size on an
@@ -231,6 +339,7 @@ class ShcReader(DataSourceReader):
         # Parquet stat truncation is safe here: a truncated min is a
         # byte-prefix (<= real min) and a truncated max is bumped
         # upward (>= real max), so both skip tests stay conservative.
+        partition = RegionPartition(path=path, ranges=ranges)
         starts = [r[0] for r in partition.ranges]
         ends = [r[2] for r in partition.ranges]
         lo = min(starts) if partition.ranges and all(s is not None for s in starts) else None
@@ -239,7 +348,6 @@ class ShcReader(DataSourceReader):
             s is None and e is None for s, _, e, _ in partition.ranges
         ) or not partition.ranges
 
-        want = arrow_schema_for(self.cat)
         with pq.ParquetFile(partition.path) as pf:
             md = pf.metadata
             key_leaf = next(

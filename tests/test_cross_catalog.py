@@ -215,3 +215,49 @@ def test_single_gen_version_map_shuffle_free(spark):
     assert "Exchange" not in plan, plan
     got = {r["k"]: r["nm_vers"] for r in out.collect()}
     assert got[5] == {500: "v5"}
+
+
+def test_appended_table_merge_shuffle_free(spark):
+    """Two-generation table: plain read must merge in the SOURCE
+    (LSM merge-read) with no Exchange in the plan, and match the
+    explicit groupBy merge cell for cell (VERDICT r1 #6)."""
+    import shutil
+
+    root = ROOT + "_lsm"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = _cat(
+        "lsm",
+        {
+            "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "a": {"cf": "cfa", "col": "a", "type": "string"},
+            "b": {"cf": "cfa", "col": "b", "type": "double"},
+        },
+    )
+    df = spark.createDataFrame(
+        [(i, f"a{i}", float(i)) for i in range(100)], "k long, a string, b double"
+    )
+    write_table(df, cat, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+    # gen2 updates a for k%3==0 (b null -> not stored -> survives)
+    gen2 = df.filter(F.col("k") % 3 == 0).select(
+        "k", F.concat(F.col("a"), F.lit(":2")).alias("a"),
+        F.lit(None).cast("double").alias("b"),
+    )
+    write_table(gen2, cat, root=root, timestamp=2000)
+
+    merged = read_table(spark, cat, root=root)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    # force the groupBy path for comparison: a time filter that keeps
+    # everything disables the in-source merge
+    slow = read_table(spark, cat, root=root, min_stamp=0)
+    assert "Exchange" in slow._jdf.queryExecution().executedPlan().toString()
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b and len(a) == 100
+    assert dict((r[0], r[1]) for r in a)[3] == "a3:2"
+    assert dict((r[0], r[2]) for r in a)[3] == 3.0  # survived null
+
+    # pushdown composes with merge partitions
+    got = read_table(spark, cat, root=root).filter(F.col("k").between(10, 20))
+    assert sorted(r["k"] for r in got.collect()) == list(range(10, 21))

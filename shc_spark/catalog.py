@@ -210,6 +210,7 @@ class Catalog:
     num_regions: int = 0
     min_split: str = "aaaaaa"  # HBaseTableCatalog.scala:301-302
     max_split: str = "zzzzzz"
+    has_split_hints: bool = False  # explicit min/maxTableSplitPoint given
 
     @property
     def full_name(self) -> str:
@@ -292,6 +293,9 @@ def parse_catalog(catalog_json: str | dict, numReg: int = 0) -> Catalog:
         num_regions=numReg or int(params.get("newtable", 0) or 0),
         min_split=str(params.get("minTableSplitPoint", "aaaaaa")),
         max_split=str(params.get("maxTableSplitPoint", "zzzzzz")),
+        has_split_hints=(
+            "minTableSplitPoint" in params or "maxTableSplitPoint" in params
+        ),
     )
 
 

@@ -1,12 +1,11 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata structs.
 
-The Spark-side plumbing — schema, partition-preserving mapInPandas,
-Arrow batch shapes, UDF signatures — is real and tested; the actual
-codec calls are STUBBED (this container has no image/audio libraries):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in
-which case a deterministic fake decoder (seeded by payload bytes)
-produces stable feature values so pipelines are testable end-to-end.
+Image decode is REAL for PNG/PPM/BMP and audio decode is REAL for PCM
+WAV (pure stdlib+numpy codecs in ``codecs.py``); JPEG and video remain
+behind NotImplementedError until a codec library (PIL/opencv) is
+available — ``fake=True`` selects a deterministic digest-seeded stub
+decoder for those pipelines.
 
 At 100 TB: payloads stay in executor memory only for the duration of
 one Arrow batch (``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -73,6 +72,26 @@ def _fake_decode(payload: bytes, feat_dim: int) -> tuple[float, np.ndarray]:
     return float(digest[0]) / 255.0, rng.standard_normal(feat_dim).astype(np.float32)
 
 
+def _luma(img: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 -> (H, W) float64 luma in [0, 1] (BT.601)."""
+    f = img.astype(np.float64) / 255.0
+    if img.shape[2] >= 3:
+        return 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    return f[:, :, 0]
+
+
+def _block_mean_grid(plane: np.ndarray, grid: int) -> np.ndarray:
+    """Resize-by-block-mean to (grid, grid) — the thumbnail feature."""
+    h, w = plane.shape
+    ys = np.array_split(np.arange(h), grid)
+    xs = np.array_split(np.arange(w), grid)
+    out = np.empty((grid, grid), dtype=np.float32)
+    for i, yy in enumerate(ys):
+        for j, xx in enumerate(xs):
+            out[i, j] = plane[np.ix_(yy, xx)].mean() if len(yy) and len(xx) else 0.0
+    return out
+
+
 def extract_image_features(
     media: DataFrame, feat_dim: int = 16, fake: bool = False
 ) -> DataFrame:
@@ -80,22 +99,29 @@ def extract_image_features(
     partition-preserving — the per-partition imperative slot the
     reference would use an RDD for).
 
-    Set ``fake=True`` for the deterministic stub; the real decoder slot
-    raises NotImplementedError until a codec library is wired in.
+    The real path decodes PNG/PPM/BMP (codecs.py) and emits mean luma
+    plus a sqrt(feat_dim) x sqrt(feat_dim) block-mean luma thumbnail;
+    JPEG raises NotImplementedError until a codec library is wired in.
+    ``fake=True`` selects the deterministic digest stub instead.
     """
+    grid = int(feat_dim**0.5)
+    if grid * grid != feat_dim:
+        raise ValueError("feat_dim must be a perfect square (block-mean grid)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shc_spark.operators.codecs import decode_image
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires a codec library (PIL/opencv) not "
-                    "present in this environment; pass fake=True for the "
-                    "deterministic stub decoder"
-                )
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 payload = bytes(payload) if payload is not None else b""
-                luma, feat = _fake_decode(payload, feat_dim)
+                if fake:
+                    luma, feat = _fake_decode(payload, feat_dim)
+                else:
+                    img = decode_image(payload, (meta or {}).get("mime"))
+                    lum = _luma(img)
+                    luma = float(lum.mean())
+                    feat = _block_mean_grid(lum, grid).ravel()
                 rows.append(
                     {
                         "media_id": mid,
@@ -109,6 +135,44 @@ def extract_image_features(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=IMAGE_FEATURES_DDL)
+
+
+AUDIO_FEATURES_DDL = (
+    "media_id long, n_samples int, sample_rate int, duration_ms double, "
+    "rms double, peak int, zero_cross double"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """PCM-WAV feature extraction (REAL decode, stdlib wave):
+    sample count, rate, duration, RMS, peak amplitude, zero-crossing
+    rate — the standard cheap audio-quality signals. Same map-only
+    shape as image features: payload bytes never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shc_spark.operators.codecs import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = len(mono)
+                zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_samples": n,
+                        "sample_rate": rate,
+                        "duration_ms": n * 1000.0 / rate,
+                        "rms": float(np.sqrt(np.mean(mono**2))) if n else 0.0,
+                        "peak": int(np.abs(samples).max()) if n else 0,
+                        "zero_cross": zc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_DDL)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:

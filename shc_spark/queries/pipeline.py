@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -292,3 +294,93 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("payload", F.encode("text", "utf-8")), "doc_id", "payload", "video/fake"
     )
     return multimodal.frame_sample(media, every_ms=1000, fake=True)
+
+
+# REAL image decode end-to-end: each doc renders a 4x4 grayscale PNG
+# whose pixels are the codepoints (mod 256) of its first 16 chars
+# (space-padded); the pipeline PNG-encodes, decodes (codecs.decode_png)
+# and extracts mean luma — the oracle recomputes it from the text, so
+# the whole encode->decode->featurize path is value-checked by DuckDB.
+@register(
+    "mm_image_decode",
+    """
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 16), i ->
+               CASE WHEN i <= length(text)
+                    THEN unicode(substr(text, CAST(i AS INT), 1)) % 256
+                    ELSE 32 END) AS p
+      FROM documents)
+    SELECT doc_id AS media_id,
+           round(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) / 255)) / 16, 4)
+             AS mean_luma
+    FROM px
+    """,
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def png(texts: pd.Series) -> pd.Series:
+        from shc_spark.operators.codecs import encode_png
+
+        out = []
+        for t in texts:
+            cps = [(ord(t[i]) % 256) if i < len(t) else 32 for i in range(16)]
+            out.append(encode_png(np.array(cps, dtype=np.uint8).reshape(4, 4)))
+        return pd.Series(out)
+
+    media = multimodal.make_media_df(
+        docs.withColumn("payload", png("text")), "doc_id", "payload", "image/png"
+    )
+    feats = multimodal.extract_image_features(media, feat_dim=16, fake=False)
+    return feats.select("media_id", F.round("mean_luma", 4).alias("mean_luma"))
+
+
+# REAL audio decode end-to-end: each embedding becomes a 64-sample PCM
+# WAV (sample = clamp(floor(x * 10000)) as int16, 8 kHz); decode +
+# features run through the stdlib wave codec and the oracle recomputes
+# every feature from the embedding list in DuckDB.
+@register(
+    "mm_audio_features",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               LEAST(GREATEST(CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT),
+                              -32767), 32767)) AS smp
+      FROM embeddings)
+    SELECT vec_id AS media_id,
+           CAST(len(smp) AS INT) AS n_samples,
+           round(len(smp) * 1000.0 / 8000, 4) AS duration_ms,
+           round(sqrt(list_sum(list_transform(smp, x -> CAST(x * x AS DOUBLE)))
+                      / len(smp)), 4) AS rms,
+           CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
+    FROM s
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+
+    @F.pandas_udf("binary")
+    def wav(vecs: pd.Series) -> pd.Series:
+        from shc_spark.operators.codecs import encode_wav
+
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            smp = np.clip(np.floor(x * 10000), -32767, 32767).astype(np.int16)
+            out.append(encode_wav(smp, 8000))
+        return pd.Series(out)
+
+    media = multimodal.make_media_df(
+        emb.withColumn("payload", wav("embedding")), "vec_id", "payload", "audio/wav"
+    )
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "n_samples",
+        F.round("duration_ms", 4).alias("duration_ms"),
+        F.round("rms", 4).alias("rms"),
+        "peak",
+    )

@@ -216,19 +216,53 @@ def write_table(
     ts = timestamp if timestamp is not None else int(time.time() * 1000)
 
     out = df.select([f.col_name for f in cat.fields.values()])
-    if num_regions:
-        # range-partition + sort on the TYPED key columns (same order
-        # as encoded bytes for order-preserving coders) BEFORE the
-        # encode projection: the range-sampling pass then prunes to the
-        # key columns and never evaluates the encode UDF, and the UDF
-        # runs exactly once, above the exchange. (= HBase pre-split.)
-        out = out.repartitionByRange(num_regions, *[F.col(k) for k in key_names])
-    out = out.sortWithinPartitions(*[F.col(k) for k in key_names])
-    for f in cat.fields.values():
-        if f.avro_schema is not None:
-            out = out.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
-    out = out.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
-    out = out.withColumn(TS_COL, F.lit(ts).cast("long"))
+    if num_regions and cat.has_split_hints:
+        # explicit pre-split (minTableSplitPoint/maxTableSplitPoint,
+        # HBaseTableCatalog.scala:301-302 -> Bytes.split analog): byte-
+        # interpolated boundaries over the hint range assign each row a
+        # bucket, one hash shuffle on the bucket id places it, and the
+        # writer splits files at bucket changes. NO sampling pass — at
+        # 100 TB this saves repartitionByRange's extra scan of the
+        # input. Rows outside [min, max) land in the edge buckets,
+        # exactly like HBase's first/last region.
+        from functools import reduce
+
+        for f in cat.fields.values():
+            if f.avro_schema is not None:
+                out = out.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
+        out = out.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
+        out = out.withColumn(TS_COL, F.lit(ts).cast("long"))
+        bnds = _split_boundaries(
+            cat.min_split.encode("utf-8"), cat.max_split.encode("utf-8"), num_regions
+        )
+        bucket = reduce(
+            lambda acc, b: acc
+            + F.when(F.col(ROWKEY_COL) >= F.lit(b), 1).otherwise(0),
+            bnds,
+            F.lit(0),
+        )
+        from shc_spark.sources.shc_source import BUCKET_COL
+
+        out = (
+            out.withColumn(BUCKET_COL, bucket)
+            .repartition(num_regions, F.col(BUCKET_COL))
+            .sortWithinPartitions(ROWKEY_COL)
+        )
+    else:
+        if num_regions:
+            # range-partition + sort on the TYPED key columns (same
+            # order as encoded bytes for order-preserving coders)
+            # BEFORE the encode projection: the range-sampling pass
+            # then prunes to the key columns and never evaluates the
+            # encode UDF, and the UDF runs exactly once, above the
+            # exchange. (= HBase pre-split.)
+            out = out.repartitionByRange(num_regions, *[F.col(k) for k in key_names])
+        out = out.sortWithinPartitions(*[F.col(k) for k in key_names])
+        for f in cat.fields.values():
+            if f.avro_schema is not None:
+                out = out.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
+        out = out.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
+        out = out.withColumn(TS_COL, F.lit(ts).cast("long"))
     (
         out.write.format("shc")
         .mode(mode)
@@ -236,6 +270,17 @@ def write_table(
         .option("root", root)
         .save()
     )
+
+
+def _split_boundaries(lo: bytes, hi: bytes, n: int) -> "list[bytes]":
+    """n-1 byte-interpolated split points between lo and hi — the
+    Bytes.split(min, max, numRegions) analog."""
+    width = max(len(lo), len(hi), 1) + 1
+    a = int.from_bytes(lo.ljust(width, b"\x00"), "big")
+    b = int.from_bytes(hi.ljust(width, b"\x00"), "big")
+    if b <= a:
+        raise ValueError("maxTableSplitPoint must sort above minTableSplitPoint")
+    return [(a + (b - a) * i // n).to_bytes(width, "big") for i in range(1, n)]
 
 
 def _merge_is_noop(table_path: str) -> bool:

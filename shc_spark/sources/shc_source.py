@@ -404,11 +404,78 @@ class ShcReader(DataSourceReader):
                 yield pa.RecordBatch.from_arrays(arrays, schema=want)
 
 
+BUCKET_COL = "__bucket"
+
+
+class _RegionFile:
+    """One open region parquet file + its running key stats."""
+
+    def __init__(self, gen_dir: str) -> None:
+        self.path = os.path.join(gen_dir, f"region-{uuid.uuid4().hex[:8]}.parquet")
+        self.writer = None
+        self.rows = 0
+        self.lo = self.hi = None
+        self.unique = True
+        self.prev_last = None
+
+    def add(self, table: pa.Table) -> None:
+        if self.writer is None:
+            self.writer = pq.ParquetWriter(self.path, table.schema)
+        self.writer.write_table(table)
+        keys = table.column(ROWKEY_COL)
+        if len(keys):
+            mm = pc.min_max(keys)
+            kmin, kmax = mm["min"].as_py(), mm["max"].as_py()
+            first, last = keys[0].as_py(), keys[-1].as_py()
+            # uniqueness via adjacent-equality is only sound when keys
+            # arrive in non-decreasing BYTE order (equal keys then
+            # adjacent). Typed-sorted-but-byte-unsorted input (raw
+            # PrimitiveType numerics) or unsorted direct writes
+            # conservatively record unique=False.
+            if self.prev_last is not None and first == self.prev_last:
+                self.unique = False
+            if self.unique:
+                if self.prev_last is not None and first < self.prev_last:
+                    self.unique = False  # byte order broken across batches
+                if len(keys) > 1:
+                    head = keys.slice(0, len(keys) - 1)
+                    tail = keys.slice(1)
+                    if pc.any(pc.equal(head, tail)).as_py():
+                        self.unique = False
+                    elif pc.any(pc.greater(head, tail)).as_py():
+                        self.unique = False  # byte order broken in batch
+            self.prev_last = last
+            self.lo = kmin if self.lo is None or kmin < self.lo else self.lo
+            self.hi = kmax if self.hi is None or kmax > self.hi else self.hi
+        self.rows += len(table)
+
+    def close(self) -> dict | None:
+        if self.writer is not None:
+            self.writer.close()
+        if self.rows == 0:
+            if os.path.exists(self.path):
+                os.remove(self.path)
+            return None
+        return {
+            "path": self.path,
+            "start": self.lo.hex() if self.lo is not None else None,
+            "end": self.hi.hex() if self.hi is not None else None,
+            "rows": self.rows,
+            "unique": self.unique,
+        }
+
+
 class ShcWriter(DataSourceArrowWriter):
-    """Batch write path (S2/S4): each task writes one sorted region
-    file per generation; commit() assembles tight region metadata —
-    the analog of `insert` + region assignment
-    (HBaseRelation.scala:182-267)."""
+    """Batch write path (S2/S4): each task writes sorted region files
+    per generation; commit() assembles tight region metadata — the
+    analog of `insert` + region assignment (HBaseRelation.scala:
+    182-267).
+
+    When batches carry a ``__bucket`` column (split-point-hint writes,
+    api.write_table), the task splits its output at bucket changes:
+    buckets are contiguous after the upstream sort, so each bucket
+    becomes its own tight-ranged region file and the pre-split honors
+    the catalog's min/maxTableSplitPoint without any sampling pass."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool) -> None:
         self.options = options
@@ -419,73 +486,46 @@ class ShcWriter(DataSourceArrowWriter):
         self.gen = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
-        rows = 0
-        lo = hi = None
-        unique = True
-        prev_last = None
         gen_dir = os.path.join(self.path, f"gen={self.gen}")
         os.makedirs(gen_dir, exist_ok=True)
-        out_path = os.path.join(gen_dir, f"region-{uuid.uuid4().hex[:8]}.parquet")
-        writer = None
+        infos = []
+        current: _RegionFile | None = None
+        current_bucket = None
         for batch in iterator:
             # api.write_table sorts within partitions on the key
             # columns upstream, so batches arrive in key order — no
             # per-batch re-sort (which would only be batch-local anyway)
             table = pa.Table.from_batches([batch])
-            if writer is None:
-                writer = pq.ParquetWriter(out_path, table.schema)
-            writer.write_table(table)
-            keys = table.column(ROWKEY_COL)
-            if len(keys):
-                bmin = pc.min_max(keys)
-                kmin, kmax = bmin["min"].as_py(), bmin["max"].as_py()
-                first, last = keys[0].as_py(), keys[-1].as_py()
-                # uniqueness via adjacent-equality is only sound when
-                # keys arrive in non-decreasing BYTE order (equal keys
-                # then adjacent). Typed-sorted-but-byte-unsorted input
-                # (raw PrimitiveType numerics) or unsorted direct
-                # writes conservatively record unique=False.
-                if prev_last is not None and first == prev_last:
-                    unique = False
-                if unique:
-                    if prev_last is not None and first < prev_last:
-                        unique = False  # byte order broken across batches
-                    if len(keys) > 1:
-                        head = keys.slice(0, len(keys) - 1)
-                        tail = keys.slice(1)
-                        if pc.any(pc.equal(head, tail)).as_py():
-                            unique = False
-                        elif pc.any(pc.greater(head, tail)).as_py():
-                            unique = False  # byte order broken in batch
-                prev_last = last
-                lo = kmin if lo is None or kmin < lo else lo
-                hi = kmax if hi is None or kmax > hi else hi
-            rows += len(table)
-        if writer is not None:
-            writer.close()
-        if rows == 0:
-            if os.path.exists(out_path):
-                os.remove(out_path)
-            return ShcCommit(None)
-        return ShcCommit(
-            {
-                "path": out_path,
-                "start": lo.hex() if lo is not None else None,
-                "end": hi.hex() if hi is not None else None,
-                "rows": rows,
-                "unique": unique,
-            }
-        )
+            if BUCKET_COL not in table.schema.names:
+                if current is None:
+                    current = _RegionFile(gen_dir)
+                current.add(table)
+                continue
+            buckets = table.column(BUCKET_COL).to_numpy(zero_copy_only=False)
+            data = table.drop_columns([BUCKET_COL])
+            start = 0
+            for i in range(1, len(buckets) + 1):
+                if i == len(buckets) or buckets[i] != buckets[start]:
+                    seg = data.slice(start, i - start)
+                    if current_bucket != buckets[start] or current is None:
+                        if current is not None:
+                            infos.append(current.close())
+                        current = _RegionFile(gen_dir)
+                        current_bucket = buckets[start]
+                    current.add(seg)
+                    start = i
+        if current is not None:
+            infos.append(current.close())
+        return ShcCommit([i for i in infos if i])
 
     def commit(self, messages):
         regions = []
         if not self.overwrite and os.path.exists(os.path.join(self.path, "_regions.json")):
             regions = _load_regions(self.path)
-        elif self.overwrite:
-            # drop old generations' metadata; files of prior gens are
-            # left on disk (a vacuum would remove them; out of scope)
-            regions = []
-        new = [m.info for m in messages if m and m.info]
+        new = []
+        for m in messages:
+            if m and m.info:
+                new.extend(m.info if isinstance(m.info, list) else [m.info])
         base = len(regions)
         for i, info in enumerate(sorted(new, key=lambda x: x["start"] or "")):
             info["id"] = base + i
@@ -494,16 +534,28 @@ class ShcWriter(DataSourceArrowWriter):
             json.dump(regions, fh)
         with open(os.path.join(self.path, "_catalog.json"), "w") as fh:
             fh.write(self.options["catalog"])
+        if self.overwrite:
+            # vacuum: prior generations are unreachable after an
+            # overwrite commit — remove their files so repeated
+            # overwrites don't accumulate orphans
+            import shutil
+
+            keep = f"gen={self.gen}"
+            for entry in os.listdir(self.path):
+                if entry.startswith("gen=") and entry != keep:
+                    shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
 
     def abort(self, messages):
         for m in messages:
-            if m and m.info and os.path.exists(m.info["path"]):
-                os.remove(m.info["path"])
+            if m and m.info:
+                for info in m.info if isinstance(m.info, list) else [m.info]:
+                    if os.path.exists(info["path"]):
+                        os.remove(info["path"])
 
 
 @dataclass
 class ShcCommit(WriterCommitMessage):
-    info: dict | None
+    info: "list[dict] | dict | None"
 
 
 class ShcDataSource(DataSource):

@@ -1,0 +1,124 @@
+"""Codec contract vectors: decoded arrays pinned against handcrafted
+payloads so any future codec swap-in (PIL/opencv) can be verified
+against the same expectations."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from shc_spark.operators import codecs
+
+
+def test_png_roundtrip_rgb():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert (codecs.decode_png(codecs.encode_png(img)) == img).all()
+
+
+def test_png_roundtrip_gray_and_alpha():
+    rng = np.random.RandomState(4)
+    for ch in (1, 2, 4):
+        img = rng.randint(0, 256, (4, 6, ch), dtype=np.uint8)
+        got = codecs.decode_png(codecs.encode_png(img))
+        assert got.shape == (4, 6, ch) and (got == img).all()
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Handcraft a gray PNG using the given per-row filter types —
+    the encoder only emits filter 0, so this exercises unfiltering."""
+    h, w = img.shape
+    out_rows = []
+    prev = np.zeros(w, dtype=np.int32)
+    for y, f in enumerate(filters):
+        cur = img[y].astype(np.int32)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - np.concatenate(([0], cur[:-1]))) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate(([0], cur[:-1]))
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # paeth
+            left = np.concatenate(([0], cur[:-1]))
+            ul = np.concatenate(([0], prev[:-1]))
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = (cur - pred) & 0xFF
+        out_rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(out_rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (5, 8), dtype=np.uint8)
+    payload = _png_with_filters(img, [0, 1, 2, 3, 4])
+    got = codecs.decode_png(payload)
+    assert (got[:, :, 0] == img).all()
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"nope")
+    with pytest.raises(NotImplementedError):
+        codecs.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_ppm_roundtrip_and_comment():
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (3, 4, 3), dtype=np.uint8)
+    assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+    with_comment = b"P6\n# a comment\n4 3\n255\n" + img.tobytes()
+    assert (codecs.decode_ppm(with_comment) == img).all()
+
+
+def test_bmp_roundtrip_padding():
+    rng = np.random.RandomState(7)
+    # width 3 -> 9-byte rows padded to 12: exercises stride handling
+    img = rng.randint(0, 256, (5, 3, 3), dtype=np.uint8)
+    assert (codecs.decode_bmp(codecs.encode_bmp(img)) == img).all()
+
+
+def test_wav_roundtrip():
+    rng = np.random.RandomState(8)
+    mono = rng.randint(-32768, 32767, 100, dtype=np.int16)
+    arr, rate = codecs.decode_wav(codecs.encode_wav(mono, 8000))
+    assert rate == 8000 and (arr[:, 0] == mono).all()
+    stereo = rng.randint(-32768, 32767, (50, 2), dtype=np.int16)
+    arr2, _ = codecs.decode_wav(codecs.encode_wav(stereo, 44100))
+    assert (arr2 == stereo).all()
+
+
+def test_decode_image_dispatch():
+    img = np.full((2, 2, 3), 9, dtype=np.uint8)
+    for enc in (codecs.encode_png, codecs.encode_ppm, codecs.encode_bmp):
+        assert (codecs.decode_image(enc(img)) == img).all()
+
+
+def test_known_pixel_vector():
+    """Contract vector: a 4x4 gray PNG whose pixels are 0..15 decodes
+    to exactly those values, mean luma = 7.5/255."""
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    dec = codecs.decode_png(codecs.encode_png(img))
+    assert dec[:, :, 0].ravel().tolist() == list(range(16))
+    assert abs(dec.astype(float).mean() - 7.5) < 1e-9

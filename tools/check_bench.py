@@ -1,0 +1,75 @@
+"""Round-over-round bench regression gate.
+
+The reference publishes no benchmark numbers (BASELINE.md), so the
+perf contract is pinned against our own best-known walls instead:
+BENCH_FLOOR.json records the fastest observed per-query time at sf0.1;
+this tool runs (or reads) a bench result and fails if the total or any
+query regresses beyond tolerance.
+
+Usage:
+    python tools/check_bench.py                # runs bench.py fresh
+    python tools/check_bench.py BENCH_r02.json # checks an existing run
+
+Tolerances default to 1.6x on the headline total and 2.5x per query —
+wide because single-run walls on a shared local[32] box jitter by
++/-40% (measured); a real regression (like round 1's interpreted-HOF
+signature at 3x) still trips them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+TOTAL_TOL = float(os.environ.get("BENCH_TOTAL_TOL", "1.6"))
+QUERY_TOL = float(os.environ.get("BENCH_QUERY_TOL", "2.5"))
+
+
+def main() -> int:
+    with open(os.path.join(REPO, "BENCH_FLOOR.json")) as fh:
+        floor = json.load(fh)
+
+    if len(sys.argv) > 1:
+        with open(sys.argv[1]) as fh:
+            cur = json.load(fh)
+    else:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        cur = json.loads(out.stdout.strip().splitlines()[-1])
+
+    failures = []
+    floor_total = sum(
+        floor["queries"].get(q, 0.0) for q in cur["queries"]
+    )  # compare like-for-like when the headline set grew
+    if floor_total and cur["value"] > floor_total * TOTAL_TOL:
+        failures.append(
+            f"TOTAL {cur['value']:.2f}s > {TOTAL_TOL}x floor {floor_total:.2f}s"
+        )
+    for q, wall in cur["queries"].items():
+        f = floor["queries"].get(q)
+        if f is not None and wall > f * QUERY_TOL:
+            failures.append(f"{q}: {wall:.2f}s > {QUERY_TOL}x floor {f:.2f}s")
+
+    for q, wall in sorted(cur["queries"].items()):
+        f = floor["queries"].get(q)
+        rel = f" ({wall / f:.2f}x floor)" if f else " (no floor)"
+        print(f"  {q}: {wall:.3f}s{rel}")
+    if failures:
+        print("BENCH REGRESSION:")
+        for msg in failures:
+            print("  " + msg)
+        return 1
+    print(f"bench ok: total {cur['value']:.2f}s vs floor {floor_total:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

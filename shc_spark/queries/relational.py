@@ -1004,24 +1004,32 @@ def q_percentiles_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     # discrete percentile (element at floor((n-1)*p)) — identical
     # element selection on both engines, no interpolation ulps;
-    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark dayofweek: 1=Sunday..7
-    def pdisc(p):
-        return F.expr(
-            f"element_at(sort_array(collect_list(o_totalprice)), "
-            f"CAST(floor((count(o_totalprice) - 1) * {p}) AS INT) + 1)"
-        )
+    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark dayofweek: 1=Sunday..7.
+    # Selection happens via a sort-based WINDOW (row_number against the
+    # per-group count), not collect_list: window sorts spill to disk,
+    # so a hot (year, month) group can't blow executor memory at 100x
+    # (round-1 VERDICT flagged the collect_list variant as the one
+    # unbounded-state aggregation left in the repo).
+    from pyspark.sql import Window as W
 
-    return (
-        orders.filter(~(F.dayofweek("o_orderdate") - 1).isin(0, 6))
-        .groupBy(
-            F.year("o_orderdate").cast("int").alias("o_year"),
-            F.month("o_orderdate").cast("int").alias("o_month"),
-        )
-        .agg(
-            pdisc(0.5).alias("p50"),
-            pdisc(0.9).alias("p90"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    wd = orders.filter(~(F.dayofweek("o_orderdate") - 1).isin(0, 6)).select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        "o_totalprice",
+    )
+    w = W.partitionBy("o_year", "o_month").orderBy("o_totalprice")
+    ranked = wd.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("o_year", "o_month"))
+    )
+
+    def pick(p):
+        idx = F.floor((F.col("n") - 1) * F.lit(p)).cast("int") + 1
+        return F.max(F.when(F.col("rn") == idx, F.col("o_totalprice")))
+
+    return ranked.groupBy("o_year", "o_month").agg(
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        F.max("n").alias("n"),
     )
 
 

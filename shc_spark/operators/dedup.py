@@ -399,6 +399,60 @@ def simhash_near_dups(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(id, cluster) connected components of the near-dup pair graph —
+    the step that turns pairwise matches into dedup groups (keep one
+    representative per cluster). ``cluster`` is the component's minimum
+    id, so output is deterministic.
+
+    Min-label propagation: every node repeatedly takes the smallest
+    label among itself and its neighbors; converges in O(diameter)
+    rounds (near-dup clusters are dense, diameter is tiny). Each round
+    is ONE shuffle (join + min-aggregate); the driver-side loop reads a
+    single converged-count per round, which is how every iterative
+    Spark algorithm terminates. At extreme scale swap the body for
+    alternating large-star/small-star contraction (Kiveris et al.) —
+    same interface, fewer rounds on high-diameter graphs."""
+    edges = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    sym = (
+        edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("s").alias("id")).distinct().withColumn("lbl", F.col("id")).cache()
+    )
+    prev_cached = labels
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["d"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nbr"))
+        )
+        # fold the convergence flag into the same pass: one cached
+        # frame + one count() per round, not a second comparison join
+        new = (
+            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+            .select(
+                labels["id"],
+                F.least(labels["lbl"], F.coalesce(F.col("nbr"), labels["lbl"])).alias("lbl"),
+                (F.coalesce(F.col("nbr"), labels["lbl"]) < labels["lbl"]).alias("moved"),
+            )
+            .cache()
+        )
+        changed = new.filter("moved").count()
+        prev_cached.unpersist()
+        prev_cached = new
+        labels = new.drop("moved")
+        if changed == 0:
+            break
+    out = labels.select(F.col("id"), F.col("lbl").alias("cluster"))
+    sym.unpersist()
+    return out
+
+
 def embedding_near_dups(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
 ) -> DataFrame:

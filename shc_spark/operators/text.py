@@ -118,3 +118,114 @@ def rolling_hash(text: Column, window: int = 8) -> Column:
     scalar used for candidate bucketing."""
     sh = shingles(text, window)
     return F.array_min(F.transform(sh, lambda s: F.crc32(s)))
+
+
+# PII patterns restricted to syntax valid in BOTH Java regex (Spark)
+# and RE2 (DuckDB): char classes + bounded repetition, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[A-Za-z0-9./_-]+",
+    "phone": r"\+[0-9]{1,2} [0-9]{3} [0-9]{4}",
+}
+
+
+def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII signal counts (emails / URLs / phone shapes) +
+    a has_pii flag — the redaction-or-drop gate every training-data
+    pipeline runs. Pure codegen'd regexp_count projections: one scan,
+    zero shuffles, no Python."""
+    t = F.col(text_col)
+    counts = {k: F.regexp_count(t, F.lit(p)) for k, p in PII_PATTERNS.items()}
+    any_hit = None
+    for c in counts.values():
+        any_hit = c > 0 if any_hit is None else (any_hit | (c > 0))
+    return df.select(
+        "*",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        any_hit.alias("has_pii"),
+    )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition filter signal: the fraction of a doc's
+    n-grams taken by its single most frequent n-gram (1.0 = the doc is
+    one phrase looped; ~1/total = no repetition).
+
+    Shape for scale: explode (id, gram) -> two-level aggregation with
+    map-side partial combine; the wide text column never shuffles —
+    only the gram rows do. Docs with < n words have no grams and are
+    excluded (same as the SQL oracle)."""
+    ws = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)])  # noqa: E731
+    grams = F.when(F.size(ws) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+    per_gram = exploded.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("id").agg(
+        F.sum("c").alias("total_grams"),
+        F.max("c").alias("max_gram_count"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("rep_ratio"),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, hex_threshold: str = "28"
+) -> DataFrame:
+    """Hash-based deterministic sampling: keep rows whose
+    md5(id)'s first two hex chars sort below ``hex_threshold``
+    (default '28' -> 40/256 ~= 15.6%). Unlike rand()-based sampling
+    this is reproducible across engines, runs, and retries — the
+    property a training-data pipeline needs for auditable subsets —
+    and it is exactly expressible in SQL, so the gate is value-checked
+    rather than rows-only."""
+    return df.filter(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 2) < F.lit(hex_threshold)
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k document search for a bag of query terms.
+
+    Classic scalable shape: tf from an exploded (id, term) count
+    filtered to the |Q| query terms BEFORE the shuffle (gram rows for
+    non-query terms never leave the scan); df/idf per term is |Q| rows
+    broadcast back; N and avgdl are a single-row broadcast join (no
+    driver collect). Scoring is one codegen'd projection; the global
+    top-k is TakeOrdered on (rounded score desc, id asc)."""
+    ws = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("id"), ws.alias("ws")).cache()
+    dl = base.select("id", F.size("ws").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tok = base.select("id", F.explode("ws").alias("term")).filter(
+        F.col("term").isin(list(terms))
+    )
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("w"), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)

@@ -159,6 +159,31 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)
 
 
+# near-dup clustering: MinHash pairs -> connected components (the
+# "keep one per duplicate group" step). The oracle computes the SAME
+# exact-Jaccard edge set and its transitive closure with a recursive
+# CTE — an iterative Spark algorithm value-checked end-to-end.
+@register(
+    "dedup_clusters",
+    _SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS")
+    + """
+    , e AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+    SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=32, n=3, threshold=0.8
+    )
+    return dedup.connected_components(pairs)
+
+
 # -- text analysis ----------------------------------------------------------
 
 _MARKERS_SQL = ", ".join(
@@ -265,6 +290,108 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(tc), 4).alias("avg_tokens"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+# PII scanning: the synthetic corpus has no PII, so the gate injects
+# deterministic email/url/phone strings derived from doc_id into the
+# text on BOTH sides — the regex machinery (Java regex vs RE2) is what
+# is being value-checked.
+@register(
+    "text_pii_scan",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             concat_ws(' ', text,
+               CASE WHEN doc_id % 3 = 0 THEN 'user' || doc_id || '@example.com' END,
+               CASE WHEN doc_id % 5 = 0 THEN 'https://example.com/d/' || doc_id END,
+               CASE WHEN doc_id % 7 = 0 THEN '+1 555 0100' END) AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_-]+')) AS INT) AS n_url,
+           CAST(len(regexp_extract_all(text, '\\+[0-9]{1,2} [0-9]{3} [0-9]{4}')) AS INT) AS n_phone,
+           (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+            OR len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_-]+')) > 0
+            OR len(regexp_extract_all(text, '\\+[0-9]{1,2} [0-9]{3} [0-9]{4}')) > 0) AS has_pii
+    FROM aug
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("user"), F.col("doc_id"), F.lit("@example.com"))),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("https://example.com/d/"), F.col("doc_id"))),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("+1 555 0100")),
+        ).alias("text"),
+    )
+    return text.pii_features(aug, "text").select(
+        "doc_id", "n_email", "n_url", "n_phone", "has_pii"
+    )
+
+
+# Gopher-style repetition signal: share of a doc's 3-grams taken by
+# its most frequent 3-gram.
+@register(
+    "text_repetition",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM t),
+    sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM pos),
+    per AS (SELECT doc_id, g, count(*) AS c FROM sh GROUP BY 1, 2)
+    SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS total_grams,
+           CAST(max(c) AS BIGINT) AS max_gram_count,
+           round(max(c) * 1.0 / sum(c), 4) AS rep_ratio
+    FROM per GROUP BY 1
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_features(docs, "text", "doc_id", n=3)
+
+
+# Deterministic md5-bucket sampling — reproducible across engines and
+# retries, so unlike rand() sampling it gets a full value-check.
+@register(
+    "text_deterministic_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+    """,
+)
+def text_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return text.deterministic_sample(docs, "doc_id")
+
+
+# BM25 top-20 for a fixed query over the corpus.
+@register(
+    "text_bm25_search",
+    """
+    WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    dl AS (SELECT id, len(ws) AS dl FROM t),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT id, unnest(ws) AS term FROM t),
+    tf AS (SELECT id, term, count(*) AS tf FROM tok
+           WHERE term IN ('join', 'scan', 'vector') GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.id,
+             sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (id), stats
+      GROUP BY 1)
+    SELECT id, round(s, 4) AS bm25 FROM scored
+    ORDER BY round(s, 4) DESC, id LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.bm25_search(docs, ["join", "scan", "vector"], "text", "doc_id", k=20)
 
 
 # -- multimodal (payload plumbing; codecs stubbed) --------------------------

@@ -177,3 +177,46 @@ def test_sig_udf_bit_identical_to_expr(spark):
     he = dedup._hashed_shingles(empty, "text", "doc_id", 3)
     row = he.select(dedup._sig_expr(4).alias("e"), dedup._sig_udf(4).alias("g")).collect()[0]
     assert row["e"] == row["g"] == [0, 0, 0, 0]
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation must equal a driver-side union-find on the
+    same edge list (chain, triangle + bridge, isolated pair)."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (12, 20), (30, 31)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster"] for r in dedup.connected_components(pairs).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {x: min(y for y in parent if find(y) == find(x)) for x in parent}
+    assert got == want
+
+
+def test_deterministic_sample_stable(spark):
+    from shc_spark.operators import text as t
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    a = sorted(r["doc_id"] for r in t.deterministic_sample(docs, "doc_id").collect())
+    b = sorted(r["doc_id"] for r in t.deterministic_sample(docs, "doc_id").collect())
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_bm25_plan_is_takeordered(spark):
+    """Global top-k must be TakeOrderedAndProject, not a full sort."""
+    from shc_spark.operators import text as t
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    out = t.bm25_search(docs, ["join", "scan"], "text", "doc_id", k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = out.collect()
+    assert len(rows) == 10 and rows[0]["bm25"] >= rows[-1]["bm25"]

@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "q_asof_join",
     "shc_roundtrip_scan",
+    "shc_version_merge",
 ]
 
 
@@ -66,6 +67,8 @@ def main() -> None:
     run("q06_forecast_revenue")
     if "shc_roundtrip_scan" in queries:
         run("shc_roundtrip_scan")
+    if "shc_version_merge" in queries:
+        run("shc_version_merge")  # one-time 2-generation table build
     # spawn the 32 Python workers once (pandas imports dominate the
     # first Arrow UDF otherwise; a long-lived cluster has warm workers)
     from pyspark.sql.functions import pandas_udf

@@ -275,6 +275,30 @@ CAT_SEG_MAP = json.dumps(
 )
 
 
+# SQL over an shc-backed temp view (SURVEY §3.3): the rowkey predicate
+# written in SQL must reach the source through the view — same pushdown
+# machinery as the DataFrame path, driven from spark.sql.
+@register(
+    "shc_sql_over_view",
+    """
+    SELECT c_custkey, c_name, round(sum(c_acctbal), 2) AS bal
+    FROM customer WHERE c_custkey BETWEEN 200 AND 400
+    GROUP BY c_custkey, c_name
+    """,
+)
+def shc_sql_over_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _ensure_customer(spark, sf_dir)
+    view = "shc_customer_view"
+    read_table(spark, CAT_CUSTOMER, root=root).createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name, round(sum(c_acctbal), 2) AS bal
+        FROM {view} WHERE c_custkey BETWEEN 200 AND 400
+        GROUP BY c_custkey, c_name
+        """
+    )
+
+
 CAT_CUST_WIDE = json.dumps(
     {
         "table": {"namespace": "q", "name": "cust_wide", "tableCoder": "OrderedType", "version": "2.0"},

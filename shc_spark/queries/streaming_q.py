@@ -85,6 +85,24 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id,
+           CAST(floor(epoch_us(b.ts) / 1000000 - epoch_us(a.ts) / 1000000) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.streaming.events import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)
+
+
+@register(
     "stream_sliding_window",
     """
     WITH expanded AS (

@@ -182,6 +182,47 @@ def stream_write_table(
     return writer.start()
 
 
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: click events joined to the same
+    user's purchase events within 30 minutes. Both sides carry
+    watermarks and the join has an explicit event-time range bound —
+    the two conditions Spark needs to know when buffered state can be
+    evicted, which is what makes this run unbounded at 100 TB/day
+    instead of accumulating both streams forever."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        ((F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 1_000_000).cast("long").alias("gap_s"),
+    )
+    return _run_to_memory(joined, "append")
+
+
 def run_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 15 minutes — each event contributes
     to 4 overlapping windows (epoch-aligned, like F.window)."""

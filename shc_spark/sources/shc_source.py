@@ -532,8 +532,37 @@ class ShcWriter(DataSourceArrowWriter):
             regions.append(info)
         with open(os.path.join(self.path, "_regions.json"), "w") as fh:
             json.dump(regions, fh)
-        with open(os.path.join(self.path, "_catalog.json"), "w") as fh:
-            fh.write(self.options["catalog"])
+        cat_json = self.options["catalog"]
+        stored_p = os.path.join(self.path, "_catalog.json")
+        if not self.overwrite and os.path.exists(stored_p):
+            # appends through a narrower/different catalog must not
+            # clobber the stored writer catalog — earlier generations'
+            # columns would become unreachable (their (cf, qualifier)
+            # mapping lives only here). Merge: stored wins per column
+            # name, new columns append unless their cell is already
+            # mapped under another name; rowkey specs must agree.
+            with open(stored_p) as fh:
+                stored = json.load(fh)
+            new = json.loads(cat_json)
+            if stored.get("rowkey") != new.get("rowkey"):
+                raise ValueError(
+                    "append catalog rowkey spec differs from the stored catalog"
+                )
+            cells = {
+                (v.get("cf"), v.get("col")) for v in stored["columns"].values()
+            }
+            for name, spec in new["columns"].items():
+                if name in stored["columns"]:
+                    continue
+                if (spec.get("cf"), spec.get("col")) in cells:
+                    continue
+                stored["columns"][name] = spec
+            for k, v in new.items():
+                if k not in ("table", "rowkey", "columns") and k not in stored:
+                    stored[k] = v  # e.g. avro schema refs
+            cat_json = json.dumps(stored)
+        with open(stored_p, "w") as fh:
+            fh.write(cat_json)
         if self.overwrite:
             # vacuum: prior generations are unreachable after an
             # overwrite commit — remove their files so repeated

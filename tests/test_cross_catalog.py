@@ -261,3 +261,53 @@ def test_appended_table_merge_shuffle_free(spark):
     # pushdown composes with merge partitions
     got = read_table(spark, cat, root=root).filter(F.col("k").between(10, 20))
     assert sorted(r["k"] for r in got.collect()) == list(range(10, 21))
+
+
+def test_append_subset_catalog_preserves_stored(spark):
+    """Appending through a narrower catalog must not clobber the
+    stored writer catalog — earlier generations' columns stay
+    readable (their (cf, qualifier) mapping lives only there)."""
+    import json as _json
+    import shutil
+
+    root = ROOT + "_appendcat"
+    shutil.rmtree(root, ignore_errors=True)
+    full = _cat(
+        "apc",
+        {
+            "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "a": {"cf": "cf", "col": "a", "type": "string"},
+            "b": {"cf": "cf", "col": "b", "type": "int"},
+        },
+    )
+    sub = _cat(
+        "apc",
+        {
+            "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "a": {"cf": "cf", "col": "a", "type": "string"},
+        },
+    )
+    df = spark.createDataFrame([(i, f"a{i}", i) for i in range(10)], "k long, a string, b int")
+    write_table(df, full, root=root, num_regions=4, mode="overwrite", timestamp=1)
+    write_table(
+        df.limit(3).select("k", F.concat("a", F.lit("x")).alias("a")),
+        sub, root=root, timestamp=2,
+    )
+    cols = _json.load(open(f"{root}/x.apc/_catalog.json"))["columns"]
+    assert set(cols) == {"k", "a", "b"}
+    rows = {r["k"]: (r["a"], r["b"]) for r in read_table(spark, full, root=root).collect()}
+    assert rows[0] == ("a0x", 0)  # updated a, surviving b
+    assert rows[5] == ("a5", 5)
+    # incompatible rowkey spec is rejected at commit
+    import pytest as _pytest
+
+    bad = _cat(
+        "apc",
+        {
+            "k2": {"cf": "rowkey", "col": "key2", "type": "bigint"},
+            "a": {"cf": "cf", "col": "a", "type": "string"},
+        },
+        rowkey="key2",
+    )
+    with _pytest.raises(Exception):
+        write_table(df.limit(1).select(F.col("k").alias("k2"), "a"), bad, root=root, timestamp=3)

@@ -275,6 +275,53 @@ CAT_SEG_MAP = json.dumps(
 )
 
 
+CAT_ORDERS_TYPED = json.dumps(
+    {
+        "table": {"namespace": "q", "name": "orders_typed", "tableCoder": "OrderedType", "version": "2.0"},
+        "rowkey": "key",
+        "columns": {
+            "o_orderkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "o_orderdate": {"cf": "cf", "col": "dt", "type": "date"},
+            "o_price_dec": {"cf": "cf", "col": "pd", "type": "decimal(12,2)"},
+            "o_orderpriority": {"cf": "cf", "col": "pri", "type": "string"},
+        },
+    }
+)
+
+
+# date + decimal typed value columns through the source (the §1.2 type
+# matrix beyond primitives/strings): values must survive the
+# encode -> region write -> scan roundtrip bit-exactly, including a
+# date-range filter evaluated above the scan.
+@register(
+    "shc_typed_columns",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS o_price_dec,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+      AND o_orderkey < 2000
+    """,
+)
+def shc_typed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _root(sf_dir, "ordtyped")
+    if not os.path.exists(os.path.join(root, "q.orders_typed", "_regions.json")):
+        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("o_price_dec"),
+            "o_orderpriority",
+        )
+        write_table(df, CAT_ORDERS_TYPED, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+    t = read_table(spark, CAT_ORDERS_TYPED, root=root)
+    return t.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderkey") < 2000)
+    )
+
+
 # SQL over an shc-backed temp view (SURVEY §3.3): the rowkey predicate
 # written in SQL must reach the source through the view — same pushdown
 # machinery as the DataFrame path, driven from spark.sql.

@@ -1,0 +1,59 @@
+"""Plan-shape pins for the headline queries: the physical plans that
+make these fast at 100 TB (broadcast dims, pushed filters, TakeOrdered
+instead of global sort) are asserted so a regression in plan quality
+fails CI even while results stay correct."""
+
+import pytest
+
+from shc_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = all_queries()
+
+    def plan_of(name):
+        df = qs[name](spark, SF)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_q05_star_join_broadcasts_dims(plans):
+    p = plans("q05_local_supplier_volume")
+    assert "BroadcastHashJoin" in p, p
+    # region filter is pushed into its parquet scan
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name" in p, p
+
+
+def test_q02_filter_reaches_scan(plans):
+    p = plans("q02_filter_scan")
+    assert "PushedFilters: [" in p and "GreaterThan" in p or "LessThan" in p, p
+
+
+def test_q03_topk_is_takeordered(plans):
+    assert "TakeOrderedAndProject" in plans("q03_top_revenue_orders")
+
+
+def test_q01_partial_aggregation(plans):
+    # map-side combine: two HashAggregate levels around one exchange
+    p = plans("q01_pricing_summary")
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_similarity_single_shuffle(plans):
+    # the ANN paths' only exchange feeds the final top-k window
+    for q in ("sim_topk_lsh", "sim_topk_ivf", "sim_topk_bruteforce"):
+        p = plans(q)
+        assert p.count("Exchange") <= 2, (q, p)  # window partial+final
+
+
+def test_scan_prunes_columns(spark):
+    # a 2-column projection reads a 2-column schema, not the full table
+    from shc_spark.queries.relational import _t
+
+    df = _t(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan

@@ -243,6 +243,78 @@ def minhash_signatures(
     return hashed.select("id", _sig_udf(num_perm, seed).alias("sig"))
 
 
+def _doc_lsh_features(
+    df: DataFrame, text_col: str, id_col: str, n: int, num_perm: int, bands: int
+):
+    """(id, hs: array<long>, bnd: array<int>) in ONE mapInPandas pass:
+    shingling, shingle hashing (pd.util.hash_array — deterministic
+    fixed-key siphash), MinHash signature minima, and per-band bucket
+    hashes, all vectorized per Arrow batch.
+
+    The JVM shingle/banding expressions this replaces are interpreted
+    per element (not codegen'd) and were the bulk of the pipeline wall;
+    bit-compatibility with them is NOT required — bucket hashes only
+    shape the candidate set, and exact verification re-checks every
+    candidate, so any deterministic 64-bit hash yields the same
+    verified pairs (up to ~2^-64 collisions). Docs with < n words emit
+    nothing (no shingles -> can't be near-dups)."""
+    r = num_perm // bands
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, hs array<long>, bnd array<int>"
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["__id"].tolist()
+            grams: list = []
+            lens = []
+            keep = []
+            for i, t in enumerate(pdf["__text"]):
+                w = t.split(" ") if t else []
+                if len(w) < n:
+                    continue
+                g = [" ".join(w[j : j + n]) for j in range(len(w) - n + 1)]
+                grams.extend(g)
+                lens.append(len(g))
+                keep.append(i)
+            if not keep:
+                continue
+            hv = pd.util.hash_array(np.array(grams, dtype=object))  # uint64
+            # per-doc sorted-unique shingle hashes
+            bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            uniq = [np.unique(hv[bounds[i] : bounds[i + 1]]) for i in range(len(lens))]
+            ulens = np.array([len(u) for u in uniq], dtype=np.int64)
+            flat = np.concatenate(uniq)
+            offsets = np.zeros(len(uniq), dtype=np.int64)
+            np.cumsum(ulens[:-1], out=offsets[1:])
+            # signature minima (same chain as _sig_udf)
+            base = _xx_hash_long(flat, np.uint64(42))
+            sig = np.empty((len(uniq), num_perm), dtype=np.uint64)
+            for p in range(num_perm):
+                hp = _xx_hash_int(42, _xx_hash_int(p, base))
+                sig[:, p] = np.minimum.reduceat(hp, offsets)
+            # band bucket hashes: fold each band's r signature slots
+            s3 = sig.reshape(len(uniq), bands, r)
+            acc = np.zeros((len(uniq), bands), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(r):
+                    acc = acc * _XXP1 + s3[:, :, j]
+                acc = _xx_fmix(acc + np.arange(bands, dtype=np.uint64) * _XXP2)
+            bnd = (acc & np.uint64(0x7FFFFFFF)).astype(np.int32)
+            sid = np.asarray(ids, dtype=object)[keep]
+            yield pd.DataFrame(
+                {
+                    "id": sid,
+                    "hs": [u.astype(np.int64).tolist() for u in uniq],
+                    "bnd": [row.tolist() for row in bnd],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).mapInPandas(gen, schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -260,35 +332,20 @@ def minhash_lsh_pairs(
     carries doc_count*bands small rows. ``verify`` re-checks candidates
     with exact Jaccard so false positives are eliminated; the output
     matches jaccard_pairs up to LSH recall."""
-    r = num_perm // bands
-    # hashed shingles feed BOTH signature generation and verification,
-    # and the banding self-join references the signature plan twice —
-    # cache both so the shingle transform and the signature expression
-    # are each evaluated exactly once (the cache is also a projection-
-    # collapse barrier: without it Catalyst would inline the signature
-    # expression into every band hash). At 100 TB: persist signatures.
-    # docs with no shingles (< n words) can't be near-dups and would
-    # all share the zero signature (and divide by zero in verification).
-    # The size() filter sits ABOVE the cache: below it, Catalyst inlines
-    # the whole interpreted shingle expression into the Filter node and
-    # evaluates it twice per row (measured 4.4s vs 1.2s at sf0.1).
-    # The count() materializes the cache EAGERLY: its three consumers
-    # (signatures + both verify sides) otherwise race to scan the
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    # ONE python pass computes shingle hashes (verification input),
+    # signatures, and band bucket hashes (_doc_lsh_features). The
+    # eager count() materializes the cache before its three consumers
+    # (banding + both verify sides) otherwise race to scan the
     # uncached InMemoryRelation in concurrent stages and each computes
-    # the shingle stage again (measured 2x at sf0.1).
-    hashed = _hashed_shingles(df, text_col, id_col, n).cache()
-    hashed.count()
-    hashed = hashed.filter(F.size("hs") > 0)
-    sigs = hashed.select("id", _sig_udf(num_perm).alias("sig"))
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.hash(F.slice(F.col("sig"), bi * r + 1, r), bi),
-            )
-        ).alias("band", "bh"),
-    )
+    # the feature pass again (measured 2x at sf0.1). At 100 TB:
+    # persist features. Docs with no shingles (< n words) emit nothing
+    # — they can't be near-dups and would divide by zero in verify.
+    feats = _doc_lsh_features(_widen(df), text_col, id_col, n, num_perm, bands).cache()
+    feats.count()
+    hashed = feats  # (id, hs) for verification
+    banded = feats.select("id", F.posexplode("bnd").alias("band", "bh"))
     # candidate pairs per (band, bucket) via groupBy + in-bucket pair
     # expansion — ONE scan of the signatures and one shuffle, where the
     # classic self-join on (band, bh) exchanges the banded rows twice

@@ -82,9 +82,24 @@ def internal_schema(cat: Catalog) -> StructType:
     return StructType(fields)
 
 
+_REGION_CACHE: dict = {}
+
+
 def _load_regions(path: str) -> list[dict]:
-    with open(os.path.join(path, "_regions.json")) as fh:
-        return json.load(fh)
+    """Region metadata with an mtime-validated cache — the analog of
+    the reference's connection/region-locator cache (S20,
+    HBaseConnectionCache): repeated queries against the same table
+    skip re-reading and re-parsing the metadata file; any write bumps
+    the file mtime and invalidates naturally."""
+    meta = os.path.join(path, "_regions.json")
+    mtime = os.stat(meta).st_mtime_ns
+    hit = _REGION_CACHE.get(meta)
+    if hit is not None and hit[0] == mtime:
+        return [dict(r) for r in hit[1]]  # callers mutate (commit)
+    with open(meta) as fh:
+        regions = json.load(fh)
+    _REGION_CACHE[meta] = (mtime, regions)
+    return [dict(r) for r in regions]
 
 
 def _dim_to_key_ranges(hrf: HRF, fixed_first_width: int | None, single_dim: bool) -> HRF:

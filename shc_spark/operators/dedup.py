@@ -97,7 +97,11 @@ def _widen(df: DataFrame) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < max(target // 2, 2):
+    # only widen KNOWN-narrow file inputs; a non-file-backed plan
+    # (inputFiles() == [], e.g. post-shuffle) keeps its existing
+    # partitioning — repartitioning it could SHRINK an already-wide
+    # input and always adds a shuffle
+    if 0 < n_files < max(target // 2, 2):
         return df.repartition(target)
     return df
 
@@ -505,6 +509,13 @@ def connected_components(
         labels = new.drop("moved")
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        prev_cached.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     out = labels.select(F.col("id"), F.col("lbl").alias("cluster"))
     sym.unpersist()
     return out
@@ -525,7 +536,10 @@ def embedding_near_dups(
     applied to the emitted values."""
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        return spark.createDataFrame([], schema)
     ids = np.array([r[0] for r in rows])
     M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     nrm = np.linalg.norm(M, axis=1, keepdims=True)
@@ -542,9 +556,11 @@ def embedding_near_dups(
             an = np.linalg.norm(A, axis=1, keepdims=True)
             an[an == 0] = 1.0
             S = (A / an) @ C.T  # (batch, n)
-            s = 10.0**4
-            Sr = np.sign(S) * np.floor(np.abs(S) * s + 0.5) / s
-            mask = (Sr >= threshold) & (a_ids[:, None] < c_ids[None, :])
+            # select a SUPERSET (threshold minus rounding slack) here;
+            # the exact cut happens below on the F.round'ed value so
+            # boundary pairs follow engine rounding semantics, not a
+            # numpy replica of them
+            mask = (S >= threshold - 1e-4) & (a_ids[:, None] < c_ids[None, :])
             ii, jj = np.nonzero(mask)
             if len(ii):
                 yield pd.DataFrame(
@@ -554,6 +570,8 @@ def embedding_near_dups(
     out = (
         _widen(df)
         .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-        .mapInPandas(gen, f"id_a {id_type}, id_b {id_type}, cosine double")
+        .mapInPandas(gen, schema)
     )
-    return out.withColumn("cosine", F.round("cosine", 4))
+    return out.withColumn("cosine", F.round("cosine", 4)).filter(
+        F.col("cosine") >= threshold
+    )

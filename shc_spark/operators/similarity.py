@@ -42,19 +42,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _round_half_up(x: np.ndarray, nd: int = 4) -> np.ndarray:
-    """ROUND_HALF_UP (away from zero) like Spark's F.round and DuckDB's
-    round(); np.round is half-to-even. Used only for candidate
-    SELECTION inside UDFs — emitted values are rounded by F.round so
-    the output bits carry engine semantics."""
-    s = 10.0**nd
-    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
-
-
 def _collect_queries(queries: DataFrame, vec_col: str, id_col: str):
-    """(ids list, normalized float64 matrix) for the small query side."""
+    """(ids list, normalized float64 matrix) for the small query side.
+    Empty query sets return an empty matrix (callers emit nothing)."""
     rows = queries.select(id_col, vec_col).collect()
     ids = [r[0] for r in rows]
+    if not rows:
+        return ids, np.zeros((0, 1), dtype=np.float64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     n = np.linalg.norm(qm, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -68,13 +62,23 @@ def _normalize_batch(vecs) -> np.ndarray:
     return M / n
 
 
+# slack added to per-batch pruning cutoffs: any binary rounding of a
+# double moves it by < 1e-4/2 + representation eps, so a row whose
+# unrounded cosine is more than 1e-4 below the kth-best can never
+# outrank it after F.round(..., 4). Pruning by UNROUNDED score with
+# this slack is provably lossless without replicating Java's
+# BigDecimal HALF_UP (floor(x*1e4+0.5) disagrees with it on values
+# like 0.72525 whose double sits just below the boundary).
+_ROUND_SLACK = 1e-4
+
+
 def _emit_topk(q_ids, ids, S, cand_lists, k):
-    """Per-batch top-k per query, ordered exactly like the global
-    window (cosine rounded half-up 4dp desc, id asc) so pruning to k
-    rows per query per batch is lossless. ``cand_lists[j]`` holds the
+    """Per-batch candidate pruning per query: emit every row whose
+    unrounded cosine is within _ROUND_SLACK of the batch's kth-best —
+    a superset of any batch rows the global window (rounded cosine
+    desc, id asc) could rank in its top k. ``cand_lists[j]`` holds the
     batch-row indices that are candidates for query j (None = all).
     Yields pandas DataFrames."""
-    Sr = _round_half_up(S)
     for j, qid in enumerate(q_ids):
         rows = cand_lists[j] if cand_lists is not None else None
         if rows is None:
@@ -83,24 +87,21 @@ def _emit_topk(q_ids, ids, S, cand_lists, k):
             continue
         else:
             rows = np.asarray(rows)
-        # stable sort by id then by rounded -cosine -> (cos desc, id asc)
-        rows = rows[np.argsort(ids[rows], kind="stable")]
-        order = rows[np.argsort(-Sr[rows, j], kind="stable")]
-        picked = []
-        for i in order:
-            if ids[i] == qid:
-                continue
-            picked.append(i)
-            if len(picked) == k:
-                break
-        if picked:
-            yield pd.DataFrame(
-                {
-                    "query_id": [qid] * len(picked),
-                    "neighbor_id": ids[picked],
-                    "cosine": S[picked, j],
-                }
-            )
+        rows = rows[ids[rows] != qid]  # self-matches excluded
+        if not len(rows):
+            continue
+        s = S[rows, j]
+        if len(rows) > k:
+            kth = np.partition(s, len(s) - k)[len(s) - k]
+            keep = s >= kth - _ROUND_SLACK
+            rows, s = rows[keep], s[keep]
+        yield pd.DataFrame(
+            {
+                "query_id": [qid] * len(rows),
+                "neighbor_id": ids[rows],
+                "cosine": s,
+            }
+        )
 
 
 def _topk_window(part: DataFrame, k: int) -> DataFrame:
@@ -137,6 +138,8 @@ def cosine_topk(
 
     def score(batches):
         q_ids, q_mat = bq.value
+        if not q_ids:
+            return
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -181,7 +184,7 @@ def lsh_topk(
 
     q_ids, qm = _collect_queries(queries, vec_col, id_col)
     probe_map: dict = {}
-    for t in range(num_tables):
+    for t in range(num_tables if q_ids else 0):
         b0 = (((qm @ planes[t].T) > 0) * weights).sum(axis=1).astype(np.int64)
         for qi in range(len(q_ids)):
             cand_bkts = [int(b0[qi])]
@@ -194,6 +197,8 @@ def lsh_topk(
 
     def score(batches):
         qids_, qm_, pmap = bc.value
+        if not qids_:
+            return
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -240,16 +245,19 @@ def ivf_topk(
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
 
     q_ids, qm = _collect_queries(queries, vec_col, id_col)
-    probe_idx = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
     probe_map: dict = {}
-    for qi in range(len(q_ids)):
-        for c in probe_idx[qi]:
-            probe_map.setdefault(int(c), []).append(qi)
+    if q_ids:
+        probe_idx = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+        for qi in range(len(q_ids)):
+            for c in probe_idx[qi]:
+                probe_map.setdefault(int(c), []).append(qi)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((q_ids, qm, probe_map))
 
     def score(batches):
         qids_, qm_, pmap = bc.value
+        if not qids_:
+            return
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -205,7 +205,10 @@ def bm25_search(
     driver collect). Scoring is one codegen'd projection; the global
     top-k is TakeOrdered on (rounded score desc, id asc)."""
     ws = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col).alias("id"), ws.alias("ws")).cache()
+    # deliberately NOT cached: the three consumers re-scan a 2-column
+    # pruned projection (cheap, shuffle-free), and a cache here would
+    # pin one tokenized-corpus copy per call for the session lifetime
+    base = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
     dl = base.select("id", F.size("ws").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

@@ -362,6 +362,11 @@ def read_table(
     table_dir = _os.path.join(root, f"{cat.namespace}.{cat.name}")
     stored = _stored_catalog_json(table_dir)
     if stored is not None and not _same_catalog(stored, catalog):
+        if merge_dynamic_maps:
+            raise ValueError(
+                "merge_dynamic_maps applies to same-catalog map columns; "
+                "cross-catalog dynamic capture always overlays per cell"
+            )
         return _read_cross_catalog(
             spark,
             catalog,
@@ -375,6 +380,7 @@ def read_table(
             merge_to_latest=merge_to_latest,
             restrictive=restrictive,
             reader_options=reader_options,
+            keep_internal=keep_internal,
         )
 
     # shuffle-free merge for appended tables: when no time-travel /
@@ -500,6 +506,7 @@ def _read_cross_catalog(
     merge_to_latest: bool,
     restrictive: str,
     reader_options: dict | None,
+    keep_internal: bool = False,
 ) -> DataFrame:
     """One physical table viewed through a different catalog.
 
@@ -634,12 +641,28 @@ def _read_cross_catalog(
 
     def _vmap_agg(wf, vt):
         """ts -> value map across this key's versions (null cells are
-        'not stored'); entries sorted by ts for determinism."""
+        'not stored'); entries sorted by ts for determinism. Duplicate
+        timestamps (two generations written with the same explicit ts)
+        keep the LAST entry after the (ts, value) sort — the max value,
+        a deterministic rule standing in for HBase's same-coordinate
+        overwrite — instead of tripping Spark's duplicate-map-key
+        error."""
         entry = F.when(
             F.col(wf.col_name).isNotNull(),
             F.struct(F.col(TS_COL).alias("key"), _vcast(wf, vt).alias("value")),
         )
-        return F.map_from_entries(F.array_sort(F.collect_list(entry)))
+        sorted_e = F.array_sort(F.collect_list(entry))
+        init = F.expr(
+            f"cast(array() as array<struct<key:bigint,value:{vt.simpleString()}>>)"
+        )
+
+        def merge(acc, x):
+            return F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1)["key"] == x["key"]),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(x)),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.map_from_entries(F.aggregate(sorted_e, init, merge))
 
     def _vmap_row(wf, vt):
         """single-version table: one-entry map built per row, no shuffle"""
@@ -718,19 +741,26 @@ def _read_cross_catalog(
 
     rkey_names = [f.col_name for f in rkeys]
     if grouped:
+        keep = [F.max(TS_COL).alias(TS_COL)] if keep_internal else []
         df = df.groupBy(
             *[F.col(w).alias(r) for w, r in zip(wkey_names, rkey_names)]
-        ).agg(*out_exprs)
+        ).agg(*out_exprs, *keep)
     else:
+        keep = [F.col(TS_COL)] if keep_internal else []
         df = df.select(
-            *[F.col(w).alias(r) for w, r in zip(wkey_names, rkey_names)], *out_exprs
+            *[F.col(w).alias(r) for w, r in zip(wkey_names, rkey_names)],
+            *out_exprs,
+            *keep,
         )
 
     # Avro-coded read fields decode last, on merged rows
     for f in rcat.value_fields():
         if f.avro_schema is not None:
             df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))
-    return df.select(*[f.col_name for f in rcat.fields.values()])
+    cols = [f.col_name for f in rcat.fields.values()]
+    if keep_internal:
+        cols.append(TS_COL)
+    return df.select(*cols)
 
 
 def bulk_get(

@@ -92,13 +92,14 @@ def _load_regions(path: str) -> list[dict]:
     skip re-reading and re-parsing the metadata file; any write bumps
     the file mtime and invalidates naturally."""
     meta = os.path.join(path, "_regions.json")
-    mtime = os.stat(meta).st_mtime_ns
+    st = os.stat(meta)
+    key = (st.st_mtime_ns, st.st_size)  # size guards coarse-mtime filesystems
     hit = _REGION_CACHE.get(meta)
-    if hit is not None and hit[0] == mtime:
+    if hit is not None and hit[0] == key:
         return [dict(r) for r in hit[1]]  # callers mutate (commit)
     with open(meta) as fh:
         regions = json.load(fh)
-    _REGION_CACHE[meta] = (mtime, regions)
+    _REGION_CACHE[meta] = (key, regions)
     return [dict(r) for r in regions]
 
 
@@ -545,8 +546,13 @@ class ShcWriter(DataSourceArrowWriter):
         for i, info in enumerate(sorted(new, key=lambda x: x["start"] or "")):
             info["id"] = base + i
             regions.append(info)
-        with open(os.path.join(self.path, "_regions.json"), "w") as fh:
+        meta = os.path.join(self.path, "_regions.json")
+        with open(meta, "w") as fh:
             json.dump(regions, fh)
+        # drop the metadata cache entry explicitly — mtime+size usually
+        # invalidates it, but same-second same-size rewrites must not
+        # serve the pre-commit region list in this process
+        _REGION_CACHE.pop(meta, None)
         cat_json = self.options["catalog"]
         stored_p = os.path.join(self.path, "_catalog.json")
         if not self.overwrite and os.path.exists(stored_p):

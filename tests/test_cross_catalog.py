@@ -311,3 +311,47 @@ def test_append_subset_catalog_preserves_stored(spark):
     )
     with _pytest.raises(Exception):
         write_table(df.limit(1).select(F.col("k").alias("k2"), "a"), bad, root=root, timestamp=3)
+
+
+def test_version_map_duplicate_ts(spark):
+    """Two generations written with the SAME explicit timestamp must
+    not trip Spark's duplicate-map-key error: the version map keeps
+    one deterministic entry per ts (last after the (ts, value) sort)."""
+    import shutil
+
+    root = ROOT + "_dupts"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = _cat(
+        "dupts",
+        {
+            "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "v": {"cf": "cf", "col": "v", "type": "string"},
+        },
+    )
+    df1 = spark.createDataFrame([(i, f"a{i}") for i in range(10)], "k long, v string")
+    df2 = spark.createDataFrame([(i, f"b{i}") for i in range(10)], "k long, v string")
+    write_table(df1, cat, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+    write_table(df2, cat, root=root, timestamp=1000)
+    vcat = _cat(
+        "dupts",
+        {
+            "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "v_vers": {"cf": "cf", "col": "v", "type": "map<long,string>"},
+        },
+    )
+    got = {r["k"]: r["v_vers"] for r in read_table(spark, vcat, root=root).collect()}
+    assert got[3] == {1000: "b3"}  # deterministic: max value per ts
+
+
+def test_cross_catalog_keep_internal(spark, wide_table):
+    sub = _cat(
+        "wide",
+        {
+            "ck": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "cust_name": {"cf": "cfa", "col": "nm", "type": "string"},
+        },
+    )
+    rows = {r["ck"]: r["__ts"] for r in read_table(spark, sub, root=ROOT, keep_internal=True).collect()}
+    assert rows[10] == 2000 and rows[3] == 1000
+    with pytest.raises(ValueError):
+        read_table(spark, sub, root=ROOT, merge_dynamic_maps=True)

@@ -30,7 +30,7 @@ def test_q05_star_join_broadcasts_dims(plans):
 
 def test_q02_filter_reaches_scan(plans):
     p = plans("q02_filter_scan")
-    assert "PushedFilters: [" in p and "GreaterThan" in p or "LessThan" in p, p
+    assert "PushedFilters: [" in p and ("GreaterThan" in p or "LessThan" in p), p
 
 
 def test_q03_topk_is_takeordered(plans):

@@ -5,6 +5,11 @@ oracle_sql() on DuckDB (tables pre-registered as views), compares
 row count, column names, and order-insensitive values.
 
 Usage: python tools/check_oracle.py [name_substring ...]
+
+A full (unfiltered) run also writes CORRECTNESS_LOCAL.json at the repo
+root — per-query pass/fail in the driver's record shape — so full
+83-query coverage is durable evidence even though the round driver
+records only its first-50 window.
 """
 
 from __future__ import annotations
@@ -60,6 +65,7 @@ def main():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed, passed, rows_only = [], [], []
+    record: dict = {}
     for name, fn in queries.items():
         if filters and not any(f in name for f in filters):
             continue
@@ -70,10 +76,19 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failed.append((name, f"SPARK ERROR: {e}"))
+            record[name] = {"rows_match": False, "err": f"spark: {e}"}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
             rows_only.append(name)
+            record[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": "no_oracle",
+            }
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -82,6 +97,7 @@ def main():
             drows = res.fetchall()
         except Exception as e:
             failed.append((name, f"DUCKDB ERROR: {e}"))
+            record[name] = {"rows_match": False, "err": f"duckdb: {e}"}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = []
@@ -94,6 +110,15 @@ def main():
             if sk != dk:
                 diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
                 problems.append(f"values differ, e.g. {diff}")
+        ok = not problems
+        record[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": ok,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None if ok else "; ".join(problems),
+        }
         if problems:
             failed.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)}")
@@ -101,6 +126,14 @@ def main():
             passed.append(name)
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
 
+    if not filters:
+        import json
+        import os
+
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
+        with open(out, "w") as fh:
+            json.dump(record, fh, indent=1)
+        print(f"wrote {out}")
     print(
         f"\n{len(passed)} ok, {len(failed)} failed, {len(rows_only)} rows-only "
         f"of {len(queries)} queries"

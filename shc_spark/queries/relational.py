@@ -941,6 +941,27 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# salted join (skew mitigation): the explicit (key, salt) spread must
+# be RESULT-identical to the plain join — the oracle is the unsalted
+# SQL join, so multiplicity preservation is value-checked by the
+# driver, not just pytest.
+@register(
+    "q_salted_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 250000
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    joined = salted_join(orders, cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+    return joined.select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
 # range join — bucketize + equi-join on (bucket, bucket±1) + exact
 # re-filter: the scalable pattern for interval joins (a naive theta
 # join is quadratic). Pairs of events by the same user within 5

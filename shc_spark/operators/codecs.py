@@ -216,6 +216,94 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+def encode_avi(frames: np.ndarray, fps: int = 2) -> bytes:
+    """(n, H, W, 3) uint8 RGB -> uncompressed AVI (RIFF, 'DIB ' codec,
+    24-bit bottom-up BGR frames — the rawvideo format every AVI tool
+    accepts)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    frame_size = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        b = cid + struct.pack("<I", len(body)) + body
+        return b + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # us per frame
+        frame_size * fps,  # max bytes/sec
+        0,
+        0x10,  # AVIF_HASINDEX off; plain sequential
+        n,
+        0,
+        1,
+        frame_size,
+        w,
+        h,
+        0,
+        0,
+        0,
+        0,
+    )
+    strh = b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    for f in range(n):
+        rows = b"".join(
+            frames[f, y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+        )
+        movi_body += chunk(b"00db", rows)
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
+    """Uncompressed-DIB AVI -> ((n, H, W, 3) uint8 RGB, fps). Walks the
+    RIFF tree for strh (rate/scale), strf (dimensions, 24bpp), and the
+    movi '00db'/'00dc' frame chunks."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    fps = w = h = None
+    frames = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps, w, h
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + ln)
+            elif cid == b"strh" and data[body_start : body_start + 4] == b"vids":
+                scale, rate = struct.unpack("<II", data[body_start + 20 : body_start + 28])
+                fps = rate // max(scale, 1)
+            elif cid == b"strf" and w is None:
+                w_, h_, _, bpp = struct.unpack("<iiHH", data[body_start + 4 : body_start + 16])
+                if bpp != 24:
+                    raise NotImplementedError("only 24-bit DIB AVI frames")
+                w, h = w_, abs(h_)
+            elif cid in (b"00db", b"00dc"):
+                frames.append(data[body_start : body_start + ln])
+            pos = body_start + ln + (ln % 2)
+
+    walk(12, len(data))
+    if w is None or fps is None:
+        raise ValueError("truncated AVI")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        rows = np.frombuffer(fb, dtype=np.uint8, count=h * stride).reshape(h, stride)
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up BGR
+    return out, fps
+
+
 def decode_image(data: bytes, mime: str | None = None) -> np.ndarray:
     """Magic-byte dispatch -> (H, W, C) uint8. JPEG raises
     NotImplementedError (entropy-coded DCT needs a codec library) —

@@ -176,27 +176,56 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
-    """Video frame sampling stub: one output row per sampled frame
-    (media_id, frame_idx, ts_ms, frame_sha256). Fan-out happens inside
-    mapInPandas so no shuffle carries the payload."""
+    """Video frame sampling: one output row per sampled frame
+    (media_id, frame_idx, ts_ms, frame_sha256, mean_px). Fan-out
+    happens inside mapInPandas so no shuffle carries the payload.
+
+    The REAL path decodes uncompressed-DIB AVI (codecs.decode_avi) and
+    samples the nearest frame at each every_ms tick within the clip;
+    compressed video stays behind the codec-library slot (the fake
+    path emits digest-derived rows for it)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shc_spark.operators.codecs import decode_avi
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decode not available; pass fake=True for the stub"
-                )
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 payload = bytes(payload) if payload is not None else b""
-                dur = (meta or {}).get("duration_ms") or 3000
-                for i, ts in enumerate(range(0, dur, every_ms)):
-                    fr = hashlib.sha256(payload + ts.to_bytes(4, "big")).hexdigest()
+                if fake:
+                    dur = (meta or {}).get("duration_ms") or 3000
+                    for i, ts in enumerate(range(0, dur, every_ms)):
+                        fr = hashlib.sha256(payload + ts.to_bytes(4, "big")).hexdigest()
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": i,
+                                "ts_ms": ts,
+                                "frame_sha256": fr,
+                                "mean_px": float(int(fr[:2], 16)),
+                            }
+                        )
+                    continue
+                frames, fps = decode_avi(payload)
+                dur_ms = len(frames) * 1000 // fps
+                for i, ts in enumerate(range(0, dur_ms, every_ms)):
+                    fidx = min(ts * fps // 1000, len(frames) - 1)
+                    frame = frames[fidx]
                     rows.append(
-                        {"media_id": mid, "frame_idx": i, "ts_ms": ts, "frame_sha256": fr}
+                        {
+                            "media_id": mid,
+                            "frame_idx": int(fidx),
+                            "ts_ms": ts,
+                            "frame_sha256": hashlib.sha256(frame.tobytes()).hexdigest(),
+                            "mean_px": float(frame.astype(np.float64).mean()),
+                        }
                     )
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
-        run, schema="media_id long, frame_idx int, ts_ms int, frame_sha256 string"
+        run,
+        schema=(
+            "media_id long, frame_idx int, ts_ms int, frame_sha256 string, "
+            "mean_px double"
+        ),
     )

@@ -423,6 +423,54 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media, every_ms=1000, fake=True)
 
 
+# REAL video decode end-to-end: each doc becomes an uncompressed-DIB
+# AVI (1 + doc_id % 4 frames at 2 fps, 2x2 gray frames whose pixels
+# are text codepoints); frame_sample decodes it and emits per-frame
+# mean pixel values the oracle recomputes from the text.
+@register(
+    "mm_video_frames",
+    """
+    WITH f AS (
+      SELECT doc_id, text, unnest(generate_series(0, doc_id % 4)) AS fi
+      FROM documents)
+    SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 500 AS INT) AS ts_ms,
+           round(list_sum(list_transform(generate_series(1, 4), j ->
+             CAST(CASE WHEN 4 * fi + j <= length(text)
+                  THEN unicode(substr(text, CAST(4 * fi + j AS INT), 1)) % 256
+                  ELSE 32 END AS DOUBLE))) / 4, 4) AS mean_px
+    FROM f
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def avi(pdf: pd.DataFrame) -> pd.Series:
+        from shc_spark.operators.codecs import encode_avi
+
+        out = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            n = int(did) % 4 + 1
+            px = np.full(4 * n, 32, dtype=np.uint8)
+            for i in range(min(4 * n, len(t))):
+                px[i] = ord(t[i]) % 256
+            frames = np.repeat(px.reshape(n, 2, 2, 1), 3, axis=3)
+            out.append(encode_avi(frames, fps=2))
+        return pd.Series(out)
+
+    media = multimodal.make_media_df(
+        docs.withColumn("payload", avi(F.struct("doc_id", "text"))),
+        "doc_id",
+        "payload",
+        "video/avi",
+    )
+    frames = multimodal.frame_sample(media, every_ms=500, fake=False)
+    return frames.select(
+        "media_id", "frame_idx", "ts_ms", F.round("mean_px", 4).alias("mean_px")
+    )
+
+
 # REAL image decode end-to-end: each doc renders a 4x4 grayscale PNG
 # whose pixels are the codepoints (mod 256) of its first 16 chars
 # (space-padded); the pipeline PNG-encodes, decodes (codecs.decode_png)

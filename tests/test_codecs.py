@@ -122,3 +122,16 @@ def test_known_pixel_vector():
     dec = codecs.decode_png(codecs.encode_png(img))
     assert dec[:, :, 0].ravel().tolist() == list(range(16))
     assert abs(dec.astype(float).mean() - 7.5) < 1e-9
+
+
+def test_avi_roundtrip():
+    rng = np.random.RandomState(9)
+    frames = rng.randint(0, 256, (5, 4, 3, 3), dtype=np.uint8)
+    data = codecs.encode_avi(frames, fps=4)
+    got, fps = codecs.decode_avi(data)
+    assert fps == 4 and got.shape == frames.shape and (got == frames).all()
+
+
+def test_avi_rejects_garbage():
+    with pytest.raises(ValueError):
+        codecs.decode_avi(b"RIFFxxxxWAVE")

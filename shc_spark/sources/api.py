@@ -74,7 +74,21 @@ def _rowkey_encoder(cat: Catalog):
     for the reference's per-row `convertToPut` cost,
     HBaseRelation.scala:202-267)."""
     key_fields = cat.rowkey_fields()
-    coders = [get_coder(f.coder) for f in key_fields]
+
+    class _AvroKeyPass:
+        """Avro-coded rowkey dims (AvroSourceKeySuite.scala) arrive
+        already serialized (write_table avro-encodes before the rowkey
+        projection): the key encoding is the Avro binary itself."""
+
+        order_preserving = False
+
+        def to_bytes(self, v, dt):
+            return bytes(v)
+
+    coders = [
+        _AvroKeyPass() if f.avro_schema is not None else get_coder(f.coder)
+        for f in key_fields
+    ]
     dts = [f.dt for f in key_fields]
     lengths = [f.length if f.var_length is False else None for f in key_fields]
     names = [f.col_name for f in key_fields]
@@ -486,8 +500,10 @@ def read_table(
         cols = cols + [TS_COL]
     # Avro cells travel as binary through filter/merge (pushdown and
     # max_by never look inside); decode to the logical struct last, on
-    # the merged row count
-    for f in value_fields:
+    # the merged row count. Rowkey dims can be Avro-coded too
+    # (AvroSourceKeySuite) — the key groups/merges as binary above and
+    # decodes here with the value cells.
+    for f in cat.fields.values():
         if f.avro_schema is not None:
             df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))
     return df.select(*cols)

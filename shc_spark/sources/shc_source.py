@@ -195,7 +195,14 @@ class ShcReader(DataSourceReader):
         """
         key_fields = self.cat.rowkey_fields()
         first = key_fields[0]
-        coder = get_coder(first.coder)
+        try:
+            coder = get_coder(first.coder)
+        except ValueError:
+            # Avro-coded first key dim: no order-preserving byte
+            # mapping exists for predicate values — push nothing, let
+            # Spark evaluate every filter above the scan
+            yield from filters
+            return
         single_dim = len(key_fields) == 1
         fixed_w = first.length if not first.var_length else None
         # non-order-preserving encodings (raw PrimitiveType numerics,

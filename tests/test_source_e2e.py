@@ -436,3 +436,51 @@ def test_overwrite_vacuums_old_generations(spark, tmp_path):
     assert len(gens) == 2
     got = {r["k"]: r["v"] for r in read_table(spark, cat, root=root).collect()}
     assert got[5] == 6  # latest wins through the merge read
+
+
+def test_avro_coded_rowkey(spark, tmp_path):
+    """Avro-serialized record as the rowkey itself
+    (AvroSourceKeySuite.scala analog): write structs for key and value
+    cells, read both back decoded, filters evaluated above the scan."""
+    import json as _json
+
+    root = str(tmp_path / "avrokey")
+    avro_schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "User",
+            "fields": [
+                {"name": "name", "type": "string"},
+                {"name": "favorite_number", "type": ["int", "null"]},
+                {"name": "favorite_color", "type": ["string", "null"]},
+            ],
+        }
+    )
+    cat = _json.dumps(
+        {
+            "table": {"namespace": "t", "name": "avrokey", "tableCoder": "PrimitiveType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "col0": {"cf": "rowkey", "col": "key", "avro": "avroSchema"},
+                "col1": {"cf": "cf1", "col": "col1", "avro": "avroSchema"},
+            },
+            "avroSchema": avro_schema,
+        }
+    )
+    ddl = (
+        "col0 struct<name:string,favorite_number:int,favorite_color:string>, "
+        "col1 struct<name:string,favorite_number:int,favorite_color:string>"
+    )
+    df = spark.createDataFrame(
+        [((f"name{i:03d}", i, f"color{i:03d}"),) * 2 for i in range(6)], ddl
+    )
+    write_table(df, cat, root=root, num_regions=4, mode="overwrite", timestamp=1)
+    out = read_table(spark, cat, root=root)
+    assert out.schema["col0"].dataType == out.schema["col1"].dataType
+    rows = {r["col0"]["name"]: r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows["name002"]["col1"]["favorite_number"] == 2
+    assert rows["name002"]["col0"]["favorite_color"] == "color002"
+    # filters on the decoded struct evaluate above the scan
+    got = out.filter(F.col("col0.favorite_number") >= 4).count()
+    assert got == 2

@@ -393,19 +393,26 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFram
 
     @F.pandas_udf(T.LongType())
     def sh(hashes: pd.Series) -> pd.Series:
-        out = []
+        # fully batch-vectorized: one flat (total_shingles, 64) bit
+        # expansion + per-doc segment sums via add.reduceat — no
+        # per-document python loop
         weights = 1 << np.arange(64, dtype=np.uint64)
-        for hs in hashes:
-            full = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            if full.size == 0:
-                out.append(0)
-                continue
-            bits = ((full[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int32
+        arrs = [np.asarray(a, dtype=np.int64) for a in hashes]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        out = np.zeros(len(arrs), dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([a for a in arrs if a.size]).view(np.uint64)
+            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
             )
-            votes = bits.sum(axis=0) * 2 - len(full)
-            val = np.uint64((weights * (votes > 0)).sum(dtype=np.uint64))
-            out.append(int(val.astype(np.int64)))
+            ne_lens = lens[nz]
+            offsets = np.zeros(len(ne_lens), dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=offsets[1:])
+            sums = np.add.reduceat(bits, offsets, axis=0)  # (docs, 64)
+            votes = sums * 2 - ne_lens[:, None]
+            vals = ((votes > 0) * weights).sum(axis=1, dtype=np.uint64)
+            out[nz] = vals.view(np.int64)
         return pd.Series(out)
 
     hashed = _hashed_shingles(df, text_col, id_col, n)
@@ -532,8 +539,9 @@ def embedding_near_dups(
     as a Spark broadcast: O(n*d) memory per executor, zero shuffles,
     and no per-pair rows ever materialize (round 1 ran the n^2 pairs
     through an interpreted aggregate() dot, the slowest shape
-    possible). Selection uses half-up rounding to match the F.round
-    applied to the emitted values."""
+    possible). Batch selection keeps a small superset below the
+    threshold; the exact cut happens on the F.round'ed value in
+    Spark."""
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"

@@ -355,3 +355,38 @@ def test_cross_catalog_keep_internal(spark, wide_table):
     assert rows[10] == 2000 and rows[3] == 1000
     with pytest.raises(ValueError):
         read_table(spark, sub, root=ROOT, merge_dynamic_maps=True)
+
+
+def test_many_generation_merge(spark):
+    """Five stacked generations (overlapping key ranges, interleaved
+    null cells) through the shuffle-free LSM merge read: per-cell
+    latest must match the explicit groupBy merge exactly."""
+    import shutil
+
+    root = ROOT + "_gen5"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = _cat(
+        "gen5",
+        {
+            "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "a": {"cf": "cf", "col": "a", "type": "string"},
+            "b": {"cf": "cf", "col": "b", "type": "int"},
+        },
+    )
+    base = spark.createDataFrame(
+        [(i, f"a{i}", i) for i in range(60)], "k long, a string, b int"
+    )
+    write_table(base, cat, root=root, num_regions=4, mode="overwrite", timestamp=100)
+    for g in range(1, 5):
+        upd = base.filter(F.col("k") % (g + 1) == 0).select(
+            "k",
+            F.concat(F.lit(f"g{g}_"), F.col("a")).alias("a") if g % 2 else F.lit(None).cast("string").alias("a"),
+            F.lit(None).cast("int").alias("b") if g % 2 else (F.col("b") + 1000 * g).alias("b"),
+        )
+        write_table(upd, cat, root=root, timestamp=100 + g)
+    fast = read_table(spark, cat, root=root)
+    assert "Exchange" not in fast._jdf.queryExecution().executedPlan().toString()
+    slow = read_table(spark, cat, root=root, min_stamp=0)  # groupBy path
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b and len(a) == 60

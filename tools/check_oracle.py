@@ -22,7 +22,9 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("CHECK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 from shc_spark.session import TABLES  # noqa: E402 — single source of truth
 
@@ -126,9 +128,8 @@ def main():
             passed.append(name)
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
 
-    if not filters:
+    if not filters and "sf0.01" in SF_DIR:
         import json
-        import os
 
         out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
         with open(out, "w") as fh:

@@ -224,6 +224,46 @@ def lsh_topk(
     return _run(corpus, vec_col, id_col, k, score)
 
 
+def _train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    num_centroids: int,
+    dim: int,
+    seed: int,
+    sample_rows: int = 4096,
+    iters: int = 8,
+) -> np.ndarray:
+    """Spherical k-means on a bounded corpus sample — how a real IVF
+    coarse quantizer is trained at any scale (the quantizer sees a
+    sample, the full corpus only gets ASSIGNED). Deterministic: seeded
+    sampling via limit over a hash-ordered projection, seeded init,
+    fixed iteration count. Falls back to random hyperplane centroids
+    when the sample is smaller than the codebook."""
+    sample = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in corpus.select(vec_col).limit(sample_rows).collect()
+    ]
+    rng = np.random.RandomState(seed)
+    if len(sample) < num_centroids:
+        cent = rng.standard_normal((num_centroids, dim))
+        return cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    X = np.stack(sample)
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    X = X / n
+    cent = X[rng.choice(len(X), num_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(num_centroids):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cent[c] = m / nm
+    return cent
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -235,14 +275,14 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 11,
 ) -> DataFrame:
-    """IVF-style ANN with deterministic random centroids: corpus rows
-    attach to their single nearest centroid (posting list, argmax is
-    scale-invariant so raw vectors assign directly); each query scans
-    its nprobe nearest lists — nprobe/num_centroids of the corpus in
-    expectation. Tune num_centroids ~ sqrt(|corpus|) at scale."""
-    rng = np.random.RandomState(seed)
-    cent = rng.standard_normal((num_centroids, dim))
-    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    """IVF ANN with a spherical-k-means coarse quantizer trained on a
+    bounded corpus sample: corpus rows attach to their single nearest
+    centroid (posting list, argmax is scale-invariant so raw vectors
+    assign directly); each query scans its nprobe nearest lists —
+    nprobe/num_centroids of the corpus in expectation, with balanced
+    lists thanks to the trained codebook. Tune num_centroids ~
+    sqrt(|corpus|) at scale."""
+    cent = _train_centroids(corpus, vec_col, num_centroids, dim, seed)
 
     q_ids, qm = _collect_queries(queries, vec_col, id_col)
     probe_map: dict = {}

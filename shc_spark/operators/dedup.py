@@ -528,6 +528,34 @@ def connected_components(
     return out
 
 
+def near_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end corpus near-dedup: MinHash-LSH pairs -> connected
+    components -> keep the minimum-id representative of every
+    duplicate cluster. Returns the surviving rows of ``df`` (all
+    columns), deterministically.
+
+    The anti-join side is only the NON-representative duplicate ids —
+    tiny relative to the corpus — so the full rows shuffle exactly
+    once, in the final anti-join, and only if Spark can't broadcast
+    the drop list."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_perm=num_perm, bands=bands, n=n, threshold=threshold
+    )
+    clusters = connected_components(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def embedding_near_dups(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
 ) -> DataFrame:

@@ -184,6 +184,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+# end-to-end corpus dedup: survivors after dropping every non-minimum
+# member of each near-dup cluster. Oracle: the recursive-CTE transitive
+# closure marks the drops.
+@register(
+    "dedup_near_corpus",
+    _SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS")
+    + """
+    , e AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    cl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM cl WHERE id != cluster)
+    """,
+)
+def dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return dedup.near_dedup(docs, "text", "doc_id").select("doc_id", "lang")
+
+
 # -- text analysis ----------------------------------------------------------
 
 _MARKERS_SQL = ", ".join(

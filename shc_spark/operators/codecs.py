@@ -238,7 +238,7 @@ def encode_avi(frames: np.ndarray, fps: int = 2) -> bytes:
         1_000_000 // fps,  # us per frame
         frame_size * fps,  # max bytes/sec
         0,
-        0x10,  # AVIF_HASINDEX off; plain sequential
+        0,  # no AVIF_HASINDEX: no idx1 chunk is written
         n,
         0,
         1,
@@ -253,43 +253,61 @@ def encode_avi(frames: np.ndarray, fps: int = 2) -> bytes:
     strh = b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0)
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi_body = b""
+    movi_chunks = []
     for f in range(n):
         rows = b"".join(
             frames[f, y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
         )
-        movi_body += chunk(b"00db", rows)
-    movi = lst(b"movi", movi_body)
+        movi_chunks.append(chunk(b"00db", rows))
+    movi = lst(b"movi", b"".join(movi_chunks))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
+def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
     """Uncompressed-DIB AVI -> ((n, H, W, 3) uint8 RGB, fps). Walks the
-    RIFF tree for strh (rate/scale), strf (dimensions, 24bpp), and the
-    movi '00db'/'00dc' frame chunks."""
+    RIFF tree stream-aware: the VIDEO stream's strh gives the exact
+    rational frame rate (rate/scale, kept as float — 30000/1001 stays
+    29.97), its strf the dimensions, and only that stream's frame
+    chunks ('NNdb'/'NNdc' for its stream index) are decoded — an AVI
+    whose first stream is audio parses correctly."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     fps = w = h = None
+    vid_stream = None
+    stream_no = 0
+    in_video_strl = False
     frames = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal fps, w, h
+        nonlocal fps, w, h, vid_stream, stream_no, in_video_strl
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
             body_start = pos + 8
             if cid == b"LIST":
                 walk(body_start + 4, body_start + ln)
-            elif cid == b"strh" and data[body_start : body_start + 4] == b"vids":
-                scale, rate = struct.unpack("<II", data[body_start + 20 : body_start + 28])
-                fps = rate // max(scale, 1)
-            elif cid == b"strf" and w is None:
+            elif cid == b"strh":
+                in_video_strl = data[body_start : body_start + 4] == b"vids"
+                if in_video_strl and vid_stream is None:
+                    vid_stream = stream_no
+                    scale, rate = struct.unpack(
+                        "<II", data[body_start + 20 : body_start + 28]
+                    )
+                    if rate == 0 or scale == 0:
+                        raise ValueError("AVI video stream has no frame rate")
+                    fps = rate / scale
+                stream_no += 1
+            elif cid == b"strf" and in_video_strl and w is None:
                 w_, h_, _, bpp = struct.unpack("<iiHH", data[body_start + 4 : body_start + 16])
                 if bpp != 24:
                     raise NotImplementedError("only 24-bit DIB AVI frames")
                 w, h = w_, abs(h_)
-            elif cid in (b"00db", b"00dc"):
+            elif (
+                vid_stream is not None
+                and cid[:2] == b"%02d" % vid_stream
+                and cid[2:] in (b"db", b"dc")
+            ):
                 frames.append(data[body_start : body_start + ln])
             pos = body_start + ln + (ln % 2)
 

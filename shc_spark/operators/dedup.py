@@ -190,6 +190,22 @@ def _xx_hash_int(inp: int, seed):
     return _xx_fmix(h)
 
 
+def _segments(arrs: list) -> tuple:
+    """Shared ragged-batch scaffolding for the vectorized UDFs:
+    (flat uint64 concat of the NONEMPTY arrays, reduceat offsets into
+    it, nonempty row mask). Returns (None, None, mask) when every row
+    is empty."""
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return None, None, nonempty
+    flat = np.concatenate([a for a in arrs if a.size]).view(np.uint64)
+    ne_lens = lens[nonempty]
+    offsets = np.zeros(len(ne_lens), dtype=np.int64)
+    np.cumsum(ne_lens[:-1], out=offsets[1:])
+    return flat, offsets, nonempty
+
+
 def _sig_udf(num_perm: int, seed: int = 42):
     """Vectorized minhash signature: bit-identical to ``_sig_expr`` but
     one Arrow-batched pandas UDF instead of 64 interpreted HOF
@@ -211,18 +227,12 @@ def _sig_udf(num_perm: int, seed: int = 42):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(hs: pd.Series) -> pd.Series:
         arrs = [np.asarray(a, dtype=np.int64) for a in hs]
-        lens = np.array([len(a) for a in arrs], dtype=np.int64)
         n = len(arrs)
         out = np.zeros((n, num_perm), dtype=np.uint64)
-        nonempty = lens > 0
-        if nonempty.any():
-            flat = np.concatenate([a for a in arrs if a.size]).view(np.uint64)
-            # offsets of each nonempty row's segment in flat
-            ne_lens = lens[nonempty]
-            offsets = np.zeros(len(ne_lens), dtype=np.int64)
-            np.cumsum(ne_lens[:-1], out=offsets[1:])
+        flat, offsets, nonempty = _segments(arrs)
+        if flat is not None:
             base = _xx_hash_long(flat, np.uint64(42))  # shared across perms
-            mins = np.empty((len(ne_lens), num_perm), dtype=np.uint64)
+            mins = np.empty((int(nonempty.sum()), num_perm), dtype=np.uint64)
             for p in range(num_perm):
                 hp = _xx_hash_int(seed & 0xFFFFFFFF, _xx_hash_int(p, base))
                 # min over the SIGNED interpretation (array_min on longs)
@@ -287,10 +297,7 @@ def _doc_lsh_features(
             bounds = np.zeros(len(lens) + 1, dtype=np.int64)
             np.cumsum(lens, out=bounds[1:])
             uniq = [np.unique(hv[bounds[i] : bounds[i + 1]]) for i in range(len(lens))]
-            ulens = np.array([len(u) for u in uniq], dtype=np.int64)
-            flat = np.concatenate(uniq)
-            offsets = np.zeros(len(uniq), dtype=np.int64)
-            np.cumsum(ulens[:-1], out=offsets[1:])
+            flat, offsets, _ = _segments(uniq)  # all segments nonempty here
             # signature minima (same chain as _sig_udf)
             base = _xx_hash_long(flat, np.uint64(42))
             sig = np.empty((len(uniq), num_perm), dtype=np.uint64)
@@ -393,26 +400,35 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFram
 
     @F.pandas_udf(T.LongType())
     def sh(hashes: pd.Series) -> pd.Series:
-        # fully batch-vectorized: one flat (total_shingles, 64) bit
-        # expansion + per-doc segment sums via add.reduceat — no
-        # per-document python loop
+        # batch-vectorized in bounded chunks: the (shingles, 64) int32
+        # bit expansion is capped at ~_CHUNK shingles per slice so peak
+        # transient memory stays ~64 MB however large the Arrow batch
         weights = 1 << np.arange(64, dtype=np.uint64)
+        _CHUNK = 1 << 18
         arrs = [np.asarray(a, dtype=np.int64) for a in hashes]
-        lens = np.array([len(a) for a in arrs], dtype=np.int64)
         out = np.zeros(len(arrs), dtype=np.int64)
-        nz = lens > 0
-        if nz.any():
-            flat = np.concatenate([a for a in arrs if a.size]).view(np.uint64)
-            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            ne_lens = lens[nz]
-            offsets = np.zeros(len(ne_lens), dtype=np.int64)
-            np.cumsum(ne_lens[:-1], out=offsets[1:])
-            sums = np.add.reduceat(bits, offsets, axis=0)  # (docs, 64)
-            votes = sums * 2 - ne_lens[:, None]
-            vals = ((votes > 0) * weights).sum(axis=1, dtype=np.uint64)
-            out[nz] = vals.view(np.int64)
+        flat, offsets, nonempty = _segments(arrs)
+        if flat is not None:
+            ndocs = len(offsets)
+            seg_lens = np.diff(np.append(offsets, len(flat)))
+            vals = np.empty(ndocs, dtype=np.uint64)
+            d0 = 0
+            while d0 < ndocs:
+                d1 = d0 + 1
+                span = seg_lens[d0]
+                while d1 < ndocs and span + seg_lens[d1] <= _CHUNK:
+                    span += seg_lens[d1]
+                    d1 += 1
+                sl = flat[offsets[d0] : offsets[d0] + span]
+                bits = (
+                    (sl[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+                ).astype(np.int32)
+                local = (offsets[d0:d1] - offsets[d0]).astype(np.int64)
+                sums = np.add.reduceat(bits, local, axis=0)  # (docs, 64)
+                votes = 2 * sums - seg_lens[d0:d1, None]
+                vals[d0:d1] = ((votes > 0) * weights).sum(axis=1, dtype=np.uint64)
+                d0 = d1
+            out[nonempty] = vals.view(np.int64)
         return pd.Series(out)
 
     hashed = _hashed_shingles(df, text_col, id_col, n)

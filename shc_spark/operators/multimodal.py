@@ -191,7 +191,9 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> 
         for pdf in batches:
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                payload = bytes(payload) if payload is not None else b""
+                if payload is None:
+                    continue  # NULL payload -> no frames (schema-legal)
+                payload = bytes(payload)
                 if fake:
                     dur = (meta or {}).get("duration_ms") or 3000
                     for i, ts in enumerate(range(0, dur, every_ms)):
@@ -207,9 +209,11 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> 
                         )
                     continue
                 frames, fps = decode_avi(payload)
-                dur_ms = len(frames) * 1000 // fps
+                if not len(frames):
+                    continue
+                dur_ms = int(len(frames) * 1000 / fps)
                 for i, ts in enumerate(range(0, dur_ms, every_ms)):
-                    fidx = min(ts * fps // 1000, len(frames) - 1)
+                    fidx = min(int(ts * fps / 1000), len(frames) - 1)
                     frame = frames[fidx]
                     rows.append(
                         {

@@ -235,13 +235,18 @@ def _train_centroids(
 ) -> np.ndarray:
     """Spherical k-means on a bounded corpus sample — how a real IVF
     coarse quantizer is trained at any scale (the quantizer sees a
-    sample, the full corpus only gets ASSIGNED). Deterministic: seeded
-    sampling via limit over a hash-ordered projection, seeded init,
-    fixed iteration count. Falls back to random hyperplane centroids
-    when the sample is smaller than the codebook."""
+    sample, the full corpus only gets ASSIGNED). Deterministic
+    regardless of partition layout: the sample is the top-N rows by a
+    content hash (TakeOrdered — a bare limit() would depend on scan
+    order), init is seeded, iterations fixed. Falls back to random
+    hyperplane centroids when the sample is smaller than the
+    codebook."""
     sample = [
         np.asarray(r[0], dtype=np.float64)
-        for r in corpus.select(vec_col).limit(sample_rows).collect()
+        for r in corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample_rows)
+        .collect()
     ]
     rng = np.random.RandomState(seed)
     if len(sample) < num_centroids:

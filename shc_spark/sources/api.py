@@ -769,8 +769,9 @@ def _read_cross_catalog(
             *keep,
         )
 
-    # Avro-coded read fields decode last, on merged rows
-    for f in rcat.value_fields():
+    # Avro-coded read fields decode last, on merged rows (rowkey dims
+    # included — they group/merge as binary above)
+    for f in rcat.fields.values():
         if f.avro_schema is not None:
             df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))
     cols = [f.col_name for f in rcat.fields.values()]

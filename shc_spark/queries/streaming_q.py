@@ -85,6 +85,42 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_shc_source",
+    """
+    SELECT c_custkey, c_name, CAST(1000 AS BIGINT) AS __ts FROM customer
+    UNION ALL
+    SELECT c_custkey, concat(c_name, ':v2'), CAST(2000 AS BIGINT)
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def stream_shc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SOURCE over an shc table (generation tailing): drain
+    the two-generation customer table through readStream; the raw
+    version rows must equal both generations' contents."""
+    import uuid
+
+    from shc_spark.queries.connector import CAT_CUSTOMER, _root, shc_version_merge
+    from shc_spark.sources import read_stream_table
+
+    shc_version_merge(spark, sf_dir)  # ensure both generations exist
+    root = _root(sf_dir, "custv")
+    stream = read_stream_table(spark, CAT_CUSTOMER, root=root, keep_internal=True)
+    name = f"m_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream.select("c_custkey", "c_name", "__ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+@register(
     "stream_stream_join",
     """
     SELECT a.event_id AS click_id, b.event_id AS purchase_id,

@@ -780,6 +780,36 @@ def _read_cross_catalog(
     return df.select(*cols)
 
 
+def read_stream_table(
+    spark: SparkSession,
+    catalog: str,
+    root: str = DEFAULT_ROOT,
+    starting_offsets: str = "earliest",
+    keep_internal: bool = False,
+) -> DataFrame:
+    """Streaming read over an shc table: every append generation's
+    rows arrive as a micro-batch (ShcStreamReader tails the region
+    list). Rows are RAW versions — merge-to-latest across an unbounded
+    stream is a stateful downstream choice, e.g. applyInPandasWithState
+    keyed on the rowkey columns."""
+    register(spark)
+    cat = parse_catalog(catalog)
+    df = (
+        spark.readStream.format("shc")
+        .option("catalog", catalog)
+        .option("root", root)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    cols = [f.col_name for f in cat.fields.values()]
+    if keep_internal:
+        cols += [TS_COL]
+    for f in cat.fields.values():
+        if f.avro_schema is not None:
+            df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))
+    return df.select(*cols)
+
+
 def bulk_get(
     spark: SparkSession,
     catalog: str,

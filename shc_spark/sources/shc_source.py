@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -615,6 +616,70 @@ class ShcCommit(WriterCommitMessage):
     info: "list[dict] | dict | None"
 
 
+class ShcStreamReader(DataSourceStreamReader):
+    """Streaming SOURCE over an shc table: each append generation's
+    region files become the next micro-batch — tailing the table the
+    way HBase replication tails WAL edits, but at the memstore-flush
+    granularity this backend actually has.
+
+    Offsets are the count of committed region entries (regions are
+    append-only in append mode, so the count is a monotonic cursor and
+    `readBetweenOffsets`-style replay is exact). The batch scan
+    machinery is reused verbatim: partitions are plain RegionPartitions
+    over the new files, executors stream them with the same masked
+    iter_batches path. Rows arrive RAW (one row per version, __rowkey/
+    __ts included) — merge-to-latest across a stream is a downstream
+    stateful concern. An overwrite (region count shrinks) is a
+    truncation the cursor can't represent: fail with guidance."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.options = options
+        self.cat = parse_catalog(options["catalog"])
+        root = options.get("root", "/tmp/shc_tables")
+        self.path = options.get("path") or table_path(root, self.cat)
+        self.batch_size = int(options.get("batch_size", 65536))
+
+    def _count(self) -> int:
+        try:
+            return len(_load_regions(self.path))
+        except FileNotFoundError:
+            return 0
+
+    def initialOffset(self) -> dict:
+        # Spark passes reader options through a case-insensitive map
+        # that lowercases keys
+        if self.options.get("startingoffsets", "earliest") == "latest":
+            return {"n": self._count()}
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": self._count()}
+
+    def partitions(self, start: dict, end: dict):
+        n0, n1 = start["n"], end["n"]
+        if n1 < n0:
+            raise RuntimeError(
+                "shc table was overwritten while being streamed (region "
+                "count shrank); restart the stream from a fresh checkpoint"
+            )
+        if n1 == n0:
+            return [RegionPartition(path="", ranges=())]
+        regions = sorted(_load_regions(self.path), key=lambda r: r["id"])
+        return [
+            RegionPartition(path=reg["path"], ranges=((None, True, None, True),))
+            for reg in regions[n0:n1]
+        ]
+
+    def read(self, partition: RegionPartition):
+        if not partition.path:
+            return iter(())
+        want = arrow_schema_for(self.cat)
+        return ShcReader._scan_file(self, partition.path, partition.ranges, want)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class ShcDataSource(DataSource):
     """format("shc") — register with
     ``spark.dataSource.register(ShcDataSource)``."""
@@ -629,6 +694,9 @@ class ShcDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ShcReader:
         return ShcReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> ShcStreamReader:
+        return ShcStreamReader(schema, dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool) -> ShcWriter:
         return ShcWriter(schema, dict(self.options), overwrite)

@@ -484,3 +484,61 @@ def test_avro_coded_rowkey(spark, tmp_path):
     # filters on the decoded struct evaluate above the scan
     got = out.filter(F.col("col0.favorite_number") >= 4).count()
     assert got == 2
+
+
+def test_stream_source_tails_generations(spark, tmp_path):
+    """Streaming SOURCE over an shc table: each append generation
+    arrives as the next micro-batch; raw version rows, exact counts."""
+    import json as _json
+    import uuid as _uuid
+
+    from shc_spark.sources import read_stream_table
+
+    root = str(tmp_path / "tail")
+    cat = _json.dumps(
+        {
+            "table": {"namespace": "t", "name": "tail", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "v": {"cf": "cf", "col": "v", "type": "string"},
+            },
+        }
+    )
+    df1 = spark.createDataFrame([(i, f"a{i}") for i in range(20)], "k long, v string")
+    write_table(df1, cat, root=root, num_regions=4, mode="overwrite", timestamp=1)
+    name = f"m_{_uuid.uuid4().hex[:8]}"
+    q = (
+        read_stream_table(spark, cat, root=root, keep_internal=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 20
+        df2 = spark.createDataFrame([(i, f"b{i}") for i in range(5)], "k long, v string")
+        write_table(df2, cat, root=root, timestamp=2)
+        q.processAllAvailable()
+        got = spark.table(name)
+        assert got.count() == 25
+        # both versions of an updated key present, distinguished by __ts
+        vers = {r["__ts"]: r["v"] for r in got.filter(F.col("k") == 3).collect()}
+        assert vers == {1: "a3", 2: "b3"}
+        # starting_offsets=latest skips existing generations
+        name2 = f"m_{_uuid.uuid4().hex[:8]}"
+        q2 = (
+            read_stream_table(spark, cat, root=root, starting_offsets="latest")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name2)
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+            assert spark.table(name2).count() == 0
+        finally:
+            q2.stop()
+    finally:
+        q.stop()

@@ -121,6 +121,28 @@ def stream_shc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_merge_latest",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN concat(c_name, ':v2') ELSE c_name END AS c_name,
+           c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def stream_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming merge-to-latest must converge to the batch merge: the
+    two-generation customer table tailed as a stream through a
+    per-cell-latest stateful operator (gen2's null cells don't shadow
+    gen1 values)."""
+    from shc_spark.queries.connector import CAT_CUSTOMER, _root, shc_version_merge
+    from shc_spark.streaming.events import run_stream_merge_latest
+
+    shc_version_merge(spark, sf_dir)  # ensure both generations exist
+    root = _root(sf_dir, "custv")
+    return run_stream_merge_latest(spark, CAT_CUSTOMER, root)
+
+
+@register(
     "stream_stream_join",
     """
     SELECT a.event_id AS click_id, b.event_id AS purchase_id,

@@ -223,6 +223,80 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
+def run_stream_merge_latest(spark: SparkSession, catalog: str, root: str) -> DataFrame:
+    """Streaming merge-to-latest over a tailed shc table: raw version
+    rows arrive per generation (read_stream_table) and a stateful
+    operator keyed on the rowkey keeps per-CELL latest-non-null values
+    — HBase merge semantics maintained incrementally, the streaming
+    dual of api.read_table's batch merge. After the stream drains the
+    state equals the batch merge exactly (the gate's oracle).
+
+    State per key: (value, ts) per cell + an update counter used to
+    pick each key's newest emission out of the update-mode sink."""
+    from shc_spark.catalog import parse_catalog
+    from shc_spark.sources import read_stream_table
+
+    cat = parse_catalog(catalog)
+    key_names = [f.col_name for f in cat.rowkey_fields()]
+    vfields = [f for f in cat.value_fields()]
+    vnames = [f.col_name for f in vfields]
+    vtypes = [f.dt.simpleString() for f in vfields]
+
+    state_ddl = ", ".join(
+        [f"{n} {t}" for n, t in zip(vnames, vtypes)]
+        + [f"__ts_{n} long" for n in vnames]
+        + ["__upd long"]
+    )
+    out_ddl = ", ".join(
+        [f"{f.col_name} {f.dt.simpleString()}" for f in cat.rowkey_fields()]
+        + [f"{n} {t}" for n, t in zip(vnames, vtypes)]
+        + ["__upd long"]
+    )
+    nv = len(vnames)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [None] * nv + [-1] * nv + [0]
+        for pdf in pdfs:
+            pdf = pdf.sort_values("__ts", kind="stable")
+            for j, n in enumerate(vnames):
+                col = pdf[n]
+                mask = col.notna()
+                if mask.any():
+                    # the LAST non-null in ts order is the only batch
+                    # candidate that can win against the state
+                    pos = mask.to_numpy().nonzero()[0][-1]
+                    ts = int(pdf["__ts"].iloc[pos])
+                    if ts >= st[nv + j]:
+                        st[j] = col.iloc[pos]
+                        st[nv + j] = ts
+        st[2 * nv] += 1
+        state.update(tuple(st))
+        yield pd.DataFrame(
+            [dict(zip(key_names, key)) | dict(zip(vnames, st[:nv])) | {"__upd": st[2 * nv]}]
+        )
+
+    stream = read_stream_table(spark, catalog, root=root, keep_internal=True)
+    result = stream.groupBy(*key_names).applyInPandasWithState(
+        update,
+        outputStructType=out_ddl,
+        stateStructType=state_ddl,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(result, "update")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_names).orderBy(F.desc("__upd"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*key_names, *vnames)
+    )
+
+
 def run_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 15 minutes — each event contributes
     to 4 overlapping windows (epoch-aligned, like F.window)."""

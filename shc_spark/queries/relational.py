@@ -20,6 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 QUERIES: dict = {}
@@ -31,12 +32,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; read nanos as long and truncate to micros
-    (matching DuckDB's nanos->micros truncation)."""
+    """events.parquet has shipped ts as either TIMESTAMP(NANOS) (older
+    testdata generations — Spark's vectorized reader rejects it, so read
+    nanos as long and truncate to micros, matching DuckDB's nanos->micros
+    truncation) or TIMESTAMP(MICROS) (current testdata — read natively).
+    Adapt to whatever the file declares so both Spark and the DuckDB
+    oracle see identical values."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # normalize NTZ -> TIMESTAMP (value-preserving: session tz is UTC) so the
+    # result schema is identical across testdata generations
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def register(name: str, sql: str | None = None):

@@ -36,6 +36,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+EVENTS_SCHEMA_TS = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+)
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """Older testdata generations store ts as TIMESTAMP(NANOS) (arrow
+    timestamp[ns]); current ones as TIMESTAMP(MICROS). The streaming source
+    needs an explicit schema, so sniff the parquet footer once."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return str(t).startswith("timestamp[ns")
 
 
 def _events_stream_dir(sf_dir: str) -> str:
@@ -62,12 +75,15 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events with event-time ``ts`` (timestamp)."""
+    nanos = _events_ts_is_nanos(sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA if nanos else EVENTS_SCHEMA_TS)
         .format("parquet")
         .load(_events_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:

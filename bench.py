@@ -4,7 +4,10 @@ ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is materialized through the `noop` sink (full execution, no
 driver-side collect overhead). One warm-up query primes the JVM/JIT and
-is not counted.
+is not counted. Each query is timed $SPARK_GRAFT_BENCH_REPS times
+(default 2) and the MIN wall is reported — single-run walls on this
+shared box jitter by 2-4x on Python-worker-heavy queries, and min-of-N
+is the standard way to measure the code rather than the neighbors.
 """
 
 from __future__ import annotations
@@ -81,11 +84,22 @@ def main() -> None:
         "noop"
     ).save()
 
+    # ... and the mapInPandas codepath separately: its ArrowPythonRunner
+    # variant JITs on first use, which would otherwise be billed to the
+    # first dedup/multimodal query
+    def _ident(batches):
+        yield from batches
+
+    spark.range(0, 64, 1, 32).mapInPandas(_ident, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
-        timings[name] = round(run(name), 3)
+        timings[name] = round(min(run(name) for _ in range(reps)), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -232,3 +232,61 @@ def bm25_search(
         .agg(F.round(F.sum("w"), 4).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, id_col: str, thresholds: dict, default: str = "00"
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling — the domain-mixing
+    primitive of a training-data pipeline: "keep 50% of web, 12.5% of
+    forums, drop the rest" as one codegen'd filter over the scan, no
+    shuffle, reproducible across engines/runs/retries (same
+    md5-threshold scheme as ``deterministic_sample``).
+
+    ``thresholds`` maps stratum value -> 2-hex-char cutoff ('80' =
+    128/256 = 50%); strata absent from the map get ``default`` ('00' =
+    drop). The literal map is tiny (domain lists are; thousands at
+    most) and lives in the task binary, not a join."""
+    pairs = [x for kv in thresholds.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    thr = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)], F.lit(default)
+    )
+    return df.filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2) < thr)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """(id) corpus docs sharing at least one word n-gram with the
+    benchmark set — eval-set decontamination, the pipeline step that
+    keeps test data out of training corpora (n=13 in published LLM
+    recipes; lower here only because the synthetic docs are ~50 words).
+
+    Scale shape: the benchmark side is small (eval sets are MBs), so
+    its distinct shingle hashes BROADCAST; the corpus side explodes to
+    (id, shingle) narrowly — no corpus shuffle, no pre-aggregation —
+    and the broadcast left-semi join keeps only matching shingles.
+    Only the (rare) contaminated ids reach the final distinct, so the
+    one real shuffle carries almost nothing. Shingle identity is
+    multi-arg xxhash64 over the n word columns (64-bit; a false
+    contamination needs a hash collision, ~1e-9 at millions of
+    shingles)."""
+    from shc_spark.operators.dedup import _hashed_shingles
+
+    bench = (
+        _hashed_shingles(benchmark, text_col, id_col, n)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    corp = _hashed_shingles(corpus, text_col, id_col, n).select(
+        "id", F.explode("hs").alias("h")
+    )
+    return (
+        corp.join(F.broadcast(bench), "h", "left_semi")
+        .select(F.col("id"))
+        .distinct()
+    )

@@ -582,3 +582,48 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 4).alias("rms"),
         "peak",
     )
+
+
+# eval-set decontamination: docs from the two "benchmark" sources form
+# the eval set; every other doc sharing a 5-word-gram with them is
+# flagged. The Spark path joins on xxhash64 shingle hashes (broadcast
+# semi-join, corpus never shuffles); the oracle joins on the gram
+# strings — identical output up to 64-bit hash collisions (~1e-9).
+@register(
+    "text_decontaminate",
+    """
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, source, array_to_string(ws[s.i:s.i+4], ' ') AS gram
+          FROM t CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, len(t.ws) - 4)) AS i) s),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1'))
+    SELECT DISTINCT doc_id FROM g
+    WHERE source NOT IN ('src0', 'src1') AND gram IN (SELECT gram FROM bench)
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench_sources = ("src0", "src1")
+    benchmark = docs.filter(F.col("source").isin(*bench_sources))
+    corpus = docs.filter(~F.col("source").isin(*bench_sources))
+    return text.decontaminate(corpus, benchmark, "text", "doc_id", n=5).select(
+        F.col("id").alias("doc_id")
+    )
+
+
+# domain mixing: per-language deterministic sampling rates (50% en,
+# 25% zh, 12.5% de, ~4% everything else) as one codegen'd filter.
+@register(
+    "text_stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '40'
+                WHEN 'de' THEN '20' ELSE '0a' END
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return text.stratified_sample(
+        docs, "lang", "doc_id", {"en": "80", "zh": "40", "de": "20"}, default="0a"
+    )

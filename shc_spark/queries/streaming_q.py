@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from shc_spark.streaming import (
     run_sessionization,
+    run_stream_dedup,
     run_stateful_totals,
     run_tumbling_counts,
 )
@@ -176,3 +177,14 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.streaming.events import run_sliding_counts
 
     return run_sliding_counts(spark, sf_dir)
+
+
+# streaming dedup: dropDuplicatesWithinWatermark with a delay spanning
+# the fixture — emitted key set converges to batch DISTINCT (which row
+# wins per key is arrival-order-dependent, so only keys are projected).
+@register(
+    "stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_dedup(spark, sf_dir)

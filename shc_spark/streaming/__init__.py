@@ -1,5 +1,6 @@
 from shc_spark.streaming.events import (
     run_sessionization,
+    run_stream_dedup,
     run_stateful_totals,
     run_tumbling_counts,
     stream_events,
@@ -8,6 +9,7 @@ from shc_spark.streaming.events import (
 
 __all__ = [
     "run_sessionization",
+    "run_stream_dedup",
     "run_stateful_totals",
     "run_tumbling_counts",
     "stream_events",

@@ -328,3 +328,25 @@ def run_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first event per (user_id, event_type)
+    key via ``dropDuplicatesWithinWatermark`` — the operator a
+    streaming ingest pipeline uses to drop at-least-once re-deliveries
+    without unbounded state (keys older than the watermark delay are
+    evicted; a re-delivery within the delay is suppressed exactly).
+
+    The delay here spans the whole fixture so no key is ever evicted
+    mid-stream and the emitted key set equals batch DISTINCT — which is
+    what the oracle checks. Only the key columns are projected: WHICH
+    row wins per key depends on arrival order, the key set does not.
+    At scale: state is one entry per in-window key, partitioned by key
+    hash across executors; no shuffle beyond the state exchange."""
+    ev = stream_events(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "append")

@@ -220,3 +220,47 @@ def test_bm25_plan_is_takeordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     rows = out.collect()
     assert len(rows) == 10 and rows[0]["bm25"] >= rows[-1]["bm25"]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc sharing a 5-gram with the benchmark is flagged;
+    disjoint docs are not; short docs (<n words) never match."""
+    from shc_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix words alpha beta gamma delta epsilon suffix"),  # hit
+            (11, "completely different content with no overlap at all"),
+            (12, "alpha beta gamma delta"),  # 4 words < n, and no full 5-gram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"] for r in decontaminate(corpus, bench, "text", "doc_id", n=5).collect()}
+    assert got == {10}
+
+
+def test_stratified_sample_matches_per_stratum_filters(spark):
+    """Stratified output == union of per-stratum deterministic samples;
+    unlisted strata use the default threshold."""
+    from shc_spark.operators.text import deterministic_sample, stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    thr = {"en": "80", "fr": "20"}
+    got = stratified_sample(docs, "lang", "doc_id", thr, default="10")
+    expect = (
+        deterministic_sample(docs.filter(F.col("lang") == "en"), "doc_id", "80")
+        .unionByName(deterministic_sample(docs.filter(F.col("lang") == "fr"), "doc_id", "20"))
+        .unionByName(
+            deterministic_sample(
+                docs.filter(~F.col("lang").isin("en", "fr")), "doc_id", "10"
+            )
+        )
+    )
+    assert {r["doc_id"] for r in got.collect()} == {r["doc_id"] for r in expect.collect()}
+    # en sampled ~4x more than fr
+    en = got.filter(F.col("lang") == "en").count()
+    fr = got.filter(F.col("lang") == "fr").count()
+    assert en > fr

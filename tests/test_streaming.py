@@ -115,3 +115,18 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # window [0,30) finalized with ONLY the on-time row; the late t=10
     # row was dropped
     assert rows.get(0) == 1, rows
+
+
+def test_stream_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark emits exactly the batch-DISTINCT
+    key set when nothing falls beyond the delay."""
+    from shc_spark.streaming import run_stream_dedup
+
+    got = run_stream_dedup(spark, SF)
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).isEmpty()

@@ -1488,3 +1488,128 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("lim"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+# q11 analog ("important stock"): per-part inventory value restricted
+# to two nations' suppliers, kept where the part's value exceeds a
+# fraction of the total. No partsupp table in the synthetic schema, so
+# value = sum(extendedprice * quantity) from lineitem. The global
+# threshold is a broadcast scalar join (q15/q22 pattern — plan stays
+# lazy, no driver collect).
+@register(
+    "q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l_partkey AS partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7') GROUP BY 1),
+    tot AS (SELECT sum(value) AS t FROM val)
+    SELECT partkey, value FROM val, tot WHERE value > 0.002 * t
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    sn = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("value"))
+    )
+    tot = val.agg(F.sum("value").alias("__t"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("value") > 0.002 * F.col("__t"))
+        .select("partkey", "value")
+    )
+
+
+# q20 analog ("potential part promotion"): suppliers who shipped > 50
+# units of PROMO-type parts in 1996. Parts broadcast; one lineitem
+# aggregation; supplier dim broadcast back.
+@register(
+    "q20_promo_suppliers",
+    """
+    WITH agg AS (
+      SELECT l_suppkey AS suppkey, round(sum(l_quantity), 2) AS promo_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1)
+    SELECT s_name, s_acctbal, promo_qty FROM supplier JOIN agg ON s_suppkey = suppkey
+    WHERE promo_qty > 50
+    """,
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    promo = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier")
+    agg = (
+        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("promo_qty"))
+        .filter(F.col("promo_qty") > 50)
+    )
+    return agg.join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey).select(
+        "s_name", "s_acctbal", "promo_qty"
+    )
+
+
+# q21 analog ("suppliers who kept orders waiting"): finalized orders
+# with >= 2 suppliers where EXACTLY ONE supplier shipped on the
+# order's last ship date, > 60 days after the order date — that
+# supplier made the order wait (the reference benchmark's
+# exists/not-exists pair, expressed as aggregates). The synthetic
+# schema has no commit/receipt dates, so lateness is shipdate vs
+# orderdate. The last-ship aggregate's shuffle on l_orderkey is
+# REUSED by the subsequent join (same key), so lineitem is exchanged
+# once; orders joins on its primary key; supplier broadcasts.
+@register(
+    "q21_waiting_orders",
+    """
+    WITH last AS (
+      SELECT l_orderkey AS ok, max(l_shipdate) AS last_ship, count(DISTINCT l_suppkey) AS nsupp
+      FROM lineitem GROUP BY 1),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN last t ON l.l_orderkey = t.ok
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE t.nsupp >= 2 AND l.l_shipdate = t.last_ship
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND o.o_orderstatus = 'F'),
+    solo AS (SELECT l_orderkey FROM late GROUP BY 1 HAVING count(*) = 1)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late JOIN solo USING (l_orderkey) JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY 1
+    """,
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    last = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("l_shipdate").alias("last_ship"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    )
+    late = (
+        li.join(last, li.l_orderkey == last.ok)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("nsupp") >= 2)
+            & (F.col("l_shipdate") == F.col("last_ship"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    solo = late.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__n")).filter(F.col("__n") == 1)
+    return (
+        late.join(solo.select("l_orderkey"), "l_orderkey")
+        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -188,3 +188,46 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_dedup(spark, sf_dir)
+
+
+# streaming SINK via the Python Data Source API:
+# writeStream.format("shc") drains events into a fresh shc table
+# (exactly-once manifest commit per micro-batch), read back through the
+# batch source — the roundtrip must equal the batch projection.
+@register(
+    "stream_shc_sink",
+    """
+    SELECT event_id, user_id, round(value, 2) AS value FROM events
+    """,
+)
+def stream_shc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.queries.connector import _root
+    from shc_spark.sources import read_table, write_stream_table
+    from shc_spark.streaming import stream_events
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "evsink", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "event_id": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "user_id": {"cf": "cf", "col": "u", "type": "bigint"},
+                "value": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = _root(sf_dir, "evsink")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(f"{root}_ckpt", ignore_errors=True)
+    ev = stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    q = write_stream_table(ev, cat, root=root, checkpoint=f"{root}_ckpt")
+    q.processAllAvailable()
+    q.stop()
+    return read_table(spark, cat, root=root).select(
+        "event_id", "user_id", F.round("value", 2).alias("value")
+    )

@@ -1,4 +1,19 @@
-from shc_spark.sources.api import bulk_get, read_stream_table, read_table, register, write_table
+from shc_spark.sources.api import (
+    bulk_get,
+    read_stream_table,
+    read_table,
+    register,
+    write_stream_table,
+    write_table,
+)
 from shc_spark.sources.shc_source import ShcDataSource
 
-__all__ = ["ShcDataSource", "bulk_get", "read_stream_table", "read_table", "register", "write_table"]
+__all__ = [
+    "ShcDataSource",
+    "bulk_get",
+    "read_stream_table",
+    "read_table",
+    "register",
+    "write_stream_table",
+    "write_table",
+]

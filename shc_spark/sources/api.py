@@ -826,3 +826,50 @@ def bulk_get(
     first = cat.rowkey_fields()[0].col_name
     df = read_table(spark, catalog, root=root, **read_opts)
     return df.filter(F.col(first).isin(list(keys)))
+
+
+def write_stream_table(
+    stream_df: DataFrame,
+    catalog: str,
+    root: str = DEFAULT_ROOT,
+    checkpoint: str | None = None,
+    ts_col: str | None = None,
+):
+    """First-class streaming SINK: ``df.writeStream.format("shc")``
+    through the Python Data Source API (exactly-once manifest commit
+    per micro-batch, ShcStreamWriter). Returns the started
+    StreamingQuery.
+
+    Cell versions: ``ts_col`` (timestamp or epoch-millis long) stamps
+    ``__ts`` per row — event-time versions, deterministic under batch
+    retry; without it, rows get the query-start wall clock, matching
+    HBase's server-side Put timestamping for a continuously writing
+    stream. (Reference write path: HBaseRelation.scala:182-267.)"""
+    spark = stream_df.sparkSession
+    cat = parse_catalog(catalog)
+    register(spark)
+    encode, key_names = _rowkey_encoder(cat)
+    out = stream_df.select([f.col_name for f in cat.fields.values()])
+    for f in cat.fields.values():
+        if f.avro_schema is not None:
+            out = out.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
+    out = out.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
+    if ts_col is not None:
+        src = stream_df.schema[ts_col].dataType
+        ts_expr = (
+            F.unix_millis(F.col(ts_col))
+            if isinstance(src, (T.TimestampType, T.TimestampNTZType))
+            else F.col(ts_col).cast("long")
+        )
+    else:
+        ts_expr = F.lit(int(time.time() * 1000))
+    out = out.withColumn(TS_COL, ts_expr.cast("long"))
+    writer = (
+        out.writeStream.format("shc")
+        .option("catalog", catalog)
+        .option("root", root)
+        .outputMode("append")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -489,6 +490,39 @@ class _RegionFile:
         }
 
 
+def _store_catalog(path: str, cat_json: str, overwrite: bool) -> None:
+    """Persist the writer catalog; appends through a narrower/different
+    catalog must not clobber the stored one — earlier generations'
+    columns would become unreachable (their (cf, qualifier) mapping
+    lives only here). Merge: stored wins per column name, new columns
+    append unless their cell is already mapped under another name;
+    rowkey specs must agree."""
+    stored_p = os.path.join(path, "_catalog.json")
+    if not overwrite and os.path.exists(stored_p):
+        with open(stored_p) as fh:
+            stored = json.load(fh)
+        new = json.loads(cat_json)
+        if stored.get("rowkey") != new.get("rowkey"):
+            raise ValueError(
+                "append catalog rowkey spec differs from the stored catalog"
+            )
+        cells = {
+            (v.get("cf"), v.get("col")) for v in stored["columns"].values()
+        }
+        for name, spec in new["columns"].items():
+            if name in stored["columns"]:
+                continue
+            if (spec.get("cf"), spec.get("col")) in cells:
+                continue
+            stored["columns"][name] = spec
+        for k, v in new.items():
+            if k not in ("table", "rowkey", "columns") and k not in stored:
+                stored[k] = v  # e.g. avro schema refs
+        cat_json = json.dumps(stored)
+    with open(stored_p, "w") as fh:
+        fh.write(cat_json)
+
+
 class ShcWriter(DataSourceArrowWriter):
     """Batch write path (S2/S4): each task writes sorted region files
     per generation; commit() assembles tight region metadata — the
@@ -561,37 +595,7 @@ class ShcWriter(DataSourceArrowWriter):
         # invalidates it, but same-second same-size rewrites must not
         # serve the pre-commit region list in this process
         _REGION_CACHE.pop(meta, None)
-        cat_json = self.options["catalog"]
-        stored_p = os.path.join(self.path, "_catalog.json")
-        if not self.overwrite and os.path.exists(stored_p):
-            # appends through a narrower/different catalog must not
-            # clobber the stored writer catalog — earlier generations'
-            # columns would become unreachable (their (cf, qualifier)
-            # mapping lives only here). Merge: stored wins per column
-            # name, new columns append unless their cell is already
-            # mapped under another name; rowkey specs must agree.
-            with open(stored_p) as fh:
-                stored = json.load(fh)
-            new = json.loads(cat_json)
-            if stored.get("rowkey") != new.get("rowkey"):
-                raise ValueError(
-                    "append catalog rowkey spec differs from the stored catalog"
-                )
-            cells = {
-                (v.get("cf"), v.get("col")) for v in stored["columns"].values()
-            }
-            for name, spec in new["columns"].items():
-                if name in stored["columns"]:
-                    continue
-                if (spec.get("cf"), spec.get("col")) in cells:
-                    continue
-                stored["columns"][name] = spec
-            for k, v in new.items():
-                if k not in ("table", "rowkey", "columns") and k not in stored:
-                    stored[k] = v  # e.g. avro schema refs
-            cat_json = json.dumps(stored)
-        with open(stored_p, "w") as fh:
-            fh.write(cat_json)
+        _store_catalog(self.path, self.options["catalog"], self.overwrite)
         if self.overwrite:
             # vacuum: prior generations are unreachable after an
             # overwrite commit — remove their files so repeated
@@ -614,6 +618,77 @@ class ShcWriter(DataSourceArrowWriter):
 @dataclass
 class ShcCommit(WriterCommitMessage):
     info: "list[dict] | dict | None"
+
+
+class ShcStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming SINK into an shc table — ``df.writeStream.format("shc")``.
+
+    Exactly-once via manifest commit (the Delta/Iceberg pattern applied
+    to this backend's `_regions.json`): tasks stage sorted region files
+    under a per-task ``gen=stream-*`` dir and return their stats;
+    ``commit(messages, batchId)`` first REMOVES any manifest entries
+    (and files) already recorded for the same batchId — a restarted
+    micro-batch replaces its own output instead of duplicating it —
+    then appends the new entries tagged ``batch=batchId``. Staged files
+    of an attempt that never commits are invisible to readers (the
+    manifest drives partition planning) and are deleted by ``abort``.
+
+    Unlike the batch path (input pre-sorted upstream), a streaming plan
+    cannot sort (Spark disallows it on unbounded inputs), so the task
+    sorts its micro-batch slice arrow-side before writing — bounded by
+    the micro-batch partition, which is exactly the memstore-sized unit
+    the reference flushes (HBaseRelation.scala:182-267 writes Puts; the
+    memstore sorts before flush)."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool) -> None:
+        self.options = options
+        self.cat = parse_catalog(options["catalog"])
+        root = options.get("root", "/tmp/shc_tables")
+        self.path = options.get("path") or table_path(root, self.cat)
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        batches = list(iterator)
+        if not batches:
+            return ShcCommit([])
+        table = pa.Table.from_batches(batches).sort_by(ROWKEY_COL)
+        gen_dir = os.path.join(self.path, f"gen=stream-{uuid.uuid4().hex[:12]}")
+        os.makedirs(gen_dir, exist_ok=True)
+        rf = _RegionFile(gen_dir)
+        rf.add(table)
+        info = rf.close()
+        return ShcCommit([info] if info else [])
+
+    def _new_infos(self, messages):
+        new = []
+        for m in messages:
+            if m and m.info:
+                new.extend(m.info if isinstance(m.info, list) else [m.info])
+        return new
+
+    def commit(self, messages, batchId: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        meta = os.path.join(self.path, "_regions.json")
+        regions = _load_regions(self.path) if os.path.exists(meta) else []
+        stale = [r for r in regions if r.get("batch") == batchId]
+        for r in stale:
+            if os.path.exists(r["path"]):
+                os.remove(r["path"])
+        regions = [r for r in regions if r.get("batch") != batchId]
+        for info in sorted(self._new_infos(messages), key=lambda x: x["start"] or ""):
+            info["batch"] = batchId
+            regions.append(info)
+        for i, r in enumerate(regions):
+            r["id"] = i
+        with open(meta, "w") as fh:
+            json.dump(regions, fh)
+        _REGION_CACHE.pop(meta, None)
+        _store_catalog(self.path, self.options["catalog"], overwrite=False)
+
+    def abort(self, messages, batchId: int) -> None:
+        for info in self._new_infos(messages):
+            if os.path.exists(info["path"]):
+                os.remove(info["path"])
 
 
 class ShcStreamReader(DataSourceStreamReader):
@@ -700,6 +775,9 @@ class ShcDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ShcWriter:
         return ShcWriter(schema, dict(self.options), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> ShcStreamWriter:
+        return ShcStreamWriter(schema, dict(self.options), overwrite)
 
 
 def arrow_schema_for(cat: Catalog) -> pa.Schema:

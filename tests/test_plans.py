@@ -57,3 +57,13 @@ def test_scan_prunes_columns(spark):
     df = _t(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
+def test_decontaminate_is_broadcast_semi_join(plans):
+    """The corpus side must not shuffle: benchmark shingles broadcast
+    into a left-semi hash join; the only exchange is the tiny
+    contaminated-id distinct."""
+    p = plans("text_decontaminate")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    # no sort-merge join anywhere in the plan
+    assert "SortMergeJoin" not in p, p

@@ -1565,9 +1565,11 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # supplier made the order wait (the reference benchmark's
 # exists/not-exists pair, expressed as aggregates). The synthetic
 # schema has no commit/receipt dates, so lateness is shipdate vs
-# orderdate. The last-ship aggregate's shuffle on l_orderkey is
-# REUSED by the subsequent join (same key), so lineitem is exchanged
-# once; orders joins on its primary key; supplier broadcasts.
+# orderdate. The per-order stats (last ship date, supplier count)
+# come from WINDOW functions over the same l_orderkey partitioning —
+# lineitem shuffles ONCE, where the aggregate-then-self-join shape
+# would exchange it twice; orders joins on its primary key; supplier
+# broadcasts.
 @register(
     "q21_waiting_orders",
     """
@@ -1591,13 +1593,16 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
-    last = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.max("l_shipdate").alias("last_ship"),
-        F.countDistinct("l_suppkey").alias("nsupp"),
+    w = W.partitionBy("l_orderkey")
+    stats = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(w).alias("last_ship"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("nsupp"),
     )
     late = (
-        li.join(last, li.l_orderkey == last.ok)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        stats.join(orders, stats.l_orderkey == orders.o_orderkey)
         .filter(
             (F.col("nsupp") >= 2)
             & (F.col("l_shipdate") == F.col("last_ship"))
@@ -1606,10 +1611,14 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    solo = late.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__n")).filter(F.col("__n") == 1)
+    # "exactly one late supplier" via a second window over the tiny
+    # late set — a groupBy+self-join here would recompute the whole
+    # lineitem window subplan on both sides
+    solo = late.withColumn(
+        "__n", F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
+    ).filter(F.col("__n") == 1)
     return (
-        late.join(solo.select("l_orderkey"), "l_orderkey")
-        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        solo.join(F.broadcast(supp), solo.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

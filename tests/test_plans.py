@@ -67,3 +67,19 @@ def test_decontaminate_is_broadcast_semi_join(plans):
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
     # no sort-merge join anywhere in the plan
     assert "SortMergeJoin" not in p, p
+
+
+def test_q21_single_lineitem_shuffle_and_broadcasts(plans):
+    """The per-order window stats keep lineitem to ONE exchange on
+    l_orderkey; supplier/orders dims broadcast; no sort-merge join."""
+    p = plans("q21_waiting_orders")
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_q11_threshold_is_broadcast_scalar(plans):
+    """The global-total threshold joins as a broadcast scalar (q15/q22
+    pattern) — no driver collect, no sort-merge join."""
+    p = plans("q11_important_stock")
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p

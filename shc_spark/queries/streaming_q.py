@@ -231,3 +231,70 @@ def stream_shc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, cat, root=root).select(
         "event_id", "user_id", F.round("value", 2).alias("value")
     )
+
+
+# incremental rollup (continuous aggregation): two generations are
+# appended to an shc table; refresh() tails them through the streaming
+# source into per-batch partials; read() final-merges. Result must
+# equal the batch GROUP BY over all events.
+@register(
+    "shc_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value,
+           round(avg(value), 4) AS avg_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def shc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.queries.connector import _root
+    from shc_spark.queries.relational import _events
+    from shc_spark.sources import write_table
+    from shc_spark.streaming import IncrementalRollup
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "evroll", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "event_id": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "event_type": {"cf": "cf", "col": "t", "type": "string"},
+                "value": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = _root(sf_dir, "evroll")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    write_table(ev.filter(F.col("event_id") % 2 == 0), cat, root=root, num_regions=4)
+    write_table(ev.filter(F.col("event_id") % 2 == 1), cat, root=root, mode="append")
+    roll = IncrementalRollup(
+        spark,
+        cat,
+        root,
+        group_cols=["event_type"],
+        aggs={
+            "n": ("count", None),
+            "total_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    roll.refresh()
+    return roll.read().select(
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )

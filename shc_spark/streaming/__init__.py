@@ -6,8 +6,10 @@ from shc_spark.streaming.events import (
     stream_events,
     stream_write_table,
 )
+from shc_spark.streaming.rollup import IncrementalRollup
 
 __all__ = [
+    "IncrementalRollup",
     "run_sessionization",
     "run_stream_dedup",
     "run_stateful_totals",

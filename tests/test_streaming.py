@@ -192,3 +192,73 @@ def test_stream_sink_datasource_roundtrip(spark, tmp_path):
     assert len(regions_after) == len(regions_before) - n_in_batch + 1
     # fresh reader (the old DataFrame's plan pinned the old partitions)
     assert read_table(spark, cat, root=root).count() == n_expected
+
+
+def test_incremental_rollup_refresh_reads_only_new_generations(spark, tmp_path):
+    """Rollup over an shc table: refresh folds appended generations
+    into per-batch partials; read() final-merges to the exact batch
+    aggregate; a second refresh leaves old partials untouched."""
+    import os
+
+    from shc_spark.sources import write_table
+    from shc_spark.streaming import IncrementalRollup
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "s", "name": "evroll", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "event_id": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "event_type": {"cf": "cf", "col": "t", "type": "string"},
+                "value": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path / "tables")
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "event_type", "value")
+    gen1 = ev.filter(F.col("event_id") % 2 == 0)
+    gen2 = ev.filter(F.col("event_id") % 2 == 1)
+    write_table(gen1, cat, root=root, num_regions=4)
+
+    roll = IncrementalRollup(
+        spark, cat, root,
+        group_cols=["event_type"],
+        aggs={"n": ("count", None), "total": ("sum", "value"), "avg_v": ("avg", "value"),
+              "min_v": ("min", "value"), "max_v": ("max", "value")},
+    )
+    roll.refresh()
+
+    def expect(df):
+        return {
+            (r["event_type"], r["n"], round(r["total"], 6), round(r["avg_v"], 6))
+            for r in df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"),
+                F.avg("value").alias("avg_v")).collect()
+        }
+
+    got1 = {
+        (r["event_type"], r["n"], round(r["total"], 6), round(r["avg_v"], 6))
+        for r in roll.read().collect()
+    }
+    assert got1 == expect(gen1)
+
+    # snapshot old partial files, append, refresh
+    def tree(d):
+        return {
+            os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        }
+
+    before = tree(roll.partials_dir)
+    write_table(gen2, cat, root=root, mode="append")
+    roll.refresh()
+    after = tree(roll.partials_dir)
+    for path, mtime in before.items():
+        assert after.get(path) == mtime, f"old partial rewritten: {path}"
+    assert len(after) > len(before)
+
+    got2 = {
+        (r["event_type"], r["n"], round(r["total"], 6), round(r["avg_v"], 6))
+        for r in roll.read().collect()
+    }
+    assert got2 == expect(ev)

@@ -461,3 +461,42 @@ def shc_dynamic_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_table(per, CAT_SEG_MAP, root=root, num_regions=4, mode="overwrite", timestamp=1000)
     t = read_table(spark, CAT_SEG_MAP, root=root)
     return t.select("c_nationkey", F.explode("seg_counts").alias("seg", "n"))
+
+
+# major compaction: the two-generation customer table rewritten into
+# ONE generation (per-cell merge preserved: v2 rows carry nulls for
+# untouched columns, and the older values must survive compaction),
+# then read back — identical to the merge-read over both generations.
+@register(
+    "shc_compaction",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN concat(c_name, ':v2') ELSE c_name END AS name_latest,
+           c_acctbal
+    FROM customer
+    """,
+)
+def shc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from shc_spark.sources import compact_table
+
+    # fresh copy of the version-merge fixture under its own root so the
+    # shc_version_merge / time-travel gates keep their generations
+    src_root = _root(sf_dir, "custv")
+    shc_version_merge(spark, sf_dir)  # ensure the source table exists
+    root = _root(sf_dir, "custcmp")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    shutil.copytree(
+        os.path.join(src_root, "q.customer"), os.path.join(root, "q.customer")
+    )
+    compact_table(spark, CAT_CUSTOMER, root=root, num_regions=8)
+    gens = {
+        e
+        for e in os.listdir(os.path.join(root, "q.customer"))
+        if e.startswith("gen=")
+    }
+    assert len(gens) == 1, gens
+    t = read_table(spark, CAT_CUSTOMER, root=root)
+    return t.select("c_custkey", F.col("c_name").alias("name_latest"), "c_acctbal")

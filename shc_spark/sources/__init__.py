@@ -1,5 +1,6 @@
 from shc_spark.sources.api import (
     bulk_get,
+    compact_table,
     read_stream_table,
     read_table,
     register,
@@ -11,6 +12,7 @@ from shc_spark.sources.shc_source import ShcDataSource
 __all__ = [
     "ShcDataSource",
     "bulk_get",
+    "compact_table",
     "read_stream_table",
     "read_table",
     "register",

@@ -873,3 +873,70 @@ def write_stream_table(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def compact_table(
+    spark: SparkSession,
+    catalog: str,
+    root: str = DEFAULT_ROOT,
+    num_regions: int = 8,
+    max_versions: int | None = None,
+) -> None:
+    """MAJOR COMPACTION — the HBase operation the LSM layout calls
+    for: rewrite every generation into one, so merge-reads degenerate
+    back to single-file scans (appends re-accumulate from a clean
+    base). With ``max_versions``, retention is applied during the
+    rewrite: only the newest N ROW versions per rowkey survive
+    (dense_rank over ``__ts`` — ties share a rank), the compaction
+    analog of HBase's per-family VERSIONS attribute. Note the
+    granularity divergence: HBase retains per CELL; this backend's
+    version unit is the written row (PARITY.md S14), so a column whose
+    only non-null value lives in a dropped older row version is
+    dropped with it — same as deleting those HBase cells.
+
+    Mechanics: one read of the raw internal rows (all generations, no
+    merge), range-repartition on the encoded rowkey, per-partition
+    sort (key asc, ts desc), and an OVERWRITE write through the normal
+    sink — its commit swaps the manifest atomically and vacuums the
+    old generation dirs. The source files outlive the tasks that read
+    them (commit runs last), so the table stays readable throughout.
+    The STORED writer catalog drives the rewrite — a table appended
+    through several narrower catalogs compacts every reachable column.
+    """
+    import os
+
+    from shc_spark.sources.shc_source import table_path
+
+    register(spark)
+    cat = parse_catalog(catalog)
+    path = table_path(root, cat)
+    stored_p = os.path.join(path, "_catalog.json")
+    with open(stored_p) as fh:
+        stored_cat = fh.read()
+
+    df = (
+        spark.read.format("shc")
+        .option("catalog", stored_cat)
+        .option("root", root)
+        .load()
+    )
+    if max_versions is not None:
+        if max_versions < 1:
+            raise ValueError("max_versions must be >= 1")
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(ROWKEY_COL).orderBy(F.desc(TS_COL))
+        df = (
+            df.withColumn("__rank", F.dense_rank().over(w))
+            .filter(F.col("__rank") <= max_versions)
+            .drop("__rank")
+        )
+    (
+        df.repartitionByRange(num_regions, F.col(ROWKEY_COL))
+        .sortWithinPartitions(F.col(ROWKEY_COL), F.col(TS_COL).desc())
+        .write.format("shc")
+        .mode("overwrite")
+        .option("catalog", stored_cat)
+        .option("root", root)
+        .save()
+    )

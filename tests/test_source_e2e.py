@@ -542,3 +542,57 @@ def test_stream_source_tails_generations(spark, tmp_path):
             q2.stop()
     finally:
         q.stop()
+
+
+def test_major_compaction(spark, tmp_path):
+    """compact_table rewrites N generations into one: merge and
+    version-exploded reads are unchanged, old generation dirs are
+    vacuumed; max_versions retention keeps only the newest row
+    versions per key."""
+    import os
+
+    from shc_spark.sources import compact_table
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "c", "name": "cmp", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "v": {"cf": "cf", "col": "v", "type": "int"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    path = f"{root}/c.cmp"
+    mk = lambda lo, hi, mult: spark.createDataFrame(
+        [(i, i * mult) for i in range(lo, hi)], "k int, v int"
+    )
+    write_table(mk(0, 100, 1), cat, root=root, num_regions=4, timestamp=1000)
+    write_table(mk(50, 150, 10), cat, root=root, mode="append", timestamp=2000)
+    write_table(mk(75, 100, 100), cat, root=root, mode="append", timestamp=3000)
+
+    def snap(**kw):
+        return sorted(
+            (r["k"], r["v"]) for r in read_table(spark, cat, root=root, **kw).collect()
+        )
+
+    merged_before = snap()
+    explode_before = snap(merge_to_latest=False)
+    gens_before = [e for e in os.listdir(path) if e.startswith("gen=")]
+    assert len(gens_before) == 3
+
+    compact_table(spark, cat, root=root, num_regions=4)
+    gens = [e for e in os.listdir(path) if e.startswith("gen=")]
+    assert len(gens) == 1
+    assert snap() == merged_before
+    assert snap(merge_to_latest=False) == explode_before
+    # appends on the compacted base still merge correctly
+    write_table(mk(0, 10, 1000), cat, root=root, mode="append", timestamp=4000)
+    assert snap()[0] == (0, 0)
+    assert dict(snap())[5] == 5000
+
+    # retention: newest row version per key only
+    compact_table(spark, cat, root=root, num_regions=4, max_versions=1)
+    assert snap(merge_to_latest=False) == snap()
+    assert len(snap()) == 150

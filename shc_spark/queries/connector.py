@@ -500,3 +500,42 @@ def shc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(gens) == 1, gens
     t = read_table(spark, CAT_CUSTOMER, root=root)
     return t.select("c_custkey", F.col("c_name").alias("name_latest"), "c_acctbal")
+
+
+# secondary index (Phoenix pattern): derived (value, key) shc table,
+# equality pushed to the index's first rowkey dim, bulk_get of the
+# candidate keys on the base table, predicate recheck.
+@register(
+    "shc_secondary_index",
+    """
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def shc_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from shc_spark.sources import SecondaryIndex, write_table
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "custix", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "c_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "c_mktsegment": {"cf": "cf", "col": "s", "type": "string"},
+                "c_acctbal": {"cf": "cf", "col": "b", "type": "double"},
+            },
+        }
+    )
+    root = _root(sf_dir, "custix")
+    shutil.rmtree(root, ignore_errors=True)
+    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_table(df, cat, root=root, num_regions=8, mode="overwrite")
+    ix = SecondaryIndex(spark, cat, "c_mktsegment", root=root)
+    ix.build()
+    return ix.lookup("BUILDING").select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
+    )

@@ -7,9 +7,11 @@ from shc_spark.sources.api import (
     write_stream_table,
     write_table,
 )
+from shc_spark.sources.index import SecondaryIndex
 from shc_spark.sources.shc_source import ShcDataSource
 
 __all__ = [
+    "SecondaryIndex",
     "ShcDataSource",
     "bulk_get",
     "compact_table",

@@ -596,3 +596,61 @@ def test_major_compaction(spark, tmp_path):
     compact_table(spark, cat, root=root, num_regions=4, max_versions=1)
     assert snap(merge_to_latest=False) == snap()
     assert len(snap()) == 150
+
+
+def test_secondary_index_lookup_refresh_and_staleness(spark, tmp_path):
+    """Phoenix-pattern secondary index: build snapshots, lookup
+    resolves via the index + bulk_get + recheck, refresh folds ONLY
+    appended generations, and stale entries (updated rows) never
+    surface wrong rows."""
+    from shc_spark.sources import SecondaryIndex
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "x", "name": "cust", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "c_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "c_mktsegment": {"cf": "cf", "col": "s", "type": "string"},
+                "c_acctbal": {"cf": "cf", "col": "b", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_table(df, cat, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+    ix = SecondaryIndex(spark, cat, "c_mktsegment", root=root)
+    ix.build()
+
+    def want(seg):
+        return sorted(
+            r["c_custkey"]
+            for r in df.filter(F.col("c_mktsegment") == seg).collect()
+        )
+
+    assert sorted(r["c_custkey"] for r in ix.lookup("BUILDING").collect()) == want("BUILDING")
+    lo_hi = ix.lookup_range("AUTOMOBILE", "BUILDINGZ")
+    assert lo_hi.count() == df.filter(
+        (F.col("c_mktsegment") >= "AUTOMOBILE") & (F.col("c_mktsegment") < "BUILDINGZ")
+    ).count()
+
+    # append: new rows + an UPDATE flipping one customer out of BUILDING
+    moved = df.filter(F.col("c_mktsegment") == "BUILDING").limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [(99991, "BUILDING", 1.0), (moved["c_custkey"], "MACHINERY", 2.0)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    write_table(extra, cat, root=root, mode="append", timestamp=2000)
+    ix.refresh()
+
+    got = sorted(r["c_custkey"] for r in ix.lookup("BUILDING").collect())
+    expect = sorted(set(want("BUILDING")) - {moved["c_custkey"]} | {99991})
+    # the moved customer's old index entry is stale; the recheck must
+    # drop it while the new 99991 row (from refresh) appears
+    assert got == expect
+    # and the moved customer is found under its NEW segment
+    assert moved["c_custkey"] in {
+        r["c_custkey"] for r in ix.lookup("MACHINERY").collect()
+    }

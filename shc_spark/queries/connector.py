@@ -539,3 +539,42 @@ def shc_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.lookup("BUILDING").select(
         "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
     )
+
+
+# delete tombstones: BUILDING customers deleted from the table; the
+# merge read must hide them (oracle: everyone else). Exercises the
+# tombstone masking inside the LSM merge-read.
+@register(
+    "shc_delete",
+    """
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    """,
+)
+def shc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from shc_spark.sources import delete_rows, write_table
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "custdel", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "c_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "c_mktsegment": {"cf": "cf", "col": "s", "type": "string"},
+                "c_acctbal": {"cf": "cf", "col": "b", "type": "double"},
+            },
+        }
+    )
+    root = _root(sf_dir, "custdel")
+    shutil.rmtree(root, ignore_errors=True)
+    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_table(df, cat, root=root, num_regions=8, mode="overwrite", timestamp=1000)
+    doomed = df.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    delete_rows(spark, cat, doomed, root=root, timestamp=2000)
+    return read_table(spark, cat, root=root).select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
+    )

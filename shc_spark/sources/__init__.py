@@ -1,6 +1,7 @@
 from shc_spark.sources.api import (
     bulk_get,
     compact_table,
+    delete_rows,
     read_stream_table,
     read_table,
     register,
@@ -15,6 +16,7 @@ __all__ = [
     "ShcDataSource",
     "bulk_get",
     "compact_table",
+    "delete_rows",
     "read_stream_table",
     "read_table",
     "register",

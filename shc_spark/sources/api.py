@@ -894,6 +894,10 @@ def compact_table(
     only non-null value lives in a dropped older row version is
     dropped with it — same as deleting those HBase cells.
 
+    Tombstones are PURGED: versions masked by a delete and the delete
+    markers themselves do not survive the rewrite (HBase major
+    compaction's delete lifecycle).
+
     Mechanics: one read of the raw internal rows (all generations, no
     merge), range-repartition on the encoded rowkey, per-partition
     sort (key asc, ts desc), and an OVERWRITE write through the normal
@@ -914,11 +918,31 @@ def compact_table(
     with open(stored_p) as fh:
         stored_cat = fh.read()
 
+    from shc_spark.sources.shc_source import DEL_COL
+
     df = (
         spark.read.format("shc")
         .option("catalog", stored_cat)
         .option("root", root)
+        .option("includeDeletes", "true")
         .load()
+    )
+    # purge deletes (major-compaction semantics): drop every row
+    # version masked by a same-key tombstone (ts <= tombstone ts) and
+    # the tombstones themselves — after the rewrite the table carries
+    # no delete metadata at all
+    from pyspark.sql import Window as _W
+
+    tomb_ts = F.max(
+        F.when(F.col(DEL_COL) == 1, F.col(TS_COL))
+    ).over(_W.partitionBy(ROWKEY_COL))
+    df = (
+        df.withColumn("__tomb", tomb_ts)
+        .filter(
+            (F.col(DEL_COL).isNull() | (F.col(DEL_COL) != 1))
+            & (F.col("__tomb").isNull() | (F.col(TS_COL) > F.col("__tomb")))
+        )
+        .drop(DEL_COL, "__tomb")
     )
     if max_versions is not None:
         if max_versions < 1:
@@ -937,6 +961,55 @@ def compact_table(
         .write.format("shc")
         .mode("overwrite")
         .option("catalog", stored_cat)
+        .option("root", root)
+        .save()
+    )
+
+
+def delete_rows(
+    spark: SparkSession,
+    catalog: str,
+    keys,
+    root: str = DEFAULT_ROOT,
+    timestamp: int | None = None,
+) -> None:
+    """HBase Delete analog: append a TOMBSTONE generation. A tombstone
+    at ts T masks every version of its row with ts <= T on
+    merge-to-latest reads; a later put (ts > T) resurrects the row.
+    Physical removal happens at the next ``compact_table`` (major
+    compaction purges masked versions and the tombstones themselves),
+    exactly HBase's delete lifecycle.
+
+    ``keys``: a DataFrame carrying the rowkey columns, or a plain list
+    of values for single-dimension keys. Version-exploded reads hide
+    the tombstone rows but still show older versions (a raw-scan-like
+    view); only merge reads apply full masking — documented
+    divergence, PARITY.md S14."""
+    from shc_spark.sources.shc_source import DEL_COL
+
+    cat = parse_catalog(catalog)
+    register(spark)
+    encode, key_names = _rowkey_encoder(cat)
+    if isinstance(keys, DataFrame):
+        kdf = keys.select(*key_names)
+    else:
+        if len(key_names) != 1:
+            raise ValueError("list-form keys require a single-dimension rowkey")
+        kf = cat.fields[key_names[0]]
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([kf.spark_field()])
+        )
+    ts = timestamp if timestamp is not None else int(time.time() * 1000)
+    out = (
+        kdf.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
+        .withColumn(TS_COL, F.lit(ts).cast("long"))
+        .withColumn(DEL_COL, F.lit(1).cast("tinyint"))
+        .sortWithinPartitions(ROWKEY_COL)
+    )
+    (
+        out.write.format("shc")
+        .mode("append")
+        .option("catalog", catalog)
         .option("root", root)
         .save()
     )

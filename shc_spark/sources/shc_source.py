@@ -53,7 +53,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 from pyspark.sql.pandas.types import to_arrow_schema
-from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+from pyspark.sql.types import BinaryType, ByteType, LongType, StructField, StructType
 
 from shc_spark.catalog import Catalog, parse_catalog
 from shc_spark.coders import get_coder
@@ -61,13 +61,14 @@ from shc_spark.filters import HRF, ScanRange, _prefix_upper, ranges_and, transla
 
 ROWKEY_COL = "__rowkey"
 TS_COL = "__ts"
+DEL_COL = "__del"  # tombstone marker (HBase Delete analog)
 
 
 def table_path(root: str, cat: Catalog) -> str:
     return os.path.join(root, f"{cat.namespace}.{cat.name}")
 
 
-def internal_schema(cat: Catalog) -> StructType:
+def internal_schema(cat: Catalog, include_deletes: bool = False) -> StructType:
     """Physical schema: catalog columns typed as declared, EXCEPT
     Avro-coded cells which are stored as the serialized Avro binary —
     one cell, one blob, exactly like the reference (AvroSerde,
@@ -81,6 +82,8 @@ def internal_schema(cat: Catalog) -> StructType:
             fields.append(f.spark_field())
     fields.append(StructField(ROWKEY_COL, BinaryType(), False))
     fields.append(StructField(TS_COL, LongType(), False))
+    if include_deletes:
+        fields.append(StructField(DEL_COL, ByteType(), True))
     return StructType(fields)
 
 
@@ -163,6 +166,7 @@ class MergePartition(InputPartition):
     paths: tuple
     ranges: tuple  # as RegionPartition.ranges; already ∩ the sub-range
     dedup: bool  # False = provably one version per key, skip the merge
+    tombstones: bool = False  # any overlapping file carries __del rows
 
 
 class ShcReader(DataSourceReader):
@@ -175,6 +179,10 @@ class ShcReader(DataSourceReader):
         root = options.get("root", "/tmp/shc_tables")
         self.path = options.get("path") or table_path(root, self.cat)
         self.batch_size = int(options.get("batch_size", 65536))
+        self.include_deletes = (
+            str(options.get("includedeletes", options.get("includeDeletes", ""))).lower()
+            == "true"
+        )
         self.hrf = HRF.full()
 
     # -- pushdown (S6/S7) -------------------------------------------------
@@ -293,7 +301,8 @@ class ShcReader(DataSourceReader):
             ]
             if not over:
                 continue
-            dedup = not (len(over) == 1 and over[0][2].get("unique"))
+            tomb = any(reg.get("tombstones") for _, _, reg in over)
+            dedup = tomb or not (len(over) == 1 and over[0][2].get("unique"))
             parts.append(
                 MergePartition(
                     paths=tuple(reg["path"] for _, _, reg in over),
@@ -302,13 +311,14 @@ class ShcReader(DataSourceReader):
                         for r in live
                     ),
                     dedup=dedup,
+                    tombstones=tomb,
                 )
             )
         return parts
 
     # -- execution (S11/S13, vectorized) ----------------------------------
     def read(self, partition):
-        want = arrow_schema_for(self.cat)
+        want = to_arrow_schema(internal_schema(self.cat, self.include_deletes))
         if isinstance(partition, MergePartition):
             yield from self._read_merge(partition, want)
             return
@@ -325,14 +335,38 @@ class ShcReader(DataSourceReader):
         exactly the max_by merge read_table would otherwise do in a
         shuffle. Memory peaks at the sub-range's slice across
         generations, not the whole region."""
+        scan_want = want
+        if partition.tombstones and DEL_COL not in want.names:
+            scan_want = want.append(pa.field(DEL_COL, pa.int8()))
         tables = []
         for path in partition.paths:
-            batches = list(self._scan_file(path, partition.ranges, want))
+            batches = list(self._scan_file(path, partition.ranges, scan_want))
             if batches:
-                tables.append(pa.Table.from_batches(batches, schema=want))
+                tables.append(pa.Table.from_batches(batches, schema=scan_want))
         if not tables:
             return
         t = pa.concat_tables(tables)
+        if partition.tombstones and len(t):
+            # HBase Delete semantics: a tombstone at ts T masks every
+            # version of its row with ts <= T (including itself); a
+            # newer put resurrects the row. max-tombstone-ts per key,
+            # then keep strictly-newer rows.
+            dmask = pc.fill_null(pc.equal(t.column(DEL_COL), 1), False)
+            if pc.any(dmask).as_py():
+                tomb = (
+                    t.filter(dmask)
+                    .select([ROWKEY_COL, TS_COL])
+                    .group_by(ROWKEY_COL)
+                    .aggregate([(TS_COL, "max")])
+                )
+                t = t.join(tomb, keys=ROWKEY_COL, join_type="left outer")
+                ts_max = t.column(f"{TS_COL}_max")
+                keep = pc.or_kleene(
+                    pc.is_null(ts_max), pc.greater(t.column(TS_COL), ts_max)
+                )
+                t = t.filter(pc.fill_null(keep, False)).drop_columns([f"{TS_COL}_max"])
+            if DEL_COL not in want.names:
+                t = t.drop_columns([DEL_COL])
         if partition.dedup and len(t):
             idx = pc.sort_indices(
                 t, sort_keys=[(ROWKEY_COL, "ascending"), (TS_COL, "descending")]
@@ -394,6 +428,12 @@ class ShcReader(DataSourceReader):
             # physical table never decodes the other columns
             file_cols = {pf.schema_arrow.names[i] for i in range(len(pf.schema_arrow.names))}
             read_cols = [n for n in want.names if n in file_cols]
+            # tombstone rows are metadata: hidden from scans that did
+            # not ask for them (merge reads request __del and apply
+            # full masking; includeDeletes passes them through)
+            hide_dels = DEL_COL in file_cols and DEL_COL not in want.names
+            if hide_dels and DEL_COL not in read_cols:
+                read_cols = read_cols + [DEL_COL]
             for batch in pf.iter_batches(
                 batch_size=self.batch_size, row_groups=row_groups, columns=read_cols
             ):
@@ -412,6 +452,9 @@ class ShcReader(DataSourceReader):
                         mask = cond if mask is None else pc.or_(mask, cond)
                     if mask is not None:
                         batch = batch.filter(mask)
+                if hide_dels and len(batch):
+                    live = pc.fill_null(pc.not_equal(batch.column(DEL_COL), 1), True)
+                    batch = batch.filter(live)
                 if not len(batch):
                     continue
                 # project to the declared schema: reorder, null-fill
@@ -442,10 +485,13 @@ class _RegionFile:
         self.lo = self.hi = None
         self.unique = True
         self.prev_last = None
+        self.tombstones = False
 
     def add(self, table: pa.Table) -> None:
         if self.writer is None:
             self.writer = pq.ParquetWriter(self.path, table.schema)
+        if DEL_COL in table.schema.names:
+            self.tombstones = True
         self.writer.write_table(table)
         keys = table.column(ROWKEY_COL)
         if len(keys):
@@ -481,13 +527,16 @@ class _RegionFile:
             if os.path.exists(self.path):
                 os.remove(self.path)
             return None
-        return {
+        info = {
             "path": self.path,
             "start": self.lo.hex() if self.lo is not None else None,
             "end": self.hi.hex() if self.hi is not None else None,
             "rows": self.rows,
             "unique": self.unique,
         }
+        if self.tombstones:
+            info["tombstones"] = True
+        return info
 
 
 def _store_catalog(path: str, cat_json: str, overwrite: bool) -> None:
@@ -765,7 +814,8 @@ class ShcDataSource(DataSource):
 
     def schema(self) -> StructType:
         cat = parse_catalog(self.options["catalog"])
-        return internal_schema(cat)
+        dels = str(self.options.get("includedeletes", self.options.get("includeDeletes", ""))).lower() == "true"
+        return internal_schema(cat, include_deletes=dels)
 
     def reader(self, schema: StructType) -> ShcReader:
         return ShcReader(schema, dict(self.options))

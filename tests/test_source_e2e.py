@@ -654,3 +654,51 @@ def test_secondary_index_lookup_refresh_and_staleness(spark, tmp_path):
     assert moved["c_custkey"] in {
         r["c_custkey"] for r in ix.lookup("MACHINERY").collect()
     }
+
+
+def test_delete_tombstones_and_compaction_purge(spark, tmp_path):
+    """HBase Delete lifecycle: tombstone masks older versions on merge
+    reads, a newer put resurrects, compaction purges physically."""
+    from shc_spark.sources import compact_table, delete_rows
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "d", "name": "t", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "v": {"cf": "cf", "col": "v", "type": "int"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "k int, v int")
+    write_table(df, cat, root=root, num_regions=4, timestamp=1000)
+
+    delete_rows(spark, cat, [3, 7, 11, 19], root=root, timestamp=2000)
+    t = read_table(spark, cat, root=root)
+    assert sorted(r["k"] for r in t.collect()) == sorted(set(range(20)) - {3, 7, 11, 19})
+    # deleting a nonexistent key is harmless and emits no ghost row
+    delete_rows(spark, cat, [999], root=root, timestamp=2100)
+    assert read_table(spark, cat, root=root).count() == 16
+
+    # resurrect k=7 with a newer put
+    write_table(
+        spark.createDataFrame([(7, 777)], "k int, v int"), cat, root=root,
+        mode="append", timestamp=3000,
+    )
+    t = read_table(spark, cat, root=root)
+    assert dict((r["k"], r["v"]) for r in t.collect())[7] == 777
+    assert t.count() == 17
+
+    # pushdown over a deleted key returns nothing
+    assert t.filter(F.col("k") == 3).count() == 0
+
+    # major compaction purges: one generation, same logical view,
+    # no masked versions in the exploded read
+    compact_table(spark, cat, root=root, num_regions=4)
+    t2 = read_table(spark, cat, root=root)
+    assert t2.count() == 17
+    assert dict((r["k"], r["v"]) for r in t2.collect())[7] == 777
+    exploded = read_table(spark, cat, root=root, merge_to_latest=False)
+    assert exploded.count() == 17  # masked versions and tombstones gone

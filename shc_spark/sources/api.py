@@ -881,6 +881,7 @@ def compact_table(
     root: str = DEFAULT_ROOT,
     num_regions: int = 8,
     max_versions: int | None = None,
+    min_stamp: int | None = None,
 ) -> None:
     """MAJOR COMPACTION — the HBase operation the LSM layout calls
     for: rewrite every generation into one, so merge-reads degenerate
@@ -944,6 +945,11 @@ def compact_table(
         )
         .drop(DEL_COL, "__tomb")
     )
+    if min_stamp is not None:
+        # TTL retention (HBase per-family TTL at compaction time):
+        # versions older than the horizon are dropped outright — a key
+        # whose every version is expired disappears entirely
+        df = df.filter(F.col(TS_COL) >= min_stamp)
     if max_versions is not None:
         if max_versions < 1:
             raise ValueError("max_versions must be >= 1")

@@ -702,3 +702,28 @@ def test_delete_tombstones_and_compaction_purge(spark, tmp_path):
     assert dict((r["k"], r["v"]) for r in t2.collect())[7] == 777
     exploded = read_table(spark, cat, root=root, merge_to_latest=False)
     assert exploded.count() == 17  # masked versions and tombstones gone
+
+
+def test_compaction_ttl_retention(spark, tmp_path):
+    """compact_table(min_stamp=...) drops expired versions; keys whose
+    every version expired disappear (HBase TTL-at-compaction)."""
+    from shc_spark.sources import compact_table
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "d", "name": "ttl", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "v": {"cf": "cf", "col": "v", "type": "int"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    old = spark.createDataFrame([(i, 1) for i in range(10)], "k int, v int")
+    new = spark.createDataFrame([(i, 2) for i in range(5)], "k int, v int")
+    write_table(old, cat, root=root, num_regions=4, timestamp=1000)
+    write_table(new, cat, root=root, mode="append", timestamp=2000)
+    compact_table(spark, cat, root=root, num_regions=4, min_stamp=1500)
+    t = read_table(spark, cat, root=root)
+    assert sorted((r["k"], r["v"]) for r in t.collect()) == [(i, 2) for i in range(5)]

@@ -727,3 +727,67 @@ def test_compaction_ttl_retention(spark, tmp_path):
     compact_table(spark, cat, root=root, num_regions=4, min_stamp=1500)
     t = read_table(spark, cat, root=root)
     assert sorted((r["k"], r["v"]) for r in t.collect()) == [(i, 2) for i in range(5)]
+
+
+def test_delete_lifecycle_randomized_model(spark, tmp_path):
+    """Seeded random program of put/delete/compact ops checked after
+    every step against a pure-python model of HBase semantics (latest
+    put wins unless masked by a >=-ts tombstone)."""
+    import numpy as np
+
+    from shc_spark.sources import compact_table, delete_rows
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "d", "name": "rand", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "v": {"cf": "cf", "col": "v", "type": "int"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    rng = np.random.RandomState(7)
+    KEYS = list(range(12))
+    puts: dict = {}  # key -> (ts, value) latest put
+    tombs: dict = {}  # key -> max tombstone ts
+    ts = 1000
+
+    first = True
+    for step in range(8):
+        op = rng.choice(["put", "delete", "compact"], p=[0.5, 0.3, 0.2])
+        if first:
+            op = "put"
+        if op == "put":
+            ks = sorted(rng.choice(KEYS, size=rng.randint(1, 6), replace=False).tolist())
+            rows = [(int(k), int(k * 1000 + ts % 1000)) for k in ks]
+            df = spark.createDataFrame(rows, "k int, v int")
+            if first:
+                write_table(df, cat, root=root, num_regions=4, timestamp=ts)
+                first = False
+            else:
+                write_table(df, cat, root=root, mode="append", timestamp=ts)
+            for k, v in rows:
+                puts[k] = (ts, v)
+        elif op == "delete":
+            ks = sorted(rng.choice(KEYS, size=rng.randint(1, 4), replace=False).tolist())
+            delete_rows(spark, cat, [int(k) for k in ks], root=root, timestamp=ts)
+            for k in ks:
+                tombs[k] = max(tombs.get(k, -1), ts)
+        else:
+            compact_table(spark, cat, root=root, num_regions=4)
+            # compaction purges masked versions; the LATEST-put model
+            # is unchanged (visible view must not change)
+        ts += 1000
+
+        expect = sorted(
+            (k, v)
+            for k, (pts, v) in puts.items()
+            if pts > tombs.get(k, -1)
+        )
+        got = sorted(
+            (r["k"], r["v"])
+            for r in read_table(spark, cat, root=root).collect()
+        )
+        assert got == expect, f"step {step} ({op}): {got} != {expect}"

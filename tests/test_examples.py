@@ -1,0 +1,22 @@
+"""Every example script runs green in one session — the examples
+directory is part of the supported surface, not documentation rot."""
+
+import importlib
+import sys
+
+import pytest
+
+sys.path.insert(0, "examples")
+
+
+@pytest.mark.parametrize(
+    "mod", ["basic_source", "join_two_clusters", "avro_source", "composite_key", "data_pipeline"]
+)
+def test_example(spark, tmp_path, mod):
+    m = importlib.import_module(mod)
+    if mod == "join_two_clusters":
+        m.main(spark, root1=str(tmp_path / "c1"), root2=str(tmp_path / "c2"))
+    elif mod == "data_pipeline":
+        m.main(spark)
+    else:
+        m.main(spark, root=str(tmp_path))

@@ -5,6 +5,7 @@ from shc_spark.sources.api import (
     read_stream_table,
     read_table,
     register,
+    vacuum_table,
     write_stream_table,
     write_table,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "read_stream_table",
     "read_table",
     "register",
+    "vacuum_table",
     "write_stream_table",
     "write_table",
 ]

@@ -1019,3 +1019,44 @@ def delete_rows(
         .option("root", root)
         .save()
     )
+
+
+def vacuum_table(
+    catalog: str,
+    root: str = DEFAULT_ROOT,
+    grace_seconds: float = 3600.0,
+) -> list:
+    """Manifest-driven GC (the Delta VACUUM analog): delete region
+    files under the table dir that are NOT referenced by
+    `_regions.json` and are older than ``grace_seconds``. Unreferenced
+    files exist when a writer task staged output but its commit never
+    ran (crashed batch write, aborted streaming micro-batch attempt) —
+    readers never see them (partition planning is manifest-driven),
+    they just hold disk. The grace period keeps in-flight writes safe:
+    a staging file younger than it may belong to an uncommitted batch
+    that is still going to commit. Returns the deleted paths."""
+    import os
+    import time as _time
+
+    from shc_spark.sources.shc_source import _load_regions, table_path
+
+    cat = parse_catalog(catalog)
+    path = table_path(root, cat)
+    live = {os.path.realpath(r["path"]) for r in _load_regions(path)}
+    cutoff = _time.time() - grace_seconds
+    deleted = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("gen="):
+            continue
+        gen_dir = os.path.join(path, entry)
+        for fname in sorted(os.listdir(gen_dir)):
+            fp = os.path.join(gen_dir, fname)
+            if os.path.realpath(fp) in live:
+                continue
+            if os.path.getmtime(fp) > cutoff:
+                continue
+            os.remove(fp)
+            deleted.append(fp)
+        if not os.listdir(gen_dir):
+            os.rmdir(gen_dir)
+    return deleted

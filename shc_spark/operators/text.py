@@ -254,6 +254,40 @@ def stratified_sample(
     return df.filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2) < thr)
 
 
+def _word_ngram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, h) exploded per-doc-distinct word n-gram hashes, one
+    vectorized mapInPandas pass (pd.util.hash_array — deterministic
+    fixed-key siphash). The JVM transform/xxhash64 HOF version of this
+    is interpreted per element and measured 10x slower at sf0.1 (the
+    round-1 MinHash lesson, re-learned)."""
+    import numpy as np
+    import pandas as pd
+
+    from shc_spark.operators.dedup import _widen
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            grams: list = []
+            for i, t in zip(pdf["__id"], pdf["__text"]):
+                w = t.split(" ") if t else []
+                if len(w) < n:
+                    continue
+                g = {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+                grams.extend(g)
+                ids.extend([i] * len(g))
+            if not ids:
+                continue
+            hv = pd.util.hash_array(np.array(grams, dtype=object)).view(np.int64)
+            yield pd.DataFrame({"id": ids, "h": hv})
+
+    return _widen(df).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).mapInPandas(gen, f"id {id_type}, h long")
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -271,20 +305,12 @@ def decontaminate(
     (id, shingle) narrowly — no corpus shuffle, no pre-aggregation —
     and the broadcast left-semi join keeps only matching shingles.
     Only the (rare) contaminated ids reach the final distinct, so the
-    one real shuffle carries almost nothing. Shingle identity is
-    multi-arg xxhash64 over the n word columns (64-bit; a false
-    contamination needs a hash collision, ~1e-9 at millions of
-    shingles)."""
-    from shc_spark.operators.dedup import _hashed_shingles
-
-    bench = (
-        _hashed_shingles(benchmark, text_col, id_col, n)
-        .select(F.explode("hs").alias("h"))
-        .distinct()
-    )
-    corp = _hashed_shingles(corpus, text_col, id_col, n).select(
-        "id", F.explode("hs").alias("h")
-    )
+    one real shuffle carries almost nothing. Shingle identity is a
+    deterministic 64-bit hash of the joined n-gram text, identical on
+    both sides (a false contamination needs a collision, ~1e-9 at
+    millions of shingles)."""
+    bench = _word_ngram_hashes(benchmark, text_col, id_col, n).select("h").distinct()
+    corp = _word_ngram_hashes(corpus, text_col, id_col, n)
     return (
         corp.join(F.broadcast(bench), "h", "left_semi")
         .select(F.col("id"))

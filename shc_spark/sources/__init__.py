@@ -2,6 +2,8 @@ from shc_spark.sources.api import (
     bulk_get,
     compact_table,
     delete_rows,
+    export_snapshot,
+    import_snapshot,
     read_stream_table,
     read_table,
     register,
@@ -18,6 +20,8 @@ __all__ = [
     "bulk_get",
     "compact_table",
     "delete_rows",
+    "export_snapshot",
+    "import_snapshot",
     "read_stream_table",
     "read_table",
     "register",

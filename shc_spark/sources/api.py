@@ -1060,3 +1060,51 @@ def vacuum_table(
         if not os.listdir(gen_dir):
             os.rmdir(gen_dir)
     return deleted
+
+
+def export_snapshot(
+    spark: SparkSession,
+    catalog: str,
+    dest: str,
+    root: str = DEFAULT_ROOT,
+    merged: bool = True,
+) -> None:
+    """ExportSnapshot analog: materialize the table as PLAIN parquet
+    at ``dest`` for consumers outside this engine (the interop escape
+    hatch every storage system needs). ``merged=True`` exports the
+    logical latest view; ``merged=False`` exports raw version rows
+    with ``__ts`` so a re-import preserves history."""
+    df = read_table(
+        spark, catalog, root=root, merge_to_latest=merged, keep_internal=not merged
+    )
+    df.write.mode("overwrite").parquet(dest)
+
+
+def import_snapshot(
+    spark: SparkSession,
+    catalog: str,
+    src: str,
+    root: str = DEFAULT_ROOT,
+    num_regions: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Inverse of export_snapshot: load plain parquet (with or without
+    a preserved ``__ts`` column) into an shc table. Versioned exports
+    replay each distinct ``__ts`` as its own generation so time-travel
+    and version-exploded reads survive the roundtrip."""
+    df = spark.read.parquet(src)
+    if TS_COL in df.columns:
+        stamps = sorted(r[0] for r in df.select(TS_COL).distinct().collect())
+        first = mode
+        for ts in stamps:
+            write_table(
+                df.filter(F.col(TS_COL) == ts).drop(TS_COL),
+                catalog,
+                root=root,
+                num_regions=num_regions if first == "overwrite" else None,
+                timestamp=int(ts),
+                mode=first,
+            )
+            first = "append"
+    else:
+        write_table(df, catalog, root=root, num_regions=num_regions, mode=mode)

@@ -46,33 +46,41 @@ from shc_spark.catalog import parse_catalog
 
 class SecondaryIndex:
     def __init__(
-        self, spark: SparkSession, catalog: str, col: str, root: str = "/tmp/shc_tables"
+        self, spark: SparkSession, catalog: str, col, root: str = "/tmp/shc_tables"
     ) -> None:
+        """``col``: one column name, or a LIST for a composite index —
+        rowkey = (col1, col2, ..., *base key dims); lookups prune on
+        the leading column, equality on later ones re-filters above
+        the scan (the same first-dim-prunes contract as any composite
+        rowkey, CompositeKeySuite semantics)."""
         self.spark = spark
         self.base_catalog = catalog
         self.root = root
-        self.col = col
+        self.cols = [col] if isinstance(col, str) else list(col)
+        self.col = self.cols[0]
         base = parse_catalog(catalog)
         base_params = json.loads(catalog) if isinstance(catalog, str) else catalog
-        field = base.fields[col]
-        if field.is_rowkey:
-            raise ValueError(f"{col} is a rowkey dimension; the base table prunes it already")
+        cols = {}
+        rowkey_dims = []
+        for j, c in enumerate(self.cols):
+            field = base.fields[c]
+            if field.is_rowkey:
+                raise ValueError(f"{c} is a rowkey dimension; the base table prunes it already")
+            cols[c] = {"cf": "rowkey", "col": f"ixv{j}", "type": field.type_str}
+            rowkey_dims.append(f"ixv{j}")
         key_fields = base.rowkey_fields()
-        cols = {
-            col: {"cf": "rowkey", "col": "ixv", "type": field.type_str},
-        }
-        rowkey_dims = ["ixv"]
         for i, kf in enumerate(key_fields):
             spec = dict(base_params["columns"][kf.col_name])
             spec["cf"] = "rowkey"
             spec["col"] = f"k{i}"
             cols[kf.col_name] = spec
             rowkey_dims.append(f"k{i}")
+        tag = "_".join(self.cols)
         self.index_catalog = json.dumps(
             {
                 "table": {
                     "namespace": base.namespace,
-                    "name": f"{base.name}__ix_{col}",
+                    "name": f"{base.name}__ix_{tag}",
                     "tableCoder": "PhoenixType",
                     "version": "2.0",
                 },
@@ -82,7 +90,7 @@ class SecondaryIndex:
         )
         self.key_names = [kf.col_name for kf in key_fields]
         self._ckpt = os.path.join(
-            root, f"{base.namespace}.{base.name}__ix_{col}__checkpoint"
+            root, f"{base.namespace}.{base.name}__ix_{tag}__checkpoint"
         )
 
     # -- maintenance -----------------------------------------------------
@@ -91,7 +99,7 @@ class SecondaryIndex:
         from shc_spark.sources import read_table, write_table
 
         base = read_table(self.spark, self.base_catalog, root=self.root)
-        proj = base.select(self.col, *self.key_names)
+        proj = base.select(*self.cols, *self.key_names)
         write_table(
             proj, self.index_catalog, root=self.root, num_regions=num_regions, mode="overwrite"
         )
@@ -110,7 +118,7 @@ class SecondaryIndex:
             if batch_df.isEmpty():
                 return
             write_table(
-                batch_df.select(self.col, *self.key_names),
+                batch_df.select(*self.cols, *self.key_names),
                 self.index_catalog,
                 root=self.root,
                 mode="append",
@@ -136,14 +144,18 @@ class SecondaryIndex:
             return self.spark.createDataFrame([], sch)
         return bulk_get(self.spark, self.base_catalog, keys, root=self.root)
 
-    def lookup(self, value) -> DataFrame:
-        """Base rows where ``col == value``, resolved via the index."""
+    def lookup(self, value, *more) -> DataFrame:
+        """Base rows where the leading index column(s) equal the given
+        value(s), resolved via the index (leading column prunes, the
+        rest re-filter)."""
         from shc_spark.sources import read_table
 
-        idx = read_table(self.spark, self.index_catalog, root=self.root).filter(
-            F.col(self.col) == value
-        )
-        return self._fetch(idx).filter(F.col(self.col) == value)
+        vals = (value, *more)
+        cond = F.lit(True)
+        for c, v in zip(self.cols, vals):
+            cond = cond & (F.col(c) == v)
+        idx = read_table(self.spark, self.index_catalog, root=self.root).filter(cond)
+        return self._fetch(idx).filter(cond)
 
     def lookup_range(self, lo=None, hi=None) -> DataFrame:
         """Base rows where ``lo <= col < hi`` (either bound optional)."""

@@ -831,3 +831,90 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     assert deleted == [old_orphan]
     assert os.path.exists(fresh_orphan)
     assert read_table(spark, cat, root=root).count() == n_before
+
+
+def test_snapshot_export_import_roundtrip(spark, tmp_path):
+    """Merged export is plain parquet of the latest view; versioned
+    export + import preserves history (time travel still works)."""
+    from shc_spark.sources import export_snapshot, import_snapshot
+
+    def cat(name):
+        return json.dumps(
+            {
+                "table": {"namespace": "s", "name": name, "tableCoder": "OrderedType", "version": "2.0"},
+                "rowkey": "key",
+                "columns": {
+                    "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                    "v": {"cf": "cf", "col": "v", "type": "int"},
+                },
+            }
+        )
+
+    root = str(tmp_path / "tables")
+    write_table(
+        spark.createDataFrame([(i, i) for i in range(20)], "k int, v int"),
+        cat("src"), root=root, num_regions=4, timestamp=1000,
+    )
+    write_table(
+        spark.createDataFrame([(i, i * 100) for i in range(5)], "k int, v int"),
+        cat("src"), root=root, mode="append", timestamp=2000,
+    )
+
+    # merged export: latest view as plain parquet
+    dest = str(tmp_path / "plain")
+    export_snapshot(spark, cat("src"), dest, root=root)
+    plain = spark.read.parquet(dest)
+    assert dict((r["k"], r["v"]) for r in plain.collect())[3] == 300
+    assert plain.count() == 20
+    assert set(plain.columns) == {"k", "v"}
+
+    # versioned export -> import into a NEW table preserves history
+    vdest = str(tmp_path / "versioned")
+    export_snapshot(spark, cat("src"), vdest, root=root, merged=False)
+    import_snapshot(spark, cat("dst"), vdest, root=root)
+    back = read_table(spark, cat("dst"), root=root)
+    assert dict((r["k"], r["v"]) for r in back.collect())[3] == 300
+    old = read_table(spark, cat("dst"), root=root, timestamp=1000)
+    assert dict((r["k"], r["v"]) for r in old.collect())[3] == 3
+    assert read_table(spark, cat("dst"), root=root, merge_to_latest=False).count() == 25
+
+
+def test_composite_secondary_index(spark, tmp_path):
+    """Composite index on (segment, nation): leading column prunes,
+    second column refines; both-column lookup matches the base scan."""
+    from shc_spark.sources import SecondaryIndex
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "x", "name": "cust2", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "c_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "c_mktsegment": {"cf": "cf", "col": "s", "type": "string"},
+                "c_nationkey": {"cf": "cf", "col": "n", "type": "int"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    write_table(df, cat, root=root, num_regions=4, mode="overwrite")
+    ix = SecondaryIndex(spark, cat, ["c_mktsegment", "c_nationkey"], root=root)
+    ix.build()
+
+    seg, nk = df.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_mktsegment", "c_nationkey"
+    ).first()
+    got = sorted(r["c_custkey"] for r in ix.lookup(seg, nk).collect())
+    want = sorted(
+        r["c_custkey"]
+        for r in df.filter(
+            (F.col("c_mktsegment") == seg) & (F.col("c_nationkey") == nk)
+        ).collect()
+    )
+    assert got == want and got  # non-empty
+    # leading-column-only lookup also works
+    assert ix.lookup("BUILDING").count() == df.filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).count()

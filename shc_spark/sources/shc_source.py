@@ -762,6 +762,13 @@ class ShcStreamReader(DataSourceStreamReader):
         root = options.get("root", "/tmp/shc_tables")
         self.path = options.get("path") or table_path(root, self.cat)
         self.batch_size = int(options.get("batch_size", 65536))
+        # CDC consumers ask for tombstones (includeDeletes) so a
+        # downstream stateful merge can apply deletes; without it,
+        # tombstone rows are hidden exactly like the batch scan
+        self.include_deletes = (
+            str(options.get("includedeletes", options.get("includeDeletes", ""))).lower()
+            == "true"
+        )
 
     def _count(self) -> int:
         try:
@@ -797,7 +804,7 @@ class ShcStreamReader(DataSourceStreamReader):
     def read(self, partition: RegionPartition):
         if not partition.path:
             return iter(())
-        want = arrow_schema_for(self.cat)
+        want = to_arrow_schema(internal_schema(self.cat, self.include_deletes))
         return ShcReader._scan_file(self, partition.path, partition.ranges, want)
 
     def commit(self, end: dict) -> None:

@@ -262,3 +262,56 @@ def test_incremental_rollup_refresh_reads_only_new_generations(spark, tmp_path):
         for r in roll.read().collect()
     }
     assert got2 == expect(ev)
+
+
+def test_stream_source_cdc_deletes(spark, tmp_path):
+    """The streaming source hides tombstones by default and surfaces
+    them (with __del set) under includeDeletes — the change-data-feed
+    contract a downstream stateful merge needs to apply deletes."""
+    from shc_spark.sources import delete_rows, register, write_table
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "s", "name": "cdc", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "v": {"cf": "cf", "col": "v", "type": "int"},
+            },
+        }
+    )
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i) for i in range(10)], "k int, v int")
+    write_table(df, cat, root=root, num_regions=4, timestamp=1000)
+    delete_rows(spark, cat, [2, 5], root=root, timestamp=2000)
+
+    register(spark)
+
+    def drain(opts):
+        reader = (
+            spark.readStream.format("shc")
+            .option("catalog", cat)
+            .option("root", root)
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        import uuid
+
+        name = f"cdc_{uuid.uuid4().hex[:8]}"
+        q = reader.load().writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+
+    plain = drain({})
+    assert plain.count() == 10  # tombstone rows hidden (raw puts visible)
+    assert "__del" not in plain.columns
+
+    cdc = drain({"includeDeletes": "true"})
+    assert "__del" in cdc.columns
+    dels = cdc.filter(F.col("__del") == 1)
+    assert dels.count() == 2
+    assert sorted(r["k"] for r in dels.collect()) == [2, 5]
+    assert cdc.count() == 12

@@ -987,10 +987,11 @@ def delete_rows(
     exactly HBase's delete lifecycle.
 
     ``keys``: a DataFrame carrying the rowkey columns, or a plain list
-    of values for single-dimension keys. Version-exploded reads hide
-    the tombstone rows but still show older versions (a raw-scan-like
-    view); only merge reads apply full masking — documented
-    divergence, PARITY.md S14."""
+    of values for single-dimension keys. Version-exploded and
+    time-travel reads hide the tombstone rows but still show older
+    versions until compaction — HBase's KEEP_DELETED_CELLS=true
+    behavior; only plain merge reads apply full masking (PARITY.md
+    S14)."""
     from shc_spark.sources.shc_source import DEL_COL
 
     cat = parse_catalog(catalog)

@@ -619,12 +619,46 @@ def _read_cross_catalog(
     sj["columns"] = {k: v for k, v in sj["columns"].items() if k in keep_cols}
     scan_catalog = _json.dumps(sj)
 
+    # tombstone masking (manifest-gated: only when some generation
+    # actually carries deletes): the cross-catalog merge runs in Spark
+    # above a RAW scan, which hides tombstone ROWS but not the older
+    # versions they mask — without this a deleted row would resurrect.
+    # Same visibility rule as the same-catalog path: explicit
+    # time-travel / version options see pre-delete history
+    # (KEEP_DELETED_CELLS=true), the default view applies deletes.
+    from shc_spark.sources.shc_source import DEL_COL, _load_regions
+
+    try:
+        _has_tombs = any(r.get("tombstones") for r in _load_regions(table_dir))
+    except FileNotFoundError:
+        _has_tombs = False
+    _mask_dels = _has_tombs and all(
+        o is None for o in (timestamp, min_stamp, max_stamp, max_versions)
+    )
+
     reader = (
         spark.read.format("shc").option("catalog", scan_catalog).option("root", root)
     )
+    if _mask_dels:
+        reader = reader.option("includeDeletes", "true")
     for k, v in (reader_options or {}).items():
         reader = reader.option(k, v)
     df = reader.load()
+    if _mask_dels:
+        from pyspark.sql import Window as _W
+
+        _wk = [f.col_name for f in wkeys]
+        _tomb = F.max(F.when(F.col(DEL_COL) == 1, F.col(TS_COL))).over(
+            _W.partitionBy(*_wk)
+        )
+        df = (
+            df.withColumn("__tomb", _tomb)
+            .filter(
+                (F.col(DEL_COL).isNull() | (F.col(DEL_COL) != 1))
+                & (F.col("__tomb").isNull() | (F.col(TS_COL) > F.col("__tomb")))
+            )
+            .drop(DEL_COL, "__tomb")
+        )
 
     if timestamp is not None:
         df = df.filter(F.col(TS_COL) == timestamp)

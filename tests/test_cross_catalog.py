@@ -390,3 +390,47 @@ def test_many_generation_merge(spark):
     a = sorted(map(tuple, fast.collect()))
     b = sorted(map(tuple, slow.collect()))
     assert a == b and len(a) == 60
+
+
+def test_cross_catalog_read_applies_deletes(spark, tmp_path):
+    """A key deleted via tombstone must NOT resurrect when the table
+    is read through a different (subset/renamed) catalog — the Spark-
+    side cross-catalog merge applies the same masking as the source's
+    LSM merge."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.sources import delete_rows, read_table, write_table
+
+    wcat = json.dumps(
+        {
+            "table": {"namespace": "x", "name": "cc_del", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "a": {"cf": "cf", "col": "a", "type": "int"},
+                "b": {"cf": "cf", "col": "b", "type": "string"},
+            },
+        }
+    )
+    rcat = json.dumps(  # renamed subset view over the same cells
+        {
+            "table": {"namespace": "x", "name": "cc_del", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "alpha": {"cf": "cf", "col": "a", "type": "int"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    df = spark.createDataFrame([(i, i, f"s{i}") for i in range(10)], "k int, a int, b string")
+    write_table(df, wcat, root=root, num_regions=4, timestamp=1000)
+    delete_rows(spark, wcat, [2, 5], root=root, timestamp=2000)
+
+    out = read_table(spark, rcat, root=root)
+    assert sorted(r["k"] for r in out.collect()) == sorted(set(range(10)) - {2, 5})
+    # time travel through the cross-catalog path still sees history
+    old = read_table(spark, rcat, root=root, timestamp=1000)
+    assert old.count() == 10

@@ -10,7 +10,8 @@ sys.path.insert(0, "examples")
 
 
 @pytest.mark.parametrize(
-    "mod", ["basic_source", "join_two_clusters", "avro_source", "composite_key", "data_pipeline"]
+    "mod",
+    ["basic_source", "join_two_clusters", "avro_source", "composite_key", "data_pipeline", "storage_lifecycle"]
 )
 def test_example(spark, tmp_path, mod):
     m = importlib.import_module(mod)

@@ -201,6 +201,56 @@ def _avro_decode_udf(field):
     return dec
 
 
+def _expand_version_maps(df: DataFrame, catalog: str, write_ts: int):
+    """Write-side version-map fan-out (HBaseRelation.scala:244-261):
+    a ``map<long, T>`` column becomes one ROW VERSION per (ts, value)
+    entry — the map key is the cell timestamp — while the other
+    columns write once at the call's timestamp. The STORED catalog
+    declares the column as plain ``T`` (that is what each cell holds);
+    reading back through the original map-typed catalog goes through
+    the cross-catalog version-map path and rebuilds ts -> value maps,
+    so maxVersions / timestamp / merge semantics all apply to the
+    fanned-out versions. Keys whose only content is an empty map write
+    nothing (a Put with no cells creates no row)."""
+    import json as _json
+
+    cat = parse_catalog(catalog)
+    vm = [
+        f
+        for f in cat.value_fields()
+        if isinstance(f.dt, T.MapType)
+        and isinstance(f.dt.keyType, T.LongType)
+        and f.col != ""
+        and f.avro_schema is None
+    ]
+    if not vm:
+        return df, catalog
+    key_names = [k.col_name for k in cat.rowkey_fields()]
+    vm_names = {f.col_name for f in vm}
+    other = [f.col_name for f in cat.value_fields() if f.col_name not in vm_names]
+    parts = []
+    if other:
+        parts.append(
+            df.select(*key_names, *other).withColumn(
+                "__ts_src", F.lit(write_ts).cast("long")
+            )
+        )
+    for f in vm:
+        e = df.select(
+            *key_names, F.explode(F.col(f.col_name)).alias("__vts", f.col_name)
+        )
+        parts.append(e.withColumn("__ts_src", F.col("__vts").cast("long")).drop("__vts"))
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p, allowMissingColumns=True)
+    params = _json.loads(catalog)
+    for f in vm:
+        spec = dict(params["columns"][f.col_name])
+        spec["type"] = f.dt.valueType.simpleString()
+        params["columns"][f.col_name] = spec
+    return un, _json.dumps(params)
+
+
 def write_table(
     df: DataFrame,
     catalog: str,
@@ -208,14 +258,20 @@ def write_table(
     num_regions: int | None = None,
     timestamp: int | None = None,
     mode: str = "append",
+    expand_version_maps: bool = False,
 ) -> None:
     """Write ``df`` as an shc table (pre-split, sorted regions).
 
     ``num_regions`` mirrors the `newtable` option: required > 3 when
     creating a new table (HBaseRelation.scala:150-153).
+    ``expand_version_maps`` fans ``map<long,T>`` columns out to one
+    row version per entry (see _expand_version_maps).
     """
     import os
 
+    ts0 = timestamp if timestamp is not None else int(time.time() * 1000)
+    if expand_version_maps:
+        df, catalog = _expand_version_maps(df, catalog, ts0)
     cat = parse_catalog(catalog)
     path = os.path.join(root, f"{cat.namespace}.{cat.name}")
     exists = os.path.exists(os.path.join(path, "_regions.json"))
@@ -229,7 +285,14 @@ def write_table(
     encode, key_names = _rowkey_encoder(cat)
     ts = timestamp if timestamp is not None else int(time.time() * 1000)
 
-    out = df.select([f.col_name for f in cat.fields.values()])
+    has_ts_src = "__ts_src" in df.columns
+    ts_expr = (
+        F.col("__ts_src").cast("long") if has_ts_src else F.lit(ts).cast("long")
+    )
+    out = df.select(
+        [f.col_name for f in cat.fields.values()]
+        + (["__ts_src"] if has_ts_src else [])
+    )
     if num_regions and cat.has_split_hints:
         # explicit pre-split (minTableSplitPoint/maxTableSplitPoint,
         # HBaseTableCatalog.scala:301-302 -> Bytes.split analog): byte-
@@ -245,7 +308,7 @@ def write_table(
             if f.avro_schema is not None:
                 out = out.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
         out = out.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
-        out = out.withColumn(TS_COL, F.lit(ts).cast("long"))
+        out = out.withColumn(TS_COL, ts_expr).drop("__ts_src")
         bnds = _split_boundaries(
             cat.min_split.encode("utf-8"), cat.max_split.encode("utf-8"), num_regions
         )
@@ -276,7 +339,7 @@ def write_table(
             if f.avro_schema is not None:
                 out = out.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
         out = out.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
-        out = out.withColumn(TS_COL, F.lit(ts).cast("long"))
+        out = out.withColumn(TS_COL, ts_expr).drop("__ts_src")
     (
         out.write.format("shc")
         .mode(mode)
@@ -669,14 +732,33 @@ def _read_cross_catalog(
 
     wkey_names = [f.col_name for f in wkeys]
     if max_versions is not None:
+        # per-CELL maxVersions (HBase semantics, HBaseTableScan's
+        # maxVersions applies to each column's versions independently):
+        # rank every column's non-null values per key by ts desc and
+        # null out anything beyond the budget. For homogeneous rows
+        # (all cells written together) this degenerates to the old
+        # per-row cap; for heterogeneous rows (write-side version-map
+        # fan-out, narrow-catalog appends) it is the correct cell
+        # granularity. Rows left with no live cell disappear.
         from pyspark.sql import Window as W
 
-        w = W.partitionBy(*wkey_names).orderBy(F.col(TS_COL).desc())
-        df = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_versions)
-            .drop("__rn")
+        w = (
+            W.partitionBy(*wkey_names)
+            .orderBy(F.col(TS_COL).desc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
+        for cname in needed:
+            rank = F.count(F.when(F.col(cname).isNotNull(), 1)).over(w)
+            df = df.withColumn(
+                cname,
+                F.when(
+                    F.col(cname).isNotNull() & (rank <= max_versions), F.col(cname)
+                ),
+            )
+        if needed:
+            df = df.filter(
+                F.greatest(*[F.col(c).isNotNull().cast("int") for c in needed]) == 1
+            )
 
     has_versions = any(
         k == "vmap" or (k == "dyn" and _is_vmap_type(f.dt.valueType))

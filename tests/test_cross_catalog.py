@@ -434,3 +434,68 @@ def test_cross_catalog_read_applies_deletes(spark, tmp_path):
     # time travel through the cross-catalog path still sees history
     old = read_table(spark, rcat, root=root, timestamp=1000)
     assert old.count() == 10
+
+
+def test_version_map_write_fanout(spark, tmp_path):
+    """Writing a map<long,T> column with expand_version_maps=True fans
+    each entry out to a row version; reading back through the SAME
+    map-typed catalog rebuilds the ts->value map, and maxVersions /
+    merged / time-travel reads all see the fanned-out versions
+    (HBaseRelation.scala:244-261 write side + MaxVersionsSuite
+    semantics)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.sources import read_table, write_table
+
+    vm_cat = json.dumps(
+        {
+            "table": {"namespace": "x", "name": "vmw", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "name": {"cf": "cf", "col": "nm", "type": "string"},
+                "hist": {"cf": "cf", "col": "h", "type": "map<bigint,double>"},
+            },
+        }
+    )
+    static_cat = json.dumps(  # same cell viewed as its scalar type
+        {
+            "table": {"namespace": "x", "name": "vmw", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "latest": {"cf": "cf", "col": "h", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    rows = [
+        (1, "one", {1000: 1.0, 2000: 1.5, 3000: 1.9}),
+        (2, "two", {1000: 2.0}),
+        (3, "three", {}),  # empty map: no cells for h
+    ]
+    df = spark.createDataFrame(rows, "k int, name string, hist map<bigint,double>")
+    write_table(df, vm_cat, root=root, num_regions=4, timestamp=5000,
+                expand_version_maps=True)
+
+    back = read_table(spark, vm_cat, root=root)
+    got = {r["k"]: r["hist"] for r in back.collect()}
+    assert got[1] == {1000: 1.0, 2000: 1.5, 3000: 1.9}
+    assert got[2] == {1000: 2.0}
+    assert got[3] in (None, {})  # no cells stored for the empty map
+
+    # maxVersions caps the rebuilt map to the newest entries
+    top2 = read_table(spark, vm_cat, root=root, max_versions=2)
+    got2 = {r["k"]: r["hist"] for r in top2.collect()}
+    assert got2[1] == {2000: 1.5, 3000: 1.9}
+
+    # the same cell read as a static scalar merges to the LATEST version
+    latest = read_table(spark, static_cat, root=root)
+    gl = {r["k"]: r["latest"] for r in latest.collect()}
+    assert gl[1] == 1.9 and gl[2] == 2.0
+
+    # the non-map column kept the call's write timestamp
+    tt = read_table(spark, vm_cat, root=root, timestamp=5000)
+    assert {r["k"]: r["name"] for r in tt.collect()}[1] == "one"

@@ -511,14 +511,37 @@ def read_table(
         merge_to_latest = False
 
     if max_versions is not None:
-        # keep the N newest versions per key (Window; rowkey predicates
-        # still push through — partition keys are grouping columns)
+        # per-CELL maxVersions (HBase grants each column its own
+        # version budget): rank every value column's non-null cells
+        # per key by ts desc, null out the over-budget ones, and drop
+        # rows left with no live cell. For homogeneous rows (all cells
+        # written together) this equals the per-row cap; for
+        # heterogeneous rows (version-map fan-out, narrow-catalog
+        # appends) it is the correct granularity. Rowkey predicates
+        # still push through — partition keys are grouping columns.
         from pyspark.sql import Window as W
 
-        w = W.partitionBy(*key_names).orderBy(F.col(TS_COL).desc())
-        df = df.withColumn("__rn", F.row_number().over(w)).filter(
-            F.col("__rn") <= max_versions
-        ).drop("__rn")
+        w = (
+            W.partitionBy(*key_names)
+            .orderBy(F.col(TS_COL).desc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        for f in value_fields:
+            rank = F.count(F.when(F.col(f.col_name).isNotNull(), 1)).over(w)
+            df = df.withColumn(
+                f.col_name,
+                F.when(
+                    F.col(f.col_name).isNotNull() & (rank <= max_versions),
+                    F.col(f.col_name),
+                ),
+            )
+        if value_fields:
+            df = df.filter(
+                F.greatest(
+                    *[F.col(f.col_name).isNotNull().cast("int") for f in value_fields]
+                )
+                == 1
+            )
 
     if merge_to_latest:
         # per-cell latest-non-null merge (buildRow, HBaseTableScan.scala:114-175):

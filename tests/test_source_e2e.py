@@ -178,12 +178,19 @@ def test_version_explode_and_maxversions(spark, basic_table, root):
     # deliberate divergence from HBaseTableScan.scala:245)
     all_v = read_table(spark, CAT_BASIC, root=root, merge_to_latest=False)
     assert all_v.filter(F.col("col0") == "row001").count() == 2
-    # maxVersions=1 + explode -> only the newest version row
+    # maxVersions=1 + explode -> per-CELL budgets (HBase VERSIONS
+    # granularity): the ts-3000 row keeps col4/col7's newest versions,
+    # and the ts-1000 row survives because it holds the ONLY versions
+    # of the other columns — with col4/col7 nulled there (over budget)
     newest = read_table(
         spark, CAT_BASIC, root=root, merge_to_latest=False, max_versions=1, keep_internal=True
     )
-    r = newest.filter(F.col("col0") == "row001").collect()
-    assert len(r) == 1 and r[0]["__ts"] == 3000
+    r = sorted(
+        newest.filter(F.col("col0") == "row001").collect(), key=lambda x: -x["__ts"]
+    )
+    assert len(r) == 2
+    assert r[0]["__ts"] == 3000 and r[0]["col4"] == 999 and r[0]["col7"] == "String1: new"
+    assert r[1]["__ts"] == 1000 and r[1]["col4"] is None and r[1]["col2"] == 1.0
     # timestamp= pins an exact version (MaxVersionsSuite.scala:45-98 analog)
     at1000 = read_table(spark, CAT_BASIC, root=root, timestamp=1000)
     assert at1000.filter(F.col("col0") == "row001").collect()[0]["col7"] == "String1: extra"

@@ -536,11 +536,13 @@ def read_table(
                 ),
             )
         if value_fields:
+            from functools import reduce
+
             df = df.filter(
-                F.greatest(
-                    *[F.col(f.col_name).isNotNull().cast("int") for f in value_fields]
+                reduce(
+                    lambda a, b: a | b,
+                    [F.col(f.col_name).isNotNull() for f in value_fields],
                 )
-                == 1
             )
 
     if merge_to_latest:
@@ -779,8 +781,10 @@ def _read_cross_catalog(
                 ),
             )
         if needed:
+            from functools import reduce as _reduce
+
             df = df.filter(
-                F.greatest(*[F.col(c).isNotNull().cast("int") for c in needed]) == 1
+                _reduce(lambda a, b: a | b, [F.col(c).isNotNull() for c in needed])
             )
 
     has_versions = any(

@@ -925,3 +925,58 @@ def test_composite_secondary_index(spark, tmp_path):
     assert ix.lookup("BUILDING").count() == df.filter(
         F.col("c_mktsegment") == "BUILDING"
     ).count()
+
+
+def test_maxversions_suite_matrix(spark, tmp_path):
+    """MaxVersionsSuite.scala:45-98 replayed exactly: four timestamped
+    generations (keys 0-2, newest only 0-1), table-level VERSIONS=3
+    retention (via compaction), then the maxVersions x mergeToLatest
+    matrix with the reference's row/marker counts."""
+    from shc_spark.sources import compact_table
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "mv", "name": "t", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "col0": {"cf": "rowkey", "col": "key", "type": "string"},
+                "col7": {"cf": "cf7", "col": "col7", "type": "string"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    stamps = {
+        "ancient": 754869600000,
+        "old": 754869611111,
+        "new": 754869622222,
+        "latest": 754869633333,
+    }
+    for marker, ts in stamps.items():
+        n = 2 if marker == "latest" else 3
+        df = spark.createDataFrame(
+            [(f"row{i}", f"String{i}: {marker}") for i in range(n)],
+            "col0 string, col7 string",
+        )
+        write_table(df, cat, root=root, num_regions=5, timestamp=ts, mode="append" if marker != "ancient" else "overwrite")
+    # the reference table is created with VERSIONS=3: the store itself
+    # retains at most 3 versions per cell — our analog is compaction
+    # with max_versions retention
+    compact_table(spark, cat, root=root, num_regions=5, max_versions=3)
+
+    def markers(df):
+        from collections import Counter
+
+        return Counter(r["col7"].split(": ")[1] for r in df.collect())
+
+    two = read_table(spark, cat, root=root, merge_to_latest=False, max_versions=2)
+    assert two.select("col0").distinct().count() == 3
+    assert two.count() == 6
+    assert markers(two) == {"old": 1, "new": 3, "latest": 2}
+
+    four = read_table(spark, cat, root=root, merge_to_latest=False, max_versions=4)
+    assert four.count() == 9  # capped at 3 by the store, like VERSIONS=3
+    assert markers(four) == {"ancient": 1, "old": 3, "new": 3, "latest": 2}
+
+    last = read_table(spark, cat, root=root)
+    assert last.count() == 3
+    assert markers(last) == {"new": 1, "latest": 2}

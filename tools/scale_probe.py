@@ -1,0 +1,118 @@
+"""Scaling probe: measure the pipeline operators on synthetically
+inflated corpora (N copies of the sf0.1 documents/embeddings with
+shifted ids) and record wall times to SCALE.md. The point is the
+CURVE, not the absolute numbers: a bucketed/broadcast design should
+scale ~linearly in rows; anything super-linear is a red flag the
+small-SF bench can't see.
+
+Usage: python tools/scale_probe.py [multipliers...]  (default 1 5 10)
+"""
+
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def inflate(spark, name, id_col, mult):
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+    n = base.count()
+    parts = [
+        base.withColumn(id_col, F.col(id_col) + F.lit(i * n)) for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.localCheckpoint(eager=True)  # pin: exclude inflation from timings
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import dedup, similarity, text
+    from shc_spark.session import get_spark
+
+    mults = [int(m) for m in sys.argv[1:]] or [1, 5, 10]
+    spark = get_spark("scale-probe")
+
+    def run(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    # warm codepaths once
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf  # noqa: F401
+
+    @pandas_udf("long")
+    def _w(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 64, 1, 32).select(_w("id")).write.mode("overwrite").format("noop").save()
+    spark.range(0, 64, 1, 32).mapInPandas(lambda b: b, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    OPS = {
+        "dedup_exact": lambda d, e: dedup.exact_dedup(d, ["text"], "doc_id"),
+        "dedup_minhash_lsh": lambda d, e: dedup.minhash_lsh_pairs(
+            d, "text", "doc_id", num_perm=32, bands=16
+        ),
+        "decontaminate": lambda d, e: text.decontaminate(
+            d.filter(F.col("source") != "src0"), d.filter(F.col("source") == "src0")
+        ),
+        "quality_scores": lambda d, e: text.quality_features(d, "text"),
+        "sim_topk_lsh": lambda d, e: similarity.lsh_topk(
+            e.filter(F.col("vec_id") < 16), e, k=5, dim=64
+        ),
+    }
+
+    rows = []
+    for m in mults:
+        docs = inflate(spark, "documents", "doc_id", m)
+        emb = inflate(spark, "embeddings", "vec_id", m)
+        nd, ne = docs.count(), emb.count()
+        for op, fn in OPS.items():
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                run(fn(docs, emb))
+                walls.append(time.time() - t0)
+            rows.append((m, nd, ne, op, round(min(walls), 2)))
+            print(rows[-1], flush=True)
+        docs.unpersist()
+        emb.unpersist()
+
+    by_op: dict = {}
+    for m, nd, ne, op, wall in rows:
+        by_op.setdefault(op, []).append((m, nd, wall))
+    lines = [
+        "# SCALE — measured operator scaling (inflated sf0.1 corpus)",
+        "",
+        "`tools/scale_probe.py`: N copies of documents (5k rows each) /",
+        "embeddings (2k each), min-of-2 walls on local[32]. The ratio",
+        "column is wall(N)/wall(1) vs the ideal N — sub-ideal ratios mean",
+        "fixed overhead still dominates; super-ideal growth would flag a",
+        "quadratic term no small benchmark can see.",
+        "",
+        "| operator | " + " | ".join(f"x{m} wall (s)" for m in mults) + " | ratio vs x1 |",
+        "|---|" + "---|" * (len(mults) + 1),
+    ]
+    for op, series in by_op.items():
+        walls = [w for _, _, w in series]
+        ratio = round(walls[-1] / walls[0], 1) if walls[0] else float("nan")
+        lines.append(
+            f"| {op} | " + " | ".join(str(w) for w in walls) + f" | {ratio}x at x{mults[-1]} |"
+        )
+    with open(os.path.join(REPO, "SCALE.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("wrote SCALE.md")
+
+
+if __name__ == "__main__":
+    main()

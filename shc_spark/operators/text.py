@@ -316,3 +316,42 @@ def decontaminate(
         .select(F.col("id"))
         .distinct()
     )
+
+
+def boilerplate_fraction(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, min_df: int = 5
+) -> DataFrame:
+    """(id, n_shingles, n_boiler, boiler_frac) — per-doc share of word
+    n-grams that are corpus boilerplate (appearing in >= ``min_df``
+    distinct docs): navigation chrome, disclaimers, templates. The
+    C4/Gopher-style cleanup signal for deciding what to strip or drop.
+
+    Scale shape: one vectorized shingle pass (_word_ngram_hashes),
+    doc-frequency via a map-side-combined groupBy on the 8-byte hash,
+    and the boilerplate dictionary (df >= min_df is SMALL by
+    construction — boilerplate is the head of the distribution)
+    broadcasts back into a semi-join-shaped aggregation; the full
+    shingle set never joins against itself."""
+    shingles = _word_ngram_hashes(df, text_col, id_col, n)
+    boiler = (
+        shingles.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    flagged = shingles.join(
+        F.broadcast(boiler).withColumn("__b", F.lit(1)), "h", "left"
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__b").alias("n_boiler"),
+        )
+        .select(
+            F.col("id"),
+            "n_shingles",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 4).alias("boiler_frac"),
+        )
+    )

@@ -100,6 +100,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
 
 
+# tail: documented O(n^2) baseline; the sim_topk_* gates cover the
+# scale path over the same embeddings
 @register(
     "dedup_embedding_cosine",
     """
@@ -113,6 +115,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nn a JOIN nn b ON a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45
     """,
+    tail=True,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -443,7 +446,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "sha256")
 
 
-@register("mm_frame_sample", None)
+@register("mm_frame_sample", None, tail=True)  # rows-only plumbing; mm_video_frames is the oracle-checked decode
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").limit(50)
     media = multimodal.make_media_df(
@@ -670,3 +673,27 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hybrid_search_rrf(
         docs, emb, ["join", "scan", "vector"], query_vec_id=0, k=10
     )
+
+
+# boilerplate detection: per-doc share of 3-grams that occur in >= 5
+# distinct docs. (_word_ngram_hashes emits per-doc-DISTINCT shingles,
+# so doc-frequency == distinct-doc count by construction; the oracle
+# dedups explicitly.)
+@register(
+    "text_boilerplate",
+    """
+    WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT id, array_to_string(ws[s.i:s.i+2], ' ') AS gram
+          FROM t CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, len(t.ws) - 2)) AS i) s),
+    freq AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+    boiler AS (SELECT gram FROM freq WHERE df >= 5)
+    SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE gram IN (SELECT gram FROM boiler)) AS BIGINT) AS n_boiler,
+           round(count(*) FILTER (WHERE gram IN (SELECT gram FROM boiler)) * 1.0 / count(*), 4) AS boiler_frac
+    FROM g GROUP BY id
+    """,
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.boilerplate_fraction(docs, "text", "doc_id", n=3, min_df=5)

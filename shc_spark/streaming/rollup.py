@@ -24,9 +24,12 @@ Spark streaming primitives):
   |batches| rows — compact-able by rewriting the partials dir, and
   orders of magnitude smaller than the base table.
 
-Decomposable aggregates only, by construction; non-decomposable ones
-(exact percentiles, distinct counts) need sketches (t-digest / HLL)
-in the partial — out of scope here, the plumbing is the point.
+Decomposable aggregates only, by construction. DISTINCT COUNT is
+decomposable via Datasketches HLL (Spark's hll_sketch_agg /
+hll_union_agg / hll_sketch_estimate): the partial stores a sketch
+binary, the final merge unions sketches — "approx_distinct" in the
+agg spec. Exact percentiles remain out of scope (a t-digest partial
+would slot in the same way).
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_FNS = ("count", "sum", "min", "max", "avg")
+_FNS = ("count", "sum", "min", "max", "avg", "approx_distinct")
 
 
 class IncrementalRollup:
@@ -78,6 +81,10 @@ class IncrementalRollup:
         for name, (fn, col) in self.aggs.items():
             if fn == "count":
                 out.append(F.count(F.lit(1)).alias(f"{name}__cnt"))
+            elif fn == "approx_distinct":
+                out.append(
+                    F.expr(f"hll_sketch_agg(`{col}`)").alias(f"{name}__hll")
+                )
             elif fn == "avg":
                 out.append(F.sum(col).alias(f"{name}__sum"))
                 out.append(F.count(col).alias(f"{name}__cnt"))
@@ -90,6 +97,12 @@ class IncrementalRollup:
         for name, (fn, _col) in self.aggs.items():
             if fn == "count":
                 out.append(F.sum(f"{name}__cnt").alias(name))
+            elif fn == "approx_distinct":
+                out.append(
+                    F.expr(
+                        f"hll_sketch_estimate(hll_union_agg(`{name}__hll`))"
+                    ).alias(name)
+                )
             elif fn == "sum":
                 out.append(F.sum(f"{name}__sum").alias(name))
             elif fn == "avg":

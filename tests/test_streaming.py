@@ -315,3 +315,44 @@ def test_stream_source_cdc_deletes(spark, tmp_path):
     assert dels.count() == 2
     assert sorted(r["k"] for r in dels.collect()) == [2, 5]
     assert cdc.count() == 12
+
+
+def test_incremental_rollup_approx_distinct(spark, tmp_path):
+    """DISTINCT COUNT in the rollup via HLL sketch partials: unions of
+    per-batch sketches estimate the global distinct within HLL error
+    even when the same user appears in many generations."""
+    from shc_spark.sources import write_table
+    from shc_spark.streaming import IncrementalRollup
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "s", "name": "evhll", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "event_id": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "event_type": {"cf": "cf", "col": "t", "type": "string"},
+                "user_id": {"cf": "cf", "col": "u", "type": "bigint"},
+            },
+        }
+    )
+    root = str(tmp_path / "tables")
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "event_type", "user_id")
+    write_table(ev.filter(F.col("event_id") % 2 == 0), cat, root=root, num_regions=4)
+    write_table(ev.filter(F.col("event_id") % 2 == 1), cat, root=root, mode="append")
+
+    roll = IncrementalRollup(
+        spark, cat, root, group_cols=["event_type"],
+        aggs={"n": ("count", None), "users": ("approx_distinct", "user_id")},
+    )
+    roll.refresh()
+    got = {r["event_type"]: (r["n"], r["users"]) for r in roll.read().collect()}
+    exact = {
+        r["event_type"]: (r["n"], r["u"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, (n, users) in got.items():
+        assert n == exact[et][0]
+        assert abs(users - exact[et][1]) <= max(2, 0.05 * exact[et][1])

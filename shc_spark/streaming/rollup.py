@@ -147,3 +147,46 @@ class IncrementalRollup:
         """Final-merge the partials into the current rollup value."""
         partials = self.spark.read.parquet(self.partials_dir)
         return partials.groupBy(*self.group_cols).agg(*self._final_exprs())
+
+    def _merge_partial_exprs(self) -> list:
+        """Partial -> partial merge (keeps the partial representation,
+        unlike _final_exprs which produces user-facing values)."""
+        out = []
+        for name, (fn, _col) in self.aggs.items():
+            if fn in ("count",):
+                out.append(F.sum(f"{name}__cnt").alias(f"{name}__cnt"))
+            elif fn == "sum":
+                out.append(F.sum(f"{name}__sum").alias(f"{name}__sum"))
+            elif fn == "avg":
+                out.append(F.sum(f"{name}__sum").alias(f"{name}__sum"))
+                out.append(F.sum(f"{name}__cnt").alias(f"{name}__cnt"))
+            elif fn == "approx_distinct":
+                out.append(
+                    F.expr(f"hll_union_agg(`{name}__hll`)").alias(f"{name}__hll")
+                )
+            else:
+                out.append(getattr(F, fn)(f"{name}__{fn}").alias(f"{name}__{fn}"))
+        return out
+
+    def compact(self) -> None:
+        """Fold every per-batch partial into ONE base partition
+        (``__batch = -1``) so rollup state stays bounded at |groups|
+        rows however many refreshes have run. Partial-to-partial merge:
+        counts/sums add, mins/maxes fold, HLL sketches union — the
+        estimate is never taken, so a later read() still merges
+        losslessly with post-compaction batches."""
+        import shutil
+        import uuid as _uuid
+
+        partials = self.spark.read.parquet(self.partials_dir)
+        base = (
+            partials.groupBy(*self.group_cols)
+            .agg(*self._merge_partial_exprs())
+            .withColumn("__batch", F.lit(-1))
+        )
+        tmp = f"{self.partials_dir}__compacting_{_uuid.uuid4().hex[:8]}"
+        base.write.mode("overwrite").partitionBy("__batch").parquet(tmp)
+        old = f"{self.partials_dir}__old_{_uuid.uuid4().hex[:8]}"
+        os.rename(self.partials_dir, old)
+        os.rename(tmp, self.partials_dir)
+        shutil.rmtree(old, ignore_errors=True)

@@ -356,3 +356,59 @@ def test_incremental_rollup_approx_distinct(spark, tmp_path):
     for et, (n, users) in got.items():
         assert n == exact[et][0]
         assert abs(users - exact[et][1]) <= max(2, 0.05 * exact[et][1])
+
+
+def test_incremental_rollup_compact_preserves_values(spark, tmp_path):
+    """Partials compaction folds all batch partitions into one without
+    changing read() results, and later refreshes keep merging."""
+    import os
+
+    from shc_spark.sources import write_table
+    from shc_spark.streaming import IncrementalRollup
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "s", "name": "evcmp", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "event_id": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "event_type": {"cf": "cf", "col": "t", "type": "string"},
+                "user_id": {"cf": "cf", "col": "u", "type": "bigint"},
+                "value": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path / "t")
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    thirds = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    write_table(thirds[0], cat, root=root, num_regions=4)
+    roll = IncrementalRollup(
+        spark, cat, root, group_cols=["event_type"],
+        aggs={"n": ("count", None), "total": ("sum", "value"),
+              "users": ("approx_distinct", "user_id"), "mx": ("max", "value")},
+    )
+    roll.refresh()
+    write_table(thirds[1], cat, root=root, mode="append")
+    roll.refresh()
+
+    def snap():
+        return {
+            r["event_type"]: (r["n"], round(r["total"], 4), r["users"], r["mx"])
+            for r in roll.read().collect()
+        }
+
+    before = snap()
+    roll.compact()
+    assert snap() == before
+    batches = {d for d in os.listdir(roll.partials_dir) if d.startswith("__batch=")}
+    assert batches == {"__batch=-1"}
+
+    # post-compaction refresh still folds in
+    write_table(thirds[2], cat, root=root, mode="append")
+    roll.refresh()
+    got = snap()
+    assert all(got[k][0] > before[k][0] for k in before)
+    exact_n = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {k: v[0] for k, v in got.items()} == exact_n

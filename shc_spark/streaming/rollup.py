@@ -39,7 +39,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_FNS = ("count", "sum", "min", "max", "avg", "approx_distinct")
+_FNS = ("count", "sum", "min", "max", "avg", "approx_distinct", "approx_quantile")
 
 
 class IncrementalRollup:
@@ -58,9 +58,12 @@ class IncrementalRollup:
         aggs: dict,
         state_dir: str | None = None,
     ) -> None:
-        for name, (fn, _col) in aggs.items():
+        for name, spec in aggs.items():
+            fn = spec[0]
             if fn not in _FNS:
                 raise ValueError(f"{name}: non-decomposable aggregate {fn!r}")
+            if fn == "approx_quantile" and (len(spec) < 3 or not 0 <= spec[2] <= 1):
+                raise ValueError(f"{name}: approx_quantile needs (fn, col, q in [0,1])")
         self.spark = spark
         self.catalog = catalog
         self.root = root
@@ -78,8 +81,15 @@ class IncrementalRollup:
     # -- partial layer ---------------------------------------------------
     def _partial_exprs(self) -> list:
         out = []
-        for name, (fn, col) in self.aggs.items():
-            if fn == "count":
+        for name, spec in self.aggs.items():
+            fn, col = spec[0], spec[1]
+            if fn == "approx_quantile":
+                out.append(
+                    F.expr(f"kll_sketch_agg_double(CAST(`{col}` AS DOUBLE))").alias(
+                        f"{name}__kll"
+                    )
+                )
+            elif fn == "count":
                 out.append(F.count(F.lit(1)).alias(f"{name}__cnt"))
             elif fn == "approx_distinct":
                 out.append(
@@ -94,8 +104,17 @@ class IncrementalRollup:
 
     def _final_exprs(self) -> list:
         out = []
-        for name, (fn, _col) in self.aggs.items():
-            if fn == "count":
+        for name, spec in self.aggs.items():
+            fn = spec[0]
+            if fn == "approx_quantile":
+                q = spec[2]
+                out.append(
+                    F.expr(
+                        f"kll_sketch_get_quantile_double("
+                        f"kll_merge_agg_double(`{name}__kll`), {q!r})"
+                    ).alias(name)
+                )
+            elif fn == "count":
                 out.append(F.sum(f"{name}__cnt").alias(name))
             elif fn == "approx_distinct":
                 out.append(
@@ -152,8 +171,13 @@ class IncrementalRollup:
         """Partial -> partial merge (keeps the partial representation,
         unlike _final_exprs which produces user-facing values)."""
         out = []
-        for name, (fn, _col) in self.aggs.items():
-            if fn in ("count",):
+        for name, spec in self.aggs.items():
+            fn = spec[0]
+            if fn == "approx_quantile":
+                out.append(
+                    F.expr(f"kll_merge_agg_double(`{name}__kll`)").alias(f"{name}__kll")
+                )
+            elif fn in ("count",):
                 out.append(F.sum(f"{name}__cnt").alias(f"{name}__cnt"))
             elif fn == "sum":
                 out.append(F.sum(f"{name}__sum").alias(f"{name}__sum"))

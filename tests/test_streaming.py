@@ -412,3 +412,41 @@ def test_incremental_rollup_compact_preserves_values(spark, tmp_path):
     assert all(got[k][0] > before[k][0] for k in before)
     exact_n = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert {k: v[0] for k, v in got.items()} == exact_n
+
+
+def test_incremental_rollup_approx_quantile(spark, tmp_path):
+    """Median in the rollup via KLL sketch partials (merged across
+    generations and across a compaction) tracks the exact median."""
+    from shc_spark.sources import write_table
+    from shc_spark.streaming import IncrementalRollup
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "s", "name": "evkll", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "event_id": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "event_type": {"cf": "cf", "col": "t", "type": "string"},
+                "value": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path / "t")
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "event_type", "value")
+    write_table(ev.filter(F.col("event_id") % 2 == 0), cat, root=root, num_regions=4)
+    roll = IncrementalRollup(
+        spark, cat, root, group_cols=["event_type"],
+        aggs={"med": ("approx_quantile", "value", 0.5)},
+    )
+    roll.refresh()
+    roll.compact()
+    write_table(ev.filter(F.col("event_id") % 2 == 1), cat, root=root, mode="append")
+    roll.refresh()
+    got = {r["event_type"]: r["med"] for r in roll.read().collect()}
+    exact = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("m")).collect()
+    }
+    for et, m in got.items():
+        lo, hi = sorted((exact[et] * 0.9, exact[et] * 1.1))
+        assert lo - 0.01 <= m <= hi + 0.01, (et, m, exact[et])

@@ -330,29 +330,32 @@ def hybrid_search_rrf(
     vec_col: str = "embedding",
     k: int = 10,
     rrf_k: int = 60,
+    depth: int = 100,
 ) -> DataFrame:
     """Hybrid retrieval: BM25 (lexical) and cosine (vector) rankings
     fused with Reciprocal Rank Fusion — the standard recipe for
     retrieval over a training corpus where neither signal alone wins.
 
-    rrf(d) = Σ_rankers 1/(rrf_k + rank_r(d)); a doc absent from one
-    ranking simply contributes nothing for it. Ranks run over ROUNDED
-    scores with id tiebreaks so they are reproducible across engines
-    (the same trick the BM25 oracle gate relies on).
+    rrf(d) = Σ_rankers 1/(rrf_k + rank_r(d)) over each ranker's
+    TOP-``depth`` list (the standard fused-retrieval formulation — a
+    doc outside a ranker's top-depth contributes nothing for it).
+    Ranks run over ROUNDED scores with id tiebreaks so they are
+    reproducible across engines (the same trick the BM25 oracle gate
+    relies on).
 
     Scale shape: BM25's shape is bm25_search's (term-filtered explode,
     broadcast stats); the cosine side broadcasts the single query
-    vector. The two global rank windows are the only single-partition
-    steps — they sort |matches| and |corpus| score rows (id + double),
-    not payloads; at billions of rows swap in the distributed top-k
-    (window over banded partials) before fusing. The cosine expression
+    vector. Each ranker's top-depth cut is a DISTRIBUTED TakeOrdered
+    (per-partition heaps, no global sort); only the two depth-sized
+    lists see a single-partition rank window, so nothing about this
+    plan degrades at a billion corpus rows. The cosine expression
     here is the interpreted-HOF form — fine for one query vector; for
     query BATCHES use lsh_topk/ivf_topk's vectorized matmul path."""
     from pyspark.sql import Window as W
 
     from shc_spark.operators.text import bm25_search
 
-    bm = bm25_search(docs, terms, text_col, doc_id_col, k=1 << 30)
+    bm = bm25_search(docs, terms, text_col, doc_id_col, k=depth)
     w_bm = W.orderBy(F.desc("bm25"), F.asc("id"))
     bm_r = bm.select("id", F.row_number().over(w_bm).alias("r_bm"))
 
@@ -371,8 +374,9 @@ def hybrid_search_rrf(
             F.round(dot / F.sqrt(sq(e) * sq(v)), 6).alias("cos"),
         )
     )
+    cos_top = cos.orderBy(F.desc("cos"), F.asc("id")).limit(depth)  # TakeOrdered
     w_cos = W.orderBy(F.desc("cos"), F.asc("id"))
-    cos_r = cos.select("id", F.row_number().over(w_cos).alias("r_cos"))
+    cos_r = cos_top.select("id", F.row_number().over(w_cos).alias("r_cos"))
 
     fused = (
         bm_r.join(cos_r, "id", "full_outer")

@@ -638,7 +638,9 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# hybrid retrieval: BM25 + cosine rankings fused with RRF (k=60).
+# hybrid retrieval: BM25 + cosine top-100 rankings fused with RRF
+# (k=60) — fusion over each ranker's top-depth list, the standard
+# formulation and the distributed-top-k plan shape.
 # Both rankings run over rounded scores with id tiebreaks, so the
 # oracle reproduces them exactly (DuckDB ln == Spark log; DuckDB
 # list_cosine_similarity == the zip_with dot / norm expression at 6dp).
@@ -655,11 +657,13 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm AS (SELECT id, round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
                  * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
            FROM tf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN stats GROUP BY id),
-    bmr AS (SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r_bm FROM bm),
+    bmr AS (SELECT id, r_bm FROM (
+        SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r_bm FROM bm) WHERE r_bm <= 100),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     cs AS (SELECT vec_id AS id, round(list_cosine_similarity(embedding, qv), 6) AS cos
            FROM embeddings CROSS JOIN q),
-    csr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS r_cos FROM cs),
+    csr AS (SELECT id, r_cos FROM (
+        SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS r_cos FROM cs) WHERE r_cos <= 100),
     fused AS (
       SELECT coalesce(b.id, c.id) AS doc_id,
              round(coalesce(1.0 / (60 + r_bm), 0) + coalesce(1.0 / (60 + r_cos), 0), 6) AS rrf

@@ -4,6 +4,7 @@ from shc_spark.sources.api import (
     delete_rows,
     export_snapshot,
     import_snapshot,
+    merge_into,
     read_stream_table,
     read_table,
     register,
@@ -22,6 +23,7 @@ __all__ = [
     "delete_rows",
     "export_snapshot",
     "import_snapshot",
+    "merge_into",
     "read_stream_table",
     "read_table",
     "register",

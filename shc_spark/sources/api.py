@@ -1252,3 +1252,39 @@ def import_snapshot(
             first = "append"
     else:
         write_table(df, catalog, root=root, num_regions=num_regions, mode=mode)
+
+
+def merge_into(
+    spark: SparkSession,
+    catalog: str,
+    updates: DataFrame,
+    root: str = DEFAULT_ROOT,
+    delete_col: str | None = None,
+    timestamp: int | None = None,
+) -> None:
+    """MERGE INTO analog (one call, upserts + deletes): rows where
+    ``delete_col`` is true become tombstones, every other row is an
+    upsert (latest-wins per cell on read — unchanged columns can be
+    passed as NULL, "nulls are not stored"). History stays queryable
+    through version-exploded / time-travel reads until compaction —
+    SCD2-style auditing falls out of the storage model instead of
+    being emulated with anti-join + union.
+
+    Guide provenance: "CDC / SCD2 -> MERGE INTO (needs Delta; in v1
+    emulate with anti-join + union + window)" — here the LSM layout
+    gives the real thing: an upsert is an append generation, a delete
+    is a tombstone, both stamped with the same ``timestamp``."""
+    ts = timestamp if timestamp is not None else int(time.time() * 1000)
+    cat = parse_catalog(catalog)
+    key_names = [k.col_name for k in cat.rowkey_fields()]
+    if delete_col is not None and delete_col in updates.columns:
+        dels = updates.filter(F.col(delete_col)).select(*key_names)
+        ups = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    else:
+        dels, ups = None, updates
+    if not ups.isEmpty():
+        write_table(ups, catalog, root=root, mode="append", timestamp=ts)
+    if dels is not None and not dels.isEmpty():
+        delete_rows(spark, catalog, dels, root=root, timestamp=ts)

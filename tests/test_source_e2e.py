@@ -980,3 +980,45 @@ def test_maxversions_suite_matrix(spark, tmp_path):
     last = read_table(spark, cat, root=root)
     assert last.count() == 3
     assert markers(last) == {"new": 1, "latest": 2}
+
+
+def test_merge_into_upserts_and_deletes(spark, tmp_path):
+    """One merge_into call: updates win per cell, null columns leave
+    older values intact, flagged rows tombstone, history time-travels."""
+    from shc_spark.sources import merge_into
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "m", "name": "t", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "a": {"cf": "cf", "col": "a", "type": "int"},
+                "b": {"cf": "cf", "col": "b", "type": "string"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    base = spark.createDataFrame([(i, i, f"s{i}") for i in range(10)], "k int, a int, b string")
+    write_table(base, cat, root=root, num_regions=4, timestamp=1000)
+
+    updates = spark.createDataFrame(
+        [
+            (1, 111, None, False),   # update a, keep b
+            (2, None, "zz", False),  # update b, keep a
+            (3, None, None, True),   # delete
+            (42, 4242, "new", False),  # insert
+        ],
+        "k int, a int, b string, __del boolean",
+    )
+    merge_into(spark, cat, updates, root=root, delete_col="__del", timestamp=2000)
+
+    t = {r["k"]: (r["a"], r["b"]) for r in read_table(spark, cat, root=root).collect()}
+    assert t[1] == (111, "s1")
+    assert t[2] == (2, "zz")
+    assert 3 not in t
+    assert t[42] == (4242, "new")
+    assert len(t) == 10  # 10 - 1 deleted + 1 inserted
+    # SCD2-ish: pre-merge state is still queryable
+    old = {r["k"]: r["a"] for r in read_table(spark, cat, root=root, timestamp=1000).collect()}
+    assert old[1] == 1 and 3 in old and 42 not in old

@@ -578,3 +578,51 @@ def shc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, cat, root=root).select(
         "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
     )
+
+
+# MERGE INTO: one call applies upserts (null = keep older cell) and
+# tombstone deletes; the read after the merge must equal the oracle's
+# CASE/anti-join reconstruction.
+@register(
+    "shc_merge_into",
+    """
+    WITH merged AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS bal,
+             c_mktsegment
+      FROM customer WHERE c_mktsegment <> 'MACHINERY')
+    SELECT c_custkey, c_mktsegment, round(bal, 2) AS bal FROM merged
+    """,
+)
+def shc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from shc_spark.sources import merge_into, write_table
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "custmrg", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "c_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "c_mktsegment": {"cf": "cf", "col": "s", "type": "string"},
+                "c_acctbal": {"cf": "cf", "col": "b", "type": "double"},
+            },
+        }
+    )
+    root = _root(sf_dir, "custmrg")
+    shutil.rmtree(root, ignore_errors=True)
+    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_table(df, cat, root=root, num_regions=8, mode="overwrite", timestamp=1000)
+    updates = df.select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_mktsegment"),  # null = keep stored
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1000).alias("c_acctbal"),
+        (F.col("c_mktsegment") == "MACHINERY").alias("__del"),
+    ).filter((F.col("c_custkey") % 7 == 0) | F.col("__del"))
+    merge_into(spark, cat, updates, root=root, delete_col="__del", timestamp=2000)
+    return read_table(spark, cat, root=root).select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+    )

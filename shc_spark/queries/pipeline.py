@@ -94,7 +94,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # SimHash hamming<=3 pairs — hash function not SQL-expressible: rows-only.
-@register("dedup_simhash", None)
+@register("dedup_simhash", None, tail=True)  # rows-only (hamming logic unit-tested); minhash/jaccard cover the oracle
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)

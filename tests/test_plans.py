@@ -83,3 +83,19 @@ def test_q11_threshold_is_broadcast_scalar(plans):
     p = plans("q11_important_stock")
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_q08_q17_dims_broadcast(plans):
+    """TPC-H analog plan pins: market-share and small-quantity keep
+    every dimension broadcast — no sort-merge join creeps in."""
+    for q in ("q08_market_share", "q17_small_quantity", "q20_promo_suppliers"):
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, q
+        assert "SortMergeJoin" not in p, q
+
+
+def test_hybrid_rrf_distributed_topk(plans):
+    """Each ranker's cut is a distributed TakeOrdered, not a global
+    sort; the only SMJ is the depth-bounded full-outer fusion."""
+    p = plans("sim_hybrid_rrf")
+    assert p.count("TakeOrderedAndProject") >= 3, p

@@ -174,7 +174,9 @@ class ShcReader(DataSourceReader):
         self.options = options
         cat_json = options.get("catalog")
         if not cat_json:
-            raise ValueError("'catalog' option is required")
+            raise ValueError(
+                f"'catalog' option is required (got options: {sorted(options)})"
+            )
         self.cat = parse_catalog(cat_json)
         root = options.get("root", "/tmp/shc_tables")
         self.path = options.get("path") or table_path(root, self.cat)

@@ -929,24 +929,32 @@ def read_stream_table(
     root: str = DEFAULT_ROOT,
     starting_offsets: str = "earliest",
     keep_internal: bool = False,
+    include_deletes: bool = False,
 ) -> DataFrame:
     """Streaming read over an shc table: every append generation's
     rows arrive as a micro-batch (ShcStreamReader tails the region
     list). Rows are RAW versions — merge-to-latest across an unbounded
     stream is a stateful downstream choice, e.g. applyInPandasWithState
-    keyed on the rowkey columns."""
+    keyed on the rowkey columns. ``include_deletes`` surfaces tombstone
+    rows with a ``__del`` marker (change-data-feed contract)."""
+    from shc_spark.sources.shc_source import DEL_COL
+
     register(spark)
     cat = parse_catalog(catalog)
-    df = (
+    reader = (
         spark.readStream.format("shc")
         .option("catalog", catalog)
         .option("root", root)
         .option("startingOffsets", starting_offsets)
-        .load()
     )
+    if include_deletes:
+        reader = reader.option("includeDeletes", "true")
+    df = reader.load()
     cols = [f.col_name for f in cat.fields.values()]
     if keep_internal:
         cols += [TS_COL]
+    if include_deletes:
+        cols += [DEL_COL]
     for f in cat.fields.values():
         if f.avro_schema is not None:
             df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))

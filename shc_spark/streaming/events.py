@@ -239,7 +239,9 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
-def run_stream_merge_latest(spark: SparkSession, catalog: str, root: str) -> DataFrame:
+def run_stream_merge_latest(
+    spark: SparkSession, catalog: str, root: str, apply_deletes: bool = False
+) -> DataFrame:
     """Streaming merge-to-latest over a tailed shc table: raw version
     rows arrive per generation (read_stream_table) and a stateful
     operator keyed on the rowkey keeps per-CELL latest-non-null values
@@ -247,8 +249,16 @@ def run_stream_merge_latest(spark: SparkSession, catalog: str, root: str) -> Dat
     dual of api.read_table's batch merge. After the stream drains the
     state equals the batch merge exactly (the gate's oracle).
 
-    State per key: (value, ts) per cell + an update counter used to
-    pick each key's newest emission out of the update-mode sink."""
+    ``apply_deletes`` closes the CDC loop: tombstones from the
+    ``include_deletes`` feed mask every cell with ts <= tombstone ts
+    (even cells arriving in LATER batches — the tombstone ts lives in
+    state), newer puts resurrect, and fully-masked keys drop from the
+    final view — the streaming dual of the batch merge's delete
+    semantics.
+
+    State per key: (value, ts) per cell + max tombstone ts + an update
+    counter used to pick each key's newest emission out of the
+    update-mode sink."""
     from shc_spark.catalog import parse_catalog
     from shc_spark.sources import read_stream_table
 
@@ -261,7 +271,7 @@ def run_stream_merge_latest(spark: SparkSession, catalog: str, root: str) -> Dat
     state_ddl = ", ".join(
         [f"{n} {t}" for n, t in zip(vnames, vtypes)]
         + [f"__ts_{n} long" for n in vnames]
-        + ["__upd long"]
+        + ["__tomb long", "__upd long"]
     )
     out_ddl = ", ".join(
         [f"{f.col_name} {f.dt.simpleString()}" for f in cat.rowkey_fields()]
@@ -274,12 +284,20 @@ def run_stream_merge_latest(spark: SparkSession, catalog: str, root: str) -> Dat
         if state.exists:
             st = list(state.get)
         else:
-            st = [None] * nv + [-1] * nv + [0]
+            st = [None] * nv + [-1] * nv + [-1, 0]
+        TOMB, UPD = 2 * nv, 2 * nv + 1
         for pdf in pdfs:
             pdf = pdf.sort_values("__ts", kind="stable")
+            if apply_deletes and "__del" in pdf.columns:
+                dmask = pdf["__del"].fillna(0).astype(int) == 1
+                if dmask.any():
+                    st[TOMB] = max(st[TOMB], int(pdf["__ts"][dmask].max()))
+                pdf = pdf[~dmask]
             for j, n in enumerate(vnames):
                 col = pdf[n]
                 mask = col.notna()
+                if apply_deletes:
+                    mask = mask & (pdf["__ts"] > st[TOMB])
                 if mask.any():
                     # the LAST non-null in ts order is the only batch
                     # candidate that can win against the state
@@ -288,13 +306,22 @@ def run_stream_merge_latest(spark: SparkSession, catalog: str, root: str) -> Dat
                     if ts >= st[nv + j]:
                         st[j] = col.iloc[pos]
                         st[nv + j] = ts
-        st[2 * nv] += 1
+        if apply_deletes:
+            # a tombstone (this batch or earlier) masks state cells at
+            # or below its ts
+            for j in range(nv):
+                if st[nv + j] != -1 and st[nv + j] <= st[TOMB]:
+                    st[j] = None
+                    st[nv + j] = -1
+        st[UPD] += 1
         state.update(tuple(st))
         yield pd.DataFrame(
-            [dict(zip(key_names, key)) | dict(zip(vnames, st[:nv])) | {"__upd": st[2 * nv]}]
+            [dict(zip(key_names, key)) | dict(zip(vnames, st[:nv])) | {"__upd": st[UPD]}]
         )
 
-    stream = read_stream_table(spark, catalog, root=root, keep_internal=True)
+    stream = read_stream_table(
+        spark, catalog, root=root, keep_internal=True, include_deletes=apply_deletes
+    )
     result = stream.groupBy(*key_names).applyInPandasWithState(
         update,
         outputStructType=out_ddl,
@@ -306,10 +333,20 @@ def run_stream_merge_latest(spark: SparkSession, catalog: str, root: str) -> Dat
     from pyspark.sql import Window as W
 
     w = W.partitionBy(*key_names).orderBy(F.desc("__upd"))
-    return (
+    final = (
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(*key_names, *vnames)
+    )
+    if apply_deletes:
+        # a fully-masked key's last emission is all-null: not a row
+        from functools import reduce
+
+        final = final.filter(
+            reduce(lambda a, b: a | b, [F.col(n).isNotNull() for n in vnames])
+        )
+    return (
+        final
     )
 
 

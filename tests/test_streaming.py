@@ -450,3 +450,38 @@ def test_incremental_rollup_approx_quantile(spark, tmp_path):
     for et, m in got.items():
         lo, hi = sorted((exact[et] * 0.9, exact[et] * 1.1))
         assert lo - 0.01 <= m <= hi + 0.01, (et, m, exact[et])
+
+
+def test_stream_merge_latest_applies_deletes(spark, tmp_path):
+    """CDC loop end-to-end: puts, deletes, and a resurrecting re-put
+    tail through the streaming source; the stateful merge with
+    apply_deletes converges to the batch merged view. A put OLDER than
+    an already-seen tombstone (late arrival) must stay masked."""
+    from shc_spark.sources import delete_rows, read_table, write_table
+    from shc_spark.streaming.events import run_stream_merge_latest
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "s", "name": "cdcm", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "v": {"cf": "cf", "col": "v", "type": "int"},
+            },
+        }
+    )
+    root = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v int")
+    write_table(mk([(i, i) for i in range(10)]), cat, root=root, num_regions=4, timestamp=1000)
+    delete_rows(spark, cat, [2, 5, 7], root=root, timestamp=3000)
+    # resurrect 5 with a NEWER put; late-arriving OLDER put for 7 stays dead
+    write_table(mk([(5, 555)]), cat, root=root, mode="append", timestamp=4000)
+    write_table(mk([(7, 777)]), cat, root=root, mode="append", timestamp=2000)
+
+    got = {
+        r["k"]: r["v"]
+        for r in run_stream_merge_latest(spark, cat, root, apply_deletes=True).collect()
+    }
+    want = {r["k"]: r["v"] for r in read_table(spark, cat, root=root).collect()}
+    assert got == want
+    assert 2 not in got and 7 not in got and got[5] == 555

@@ -23,7 +23,9 @@ Divergences from the reference, on purpose (SURVEY.md §4.3):
 
 from __future__ import annotations
 
+import os
 import time
+import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -481,6 +483,28 @@ def read_table(
         and not _merge_is_noop(table_dir)
     )
 
+    # Tombstone masking for the Spark-side groupBy merge fallback
+    # (complex-typed columns, merge_dynamic_maps): the in-source LSM
+    # merge applies delete masking itself (shc_source._read_merge), but
+    # the fallback runs above a RAW scan that hides tombstone ROWS
+    # while leaving the older versions they mask live — without this a
+    # deleted row RESURRECTS on the default merged view. Same manifest
+    # gate and masking rule as _read_cross_catalog; explicit
+    # time-travel / version reads still see pre-delete history
+    # (KEEP_DELETED_CELLS=true semantics).
+    _mask_dels = False
+    if (
+        merge_to_latest
+        and not in_source_merge
+        and all(o is None for o in (timestamp, min_stamp, max_stamp, max_versions))
+    ):
+        from shc_spark.sources.shc_source import _load_regions as _lr
+
+        try:
+            _mask_dels = any(r.get("tombstones") for r in _lr(table_dir))
+        except FileNotFoundError:
+            _mask_dels = False
+
     reader = (
         spark.read.format("shc")
         .option("catalog", catalog)
@@ -489,9 +513,28 @@ def read_table(
     if in_source_merge:
         reader = reader.option("merge", "latest")
         merge_to_latest = False  # the source already merged
+    if _mask_dels:
+        reader = reader.option("includeDeletes", "true")
     for k, v in (reader_options or {}).items():
         reader = reader.option(k, v)
     df = reader.load()
+    if _mask_dels:
+        from pyspark.sql import Window as _W
+
+        from shc_spark.sources.shc_source import DEL_COL as _DC
+
+        _kn = [f.col_name for f in cat.rowkey_fields()]
+        _tomb = F.max(F.when(F.col(_DC) == 1, F.col(TS_COL))).over(
+            _W.partitionBy(*_kn)
+        )
+        df = (
+            df.withColumn("__tomb", _tomb)
+            .filter(
+                (F.col(_DC).isNull() | (F.col(_DC) != 1))
+                & (F.col("__tomb").isNull() | (F.col(TS_COL) > F.col("__tomb")))
+            )
+            .drop(_DC, "__tomb")
+        )
     # S15 time semantics (handleTimeSemantics, HBaseTableScan.scala:496-516)
     if timestamp is not None:
         df = df.filter(F.col(TS_COL) == timestamp)
@@ -720,8 +763,14 @@ def _read_cross_catalog(
         _has_tombs = any(r.get("tombstones") for r in _load_regions(table_dir))
     except FileNotFoundError:
         _has_tombs = False
-    _mask_dels = _has_tombs and all(
-        o is None for o in (timestamp, min_stamp, max_stamp, max_versions)
+    # Masking applies to MERGED views only (one visibility contract
+    # with the same-catalog path): merge_to_latest=False is a raw
+    # history read and shows pre-delete versions with tombstone rows
+    # hidden, exactly like the same-catalog raw scan.
+    _mask_dels = (
+        _has_tombs
+        and merge_to_latest
+        and all(o is None for o in (timestamp, min_stamp, max_stamp, max_versions))
     )
 
     reader = (
@@ -1000,7 +1049,10 @@ def write_stream_table(
     cat = parse_catalog(catalog)
     register(spark)
     encode, key_names = _rowkey_encoder(cat)
-    out = stream_df.select([f.col_name for f in cat.fields.values()])
+    keep = [f.col_name for f in cat.fields.values()]
+    if ts_col is not None and ts_col not in keep:
+        keep = keep + [ts_col]  # version stamp may be a non-catalog column
+    out = stream_df.select(keep)
     for f in cat.fields.values():
         if f.avro_schema is not None:
             out = out.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
@@ -1015,14 +1067,25 @@ def write_stream_table(
     else:
         ts_expr = F.lit(int(time.time() * 1000))
     out = out.withColumn(TS_COL, ts_expr.cast("long"))
+    if ts_col is not None and ts_col not in {f.col_name for f in cat.fields.values()}:
+        out = out.drop(ts_col)  # consumed into __ts, not a stored cell
     writer = (
         out.writeStream.format("shc")
         .option("catalog", catalog)
         .option("root", root)
         .outputMode("append")
     )
+    # Manifest-commit idempotence is scoped to (txnid, batchId) — see
+    # ShcStreamWriter. A named checkpoint resumes its txn (restart
+    # replaces its own batches); no checkpoint means a TEMP checkpoint
+    # whose batchIds restart at 0 every run, so each run gets a fresh
+    # txn and can never clobber a previous run's committed batches.
     if checkpoint:
+        txnid = os.path.abspath(checkpoint)
         writer = writer.option("checkpointLocation", checkpoint)
+    else:
+        txnid = uuid.uuid4().hex
+    writer = writer.option("txnid", txnid)
     return writer.start()
 
 
@@ -1194,7 +1257,13 @@ def vacuum_table(
 
     cat = parse_catalog(catalog)
     path = table_path(root, cat)
-    live = {os.path.realpath(r["path"]) for r in _load_regions(path)}
+    # A table dir with staged files but no committed manifest yet is a
+    # legitimate in-flight first write: treat the live set as empty and
+    # let the grace period protect the staged files.
+    try:
+        live = {os.path.realpath(r["path"]) for r in _load_regions(path)}
+    except FileNotFoundError:
+        live = set()
     cutoff = _time.time() - grace_seconds
     deleted = []
     for entry in sorted(os.listdir(path)):
@@ -1209,7 +1278,11 @@ def vacuum_table(
                 continue
             os.remove(fp)
             deleted.append(fp)
-        if not os.listdir(gen_dir):
+        # The grace period applies to the DIRECTORY too: a just-created
+        # staging dir of an in-flight write/stream task may not have
+        # its first region file yet — rmdir'ing it would fail that
+        # task's ParquetWriter open.
+        if not os.listdir(gen_dir) and os.path.getmtime(gen_dir) <= cutoff:
             os.rmdir(gen_dir)
     return deleted
 

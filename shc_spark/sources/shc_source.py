@@ -35,6 +35,7 @@ through them down to this scan.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -697,6 +698,23 @@ class ShcStreamWriter(DataSourceStreamArrowWriter):
         root = options.get("root", "/tmp/shc_tables")
         self.path = options.get("path") or table_path(root, self.cat)
         self.overwrite = overwrite
+        # Idempotence scope (Delta keys txn on (txnAppId, txnVersion),
+        # not version alone): batchId restarts at 0 for every fresh
+        # checkpoint, so replacing manifest entries on batchId alone
+        # would let a NEW query silently delete a previous query's
+        # committed batch-0 data. Scope replacement to (txn, batchId):
+        # explicit `txnid` option (write_stream_table derives one from
+        # the checkpoint path), else the checkpoint location if Spark
+        # forwards it, else a per-writer-instance id — a restarted
+        # micro-batch within one run still replaces its own output,
+        # and distinct queries never touch each other's entries.
+        txn = options.get("txnid") or options.get(
+            "checkpointlocation", options.get("checkpointLocation")
+        )
+        if txn:
+            self.txn = hashlib.sha1(str(txn).encode()).hexdigest()[:16]
+        else:
+            self.txn = uuid.uuid4().hex[:16]
 
     def write(self, iterator):
         batches = list(iterator)
@@ -721,13 +739,19 @@ class ShcStreamWriter(DataSourceStreamArrowWriter):
         os.makedirs(self.path, exist_ok=True)
         meta = os.path.join(self.path, "_regions.json")
         regions = _load_regions(self.path) if os.path.exists(meta) else []
-        stale = [r for r in regions if r.get("batch") == batchId]
-        for r in stale:
-            if os.path.exists(r["path"]):
+
+        def _stale(r):
+            # only entries of THIS query's txn are replaceable; legacy
+            # entries (no txn tag) or another query's batches stay
+            return r.get("batch") == batchId and r.get("txn") == self.txn
+
+        for r in regions:
+            if _stale(r) and os.path.exists(r["path"]):
                 os.remove(r["path"])
-        regions = [r for r in regions if r.get("batch") != batchId]
+        regions = [r for r in regions if not _stale(r)]
         for info in sorted(self._new_infos(messages), key=lambda x: x["start"] or ""):
             info["batch"] = batchId
+            info["txn"] = self.txn
             regions.append(info)
         for i, r in enumerate(regions):
             r["id"] = i

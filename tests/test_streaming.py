@@ -175,7 +175,13 @@ def test_stream_sink_datasource_roundtrip(spark, tmp_path):
     some_batch = sorted(batches)[0]
     n_in_batch = sum(1 for r in regions_before if r["batch"] == some_batch)
 
-    w = ShcStreamWriter(None, {"catalog": cat, "root": root}, overwrite=False)
+    # same txn as the original query (write_stream_table derives it
+    # from the checkpoint path) — replacement is scoped to (txn, batch)
+    w = ShcStreamWriter(
+        None,
+        {"catalog": cat, "root": root, "txnid": os.path.abspath(str(tmp_path / "ckpt"))},
+        overwrite=False,
+    )
     # stage a replacement file by copying an existing region of that batch
     import shutil
 
@@ -192,6 +198,47 @@ def test_stream_sink_datasource_roundtrip(spark, tmp_path):
     assert len(regions_after) == len(regions_before) - n_in_batch + 1
     # fresh reader (the old DataFrame's plan pinned the old partitions)
     assert read_table(spark, cat, root=root).count() == n_expected
+
+
+def test_stream_sink_fresh_query_never_clobbers(spark, tmp_path):
+    """A NEW streaming query into the same table (fresh/temp checkpoint
+    ⇒ batchIds restart at 0) must NOT replace the previous query's
+    committed batch-0 entries — idempotence is scoped (txn, batchId),
+    Delta's (txnAppId, txnVersion) pattern (round-3 ADVICE medium:
+    before the fix, run 2's batch 0 silently deleted run 1's files)."""
+    from shc_spark.sources import write_stream_table
+    from shc_spark.sources.shc_source import _load_regions, table_path
+    from shc_spark.catalog import parse_catalog
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "s", "name": "evtxn", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "event_id": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "value": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path / "tables")
+    n = spark.read.parquet(f"{SF}/events.parquet").count()
+
+    for i, ts in ((1, 1000), (2, 2000)):
+        ev = stream_events(spark, SF).select("event_id", "value", F.lit(ts).alias("et"))
+        # fresh checkpoint per run → each run restarts at batch 0
+        q = write_stream_table(
+            ev, cat, root=root, checkpoint=str(tmp_path / f"ckpt{i}"), ts_col="et"
+        )
+        q.processAllAvailable()
+        q.stop()
+        raw = read_table(spark, cat, root=root, merge_to_latest=False)
+        assert raw.count() == i * n, f"run {i}: committed rows lost or duplicated"
+
+    path = table_path(root, parse_catalog(cat))
+    regions = _load_regions(path)
+    assert len({r.get("txn") for r in regions}) == 2  # two distinct queries
+    # merged view still resolves to one latest version per key
+    assert read_table(spark, cat, root=root).count() == n
 
 
 def test_incremental_rollup_refresh_reads_only_new_generations(spark, tmp_path):

@@ -632,3 +632,49 @@ def shc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, cat, root=root).select(
         "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
     )
+
+
+# Phoenix-coded composite rowkey through the full write -> scan ->
+# pushdown pipeline (reference PhoenixCompositeKeySuite.scala:79-176:
+# composite keys with Phoenix PDataType encodings + filter battery).
+# Key = (var-length string, sign-flipped bigint): the string dim is
+# NUL-terminated inside the key (Phoenix RowKeySchema), the int dim
+# exercises the sign-bit flip, and the filters hit both dims plus a
+# value column so range translation and Spark re-filtering both run.
+@register(
+    "shc_phoenix_composite",
+    """
+    SELECT c_mktsegment, c_custkey, c_name, round(c_acctbal, 2) AS bal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_custkey BETWEEN 100 AND 1200
+      AND c_acctbal > 0
+    """,
+)
+def shc_phoenix_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "cust_phx", "tableCoder": "PhoenixType", "version": "2.0"},
+            "rowkey": "key1:key2",
+            "columns": {
+                "c_mktsegment": {"cf": "rowkey", "col": "key1", "type": "string"},
+                "c_custkey": {"cf": "rowkey", "col": "key2", "type": "bigint"},
+                "c_name": {"cf": "cf", "col": "nm", "type": "string"},
+                "c_acctbal": {"cf": "cf", "col": "bal", "type": "double"},
+            },
+        }
+    )
+    root = _root(sf_dir, "custphx")
+    if not os.path.exists(os.path.join(root, "q.cust_phx", "_regions.json")):
+        df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+            "c_mktsegment", "c_custkey", "c_name", "c_acctbal"
+        )
+        write_table(df, cat, root=root, num_regions=6, mode="overwrite", timestamp=1000)
+    t = read_table(spark, cat, root=root)
+    return t.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        & F.col("c_custkey").between(100, 1200)
+        & (F.col("c_acctbal") > 0)
+    ).select(
+        "c_mktsegment", "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal")
+    )

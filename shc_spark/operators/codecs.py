@@ -322,10 +322,35 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
     return out, fps
 
 
+def _pil_image():
+    """Runtime feature probe: PIL is not baked into every container;
+    when present, JPEG decode lights up with no code change."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG -> (H, W, 3) uint8 via PIL when available (entropy-coded
+    DCT needs a real codec library — not reimplementable in stdlib at
+    useful speed). Without PIL this raises NotImplementedError; the
+    contract test parameterizes over availability so a codec drop-in
+    is pre-verified."""
+    Image = _pil_image()
+    if Image is None:
+        raise NotImplementedError("JPEG decode requires a codec library (PIL/opencv)")
+    import io
+
+    with Image.open(io.BytesIO(data)) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
 def decode_image(data: bytes, mime: str | None = None) -> np.ndarray:
-    """Magic-byte dispatch -> (H, W, C) uint8. JPEG raises
-    NotImplementedError (entropy-coded DCT needs a codec library) —
-    the drop-in slot for PIL/opencv when available."""
+    """Magic-byte dispatch -> (H, W, C) uint8. JPEG decodes when a
+    codec library (PIL) is importable, else NotImplementedError."""
     if data.startswith(_PNG_MAGIC):
         return decode_png(data)
     if data.startswith(b"P6"):
@@ -333,5 +358,5 @@ def decode_image(data: bytes, mime: str | None = None) -> np.ndarray:
     if data.startswith(b"BM"):
         return decode_bmp(data)
     if data.startswith(b"\xff\xd8"):
-        raise NotImplementedError("JPEG decode requires a codec library (PIL/opencv)")
+        return decode_jpeg(data)
     raise ValueError(f"unrecognized image payload (mime={mime!r})")

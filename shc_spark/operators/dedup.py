@@ -573,7 +573,8 @@ def near_dedup(
 
 
 def embedding_near_dups(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Cosine >= threshold pairs (id_a < id_b, cosine rounded 4dp).
 
@@ -585,11 +586,25 @@ def embedding_near_dups(
     through an interpreted aggregate() dot, the slowest shape
     possible). Batch selection keeps a small superset below the
     threshold; the exact cut happens on the F.round'ed value in
-    Spark."""
+    Spark.
+
+    The corpus is collected to the driver to build the broadcast, so
+    the operator REFUSES corpora above ``max_rows`` instead of OOMing
+    the driver at scale — use minhash_lsh_pairs / simhash_pairs /
+    similarity.lsh_topk for anything bigger (they bucket instead of
+    comparing all pairs)."""
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"
-    rows = df.select(id_col, vec_col).collect()
+    # limit(n+1) proves overflow without materializing the overflow
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"embedding_near_dups is the exact O(n^2) baseline and collects "
+            f"the corpus to the driver; got > {max_rows} rows. Use "
+            f"minhash_lsh_pairs / similarity.lsh_topk at scale, or raise "
+            f"max_rows explicitly."
+        )
     if not rows:
         return spark.createDataFrame([], schema)
     ids = np.array([r[0] for r in rows])

@@ -351,13 +351,26 @@ def hybrid_search_rrf(
     plan degrades at a billion corpus rows. The cosine expression
     here is the interpreted-HOF form — fine for one query vector; for
     query BATCHES use lsh_topk/ivf_topk's vectorized matmul path."""
-    from pyspark.sql import Window as W
-
     from shc_spark.operators.text import bm25_search
 
+    def _rank_local(top, sort_cols, name):
+        # each ranker's list is depth-bounded (≤ `depth` rows): rank by
+        # sorting the single coalesced partition and numbering rows in
+        # order — identical to row_number over a global window but with
+        # no WindowExec (and no "No Partition Defined" warning);
+        # monotonically_increasing_id is consecutive from 0 within one
+        # partition, and the projection runs after the sort
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(*sort_cols)
+            .select(
+                "id",
+                (F.monotonically_increasing_id() + 1).cast("int").alias(name),
+            )
+        )
+
     bm = bm25_search(docs, terms, text_col, doc_id_col, k=depth)
-    w_bm = W.orderBy(F.desc("bm25"), F.asc("id"))
-    bm_r = bm.select("id", F.row_number().over(w_bm).alias("r_bm"))
+    bm_r = _rank_local(bm, [F.desc("bm25"), F.asc("id")], "r_bm")
 
     q = emb.filter(F.col(vec_id_col) == query_vec_id).select(
         F.col(vec_col).alias("qv")
@@ -375,8 +388,7 @@ def hybrid_search_rrf(
         )
     )
     cos_top = cos.orderBy(F.desc("cos"), F.asc("id")).limit(depth)  # TakeOrdered
-    w_cos = W.orderBy(F.desc("cos"), F.asc("id"))
-    cos_r = cos_top.select("id", F.row_number().over(w_cos).alias("r_cos"))
+    cos_r = _rank_local(cos_top, [F.desc("cos"), F.asc("id")], "r_cos")
 
     fused = (
         bm_r.join(cos_r, "id", "full_outer")

@@ -92,6 +92,11 @@ class SecondaryIndex:
         self._ckpt = os.path.join(
             root, f"{base.namespace}.{base.name}__ix_{tag}__checkpoint"
         )
+        # Driver-side key materialization cap for _fetch: at most this
+        # many base keys are ever collected to drive bulk_get; a wider
+        # match set switches to a distributed semi-join instead (the
+        # driver never holds an unbounded key list).
+        self.max_fetch_keys = 10_000
 
     # -- maintenance -----------------------------------------------------
     def build(self, num_regions: int = 8) -> None:
@@ -135,13 +140,25 @@ class SecondaryIndex:
 
     # -- query -----------------------------------------------------------
     def _fetch(self, idx: DataFrame) -> DataFrame:
-        from shc_spark.sources import bulk_get
+        from shc_spark.sources import bulk_get, read_table
 
         first = self.key_names[0]
-        keys = [r[0] for r in idx.select(first).distinct().collect()]
+        keys_df = idx.select(first).distinct()
+        # Selective lookups (the multi-Get pattern): materialize the
+        # key set and drive bulk_get with row-group skipping. The
+        # collect is CAPPED — limit(n+1) proves whether the set fits
+        # without ever pulling more than n+1 keys to the driver.
+        keys = [r[0] for r in keys_df.limit(self.max_fetch_keys + 1).collect()]
         if not keys:
             sch = parse_catalog(self.base_catalog).spark_schema()
             return self.spark.createDataFrame([], sch)
+        if len(keys) > self.max_fetch_keys:
+            # Wide range: distributed left-semi join of the base scan
+            # against the index keys — AQE broadcasts when the key set
+            # is small enough, shuffles otherwise. No driver-side
+            # materialization at any width.
+            base = read_table(self.spark, self.base_catalog, root=self.root)
+            return base.join(keys_df, on=first, how="leftsemi")
         return bulk_get(self.spark, self.base_catalog, keys, root=self.root)
 
     def lookup(self, value, *more) -> DataFrame:

@@ -80,8 +80,29 @@ def test_png_all_filter_types():
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError):
         codecs.decode_png(b"nope")
-    with pytest.raises(NotImplementedError):
-        codecs.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_jpeg_contract_parameterized_over_pil():
+    """JPEG decode is a runtime feature probe: with PIL present the
+    contract vectors run for real; without it the documented
+    NotImplementedError fires (no xfail either way)."""
+    Image = codecs._pil_image()
+    if Image is None:
+        with pytest.raises(NotImplementedError):
+            codecs.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+        return
+    import io
+
+    rng = np.random.RandomState(7)
+    # flat-color blocks survive lossy JPEG near-exactly
+    img = np.repeat(
+        np.repeat(rng.randint(0, 256, (2, 3, 3), dtype=np.uint8), 16, axis=0), 16, axis=1
+    )
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    got = codecs.decode_image(buf.getvalue())
+    assert got.shape == img.shape and got.dtype == np.uint8
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 8
 
 
 def test_ppm_roundtrip_and_comment():

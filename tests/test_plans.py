@@ -96,6 +96,34 @@ def test_q08_q17_dims_broadcast(plans):
 
 def test_hybrid_rrf_distributed_topk(plans):
     """Each ranker's cut is a distributed TakeOrdered, not a global
-    sort; the only SMJ is the depth-bounded full-outer fusion."""
+    sort; the only SMJ is the depth-bounded full-outer fusion. Ranks
+    come from local numbering of the depth-bounded lists, so the plan
+    carries NO single-partition Window (the round-2 bench-log
+    'WindowExec: No Partition Defined' warnings are gone by shape)."""
     p = plans("sim_hybrid_rrf")
     assert p.count("TakeOrderedAndProject") >= 3, p
+    assert "Window" not in p, p
+
+
+def test_version_merge_is_shuffle_free_lsm(spark):
+    """Reading an APPENDED table merged-to-latest must stay inside the
+    source (boundary-cut LSM merge-read): the executed plan has NO
+    Exchange and NO HashAggregate — a regression to the Spark-side
+    groupBy fallback fails here loudly (round-3 VERDICT #7)."""
+    from shc_spark.queries.connector import CAT_CUSTOMER, _root, shc_version_merge
+
+    # materializes two overlapping generations then reads merged
+    df = shc_version_merge(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "HashAggregate" not in p, p
+
+    # the underlying read really is multi-generation (else the pin
+    # proves nothing): check the manifest
+    import json as _json
+    import os
+
+    with open(os.path.join(_root(SF, "custv"), "q.customer", "_regions.json")) as fh:
+        regions = _json.load(fh)
+    gens = {os.path.dirname(r["path"]) for r in regions}
+    assert len(gens) >= 2, gens

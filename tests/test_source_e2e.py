@@ -663,6 +663,82 @@ def test_secondary_index_lookup_refresh_and_staleness(spark, tmp_path):
     }
 
 
+def test_secondary_index_wide_range_never_collects_keys(spark, tmp_path, monkeypatch):
+    """A wide lookup_range must NOT materialize the matching key set on
+    the driver: above max_fetch_keys the fetch switches to a
+    distributed semi-join and bulk_get is never called (round-3
+    VERDICT #4 — the collect is capped at max_fetch_keys + 1)."""
+    from shc_spark import sources as S
+    from shc_spark.sources import SecondaryIndex
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "x", "name": "custw", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "c_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "c_mktsegment": {"cf": "cf", "col": "s", "type": "string"},
+                "c_acctbal": {"cf": "cf", "col": "b", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_table(df, cat, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+    ix = SecondaryIndex(spark, cat, "c_acctbal", root=root)
+    ix.build()
+    ix.max_fetch_keys = 5  # force the wide path for any real range
+
+    def boom(*a, **kw):
+        raise AssertionError("bulk_get must not run for a wide range")
+
+    monkeypatch.setattr(S, "bulk_get", boom)
+    wide = ix.lookup_range(0.0, None)  # matches most of the table
+    expect = df.filter(F.col("c_acctbal") >= 0.0)
+    assert wide.count() == expect.count()
+    assert sorted(r["c_custkey"] for r in wide.collect()) == sorted(
+        r["c_custkey"] for r in expect.collect()
+    )
+
+    # selective lookups still take the bulk_get fast path
+    monkeypatch.undo()
+    ix2 = SecondaryIndex(spark, cat, "c_acctbal", root=root)
+    calls = []
+    real = S.bulk_get
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(S, "bulk_get", spy)
+    bal0 = df.orderBy("c_custkey").limit(1).collect()[0]["c_acctbal"]
+    few = ix2.lookup_range(bal0, bal0 + 0.005)
+    n_few = df.filter(
+        (F.col("c_acctbal") >= bal0) & (F.col("c_acctbal") < bal0 + 0.005)
+    ).count()
+    assert 1 <= n_few <= 5 and few.count() == n_few
+    assert calls, "selective range should use bulk_get"
+
+
+def test_embedding_near_dups_refuses_oversized_corpus(spark):
+    """The exact O(n^2) baseline collects the corpus to the driver —
+    it must refuse above max_rows instead of OOMing at scale."""
+    import pytest
+
+    from shc_spark.operators.dedup import embedding_near_dups
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="O\\(n\\^2\\) baseline"):
+        embedding_near_dups(df, "embedding", "vec_id", 0.9, max_rows=100)
+    # under the cap it still works
+    small = df.limit(50)
+    out = embedding_near_dups(small, "embedding", "vec_id", 0.5, max_rows=100)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() >= 0
+
+
 def test_delete_tombstones_and_compaction_purge(spark, tmp_path):
     """HBase Delete lifecycle: tombstone masks older versions on merge
     reads, a newer put resurrects, compaction purges physically."""

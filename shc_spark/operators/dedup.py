@@ -14,9 +14,12 @@
 - simhash64 + simhash_near_dups: 64-bit SimHash, hamming<=3 via the
   4-block pigeonhole trick (any pair at distance<=3 agrees on >=1 of 4
   16-bit blocks -> equi-join per block, no quadratic scan).
-- embedding_near_dups: cosine>=t pairs via block-nested joins on
-  normalized vectors (brute force) — the LSH path lives in
-  similarity.py.
+- embedding_near_dups: cosine>=t pairs, driver-broadcast baseline
+  (capped at max_rows; refuses bigger corpora).
+- embedding_near_dups_blocked: the SAME exact output with no driver
+  materialization — block-pair decomposition via applyInPandas, the
+  scale path for exact pairs. The approximate path lives in
+  similarity.py (lsh_topk/ivf_topk).
 """
 
 from __future__ import annotations
@@ -639,6 +642,89 @@ def embedding_near_dups(
         .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
         .mapInPandas(gen, schema)
     )
+    return out.withColumn("cosine", F.round("cosine", 4)).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def embedding_near_dups_blocked(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """EXACT cosine >= threshold pairs with NO driver-side corpus
+    materialization — the scale-correct exact path
+    (``embedding_near_dups`` is the driver-broadcast baseline, capped
+    at max_rows; ``similarity.lsh_topk`` is the approximate path).
+
+    Block-pair decomposition: ids hash into ``num_blocks`` blocks;
+    every unordered block pair (i <= j) is one group holding the union
+    of the two blocks, and each group emits its cross-block (or
+    same-block upper-triangle) pairs from one numpy matmul inside
+    applyInPandas. Enumerating all block pairs makes the output
+    exact — identical to the all-pairs oracle.
+
+    Scale shape: one shuffle; each vector replicates ``num_blocks``
+    times (the classic all-pairs triangle join), per-group memory is
+    ~2n/num_blocks vectors, so num_blocks tunes executor footprint at
+    any corpus size. The quadratic COMPUTE is inherent to exact pair
+    output; what this removes vs the baseline is the quadratic/driver
+    MEMORY. Numeric semantics match embedding_near_dups: float64
+    matmul, superset cut at threshold-1e-4, exact cut on the
+    F.round'ed value."""
+    B = int(num_blocks)
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
+    # groups containing block b: pid(min(b,c), max(b,c)) for every c
+    pids = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(B - 1)),
+            lambda c: F.least(F.col("__b"), c) * B + F.greatest(F.col("__b"), c),
+        )
+    )
+    ex = (
+        df.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), b.alias("__b")
+        )
+        .withColumn("__pid", F.explode(pids))
+    )
+
+    def block_pairs(key, pdf):
+        pid = int(key[0])
+        i, j = divmod(pid, B)
+        if not len(pdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+        def prep(part):
+            ids = part["__id"].to_numpy()
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in part["__vec"]])
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            return ids, M / nrm
+
+        left = pdf[pdf["__b"] == i]
+        right = pdf[pdf["__b"] == j] if i != j else left
+        if not len(left) or not len(right):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        li, L = prep(left)
+        rj, R = prep(right)
+        S = L @ R.T
+        if i == j:
+            # diagonal group: upper triangle by id dedups mirror pairs
+            mask = (S >= threshold - 1e-4) & (li[:, None] < rj[None, :])
+            ii, jj = np.nonzero(mask)
+            a, bb = li[ii], rj[jj]
+        else:
+            # cross-block: each pair occurs exactly once in this group
+            # (blocks partition the ids) — orient output by id order
+            ii, jj = np.nonzero(S >= threshold - 1e-4)
+            a = np.minimum(li[ii], rj[jj])
+            bb = np.maximum(li[ii], rj[jj])
+        return pd.DataFrame({"id_a": a, "id_b": bb, "cosine": S[ii, jj]})
+
+    out = ex.groupBy("__pid").applyInPandas(block_pairs, schema)
     return out.withColumn("cosine", F.round("cosine", 4)).filter(
         F.col("cosine") >= threshold
     )

@@ -122,6 +122,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dups(emb, "embedding", "vec_id", threshold=0.45)
 
 
+# same oracle, ZERO driver-side materialization: the block-pair exact
+# path is what replaces the capped baseline at scale (one shuffle,
+# per-group memory ~2n/num_blocks vectors)
+@register(
+    "dedup_embedding_blocked",
+    """
+    WITH n AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    nn AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45
+    """,
+    tail=True,
+)
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups_blocked(
+        emb, "embedding", "vec_id", threshold=0.45, num_blocks=8
+    )
+
+
 # -- similarity search ------------------------------------------------------
 
 

@@ -264,3 +264,29 @@ def test_stratified_sample_matches_per_stratum_filters(spark):
     en = got.filter(F.col("lang") == "en").count()
     fr = got.filter(F.col("lang") == "fr").count()
     assert en > fr
+
+
+def test_embedding_blocked_equals_baseline(spark):
+    """The block-pair exact path must emit EXACTLY the baseline's
+    pairs (same ids, same rounded cosines) for any num_blocks,
+    including B > distinct blocks occupied and B = 1 (degenerate
+    single group)."""
+    from shc_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_blocked,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def canon(df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()
+        )
+
+    base = canon(embedding_near_dups(emb, "embedding", "vec_id", 0.45))
+    assert base  # non-degenerate fixture
+    for B in (1, 3, 8, 17):
+        got = canon(
+            embedding_near_dups_blocked(emb, "embedding", "vec_id", 0.45, num_blocks=B)
+        )
+        assert got == base, f"num_blocks={B}"

@@ -318,6 +318,83 @@ def decontaminate(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Overlapping character-window chunks: chunk i covers characters
+    [i*stride, i*stride + chunk_size) with stride = chunk_size -
+    overlap; every document emits >= 1 chunk and the windows jointly
+    cover the whole text. The context-window splitter every
+    training/RAG pipeline needs in front of a tokenizer.
+
+    Output: (id, chunk_id, chunk_text, chunk_chars).
+
+    Scale shape: one codegen'd projection + explode — zero shuffles,
+    zero Python; fan-out is len/stride rows per doc and Spark splits
+    the generated rows across whole-stage-codegen batches."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    t = F.col(text_col)
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.length(t) - F.lit(overlap)) / F.lit(float(stride))).cast("long"),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.substring(
+        F.col("__t"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_size
+    )
+    return exploded.select(
+        F.col(id_col),
+        "chunk_id",
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_chars"),
+    )
+
+
+def chunk_words(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap_tokens: int = 8,
+) -> DataFrame:
+    """Token-window variant of :func:`chunk_text`: windows of
+    ``chunk_tokens`` whitespace tokens advancing by chunk_tokens -
+    overlap_tokens, re-joined with single spaces. Same zero-shuffle
+    explode shape."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    ws = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.size(ws) - F.lit(overlap_tokens)) / F.lit(float(stride))).cast("long"),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        ws.alias("__ws"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__ws"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_tokens
+    )
+    return exploded.select(
+        F.col(id_col),
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
+    )
+
+
 def boilerplate_fraction(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, min_df: int = 5
 ) -> DataFrame:

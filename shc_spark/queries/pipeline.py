@@ -726,3 +726,92 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.boilerplate_fraction(docs, "text", "doc_id", n=3, min_df=5)
+
+
+# -- chunking + clustering --------------------------------------------------
+
+
+# context-window chunking: chunk i covers chars [i*90, i*90+120); the
+# oracle replays the same ceil((len-overlap)/stride) fan-out with
+# generate_series + substr.
+@register(
+    "text_chunking",
+    """
+    WITH c AS (
+      SELECT doc_id, text,
+             greatest(CAST(1 AS BIGINT),
+                      CAST(ceil((length(text) - 30) / 90.0) AS BIGINT)) AS nc
+      FROM documents),
+    e AS (SELECT doc_id, text, unnest(generate_series(0, nc - 1)) AS chunk_id FROM c)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           substr(text, CAST(chunk_id * 90 + 1 AS INT), 120) AS chunk_text,
+           CAST(length(substr(text, CAST(chunk_id * 90 + 1 AS INT), 120)) AS BIGINT)
+             AS chunk_chars
+    FROM e
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_text(docs, "text", "doc_id", chunk_size=120, overlap=30)
+
+
+# one deterministic k-means assignment step (centroids = the 4 vectors
+# with vec_id < 4), computed as pure JVM expressions (zip_with +
+# aggregate fold) so the left-to-right double summation matches
+# DuckDB's list_sum exactly; dist rounded to 6 decimals on both sides
+# before ranking to absorb any remaining ulp.
+@register(
+    "cluster_assign",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+    d AS (SELECT e.vec_id, c.cid,
+            round(list_sum(list_transform(list_zip(e.v, c.cv),
+                                          p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+          FROM e CROSS JOIN c),
+    r AS (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d)
+    SELECT vec_id, cid AS cluster FROM r WHERE rn = 1
+    """,
+)
+def cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+
+
+# full Lloyd's k-means + one-representative-per-cluster semantic dedup
+# — iterative, not SQL-expressible: rows-only gate (the assignment
+# kernel itself is value-checked by cluster_assign above, the fit /
+# partial-sum machinery by tests/test_operators.py).
+@register("dedup_semantic", None)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster.semantic_dedup(emb, "embedding", "vec_id", k=32, max_iter=4)

@@ -290,3 +290,116 @@ def test_embedding_blocked_equals_baseline(spark):
             embedding_near_dups_blocked(emb, "embedding", "vec_id", 0.45, num_blocks=B)
         )
         assert got == base, f"num_blocks={B}"
+
+
+def test_chunk_text_covers_document(spark):
+    from shc_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    size, overlap, stride = 120, 30, 90
+    rows = T.chunk_text(docs, "text", "doc_id", chunk_size=size, overlap=overlap).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    import math
+
+    for doc_id, chunks in by_doc.items():
+        t = texts[doc_id]
+        chunks.sort(key=lambda r: r["chunk_id"])
+        expect_n = max(1, math.ceil((len(t) - overlap) / stride))
+        assert [c["chunk_id"] for c in chunks] == list(range(expect_n))
+        for c in chunks:
+            start = c["chunk_id"] * stride
+            assert c["chunk_text"] == t[start : start + size]
+            assert c["chunk_chars"] == len(c["chunk_text"])
+        # overlapped windows jointly reconstruct the document
+        rebuilt = chunks[0]["chunk_text"] + "".join(
+            c["chunk_text"][overlap:] for c in chunks[1:]
+        )
+        assert rebuilt == t
+
+
+def test_chunk_words_covers_tokens(spark):
+    from shc_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    ct, ov, stride = 16, 4, 12
+    rows = T.chunk_words(docs, "text", "doc_id", chunk_tokens=ct, overlap_tokens=ov).collect()
+    texts = {r["doc_id"]: r["text"].split(" ") for r in docs.collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        ws = texts[doc_id]
+        chunks.sort(key=lambda r: r["chunk_id"])
+        for c in chunks:
+            start = c["chunk_id"] * stride
+            assert c["chunk_text"] == " ".join(ws[start : start + ct])
+            assert c["chunk_tokens"] <= ct
+        rebuilt = chunks[0]["chunk_text"].split(" ") + [
+            w for c in chunks[1:] for w in c["chunk_text"].split(" ")[ov:]
+        ]
+        assert rebuilt == ws
+
+
+def _numpy_lloyd(mat, k, max_iter):
+    import numpy as np
+
+    cents = mat[:k].copy()
+    for _ in range(max_iter):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        nxt = cents.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                nxt[c] = mat[m].mean(axis=0)
+        if float(((nxt - cents) ** 2).sum()) <= 1e-9:
+            cents = nxt
+            break
+        cents = nxt
+    return cents
+
+
+def test_kmeans_fit_matches_numpy(spark):
+    import numpy as np
+
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 200)
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    got = cluster.kmeans_fit(emb, "embedding", "vec_id", k=4, max_iter=3)
+    ref = _numpy_lloyd(mat, 4, 3)
+    # distributed partial sums reduce in a different order than the
+    # single numpy pass -> allow ulp-level drift only
+    assert np.allclose(got, ref, atol=1e-8), np.abs(got - ref).max()
+
+
+def test_semantic_dedup_representatives(spark):
+    import numpy as np
+
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    k = 16
+    out = cluster.semantic_dedup(emb, "embedding", "vec_id", k=k, max_iter=3).collect()
+    assert sum(r["members"] for r in out) == n
+    assert len(out) <= k
+    assert len({r["vec_id"] for r in out}) == len(out)
+    # each representative is the member nearest its centroid (ties by id)
+    cents = cluster.kmeans_fit(emb, "embedding", "vec_id", k=k, max_iter=3)
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    for r in out:
+        m = a == r["cluster"]
+        dist = d[m, r["cluster"]]
+        member_ids = ids[m]
+        best = member_ids[np.lexsort((member_ids, dist))][0]
+        assert r["vec_id"] == best, (r, best)

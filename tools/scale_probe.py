@@ -19,14 +19,28 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def inflate(spark, name, id_col, mult):
+def inflate(spark, name, id_col, mult, salt_col=None):
+    """N shifted-id copies of the table. When ``salt_col`` is a text
+    column, each copy i>0 gets a distinct ``cpI`` token spliced in
+    after every 5th word: without this, the m copies of every document
+    are an m-way EXACT near-dup cluster, so the true pair output of
+    the LSH probe is itself Theta(m^2) and the wall-clock curve
+    measures output size, not algorithmic scaling (measured: x100
+    identical copies -> 24.75M true pairs, 63 s — see SCALE.md note).
+    Salting keeps corpus size ~m*n while pair structure stays ~m*P."""
     from pyspark.sql import functions as F
 
     base = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
     n = base.count()
-    parts = [
-        base.withColumn(id_col, F.col(id_col) + F.lit(i * n)) for i in range(mult)
-    ]
+    parts = []
+    for i in range(mult):
+        p = base.withColumn(id_col, F.col(id_col) + F.lit(i * n))
+        if salt_col is not None and i > 0:
+            p = p.withColumn(
+                salt_col,
+                F.regexp_replace(salt_col, r"((?:\S+ ){5})", f"$1cp{i} "),
+            )
+        parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -74,7 +88,7 @@ def main() -> None:
 
     rows = []
     for m in mults:
-        docs = inflate(spark, "documents", "doc_id", m)
+        docs = inflate(spark, "documents", "doc_id", m, salt_col="text")
         emb = inflate(spark, "embeddings", "vec_id", m)
         nd, ne = docs.count(), emb.count()
         for op, fn in OPS.items():
@@ -95,10 +109,21 @@ def main() -> None:
         "# SCALE — measured operator scaling (inflated sf0.1 corpus)",
         "",
         "`tools/scale_probe.py`: N copies of documents (5k rows each) /",
-        "embeddings (2k each), min-of-2 walls on local[32]. The ratio",
-        "column is wall(N)/wall(1) vs the ideal N — sub-ideal ratios mean",
-        "fixed overhead still dominates; super-ideal growth would flag a",
-        "quadratic term no small benchmark can see.",
+        "embeddings (2k each), min-of-2 walls on local[32]. Document",
+        "copies are text-salted (a per-copy token after every 5th word)",
+        "so corpus SIZE scales N x while the true near-dup pair",
+        "structure stays ~linear — unsalted copies make every doc an",
+        "N-way duplicate cluster and the pair OUTPUT itself Theta(N^2),",
+        "which confounds the curve. The ratio column is wall(N)/wall(1)",
+        "vs the ideal N — sub-ideal ratios mean fixed overhead still",
+        "dominates; super-ideal growth would flag a quadratic term no",
+        "small benchmark can see.",
+        "",
+        "Duplicate-stress datapoint (unsalted x100 run, 2026-08-14):",
+        "500k docs forming 5k clusters of 100 identical copies =",
+        "24.75M true pairs; `dedup_minhash_lsh` emitted the full exact-",
+        "verified pair set in 63.5 s (~390k verified pairs/s) — the",
+        "quadratic there is the required output, not the algorithm.",
         "",
         "| operator | " + " | ".join(f"x{m} wall (s)" for m in mults) + " | ratio vs x1 |",
         "|---|" + "---|" * (len(mults) + 1),

@@ -397,6 +397,48 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Bipartite near-dup pairs ACROSS two corpora (id_a from ``left``,
+    id_b from ``right``), exact-verified — the "dedup the new crawl
+    against the existing corpus" primitive. Same banding/verification
+    scheme as :func:`minhash_lsh_pairs`, but candidates come from an
+    equi-join of the two sides' (band, bucket) keys, so within-corpus
+    pairs are never generated at all.
+
+    Scale shape: one feature pass per side, one shuffle join on the
+    32-bit band hashes (both sides narrow: id + 2 ints), verification
+    joins by id only on the surviving candidates. When ``left`` is the
+    small side (a fresh crawl increment), its banded rows broadcast."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    fl = _doc_lsh_features(_widen(left), text_col, id_col, n, num_perm, bands).cache()
+    fr = _doc_lsh_features(_widen(right), text_col, id_col, n, num_perm, bands).cache()
+    fl.count(), fr.count()
+    bl = fl.select(F.col("id").alias("id_a"), F.posexplode("bnd").alias("band", "bh"))
+    br = fr.select(F.col("id").alias("id_b"), F.posexplode("bnd").alias("band", "bh"))
+    cand = bl.join(br, ["band", "bh"]).select("id_a", "id_b").distinct()
+    ha = fl.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = fr.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, simhash: long) 64-bit SimHash over n-gram shingles —
     numpy bit-count accumulation per Arrow batch."""

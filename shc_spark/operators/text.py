@@ -395,6 +395,61 @@ def chunk_words(
     )
 
 
+def lm_bigram_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document bigram language-model score over the corpus's own
+    statistics — the CCNet/Gopher-style "perplexity under a cheap LM"
+    quality signal, here with an add-alpha-smoothed bigram model
+    trained on the corpus itself (no external artifacts):
+
+        logp(w_i | w_{i-1}) = ln((c(w_{i-1} w_i) + a) / (c(w_{i-1}) + a*V))
+
+    Output: (id, n_bigrams, avg_logp, ppl = exp(-avg_logp)); high ppl
+    = the document's word transitions are unusual for the corpus
+    (boilerplate and word-salad both surface). Documents with < 2
+    tokens have no bigrams and are omitted.
+
+    Scale shape: everything is codegen'd explode/groupBy/join — count
+    tables are map-side combined on 8-byte-hashable string keys, the
+    scoring joins shuffle on bigram/word keys (sort-merge at scale,
+    broadcast when the vocabulary is small), and the vocab size is a
+    broadcast scalar. No Python anywhere."""
+    ws = F.split(F.col(text_col), " ")
+    docs = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+    toks = docs.select(F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("vn"))  # 1-row scalar
+    bigrams = F.zip_with(
+        F.slice("ws", 1, F.size("ws") - 1),
+        F.slice("ws", 2, F.size("ws") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = docs.select("id", F.explode(bigrams).alias("bg")).withColumn(
+        "a", F.substring_index("bg", " ", 1)
+    )
+    big = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    lp = F.log((F.col("cb") + alpha) / (F.col("cu") + alpha * F.col("vn")))
+    scored = (
+        bi.join(big, "bg")
+        .join(uni, F.col("a") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select("id", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def boilerplate_fraction(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, min_df: int = 5
 ) -> DataFrame:

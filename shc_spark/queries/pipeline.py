@@ -815,3 +815,98 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return cluster.semantic_dedup(emb, "embedding", "vec_id", k=32, max_iter=4)
+
+
+# bipartite near-dedup across two corpora (even doc_ids = "existing
+# corpus", odd = "new crawl"): the oracle is the exact cross-side
+# Jaccard pair set; banding recall at 64/32 makes LSH output == exact.
+@register(
+    "dedup_cross_corpus",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM t),
+    sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM pos),
+    ds AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      GROUP BY 1, 2),
+    jac AS (SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                       JOIN sizes sb ON id_b = sb.doc_id)
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.minhash_lsh_pairs_between(
+        left, right, "text", "doc_id", num_perm=64, bands=32, n=3, threshold=0.8
+    )
+
+
+# corpus-trained add-alpha bigram LM scoring: the oracle retrains the
+# identical counts and replays ln((c_ab+a)/(c_a+a*V)); avg/exp rounded
+# to 4dp on both sides to absorb FP summation-order ulps.
+@register(
+    "text_lm_ppl",
+    """
+    WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT unnest(ws) AS w FROM t),
+    uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+    v AS (SELECT count(*) AS vn FROM uni),
+    bi AS (SELECT id, ws[i] || ' ' || ws[i+1] AS bg, ws[i] AS a
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) s),
+    big AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg),
+    sc AS (SELECT bi.id, ln((big.cb + 0.4) / (uni.cu + 0.4 * v.vn)) AS lp
+           FROM bi JOIN big USING (bg) JOIN uni ON uni.w = bi.a CROSS JOIN v)
+    SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 4) AS avg_logp, round(exp(-avg(lp)), 4) AS ppl
+    FROM sc GROUP BY id
+    """,
+)
+def text_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.lm_bigram_scores(docs, "text", "doc_id", alpha=0.4)
+
+
+# learned BPE tokenizer: distributed word counts -> driver merge
+# training (bounded dict) -> vectorized encode. Iterative training is
+# not SQL-expressible: rows-only gate; the merge sequence and the
+# detokenization invariant are pinned by tests/test_operators.py
+# (textbook Sennrich example reproduces exactly).
+@register("text_bpe_tokens", None)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import tokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = tokenizer.train_bpe(docs, "text", num_merges=100, min_freq=2)
+    return tokenizer.bpe_encode(docs, merges).select("doc_id", "n_tokens")
+
+
+# SQ8 scalar quantization: integer codes are engine-neutral, so the
+# compression step (unlike the approximate search above it) is
+# value-exact; the oracle recomputes per-dim min/max and the identical
+# round((x-mn)*255/span) codes.
+@register(
+    "embed_quantize",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    d AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i, v FROM e),
+    x AS (SELECT vec_id, i, v[i] AS val FROM d),
+    mm AS (SELECT i, min(val) AS mn, max(val) AS mx FROM x GROUP BY i),
+    q AS (SELECT x.vec_id, x.i,
+            CAST(round(CASE WHEN mx = mn THEN 0
+                            ELSE (val - mn) * 255 / (mx - mn) END) AS INT) AS code
+          FROM x JOIN mm USING (i))
+    SELECT vec_id, list(code ORDER BY i) AS codes FROM q GROUP BY vec_id
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize.quantize_embeddings(emb, "embedding", "vec_id", levels=256)

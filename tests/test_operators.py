@@ -403,3 +403,118 @@ def test_semantic_dedup_representatives(spark):
         member_ids = ids[m]
         best = member_ids[np.lexsort((member_ids, dist))][0]
         assert r["vec_id"] == best, (r, best)
+
+
+def test_cross_corpus_equals_exact_bipartite(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs_between(
+            left, right, "text", "doc_id", num_perm=64, bands=32, threshold=0.8
+        ).collect()
+    }
+    # reference: within-corpus exact pairs restricted to opposite parity,
+    # re-oriented to (left_id, right_id)
+    exact = set()
+    for r in dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.8).collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 2 != b % 2:
+            ev, od = (a, b) if a % 2 == 0 else (b, a)
+            exact.add((ev, od, r["jaccard"]))
+    assert got == exact and got
+
+
+def test_lm_bigram_scores_vs_python(spark):
+    import math
+    from collections import Counter
+
+    from shc_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < 20)
+    rows = {r["doc_id"]: r["text"].split(" ") for r in docs.collect()}
+    uni: Counter = Counter(w for ws in rows.values() for w in ws)
+    big: Counter = Counter(
+        (ws[i], ws[i + 1]) for ws in rows.values() for i in range(len(ws) - 1)
+    )
+    V = len(uni)
+    a = 0.4
+    got = {r["doc_id"]: r for r in T.lm_bigram_scores(docs, "text", "doc_id", alpha=a).collect()}
+    assert set(got) == set(rows)
+    for doc_id, ws in rows.items():
+        lps = [
+            math.log((big[(ws[i], ws[i + 1])] + a) / (uni[ws[i]] + a * V))
+            for i in range(len(ws) - 1)
+        ]
+        avg = sum(lps) / len(lps)
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(lps)
+        assert abs(r["avg_logp"] - round(avg, 4)) <= 1e-4
+        assert abs(r["ppl"] - round(math.exp(-avg), 4)) <= 1e-3
+
+
+def test_bpe_textbook_merges(spark):
+    from shc_spark.operators import tokenizer as tk
+
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(corpus)], "doc_id long, text string")
+    merges = tk.train_bpe(df, "text", num_merges=5, min_freq=1)
+    E = tk.EOW
+    assert merges == [("e", "s"), ("es", "t"), ("est", E), ("l", "o"), ("lo", "w")]
+    enc = tk.bpe_encode(
+        spark.createDataFrame([(0, "lowest newest low")], "doc_id long, text string"),
+        merges,
+    ).collect()[0]
+    assert enc["tokens"] == ["low", "est" + E, "n", "e", "w", "est" + E, "low", E]
+    assert enc["n_tokens"] == 8
+
+
+def test_bpe_corpus_roundtrip_properties(spark):
+    from shc_spark.operators import tokenizer as tk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    merges = tk.train_bpe(docs, "text", num_merges=50, min_freq=2)
+    assert len(merges) == 50 and len(set(merges)) == 50
+    out = tk.bpe_encode(docs, merges).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        # detokenization invariant: stripping EOW and joining restores
+        # the original whitespace-normalized text
+        detok = "".join(r["tokens"]).replace(tk.EOW, " ").strip()
+        assert detok == " ".join(texts[r["doc_id"]].split())
+        assert r["n_tokens"] == len(r["tokens"])
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    import numpy as np
+
+    from shc_spark.operators import quantize as Q
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    stats = Q.dim_stats(emb, "embedding")
+    codes = Q.quantize_embeddings(emb, "embedding", "vec_id", stats=stats)
+    recon = {r["vec_id"]: r["vec"] for r in Q.dequantize(codes, stats).collect()}
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert set(recon) == set(orig)
+    spans = np.array([mx - mn for mn, mx in stats])
+    bound = spans / (2 * 255) + 1e-9
+    for vid, v in orig.items():
+        err = np.abs(np.array(v, dtype=np.float64) - np.array(recon[vid]))
+        assert (err <= bound).all(), (vid, err.max())
+
+
+def test_quantize_codebook_reuse(spark):
+    from shc_spark.operators import quantize as Q
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    stats = Q.dim_stats(emb, "embedding")
+    full = {r["vec_id"]: r["codes"] for r in
+            Q.quantize_embeddings(emb, stats=stats).collect()}
+    # quantizing a disjoint batch under the trained codebook matches
+    # the codes that batch got inside the full run
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    got = {r["vec_id"]: r["codes"] for r in
+           Q.quantize_embeddings(batch, stats=stats).collect()}
+    assert got == {k: v for k, v in full.items() if k % 7 == 0}
+    assert all(0 <= c <= 255 for cs in full.values() for c in cs)

@@ -127,3 +127,18 @@ def test_version_merge_is_shuffle_free_lsm(spark):
         regions = _json.load(fh)
     gens = {os.path.dirname(r["path"]) for r in regions}
     assert len(gens) >= 2, gens
+
+
+def test_chunking_is_shuffle_free(plans):
+    # one codegen'd projection + explode over the scan: no Exchange
+    p = plans("text_chunking")
+    assert "Exchange" not in p, p
+    assert "Generate explode" in p, p
+
+
+def test_cluster_assign_broadcasts_centroids(plans):
+    # 4-row centroid side broadcasts; the only exchange feeds the
+    # per-vector argmin window
+    p = plans("cluster_assign")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert p.count("Exchange") <= 2, p

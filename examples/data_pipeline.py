@@ -38,6 +38,9 @@ def main(spark, sf_dir="/root/testdata/sf0.001"):
 
 
 if __name__ == "__main__":
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from shc_spark.session import get_spark
 
     main(get_spark("example-pipeline", cpus=8), *sys.argv[1:])

@@ -78,6 +78,9 @@ def main(spark, root=None):
 
 
 if __name__ == "__main__":
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from shc_spark.session import get_spark
 
     main(get_spark("example-lifecycle", cpus=8))

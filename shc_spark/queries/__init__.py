@@ -49,15 +49,15 @@ _WINDOW = [
     "shc_compaction", "shc_secondary_index", "shc_delete",
     "shc_merge_into", "shc_phoenix_composite",
     # LLM-pipeline (17; fingerprint/repetition/boilerplate/video, the
-    # no-oracle lsh/ivf variants, and token_stats/deterministic_sample
-    # rotate out on r02 green rows; chunking + cluster_assign are new
-    # in r03)
+    # no-oracle lsh/ivf variants, and token_stats/deterministic_sample/
+    # stratified_sample rotate out on r02 green rows; chunking +
+    # cluster_assign + pack_sequences are new in r03)
     "dedup_exact", "dedup_minhash_lsh", "sim_topk_bruteforce",
     "dedup_clusters", "dedup_near_corpus", "text_quality_scores",
     "text_langid", "text_chunking", "text_pii_scan",
     "cluster_assign", "text_bm25_search", "mm_image_features",
     "mm_image_decode", "mm_audio_features", "text_decontaminate",
-    "text_stratified_sample", "sim_hybrid_rrf",
+    "text_pack_sequences", "sim_hybrid_rrf",
     # streaming + storage engine (9; sliding rotates out on r02 green)
     "stream_tumbling_window", "stream_sessionization",
     "stream_stateful_totals", "stream_shc_source", "stream_merge_latest",

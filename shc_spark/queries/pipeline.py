@@ -910,3 +910,32 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return quantize.quantize_embeddings(emb, "embedding", "vec_id", levels=256)
+
+
+# sequence packing via two-phase distributed prefix-sum (NO
+# single-partition window — the driver sees one row per partition);
+# the oracle IS the single-partition window formulation, proving the
+# distributed result identical.
+@register(
+    "text_pack_sequences",
+    """
+    WITH c AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+    s AS (SELECT doc_id, n,
+                 CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS tok_start
+          FROM c)
+    SELECT doc_id, n, tok_start,
+           CAST(floor(tok_start / 256.0) AS BIGINT) AS bin_start,
+           CAST(floor((tok_start + greatest(n, 1) - 1) / 256.0) AS BIGINT) AS bin_end
+    FROM s
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import pack
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.col("text"), " "))
+    )
+    return pack.pack_sequences(docs, "n_tok", "doc_id", seq_len=256)

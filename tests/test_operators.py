@@ -518,3 +518,31 @@ def test_quantize_codebook_reuse(spark):
            Q.quantize_embeddings(batch, stats=stats).collect()}
     assert got == {k: v for k, v in full.items() if k % 7 == 0}
     assert all(0 <= c <= 255 for cs in full.values() for c in cs)
+
+
+def test_pack_sequences_contiguous_and_partition_invariant(spark):
+    from shc_spark.operators import pack
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("n_tok", F.size(F.split(F.col("text"), " ")))
+    )
+    out = pack.pack_sequences(docs, "n_tok", "doc_id", seq_len=256, num_partitions=8)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    # contiguity: doc i starts exactly where doc i-1 ended
+    assert rows[0]["tok_start"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["tok_start"] == prev["tok_start"] + prev["n"]
+    for r in rows:
+        assert r["bin_start"] == r["tok_start"] // 256
+        assert r["bin_end"] == (r["tok_start"] + max(r["n"], 1) - 1) // 256
+    # partition-count invariance: the distributed prefix-sum gives the
+    # same packing no matter how the corpus is split
+    one = sorted(
+        pack.pack_sequences(docs, "n_tok", "doc_id", seq_len=256, num_partitions=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in one] == [tuple(r) for r in rows]
+    # no single-partition window anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan

@@ -150,6 +150,47 @@ def cosine_topk(
     return _run(corpus, vec_col, id_col, k, score)
 
 
+def sq8_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    stats: list,
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    levels: int = 256,
+) -> DataFrame:
+    """Cosine top-k over an SQ8-COMPRESSED corpus (see
+    operators/quantize.py): the scan reads int8-range codes — 4x less
+    I/O and cache footprint than float32 — and each Arrow batch
+    reconstructs vectors with one affine numpy op (mn + code * step)
+    before the same batched matmul scoring as cosine_topk. Queries
+    stay full-precision. At 255 levels the score error per dim is
+    <= span/510, so recall@k is near-exact (pinned by test); pair with
+    exact re-ranking of the union top-k' when exactness matters."""
+    mn = np.array([s[0] for s in stats], dtype=np.float64)
+    step = np.array([(s[1] - s[0]) / (levels - 1) for s in stats], dtype=np.float64)
+    spark = codes.sparkSession
+    bq = spark.sparkContext.broadcast(_collect_queries(queries, vec_col, id_col))
+
+    def score(batches):
+        q_ids, q_mat = bq.value
+        if not q_ids:
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy()
+            C = np.stack([np.asarray(c, dtype=np.float64) for c in pdf["__vec"]])
+            M = mn + C * step
+            n = np.linalg.norm(M, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            S = (M / n) @ q_mat.T
+            yield from _emit_topk(q_ids, ids, S, None, k)
+
+    return _run(codes, codes_col, id_col, k, score)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -939,3 +939,17 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok", F.size(F.split(F.col("text"), " "))
     )
     return pack.pack_sequences(docs, "n_tok", "doc_id", seq_len=256)
+
+
+# ANN over the SQ8-compressed corpus (4x less scan I/O); approximate
+# by construction -> rows-only, recall pinned >= 0.95 vs exact by
+# tests/test_operators.py::test_sq8_topk_recall_near_exact.
+@register("sim_topk_sq8", None)
+def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    stats = quantize.dim_stats(emb, "embedding")
+    codes = quantize.quantize_embeddings(emb, "embedding", "vec_id", stats=stats)
+    return similarity.sq8_topk(queries, codes, stats, k=5)

@@ -499,3 +499,45 @@ def test_version_map_write_fanout(spark, tmp_path):
     # the non-map column kept the call's write timestamp
     tt = read_table(spark, vm_cat, root=root, timestamp=5000)
     assert {r["k"]: r["name"] for r in tt.collect()}[1] == "one"
+
+
+def test_schema_evolution_add_column(spark):
+    """Schema-on-read evolution, the HBase way: a v2 catalog that adds
+    a column (new qualifier) can append to and read a table written
+    under v1 — old rows surface null for the new column, the v1
+    catalog keeps reading the evolved table, and merge semantics are
+    unchanged. No rewrite of existing generations."""
+    import shutil
+
+    root = "/tmp/shc_tables_schema_evo"
+    shutil.rmtree(root, ignore_errors=True)
+    v1 = _cat(
+        "evo",
+        {
+            "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "name": {"cf": "cfa", "col": "nm", "type": "string"},
+        },
+    )
+    v2 = _cat(
+        "evo",
+        {
+            "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "name": {"cf": "cfa", "col": "nm", "type": "string"},
+            "score": {"cf": "cfa", "col": "sc", "type": "double"},
+        },
+    )
+    df1 = spark.createDataFrame([(i, f"n{i}") for i in range(10)], "k long, name string")
+    write_table(df1, v1, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+    df2 = spark.createDataFrame(
+        [(i, f"n{i}v2", float(i)) for i in range(5, 15)],
+        "k long, name string, score double",
+    )
+    write_table(df2, v2, root=root, mode="append", timestamp=2000)
+
+    out2 = {r["k"]: (r["name"], r["score"]) for r in read_table(spark, v2, root=root).collect()}
+    assert len(out2) == 15
+    assert out2[0] == ("n0", None)
+    assert out2[7] == ("n7v2", 7.0)
+    assert out2[12] == ("n12v2", 12.0)
+    out1 = {r["k"]: r["name"] for r in read_table(spark, v1, root=root).collect()}
+    assert len(out1) == 15 and out1[7] == "n7v2" and out1[0] == "n0"

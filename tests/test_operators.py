@@ -546,3 +546,17 @@ def test_pack_sequences_contiguous_and_partition_invariant(spark):
     # no single-partition window anywhere in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_sq8_topk_recall_near_exact(spark):
+    from shc_spark.operators import quantize as Q
+    from shc_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 16)
+    stats = Q.dim_stats(emb, "embedding")
+    codes = Q.quantize_embeddings(emb, "embedding", "vec_id", stats=stats)
+    exact = similarity.cosine_topk(queries, emb, k=5).collect()
+    sq8 = similarity.sq8_topk(queries, codes, stats, k=5).collect()
+    r = _recall(sq8, exact)
+    assert r >= 0.95, f"SQ8 recall {r}"

@@ -79,6 +79,8 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    from shc_spark.operators import cluster, pack, quantize
+
     OPS = {
         "dedup_exact": lambda d, e: dedup.exact_dedup(d, ["text"], "doc_id"),
         "dedup_minhash_lsh": lambda d, e: dedup.minhash_lsh_pairs(
@@ -90,6 +92,23 @@ def main() -> None:
         "quality_scores": lambda d, e: text.quality_features(d, "text"),
         "sim_topk_lsh": lambda d, e: similarity.lsh_topk(
             e.filter(F.col("vec_id") < 16), e, k=5, dim=64
+        ),
+        "dedup_cross_corpus": lambda d, e: dedup.minhash_lsh_pairs_between(
+            d.filter(F.col("doc_id") % 2 == 1),
+            d.filter(F.col("doc_id") % 2 == 0),
+            "text", "doc_id", num_perm=32, bands=16,
+        ),
+        "text_chunking": lambda d, e: text.chunk_text(d, "text", "doc_id", 120, 30),
+        "text_lm_ppl": lambda d, e: text.lm_bigram_scores(d, "text", "doc_id"),
+        "pack_sequences": lambda d, e: pack.pack_sequences(
+            d.withColumn("n_tok", F.size(F.split(F.col("text"), " "))),
+            "n_tok", "doc_id", seq_len=2048,
+        ),
+        "kmeans_semantic": lambda d, e: cluster.semantic_dedup(
+            e, "embedding", "vec_id", k=16, max_iter=2
+        ),
+        "embed_quantize": lambda d, e: quantize.quantize_embeddings(
+            e, "embedding", "vec_id"
         ),
     }
 

@@ -532,3 +532,31 @@ def test_stream_merge_latest_applies_deletes(spark, tmp_path):
     want = {r["k"]: r["v"] for r in read_table(spark, cat, root=root).collect()}
     assert got == want
     assert 2 not in got and 7 not in got and got[5] == 555
+
+
+def test_stateful_queries_identical_under_rocksdb(spark):
+    """Large-state readiness: the stateful queries produce IDENTICAL
+    results when the state store is RocksDB (spillable, bounded
+    executor memory — what a 100 TB stream needs) instead of the
+    default in-memory HDFS-backed provider."""
+    from shc_spark.streaming import events as ev
+
+    SF = "/root/testdata/sf0.001"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key, None)
+    base_tumb = {tuple(r) for r in ev.run_tumbling_counts(spark, SF).collect()}
+    base_tot = {tuple(r) for r in ev.run_stateful_totals(spark, SF).collect()}
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        rocks_tumb = {tuple(r) for r in ev.run_tumbling_counts(spark, SF).collect()}
+        rocks_tot = {tuple(r) for r in ev.run_stateful_totals(spark, SF).collect()}
+    finally:
+        if default is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, default)
+    assert rocks_tumb == base_tumb and base_tumb
+    assert rocks_tot == base_tot and base_tot

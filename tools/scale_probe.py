@@ -54,6 +54,87 @@ def inflate(spark, name, id_col, mult, salt_col=None):
     return out.localCheckpoint(eager=True)  # pin: exclude inflation from timings
 
 
+def connector_probe(spark, mults=(1, 5)) -> list[str]:
+    """Connector (shc source/sink) throughput at inflated lineitem
+    volumes: bulk write, full merge-read, range-pruned read, and
+    LSM merge-read after an append — the four paths a 100 TB table
+    lives on. Returns SCALE.md lines."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.sources import read_table, write_table
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "probe", "name": "li", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "okey:lnum",
+            "columns": {
+                "okey": {"cf": "rowkey", "col": "okey", "type": "bigint"},
+                "lnum": {"cf": "rowkey", "col": "lnum", "type": "int"},
+                "qty": {"cf": "cf", "col": "q", "type": "double"},
+                "price": {"cf": "cf", "col": "p", "type": "double"},
+                "flag": {"cf": "cf", "col": "f", "type": "string"},
+            },
+        }
+    )
+    base = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.col("l_linenumber").cast("int").alias("lnum"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    kmax = base.agg(F.max("okey")).collect()[0][0] + 1
+    lines = [
+        "",
+        "## Connector throughput (shc source/sink over inflated lineitem)",
+        "",
+        "| rows | write (s / Mrows/s) | full merge-read (s / Mrows/s) | 1% range read (s) | LSM merged read after append (s) |",
+        "|---|---|---|---|---|",
+    ]
+    for m in mults:
+        df = base
+        for i in range(1, m):
+            df = df.unionByName(base.withColumn("okey", F.col("okey") + F.lit(i * kmax)))
+        df = df.localCheckpoint(eager=True)
+        n = df.count()
+        # synthetic lineitem keys are not unique: merge-to-latest
+        # collapses to the distinct-key count
+        n_keys = df.select("okey", "lnum").distinct().count()
+        root = "/tmp/shc_scale_probe_conn"
+        # min-of-2 full cycles: the box drifts through speed phases
+        # (see BENCH_FLOOR note) and a single write can straddle one
+        t_write = t_full = t_range = t_merge = float("inf")
+        lo, hi = int(m * kmax * 0.40), int(m * kmax * 0.41)
+        for _ in range(2):
+            shutil.rmtree(root, ignore_errors=True)
+            t0 = time.time()
+            write_table(df, cat, root=root, num_regions=32, mode="overwrite", timestamp=1000)
+            t_write = min(t_write, time.time() - t0)
+            t0 = time.time()
+            assert read_table(spark, cat, root=root).count() == n_keys
+            t_full = min(t_full, time.time() - t0)
+            t0 = time.time()
+            read_table(spark, cat, root=root).filter(
+                (F.col("okey") >= lo) & (F.col("okey") < hi)
+            ).count()
+            t_range = min(t_range, time.time() - t0)
+            upd = df.filter(F.col("okey") % 5 == 0).withColumn("qty", F.col("qty") + 1.0)
+            write_table(upd, cat, root=root, mode="append", timestamp=2000)
+            t0 = time.time()
+            assert read_table(spark, cat, root=root).count() == n_keys
+            t_merge = min(t_merge, time.time() - t0)
+        lines.append(
+            f"| {n:,} | {t_write:.2f} / {n / t_write / 1e6:.2f} | "
+            f"{t_full:.2f} / {n / t_full / 1e6:.2f} | {t_range:.2f} | {t_merge:.2f} |"
+        )
+        print(("connector", m, n, round(t_write, 2), round(t_full, 2), round(t_range, 2), round(t_merge, 2)), flush=True)
+        shutil.rmtree(root, ignore_errors=True)
+    return lines
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -168,6 +249,7 @@ def main() -> None:
         lines.append(
             f"| {op} | " + " | ".join(str(w) for w in walls) + f" | {ratio}x at x{mults[-1]} |"
         )
+    lines += connector_probe(spark)
     with open(os.path.join(REPO, "SCALE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote SCALE.md")

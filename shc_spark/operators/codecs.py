@@ -8,8 +8,12 @@ formats are fully decodable with the standard library:
   types 0/2/4/6 (gray, RGB, gray+alpha, RGBA), non-interlaced.
 - PPM (netpbm P6) and BMP (24-bit BI_RGB): trivial containers.
 - WAV (RIFF PCM) via the stdlib ``wave`` module.
+- JPEG (ITU-T T.81 baseline sequential) via the pure-numpy Huffman +
+  IDCT codec in ``operators/jpeg.py`` — stream-defined tables, 4:2:0/
+  4:2:2 upsampling, restart markers; non-baseline modes fall back to
+  PIL when importable.
 
-JPEG/video stay behind NotImplementedError — entropy-coded DCT needs a
+compressed video stays behind NotImplementedError — a full codec needs a
 real codec library; the dispatch keeps a clean drop-in slot for it.
 
 Encoders exist so tests and gates can synthesize real payloads
@@ -334,18 +338,25 @@ def _pil_image():
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG -> (H, W, 3) uint8 via PIL when available (entropy-coded
-    DCT needs a real codec library — not reimplementable in stdlib at
-    useful speed). Without PIL this raises NotImplementedError; the
-    contract test parameterizes over availability so a codec drop-in
-    is pre-verified."""
-    Image = _pil_image()
-    if Image is None:
-        raise NotImplementedError("JPEG decode requires a codec library (PIL/opencv)")
-    import io
+    """JPEG -> (H, W, C) uint8. Baseline sequential JPEGs (SOF0 — the
+    overwhelming majority of real files) decode through the pure-numpy
+    T.81 implementation in operators/jpeg.py, tables read from the
+    stream. Non-baseline modes (progressive, 12-bit, arithmetic) fall
+    back to PIL when importable, else raise NotImplementedError."""
+    from shc_spark.operators import jpeg as _jpeg
 
-    with Image.open(io.BytesIO(data)) as img:
-        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    try:
+        return _jpeg.decode(data)
+    except ValueError as err:
+        Image = _pil_image()
+        if Image is None:
+            raise NotImplementedError(
+                f"unsupported JPEG variant without a codec library: {err}"
+            ) from err
+        import io
+
+        with Image.open(io.BytesIO(data)) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 def decode_image(data: bytes, mime: str | None = None) -> np.ndarray:

@@ -50,12 +50,13 @@ _WINDOW = [
     "shc_merge_into", "shc_phoenix_composite",
     # LLM-pipeline (17; fingerprint/repetition/boilerplate/video, the
     # no-oracle lsh/ivf variants, and token_stats/deterministic_sample/
-    # stratified_sample rotate out on r02 green rows; chunking +
-    # cluster_assign + pack_sequences are new in r03)
+    # stratified_sample/image_features rotate out on r02 green rows;
+    # chunking + cluster_assign + pack_sequences + jpeg_decode are new
+    # in r03)
     "dedup_exact", "dedup_minhash_lsh", "sim_topk_bruteforce",
     "dedup_clusters", "dedup_near_corpus", "text_quality_scores",
     "text_langid", "text_chunking", "text_pii_scan",
-    "cluster_assign", "text_bm25_search", "mm_image_features",
+    "cluster_assign", "text_bm25_search", "mm_jpeg_decode",
     "mm_image_decode", "mm_audio_features", "text_decontaminate",
     "text_pack_sequences", "sim_hybrid_rrf",
     # streaming + storage engine (9; sliding rotates out on r02 green)

@@ -953,3 +953,52 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = quantize.dim_stats(emb, "embedding")
     codes = quantize.quantize_embeddings(emb, "embedding", "vec_id", stats=stats)
     return similarity.sq8_topk(queries, codes, stats, k=5)
+
+
+# REAL JPEG decode end-to-end, NO codec library: each doc renders a
+# 32x32 image of 8x8 flat grayscale blocks (pixel value = codepoint of
+# char i, space-padded to 16), encodes through the pure-numpy T.81
+# baseline encoder and decodes through the pure-numpy decoder. Flat
+# blocks survive exactly (only the DC coefficient is nonzero and the
+# quantizer is 1), so the oracle recomputes mean luma from the text
+# and the whole JPEG encode->Huffman->decode->featurize path is
+# value-checked by DuckDB.
+@register(
+    "mm_jpeg_decode",
+    """
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 16), i ->
+               CASE WHEN i <= length(text)
+                    THEN unicode(substr(text, CAST(i AS INT), 1)) % 256
+                    ELSE 32 END) AS p
+      FROM documents)
+    SELECT doc_id AS media_id,
+           round(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) / 255)) / 16, 4)
+             AS mean_luma
+    FROM px
+    """,
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def jpg(texts: pd.Series) -> pd.Series:
+        from shc_spark.operators import jpeg
+
+        out = []
+        for t in texts:
+            cps = [(ord(t[i]) % 256) if i < len(t) else 32 for i in range(16)]
+            tiles = np.repeat(
+                np.repeat(np.array(cps, dtype=np.uint8).reshape(4, 4), 8, axis=0),
+                8,
+                axis=1,
+            )
+            out.append(jpeg.encode(np.stack([tiles] * 3, axis=-1)))
+        return pd.Series(out)
+
+    media = multimodal.make_media_df(
+        docs.withColumn("payload", jpg("text")), "doc_id", "payload", "image/jpeg"
+    )
+    feats = multimodal.extract_image_features(media, feat_dim=16, fake=False)
+    return feats.select("media_id", F.round("mean_luma", 4).alias("mean_luma"))

@@ -82,27 +82,70 @@ def test_png_rejects_unsupported():
         codecs.decode_png(b"nope")
 
 
-def test_jpeg_contract_parameterized_over_pil():
-    """JPEG decode is a runtime feature probe: with PIL present the
-    contract vectors run for real; without it the documented
-    NotImplementedError fires (no xfail either way)."""
+def test_jpeg_numpy_roundtrip_444_and_420():
+    """Baseline JPEG decodes WITHOUT any codec library: the pure-numpy
+    T.81 implementation roundtrips its own encoder's output at 4:4:4
+    near-losslessly (flat quantization -> DCT rounding only) and
+    within chroma-upsampling error at 4:2:0."""
+    from shc_spark.operators import jpeg
+
+    rng = np.random.RandomState(7)
+    img = np.repeat(
+        np.repeat(rng.randint(0, 256, (3, 4, 3), dtype=np.uint8), 16, axis=0), 16, axis=1
+    )
+    got = codecs.decode_image(jpeg.encode(img))
+    assert got.shape == img.shape and got.dtype == np.uint8
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+    got420 = codecs.decode_image(jpeg.encode(img, subsample=True))
+    # chroma constant within 16x16 blocks -> 4:2:0 loses nothing here
+    assert np.abs(got420.astype(int) - img.astype(int)).max() <= 3
+    # non-multiple-of-8 dims + gradient content
+    xx, yy = np.meshgrid(np.arange(37), np.arange(29))
+    img2 = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    g444 = codecs.decode_image(jpeg.encode(img2))
+    assert g444.shape == img2.shape
+    assert np.abs(g444.astype(int) - img2.astype(int)).max() <= 3
+    g420 = codecs.decode_image(jpeg.encode(img2, subsample=True))
+    assert g420.shape == img2.shape
+    assert np.abs(g420.astype(int) - img2.astype(int)).mean() <= 4
+
+
+def test_jpeg_rejects_garbage_and_nonbaseline():
+    from shc_spark.operators import jpeg
+
+    with pytest.raises(ValueError):
+        jpeg.decode(b"nope")
+    # progressive SOF2 -> ValueError from the numpy path; decode_image
+    # turns it into NotImplementedError when no PIL exists
+    fake_sof2 = b"\xff\xd8\xff\xc2" + bytes([0, 8, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(ValueError):
+        jpeg.decode(fake_sof2)
+    if codecs._pil_image() is None:
+        with pytest.raises(NotImplementedError):
+            codecs.decode_image(fake_sof2)
+
+
+def test_jpeg_pil_cross_check_when_available():
+    """When a real codec library exists, its decode of OUR encoder's
+    output must agree with the numpy decoder (cross-implementation
+    contract); skipped silently when PIL is absent."""
     Image = codecs._pil_image()
     if Image is None:
-        with pytest.raises(NotImplementedError):
-            codecs.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
         return
     import io
 
-    rng = np.random.RandomState(7)
-    # flat-color blocks survive lossy JPEG near-exactly
+    from shc_spark.operators import jpeg
+
+    rng = np.random.RandomState(11)
     img = np.repeat(
         np.repeat(rng.randint(0, 256, (2, 3, 3), dtype=np.uint8), 16, axis=0), 16, axis=1
     )
-    buf = io.BytesIO()
-    Image.fromarray(img).save(buf, format="JPEG", quality=95)
-    got = codecs.decode_image(buf.getvalue())
-    assert got.shape == img.shape and got.dtype == np.uint8
-    assert np.abs(got.astype(int) - img.astype(int)).mean() < 8
+    data = jpeg.encode(img)
+    theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), dtype=np.uint8)
+    ours = jpeg.decode(data)
+    assert np.abs(theirs.astype(int) - ours.astype(int)).max() <= 2
 
 
 def test_ppm_roundtrip_and_comment():

@@ -541,9 +541,9 @@ def connected_components(
     rounds (near-dup clusters are dense, diameter is tiny). Each round
     is ONE shuffle (join + min-aggregate); the driver-side loop reads a
     single converged-count per round, which is how every iterative
-    Spark algorithm terminates. At extreme scale swap the body for
-    alternating large-star/small-star contraction (Kiveris et al.) —
-    same interface, fewer rounds on high-diameter graphs."""
+    Spark algorithm terminates. For high-DIAMETER graphs use
+    :func:`connected_components_star` (same output contract,
+    O(log^2 n) rounds regardless of diameter)."""
     edges = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
     sym = (
         edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -551,17 +551,25 @@ def connected_components(
         .cache()
     )
     labels = (
-        sym.select(F.col("s").alias("id")).distinct().withColumn("lbl", F.col("id")).cache()
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    prev_cached = labels
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["d"] == labels["id"])
             .groupBy("s")
             .agg(F.min("lbl").alias("nbr"))
         )
-        # fold the convergence flag into the same pass: one cached
-        # frame + one count() per round, not a second comparison join
+        # fold the convergence flag into the same pass: one
+        # materialization + one count() per round, not a second
+        # comparison join. localCheckpoint (not cache): each round's
+        # plan embeds the previous round's twice (join + select), so
+        # cached-but-unbroken lineage grows exponentially in rounds and
+        # OOMs the driver on high-diameter graphs (a 300-node chain
+        # needs 300 rounds); checkpointing truncates to the
+        # materialized RDD and keeps planning cost constant per round
         new = (
             labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
             .select(
@@ -569,17 +577,14 @@ def connected_components(
                 F.least(labels["lbl"], F.coalesce(F.col("nbr"), labels["lbl"])).alias("lbl"),
                 (F.coalesce(F.col("nbr"), labels["lbl"]) < labels["lbl"]).alias("moved"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = new.filter("moved").count()
-        prev_cached.unpersist()
-        prev_cached = new
         labels = new.drop("moved")
         if changed == 0:
             break
     else:
         sym.unpersist()
-        prev_cached.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter); raise max_iter"
@@ -587,6 +592,86 @@ def connected_components(
     out = labels.select(F.col("id"), F.col("lbl").alias("cluster"))
     sym.unpersist()
     return out
+
+
+def connected_components_star(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """(id, cluster) connected components via alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond" — public algorithm): converges in O(log^2 n)
+    rounds regardless of component DIAMETER, where plain min-label
+    propagation needs O(diameter) rounds. Same output contract as
+    :func:`connected_components` (cluster = component min id); use
+    this variant when components can be long chains (transitive
+    near-dup paths across a web-scale corpus) rather than the dense
+    tiny clusters LSH usually yields.
+
+    Each round is two star operations (a groupBy-min + join each);
+    convergence is detected by an edge-multiset checksum — one tiny
+    aggregate per round, no driver-side edge materialization."""
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .cache()
+    )
+
+    def large_star(ed):
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+
+    def small_star(ed):
+        d = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        out = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        out = out.union(mins.select(F.col("u"), F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v"))
+
+    def checksum(ed):
+        row = ed.agg(
+            F.count(F.lit(1)).alias("c"),
+            # xor-fold: order-independent and cannot overflow (sum would
+            # under ANSI mode)
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["c"], row["h"])
+
+    # localCheckpoint (not cache): each round's plan embeds the previous
+    # round's twice over (sym union + join), so lineage grows
+    # exponentially with rounds — checkpointing truncates it to the
+    # materialized RDD and keeps planning cost constant per round
+    cur = e.distinct().localCheckpoint(eager=True)
+    sig = checksum(cur)
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).distinct().localCheckpoint(eager=True)
+        nsig = checksum(nxt)
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        nodes.unpersist()
+        raise RuntimeError(f"star contraction did not converge in {max_iter} rounds")
+    # fixed point: every edge points a node at its component minimum
+    labels = nodes.join(
+        cur.select(F.col("u").alias("id"), F.col("v").alias("cluster")), "id", "left"
+    ).select("id", F.coalesce("cluster", "id").alias("cluster"))
+    return labels
 
 
 def near_dedup(

@@ -1,8 +1,9 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata structs.
 
-Image decode is REAL for PNG/PPM/BMP and audio decode is REAL for PCM
-WAV (pure stdlib+numpy codecs in ``codecs.py``); JPEG and video remain
+Image decode is REAL for PNG/PPM/BMP/baseline-JPEG (pure stdlib+numpy
+codecs in ``codecs.py``/``jpeg.py``) and audio decode is REAL for PCM
+WAV; compressed video remains
 behind NotImplementedError until a codec library (PIL/opencv) is
 available — ``fake=True`` selects a deterministic digest-seeded stub
 decoder for those pipelines.

@@ -1002,3 +1002,27 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = multimodal.extract_image_features(media, feat_dim=16, fake=False)
     return feats.select("media_id", F.round("mean_luma", 4).alias("mean_luma"))
+
+
+# the high-diameter-safe CC variant (alternating large-star/small-star
+# contraction) against the SAME transitive-closure oracle as
+# dedup_clusters — value-exact equivalence of the two algorithms.
+@register(
+    "dedup_clusters_star",
+    _SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS")
+    + """
+    , e AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+    SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=32, n=3, threshold=0.8
+    )
+    return dedup.connected_components_star(pairs)

@@ -199,3 +199,27 @@ def test_avi_roundtrip():
 def test_avi_rejects_garbage():
     with pytest.raises(ValueError):
         codecs.decode_avi(b"RIFFxxxxWAVE")
+
+
+def test_jpeg_property_random_images_roundtrip():
+    """Randomized sizes/content: 4:4:4 flat-quant roundtrip stays
+    within DCT-rounding error; 4:2:0 within chroma-upsampling error;
+    shapes always exact."""
+    from shc_spark.operators import jpeg
+
+    rng = np.random.RandomState(42)
+    for _ in range(8):
+        h = int(rng.randint(1, 40))
+        w = int(rng.randint(1, 40))
+        base = float(rng.randint(60, 196))
+        yy = np.linspace(0, 2, h)[:, None]
+        xx = np.linspace(0, 2, w)[None, :]
+        g = np.clip(base + 40 * np.sin(yy) + 40 * np.cos(xx), 0, 255).astype(np.uint8)
+        img = np.stack([g] * 3, axis=-1)  # grayscale -> chroma constant
+        got = jpeg.decode(jpeg.encode(img))
+        assert got.shape == img.shape
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+        # grayscale content: 4:2:0 chroma subsampling loses nothing
+        got420 = jpeg.decode(jpeg.encode(img, subsample=True))
+        assert got420.shape == img.shape
+        assert np.abs(got420.astype(int) - img.astype(int)).max() <= 3

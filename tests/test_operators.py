@@ -560,3 +560,53 @@ def test_sq8_topk_recall_near_exact(spark):
     sq8 = similarity.sq8_topk(queries, codes, stats, k=5).collect()
     r = _recall(sq8, exact)
     assert r >= 0.95, f"SQ8 recall {r}"
+
+
+def test_star_cc_equals_label_propagation_and_union_find(spark):
+    import random
+
+    random.seed(13)
+
+    def union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), set()).add(n)
+        return {n: min(members) for members in comp.values() for n in members}
+
+    cases = {
+        # long chain: the case where O(diameter) propagation is slow
+        # and star contraction shines
+        "chain": [(i, i + 1) for i in range(0, 300)],
+        "random": [(random.randrange(80), random.randrange(80)) for _ in range(120)],
+        "stars+isolated-pairs": [(0, i) for i in range(1, 20)] + [(100, 101), (200, 201)],
+    }
+    for name, edges in cases.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        expect = union_find(edges, nodes)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = {r["id"]: r["cluster"] for r in dedup.connected_components_star(df).collect()}
+        assert star == expect, name
+        prop = {r["id"]: r["cluster"] for r in
+                dedup.connected_components(df, max_iter=400).collect()}
+        assert prop == expect, name
+
+
+def test_star_cc_on_real_pair_graph(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8)
+    a = {(r["id"], r["cluster"]) for r in dedup.connected_components(pairs).collect()}
+    b = {(r["id"], r["cluster"]) for r in dedup.connected_components_star(pairs).collect()}
+    assert a == b and a

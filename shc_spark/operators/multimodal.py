@@ -176,6 +176,58 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_FEATURES_DDL)
 
 
+def extract_audio_spectrogram(
+    media: DataFrame,
+    frame_samples: int = 64,
+    hop: int | None = None,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Per-frame spectral band energies over PCM-WAV payloads — the
+    front-end every audio model training pipeline needs: Hann-windowed
+    frames of ``frame_samples`` samples advancing by ``hop`` (default:
+    no overlap), real FFT per frame (numpy, vectorized over ALL frames
+    of a batch at once), |X|^2 power folded into ``n_bands`` equal
+    frequency bands, log10-compressed.
+
+    Output: (media_id, frame_idx, band_energy: array<double>).
+    Map-only mapInPandas — payloads never shuffle, fan-out happens
+    inside the batch; deterministic (fixed window, no dither), so
+    results are reproducible across retries/executors."""
+    hop = hop or frame_samples
+    window = np.hanning(frame_samples)
+    schema = "media_id long, frame_idx int, band_energy array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shc_spark.operators.codecs import decode_wav
+
+        for pdf in batches:
+            mids, idxs, feats = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = decode_wav(bytes(payload))
+                mono = samples.astype(np.float64).mean(axis=1)
+                if len(mono) < frame_samples:
+                    mono = np.pad(mono, (0, frame_samples - len(mono)))
+                n_frames = 1 + (len(mono) - frame_samples) // hop
+                starts = np.arange(n_frames) * hop
+                frames = mono[starts[:, None] + np.arange(frame_samples)] * window
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (F, bins)
+                bins = power.shape[1]
+                edges = np.linspace(0, bins, n_bands + 1).astype(int)
+                bands = np.stack(
+                    [power[:, a:b].sum(axis=1) for a, b in zip(edges, edges[1:])],
+                    axis=1,
+                )
+                logb = np.log10(bands + 1.0)
+                mids.extend([mid] * n_frames)
+                idxs.extend(range(n_frames))
+                feats.extend(np.round(logb, 6).tolist())
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idxs, "band_energy": feats}
+            )
+
+    return media.mapInPandas(run, schema)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
     """Video frame sampling: one output row per sampled frame
     (media_id, frame_idx, ts_ms, frame_sha256, mean_px). Fan-out

@@ -1026,3 +1026,28 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", num_perm=64, bands=32, n=3, threshold=0.8
     )
     return dedup.connected_components_star(pairs)
+
+
+# REAL spectral front-end over the same synthesized WAVs: Hann window
+# + rfft + banded power. FFT is not SQL-expressible -> rows-only; the
+# numeric kernel is pinned against direct numpy on the same payloads
+# by tests/test_operators.py::test_audio_spectrogram_matches_numpy.
+@register("mm_audio_spectrogram", None)
+def mm_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+
+    @F.pandas_udf("binary")
+    def wav(vecs: pd.Series) -> pd.Series:
+        from shc_spark.operators.codecs import encode_wav
+
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            smp = np.clip(np.floor(x * 10000), -32767, 32767).astype(np.int16)
+            out.append(encode_wav(smp, 8000))
+        return pd.Series(out)
+
+    media = multimodal.make_media_df(
+        emb.withColumn("payload", wav("embedding")), "vec_id", "payload", "audio/wav"
+    )
+    return multimodal.extract_audio_spectrogram(media, frame_samples=32, hop=16)

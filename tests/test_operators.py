@@ -610,3 +610,50 @@ def test_star_cc_on_real_pair_graph(spark):
     a = {(r["id"], r["cluster"]) for r in dedup.connected_components(pairs).collect()}
     b = {(r["id"], r["cluster"]) for r in dedup.connected_components_star(pairs).collect()}
     assert a == b and a
+
+
+def test_audio_spectrogram_matches_numpy(spark):
+    import numpy as np
+
+    from shc_spark.operators import multimodal
+    from shc_spark.operators.codecs import encode_wav
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 8)
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()}
+
+    from pyspark.sql import functions as SF_
+
+    @SF_.pandas_udf("binary")
+    def wav(vs):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                encode_wav(
+                    np.clip(np.floor(np.asarray(v, dtype=np.float64) * 10000), -32767, 32767).astype(np.int16),
+                    8000,
+                )
+                for v in vs
+            ]
+        )
+
+    media = multimodal.make_media_df(
+        emb.withColumn("payload", wav("embedding")), "vec_id", "payload", "audio/wav"
+    )
+    F_, H, B = 32, 16, 4
+    got = {}
+    for r in multimodal.extract_audio_spectrogram(media, frame_samples=F_, hop=H, n_bands=B).collect():
+        got[(r["media_id"], r["frame_idx"])] = np.array(r["band_energy"])
+    win = np.hanning(F_)
+    for vid, v in vecs.items():
+        mono = np.clip(np.floor(v * 10000), -32767, 32767)
+        n_frames = 1 + (len(mono) - F_) // H
+        for fi in range(n_frames):
+            seg = mono[fi * H : fi * H + F_] * win
+            p = np.abs(np.fft.rfft(seg)) ** 2
+            edges = np.linspace(0, len(p), B + 1).astype(int)
+            expect = np.round(
+                np.log10(np.array([p[a:b].sum() for a, b in zip(edges, edges[1:])]) + 1.0), 6
+            )
+            assert np.allclose(got[(vid, fi)], expect, atol=1e-9), (vid, fi)
+    assert len(got) == sum(1 + (64 - F_) // H for _ in vecs)

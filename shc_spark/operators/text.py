@@ -187,6 +187,38 @@ def deterministic_sample(
     )
 
 
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic epoch shuffling + sharding for training-data
+    delivery: every row gets (shard, pos) where shard =
+    first-hex-byte(md5(epoch:id)) mod num_shards and pos is the row's
+    rank within its shard under the md5 ordering. Changing ``epoch``
+    reshuffles the whole corpus; same epoch always reproduces the same
+    order — across engines, runs, and retries (no rand()).
+
+    Output: (id, shard, pos). Scale shape: one hash projection + one
+    shuffle on shard; the rank windows are PARTITIONED by shard so
+    every shard ranks in parallel (no single-partition window). The
+    md5 hex string both orders and buckets, so it's exactly
+    expressible in SQL and the gate is value-checked."""
+    h = F.md5(F.concat(F.lit(f"{epoch}:"), F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .withColumn(
+            "shard", (F.conv(F.substring("h", 1, 2), 16, 10).cast("int") % num_shards)
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        .select(id_col, "shard", "pos")
+    )
+
+
 def bm25_search(
     df: DataFrame,
     terms: list,

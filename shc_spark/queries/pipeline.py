@@ -1051,3 +1051,25 @@ def mm_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.withColumn("payload", wav("embedding")), "vec_id", "payload", "audio/wav"
     )
     return multimodal.extract_audio_spectrogram(media, frame_samples=32, hop=16)
+
+
+# deterministic epoch shuffle + sharding: md5 both buckets and orders,
+# so the whole (shard, pos) assignment is engine-reproducible; the
+# oracle replays it with a window per shard.
+@register(
+    "text_shard_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id, md5('1:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+    s AS (SELECT doc_id, hx,
+                 CAST(CAST('0x' || substr(hx, 1, 2) AS INT) % 8 AS INT) AS shard
+          FROM h)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def text_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.shard_shuffle(docs, "doc_id", num_shards=8, epoch=1)

@@ -657,3 +657,24 @@ def test_audio_spectrogram_matches_numpy(spark):
             )
             assert np.allclose(got[(vid, fi)], expect, atol=1e-9), (vid, fi)
     assert len(got) == sum(1 + (64 - F_) // H for _ in vecs)
+
+
+def test_shard_shuffle_properties(spark):
+    from shc_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    e1 = T.shard_shuffle(docs, "doc_id", num_shards=8, epoch=1).collect()
+    assert len(e1) == n
+    by_shard = {}
+    for r in e1:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard  # dense ranks
+    # deterministic: identical on rerun
+    again = T.shard_shuffle(docs, "doc_id", num_shards=8, epoch=1).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in e1}
+    # epoch changes the permutation
+    e2 = T.shard_shuffle(docs, "doc_id", num_shards=8, epoch=2).collect()
+    assert {tuple(r) for r in e2} != {tuple(r) for r in e1}

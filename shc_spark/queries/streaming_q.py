@@ -298,3 +298,40 @@ def shc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     )
+
+
+# pipeline operators composed under Structured Streaming: the
+# documents stream flows through quality_features (stateless codegen
+# projection, applied per micro-batch) into a stateful complete-mode
+# per-source aggregation; the oracle is the equivalent batch SQL.
+@register(
+    "stream_quality_by_source",
+    """
+    WITH f AS (
+      SELECT source,
+             length(text) AS q_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS q_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '), w -> w IN (
+               'the','and','with','from','der','und','nicht','das',
+               'le','et','les','des','el','los','por','una',
+               'de5','shi4','zai4','he2'))) AS n_stop
+      FROM documents),
+    s AS (
+      SELECT source, q_tokens,
+             least(q_tokens / 64.0, 1.0) * 0.4
+             + least((n_stop * 1.0 / greatest(q_tokens, 1)) * 4, 1.0) * 0.4
+             + (1 - least((n_punct * 1.0 / greatest(q_chars, 1)) * 10, 1.0)) * 0.2
+               AS q_score
+      FROM f)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(q_score), 4) AS avg_score,
+           round(avg(q_tokens), 4) AS avg_tokens
+    FROM s GROUP BY source
+    """,
+)
+def stream_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.streaming import run_stream_quality_by_source
+
+    return run_stream_quality_by_source(spark, sf_dir)

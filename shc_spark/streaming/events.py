@@ -51,26 +51,29 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     return str(t).startswith("timestamp[ns")
 
 
-def _events_stream_dir(sf_dir: str) -> str:
-    """File streaming sources read directories; expose the single
-    events.parquet file through a symlinked staging dir (md5-keyed —
+def table_stream_dir(sf_dir: str, name: str) -> str:
+    """File streaming sources read directories; expose a single
+    <name>.parquet file through a symlinked staging dir (md5-keyed —
     builtin hash() is process-salted and collisions would silently
     serve another sf_dir's data)."""
     import hashlib
 
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(src):
         raise FileNotFoundError(src)
-    d = os.path.join(
-        tempfile.gettempdir(), f"shc_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:16]}"
-    )
+    key = hashlib.md5(f"{sf_dir}:{name}".encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"shc_stream_{key}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, f"{name}.parquet")
     if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(src):
         os.remove(link)  # stale/foreign symlink
     if not os.path.exists(link):
         os.symlink(src, link)
     return d
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    return table_stream_dir(sf_dir, "events")
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,3 +390,25 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return _run_to_memory(deduped, "append")
+
+
+def run_stream_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-operator composition under Structured Streaming: the
+    documents table arrives as a file stream, quality_features (a pure
+    codegen'd projection — stateless, so it applies per micro-batch
+    unchanged) feeds a stateful complete-mode aggregation per source.
+    Converges to the batch answer once the stream drains."""
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import text
+
+    d = table_stream_dir(sf_dir, "documents")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    src = spark.readStream.schema(schema).parquet(d).select("doc_id", "source", "text")
+    q = text.quality_features(src, "text")
+    agg = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q_score"), 4).alias("avg_score"),
+        F.round(F.avg("q_tokens"), 4).alias("avg_tokens"),
+    )
+    return _run_to_memory(agg, "complete")

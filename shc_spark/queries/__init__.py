@@ -59,10 +59,12 @@ _WINDOW = [
     "cluster_assign", "text_bm25_search", "mm_jpeg_decode",
     "mm_image_decode", "mm_audio_features", "text_decontaminate",
     "text_pack_sequences", "sim_hybrid_rrf",
-    # streaming + storage engine (9; sliding rotates out on r02 green)
+    # streaming + storage engine (9; sliding and the dropDuplicates
+    # stream_dedup rotate out on r02 green; incremental_dedup new r03)
     "stream_tumbling_window", "stream_sessionization",
     "stream_stateful_totals", "stream_shc_source", "stream_merge_latest",
-    "stream_stream_join", "stream_dedup", "stream_shc_sink", "shc_rollup",
+    "stream_stream_join", "stream_incremental_dedup", "stream_shc_sink",
+    "shc_rollup",
     # §2.3 relational representatives (7)
     "q01_pricing_summary", "q05_local_supplier_volume",
     "q_window_topk_per_segment", "q_rollup", "q_asof_join",

@@ -335,3 +335,32 @@ def stream_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.streaming import run_stream_quality_by_source
 
     return run_stream_quality_by_source(spark, sf_dir)
+
+
+# incremental streaming dedup: ascending-id micro-batches are near-dup
+# checked against all earlier arrivals, so the retained set equals the
+# batch rule "keep iff no smaller-id near-dup" — the oracle computes
+# exactly that from the exact-Jaccard pair set.
+@register(
+    "stream_incremental_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM t),
+    sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM pos),
+    ds AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS j
+            FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                       JOIN sizes sb ON id_b = sb.doc_id)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM jac WHERE round(j, 4) >= 0.8)
+    """,
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.streaming import run_stream_incremental_dedup
+
+    return run_stream_incremental_dedup(spark, sf_dir)

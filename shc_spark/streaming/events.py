@@ -26,6 +26,7 @@ can check streaming results.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 from collections.abc import Iterator
@@ -412,3 +413,93 @@ def run_stream_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("q_tokens"), 4).alias("avg_tokens"),
     )
     return _run_to_memory(agg, "complete")
+
+
+def _staged_doc_slices(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> str:
+    """Stage documents as n_slices single-file parquets in doc_id-range
+    order with strictly increasing mtimes, so the file stream source
+    (which orders by timestamp) delivers ascending-id micro-batches
+    deterministically."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    key = hashlib.md5(f"{sf_dir}:docslices{n_slices}".encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"shc_stream_{key}")
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    step = (hi - lo + n_slices) // n_slices
+    t0 = 1_700_000_000
+    for i in range(n_slices):
+        part = docs.filter(
+            (F.col("doc_id") >= lo + i * step) & (F.col("doc_id") < lo + (i + 1) * step)
+        )
+        tmp = os.path.join(d, f"_tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, f"slice-{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (t0 + i, t0 + i))
+    open(done, "w").close()
+    return d
+
+
+def run_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup of an ARRIVING document stream: each
+    micro-batch is LSH-checked (exact-verified) against every document
+    seen in earlier batches AND against smaller-id documents within
+    its own batch; a document with any smaller-id near-dup is dropped
+    on arrival. Because batches arrive in ascending-id order, the
+    retained set equals the batch rule "keep doc iff it has no
+    smaller-id near-dup" — which is exactly SQL-expressible, so the
+    whole streaming pipeline has a value-exact oracle.
+
+    Scale shape: the seen-store accumulates per-batch (at 100 TB it
+    would hold the banded FEATURES in an shc table with a (band,
+    bucket) secondary index instead of re-deriving them — re-derivation
+    here keeps the gate self-contained); each batch does one bipartite
+    band join + one within-batch LSH pass; kept ids append to a result
+    table, nothing corpus-sized touches the driver."""
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import dedup
+
+    stream_dir = _staged_doc_slices(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="shc_incdedup_")
+    seen_dir = os.path.join(work, "seen")
+    kept_dir = os.path.join(work, "kept")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select("doc_id", "text").localCheckpoint(eager=True)
+        drops = dedup.minhash_lsh_pairs(
+            batch, "text", "doc_id", num_perm=64, bands=32, threshold=0.8
+        ).select(F.col("id_b").alias("doc_id"))
+        if os.path.exists(seen_dir):
+            seen = spark.read.parquet(seen_dir)
+            cross = dedup.minhash_lsh_pairs_between(
+                batch, seen, "text", "doc_id", num_perm=64, bands=32, threshold=0.8
+            ).select(F.col("id_a").alias("doc_id"))
+            drops = drops.union(cross)
+        kept = batch.join(drops.distinct(), "doc_id", "left_anti").select("doc_id")
+        kept.write.mode("append").parquet(kept_dir)
+        batch.write.mode("append").parquet(seen_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+        .select("doc_id", "text")
+    )
+    q = src.writeStream.foreachBatch(step).start()
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(kept_dir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -560,3 +560,26 @@ def test_stateful_queries_identical_under_rocksdb(spark):
             spark.conf.set(key, default)
     assert rocks_tumb == base_tumb and base_tumb
     assert rocks_tot == base_tot and base_tot
+
+
+def test_stream_incremental_dedup_equals_batch_rule(spark):
+    """The arrival-order dedup must equal the batch rule 'keep iff no
+    smaller-id exact-Jaccard near-dup', and the stream must actually
+    arrive as multiple ascending-id micro-batches."""
+    import os
+
+    from shc_spark.operators import dedup
+    from shc_spark.streaming import events as ev
+
+    SF = "/root/testdata/sf0.001"
+    staged = ev._staged_doc_slices(spark, SF)
+    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(files) == 4
+    got = {r["doc_id"] for r in ev.run_stream_incremental_dedup(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dropped = {
+        r["id_b"]
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    }
+    expect = {r["doc_id"] for r in docs.select("doc_id").collect()} - dropped
+    assert got == expect and got

@@ -48,16 +48,17 @@ _WINDOW = [
     "shc_restrictive", "shc_versions_map", "shc_dynamic_map",
     "shc_compaction", "shc_secondary_index", "shc_delete",
     "shc_merge_into", "shc_phoenix_composite",
-    # LLM-pipeline (17; fingerprint/repetition/boilerplate/video, the
-    # no-oracle lsh/ivf variants, and token_stats/deterministic_sample/
-    # stratified_sample/image_features rotate out on r02 green rows;
-    # chunking + cluster_assign + pack_sequences + jpeg_decode are new
-    # in r03)
+    # LLM-pipeline (17): near_corpus/pii/token_stats/deterministic_
+    # sample/stratified_sample/image_features/audio_features/langid-
+    # adjacent redundants and the no-oracle lsh/ivf variants rotate
+    # out on r01/r02 green rows; chunking, cluster_assign, cross-
+    # corpus dedup, LM perplexity, SQ8 quantization, pack_sequences
+    # and jpeg_decode are new-in-r03 value-exact gates
     "dedup_exact", "dedup_minhash_lsh", "sim_topk_bruteforce",
-    "dedup_clusters", "dedup_near_corpus", "text_quality_scores",
-    "text_langid", "text_chunking", "text_pii_scan",
+    "dedup_clusters", "dedup_cross_corpus", "text_quality_scores",
+    "text_langid", "text_chunking", "text_lm_ppl",
     "cluster_assign", "text_bm25_search", "mm_jpeg_decode",
-    "mm_image_decode", "mm_audio_features", "text_decontaminate",
+    "mm_image_decode", "embed_quantize", "text_decontaminate",
     "text_pack_sequences", "sim_hybrid_rrf",
     # streaming + storage engine (9; sliding and the dropDuplicates
     # stream_dedup rotate out on r02 green; incremental_dedup new r03)

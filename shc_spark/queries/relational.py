@@ -1622,3 +1622,27 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# LATERAL correlated subquery (Spark 4 SQL surface): per-customer
+# top-3 orders by price via a lateral derived table — the SQL-level
+# dual of the window top-k; both engines run the identical statement.
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey AND o_orderstatus = 'F'
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) o
+WHERE c.c_acctbal > 9000
+"""
+
+
+@register("q_lateral_topk", _LATERAL_SQL)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)

@@ -15,6 +15,8 @@ projection. No Python, no second shuffle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -80,3 +82,197 @@ def dequantize(
         + c.cast("double") * F.element_at(span, i + 1) / (levels - 1),
     )
     return df.select(F.col(id_col), vec.alias(out_col))
+
+
+def _unit(M: "np.ndarray") -> "np.ndarray":
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): the billion-scale companion to SQ8 —
+# m subspace codebooks of k centroids give m log2(k)-bit codes per
+# vector (64-dim float32 -> 8 bytes at m=8, k=256), searched with
+# asymmetric distance (query stays full-precision, per-query lookup
+# tables score codes without reconstructing vectors).
+
+
+def train_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 8,
+) -> "np.ndarray":
+    """(m, k, dim/m) PQ codebooks via per-subspace Lloyd's on a
+    bounded DETERMINISTIC corpus sample (top-N by content hash — the
+    same pattern as similarity._train_centroids: the quantizer trains
+    on a sample, the full corpus only gets ASSIGNED, so driver cost is
+    independent of corpus size). Seeds are the first k sample rows per
+    subspace; fixed iterations, no RNG."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X = _unit(X)  # unit sphere: sq-euclidean == 2 - 2*cosine, so PQ
+    # ranks match the cosine searches elsewhere in the suite
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n < k:
+        raise ValueError(f"sample {n} smaller than k={k}")
+    sub = dim // m
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        cents = S[:k].copy()
+        for _ in range(iters):
+            d = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    cents[c] = S[mask].mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) with codes[j] = argmin centroid of
+    subspace j. Vectorized batch distance per subspace; map-only."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def _enc(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        X = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in col]))
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * sub : (j + 1) * sub]
+            c2 = (books[j] ** 2).sum(axis=1)
+            d = c2[None, :] - 2.0 * (S @ books[j].T)  # + |s|^2 (rank-invariant)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return df.select(F.col(id_col), _enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: "np.ndarray",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    k: int = 5,
+    rerank_factor: int = 0,
+    vectors: DataFrame | None = None,
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    """Asymmetric-distance top-k: each query precomputes an (m, K)
+    lookup table of subspace squared distances; a code's approximate
+    distance is the sum of m table entries — one fancy-index + sum per
+    Arrow batch, no vector reconstruction, the corpus never shuffles.
+    Output: (query_id, neighbor_id, adist, rank), ties by neighbor id.
+    Self-matches excluded.
+
+    ``rerank_factor=R`` (with ``vectors``) switches to the production
+    two-stage shape: PQ prunes to R*k candidates per query, then the
+    candidates — and ONLY the candidates, nq*R*k rows — join back to
+    their full-precision vectors for exact cosine re-ranking. Recall
+    then depends on whether the true top-k survive a R*k-deep PQ cut
+    instead of on raw code fidelity (measured on the near-isotropic
+    synthetic embeddings — the adversarial case for PQ: 0.79 at R=10,
+    0.93 at R=20, 0.98 at R=40; pinned by test)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, K, sub = books.shape
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    lut = np.empty((len(q_ids), m, K))
+    for qi, r in enumerate(q_rows):
+        v = _unit(np.asarray(list(r[1]), dtype=np.float64)[None, :])[0]
+        for j in range(m):
+            diff = books[j] - v[j * sub : (j + 1) * sub][None, :]
+            lut[qi, j] = (diff**2).sum(axis=1)
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, lut))
+    id_type = codes.schema[id_col].dataType.simpleString()
+    schema = f"query_id {id_type}, neighbor_id {id_type}, adist double"
+    depth = k * rerank_factor if rerank_factor else k
+
+    def score(batches):
+        qids_, lut_ = bc.value
+        if not qids_:
+            return
+        jidx = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy()
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["__vec"]])
+            # (nq, batch): sum over subspaces of lut[q, j, C[:, j]]
+            D = lut_[:, jidx, C].sum(axis=2)
+            top = min(depth + 1, D.shape[1])  # +1 absorbs a self-match
+            out_q, out_n, out_d = [], [], []
+            for qi, qid in enumerate(qids_):
+                part = np.argpartition(D[qi], top - 1)[:top]
+                for i in part:
+                    if ids[i] != qid:
+                        out_q.append(qid)
+                        out_n.append(ids[i])
+                        out_d.append(round(float(D[qi, i]), 6))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adist": out_d}
+            )
+
+    part = codes.select(
+        F.col(id_col).alias("__id"), F.col(codes_col).alias("__vec")
+    ).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    pruned = (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= depth)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
+    if not rerank_factor:
+        return pruned
+    if vectors is None:
+        raise ValueError("rerank_factor requires the full-precision `vectors`")
+    qmap = {qid: _unit(np.asarray(list(r[1]), dtype=np.float64)[None, :])[0]
+            for qid, r in zip(q_ids, q_rows)}
+    bq = spark.sparkContext.broadcast(qmap)
+
+    @F.pandas_udf("double")
+    def _cos(qid: pd.Series, vec: pd.Series) -> pd.Series:
+        qm = bq.value
+        if qid.empty:
+            return pd.Series([], dtype=float)
+        M = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in vec]))
+        q = np.stack([qm[x] for x in qid])
+        return pd.Series(np.round((M * q).sum(axis=1), 4))
+
+    vecs = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__fv")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pruned.join(vecs, "neighbor_id")
+        .withColumn("cosine", _cos("query_id", "__fv"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

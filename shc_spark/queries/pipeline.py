@@ -1073,3 +1073,21 @@ def mm_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.shard_shuffle(docs, "doc_id", num_shards=8, epoch=1)
+
+
+# PQ-pruned + exact-reranked ANN: the billion-scale production shape
+# (PQ codes prune to R*k candidates per query, full-precision cosine
+# re-ranks only those). Approximate by construction -> rows-only;
+# recall curve pinned by tests (0.93 at R=20 on these near-isotropic
+# embeddings, the adversarial case for PQ).
+@register("sim_topk_pq", None)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = quantize.train_pq(emb, "embedding", "vec_id", m=8, k=16)
+    codes = quantize.pq_encode(emb, books, "embedding", "vec_id")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return quantize.pq_topk(
+        queries, codes, books, k=5, rerank_factor=20, vectors=emb
+    )

@@ -678,3 +678,51 @@ def test_shard_shuffle_properties(spark):
     # epoch changes the permutation
     e2 = T.shard_shuffle(docs, "doc_id", num_shards=8, epoch=2).collect()
     assert {tuple(r) for r in e2} != {tuple(r) for r in e1}
+
+
+def test_pq_roundtrip_and_recall(spark):
+    import numpy as np
+
+    from shc_spark.operators import quantize as Q
+    from shc_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = Q.train_pq(emb, "embedding", "vec_id", m=8, k=16)
+    assert books.shape == (8, 16, 8)
+    codes = Q.pq_encode(emb, books, "embedding", "vec_id").cache()
+    rows = codes.collect()
+    assert all(len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"]) for r in rows)
+    # deterministic encode
+    again = {r["vec_id"]: r["codes"] for r in Q.pq_encode(emb, books).collect()}
+    assert again == {r["vec_id"]: r["codes"] for r in rows}
+    # asymmetric-distance ranks approximate the exact cosine ranks;
+    # these embeddings are near-isotropic (5th-NN cosine ~0.37) — the
+    # adversarial case for PQ — so raw-code recall is modest and the
+    # production prune+exact-rerank shape carries the quality
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = similarity.cosine_topk(queries, emb, k=5).collect()
+    raw = Q.pq_topk(queries, codes, books, k=5).collect()
+    assert _recall(raw, exact) >= 0.15, _recall(raw, exact)
+    rr = Q.pq_topk(queries, codes, books, k=5, rerank_factor=20, vectors=emb).collect()
+    r = _recall(rr, exact)
+    assert r >= 0.85, f"PQ+rerank recall {r}"
+    # rerank output is exact cosine on the surviving candidates: every
+    # returned (query, neighbor, cosine) matches the brute-force value
+    brute = {(x["query_id"], x["neighbor_id"]): x["cosine"] for x in
+             similarity.cosine_topk(queries, emb, k=200).collect()}
+    for x in rr:
+        key = (x["query_id"], x["neighbor_id"])
+        if key in brute:
+            assert abs(x["cosine"] - brute[key]) <= 1e-4, key
+    # adist of a returned candidate is consistent with the LUT sum
+    one = [a for a in Q.pq_topk(queries, codes, books, k=5).collect()
+           if a["query_id"] == 0 and a["rank"] == 1][0]
+    v = np.array(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"], dtype=np.float64
+    )
+    v = v / np.linalg.norm(v)
+    cvec = dict(again)[one["neighbor_id"]]
+    expect = 0.0
+    for j in range(8):
+        expect += ((books[j][cvec[j]] - v[j * 8 : (j + 1) * 8]) ** 2).sum()
+    assert abs(one["adist"] - round(float(expect), 6)) < 1e-6

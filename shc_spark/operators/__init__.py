@@ -7,4 +7,4 @@ new capabilities beyond the reference, built DataFrame-first:
 - multimodal: binary payload plumbing with stubbed decoders
 """
 
-from shc_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+from shc_spark.operators import dedup, linkage, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,84 @@
+"""Frequent-items (heavy hitters) over unbounded key universes.
+
+The scale problem: ``GROUP BY token`` over a 100 TB corpus shuffles
+the full token universe (billions of distinct keys) to find the few
+thousand frequent ones. The classic fix is a two-phase plan:
+
+1. **Candidate discovery with bounded memory** — a per-partition
+   Misra-Gries summary of capacity m. MG summaries are *mergeable*
+   (Agarwal et al., "Mergeable Summaries", PODS'12): merging per-batch
+   counts and trimming to m counters by subtracting the (m+1)-th
+   largest weight preserves the global error bound N/(m+1). Any item
+   with true global frequency > N/(m+1) is GUARANTEED to survive in
+   the merged summary, so with m >= ceil(1/min_frac) the candidate
+   set is a provable superset of the heavy hitters. Each partition
+   emits <= m rows, whatever its size.
+2. **Exact verification** — the tiny candidate dictionary broadcasts
+   back into a semi-join, and ONLY candidate rows are counted. Output
+   counts are exact, so the operator is value-exact against a plain
+   GROUP BY ... HAVING oracle, while never shuffling the key
+   universe.
+
+The MG update is batch-vectorized (pandas value_counts + a bulk trim),
+no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_partial(col: str, m: int):
+    def gen(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            if vc.empty:
+                continue
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > m:
+                # mergeable-summaries trim: subtract the (m+1)-th
+                # largest weight from everything, keep positives —
+                # each trim only ever removes weight that the error
+                # bound N/(m+1) already accounts for
+                off = counters.nlargest(m + 1).iloc[-1]
+                counters = counters[counters > off] - off
+        if len(counters):
+            yield pd.DataFrame(
+                {"item": counters.index.astype(str), "wt": counters.values.astype("int64")}
+            )
+
+    return gen
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, min_frac: float, capacity: int | None = None
+) -> DataFrame:
+    """Items of string column ``col`` occurring in at least
+    ``min_frac`` of the (non-null) rows, with their EXACT counts:
+    (col, cnt), cnt >= ceil(min_frac * N).
+
+    ``capacity`` (default ceil(1/min_frac)) is the per-partition MG
+    counter budget; the default is the smallest value that makes the
+    candidate set a guaranteed superset.
+    """
+    m = capacity or math.ceil(1.0 / min_frac)
+    items = df.select(col).where(F.col(col).isNotNull())
+    partials = items.mapInPandas(_mg_partial(col, m), schema="item string, wt long")
+    # merged summary: per-item weight sum; EVERY surviving item is a
+    # candidate (no weight filter — the superset guarantee is on
+    # survival, not on the residual weight)
+    cand = partials.groupBy("item").agg(F.sum("wt")).select(F.col("item").alias(col))
+    n = items.agg(F.count(F.lit(1)).alias("nn"))  # 1-row broadcast scalar
+    return (
+        items.join(F.broadcast(cand), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .where(F.col("cnt") >= F.ceil(min_frac * F.col("nn")))
+        .select(col, "cnt")
+    )

@@ -519,3 +519,53 @@ def boilerplate_fraction(
             F.round(F.col("n_boiler") / F.col("n_shingles"), 4).alias("boiler_frac"),
         )
     )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword /
+    salient-term extraction signal for corpus curation and retrieval:
+
+        tf(t, d)  = count(t in d) / len(d)
+        idf(t)    = ln((N + 1) / (df(t) + 1)) + 1     (smoothed)
+        tfidf     = round(tf * idf, 6)
+
+    Output: (id, term, tfidf, rank), rank 1..k per document ordered by
+    (tfidf desc, term asc) — ranking happens on the ROUNDED score so
+    the ordering is engine-neutral.
+
+    Scale shape: term counts are a map-side-combined groupBy on
+    (id, term); doc lengths fold out of the same counts (one extra
+    groupBy on id, re-joined on the id key); document frequency is a
+    groupBy on term; N is a 1-row broadcast scalar (no driver
+    collect). The only wide exchange at 100 TB is the (id, term)
+    count shuffle; the final top-k window partitions by id, so no
+    single-partition bottleneck."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tc = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("c"))
+    dl = tc.groupBy("id").agg(F.sum("c").alias("len"))
+    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    n = df.select(F.col(id_col)).agg(F.countDistinct(id_col).alias("nn"))
+    score = F.round(
+        (F.col("c") * 1.0 / F.col("len"))
+        * (F.log((F.col("nn") + 1.0) / (F.col("dfc") + 1.0)) + 1),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tc.join(dl, "id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select("id", "term", score.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .withColumnRenamed("id", id_col)
+    )

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from shc_spark.operators import dedup, multimodal, similarity, text
+from shc_spark.operators import dedup, linkage, multimodal, similarity, text
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -239,6 +239,100 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return dedup.near_dedup(docs, "text", "doc_id").select("doc_id", "lang")
+
+
+# Record linkage: blocked fuzzy matching on the DISTINCT name
+# dictionary (first-token block + length-band prune + codegen'd
+# levenshtein). Both engines implement classic levenshtein — the
+# oracle is the identical blocked join, so the gate is value-exact.
+_FUZZY_CTE = """
+WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+b AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM n),
+e AS (
+  SELECT a.p_name AS name_a, x.p_name AS name_b,
+         CAST(levenshtein(a.p_name, x.p_name) AS BIGINT) AS dist
+  FROM b a JOIN b x ON a.blk = x.blk AND a.p_name < x.p_name
+  WHERE abs(length(a.p_name) - length(x.p_name)) <= 3
+    AND levenshtein(a.p_name, x.p_name) BETWEEN 1 AND 3)
+"""
+
+
+@register("dedup_fuzzy_names", _FUZZY_CTE + "SELECT name_a, name_b, dist FROM e")
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return linkage.fuzzy_pairs(part, "p_name", min_dist=1, max_dist=3)
+
+
+# Entity canonicalization: fuzzy pairs -> connected components on the
+# value dictionary -> every value mapped to its component's MIN member
+# (singletons map to themselves). Oracle: recursive-CTE closure.
+@register(
+    "dedup_canonical_names",
+    _FUZZY_CTE
+    + """
+    , sym AS (SELECT name_a AS a, name_b AS b FROM e
+              UNION SELECT name_b, name_a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    cl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+    SELECT n.p_name AS value, coalesce(cl.cluster, n.p_name) AS canonical
+    FROM n LEFT JOIN cl ON n.p_name = cl.id
+    """,
+)
+def dedup_canonical_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return linkage.canonicalize(part, "p_name", max_dist=3)
+
+
+# TF-IDF salient terms: identical smoothed formula + rounded-then-
+# ranked ordering on both sides makes the top-k value-exact.
+@register(
+    "text_tfidf",
+    """
+    WITH t AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tc AS (SELECT id, term, count(*) AS c FROM t WHERE term != '' GROUP BY 1, 2),
+    dl AS (SELECT id, sum(c) AS len FROM tc GROUP BY 1),
+    dfreq AS (SELECT term, count(*) AS dfc FROM tc GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS nn FROM documents),
+    s AS (
+      SELECT tc.id, tc.term,
+             round((tc.c * 1.0 / dl.len) * (ln((nn + 1.0) / (dfc + 1.0)) + 1), 6) AS tfidf
+      FROM tc JOIN dl USING (id) JOIN dfreq USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS rank
+          FROM s)
+    SELECT id AS doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.tfidf_terms(docs, "text", "doc_id", k=3)
+
+
+# Heavy hitters: bounded-memory Misra-Gries candidate discovery +
+# exact verification of candidates only — output counts are exact, so
+# the oracle is the plain GROUP BY ... HAVING formulation.
+@register(
+    "text_heavy_hitters",
+    """
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    f AS (SELECT term FROM t WHERE term != ''),
+    tot AS (SELECT count(*) AS nn FROM f),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY 1)
+    SELECT term, cnt FROM c CROSS JOIN tot WHERE cnt >= ceiling(0.01 * nn)
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term")).where(
+        F.col("term") != ""
+    )
+    return sketch.heavy_hitters(toks, "term", min_frac=0.01)
 
 
 # -- text analysis ----------------------------------------------------------

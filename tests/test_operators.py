@@ -726,3 +726,144 @@ def test_pq_roundtrip_and_recall(spark):
     for j in range(8):
         expect += ((books[j][cvec[j]] - v[j * 8 : (j + 1) * 8]) ** 2).sum()
     assert abs(one["adist"] - round(float(expect), 6)) < 1e-6
+
+
+# -- record linkage ---------------------------------------------------------
+
+
+def test_fuzzy_pairs_equals_bruteforce(spark):
+    from shc_spark.operators import linkage
+
+    rows = [("acme corp",), ("acme corp.",), ("acme inc",), ("bravo ltd",),
+            ("bravo ltd",), ("bravo co",), ("zulu gmbh",)]
+    df = spark.createDataFrame(rows, ["name"])
+    got = {(r.name_a, r.name_b, r.dist)
+           for r in linkage.fuzzy_pairs(df, "name", min_dist=1, max_dist=3).collect()}
+    # brute force over distinct names, same blocking (first token)
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    names = sorted({r[0] for r in rows})
+    want = {(a, b, lev(a, b)) for a, b in itertools.combinations(names, 2)
+            if a.split(" ")[0] == b.split(" ")[0] and 1 <= lev(a, b) <= 3}
+    assert got == want and got  # non-empty and exact
+
+
+def test_fuzzy_pairs_length_band_is_lossless(spark):
+    from shc_spark.operators import linkage
+
+    # pair at the band edge: length gap == max_dist == dist
+    df = spark.createDataFrame([("ab x",), ("ab xyyy",)], ["name"])
+    out = linkage.fuzzy_pairs(df, "name", min_dist=1, max_dist=3).collect()
+    assert [(r.name_a, r.name_b, r.dist) for r in out] == [("ab x", "ab xyyy", 3)]
+
+
+def test_fuzzy_join_links_tables(spark):
+    from shc_spark.operators import linkage
+
+    left = spark.createDataFrame([("acme corp",), ("delta llc",)], ["lname"])
+    right = spark.createDataFrame(
+        [("acme corp.",), ("acme corp",), ("echo sa",)], ["rname"]
+    )
+    out = {(r.lname, r.rname, r.dist)
+           for r in linkage.fuzzy_join(left, right, "lname", "rname", max_dist=2).collect()}
+    assert out == {("acme corp", "acme corp.", 1), ("acme corp", "acme corp", 0)}
+
+
+def test_canonicalize_components_and_singletons(spark):
+    from shc_spark.operators import linkage
+
+    df = spark.createDataFrame(
+        [("acme corp",), ("acme corq",), ("acme corr",), ("zulu gmbh",)], ["name"]
+    )
+    got = {(r.value, r.canonical) for r in linkage.canonicalize(df, "name").collect()}
+    assert got == {
+        ("acme corp", "acme corp"),
+        ("acme corq", "acme corp"),
+        ("acme corr", "acme corp"),
+        ("zulu gmbh", "zulu gmbh"),  # no fuzzy neighbor -> itself
+    }
+
+
+# -- heavy hitters ----------------------------------------------------------
+
+
+def test_heavy_hitters_exact_counts_tiny_capacity(spark):
+    """Adversarial: capacity far below the distinct-item count, skewed
+    data — the MG superset guarantee must still surface every true
+    heavy hitter, and verification must emit EXACT counts."""
+    from collections import Counter
+
+    from shc_spark.operators import sketch
+
+    import random
+
+    rng = random.Random(7)
+    # zipf-ish: a few hot items + a long tail of 500 distinct cold ones
+    data = (["hot_a"] * 400 + ["hot_b"] * 250 + ["hot_c"] * 120
+            + [f"cold_{rng.randrange(500)}" for _ in range(1200)])
+    rng.shuffle(data)
+    df = spark.createDataFrame([(v,) for v in data], ["item"]).repartition(8)
+    n = len(data)
+    frac = 0.05  # threshold ~99; capacity defaults to 20 counters
+    got = {(r.item, r.cnt) for r in sketch.heavy_hitters(df, "item", frac).collect()}
+    truth = Counter(data)
+    import math
+
+    want = {(k, c) for k, c in truth.items() if c >= math.ceil(frac * n)}
+    assert got == want and len(got) >= 3
+
+
+def test_heavy_hitters_no_false_negatives_at_boundary(spark):
+    """Item exactly AT the ceil(frac*N) threshold must be kept."""
+    import math
+
+    from shc_spark.operators import sketch
+
+    data = ["edge"] * 10 + [f"x{i}" for i in range(90)]
+    df = spark.createDataFrame([(v,) for v in data], ["item"]).repartition(4)
+    assert math.ceil(0.1 * len(data)) == 10
+    got = {r.item for r in sketch.heavy_hitters(df, "item", 0.1, capacity=10).collect()}
+    assert got == {"edge"}
+
+
+def test_heavy_hitters_partials_are_bounded(spark):
+    """Each partition's MG summary emits at most `capacity` rows —
+    the bounded-memory claim, asserted on the partial output itself."""
+    from shc_spark.operators.sketch import _mg_partial
+
+    import pandas as pd
+
+    batches = [pd.DataFrame({"item": [f"v{i % 50}" for i in range(j, j + 200)]})
+               for j in range(0, 1000, 200)]
+    out = list(_mg_partial("item", 8)(iter(batches)))
+    assert sum(len(p) for p in out) <= 8
+
+
+def test_tfidf_matches_manual_formula(spark):
+    import math
+
+    from shc_spark.operators import text as T
+
+    rows = [(1, "a a b"), (2, "a c"), (3, "c c c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.doc_id, r.term): (r.tfidf, r.rank)
+           for r in T.tfidf_terms(df, "text", "doc_id", k=2).collect()}
+
+    def idf(dfc):
+        return math.log((3 + 1.0) / (dfc + 1.0)) + 1
+
+    # doc 1: a tf=2/3 df=2, b tf=1/3 df=1
+    assert out[(1, "a")][0] == round(2 / 3 * idf(2), 6)
+    assert out[(1, "b")][0] == round(1 / 3 * idf(1), 6)
+    # rank orders by rounded score desc then term
+    # a: 2/3*(ln(4/3)+1)=0.8585 beats b: 1/3*(ln 2+1)=0.5644
+    assert out[(1, "a")][1] == 1 and out[(1, "b")][1] == 2
+    assert len(out) == 6  # k=2 per doc

@@ -1,0 +1,101 @@
+"""Declarative data-quality validation (Deequ-style constraint suite).
+
+Before a 100 TB corpus feeds a training run, you assert invariants on
+it — keys unique, mandatory fields present, values in range, codes
+well-formed — and you want ALL of them measured in ONE pass over the
+data, not one scan per constraint.
+
+``validate(df, checks)`` compiles every check into an aggregate
+expression, evaluates them in a single ``agg`` (one scan, map-side
+combined; the only caveat is that each exact ``uniqueness`` check adds
+an expand branch to the aggregate — at extreme scale swap those to
+``approx_count_distinct`` if a tolerance is acceptable), then explodes
+the 1-row result into the long-format report:
+
+    (check_name, col_name, metric, threshold, passed)
+
+Metrics are fractions in [0, 1], rounded to 6dp so the report is
+engine-neutral and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    kind: str
+    column: str
+    threshold: float
+    lo: float | None = None
+    hi: float | None = None
+    pattern: str | None = None
+
+    def metric(self) -> Column:
+        c = F.col(self.column)
+        if self.kind == "completeness":
+            m = F.count(c) / F.count(F.lit(1))
+        elif self.kind == "uniqueness":
+            m = F.countDistinct(c) / F.count(c)
+        elif self.kind == "bounds":
+            m = F.avg(
+                F.when(c.isNull(), F.lit(None)).otherwise(
+                    F.when(c.between(self.lo, self.hi), 1.0).otherwise(0.0)
+                )
+            )
+        elif self.kind == "matches":
+            m = F.avg(
+                F.when(c.isNull(), F.lit(None)).otherwise(
+                    F.when(c.rlike(self.pattern), 1.0).otherwise(0.0)
+                )
+            )
+        else:
+            raise ValueError(f"unknown check kind {self.kind!r}")
+        return F.round(m, 6)
+
+
+def completeness(column: str, min_ratio: float = 1.0) -> Check:
+    """Fraction of rows with a non-null value."""
+    return Check("completeness", column, min_ratio)
+
+
+def uniqueness(column: str, min_ratio: float = 1.0) -> Check:
+    """Distinct values / non-null values (1.0 = a key column)."""
+    return Check("uniqueness", column, min_ratio)
+
+
+def bounds(column: str, lo: float, hi: float, min_ratio: float = 1.0) -> Check:
+    """Fraction of non-null values inside [lo, hi]."""
+    return Check("bounds", column, min_ratio, lo=lo, hi=hi)
+
+
+def matches(column: str, pattern: str, min_ratio: float = 1.0) -> Check:
+    """Fraction of non-null values matching the regex."""
+    return Check("matches", column, min_ratio, pattern=pattern)
+
+
+def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate every check in ONE aggregate scan; one report row per
+    check: (check_name, col_name, metric, threshold, passed)."""
+    if not checks:
+        raise ValueError("no checks given")
+    row = df.agg(*[ch.metric().alias(f"m{i}") for i, ch in enumerate(checks)])
+    report = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(ch.kind).alias("check_name"),
+                    F.lit(ch.column).alias("col_name"),
+                    F.col(f"m{i}").alias("metric"),
+                    F.lit(float(ch.threshold)).alias("threshold"),
+                    (F.col(f"m{i}") >= ch.threshold).alias("passed"),
+                )
+                for i, ch in enumerate(checks)
+            ]
+        )
+    ).alias("r")
+    return row.select(report).select("r.*")

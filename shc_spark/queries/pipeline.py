@@ -335,6 +335,47 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.heavy_hitters(toks, "term", min_frac=0.01)
 
 
+# Data-quality constraint suite: five checks measured in ONE aggregate
+# scan (Deequ pattern); the report is engine-neutral 6dp fractions.
+# The o_custkey uniqueness check is deliberately failing (passed=false)
+# so the gate pins both outcomes.
+@register(
+    "dq_validate_orders",
+    """
+    WITH m AS (
+      SELECT
+        round(count(o_custkey) * 1.0 / count(*), 6) AS m0,
+        round(count(DISTINCT o_orderkey) * 1.0 / count(o_orderkey), 6) AS m1,
+        round(count(DISTINCT o_custkey) * 1.0 / count(o_custkey), 6) AS m2,
+        round(avg(CASE WHEN o_totalprice IS NULL THEN NULL
+                       WHEN o_totalprice BETWEEN 0 AND 600000 THEN 1.0 ELSE 0.0 END), 6) AS m3,
+        round(avg(CASE WHEN o_orderstatus IS NULL THEN NULL
+                       WHEN regexp_matches(o_orderstatus, '^[FOP]$') THEN 1.0 ELSE 0.0 END), 6) AS m4
+      FROM orders)
+    SELECT 'completeness' AS check_name, 'o_custkey' AS col_name, m0 AS metric,
+           CAST(1.0 AS DOUBLE) AS threshold, m0 >= 1.0 AS passed FROM m
+    UNION ALL SELECT 'uniqueness', 'o_orderkey', m1, CAST(1.0 AS DOUBLE), m1 >= 1.0 FROM m
+    UNION ALL SELECT 'uniqueness', 'o_custkey', m2, CAST(0.5 AS DOUBLE), m2 >= 0.5 FROM m
+    UNION ALL SELECT 'bounds', 'o_totalprice', m3, CAST(1.0 AS DOUBLE), m3 >= 1.0 FROM m
+    UNION ALL SELECT 'matches', 'o_orderstatus', m4, CAST(1.0 AS DOUBLE), m4 >= 1.0 FROM m
+    """,
+)
+def dq_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import dq
+
+    orders = _t(spark, sf_dir, "orders")
+    return dq.validate(
+        orders,
+        [
+            dq.completeness("o_custkey", 1.0),
+            dq.uniqueness("o_orderkey", 1.0),
+            dq.uniqueness("o_custkey", 0.5),
+            dq.bounds("o_totalprice", 0, 600000, 1.0),
+            dq.matches("o_orderstatus", "^[FOP]$", 1.0),
+        ],
+    )
+
+
 # -- text analysis ----------------------------------------------------------
 
 _MARKERS_SQL = ", ".join(

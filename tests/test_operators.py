@@ -867,3 +867,40 @@ def test_tfidf_matches_manual_formula(spark):
     # a: 2/3*(ln(4/3)+1)=0.8585 beats b: 1/3*(ln 2+1)=0.5644
     assert out[(1, "a")][1] == 1 and out[(1, "b")][1] == 2
     assert len(out) == 6  # k=2 per doc
+
+
+# -- data-quality validation ------------------------------------------------
+
+
+def test_dq_validate_metrics_and_outcomes(spark):
+    from shc_spark.operators import dq
+
+    rows = [(1, "A", 10.0), (2, "B", 20.0), (3, None, 99.0), (3, "zz", None)]
+    df = spark.createDataFrame(rows, ["id", "code", "v"])
+    rep = {(r.check_name, r.col_name): (r.metric, r.threshold, r.passed)
+           for r in dq.validate(df, [
+               dq.completeness("code", 1.0),        # 3/4
+               dq.uniqueness("id", 1.0),            # 3 distinct / 4
+               dq.bounds("v", 0, 50, 1.0),          # nulls excluded: 2/3
+               dq.matches("code", "^[A-Z]$", 0.5),  # 2/3 of non-null
+           ]).collect()}
+    assert rep[("completeness", "code")] == (0.75, 1.0, False)
+    assert rep[("uniqueness", "id")] == (0.75, 1.0, False)
+    assert rep[("bounds", "v")] == (round(2 / 3, 6), 1.0, False)
+    assert rep[("matches", "code")] == (round(2 / 3, 6), 0.5, True)
+
+
+def test_dq_validate_single_aggregate_scan(spark):
+    """All checks compile into ONE Aggregate over one scan — the
+    whole-suite-in-one-pass claim, pinned on the optimized plan."""
+    from shc_spark.operators import dq
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.col("id").cast("string").alias("s")
+    )
+    rep = dq.validate(df, [
+        dq.completeness("k"), dq.bounds("id", 0, 1000), dq.matches("s", r"^\d+$"),
+    ])
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1
+    assert rep.count() == 3

@@ -376,6 +376,34 @@ def dq_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-order layout: the Morton code is a deterministic bit-interleave,
+# generated as the IDENTICAL shift/mask expression for both engines
+# (layout.zvalue / layout.zvalue_sql) — value-exact.
+def _zorder_oracle() -> str:
+    from shc_spark.operators import layout
+
+    z = layout.zvalue_sql(["l_partkey", "l_suppkey"], bits=16)
+    return f"""
+    SELECT l_orderkey, l_linenumber, CAST({z} AS BIGINT) AS zval
+    FROM lineitem
+    """
+
+
+@register("q_zorder_values", None)  # SQL attached below (needs the generator)
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import layout
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        layout.zvalue(["l_partkey", "l_suppkey"], bits=16).alias("zval"),
+    )
+
+
+ORACLE["q_zorder_values"] = _zorder_oracle()
+
+
 # -- text analysis ----------------------------------------------------------
 
 _MARKERS_SQL = ", ".join(

@@ -904,3 +904,84 @@ def test_dq_validate_single_aggregate_scan(spark):
     plan = rep._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") == 1
     assert rep.count() == 3
+
+
+# -- z-order layout ---------------------------------------------------------
+
+
+def test_zvalue_matches_python_morton(spark):
+    from shc_spark.operators import layout
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(200)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = [r.z for r in df.select(layout.zvalue(["x", "y"]).alias("z")).collect()]
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [morton(x, y) for x, y in rows]
+
+
+def _file_overlap_frac(path, box):
+    """Fraction of parquet files whose footer min/max stats overlap the
+    box {col: (lo, hi)} — what file-level data skipping would read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        span = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in box and col.statistics is not None:
+                    lo, hi = span.get(name, (col.statistics.min, col.statistics.max))
+                    span[name] = (min(lo, col.statistics.min), max(hi, col.statistics.max))
+        if all(span[c][0] <= hi and span[c][1] >= lo for c, (lo, hi) in box.items()):
+            hit += 1
+    return hit / len(files)
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    """Z-ordered files cover small hyper-rectangles: a box predicate on
+    BOTH dims — or either single dim — overlaps few files, while a
+    linear sort only ever prunes its own sort column."""
+    from shc_spark.operators import layout
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    zp, lp = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    layout.zorder_by(grid, ["x", "y"], bits=8, num_partitions=16).write.parquet(zp)
+    grid.repartitionByRange(16, F.col("x")).sortWithinPartitions("x").write.parquet(lp)
+
+    quadrant = {"x": (0, 63), "y": (0, 63)}
+    y_slice = {"y": (100, 115)}
+    assert _file_overlap_frac(zp, quadrant) <= 0.25      # reads <= 4/16 files
+    assert _file_overlap_frac(lp, quadrant) >= 0.2       # linear: prunes via x only
+    assert _file_overlap_frac(zp, y_slice) <= 0.75       # z still prunes a y-only box
+    assert _file_overlap_frac(lp, y_slice) == 1.0        # linear reads EVERY file
+    # layout must not change the data
+    assert layout.zorder_by(grid, ["x", "y"], bits=8).count() == 256 * 256
+
+
+def test_zvalue_rejects_bad_shapes(spark):
+    import pytest
+
+    from shc_spark.operators import layout
+
+    with pytest.raises(ValueError):
+        layout.zvalue(["x"])
+    with pytest.raises(ValueError):
+        layout.zvalue(["x", "y", "z", "w"], bits=16)

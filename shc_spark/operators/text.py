@@ -569,3 +569,51 @@ def tfidf_terms(
         .where(F.col("rank") <= k)
         .withColumnRenamed("id", id_col)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quotas: dict,
+    prefilter: bool = False,
+) -> DataFrame:
+    """Exact count-quota mixture sampling — "assemble a corpus of
+    exactly N docs at 50% web / 30% books / 20% code": for each
+    stratum, keep the first ``quotas[stratum]`` rows in deterministic
+    md5-of-id order (ties by id). Strata absent from ``quotas`` are
+    dropped. Reproducible across engines/runs/retries, and exact where
+    ``stratified_sample`` is rate-based.
+
+    Scale path (``prefilter=True``): ranking a petabyte stratum
+    through one window partition is the bottleneck, so first cut each
+    stratum to ~2x its quota with the md5-prefix trick (per-stratum
+    threshold from one broadcast count aggregate — md5 is uniform, so
+    the cut keeps a superset of the winners with overwhelming margin),
+    then rank only the survivors. ``test_mixture_prefilter_equal``
+    pins both paths identical on real data."""
+    h = F.md5(F.col(id_col).cast("string"))
+    quota_pairs = [x for kv in quotas.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    quota = F.create_map(*quota_pairs)[F.col(strata_col)]
+    src = df.filter(F.col(strata_col).isin(list(quotas)))
+    if prefilter:
+        cols = src.columns
+        counts = src.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__cnt"))
+        src = src.join(F.broadcast(counts), strata_col)
+        # two-hex-char cutoff keeping ~2x the quota plus additive slack
+        # (the relative margin concentrates for big strata, the +16
+        # covers small ones); "zz" sorts above every hex digram =
+        # keep-all when the margin covers the whole stratum
+        frac256 = F.ceil(F.lit(256.0) * (2 * quota + 16) / F.col("__cnt"))
+        thr = F.when(frac256 >= 256, F.lit("zz")).otherwise(
+            F.lower(F.lpad(F.conv(frac256.cast("string"), 10, 16), 2, "0"))
+        )
+        src = src.filter(F.substring(h, 1, 2) < thr).select(*cols)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        src.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
+    )

@@ -1254,3 +1254,26 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize.pq_topk(
         queries, codes, books, k=5, rerank_factor=20, vectors=emb
     )
+
+
+# Exact count-quota corpus mixing: deterministic md5-order selection,
+# identical rank expression on both sides — value-exact.
+@register(
+    "text_mixture_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+    SELECT doc_id, source FROM r
+    WHERE (source = 'src0' AND rk <= 10)
+       OR (source = 'src1' AND rk <= 5)
+       OR (source = 'src2' AND rk <= 20)
+    """,
+)
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return text.mixture_sample(
+        docs, "source", "doc_id", {"src0": 10, "src1": 5, "src2": 20}
+    )

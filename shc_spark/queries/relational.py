@@ -1646,3 +1646,34 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+# batch sessionization: gap-based sessions replayed over the full
+# history — identical lag/flag/cumsum chain on both engines, ties
+# broken by event_id so the ordering is total.
+@register(
+    "q_sessionize_batch",
+    """
+    WITH m AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS dur_us
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import sessions
+
+    ev = _events(spark, sf_dir)
+    return sessions.session_stats(ev, "user_id", "ts", 1800, tiebreak_col="event_id")

@@ -985,3 +985,54 @@ def test_zvalue_rejects_bad_shapes(spark):
         layout.zvalue(["x"])
     with pytest.raises(ValueError):
         layout.zvalue(["x", "y", "z", "w"], bits=16)
+
+
+# -- batch sessionization / mixture sampling --------------------------------
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    from shc_spark.operators import sessions
+
+    ts = lambda m: datetime(2026, 1, 1, 0, m)
+    rows = [  # user 1: gap at 45' -> 2 sessions; user 2: single event
+        (1, 1, ts(0)), (1, 2, ts(10)), (1, 3, ts(55)), (2, 4, ts(0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    out = {(r.user_id, r.session_id): (r.n_events, r.dur_us)
+           for r in sessions.session_stats(df, "user_id", "ts", 1800, "event_id").collect()}
+    assert out == {
+        (1, 1): (2, 10 * 60 * 1_000_000),
+        (1, 2): (1, 0),
+        (2, 1): (1, 0),
+    }
+
+
+def test_sessionize_boundary_gap_not_new_session(spark):
+    """A gap of EXACTLY gap_seconds stays in the same session (strict >)."""
+    from datetime import datetime
+
+    from shc_spark.operators import sessions
+
+    rows = [(1, 1, datetime(2026, 1, 1, 0, 0)), (1, 2, datetime(2026, 1, 1, 0, 30))]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    out = sessions.sessionize(df, "user_id", "ts", 1800, "event_id").collect()
+    assert {r.session_id for r in out} == {1}
+
+
+def test_mixture_prefilter_equal(spark):
+    """The md5-prefix scale path must select the IDENTICAL rows as the
+    exact window path on real data, including quota == stratum size."""
+    from shc_spark.operators import text as T
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select("doc_id", "source")
+    quotas = {"src0": 10, "src1": 25, "src2": 3}  # src1: quota == all 25
+    exact = {tuple(r) for r in T.mixture_sample(docs, "source", "doc_id", quotas).collect()}
+    fast = {tuple(r)
+            for r in T.mixture_sample(docs, "source", "doc_id", quotas, prefilter=True).collect()}
+    assert exact == fast
+    from collections import Counter
+
+    got = Counter(s for _, s in exact)
+    assert got == Counter(quotas)

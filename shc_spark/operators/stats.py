@@ -1,0 +1,96 @@
+"""Distribution statistics for corpus curation: numeric profiling,
+group-wise quantiles, and winsorization (outlier clipping).
+
+All discrete-quantile selection uses the element-at-floor((n-1)*p)
+rule via a spill-safe ranked window (no collect_list, no
+interpolation ulps) — the same engine-neutral convention as
+q_percentiles_datetime. Bounds tables are tiny (one row per group)
+and broadcast back; the corpus itself never shuffles for the clip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Numeric column profile in ONE aggregate scan, long format:
+    (col_name, n, n_null, n_distinct, min, max, mean, stddev) — mean
+    and stddev rounded to 4dp, min/max/mean/stddev as double."""
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.count(col).alias(f"{c}__n"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.countDistinct(col).alias(f"{c}__nd"),
+            F.min(col).alias(f"{c}__mn"),
+            F.max(col).alias(f"{c}__mx"),
+            F.round(F.avg(col), 4).alias(f"{c}__av"),
+            F.round(F.stddev_samp(col), 4).alias(f"{c}__sd"),
+        ]
+    row = df.agg(*aggs)
+    report = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"{c}__n").alias("n"),
+                    F.col(f"{c}__nn").alias("n_null"),
+                    F.col(f"{c}__nd").alias("n_distinct"),
+                    F.col(f"{c}__mn").alias("min"),
+                    F.col(f"{c}__mx").alias("max"),
+                    F.col(f"{c}__av").alias("mean"),
+                    F.col(f"{c}__sd").alias("stddev"),
+                )
+                for c in cols
+            ]
+        )
+    ).alias("r")
+    return row.select(report).select("r.*")
+
+
+def group_quantiles(
+    df: DataFrame, value_col: str, group_cols: list[str], ps: list[float]
+) -> DataFrame:
+    """Per-group discrete quantiles: one output row per group with a
+    q_<idx> column per requested p (value at position
+    floor((n-1)*p), 0-based, of the sorted group)."""
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    ranked = df.select(*group_cols, value_col).withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols)))
+
+    def pick(p):
+        idx = F.floor((F.col("__n") - 1) * F.lit(p)).cast("int") + 1
+        return F.max(F.when(F.col("__rn") == idx, F.col(value_col)))
+
+    return ranked.groupBy(*group_cols).agg(
+        *[pick(p).alias(f"q_{i}") for i, p in enumerate(ps)]
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lo_p, hi_p] discrete
+    quantiles — the standard outlier treatment before score-based
+    filtering. Adds ``<value_col>_w``; the bounds table (one row per
+    group) broadcasts, the data itself only shuffles inside the
+    bounds computation's window."""
+    b = group_quantiles(df, value_col, group_cols, [lo_p, hi_p]).withColumnsRenamed(
+        {"q_0": "__lo", "q_1": "__hi"}
+    )
+    return (
+        df.join(F.broadcast(b), group_cols)
+        .withColumn(
+            f"{value_col}_w",
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -617,3 +617,18 @@ def mixture_sample(
         .filter(F.col("__rk") <= quota)
         .drop("__rk")
     )
+
+
+def phrase_count(text: Column, phrase: str) -> Column:
+    """Exact positional phrase-occurrence count (the capability BM25's
+    bag-of-words ranking can't express): number of token positions
+    where the document's consecutive words equal ``phrase``. Pure
+    codegen'd array expression over the scan — zero shuffles; at
+    100 TB this is a map-only filter stage."""
+    terms = phrase.split(" ")
+    n = len(terms)
+    ws = words(text)
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)])  # noqa: E731
+    hits = F.size(F.filter(F.transform(idx, gram), lambda g: g == F.lit(phrase)))
+    return F.when(F.size(ws) >= n, hits).otherwise(F.lit(0))

@@ -1277,3 +1277,29 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.mixture_sample(
         docs, "source", "doc_id", {"src0": 10, "src1": 5, "src2": 20}
     )
+
+
+# Positional phrase search: consecutive-token match, zero-shuffle
+# array expression; the oracle enumerates positions via
+# generate_series — identical semantics, value-exact.
+@register(
+    "text_phrase_search",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    p AS (SELECT doc_id, ws,
+                 unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+          FROM t)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occur
+    FROM p WHERE ws[i] = 'table' AND ws[i+1] = 'table'
+    GROUP BY 1
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", text.phrase_count(F.col("text"), "table table").alias("n_occur")
+        )
+        .where(F.col("n_occur") > 0)
+        .withColumn("n_occur", F.col("n_occur").cast("long"))
+    )

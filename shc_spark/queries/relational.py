@@ -1677,3 +1677,68 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return sessions.session_stats(ev, "user_id", "ts", 1800, tiebreak_col="event_id")
+
+
+# group-wise winsorization: clip to per-group discrete [p05, p95]
+# (element-at selection, no interpolation ulps); bounds broadcast back.
+@register(
+    "q_winsorize_prices",
+    """
+    WITH s AS (
+      SELECT l_returnflag, list_sort(list(l_extendedprice)) AS vals
+      FROM lineitem GROUP BY 1),
+    b AS (
+      SELECT l_returnflag,
+             vals[CAST(floor((len(vals) - 1) * 0.05) AS INT) + 1] AS lo,
+             vals[CAST(floor((len(vals) - 1) * 0.95) AS INT) + 1] AS hi
+      FROM s)
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           round(least(greatest(l.l_extendedprice, b.lo), b.hi), 2) AS price_w
+    FROM lineitem l JOIN b USING (l_returnflag)
+    """,
+)
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    out = stats.winsorize(li, "l_extendedprice", ["l_returnflag"], 0.05, 0.95)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_extendedprice_w", 2).alias("price_w"),
+    )
+
+
+# numeric profiling: one aggregate scan, long-format report.
+@register(
+    "dq_profile_lineitem",
+    """
+    WITH m AS (
+      SELECT
+        CAST(count(l_quantity) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+        CAST(count(DISTINCT CAST(l_quantity AS DOUBLE)) AS BIGINT) AS nd1,
+        CAST(min(l_quantity) AS DOUBLE) AS mn1, CAST(max(l_quantity) AS DOUBLE) AS mx1,
+        round(avg(CAST(l_quantity AS DOUBLE)), 4) AS av1,
+        round(stddev_samp(CAST(l_quantity AS DOUBLE)), 4) AS sd1,
+        CAST(count(l_discount) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+        CAST(count(DISTINCT CAST(l_discount AS DOUBLE)) AS BIGINT) AS nd2,
+        CAST(min(l_discount) AS DOUBLE) AS mn2, CAST(max(l_discount) AS DOUBLE) AS mx2,
+        round(avg(CAST(l_discount AS DOUBLE)), 4) AS av2,
+        round(stddev_samp(CAST(l_discount AS DOUBLE)), 4) AS sd2
+      FROM lineitem)
+    SELECT 'l_quantity' AS col_name, n1 AS n, nn1 AS n_null, nd1 AS n_distinct,
+           mn1 AS min, mx1 AS max, av1 AS mean, sd1 AS stddev FROM m
+    UNION ALL
+    SELECT 'l_discount', n2, nn2, nd2, mn2, mx2, av2, sd2 FROM m
+    """,
+)
+def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return stats.profile(li, ["l_quantity", "l_discount"])

@@ -1036,3 +1036,47 @@ def test_mixture_prefilter_equal(spark):
 
     got = Counter(s for _, s in exact)
     assert got == Counter(quotas)
+
+
+# -- stats: profile / quantiles / winsorize ---------------------------------
+
+
+def test_profile_counts_and_moments(spark):
+    import statistics
+
+    from shc_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (2.0,), (None,), (10.0,)], "v double"
+    )
+    r = {p.col_name: p for p in stats.profile(df, ["v"]).collect()}["v"]
+    assert (r.n, r.n_null, r.n_distinct, r.min, r.max) == (4, 1, 3, 1.0, 10.0)
+    assert r.mean == round(15 / 4, 4)
+    assert r.stddev == round(statistics.stdev([1.0, 2.0, 2.0, 10.0]), 4)
+
+
+def test_group_quantiles_discrete_rule(spark):
+    from shc_spark.operators import stats
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 5.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.g: (r.q_0, r.q_1)
+           for r in stats.group_quantiles(df, "v", ["g"], [0.0, 0.5]).collect()}
+    # n=10: p50 index = floor(9*0.5)=4 (0-based) -> value 5.0
+    assert out["a"] == (1.0, 5.0)
+    assert out["b"] == (5.0, 5.0)  # single-element group
+
+
+def test_winsorize_clips_both_tails(spark):
+    from shc_spark.operators import stats
+
+    rows = [("a", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = stats.winsorize(df, "v", ["g"], 0.05, 0.95).collect()
+    lo = 1.0 + 4  # index floor(99*.05)=4 -> 5.0
+    hi = 1.0 + 95  # index floor(99*.95)=94 -> 95.0... check below
+    vals = sorted(r.v_w for r in out)
+    assert vals[0] == 5.0 and vals[-1] == 95.0
+    assert len(out) == 100  # no rows dropped
+    untouched = [r for r in out if 5.0 <= r.v <= 95.0]
+    assert all(r.v == r.v_w for r in untouched)

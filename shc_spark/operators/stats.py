@@ -94,3 +94,35 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def histogram(
+    df: DataFrame, value_col: str, bins: int, lo: float | None = None, hi: float | None = None
+) -> DataFrame:
+    """Equi-width histogram: (bin, lo, hi, cnt) for ``bins`` buckets
+    over [lo, hi] (bounds default to the column's min/max, computed in
+    the same job as a 1-row broadcast scalar — no driver round-trip).
+    Values at the upper bound land in the LAST bin (floor would open a
+    phantom bins+1-th bucket for x == hi). One scan + a tiny
+    ``bins``-row aggregate; empty bins are omitted (join a range to
+    densify if needed)."""
+    v = F.col(value_col).cast("double")
+    src = df.select(v.alias("__v")).where(F.col("__v").isNotNull())
+    if lo is None or hi is None:
+        b = src.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+        src = src.crossJoin(F.broadcast(b))
+    else:
+        src = src.withColumn("__lo", F.lit(float(lo))).withColumn("__hi", F.lit(float(hi)))
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    raw = F.floor((F.col("__v") - F.col("__lo")) / width)
+    bin_ = F.least(raw, F.lit(bins - 1)).cast("long")
+    return (
+        src.where((F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi")))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.first(F.col("__lo")) + F.first(width) * F.col("bin"), 6).alias("lo"),
+            F.round(F.first(F.col("__lo")) + F.first(width) * (F.col("bin") + 1), 6).alias("hi"),
+        )
+        .select("bin", "lo", "hi", "cnt")
+    )

@@ -1742,3 +1742,27 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return stats.profile(li, ["l_quantity", "l_discount"])
+
+
+# equi-width histogram with identical double arithmetic both sides
+# (width = (max-min)/bins, bucket = least(floor((v-min)/width), bins-1)).
+@register(
+    "dq_histogram_prices",
+    """
+    WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    b AS (SELECT min(v) AS lo0, max(v) AS hi0 FROM s),
+    x AS (SELECT least(floor((v - lo0) / ((hi0 - lo0) / 8)), 7) AS bin, lo0, hi0
+          FROM s, b WHERE v >= lo0 AND v <= hi0)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           round(lo0 + ((hi0 - lo0) / 8) * bin, 6) AS lo,
+           round(lo0 + ((hi0 - lo0) / 8) * (bin + 1), 6) AS hi,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM x GROUP BY bin, lo0, hi0
+    """,
+)
+def dq_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import stats
+
+    orders = _t(spark, sf_dir, "orders")
+    return stats.histogram(orders, "o_totalprice", bins=8)

@@ -1080,3 +1080,16 @@ def test_winsorize_clips_both_tails(spark):
     assert len(out) == 100  # no rows dropped
     untouched = [r for r in out if 5.0 <= r.v <= 95.0]
     assert all(r.v == r.v_w for r in untouched)
+
+
+def test_histogram_bin_edges_and_upper_bound(spark):
+    from shc_spark.operators import stats
+
+    df = spark.createDataFrame([(float(v),) for v in range(0, 11)], "v double")
+    out = {r.bin: (r.lo, r.hi, r.cnt) for r in stats.histogram(df, "v", bins=5).collect()}
+    # width 2: bins [0,2),[2,4),... ; v=10 (== max) folds into bin 4
+    assert out[0] == (0.0, 2.0, 2) and out[4] == (8.0, 10.0, 3)
+    assert sum(c for _, _, c in out.values()) == 11
+    # explicit bounds clip out-of-range rows instead of crashing
+    clipped = stats.histogram(df, "v", bins=2, lo=2.0, hi=6.0)
+    assert sum(r.cnt for r in clipped.collect()) == 5  # values 2..6

@@ -41,35 +41,38 @@ def _with_utc(fn):
 _MODULES = (connector, pipeline, streaming_q, relational)
 
 _WINDOW = [
-    # §2.1 connector (17)
+    # §2.1 connector (15; sql_over_view + time_travel rotate out on
+    # r01+r02 green rows — the relational SQL gates cover the view
+    # surface, and S15 time semantics keep shc_versions_map in-window)
     "shc_roundtrip_scan", "shc_pushdown_range", "shc_value_filters",
-    "shc_composite_key", "shc_version_merge", "shc_time_travel",
-    "shc_avro_cells", "shc_typed_columns", "shc_sql_over_view",
+    "shc_composite_key", "shc_version_merge",
+    "shc_avro_cells", "shc_typed_columns",
     "shc_restrictive", "shc_versions_map", "shc_dynamic_map",
     "shc_compaction", "shc_secondary_index", "shc_delete",
     "shc_merge_into", "shc_phoenix_composite",
-    # LLM-pipeline (17): near_corpus/pii/token_stats/deterministic_
-    # sample/stratified_sample/image_features/audio_features/langid-
-    # adjacent redundants and the no-oracle lsh/ivf variants rotate
-    # out on r01/r02 green rows; chunking, cluster_assign, cross-
-    # corpus dedup, LM perplexity, SQ8 quantization, pack_sequences
-    # and jpeg_decode are new-in-r03 value-exact gates
+    # LLM-pipeline (19): langid / image_decode / bm25 / clusters
+    # rotate out on r02 green rows (jpeg_decode covers decode,
+    # hybrid_rrf covers retrieval, canonical-names CC covers the
+    # component machinery); tfidf, heavy_hitters, fuzzy-linkage,
+    # dq-validation, mixture sampling and z-order are new-in-r03
+    # value-exact gates with their first driver rows
     "dedup_exact", "dedup_minhash_lsh", "sim_topk_bruteforce",
-    "dedup_clusters", "dedup_cross_corpus", "text_quality_scores",
-    "text_langid", "text_chunking", "text_lm_ppl",
-    "cluster_assign", "text_bm25_search", "mm_jpeg_decode",
-    "mm_image_decode", "embed_quantize", "text_decontaminate",
-    "text_pack_sequences", "sim_hybrid_rrf",
-    # streaming + storage engine (9; sliding and the dropDuplicates
-    # stream_dedup rotate out on r02 green; incremental_dedup new r03)
+    "dedup_cross_corpus", "dedup_fuzzy_names", "text_quality_scores",
+    "text_chunking", "text_lm_ppl", "text_tfidf", "text_heavy_hitters",
+    "cluster_assign", "mm_jpeg_decode",
+    "embed_quantize", "text_decontaminate", "text_mixture_sample",
+    "text_pack_sequences", "sim_hybrid_rrf", "dq_validate_orders",
+    "q_zorder_values",
+    # streaming + storage engine (8; merge_latest rotates out on r02
+    # green; incremental_dedup new r03)
     "stream_tumbling_window", "stream_sessionization",
-    "stream_stateful_totals", "stream_shc_source", "stream_merge_latest",
+    "stream_stateful_totals", "stream_shc_source",
     "stream_stream_join", "stream_incremental_dedup", "stream_shc_sink",
     "shc_rollup",
-    # §2.3 relational representatives (7)
+    # §2.3 relational representatives (8)
     "q01_pricing_summary", "q05_local_supplier_volume",
     "q_window_topk_per_segment", "q_rollup", "q_asof_join",
-    "q_global_topk", "q21_waiting_orders",
+    "q_global_topk", "q21_waiting_orders", "q_sessionize_batch",
 ]
 
 

@@ -37,7 +37,12 @@ def inflate(spark, name, id_col, mult, salt_col=None):
     pair structure ~m*P."""
     from pyspark.sql import functions as F
 
-    base = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+    if name == "events":
+        from shc_spark.queries.relational import _events
+
+        base = _events(spark, SF_DIR)  # adapts nanos/micros ts generations
+    else:
+        base = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
     n = base.count()
     parts = []
     for i in range(mult):
@@ -191,12 +196,36 @@ def main() -> None:
         "embed_quantize": lambda d, e: quantize.quantize_embeddings(
             e, "embedding", "vec_id"
         ),
+        "text_tfidf": lambda d, e: text.tfidf_terms(d, "text", "doc_id", k=3),
+        "heavy_hitters": lambda d, e: __import__(
+            "shc_spark.operators.sketch", fromlist=["sketch"]
+        ).heavy_hitters(
+            d.select(F.explode(F.split("text", " ")).alias("term")).where(F.col("term") != ""),
+            "term",
+            min_frac=0.001,
+        ),
+        "mixture_sample": lambda d, e: text.mixture_sample(
+            d, "source", "doc_id",
+            {f"src{i}": 50 for i in range(20)}, prefilter=True,
+        ),
+    }
+
+    from shc_spark.operators import sessions
+
+    EV_OPS = {
+        # id-shifted copies replicate each user's history m times in
+        # place, so per-user session structure (the window's work) is
+        # the thing being scaled
+        "sessionize_batch": lambda ev: sessions.session_stats(
+            ev, "user_id", "ts", 1800, tiebreak_col="event_id"
+        ),
     }
 
     rows = []
     for m in mults:
         docs = inflate(spark, "documents", "doc_id", m, salt_col="text")
         emb = inflate(spark, "embeddings", "vec_id", m)
+        ev = inflate(spark, "events", "event_id", m)
         nd, ne = docs.count(), emb.count()
         for op, fn in OPS.items():
             walls = []
@@ -206,8 +235,17 @@ def main() -> None:
                 walls.append(time.time() - t0)
             rows.append((m, nd, ne, op, round(min(walls), 2)))
             print(rows[-1], flush=True)
+        for op, fn in EV_OPS.items():
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                run(fn(ev))
+                walls.append(time.time() - t0)
+            rows.append((m, nd, ne, op, round(min(walls), 2)))
+            print(rows[-1], flush=True)
         docs.unpersist()
         emb.unpersist()
+        ev.unpersist()
 
     by_op: dict = {}
     for m, nd, ne, op, wall in rows:

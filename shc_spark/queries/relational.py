@@ -1766,3 +1766,48 @@ def dq_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     return stats.histogram(orders, "o_totalprice", bins=8)
+
+
+# fixed-iteration PageRank over the customer-supplier interaction
+# graph: the Spark loop and the DuckDB chained-CTE oracle are emitted
+# from the same formulation (operators/graph.py), per-step 10dp
+# rounding keeps the FP trajectory engine-neutral.
+def _pagerank_oracle() -> str:
+    from shc_spark.operators import graph
+
+    return (
+        """
+    WITH e AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      UNION
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),
+                      'c' || CAST(o_custkey AS VARCHAR)
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    """
+        + graph.pagerank_sql("", iterations=3, damping=0.85)
+    )
+
+
+@register("q_pagerank", None)  # SQL attached below (generator-built)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import graph
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return graph.pagerank(edges, iterations=3, damping=0.85)
+
+
+ORACLE["q_pagerank"] = _pagerank_oracle()

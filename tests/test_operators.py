@@ -1093,3 +1093,30 @@ def test_histogram_bin_edges_and_upper_bound(spark):
     # explicit bounds clip out-of-range rows instead of crashing
     clipped = stats.histogram(df, "v", bins=2, lo=2.0, hi=6.0)
     assert sum(r.cnt for r in clipped.collect()) == 5  # values 2..6
+
+
+# -- pagerank ---------------------------------------------------------------
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from shc_spark.operators import graph
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")]  # d is a source-only node
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in graph.pagerank(df, iterations=4).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    outdeg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    r = np.full(len(nodes), 1 / len(nodes))
+    for _ in range(4):
+        nxt = np.full(len(nodes), 0.15 / len(nodes))
+        for s, t in edges:
+            nxt[idx[t]] += 0.85 * r[idx[s]] / outdeg[s]
+        r = np.round(nxt, 10)  # mirror the per-step rounding
+    for n in nodes:
+        assert got[n] == round(float(r[idx[n]]), 6), n
+    # hub 'a' (two in-edges) outranks everyone; dangling-in-degree 'd' is lowest
+    assert got["a"] == max(got.values()) and got["d"] == min(got.values())

@@ -286,3 +286,52 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> 
             "mean_px double"
         ),
     )
+
+
+def _block_mean_rect(plane: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Resize-by-block-mean to an arbitrary (rows, cols) grid."""
+    h, w = plane.shape
+    ys = np.array_split(np.arange(h), rows)
+    xs = np.array_split(np.arange(w), cols)
+    out = np.empty((rows, cols), dtype=np.float64)
+    for i, yy in enumerate(ys):
+        for j, xx in enumerate(xs):
+            out[i, j] = plane[np.ix_(yy, xx)].mean() if len(yy) and len(xx) else 0.0
+    return out
+
+
+def perceptual_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint for IMAGE dedup:
+    decode, block-mean the first channel to a (grid, grid+1) thumbnail,
+    set bit r*grid+c iff thumb[r, c+1] > thumb[r, c], pack the
+    grid*grid bits into a signed 64-bit long (grid <= 8). Visually
+    identical images (recompression, mild rescaling) hash equal or
+    within a few bits — pair them with the same pigeonhole block
+    machinery as SimHash (``dedup._simhash_blocks``).
+
+    Map-only mapInPandas stage: payloads never shuffle; the 8-byte
+    hashes are what any downstream join touches. Output:
+    (media_id, dhash long)."""
+    if grid > 8:
+        raise ValueError("grid > 8 exceeds a 64-bit hash")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shc_spark.operators.codecs import decode_image
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                img = decode_image(bytes(payload), (meta or {}).get("mime"))
+                thumb = _block_mean_rect(img[:, :, 0].astype(np.float64), grid, grid + 1)
+                v = 0
+                for r in range(grid):
+                    for c in range(grid):
+                        if thumb[r, c + 1] > thumb[r, c]:
+                            v |= 1 << (r * grid + c)
+                if v >= 1 << 63:
+                    v -= 1 << 64  # two's-complement wrap into a signed long
+                ids.append(mid)
+                hashes.append(v)
+            yield pd.DataFrame({"media_id": ids, "dhash": pd.array(hashes, dtype="int64")})
+
+    return media.mapInPandas(run, schema="media_id long, dhash long")

@@ -1303,3 +1303,57 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_occur") > 0)
         .withColumn("n_occur", F.col("n_occur").cast("long"))
     )
+
+
+# Perceptual dHash over REAL PNG decode: each doc renders as an 8x9
+# gray PNG of its codepoints, so the (grid, grid+1) thumbnail is the
+# pixel grid itself and DuckDB recomputes the 64 comparison bits
+# straight from the text — a value-exact gate for a perceptual hash.
+def _dhash_oracle() -> str:
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            a = r * 9 + c + 1  # 1-based pixel index in the 72-codepoint raster
+            terms.append(
+                f"(CASE WHEN p[{a + 1}] > p[{a}] THEN CAST({1 << (r * 8 + c)} AS HUGEINT)"
+                " ELSE CAST(0 AS HUGEINT) END)"
+            )
+    bits = " + ".join(terms)
+    return f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 72), i ->
+               CASE WHEN i <= length(text)
+                    THEN unicode(substr(text, CAST(i AS INT), 1)) % 256
+                    ELSE 32 END) AS p
+      FROM documents),
+    s AS (SELECT doc_id, {bits} AS v FROM px)
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN v - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE v END AS BIGINT) AS dhash
+    FROM s
+    """
+
+
+@register("mm_image_dhash", None)  # SQL attached below (generator-built)
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def png(texts: pd.Series) -> pd.Series:
+        from shc_spark.operators.codecs import encode_png
+
+        out = []
+        for t in texts:
+            cps = [(ord(t[i]) % 256) if i < len(t) else 32 for i in range(72)]
+            out.append(encode_png(np.array(cps, dtype=np.uint8).reshape(8, 9)))
+        return pd.Series(out)
+
+    media = multimodal.make_media_df(
+        docs.withColumn("payload", png("text")), "doc_id", "payload", "image/png"
+    )
+    return multimodal.perceptual_dhash(media, grid=8)
+
+
+ORACLE["mm_image_dhash"] = _dhash_oracle()

@@ -1120,3 +1120,31 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert got[n] == round(float(r[idx[n]]), 6), n
     # hub 'a' (two in-edges) outranks everyone; dangling-in-degree 'd' is lowest
     assert got["a"] == max(got.values()) and got["d"] == min(got.values())
+
+
+def test_perceptual_dhash_invariant_to_rescale(spark):
+    """dHash is a PERCEPTUAL hash: a 2x nearest-neighbor upscale of the
+    same image (every pixel duplicated) must hash identically, and a
+    gradient-flipped image must not."""
+    import numpy as np
+
+    from shc_spark.operators import multimodal
+    from shc_spark.operators.codecs import encode_png
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 255, size=(8, 9), dtype=np.uint8).astype(np.uint8)
+    up = np.kron(base, np.ones((2, 2), dtype=np.uint8))  # 16x18, same structure
+    flipped = base[:, ::-1].copy()
+    rows = [
+        (1, encode_png(base)), (2, encode_png(up)), (3, encode_png(flipped)),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    media = multimodal.make_media_df(df, "id", "payload", "image/png")
+    got = {r.media_id: r.dhash for r in multimodal.perceptual_dhash(media).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    # signed-wrap sanity: hash of all-descending rows sets no bits
+    desc = np.tile(np.arange(80, 8, -8, dtype=np.uint8), (8, 1))
+    d2 = spark.createDataFrame([(9, encode_png(desc))], "id long, payload binary")
+    m2 = multimodal.make_media_df(d2, "id", "payload", "image/png")
+    assert multimodal.perceptual_dhash(m2).collect()[0].dhash == 0

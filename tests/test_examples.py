@@ -11,13 +11,13 @@ sys.path.insert(0, "examples")
 
 @pytest.mark.parametrize(
     "mod",
-    ["basic_source", "join_two_clusters", "avro_source", "composite_key", "data_pipeline", "storage_lifecycle", "mixed_sources", "corpus_to_training"]
+    ["basic_source", "join_two_clusters", "avro_source", "composite_key", "data_pipeline", "storage_lifecycle", "mixed_sources", "corpus_to_training", "corpus_quality_report"]
 )
 def test_example(spark, tmp_path, mod):
     m = importlib.import_module(mod)
     if mod == "join_two_clusters":
         m.main(spark, root1=str(tmp_path / "c1"), root2=str(tmp_path / "c2"))
-    elif mod in ("data_pipeline", "corpus_to_training"):
+    elif mod in ("data_pipeline", "corpus_to_training", "corpus_quality_report"):
         m.main(spark)
     else:
         m.main(spark, root=str(tmp_path))

@@ -47,6 +47,11 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "shc_roundtrip_scan",
     "shc_version_merge",
+    # round-3 curation additions (floors recorded once measured)
+    "text_tfidf",
+    "text_heavy_hitters",
+    "dedup_fuzzy_names",
+    "q_sessionize_batch",
 ]
 
 

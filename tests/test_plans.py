@@ -142,3 +142,33 @@ def test_cluster_assign_broadcasts_centroids(plans):
     p = plans("cluster_assign")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert p.count("Exchange") <= 2, p
+
+
+def test_fuzzy_pairs_is_equi_join_not_nested_loop(plans):
+    # blocking must produce a hash/sort-merge EQUI-join on the block
+    # key; a BroadcastNestedLoopJoin would mean the O(n^2) all-pairs
+    # comparison the operator exists to avoid
+    p = plans("dedup_fuzzy_names")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" in p, p
+
+
+def test_heavy_hitters_candidates_broadcast(plans):
+    # the exact-verification join must broadcast the tiny candidate
+    # dictionary into the token stream, never shuffle the universe
+    p = plans("text_heavy_hitters")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_winsorize_bounds_broadcast(plans):
+    # per-group clip bounds (rows = group count) broadcast back onto
+    # the fact table
+    p = plans("q_winsorize_prices")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_zorder_values_no_exchange(plans):
+    # the Morton code is a pure projection — clustering costs exactly
+    # the ONE repartitionByRange at write time, scoring costs zero
+    p = plans("q_zorder_values")
+    assert "Exchange" not in p, p

@@ -640,3 +640,14 @@ def phrase_count(text: Column, phrase: str) -> Column:
     gram = lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)])  # noqa: E731
     hits = F.size(F.filter(F.transform(idx, gram), lambda g: g == F.lit(phrase)))
     return F.when(F.size(ws) >= n, hits).otherwise(F.lit(0))
+
+
+def normalize_text(text: Column) -> Column:
+    """C4-style normalization for robust exact dedup: lowercase,
+    punctuation -> space, whitespace runs collapsed, trimmed. Pure
+    codegen'd expression ([\\p{Punct}] and RE2's [[:punct:]] agree on
+    the ASCII punctuation set, keeping oracles value-exact)."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[\p{Punct}]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

@@ -1357,3 +1357,38 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["mm_image_dhash"] = _dhash_oracle()
+
+
+# Normalization-robust exact dedup: casing/punctuation mutations are
+# injected deterministically, then normalize_text + min-id dedup must
+# collapse them back onto the clean corpus — both engines run the
+# identical mutation and normalization.
+@register(
+    "dedup_normalized",
+    """
+    WITH mut AS (
+      SELECT doc_id, lang,
+             (CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END)
+             || (CASE WHEN doc_id % 5 = 0 THEN ' !!!' ELSE '' END) AS t
+      FROM documents),
+    norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(t), '[[:punct:]]', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS nt
+      FROM mut)
+    SELECT doc_id, lang FROM norm
+    WHERE doc_id IN (SELECT min(doc_id) FROM norm GROUP BY nt)
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.upper("text")).otherwise(F.col("text")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" !!!")).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    norm = mutated.withColumn("nt", text.normalize_text(F.col("t")))
+    return dedup.exact_dedup(norm, ["nt"], "doc_id").select("doc_id", "lang")

@@ -1148,3 +1148,13 @@ def test_perceptual_dhash_invariant_to_rescale(spark):
     d2 = spark.createDataFrame([(9, encode_png(desc))], "id long, payload binary")
     m2 = multimodal.make_media_df(d2, "id", "payload", "image/png")
     assert multimodal.perceptual_dhash(m2).collect()[0].dhash == 0
+
+
+def test_normalize_text_collapses_case_punct_whitespace(spark):
+    from shc_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!! ",), ("hello world",), ("a\tb\nc",)], ["t"]
+    )
+    got = [r.n for r in df.select(T.normalize_text(F.col("t")).alias("n")).collect()]
+    assert got == ["hello world", "hello world", "a b c"]

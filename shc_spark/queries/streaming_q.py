@@ -364,3 +364,27 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.streaming import run_stream_incremental_dedup
 
     return run_stream_incremental_dedup(spark, sf_dir)
+
+
+# continuous dq monitoring: the batch validator's metric expressions
+# run inside a stateful per-source streaming aggregation; once the
+# stream drains the report equals the batch computation.
+@register(
+    "stream_dq_monitor",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(count(text) * 1.0 / count(*), 6) AS text_complete,
+           round(avg(CASE WHEN n_chars IS NULL THEN NULL
+                          WHEN n_chars BETWEEN 1 AND 100000 THEN 1.0 ELSE 0.0 END), 6)
+             AS chars_in_bounds,
+           round(avg(CASE WHEN lang IS NULL THEN NULL
+                          WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 1.0 ELSE 0.0 END), 6)
+             AS lang_wellformed
+    FROM documents GROUP BY source
+    """,
+)
+def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.streaming import run_stream_dq_monitor
+
+    return run_stream_dq_monitor(spark, sf_dir)

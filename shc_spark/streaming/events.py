@@ -503,3 +503,29 @@ def run_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(kept_dir).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def run_stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality monitoring: the documents table arrives
+    as a file stream and the SAME dq metric expressions the batch
+    validator compiles (operators/dq.py — completeness, bounds, regex
+    conformance; uniqueness is excluded because streaming aggregations
+    cannot hold exact distinct state) run inside a stateful per-source
+    complete-mode aggregation. Converges to the batch answer once the
+    stream drains — the oracle is that batch SQL."""
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import dq
+
+    d = table_stream_dir(sf_dir, "documents")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    src = spark.readStream.schema(schema).parquet(d).select(
+        "source", "text", "n_chars", "lang"
+    )
+    agg = src.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dq.completeness("text").metric().alias("text_complete"),
+        dq.bounds("n_chars", 1, 100_000).metric().alias("chars_in_bounds"),
+        dq.matches("lang", "^[a-z]{2}$").metric().alias("lang_wellformed"),
+    )
+    return _run_to_memory(agg, "complete")

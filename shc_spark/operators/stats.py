@@ -126,3 +126,37 @@ def histogram(
         )
         .select("bin", "lo", "hi", "cnt")
     )
+
+
+def anomaly_robust_z(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flags: median/MAD instead of mean/std
+    (one wild value cannot drag its own threshold). Adds ``med``,
+    ``mad`` and ``is_anomaly`` = |x - med| > k * MAD (groups with
+    MAD = 0 flag nothing — a degenerate spread means no robust scale).
+
+    Both medians use the discrete element-at-floor((n-1)*0.5) rule
+    (engine-neutral, no interpolation ulps); the two tiny per-group
+    stats tables broadcast back, so the fact table shuffles only
+    inside the ranked windows that select the medians."""
+    med = group_quantiles(df, value_col, group_cols, [0.5]).withColumnRenamed(
+        "q_0", "med"
+    )
+    with_med = df.join(F.broadcast(med), group_cols).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = group_quantiles(with_med, "__adev", group_cols, [0.5]).withColumnRenamed(
+        "q_0", "mad"
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_cols)
+        .withColumn(
+            "is_anomaly",
+            (F.col("mad") > 0) & (F.col("__adev") > k * F.col("mad")),
+        )
+        .drop("__adev")
+    )

@@ -1811,3 +1811,40 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q_pagerank"] = _pagerank_oracle()
+
+
+# robust anomaly detection: per-type median/MAD (discrete selection)
+# with identical arithmetic on both engines; output = flagged events.
+@register(
+    "q_anomaly_events",
+    """
+    WITH s AS (SELECT event_type, list_sort(list(value)) AS vals FROM events GROUP BY 1),
+    med AS (SELECT event_type,
+                   vals[CAST(floor((len(vals) - 1) * 0.5) AS INT) + 1] AS med
+            FROM s),
+    dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)),
+    s2 AS (SELECT event_type, list_sort(list(adev)) AS vals FROM dev GROUP BY 1),
+    mad AS (SELECT event_type,
+                   vals[CAST(floor((len(vals) - 1) * 0.5) AS INT) + 1] AS mad
+            FROM s2)
+    SELECT d.event_id, d.event_type,
+           round(d.value, 4) AS value,
+           round(d.med, 4) AS med, round(m.mad, 4) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND d.adev > 3.0 * m.mad
+    """,
+)
+def q_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import stats
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = stats.anomaly_robust_z(ev, "value", ["event_type"], k=3.0)
+    return out.filter("is_anomaly").select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+    )

@@ -1158,3 +1158,20 @@ def test_normalize_text_collapses_case_punct_whitespace(spark):
     )
     got = [r.n for r in df.select(T.normalize_text(F.col("t")).alias("n")).collect()]
     assert got == ["hello world", "hello world", "a b c"]
+
+
+def test_anomaly_robust_z_flags_outlier_not_threshold_drag(spark):
+    """The outlier must be flagged, and its presence must not move the
+    median/MAD enough to flag normal points (the robustness claim a
+    mean/std z-score fails)."""
+    from shc_spark.operators import stats
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 1000.0]
+    df = spark.createDataFrame([("a", v) for v in vals], ["g", "v"])
+    out = {r.v: r.is_anomaly for r in stats.anomaly_robust_z(df, "v", ["g"]).collect()}
+    assert out[1000.0] is True
+    assert all(not out[v] for v in vals if v != 1000.0)
+    # degenerate group (all equal -> MAD 0) flags nothing
+    df2 = spark.createDataFrame([("b", 5.0)] * 4 + [("b", 9.0)], ["g", "v"])
+    flags = [r.is_anomaly for r in stats.anomaly_robust_z(df2, "v", ["g"]).collect()]
+    assert not any(flags)

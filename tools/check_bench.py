@@ -49,12 +49,14 @@ def main() -> int:
         cur = json.loads(out.stdout.strip().splitlines()[-1])
 
     failures = []
-    floor_total = sum(
-        floor["queries"].get(q, 0.0) for q in cur["queries"]
-    )  # compare like-for-like when the headline set grew
-    if floor_total and cur["value"] > floor_total * TOTAL_TOL:
+    # compare like-for-like on BOTH sides when the headline set grew:
+    # a new floor-less query must not count against the old total
+    known = [q for q in cur["queries"] if q in floor["queries"]]
+    floor_total = sum(floor["queries"][q] for q in known)
+    cur_total = sum(cur["queries"][q] for q in known)
+    if floor_total and cur_total > floor_total * TOTAL_TOL:
         failures.append(
-            f"TOTAL {cur['value']:.2f}s > {TOTAL_TOL}x floor {floor_total:.2f}s"
+            f"TOTAL {cur_total:.2f}s (floor-known queries) > {TOTAL_TOL}x floor {floor_total:.2f}s"
         )
     for q, wall in cur["queries"].items():
         f = floor["queries"].get(q)

@@ -1848,3 +1848,21 @@ def q_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("med", 4).alias("med"),
         F.round("mad", 4).alias("mad"),
     )
+
+
+# bloom-prefiltered semi-join: output must be IDENTICAL to the plain
+# semi-join (false positives die in the exact verification), so the
+# oracle is the straightforward IN formulation.
+@register(
+    "q_bloom_semi_join",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 45)
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import bloom
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    recalled = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 45).select("p_partkey")
+    return bloom.bloom_semi_join(li, recalled, "l_partkey", "p_partkey")

@@ -1175,3 +1175,32 @@ def test_anomaly_robust_z_flags_outlier_not_threshold_drag(spark):
     df2 = spark.createDataFrame([("b", 5.0)] * 4 + [("b", 9.0)], ["g", "v"])
     flags = [r.is_anomaly for r in stats.anomaly_robust_z(df2, "v", ["g"]).collect()]
     assert not any(flags)
+
+
+# -- bloom semi-join --------------------------------------------------------
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from shc_spark.operators import bloom
+
+    li = spark.read.parquet(SF + "/lineitem.parquet").select("l_orderkey", "l_partkey")
+    keys = spark.read.parquet(SF + "/part.parquet").filter("p_size >= 45").select("p_partkey")
+    got = bloom.bloom_semi_join(li, keys, "l_partkey", "p_partkey")
+    want = li.join(keys.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", "left_semi")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_bloom_prefilter_actually_discards(spark):
+    """With a tiny key set, the bloom pass must reject the vast
+    majority of probe rows BEFORE the exact join — the reason the
+    operator exists. Measured on the filter itself."""
+    import numpy as np
+
+    from shc_spark.operators import bloom as B
+
+    keys = spark.range(0, 10).withColumnRenamed("id", "k")
+    bitmap = np.frombuffer(B.build_bloom(keys, "k"), dtype=np.uint8)
+    assert int(np.unpackbits(bitmap).sum()) <= 10 * 4  # <= n*k bits set
+    probe = spark.range(0, 20000).withColumnRenamed("id", "k")
+    assert B.bloom_semi_join(probe, keys, "k").count() == 10

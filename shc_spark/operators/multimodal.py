@@ -335,3 +335,32 @@ def perceptual_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "dhash": pd.array(hashes, dtype="int64")})
 
     return media.mapInPandas(run, schema="media_id long, dhash long")
+
+
+def scene_cuts(media: DataFrame, threshold: float = 30.0) -> DataFrame:
+    """Shot-boundary detection over decoded video: a frame whose mean
+    absolute pixel difference from its predecessor exceeds
+    ``threshold`` starts a new scene. One map-only mapInPandas stage —
+    payloads never shuffle, only the (media_id, frame_idx, diff) cut
+    rows leave the scan. Output: one row per detected cut."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shc_spark.operators.codecs import decode_avi
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                frames, _fps = decode_avi(bytes(payload))
+                for i in range(1, len(frames)):
+                    a = frames[i].astype(np.float64)
+                    b = frames[i - 1].astype(np.float64)
+                    diff = float(np.abs(a - b).mean())
+                    if diff > threshold:
+                        rows.append(
+                            {"media_id": mid, "frame_idx": i, "diff": round(diff, 4)}
+                        )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema="media_id long, frame_idx int, diff double")

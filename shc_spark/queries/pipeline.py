@@ -1392,3 +1392,45 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = mutated.withColumn("nt", text.normalize_text(F.col("t")))
     return dedup.exact_dedup(norm, ["nt"], "doc_id").select("doc_id", "lang")
+
+
+# REAL video scene detection: 5-frame AVIs built from codepoint
+# quads; the oracle recomputes each frame-pair mean abs diff straight
+# from the text — value-exact shot boundaries.
+@register(
+    "mm_video_scenes",
+    """
+    WITH f AS (SELECT doc_id, text, unnest(generate_series(1, 4)) AS fi FROM documents),
+    d AS (SELECT doc_id, fi,
+      list_sum(list_transform(generate_series(1, 4), j ->
+        abs(CAST(CASE WHEN 4 * fi + j <= length(text)
+                      THEN unicode(substr(text, CAST(4 * fi + j AS INT), 1)) % 256
+                      ELSE 32 END AS DOUBLE)
+          - CAST(CASE WHEN 4 * (fi - 1) + j <= length(text)
+                      THEN unicode(substr(text, CAST(4 * (fi - 1) + j AS INT), 1)) % 256
+                      ELSE 32 END AS DOUBLE)))) / 4 AS diff
+      FROM f)
+    SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx, round(diff, 4) AS diff
+    FROM d WHERE diff > 30.0
+    """,
+)
+def mm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def avi(pdf: pd.DataFrame) -> pd.Series:
+        from shc_spark.operators.codecs import encode_avi
+
+        out = []
+        for t in pdf["text"]:
+            px = np.full(20, 32, dtype=np.uint8)
+            for i in range(min(20, len(t))):
+                px[i] = ord(t[i]) % 256
+            frames = np.repeat(px.reshape(5, 2, 2, 1), 3, axis=3)
+            out.append(encode_avi(frames, fps=2))
+        return pd.Series(out)
+
+    media = multimodal.make_media_df(
+        docs.withColumn("payload", avi(F.struct("text"))), "doc_id", "payload", "video/avi"
+    )
+    return multimodal.scene_cuts(media, threshold=30.0)

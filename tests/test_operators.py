@@ -1204,3 +1204,21 @@ def test_bloom_prefilter_actually_discards(spark):
     assert int(np.unpackbits(bitmap).sum()) <= 10 * 4  # <= n*k bits set
     probe = spark.range(0, 20000).withColumnRenamed("id", "k")
     assert B.bloom_semi_join(probe, keys, "k").count() == 10
+
+
+def test_scene_cuts_detects_only_real_cuts(spark):
+    import numpy as np
+
+    from shc_spark.operators import multimodal
+    from shc_spark.operators.codecs import encode_avi
+
+    # 4 frames: steady, steady, hard cut (black -> white), steady
+    f0 = np.zeros((2, 2, 3), dtype=np.uint8)
+    f1 = np.full((2, 2, 3), 2, dtype=np.uint8)     # diff 2 (below threshold)
+    f2 = np.full((2, 2, 3), 255, dtype=np.uint8)   # diff 253 (cut)
+    f3 = np.full((2, 2, 3), 250, dtype=np.uint8)   # diff 5 (below)
+    payload = encode_avi(np.stack([f0, f1, f2, f3]), fps=2)
+    df = spark.createDataFrame([(1, payload)], "id long, payload binary")
+    media = multimodal.make_media_df(df, "id", "payload", "video/avi")
+    cuts = multimodal.scene_cuts(media, threshold=30.0).collect()
+    assert [(r.frame_idx, r.diff) for r in cuts] == [(2, 253.0)]

@@ -56,12 +56,15 @@ _WINDOW = [
     # component machinery); tfidf, heavy_hitters, fuzzy-linkage,
     # dq-validation, mixture sampling and z-order are new-in-r03
     # value-exact gates with their first driver rows
+    # (decontaminate and hybrid_rrf rotate out on r01+r02 green rows
+    # so the new perceptual-hash and scene-detection gates get their
+    # first driver rows alongside jpeg_decode)
     "dedup_exact", "dedup_minhash_lsh", "sim_topk_bruteforce",
     "dedup_cross_corpus", "dedup_fuzzy_names", "text_quality_scores",
     "text_chunking", "text_lm_ppl", "text_tfidf", "text_heavy_hitters",
     "cluster_assign", "mm_jpeg_decode",
-    "embed_quantize", "text_decontaminate", "text_mixture_sample",
-    "text_pack_sequences", "sim_hybrid_rrf", "dq_validate_orders",
+    "embed_quantize", "mm_image_dhash", "text_mixture_sample",
+    "text_pack_sequences", "mm_video_scenes", "dq_validate_orders",
     "q_zorder_values",
     # streaming + storage engine (8; merge_latest rotates out on r02
     # green; incremental_dedup new r03)

@@ -1434,3 +1434,42 @@ def mm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("payload", avi(F.struct("text"))), "doc_id", "payload", "video/avi"
     )
     return multimodal.scene_cuts(media, threshold=30.0)
+
+
+# Metadata-filtered vector search: the predicate restricts the corpus
+# BEFORE scoring (filter-then-search, not post-filtering a top-k that
+# could come back short) — the composition most vector stores get
+# wrong. Value-exact against the filtered brute-force oracle.
+@register(
+    "sim_topk_filtered",
+    """
+    WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    n AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+      FROM nn q JOIN nn c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8 AND c.vec_id IN (SELECT doc_id FROM en)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    en = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = emb.join(en, "vec_id", "left_semi")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(queries, corpus, "embedding", "vec_id", k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )

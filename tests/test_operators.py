@@ -1222,3 +1222,47 @@ def test_scene_cuts_detects_only_real_cuts(spark):
     media = multimodal.make_media_df(df, "id", "payload", "video/avi")
     cuts = multimodal.scene_cuts(media, threshold=30.0).collect()
     assert [(r.frame_idx, r.diff) for r in cuts] == [(2, 253.0)]
+
+
+def test_mg_partial_superset_property():
+    """Property (no Spark needed): for ANY data split into ANY
+    partitions/batches, every item with global count > N/(m+1) must
+    survive in the merged MG summaries — the guarantee the
+    heavy-hitters operator's exactness rests on (Agarwal et al.,
+    mergeable summaries)."""
+    from collections import Counter
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from shc_spark.operators.sketch import _mg_partial
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(0, 60), min_size=1, max_size=1500),
+        st.integers(3, 24),
+        st.integers(1, 4),
+        st.integers(1, 5),
+    )
+    def check(data, m, n_parts, n_batches):
+        merged: Counter = Counter()
+        parts = [data[i::n_parts] for i in range(n_parts)]
+        for part in parts:
+            if not part:
+                continue
+            step = max(1, len(part) // n_batches)
+            batches = [
+                pd.DataFrame({"item": part[j : j + step]})
+                for j in range(0, len(part), step)
+            ]
+            for out in _mg_partial("item", m)(iter(batches)):
+                for item, wt in zip(out["item"], out["wt"]):
+                    merged[item] += int(wt)
+        n = len(data)
+        truth = Counter(str(v) for v in data)
+        for item, c in truth.items():
+            if c > n / (m + 1):
+                assert merged.get(item, 0) > 0, (item, c, n, m)
+
+    check()

@@ -1178,3 +1178,66 @@ def test_merge_into_upserts_and_deletes(spark, tmp_path):
     # SCD2-ish: pre-merge state is still queryable
     old = {r["k"]: r["a"] for r in read_table(spark, cat, root=root, timestamp=1000).collect()}
     assert old[1] == 1 and 3 in old and 42 not in old
+
+
+def test_zorder_keyed_table_prunes_z_ranges(spark, tmp_path):
+    """Z-order x key-ordered store composition (operators/layout.py
+    docstring): model the ROWKEY as (zvalue, id) and region boundaries
+    cut z-space, so the existing rowkey-range pruning covers z-ranges.
+    A z-range query must open a strict subset of regions AND return
+    exactly the rows whose (x, y) fall in the decoded range."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.catalog import parse_catalog
+    from shc_spark.coders import get_coder
+    from shc_spark.filters import HRF, ScanRange
+    from shc_spark.operators import layout
+    from shc_spark.sources.shc_source import ShcReader
+
+    cat = _json.dumps(
+        {
+            "table": {"namespace": "z", "name": "grid", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "zval:gid",
+            "columns": {
+                "zval": {"cf": "rowkey", "col": "zval", "type": "bigint"},
+                "gid": {"cf": "rowkey", "col": "gid", "type": "bigint"},
+                "x": {"cf": "cf", "col": "x", "type": "bigint"},
+                "y": {"cf": "cf", "col": "y", "type": "bigint"},
+            },
+        }
+    )
+    root = str(tmp_path / "ztab")
+    grid = spark.range(64 * 64).select(
+        F.col("id").alias("gid"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    zed = grid.withColumn("zval", layout.zvalue(["x", "y"], bits=6))
+    from shc_spark.sources import read_table, write_table
+
+    write_table(zed.select("zval", "gid", "x", "y"), cat, root=root, num_regions=8, mode="overwrite", timestamp=1)
+
+    # the quadrant x,y in [0,31]^2 is EXACTLY z in [0, 1024) for 6-bit
+    # interleave — one contiguous z-range
+    out = read_table(spark, cat, root=root).filter(
+        (F.col("zval") >= 0) & (F.col("zval") < 1024)
+    )
+    rows = out.select("x", "y").collect()
+    assert len(rows) == 32 * 32
+    assert all(r.x < 32 and r.y < 32 for r in rows)
+
+    # region pruning: the z-range keeps ~1024/4096 of the key space ->
+    # strictly fewer regions than a full scan
+    coder = get_coder("OrderedType")
+    from pyspark.sql import types as T
+
+    lo = coder.to_bytes(0, T.LongType())
+    hi = coder.to_bytes(1024, T.LongType())
+    reader = ShcReader(None, {"catalog": cat, "root": root})
+    reader.hrf = HRF([ScanRange(lo, True, hi, False)], True)
+    pruned = [p for p in reader.partitions() if p.path]
+    reader2 = ShcReader(None, {"catalog": cat, "root": root})
+    full = [p for p in reader2.partitions() if p.path]
+    assert len(pruned) < len(full), (len(pruned), len(full))

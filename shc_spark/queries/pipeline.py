@@ -1473,3 +1473,31 @@ def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(queries, corpus, "embedding", "vec_id", k=5).withColumn(
         "rank", F.col("rank").cast("int")
     )
+
+
+# Cross-table fuzzy linkage: part names vs a deterministically typo'd
+# feed of the same dictionary — fuzzy_join must recover every
+# (clean, typo) correspondence plus exact hits. Value-exact.
+@register(
+    "link_fuzzy_tables",
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+    typo AS (SELECT p_name || 'x' AS feed_name FROM n),
+    a AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM n),
+    b AS (SELECT feed_name, split_part(feed_name, ' ', 1) AS blk FROM typo)
+    SELECT a.p_name, b.feed_name,
+           CAST(levenshtein(a.p_name, b.feed_name) AS BIGINT) AS dist
+    FROM a JOIN b USING (blk)
+    WHERE abs(length(a.p_name) - length(b.feed_name)) <= 1
+      AND levenshtein(a.p_name, b.feed_name) <= 1
+    """,
+)
+def link_fuzzy_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    feed = (
+        part.select("p_name")
+        .where(F.col("p_name").isNotNull())
+        .distinct()
+        .select(F.concat("p_name", F.lit("x")).alias("feed_name"))
+    )
+    return linkage.fuzzy_join(part, feed, "p_name", "feed_name", max_dist=1)

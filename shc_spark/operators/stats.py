@@ -114,7 +114,11 @@ def histogram(
     else:
         src = src.withColumn("__lo", F.lit(float(lo))).withColumn("__hi", F.lit(float(hi)))
     width = (F.col("__hi") - F.col("__lo")) / bins
-    raw = F.floor((F.col("__v") - F.col("__lo")) / width)
+    # constant column -> width 0 -> (v-lo)/width is NaN, and floor(NaN)
+    # would invent a phantom bucket: collapse to bin 0 explicitly
+    raw = F.when(width == 0, F.lit(0)).otherwise(
+        F.floor((F.col("__v") - F.col("__lo")) / width)
+    )
     bin_ = F.least(raw, F.lit(bins - 1)).cast("long")
     return (
         src.where((F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi")))

@@ -1266,3 +1266,11 @@ def test_mg_partial_superset_property():
                 assert merged.get(item, 0) > 0, (item, c, n, m)
 
     check()
+
+
+def test_histogram_constant_column_single_bin(spark):
+    from shc_spark.operators import stats
+
+    df = spark.createDataFrame([(7.0,)] * 5, "v double")
+    out = stats.histogram(df, "v", bins=4).collect()
+    assert len(out) == 1 and out[0].bin == 0 and out[0].cnt == 5

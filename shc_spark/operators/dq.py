@@ -38,9 +38,11 @@ class Check:
     def metric(self) -> Column:
         c = F.col(self.column)
         if self.kind == "completeness":
-            m = F.count(c) / F.count(F.lit(1))
+            # try_divide: an empty table yields a null metric (-> check
+            # fails) instead of an ANSI divide-by-zero error
+            m = F.try_divide(F.count(c), F.count(F.lit(1)))
         elif self.kind == "uniqueness":
-            m = F.countDistinct(c) / F.count(c)
+            m = F.try_divide(F.countDistinct(c), F.count(c))
         elif self.kind == "bounds":
             m = F.avg(
                 F.when(c.isNull(), F.lit(None)).otherwise(
@@ -92,7 +94,11 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
                     F.lit(ch.column).alias("col_name"),
                     F.col(f"m{i}").alias("metric"),
                     F.lit(float(ch.threshold)).alias("threshold"),
-                    (F.col(f"m{i}") >= ch.threshold).alias("passed"),
+                    # a null metric (empty table, all-null column) is a
+                    # FAILED check, not an unknown one
+                    F.coalesce(F.col(f"m{i}") >= ch.threshold, F.lit(False)).alias(
+                        "passed"
+                    ),
                 )
                 for i, ch in enumerate(checks)
             ]

@@ -1274,3 +1274,11 @@ def test_histogram_constant_column_single_bin(spark):
     df = spark.createDataFrame([(7.0,)] * 5, "v double")
     out = stats.histogram(df, "v", bins=4).collect()
     assert len(out) == 1 and out[0].bin == 0 and out[0].cnt == 5
+
+
+def test_dq_validate_null_metric_fails_not_unknown(spark):
+    from shc_spark.operators import dq
+
+    df = spark.createDataFrame([(None,), (None,)], "v string")
+    rep = dq.validate(df, [dq.uniqueness("v", 1.0), dq.matches("v", ".", 0.5)]).collect()
+    assert all(r.passed is False and r.metric is None for r in rep)

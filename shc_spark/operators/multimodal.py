@@ -321,6 +321,8 @@ def perceptual_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
         for pdf in batches:
             ids, hashes = [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                if payload is None:
+                    continue  # NULL payload -> no hash (schema-legal)
                 img = decode_image(bytes(payload), (meta or {}).get("mime"))
                 thumb = _block_mean_rect(img[:, :, 0].astype(np.float64), grid, grid + 1)
                 v = 0

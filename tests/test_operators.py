@@ -1282,3 +1282,11 @@ def test_dq_validate_null_metric_fails_not_unknown(spark):
     df = spark.createDataFrame([(None,), (None,)], "v string")
     rep = dq.validate(df, [dq.uniqueness("v", 1.0), dq.matches("v", ".", 0.5)]).collect()
     assert all(r.passed is False and r.metric is None for r in rep)
+
+
+def test_perceptual_dhash_skips_null_payloads(spark):
+    from shc_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, None)], "id long, payload binary")
+    media = multimodal.make_media_df(df, "id", "payload", "image/png")
+    assert multimodal.perceptual_dhash(media).count() == 0

@@ -208,6 +208,13 @@ def main() -> None:
             d, "source", "doc_id",
             {f"src{i}": 50 for i in range(20)}, prefilter=True,
         ),
+        "bloom_semi_join": lambda d, e: __import__(
+            "shc_spark.operators.bloom", fromlist=["bloom"]
+        ).bloom_semi_join(
+            d.select("doc_id"),
+            d.filter(F.col("doc_id") % 13 == 0).select("doc_id"),
+            "doc_id",
+        ),
     }
 
     from shc_spark.operators import sessions
@@ -218,6 +225,11 @@ def main() -> None:
         # the thing being scaled
         "sessionize_batch": lambda ev: sessions.session_stats(
             ev, "user_id", "ts", 1800, tiebreak_col="event_id"
+        ),
+        "anomaly_robust_z": lambda ev: __import__(
+            "shc_spark.operators.stats", fromlist=["stats"]
+        ).anomaly_robust_z(
+            ev.select("event_id", "event_type", "value"), "value", ["event_type"]
         ),
     }
 

@@ -1501,3 +1501,31 @@ def link_fuzzy_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat("p_name", F.lit("x")).alias("feed_name"))
     )
     return linkage.fuzzy_join(part, feed, "p_name", "feed_name", max_dist=1)
+
+
+# JL random projection with a cross-engine-deterministic matrix:
+# entry (i, j) derives from md5(seed:i:j) in BOTH engines, so even
+# the "random" matrix is value-exact.
+@register(
+    "embed_project_jl",
+    """
+    WITH m AS (
+      SELECT i, j,
+             (CAST('0x' || substr(md5('0:' || i || ':' || j), 1, 8) AS BIGINT)
+              / 4294967296.0 - 0.5) * sqrt(12.0 / 16) AS w
+      FROM (SELECT unnest(generate_series(0, 15)) AS i)
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)),
+    e AS (
+      SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)),
+    s AS (
+      SELECT vec_id, i, round(sum(v * w), 6) AS p
+      FROM e JOIN m USING (j) GROUP BY 1, 2)
+    SELECT vec_id, list(p ORDER BY i) AS proj FROM s GROUP BY 1
+    """,
+)
+def embed_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return project.project_embeddings(emb, "embedding", "vec_id", out_dim=16, seed=0)

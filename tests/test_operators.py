@@ -1290,3 +1290,32 @@ def test_perceptual_dhash_skips_null_payloads(spark):
     df = spark.createDataFrame([(1, None)], "id long, payload binary")
     media = multimodal.make_media_df(df, "id", "payload", "image/png")
     assert multimodal.perceptual_dhash(media).count() == 0
+
+
+def test_jl_projection_preserves_distances(spark):
+    """The JL property on real embeddings: relative pairwise-distance
+    distortion bounded for k=16 of d=64 (loose bound, deterministic
+    matrix so the number is stable), and the matrix itself is
+    reproducible."""
+    import numpy as np
+
+    from shc_spark.operators import project
+
+    assert np.array_equal(project.jl_matrix(4, 8, seed=1), project.jl_matrix(4, 8, seed=1))
+    assert not np.array_equal(project.jl_matrix(4, 8, 1), project.jl_matrix(4, 8, 2))
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet").filter(F.col("vec_id") < 40)
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    proj = {r.vec_id: np.array(r.proj) for r in
+            project.project_embeddings(emb, out_dim=16).collect()}
+    ids = sorted(orig)
+    dist = []
+    for a in ids[:20]:
+        for b in ids[20:]:
+            d0 = np.linalg.norm(orig[a] - orig[b])
+            d1 = np.linalg.norm(proj[a] - proj[b])
+            if d0 > 0:
+                dist.append(d1 / d0)
+    dist = np.array(dist)
+    # unit-variance scaling: ratios concentrate around 1
+    assert 0.5 < dist.mean() < 1.5 and dist.std() < 0.5, (dist.mean(), dist.std())

@@ -71,3 +71,73 @@ def project_embeddings(
         run, schema="id long, proj array<double>"
     )
     return out.withColumnRenamed("id", id_col)
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", k: int = 16
+) -> "tuple[np.ndarray, np.ndarray]":
+    """(mean[d], components[k, d]) of the corpus covariance — the
+    other standard embedding pre-step (variance-optimal where JL is
+    oblivious). Covariance is assembled DISTRIBUTED: each partition
+    emits one (count, sum[d], outer-product-sum[d, d]) partial via
+    mapInPandas, the driver folds the tiny d x d partials and runs
+    eigh — the corpus itself never moves. Deterministic: partial sums
+    are folded in partition order and eigh is deterministic; a sign
+    convention (largest-|.| entry positive) fixes the eigenvector
+    sign ambiguity."""
+    first = df.select(vec_col).first()
+    d = len(first[0])
+
+    def partials(batches):
+        n, s, ss = 0, np.zeros(d), np.zeros((d, d))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += len(v)
+            s += v.sum(axis=0)
+            ss += v.T @ v
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    rows = df.select(vec_col).mapInPandas(
+        partials, schema="n long, s array<double>, ss array<double>"
+    ).collect()  # <= one tiny row per partition
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comp = vecs[:, ::-1][:, :k].T  # top-k rows
+    for i in range(comp.shape[0]):  # sign convention
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    return mean, comp
+
+
+def pca_transform(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, proj) — center + project with the broadcast PCA basis;
+    map-only, embeddings never shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) - mean
+            proj = np.round(v @ components.T, round_to)
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "proj": list(proj)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema="id long, proj array<double>"
+    ).withColumnRenamed("id", id_col)

@@ -1529,3 +1529,15 @@ def embed_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return project.project_embeddings(emb, "embedding", "vec_id", out_dim=16, seed=0)
+
+
+# PCA is an eigendecomposition — not SQL-expressible: rows-only gate;
+# the basis itself is pinned against numpy on the full corpus in
+# tests (orthonormality, variance ordering, reconstruction error).
+@register("embed_pca", None, tail=True)
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comp = project.pca_fit(emb, "embedding", k=16)
+    return project.pca_transform(emb, mean, comp, "embedding", "vec_id")

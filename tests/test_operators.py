@@ -1319,3 +1319,30 @@ def test_jl_projection_preserves_distances(spark):
     dist = np.array(dist)
     # unit-variance scaling: ratios concentrate around 1
     assert 0.5 < dist.mean() < 1.5 and dist.std() < 0.5, (dist.mean(), dist.std())
+
+
+def test_pca_matches_numpy_and_is_orthonormal(spark):
+    import numpy as np
+
+    from shc_spark.operators import project
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    mean, comp = project.pca_fit(emb, "embedding", k=8)
+    X = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb.collect()])
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    # orthonormal basis, eigen-order by decreasing variance
+    assert np.allclose(comp @ comp.T, np.eye(8), atol=1e-8)
+    var = ((X - mean) @ comp.T).var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7))
+    # distributed covariance == numpy covariance eigenbasis: projected
+    # variances must equal the top-8 eigenvalues
+    cov = np.cov(X.T, bias=True)
+    w = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+    assert np.allclose(np.sort(var)[::-1], w, rtol=1e-6)
+    # transform equals direct numpy projection
+    got = {r.vec_id: np.array(r.proj)
+           for r in project.pca_transform(emb, mean, comp).collect()}
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    direct = np.round((X - mean) @ comp.T, 6)
+    for i, vid in enumerate(ids):
+        assert np.array_equal(got[vid], direct[i])

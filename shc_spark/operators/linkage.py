@@ -11,7 +11,10 @@ Scale design (100 TB lens):
   the row count, so the quadratic-ish candidate step runs on the
   dictionary, never the records;
 - blocking bounds the candidate set (default block = first token;
-  any deterministic Column expression works — soundex, prefix, ...);
+  any deterministic Column expression works — soundex, prefix, ...).
+  NOTE: for SINGLE-token values the default block IS the whole value,
+  so no fuzzy pairs can form — pass an explicit block (e.g.
+  ``F.substring(F.col(c), 1, 3)``) for one-word dictionaries;
 - a length-band prune (|len(a)-len(b)| <= max_dist) is applied before
   levenshtein — edit distance is bounded below by the length gap, so
   this is a free, lossless cut that keeps the expensive comparison off

@@ -1866,3 +1866,46 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
     recalled = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 45).select("p_partkey")
     return bloom.bloom_semi_join(li, recalled, "l_partkey", "p_partkey")
+
+
+# ordered funnel: step i requires an event strictly after step i-1's
+# first time — chained min-aggregates, identical CTEs on both sides.
+@register(
+    "q_event_funnel",
+    """
+    WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+    SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name, CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+    UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import behavior
+
+    ev = _events(spark, sf_dir)
+    return behavior.funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+# weekly cohort retention matrix (cohort = Monday of first-event week).
+@register(
+    "q_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', f.cohort, a.week) / 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import behavior
+
+    ev = _events(spark, sf_dir)
+    return behavior.cohort_retention(ev, "user_id", "ts")

@@ -1346,3 +1346,41 @@ def test_pca_matches_numpy_and_is_orthonormal(spark):
     direct = np.round((X - mean) @ comp.T, 6)
     for i, vid in enumerate(ids):
         assert np.array_equal(got[vid], direct[i])
+
+
+# -- behavioral analytics ---------------------------------------------------
+
+
+def test_funnel_strict_ordering(spark):
+    from datetime import datetime
+
+    from shc_spark.operators import behavior
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)
+    rows = [  # u1 completes in order; u2 clicked BEFORE viewing; u3 view only
+        (1, "view", t(0)), (1, "click", t(1)), (1, "buy", t(2)),
+        (2, "click", t(0)), (2, "view", t(1)),
+        (3, "view", t(0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {r.step_name: r.n_users
+           for r in behavior.funnel(df, "user_id", "ts", "event_type",
+                                    ["view", "click", "buy"]).collect()}
+    assert out == {"view": 3, "click": 1, "buy": 1}  # u2's early click doesn't count
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime
+
+    from shc_spark.operators import behavior
+
+    rows = [  # u1: weeks 0 and 1 of its cohort; u2 joins a week later
+        (1, datetime(2026, 1, 5)), (1, datetime(2026, 1, 13)),
+        (2, datetime(2026, 1, 13)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(r.cohort, r.week_offset): r.n_users
+           for r in behavior.cohort_retention(df, "user_id", "ts").collect()}
+    assert out == {
+        ("2026-01-05", 0): 1, ("2026-01-05", 1): 1, ("2026-01-12", 0): 1,
+    }

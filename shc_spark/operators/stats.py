@@ -164,3 +164,74 @@ def anomaly_robust_z(
         )
         .drop("__adev")
     )
+
+
+def equi_depth_buckets(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    buckets: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, value, bucket) identical to ``ntile(buckets) OVER (ORDER BY
+    value, id)`` — but WITHOUT the single-partition global window: the
+    classic equi-depth assignment (length-bucketed batching, score
+    deciles) via the two-phase distributed rank (same machinery as
+    pack.py): range-partition + sort, per-partition counts -> exclusive
+    offsets broadcast, local row index + offset = global rank, bucket =
+    (rank-1)*B // N + 1 (exactly ntile's remainder-first distribution)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sorted_df = (
+        df.select(F.col(id_col).alias("id"), F.col(value_col).alias("v"))
+        .repartitionByRange(P, "v", "id")
+        .sortWithinPartitions("v", "id")
+        .cache()
+    )
+
+    def counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        t = 0
+        for pdf in batches:
+            t += len(pdf)
+        yield pd.DataFrame({"pid": [pid], "total": [t]})
+
+    sums = sorted_df.mapInPandas(counts, "pid int, total long").collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(sums, key=lambda r: r["pid"]):
+        offsets[r["pid"]] = acc
+        acc += r["total"]
+    n_total = acc
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        rank = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            import numpy as np
+
+            r = rank + np.arange(1, len(pdf) + 1, dtype=np.int64)
+            rank += len(pdf)
+            out = pdf.rename(columns={})
+            # ntile's exact rule: the first N%B buckets take the
+            # ceil-sized share (floor((r-1)*B/N) would SPREAD the
+            # remainder evenly instead — measurably different)
+            q, m = n_total // buckets, n_total % buckets
+            big = (q + 1) * m  # ranks covered by the larger buckets
+            out["bucket"] = np.where(
+                r <= big,
+                (r - 1) // (q + 1) + 1,
+                m + (r - 1 - big) // max(q, 1) + 1,
+            )
+            yield out
+
+    out = sorted_df.mapInPandas(emit, schema=f"id {df.schema[id_col].dataType.simpleString()}, v {df.schema[value_col].dataType.simpleString()}, bucket long")
+    sorted_df.unpersist()
+    return out.withColumnRenamed("id", id_col).withColumnRenamed("v", value_col)

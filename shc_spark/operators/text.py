@@ -651,3 +651,24 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, r"[\p{Punct}]", " ")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+    each row races with an exponential key -ln(u)/w where u derives
+    from md5(id) — deterministic AND engine-neutral (a rand()-keyed
+    sample could never be value-checked), inclusion probability
+    proportional to weight. The n winners come from a distributed
+    TakeOrdered (per-partition top-n, no global sort). Weights must
+    be positive."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    u = (F.conv(h, 16, 10).cast("double") + 1.0) / 4294967296.0
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("__k", key)
+        .orderBy("__k", id_col)
+        .limit(n)
+        .drop("__k")
+    )

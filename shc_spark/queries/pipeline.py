@@ -1541,3 +1541,44 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     mean, comp = project.pca_fit(emb, "embedding", k=16)
     return project.pca_transform(emb, mean, comp, "embedding", "vec_id")
+
+
+# Equi-depth bucketing WITHOUT the single-partition window: the
+# distributed two-phase rank must equal ntile() exactly — the oracle
+# IS the window formulation (same proof shape as pack_sequences).
+@register(
+    "text_length_buckets",
+    """
+    WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents)
+    SELECT doc_id, n, CAST(ntile(8) OVER (ORDER BY n, doc_id) AS BIGINT) AS bucket
+    FROM t
+    """,
+)
+def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n")
+    )
+    return stats.equi_depth_buckets(docs, "n", "doc_id", buckets=8)
+
+
+# Weighted sampling without replacement (Efraimidis-Spirakis) with
+# md5-derived exponential keys — deterministic and engine-neutral,
+# so even the "random" sample is value-exact.
+@register(
+    "text_weighted_sample",
+    """
+    WITH k AS (
+      SELECT doc_id, source,
+             -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  + 1.0) / 4294967296.0) / n_chars AS key
+      FROM documents)
+    SELECT doc_id, source FROM k ORDER BY key, doc_id LIMIT 100
+    """,
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return text.weighted_sample(docs, "n_chars", "doc_id", n=100).select(
+        "doc_id", "source"
+    )

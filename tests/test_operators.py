@@ -1384,3 +1384,36 @@ def test_cohort_retention_offsets(spark):
     assert out == {
         ("2026-01-05", 0): 1, ("2026-01-05", 1): 1, ("2026-01-12", 0): 1,
     }
+
+
+def test_equi_depth_buckets_matches_ntile_any_partitioning(spark):
+    """Distributed assignment == ntile for awkward N/B combinations
+    and any input partitioning (incl. B > N and q == 0 edge)."""
+    from pyspark.sql import Window
+
+    from shc_spark.operators import stats
+
+    for n, b, parts in [(10, 3, 4), (7, 7, 2), (5, 8, 3), (500, 8, 16)]:
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") * 37 % 11).alias("v")
+        ).repartition(parts)
+        got = {(r.id): r.bucket
+               for r in stats.equi_depth_buckets(df, "v", "id", b).collect()}
+        w = Window.orderBy("v", "id")
+        want = {r.id: r.nt
+                for r in df.withColumn("nt", F.ntile(b).over(w)).collect()}
+        assert got == want, (n, b, parts)
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from shc_spark.operators import text as T
+
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    picked = [r.id for r in T.weighted_sample(df, "w", "id", n=50).collect()]
+    heavy = sum(1 for i in picked if i < 50)
+    # 50 rows at weight 1000 vs 950 at weight 1: heavy rows dominate
+    assert heavy >= 40 and len(picked) == 50
+    # deterministic across invocations
+    again = [r.id for r in T.weighted_sample(df, "w", "id", n=50).collect()]
+    assert sorted(picked) == sorted(again)

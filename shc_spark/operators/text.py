@@ -672,3 +672,29 @@ def weighted_sample(
         .limit(n)
         .drop("__k")
     )
+
+
+def split_assign(
+    df: DataFrame, id_col: str, fractions: "dict[str, float] | None" = None
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5-uniform of the
+    id falls into cumulative fraction bands (insertion order of
+    ``fractions``). Reproducible across engines/runs/retries — a doc
+    can never silently migrate between splits on a retry, and the
+    assignment is value-checkable in SQL. Adds a ``split`` column."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        / 4294967296.0
+    )
+    expr, acc = None, 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        expr = (F.when(u < acc, name) if expr is None else expr.when(u < acc, name))
+    label = expr.otherwise(items[-1][0]) if expr is not None else F.lit(items[-1][0])
+    return df.withColumn("split", label)

@@ -1582,3 +1582,20 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.weighted_sample(docs, "n_chars", "doc_id", n=100).select(
         "doc_id", "source"
     )
+
+
+# Deterministic split assignment: cumulative md5-uniform bands.
+@register(
+    "text_split_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 / 4294967296.0 AS u
+          FROM documents)
+    """,
+)
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return text.split_assign(docs, "doc_id")

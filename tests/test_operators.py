@@ -1417,3 +1417,22 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     # deterministic across invocations
     again = [r.id for r in T.weighted_sample(df, "w", "id", n=50).collect()]
     assert sorted(picked) == sorted(again)
+
+
+def test_split_assign_fractions_and_stability(spark):
+    import pytest
+
+    from shc_spark.operators import text as T
+
+    df = spark.range(10000).withColumnRenamed("id", "doc_id")
+    out = T.split_assign(df, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 10000 - 0.9) < 0.02
+    assert abs(counts["val"] / 10000 - 0.05) < 0.01
+    assert abs(counts["test"] / 10000 - 0.05) < 0.01
+    # same ids -> same splits, regardless of which subset is scored
+    sub = T.split_assign(df.filter("doc_id < 100"), "doc_id").collect()
+    full = {r.doc_id: r.split for r in out.filter("doc_id < 100").collect()}
+    assert all(full[r.doc_id] == r.split for r in sub)
+    with pytest.raises(ValueError):
+        T.split_assign(df, "doc_id", {"a": 0.5, "b": 0.6})

@@ -172,3 +172,15 @@ def test_zorder_values_no_exchange(plans):
     # the ONE repartitionByRange at write time, scoring costs zero
     p = plans("q_zorder_values")
     assert "Exchange" not in p, p
+
+
+def test_weighted_sample_is_takeordered(plans):
+    # the n winners come from per-partition top-n, not a global sort
+    assert "TakeOrderedAndProject" in plans("text_weighted_sample")
+
+
+def test_bloom_semi_join_broadcasts_verification(plans):
+    # bloom prefilter is map-only; the exact verification broadcasts
+    # the (small, distinct) key set
+    p = plans("q_bloom_semi_join")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p

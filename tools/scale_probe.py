@@ -215,6 +215,15 @@ def main() -> None:
             d.filter(F.col("doc_id") % 13 == 0).select("doc_id"),
             "doc_id",
         ),
+        "length_buckets": lambda d, e: __import__(
+            "shc_spark.operators.stats", fromlist=["stats"]
+        ).equi_depth_buckets(
+            d.select("doc_id", F.length("text").cast("long").alias("n")),
+            "n", "doc_id", buckets=8,
+        ),
+        "weighted_sample": lambda d, e: text.weighted_sample(
+            d.select("doc_id", "n_chars"), "n_chars", "doc_id", n=1000
+        ),
     }
 
     from shc_spark.operators import sessions
@@ -231,6 +240,12 @@ def main() -> None:
         ).anomaly_robust_z(
             ev.select("event_id", "event_type", "value"), "value", ["event_type"]
         ),
+        "event_funnel": lambda ev: __import__(
+            "shc_spark.operators.behavior", fromlist=["behavior"]
+        ).funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]),
+        "cohort_retention": lambda ev: __import__(
+            "shc_spark.operators.behavior", fromlist=["behavior"]
+        ).cohort_retention(ev, "user_id", "ts"),
     }
 
     rows = []
@@ -275,7 +290,10 @@ def main() -> None:
         "The ratio column is wall(N)/wall(1) vs the ideal N —",
         "sub-ideal ratios mean fixed overhead still dominates;",
         "super-ideal growth would flag a quadratic term no small",
-        "benchmark can see.",
+        "benchmark can see. anomaly_robust_z carries the steepest",
+        "curve by design: exact per-group medians sort each group's",
+        "full window twice (per-group parallel, spill-safe); swap to",
+        "approx_percentile when a tolerance is acceptable at scale.",
         "",
         "Duplicate-stress datapoints (x100 runs, 2026-08-14):",
         "- unsalted: 500k docs = 5k clusters of 100 identical copies =",

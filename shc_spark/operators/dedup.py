@@ -855,3 +855,59 @@ def embedding_near_dups_blocked(
     return out.withColumn("cosine", F.round("cosine", 4)).filter(
         F.col("cosine") >= threshold
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via PREFIX FILTERING (the
+    PPJoin-family algorithm) — the database-literature alternative to
+    MinHash: DETERMINISTIC recall 1.0 with no banding parameters.
+
+    Order every shingle by global rarity (frequency asc, hash asc).
+    For Jaccard >= t, the required overlap is >= ceil(t*|A|) for the
+    smaller set, so two qualifying sets MUST share a token among each
+    set's first |X| - ceil(t*|X|) + 1 rarest tokens — the candidate
+    join runs on those short prefixes only (rarest tokens collide
+    least, which is the whole point of the ordering), and exact
+    array_intersect verification eliminates false positives.
+
+    Scale shape: one frequency aggregate, one per-doc sort of its own
+    (bounded) shingle list, a candidate equi-join on prefix tokens,
+    id-equi-join verification. Versus MinHash-LSH: no probabilistic
+    miss, but candidate quality degrades on low thresholds (prefixes
+    lengthen) — use LSH below ~0.6, prefix filtering above."""
+    hashed = _hashed_shingles(df, text_col, id_col, n).filter(F.size("hs") > 0).cache()
+    ex = hashed.select("id", F.explode("hs").alias("h"))
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    ordered = (
+        ex.join(freq, "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("c", "h"))).alias("toks"))
+    )
+    p = F.size("toks") - F.ceil(F.lit(threshold) * F.size("toks")) + 1
+    prefix = ordered.select(
+        "id", F.explode(F.slice("toks", 1, p)).alias("t")
+    ).select("id", F.col("t.h").alias("h"))
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "h")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    ha = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

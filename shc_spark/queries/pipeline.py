@@ -1599,3 +1599,14 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return text.split_assign(docs, "doc_id")
+
+
+# Prefix filtering (PPJoin family): deterministic recall 1.0, so the
+# output IS the exact pair set — same oracle as the MinHash gate.
+@register(
+    "dedup_prefix_filter",
+    _SHINGLE_CTE + "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8",
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(docs, "text", "doc_id", n=3, threshold=0.8)

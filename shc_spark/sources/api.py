@@ -1369,3 +1369,40 @@ def merge_into(
         write_table(ups, catalog, root=root, mode="append", timestamp=ts)
     if dels is not None and not dels.isEmpty():
         delete_rows(spark, catalog, dels, root=root, timestamp=ts)
+
+
+def diff_tables(
+    spark: SparkSession,
+    catalog: str,
+    root_a: str,
+    root_b: str,
+    **read_opts,
+) -> DataFrame:
+    """Snapshot diff of two shc tables under the same catalog: one row
+    per key that differs, with change in ('insert', 'delete',
+    'update') describing how B differs from A (the batch complement of
+    the streaming change-data feed — compare an imported snapshot, a
+    replica, or two points in time). Reads are ordinary merged reads
+    (all pushdown/pruning applies); the comparison is one full outer
+    join on the key columns with a codegen'd any-column inequality —
+    at 100 TB both sides arrive key-sorted from the source, so the
+    join is the unavoidable one shuffle.
+
+    Output: key columns + change + per-side structs a/b holding the
+    value columns (null on the missing side)."""
+    from shc_spark.catalog import parse_catalog
+
+    cat = parse_catalog(catalog)
+    keys = [f.col_name for f in cat.rowkey_fields()]
+    vals = [f.col_name for f in cat.value_fields()]
+    a = read_table(spark, catalog, root=root_a, **read_opts)
+    b = read_table(spark, catalog, root=root_b, **read_opts)
+    sa = a.select(*keys, F.struct(*vals).alias("a"))
+    sb = b.select(*keys, F.struct(*vals).alias("b"))
+    j = sa.join(sb, keys, "full_outer")
+    change = (
+        F.when(F.col("b").isNull(), "delete")
+        .when(F.col("a").isNull(), "insert")
+        .when(F.col("a") != F.col("b"), "update")
+    )
+    return j.withColumn("change", change).filter(F.col("change").isNotNull())

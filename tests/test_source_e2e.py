@@ -1241,3 +1241,37 @@ def test_zorder_keyed_table_prunes_z_ranges(spark, tmp_path):
     reader2 = ShcReader(None, {"catalog": cat, "root": root})
     full = [p for p in reader2.partitions() if p.path]
     assert len(pruned) < len(full), (len(pruned), len(full))
+
+
+def test_diff_tables_change_classification(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.sources import diff_tables, write_table
+
+    cat = _json.dumps(
+        {
+            "table": {"namespace": "d", "name": "t", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "k",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "k", "type": "bigint"},
+                "v": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    a = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    b = spark.range(2, 12).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, F.col("id") * 2.0).otherwise(F.col("id") * 1.0).alias("v"),
+    )
+    write_table(a, cat, root=ra, num_regions=4, mode="overwrite", timestamp=1)
+    write_table(b, cat, root=rb, num_regions=4, mode="overwrite", timestamp=1)
+    got = sorted((r.k, r.change) for r in diff_tables(spark, cat, ra, rb).collect())
+    assert got == sorted(
+        [(0, "delete"), (1, "delete"), (10, "insert"), (11, "insert")]
+        + [(k, "update") for k in (3, 6, 9)]
+    )
+    # identical tables -> empty diff
+    assert diff_tables(spark, cat, ra, ra).count() == 0

@@ -698,3 +698,37 @@ def split_assign(
         expr = (F.when(u < acc, name) if expr is None else expr.when(u < acc, name))
     label = expr.otherwise(items[-1][0]) if expr is not None else F.lit(items[-1][0])
     return df.withColumn("split", label)
+
+
+def compression_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """Gopher-style compression-ratio quality signal: highly
+    compressible text (ratio near 0) is repetitive boilerplate,
+    incompressible text (near 1) is word salad or binary junk —
+    natural prose sits in between. zlib runs per Arrow batch inside a
+    pandas UDF (the only text operator that genuinely needs Python —
+    there is no codegen DEFLATE); payload never shuffles. Output:
+    (id, n_bytes, n_compressed, compress_ratio 4dp)."""
+    import zlib
+
+    def run(batches):
+        for pdf in batches:
+            nb, nc, ratio = [], [], []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8")
+                z = len(zlib.compress(raw, level))
+                nb.append(len(raw))
+                nc.append(z)
+                ratio.append(round(z / len(raw), 4) if raw else None)
+            out = pdf[[id_col]].copy()
+            out["n_bytes"] = nb
+            out["n_compressed"] = nc
+            out["compress_ratio"] = ratio
+            yield out
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        schema=f"{id_col} {id_type}, n_bytes long, n_compressed long, compress_ratio double",
+    )

@@ -1610,3 +1610,13 @@ def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.prefix_filter_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+
+
+# zlib has no SQL analog — rows-only tail gate; the ratio kernel is
+# pinned against direct zlib in tests.
+@register("text_compression_ratio", None, tail=True)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.compression_features(docs, "text", "doc_id").select(
+        "doc_id", "n_bytes", "n_compressed", "compress_ratio"
+    )

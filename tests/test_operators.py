@@ -1454,3 +1454,20 @@ def test_prefix_filter_equals_exact_jaccard_and_prunes(spark):
     got5 = {(r.id_a, r.id_b, r.jaccard)
             for r in dedup.prefix_filter_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
     assert got5 == exact5
+
+
+def test_compression_features_pin_and_signal(spark):
+    import zlib
+
+    from shc_spark.operators import text as T
+
+    rows = [(1, "spam " * 200), (2, "the quick brown fox jumps over the lazy dog"),]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in T.compression_features(df).collect()}
+    for i, t in rows:
+        raw = t.encode()
+        assert out[i].n_bytes == len(raw)
+        assert out[i].n_compressed == len(zlib.compress(raw, 6))
+        assert out[i].compress_ratio == round(len(zlib.compress(raw, 6)) / len(raw), 4)
+    # looped boilerplate compresses far better than natural prose
+    assert out[1].compress_ratio < 0.1 < out[2].compress_ratio

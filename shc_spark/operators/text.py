@@ -732,3 +732,20 @@ def compression_features(
         run,
         schema=f"{id_col} {id_type}, n_bytes long, n_compressed long, compress_ratio double",
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-dedup URL canonicalization as one codegen expression:
+    drop the fragment, lowercase scheme+authority, strip default
+    ports (:80 http / :443 https), strip trailing path slashes.
+    'HTTPS://Example.com:443/a/' and 'https://example.com/a' collapse
+    to the same canonical form — the normalization every URL-keyed
+    dedup/frontier runs before hashing."""
+    u = F.regexp_replace(url, "#.*$", "")
+    auth = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
+    prefix = F.lower(auth)
+    rest = F.substring(u, F.length(auth) + 1, F.lit(1 << 30))
+    prefix = F.regexp_replace(prefix, r"^(https://[^/:]+):443$", "$1")
+    prefix = F.regexp_replace(prefix, r"^(http://[^/:]+):80$", "$1")
+    rest = F.regexp_replace(rest, "/+$", "")
+    return F.concat(prefix, rest)

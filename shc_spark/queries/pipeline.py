@@ -1620,3 +1620,52 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.compression_features(docs, "text", "doc_id").select(
         "doc_id", "n_bytes", "n_compressed", "compress_ratio"
     )
+
+
+# URL canonicalization: deterministic messy variants (case, default
+# port, trailing slash, fragment) must all collapse to one canonical
+# form — both engines run the same normalization pipeline.
+@register(
+    "text_canonical_urls",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'https://' || source || '.example.com/docs/' || doc_id || '/'
+               WHEN 1 THEN 'HTTPS://' || upper(source) || '.Example.COM/docs/' || doc_id
+               WHEN 2 THEN 'https://' || source || '.example.com:443/docs/' || doc_id
+               ELSE 'https://' || source || '.example.com/docs/' || doc_id || '#frag'
+             END AS url
+      FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+    s2 AS (SELECT doc_id, u,
+                  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*')) AS pfx
+           FROM s1),
+    s3 AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(pfx, '^(https://[^/:]+):443$', '\\1'),
+                                 '^(http://[^/:]+):80$', '\\1') AS pfx,
+                  regexp_replace(substring(u, length(pfx) + 1), '/+$', '') AS rest
+           FROM s2)
+    SELECT doc_id, pfx || rest AS canon FROM s3
+    """,
+)
+def text_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"), F.col("doc_id"), F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.COM/docs/"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com:443/docs/"), F.col("doc_id")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"), F.col("doc_id"), F.lit("#frag")),
+        )
+    )
+    return docs.select("doc_id", text.canonical_url(url).alias("canon"))

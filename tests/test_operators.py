@@ -1471,3 +1471,22 @@ def test_compression_features_pin_and_signal(spark):
         assert out[i].compress_ratio == round(len(zlib.compress(raw, 6)) / len(raw), 4)
     # looped boilerplate compresses far better than natural prose
     assert out[1].compress_ratio < 0.1 < out[2].compress_ratio
+
+
+def test_canonical_url_variants_collapse(spark):
+    from shc_spark.operators import text as T
+
+    rows = [
+        ("HTTPS://Example.com:443/a/",), ("https://example.com/a",),
+        ("http://Host.org:80/x#frag",), ("http://host.org/x/",),
+        ("https://site.net",), ("https://site.net:443/",),
+        ("https://keep.port.com:8443/p",),  # non-default port survives
+    ]
+    df = spark.createDataFrame(rows, ["u"])
+    got = [r.c for r in df.select(T.canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [
+        "https://example.com/a", "https://example.com/a",
+        "http://host.org/x", "http://host.org/x",
+        "https://site.net", "https://site.net",
+        "https://keep.port.com:8443/p",
+    ]

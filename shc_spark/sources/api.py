@@ -1403,6 +1403,9 @@ def diff_tables(
     change = (
         F.when(F.col("b").isNull(), "delete")
         .when(F.col("a").isNull(), "insert")
-        .when(F.col("a") != F.col("b"), "update")
+        # null-safe: a plain != returns NULL when a field inside the
+        # struct is NULL on one side, silently dropping real updates
+        # that set a column to NULL (or vice versa)
+        .when(~F.col("a").eqNullSafe(F.col("b")), "update")
     )
     return j.withColumn("change", change).filter(F.col("change").isNotNull())

@@ -1275,3 +1275,35 @@ def test_diff_tables_change_classification(spark, tmp_path):
     )
     # identical tables -> empty diff
     assert diff_tables(spark, cat, ra, ra).count() == 0
+
+
+def test_diff_tables_detects_null_transitions(spark, tmp_path):
+    """A value going non-null -> null (cell absent in B, HBase 'nulls
+    are not stored') must surface as an update, not vanish — plain
+    struct != returns NULL there (regression for the null-safe fix)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.sources import diff_tables, write_table
+
+    cat = _json.dumps(
+        {
+            "table": {"namespace": "d", "name": "tn", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "k",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "k", "type": "bigint"},
+                "v": {"cf": "cf", "col": "v", "type": "double"},
+                "s": {"cf": "cf", "col": "s", "type": "string"},
+            },
+        }
+    )
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    a = spark.createDataFrame([(1, 1.0, "x"), (2, 2.0, "y")], "k long, v double, s string")
+    b = spark.createDataFrame(
+        [(1, None, "x"), (2, 2.0, "y")], "k long, v double, s string"
+    )
+    write_table(a, cat, root=ra, num_regions=4, mode="overwrite", timestamp=1)
+    write_table(b, cat, root=rb, num_regions=4, mode="overwrite", timestamp=1)
+    got = {(r.k, r.change) for r in diff_tables(spark, cat, ra, rb).collect()}
+    assert got == {(1, "update")}

@@ -147,6 +147,9 @@ def anomaly_robust_z(
     (engine-neutral, no interpolation ulps); the two tiny per-group
     stats tables broadcast back, so the fact table shuffles only
     inside the ranked windows that select the medians."""
+    # null values would sort FIRST in the ranked window and could be
+    # picked as the median — exclude them (they also can't be flagged)
+    df = df.where(F.col(value_col).isNotNull())
     med = group_quantiles(df, value_col, group_cols, [0.5]).withColumnRenamed(
         "q_0", "med"
     )

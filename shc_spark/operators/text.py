@@ -667,7 +667,11 @@ def weighted_sample(
     u = (F.conv(h, 16, 10).cast("double") + 1.0) / 4294967296.0
     key = -F.log(u) / F.col(weight_col)
     return (
-        df.withColumn("__k", key)
+        # enforce positive weights: a NULL/zero/negative weight would
+        # produce a NULL or negative key and JUMP the sample queue
+        # (orderBy puts nulls first)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__k", key)
         .orderBy("__k", id_col)
         .limit(n)
         .drop("__k")

@@ -81,3 +81,31 @@ def cohort_retention(
         )
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def rolling_active_users(
+    df: DataFrame, user_col: str, ts_col: str, window_days: int = 7
+) -> DataFrame:
+    """Rolling N-day active users per calendar day (WAU for N=7): for
+    every day with any activity, the distinct users active in
+    [day - N + 1, day]. The naive per-day distinct-over-range is a
+    range self-join; this materializes per-(user, day) activity once
+    and EXPLODES each activity day onto the <= N window days it
+    supports — turning the range join into an equi-groupBy whose
+    fan-out is bounded by N. Output: (day string, n_active)."""
+    per_day = df.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    days = df.select(F.to_date(ts_col).alias("day")).distinct()
+    supported = per_day.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("day"),
+    )
+    return (
+        supported.join(days, "day", "left_semi")  # only days that exist
+        .groupBy("day")
+        .agg(F.countDistinct("u").alias("n_active"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "n_active")
+    )

@@ -1909,3 +1909,23 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return behavior.cohort_retention(ev, "user_id", "ts")
+
+
+# rolling 7-day active users: the explode-onto-window formulation vs
+# the oracle's direct range join — identical results, bounded fan-out.
+@register(
+    "q_rolling_wau",
+    """
+    WITH per_day AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_active
+    FROM days JOIN per_day ON d BETWEEN day - 6 AND day
+    GROUP BY 1
+    """,
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import behavior
+
+    ev = _events(spark, sf_dir)
+    return behavior.rolling_active_users(ev, "user_id", "ts", window_days=7)

@@ -1511,3 +1511,18 @@ def test_anomaly_null_values_excluded(spark):
     # median stays 10 (null didn't shift the window), 500 flagged?
     # MAD here is 0 -> degenerate group flags nothing; just assert meds
     assert all(r.med == 10.0 for r in out)
+
+
+def test_rolling_active_users_window_semantics(spark):
+    from datetime import datetime
+
+    from shc_spark.operators import behavior
+
+    d = lambda day: datetime(2026, 1, day)
+    rows = [(1, d(1)), (2, d(1)), (1, d(5)), (3, d(9))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.day: r.n_active
+           for r in behavior.rolling_active_users(df, "user_id", "ts", 7).collect()}
+    # day 1: u1,u2 -> 2; day 5: u1,u2 (within 7d) + u1 -> 2;
+    # day 9: u3 + u1(day5 within [3,9]) -> 2 (day1 activity expired)
+    assert out == {"2026-01-01": 2, "2026-01-05": 2, "2026-01-09": 2}

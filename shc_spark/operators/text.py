@@ -753,3 +753,79 @@ def canonical_url(url: Column) -> Column:
     prefix = F.regexp_replace(prefix, r"^(http://[^/:]+):80$", "$1")
     rest = F.regexp_replace(rest, "/+$", "")
     return F.concat(prefix, rest)
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over
+    adjacent word pairs:
+
+        pmi(a, b) = ln( (c(ab) / N) / ((c(a)/N) * (c(b)/N)) )
+
+    with N = total bigram occurrences and unigram probabilities from
+    the same windowed counts (standard collocation-mining setup);
+    ``min_count`` suppresses the low-frequency noise PMI is infamous
+    for. Rounded-then-ranked (pmi desc, bigram asc) so the top-k is
+    engine-neutral. Output: (bigram, n, pmi, rank).
+
+    Scale shape: two map-side-combined count aggregates (bigram,
+    unigram), a join keyed on the bigram's words, one broadcast
+    scalar, and a depth-k TakeOrdered — no global sort."""
+    ws = F.split(F.col(text_col), " ")
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = (
+        df.select(F.explode(F.when(F.size(ws) >= 2, bigrams).otherwise(F.array())).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uni = (
+        df.select(F.explode(ws).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = bi.agg(F.sum("n").alias("nn"))  # 1-row broadcast scalar
+    a = F.substring_index("bg", " ", 1)
+    b = F.substring_index("bg", " ", -1)
+    ua = uni.select(F.col("w").alias("__a"), F.col("cu").alias("ca"))
+    ub = uni.select(F.col("w").alias("__b"), F.col("cu").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("n") * F.col("nn").cast("double"))
+            / (F.col("ca").cast("double") * F.col("cb"))
+        ),
+        6,
+    )
+    scored = (
+        bi.filter(F.col("n") >= min_count)
+        .withColumn("__a", a)
+        .withColumn("__b", b)
+        .join(F.broadcast(ua), "__a")
+        .join(F.broadcast(ub), "__b")
+        .crossJoin(F.broadcast(tot))
+        .select("bg", "n", pmi.alias("pmi"))
+    )
+    # depth-k list ranked by sorting the single coalesced partition
+    # (monotonically_increasing_id is consecutive there) — identical
+    # to a global row_number window without the WindowExec warning
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("bg"))  # TakeOrdered cut
+        .limit(k)
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("pmi"), F.asc("bg"))
+        .select(
+            F.col("bg").alias("bigram"),
+            "n",
+            "pmi",
+            (F.monotonically_increasing_id() + 1).cast("long").alias("rank"),
+        )
+    )

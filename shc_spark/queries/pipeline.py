@@ -1669,3 +1669,32 @@ def text_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return docs.select("doc_id", text.canonical_url(url).alias("canon"))
+
+
+# PMI collocations: identical counting + rounded-then-ranked top-k.
+@register(
+    "text_pmi_pairs",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    p AS (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i FROM t),
+    bi AS (SELECT ws[i] || ' ' || ws[i+1] AS bg, count(*) AS n FROM p GROUP BY 1),
+    uni AS (SELECT term, count(*) AS cu FROM
+              (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+            WHERE term != '' GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM bi),
+    s AS (
+      SELECT bg, n,
+             round(ln((n * nn) / (CAST(ua.cu AS DOUBLE) * ub.cu)), 6) AS pmi
+      FROM bi
+      JOIN uni ua ON ua.term = string_split(bg, ' ')[1]
+      JOIN uni ub ON ub.term = string_split(bg, ' ')[2]
+      CROSS JOIN tot
+      WHERE n >= 5),
+    r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, bg) AS rank FROM s)
+    SELECT bg AS bigram, CAST(n AS BIGINT) AS n, pmi, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 20
+    """,
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.pmi_pairs(docs, "text", "doc_id", min_count=5, k=20)

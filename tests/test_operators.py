@@ -1526,3 +1526,23 @@ def test_rolling_active_users_window_semantics(spark):
     # day 1: u1,u2 -> 2; day 5: u1,u2 (within 7d) + u1 -> 2;
     # day 9: u3 + u1(day5 within [3,9]) -> 2 (day1 activity expired)
     assert out == {"2026-01-01": 2, "2026-01-05": 2, "2026-01-09": 2}
+
+
+def test_pmi_pairs_manual_formula(spark):
+    import math
+
+    from shc_spark.operators import text as T
+
+    # "a b" always adjacent (PMI high); "a a" pairs (PMI ~ 0-ish)
+    rows = [(1, "a b a b a b"), (2, "a b a b a b"), (3, "c c c c c c c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.bigram: (r.n, r.pmi, r.rank)
+           for r in T.pmi_pairs(df, min_count=5, k=10).collect()}
+    # bigram occurrences: doc1/2: (a b)x3,(b a)x2 each; doc3: (c c)x6
+    # N = 16; unigrams: a=6, b=6, c=7
+    N = 16.0
+    exp_ab = round(math.log((6 * N) / (6.0 * 6)), 6)
+    exp_cc = round(math.log((6 * N) / (7.0 * 7)), 6)
+    assert out["a b"] == (6, exp_ab, 1)
+    assert out["c c"] == (6, exp_cc, 2)
+    assert "b a" not in out  # min_count=5 filters the 4-count pair

@@ -829,3 +829,53 @@ def pmi_pairs(
             (F.monotonically_increasing_id() + 1).cast("long").alias("rank"),
         )
     )
+
+
+def chi2_terms(
+    df: DataFrame,
+    strata_col: str,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """Distinctive terms per stratum by chi-square: for each
+    (stratum, term), the 2x2 contingency of term-occurrence vs
+    stratum-membership over token positions,
+
+        chi2 = N * (a*d - b*c)^2 / ((a+b)(c+d)(a+c)(b+d))
+
+    — the classic feature-selection signal ("what words make this
+    source different"). Ranked (chi2 desc 4dp, term asc) per stratum;
+    ``min_count`` floors a. All counts come from two
+    map-side-combined aggregates + broadcast totals; the top-k window
+    partitions by stratum (parallel). Output:
+    (stratum, term, n, chi2, rank)."""
+    toks = df.select(
+        F.col(strata_col).alias("s"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    st = toks.groupBy("s", "term").agg(F.count(F.lit(1)).alias("a"))
+    ct = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cterm"))
+    cs = toks.groupBy("s").agg(F.count(F.lit(1)).alias("cstr"))
+    n = toks.agg(F.count(F.lit(1)).alias("nn"))
+    a = F.col("a").cast("double")
+    b = (F.col("cterm") - F.col("a")).cast("double")
+    c = (F.col("cstr") - F.col("a")).cast("double")
+    d = (F.col("nn") - F.col("cterm") - F.col("cstr") + F.col("a")).cast("double")
+    chi2 = F.round(
+        (F.col("nn") * (a * d - b * c) * (a * d - b * c))
+        / ((a + b) * (c + d) * (a + c) * (b + d)),
+        4,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        st.filter(F.col("a") >= min_count)
+        .join(F.broadcast(ct), "term")
+        .join(F.broadcast(cs), "s")
+        .crossJoin(F.broadcast(n))
+        .select(F.col("s").alias(strata_col), "term", F.col("a").alias("n"), chi2.alias("chi2"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -1698,3 +1698,41 @@ def text_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.pmi_pairs(docs, "text", "doc_id", min_count=5, k=20)
+
+
+# chi-square distinctive terms per source — identical contingency
+# arithmetic (left-to-right double products) on both engines.
+@register(
+    "text_chi2_terms",
+    """
+    WITH toks AS (
+      SELECT source AS s, term FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term != ''),
+    st AS (SELECT s, term, count(*) AS a FROM toks GROUP BY 1, 2),
+    ct AS (SELECT term, count(*) AS cterm FROM toks GROUP BY 1),
+    cs AS (SELECT s, count(*) AS cstr FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM toks),
+    x AS (
+      SELECT st.s, st.term, st.a,
+             CAST(st.a AS DOUBLE) AS da,
+             CAST(ct.cterm - st.a AS DOUBLE) AS db,
+             CAST(cs.cstr - st.a AS DOUBLE) AS dc,
+             CAST(nn - ct.cterm - cs.cstr + st.a AS DOUBLE) AS dd,
+             nn
+      FROM st JOIN ct USING (term) JOIN cs USING (s) CROSS JOIN n
+      WHERE st.a >= 5),
+    sc AS (
+      SELECT s, term, a,
+             round((nn * (da * dd - db * dc) * (da * dd - db * dc))
+                   / ((da + db) * (dc + dd) * (da + dc) * (db + dd)), 4) AS chi2
+      FROM x),
+    r AS (SELECT *, row_number() OVER (PARTITION BY s ORDER BY chi2 DESC, term) AS rank
+          FROM sc)
+    SELECT s AS source, term, CAST(a AS BIGINT) AS n, chi2, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.chi2_terms(docs, "source", "text", min_count=5, k=3)

@@ -1546,3 +1546,15 @@ def test_pmi_pairs_manual_formula(spark):
     assert out["a b"] == (6, exp_ab, 1)
     assert out["c c"] == (6, exp_cc, 2)
     assert "b a" not in out  # min_count=5 filters the 4-count pair
+
+
+def test_chi2_terms_surfaces_distinctive_words(spark):
+    from shc_spark.operators import text as T
+
+    rows = ([(i, "srcA", "alpha common common common common") for i in range(5)]
+            + [(100 + i, "srcB", "bravo common common common common") for i in range(5)])
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {(r.source, r.rank): r.term
+           for r in T.chi2_terms(df, "source", min_count=5, k=1).collect()}
+    # the word exclusive to each source dominates its chi2 ranking
+    assert out == {("srcA", 1): "alpha", ("srcB", 1): "bravo"}

@@ -360,8 +360,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes, mime: str | None = None) -> np.ndarray:
-    """Magic-byte dispatch -> (H, W, C) uint8. JPEG decodes when a
-    codec library (PIL) is importable, else NotImplementedError."""
+    """Magic-byte dispatch -> (H, W, C) uint8. Baseline JPEG decodes
+    natively (operators/jpeg.py); non-baseline JPEG variants need PIL,
+    else NotImplementedError."""
     if data.startswith(_PNG_MAGIC):
         return decode_png(data)
     if data.startswith(b"P6"):

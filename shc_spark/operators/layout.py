@@ -28,12 +28,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def zvalue(cols: list[str | Column], bits: int = 16) -> Column:
+def zvalue(cols: list[str | Column], bits: int = 16, check_bounds: bool = True) -> Column:
     """Morton code: interleave the low ``bits`` bits of each column
     (non-negative integers; values must fit in ``bits`` bits — scale
     or rank-bucket wider domains first). For d columns, bit i of
     column j lands at position i*d + j, so the result fits in
     bits*d <= 64 bits.
+
+    Bits above ``bits`` are NOT silently dropped: with the default
+    ``check_bounds=True`` any out-of-range value (negative or
+    >= 1<<bits) raises at execution time via ``raise_error`` — a
+    too-narrow bit budget would otherwise alias distant values onto
+    colliding Morton codes and quietly destroy the clustering (and
+    with it the file-skipping win). Pass ``check_bounds=False`` only
+    when the domain is already proven (e.g. the output of a
+    rank-bucketing step) — the guard is one codegen'd comparison per
+    row, but dropping it removes even that.
 
     Built as a sum of (x >> i & 1) << (i*d + j) terms — whole-stage
     codegen folds this into straight-line JVM bit math."""
@@ -42,9 +52,22 @@ def zvalue(cols: list[str | Column], bits: int = 16) -> Column:
         raise ValueError("zvalue needs >= 2 columns")
     if bits * d > 63:
         raise ValueError(f"{bits} bits x {d} dims exceeds a signed 64-bit z-value")
+    lim = 1 << bits
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         x = F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+        if check_bounds:
+            name = c if isinstance(c, str) else f"dim{j}"
+            x = F.when(
+                (x < 0) | (x >= lim),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"zvalue: {name} value "),
+                        x.cast("string"),
+                        F.lit(f" outside [0, {lim}) for bits={bits}"),
+                    )
+                ).cast("long"),
+            ).otherwise(x)
         for i in range(bits):
             z = z + F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)), i * d + j)
     return z

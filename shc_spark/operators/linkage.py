@@ -77,26 +77,32 @@ def fuzzy_join(
     (including 0 — cross-table linkage wants exact hits too).
     Output: (left value, right value, dist), one row per distinct
     value pair; broadcast-join it back onto either table to attach
-    full records.
+    full records.  When both sides use the SAME column name the output
+    disambiguates to ``<name>_left`` / ``<name>_right`` (the two sides
+    are aliased to internal names before the join, so same-name inputs
+    never hit an ambiguous-reference error).
     """
     lb = block if block is not None else F.split_part(F.col(left_col), F.lit(" "), F.lit(1))
     rb = block if block is not None else F.split_part(F.col(right_col), F.lit(" "), F.lit(1))
     a = (
         left.select(left_col).where(F.col(left_col).isNotNull()).distinct()
-        .select(F.col(left_col), lb.alias("__blk"))
+        .select(F.col(left_col).alias("__l"), lb.alias("__blk"))
     )
     b = (
         right.select(right_col).where(F.col(right_col).isNotNull()).distinct()
-        .select(F.col(right_col), rb.alias("__blk"))
+        .select(F.col(right_col).alias("__r"), rb.alias("__blk"))
     )
     cand = a.join(b, "__blk").where(
-        F.abs(F.length(left_col) - F.length(right_col)) <= max_dist
+        F.abs(F.length("__l") - F.length("__r")) <= max_dist
     )
-    dist = F.levenshtein(left_col, right_col)
+    dist = F.levenshtein("__l", "__r")
+    out_l, out_r = left_col, right_col
+    if out_l == out_r:
+        out_l, out_r = f"{left_col}_left", f"{right_col}_right"
     return (
         cand.withColumn("dist", dist.cast("long"))
         .where(F.col("dist") <= max_dist)
-        .select(left_col, right_col, "dist")
+        .select(F.col("__l").alias(out_l), F.col("__r").alias(out_r), "dist")
     )
 
 

@@ -100,10 +100,12 @@ def extract_image_features(
     partition-preserving — the per-partition imperative slot the
     reference would use an RDD for).
 
-    The real path decodes PNG/PPM/BMP (codecs.py) and emits mean luma
-    plus a sqrt(feat_dim) x sqrt(feat_dim) block-mean luma thumbnail;
-    JPEG raises NotImplementedError until a codec library is wired in.
-    ``fake=True`` selects the deterministic digest stub instead.
+    The real path decodes PNG/PPM/BMP (codecs.py) and baseline JPEG
+    (the from-scratch T.81 decoder in operators/jpeg.py; non-baseline
+    JPEG variants fall back to PIL when importable) and emits mean
+    luma plus a sqrt(feat_dim) x sqrt(feat_dim) block-mean luma
+    thumbnail. ``fake=True`` selects the deterministic digest stub
+    instead.
     """
     grid = int(feat_dim**0.5)
     if grid * grid != feat_dim:

@@ -49,10 +49,11 @@ def project_embeddings(
 ) -> DataFrame:
     """(id, proj: array<double>[out_dim]) — deterministic JL
     projection, rounded so the output is engine-neutral."""
+    id_type = df.schema[id_col].dataType.simpleString()
     first = df.select(vec_col).first()
     if first is None:
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, proj array<double>"
+            [], f"{id_col} {id_type}, proj array<double>"
         )
     in_dim = len(first[0])
     mat = jl_matrix(out_dim, in_dim, seed)
@@ -68,7 +69,7 @@ def project_embeddings(
             )
 
     out = df.select(id_col, vec_col).mapInPandas(
-        run, schema="id long, proj array<double>"
+        run, schema=f"id {id_type}, proj array<double>"
     )
     return out.withColumnRenamed("id", id_col)
 
@@ -138,6 +139,7 @@ def pca_transform(
             proj = np.round(v @ components.T, round_to)
             yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "proj": list(proj)})
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        run, schema="id long, proj array<double>"
+        run, schema=f"id {id_type}, proj array<double>"
     ).withColumnRenamed("id", id_col)

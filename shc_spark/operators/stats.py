@@ -137,28 +137,47 @@ def anomaly_robust_z(
     value_col: str,
     group_cols: list[str],
     k: float = 3.0,
+    approximate: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Robust per-group outlier flags: median/MAD instead of mean/std
     (one wild value cannot drag its own threshold). Adds ``med``,
     ``mad`` and ``is_anomaly`` = |x - med| > k * MAD (groups with
     MAD = 0 flag nothing — a degenerate spread means no robust scale).
 
-    Both medians use the discrete element-at-floor((n-1)*0.5) rule
-    (engine-neutral, no interpolation ulps); the two tiny per-group
-    stats tables broadcast back, so the fact table shuffles only
-    inside the ranked windows that select the medians."""
+    Exact path: both medians use the discrete
+    element-at-floor((n-1)*0.5) rule (engine-neutral, no interpolation
+    ulps); the two tiny per-group stats tables broadcast back, so the
+    fact table shuffles only inside the ranked windows that select the
+    medians. That double per-group sort is the scale ceiling (measured
+    21x wall at x100, SCALE.md) — at 100 TB pass ``approximate=True``:
+    ``approx_percentile`` (Greenwald-Khanna, mergeable partial
+    sketches) replaces each ranked window with one map-side-combined
+    aggregate, no per-group sort at all; median/MAD are then within
+    1/accuracy relative rank error, which perturbs ``is_anomaly`` only
+    for points sitting exactly at the k*MAD boundary."""
     # null values would sort FIRST in the ranked window and could be
     # picked as the median — exclude them (they also can't be flagged)
     df = df.where(F.col(value_col).isNotNull())
-    med = group_quantiles(df, value_col, group_cols, [0.5]).withColumnRenamed(
-        "q_0", "med"
-    )
+    if approximate:
+        med = df.groupBy(*group_cols).agg(
+            F.percentile_approx(value_col, 0.5, accuracy).alias("med")
+        )
+    else:
+        med = group_quantiles(df, value_col, group_cols, [0.5]).withColumnRenamed(
+            "q_0", "med"
+        )
     with_med = df.join(F.broadcast(med), group_cols).withColumn(
         "__adev", F.abs(F.col(value_col) - F.col("med"))
     )
-    mad = group_quantiles(with_med, "__adev", group_cols, [0.5]).withColumnRenamed(
-        "q_0", "mad"
-    )
+    if approximate:
+        mad = with_med.groupBy(*group_cols).agg(
+            F.percentile_approx("__adev", 0.5, accuracy).alias("mad")
+        )
+    else:
+        mad = group_quantiles(with_med, "__adev", group_cols, [0.5]).withColumnRenamed(
+            "q_0", "mad"
+        )
     return (
         with_med.join(F.broadcast(mad), group_cols)
         .withColumn(
@@ -236,5 +255,9 @@ def equi_depth_buckets(
             yield out
 
     out = sorted_df.mapInPandas(emit, schema=f"id {df.schema[id_col].dataType.simpleString()}, v {df.schema[value_col].dataType.simpleString()}, bucket long")
-    sorted_df.unpersist()
+    # the cache MUST stay alive until the returned DataFrame executes
+    # (same contract as pack.py): repartitionByRange samples its range
+    # boundaries per materialization, so an unpersisted recompute could
+    # place rows in different partitions than the counts job saw and
+    # silently corrupt the global ranks.
     return out.withColumnRenamed("id", id_col).withColumnRenamed("v", value_col)

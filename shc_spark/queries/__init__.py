@@ -8,7 +8,13 @@ Conventions that keep the oracle hash-match green:
   engines; rounding to 2-6 decimals absorbs the ulps);
 - cast DuckDB integer sums to BIGINT (DuckDB widens to HUGEINT);
 - never emit raw TIMESTAMP columns — cast to DATE or format as string
-  (Spark timestamps are tz-aware UTC, DuckDB's are naive).
+  (Spark timestamps are tz-aware UTC, DuckDB's are naive);
+- SCALAR columns only at the top level — no ArrayType/MapType/
+  StructType in any gate's output schema. Driver-side canonicalizers
+  sort result columns with pandas, which cannot factorize list/dict
+  cells (this crashed `embed_quantize` in round 3). Join arrays to a
+  ','-string (Spark concat_ws / DuckDB array_to_string) or explode to
+  rows instead. Enforced by tests/test_registry.py over ALL gates.
 """
 
 from __future__ import annotations
@@ -72,10 +78,16 @@ _WINDOW = [
     "stream_stateful_totals", "stream_shc_source",
     "stream_stream_join", "stream_incremental_dedup", "stream_shc_sink",
     "shc_rollup",
-    # §2.3 relational representatives (8)
-    "q01_pricing_summary", "q05_local_supplier_volume",
-    "q_window_topk_per_segment", "q_rollup", "q_asof_join",
-    "q_global_topk", "q21_waiting_orders", "q_sessionize_batch",
+    # §2.3 relational representatives (8). Rotation policy: no family's
+    # newest driver row should be older than two rounds. r03 refreshed
+    # agg/broadcast-join/window/rollup/asof/top-k/complex/sessionize
+    # (all hash-match, retained in the r01∪r02∪r03 union), so r04
+    # rotates in the families whose newest rows were r01: join+top-k
+    # (q03), group-join-agg (q10), set ops, pivot, scalar-subquery,
+    # percentile/datetime, JSON, string battery.
+    "q03_top_revenue_orders", "q10_returned_items", "q_set_ops",
+    "q_pivot_linestatus", "q_above_avg_orders", "q_percentiles_datetime",
+    "q_json_props", "q_string_functions",
 ]
 
 

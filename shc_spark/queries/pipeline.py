@@ -1052,7 +1052,11 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQ8 scalar quantization: integer codes are engine-neutral, so the
 # compression step (unlike the approximate search above it) is
 # value-exact; the oracle recomputes per-dim min/max and the identical
-# round((x-mn)*255/span) codes.
+# round((x-mn)*255/span) codes. The codes ride the wire as a ','-joined
+# STRING (not array<int>): gate output schemas must stay scalar so any
+# engine's canonicalizer can sort/hash them (see queries/__init__
+# conventions; round-3 driver red was an array column crashing the
+# driver's pandas sort).
 @register(
     "embed_quantize",
     """
@@ -1065,14 +1069,19 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(round(CASE WHEN mx = mn THEN 0
                             ELSE (val - mn) * 255 / (mx - mn) END) AS INT) AS code
           FROM x JOIN mm USING (i))
-    SELECT vec_id, list(code ORDER BY i) AS codes FROM q GROUP BY vec_id
+    SELECT vec_id, array_to_string(list(code ORDER BY i), ',') AS codes
+    FROM q GROUP BY vec_id
     """,
 )
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.operators import quantize
 
     emb = _t(spark, sf_dir, "embeddings")
-    return quantize.quantize_embeddings(emb, "embedding", "vec_id", levels=256)
+    q = quantize.quantize_embeddings(emb, "embedding", "vec_id", levels=256)
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes"),
+    )
 
 
 # sequence packing via two-phase distributed prefix-sum (NO
@@ -1213,7 +1222,13 @@ def mm_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.make_media_df(
         emb.withColumn("payload", wav("embedding")), "vec_id", "payload", "audio/wav"
     )
-    return multimodal.extract_audio_spectrogram(media, frame_samples=32, hop=16)
+    spec = multimodal.extract_audio_spectrogram(media, frame_samples=32, hop=16)
+    # scalar wire format (registry convention): band explodes to rows
+    return spec.select(
+        "media_id",
+        "frame_idx",
+        F.posexplode("band_energy").alias("band", "energy"),
+    )
 
 
 # deterministic epoch shuffle + sharding: md5 both buckets and orders,
@@ -1521,14 +1536,16 @@ def link_fuzzy_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT vec_id, i, round(sum(v * w), 6) AS p
       FROM e JOIN m USING (j) GROUP BY 1, 2)
-    SELECT vec_id, list(p ORDER BY i) AS proj FROM s GROUP BY 1
+    SELECT vec_id, CAST(i AS INT) AS i, p FROM s
     """,
 )
 def embed_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.operators import project
 
     emb = _t(spark, sf_dir, "embeddings")
-    return project.project_embeddings(emb, "embedding", "vec_id", out_dim=16, seed=0)
+    proj = project.project_embeddings(emb, "embedding", "vec_id", out_dim=16, seed=0)
+    # scalar wire format (registry convention): dimensions as rows
+    return proj.select("vec_id", F.posexplode("proj").alias("i", "p"))
 
 
 # PCA is an eigendecomposition — not SQL-expressible: rows-only gate;
@@ -1540,7 +1557,9 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     mean, comp = project.pca_fit(emb, "embedding", k=16)
-    return project.pca_transform(emb, mean, comp, "embedding", "vec_id")
+    out = project.pca_transform(emb, mean, comp, "embedding", "vec_id")
+    # scalar wire format (registry convention): components as rows
+    return out.select("vec_id", F.posexplode("proj").alias("i", "p"))
 
 
 # Equi-depth bucketing WITHOUT the single-partition window: the

@@ -1312,6 +1312,7 @@ def import_snapshot(
     root: str = DEFAULT_ROOT,
     num_regions: int = 8,
     mode: str = "overwrite",
+    max_generations: int = 10000,
 ) -> None:
     """Inverse of export_snapshot: load plain parquet (with or without
     a preserved ``__ts`` column) into an shc table. Versioned exports
@@ -1319,7 +1320,20 @@ def import_snapshot(
     and version-exploded reads survive the roundtrip."""
     df = spark.read.parquet(src)
     if TS_COL in df.columns:
-        stamps = sorted(r[0] for r in df.select(TS_COL).distinct().collect())
+        # bounded collect: the distinct-timestamp count equals the
+        # version-generation count (small by construction), but guard
+        # it with the repo's limit(n+1)-and-raise pattern anyway — a
+        # per-row timestamp column in a foreign export would otherwise
+        # pull every distinct value to the driver
+        rows = df.select(TS_COL).distinct().limit(max_generations + 1).collect()
+        if len(rows) > max_generations:
+            raise ValueError(
+                f"import_snapshot: more than {max_generations} distinct "
+                f"{TS_COL} generations — this export looks like per-row "
+                "timestamps, not version history; import it without "
+                f"{TS_COL} or raise max_generations"
+            )
+        stamps = sorted(r[0] for r in rows)
         first = mode
         for ts in stamps:
             write_table(

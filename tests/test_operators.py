@@ -1558,3 +1558,72 @@ def test_chi2_terms_surfaces_distinctive_words(spark):
            for r in T.chi2_terms(df, "source", min_count=5, k=1).collect()}
     # the word exclusive to each source dominates its chi2 ranking
     assert out == {("srcA", 1): "alpha", ("srcB", 1): "bravo"}
+
+
+def test_anomaly_approximate_path_matches_exact(spark):
+    """approximate=True (approx_percentile median/MAD — the 100 TB
+    path, no per-group sort) must agree with the exact path on data
+    whose quantiles are unambiguous at the default accuracy."""
+    import random
+
+    from shc_spark.operators import stats
+
+    rng = random.Random(7)
+    rows = [(g, float(rng.randint(0, 1000)))
+            for g in ("a", "b", "c") for _ in range(400)]
+    rows += [("a", 1e6), ("b", -1e6)]  # clear outliers
+    df = spark.createDataFrame(rows, ["g", "v"])
+    exact = stats.anomaly_robust_z(df, "v", ["g"], k=3.0)
+    approx = stats.anomaly_robust_z(df, "v", ["g"], k=3.0, approximate=True)
+    ex = {(r.g, r.v): r for r in exact.collect()}
+    ap = {(r.g, r.v): r for r in approx.collect()}
+    assert set(ex) == set(ap)
+    # medians/MADs within 1% relative-rank tolerance -> tiny value gap
+    # on this distribution; the flags must agree off the boundary
+    disagree = [k for k in ex if ex[k].is_anomaly != ap[k].is_anomaly]
+    assert disagree == []
+    for k in ex:
+        assert abs(ex[k].med - ap[k].med) <= 10.0
+        assert abs(ex[k].mad - ap[k].mad) <= 10.0
+
+
+def test_fuzzy_join_same_column_name_both_sides(spark):
+    """left_col == right_col must not raise an ambiguous-reference
+    error; output disambiguates to <name>_left / <name>_right."""
+    from shc_spark.operators import linkage
+
+    left = spark.createDataFrame([("acme corp",), ("delta llc",)], ["name"])
+    right = spark.createDataFrame([("acme corp.",), ("echo sa",)], ["name"])
+    out = linkage.fuzzy_join(left, right, "name", "name", max_dist=2)
+    assert out.columns == ["name_left", "name_right", "dist"]
+    got = {(r.name_left, r.name_right, r.dist) for r in out.collect()}
+    assert got == {("acme corp", "acme corp.", 1)}
+
+
+def test_zvalue_out_of_range_raises_not_aliases(spark):
+    """Values wider than the bit budget must raise, not silently
+    interleave into colliding Morton codes."""
+    import pytest
+
+    from shc_spark.operators import layout
+
+    df = spark.createDataFrame([(1, 2), (300, 5)], ["x", "y"])
+    with pytest.raises(Exception, match="zvalue.*outside"):
+        df.select(layout.zvalue(["x", "y"], bits=8).alias("z")).collect()
+    # in-range values unaffected; check_bounds=False keeps old behavior
+    ok = df.filter("x < 256").select(layout.zvalue(["x", "y"], bits=8).alias("z"))
+    unchecked = df.filter("x < 256").select(
+        layout.zvalue(["x", "y"], bits=8, check_bounds=False).alias("z")
+    )
+    assert [r.z for r in ok.collect()] == [r.z for r in unchecked.collect()]
+
+
+def test_project_embeddings_preserves_string_id_type(spark):
+    from shc_spark.operators import project
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 2.0])], ["doc", "embedding"]
+    )
+    out = project.project_embeddings(df, "embedding", "doc", out_dim=4)
+    assert dict(out.dtypes)["doc"] == "string"
+    assert {r.doc for r in out.collect()} == {"a", "b"}

@@ -33,6 +33,24 @@ def test_every_window_gate_has_value_exact_oracle():
     assert missing == []
 
 
+def test_no_complex_types_in_any_gate_output_schema(spark):
+    """Gate output schemas must be scalar-only at the top level:
+    driver-side canonicalizers sort result columns with pandas, which
+    cannot factorize list/dict cells (round-3's `embed_quantize` red
+    was exactly this crash). Structural ban over ALL registered gates,
+    not just the window — rotation must never reintroduce the class."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf_dir = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in all_queries().items():
+        df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert offenders == []
+
+
 def test_every_query_callable_and_every_oracle_has_query():
     q = all_queries()
     o = all_oracles()

@@ -1307,3 +1307,35 @@ def test_diff_tables_detects_null_transitions(spark, tmp_path):
     write_table(b, cat, root=rb, num_regions=4, mode="overwrite", timestamp=1)
     got = {(r.k, r.change) for r in diff_tables(spark, cat, ra, rb).collect()}
     assert got == {(1, "update")}
+
+
+def test_import_snapshot_generation_guard_fires(spark, tmp_path):
+    """A versioned export whose __ts looks like PER-ROW timestamps
+    (distinct count above max_generations) must refuse the import
+    instead of collecting every distinct value to the driver and
+    replaying thousands of write generations."""
+    import pytest
+
+    from shc_spark.sources import import_snapshot
+    from shc_spark.sources.api import TS_COL
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "s", "name": "gen_guard", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "int"},
+                "v": {"cf": "cf", "col": "v", "type": "int"},
+            },
+        }
+    )
+    src = str(tmp_path / "rowts")
+    spark.createDataFrame(
+        [(i, i, 1000 + i) for i in range(50)], f"k int, v int, {TS_COL} long"
+    ).write.parquet(src)
+    root = str(tmp_path / "tables")
+    with pytest.raises(ValueError, match="distinct .* generations|generations"):
+        import_snapshot(spark, cat, src, root=root, max_generations=10)
+    # under the cap the same data imports fine
+    import_snapshot(spark, cat, src, root=root, max_generations=100)
+    assert read_table(spark, cat, root=root).count() == 50

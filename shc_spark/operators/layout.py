@@ -102,3 +102,111 @@ def zvalue_sql(cols: list[str], bits: int = 16) -> str:
         for i in range(bits)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# box-predicate -> z-range translation (the BIGMIN/LITMAX refinement
+# promised in the module docstring): turn a per-dimension box query
+# into a small set of contiguous z-value ranges, so a z-KEYED store
+# (rowkey = (zval, id)) prunes regions on every clustered dimension —
+# the single coarse range [zmin(box), zmax(box)] can cover nearly the
+# whole key space for boxes that straddle a high-order bit split.
+
+
+def zbox_ranges(
+    lows: list[int],
+    highs: list[int],
+    bits: int = 16,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Sorted, disjoint, inclusive z-value ranges covering the box
+    ``lows[j] <= x_j <= highs[j]`` under the ``zvalue`` bit layout
+    (bit i of dim j at z-position i*d + j).
+
+    Quadtree-trie descent in z-order: a node is a z-prefix, i.e. both
+    one contiguous z-interval AND one axis-aligned cell. Cells fully
+    inside the box emit their whole interval; disjoint cells are
+    skipped; straddling cells split — until ``max_ranges`` would be
+    exceeded, at which point remaining straddling cells emit their
+    whole interval unsplit. The result is therefore always a COVERING
+    superset of the exact box z-set (exact when the budget never
+    binds); conjoin the per-dimension predicates on top (zbox_filter
+    does) so query semantics never depend on the budget.
+
+    Driver-side pure Python: the box is a query-plan constant; cost is
+    O(max_ranges * bits * d) — microseconds, never touches data."""
+    d = len(lows)
+    if d != len(highs):
+        raise ValueError("lows/highs length mismatch")
+    if d < 2:
+        raise ValueError("zbox_ranges needs >= 2 dimensions")
+    if bits * d > 63:
+        raise ValueError(f"{bits} bits x {d} dims exceeds a signed 64-bit z-value")
+    lim = 1 << bits
+    for j, (lo, hi) in enumerate(zip(lows, highs)):
+        if not (0 <= lo <= hi < lim):
+            raise ValueError(
+                f"dim {j}: box [{lo}, {hi}] outside [0, {lim}) for bits={bits}"
+            )
+    L = bits * d  # total z bits; descend from z-position L-1 down
+    out: list[tuple[int, int]] = []
+    # stack entries: (zpos, zlo, per-dim cell bounds); zlo = node's
+    # first z-value, node interval = [zlo, zlo + 2^zpos - 1]
+    stack = [(L, 0, [(0, lim - 1) for _ in range(d)])]
+    while stack:
+        zpos, zlo, cell = stack.pop()
+        if any(c_hi < lo or c_lo > hi for (c_lo, c_hi), lo, hi in zip(cell, lows, highs)):
+            continue
+        whole = zpos == 0 or all(
+            lo <= c_lo and c_hi <= hi
+            for (c_lo, c_hi), lo, hi in zip(cell, lows, highs)
+        )
+        if whole or len(out) + len(stack) + 2 > max_ranges:
+            # budget: count the as-yet-unsplit stack nodes too — each
+            # will emit at most one range, so the total stays bounded
+            out.append((zlo, zlo + (1 << zpos) - 1))
+            continue
+        p = zpos - 1  # next z bit to fix
+        j = p % d  # dim owning this bit (zvalue layout: i*d + j)
+        c_lo, c_hi = cell[j]
+        mid = (c_lo + c_hi) // 2  # halves dim j's cell
+        hi_cell = list(cell)
+        hi_cell[j] = (mid + 1, c_hi)
+        lo_cell = list(cell)
+        lo_cell[j] = (c_lo, mid)
+        # push upper half first so the lower half pops first -> out
+        # stays sorted in z order
+        stack.append((p, zlo + (1 << p), hi_cell))
+        stack.append((p, zlo, lo_cell))
+    # merge touching ranges (trie siblings that both emitted whole)
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def zbox_filter(
+    cols: list[str],
+    lows: list[int],
+    highs: list[int],
+    bits: int = 16,
+    zval_col: str = "zval",
+    max_ranges: int = 64,
+) -> Column:
+    """Box predicate as (z-range disjunction) AND (exact per-dimension
+    bounds). On a z-keyed shc table the range disjunction translates
+    to rowkey ScanRanges (region + row-group pruning); on a z-sorted
+    parquet layout it prunes via the stored column's footer stats. The
+    exact bounds keep semantics independent of the range budget."""
+    ranges = zbox_ranges(lows, highs, bits=bits, max_ranges=max_ranges)
+    z = F.col(zval_col)
+    cond = None
+    for lo, hi in ranges:
+        c = (z >= lo) & (z <= hi)
+        cond = c if cond is None else cond | c
+    for c, lo, hi in zip(cols, lows, highs):
+        cond = cond & (F.col(c) >= lo) & (F.col(c) <= hi)
+    return cond

@@ -404,6 +404,36 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_zorder_values"] = _zorder_oracle()
 
 
+# Box query THROUGH the z-range translation (layout.zbox_ranges): the
+# Spark side filters via the z-range disjunction + exact bounds (the
+# plan a z-keyed store executes as pruned rowkey ScanRanges); the
+# oracle is the plain box predicate with no z anywhere — proving the
+# translation changes the ACCESS PATH, never the answer.
+@register(
+    "q_zorder_box",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           round(l_quantity, 2) AS qty
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 700 AND l_suppkey BETWEEN 10 AND 60
+    """,
+)
+def q_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import layout
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "zval", layout.zvalue(["l_partkey", "l_suppkey"], bits=15)
+    )
+    box = layout.zbox_filter(
+        ["l_partkey", "l_suppkey"], [100, 10], [700, 60],
+        bits=15, zval_col="zval", max_ranges=64,
+    )
+    return li.filter(box).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        F.round("l_quantity", 2).alias("qty"),
+    )
+
+
 # -- text analysis ----------------------------------------------------------
 
 _MARKERS_SQL = ", ".join(

@@ -1627,3 +1627,75 @@ def test_project_embeddings_preserves_string_id_type(spark):
     out = project.project_embeddings(df, "embedding", "doc", out_dim=4)
     assert dict(out.dtypes)["doc"] == "string"
     assert {r.doc for r in out.collect()} == {"a", "b"}
+
+
+def test_zbox_ranges_exact_and_budgeted_cover():
+    """Trie descent must reproduce the exact z-set of a box when the
+    budget doesn't bind, and a covering superset within budget when it
+    does — checked against brute-force interleave."""
+    import random
+
+    from shc_spark.operators import layout
+
+    def interleave(pt, bits, d):
+        z = 0
+        for j, x in enumerate(pt):
+            for i in range(bits):
+                z |= ((x >> i) & 1) << (i * d + j)
+        return z
+
+    rng = random.Random(11)
+    for _ in range(60):
+        bits = rng.choice([3, 4, 5])
+        lo = [rng.randrange(0, 1 << bits) for _ in range(2)]
+        hi = [rng.randrange(l, 1 << bits) for l in lo]
+        exact = {
+            interleave((x, y), bits, 2)
+            for x in range(lo[0], hi[0] + 1)
+            for y in range(lo[1], hi[1] + 1)
+        }
+        full = layout.zbox_ranges(lo, hi, bits=bits, max_ranges=1 << 30)
+        cover = set()
+        for a, b in full:
+            cover.update(range(a, b + 1))
+        assert cover == exact
+        # ranges sorted + disjoint
+        assert all(full[i][1] + 1 < full[i + 1][0] for i in range(len(full) - 1))
+        tight = layout.zbox_ranges(lo, hi, bits=bits, max_ranges=8)
+        assert len(tight) <= 8
+        cov2 = set()
+        for a, b in tight:
+            cov2.update(range(a, b + 1))
+        assert exact <= cov2
+
+
+def test_zbox_filter_equals_plain_box(spark):
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import layout
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    ).withColumn("zval", layout.zvalue(["x", "y"], bits=6))
+    got = grid.filter(
+        layout.zbox_filter(["x", "y"], [9, 17], [40, 52], bits=6)
+    ).count()
+    want = grid.filter(
+        (F.col("x").between(9, 40)) & (F.col("y").between(17, 52))
+    ).count()
+    assert got == want == (40 - 9 + 1) * (52 - 17 + 1)
+
+
+def test_zbox_ranges_beat_single_coarse_range():
+    """The reason the refinement exists: for a box straddling the
+    high-order split, [zmin, zmax] covers almost the whole key space;
+    the trie ranges must cover a small fraction."""
+    from shc_spark.operators import layout
+
+    bits = 10
+    # box straddles the x midpoint -> zmin..zmax spans ~the full space
+    r = layout.zbox_ranges([500, 0], [523, 23], bits=bits, max_ranges=64)
+    covered = sum(b - a + 1 for a, b in r)
+    zmin, zmax = r[0][0], r[-1][1]
+    assert (zmax - zmin + 1) > (1 << (2 * bits)) // 8  # coarse range is huge
+    assert covered < (zmax - zmin + 1) // 50  # trie cover is tiny

@@ -1339,3 +1339,66 @@ def test_import_snapshot_generation_guard_fires(spark, tmp_path):
     # under the cap the same data imports fine
     import_snapshot(spark, cat, src, root=root, max_generations=100)
     assert read_table(spark, cat, root=root).count() == 50
+
+
+def test_zbox_query_on_keyed_table_prunes_and_is_exact(spark, tmp_path):
+    """Full composition: box predicate -> zbox_ranges -> OR of zval
+    BETWEENs on the leading rowkey column -> ScanRanges -> region
+    pruning. The answer must equal the plain box filter; the scan must
+    open fewer regions than a full scan."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.coders import get_coder
+    from shc_spark.filters import HRF, ScanRange
+    from shc_spark.operators import layout
+    from shc_spark.sources import read_table, write_table
+    from shc_spark.sources.shc_source import ShcReader
+
+    cat = _json.dumps(
+        {
+            "table": {"namespace": "z", "name": "boxgrid", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "zval:gid",
+            "columns": {
+                "zval": {"cf": "rowkey", "col": "zval", "type": "bigint"},
+                "gid": {"cf": "rowkey", "col": "gid", "type": "bigint"},
+                "x": {"cf": "cf", "col": "x", "type": "bigint"},
+                "y": {"cf": "cf", "col": "y", "type": "bigint"},
+            },
+        }
+    )
+    root = str(tmp_path / "zbox")
+    grid = spark.range(64 * 64).select(
+        F.col("id").alias("gid"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    zed = grid.withColumn("zval", layout.zvalue(["x", "y"], bits=6))
+    write_table(zed.select("zval", "gid", "x", "y"), cat, root=root,
+                num_regions=16, mode="overwrite", timestamp=1)
+
+    lows, highs = [30, 5], [37, 12]  # straddles the x midpoint (32)
+    box = layout.zbox_filter(["x", "y"], lows, highs, bits=6, max_ranges=16)
+    got = read_table(spark, cat, root=root).filter(box)
+    rows = got.select("x", "y").collect()
+    assert len(rows) == 8 * 8
+    assert all(30 <= r.x <= 37 and 5 <= r.y <= 12 for r in rows)
+
+    # region pruning: feed the same z-ranges in as ScanRanges and
+    # count surviving regions vs the full scan
+    from pyspark.sql import types as T
+
+    coder = get_coder("OrderedType")
+    ranges = layout.zbox_ranges(lows, highs, bits=6, max_ranges=16)
+    srs = [
+        ScanRange(coder.to_bytes(lo, T.LongType()), True,
+                  coder.to_bytes(hi + 1, T.LongType()), False)
+        for lo, hi in ranges
+    ]
+    reader = ShcReader(None, {"catalog": cat, "root": root})
+    reader.hrf = HRF(srs, True)
+    pruned = [p for p in reader.partitions() if p.path]
+    reader2 = ShcReader(None, {"catalog": cat, "root": root})
+    full = [p for p in reader2.partitions() if p.path]
+    assert len(pruned) < len(full), (len(pruned), len(full))

@@ -338,11 +338,12 @@ def _pil_image():
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG -> (H, W, C) uint8. Baseline sequential JPEGs (SOF0 — the
-    overwhelming majority of real files) decode through the pure-numpy
-    T.81 implementation in operators/jpeg.py, tables read from the
-    stream. Non-baseline modes (progressive, 12-bit, arithmetic) fall
-    back to PIL when importable, else raise NotImplementedError."""
+    """JPEG -> (H, W, C) uint8. Baseline sequential (SOF0), extended
+    sequential (SOF1) and progressive (SOF2) JPEGs — virtually all
+    real-world files — decode through the pure-numpy T.81
+    implementation in operators/jpeg.py, tables read from the stream.
+    Remaining modes (12-bit, arithmetic-coded, hierarchical, lossless)
+    fall back to PIL when importable, else NotImplementedError."""
     from shc_spark.operators import jpeg as _jpeg
 
     try:
@@ -360,9 +361,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes, mime: str | None = None) -> np.ndarray:
-    """Magic-byte dispatch -> (H, W, C) uint8. Baseline JPEG decodes
-    natively (operators/jpeg.py); non-baseline JPEG variants need PIL,
-    else NotImplementedError."""
+    """Magic-byte dispatch -> (H, W, C) uint8. Baseline, extended
+    sequential and progressive JPEG decode natively
+    (operators/jpeg.py); exotic variants (12-bit, arithmetic,
+    lossless) need PIL, else NotImplementedError."""
     if data.startswith(_PNG_MAGIC):
         return decode_png(data)
     if data.startswith(b"P6"):

@@ -117,14 +117,18 @@ def test_jpeg_rejects_garbage_and_nonbaseline():
 
     with pytest.raises(ValueError):
         jpeg.decode(b"nope")
-    # progressive SOF2 -> ValueError from the numpy path; decode_image
-    # turns it into NotImplementedError when no PIL exists
+    # arithmetic-coded SOF9 -> ValueError from the numpy path;
+    # decode_image turns it into NotImplementedError when no PIL exists
+    fake_sof9 = b"\xff\xd8\xff\xc9" + bytes([0, 8, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(ValueError):
+        jpeg.decode(fake_sof9)
+    if codecs._pil_image() is None:
+        with pytest.raises(NotImplementedError):
+            codecs.decode_image(fake_sof9)
+    # progressive with no SOS is still malformed
     fake_sof2 = b"\xff\xd8\xff\xc2" + bytes([0, 8, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
     with pytest.raises(ValueError):
         jpeg.decode(fake_sof2)
-    if codecs._pil_image() is None:
-        with pytest.raises(NotImplementedError):
-            codecs.decode_image(fake_sof2)
 
 
 def test_jpeg_pil_cross_check_when_available():
@@ -223,3 +227,45 @@ def test_jpeg_property_random_images_roundtrip():
         got420 = jpeg.decode(jpeg.encode(img, subsample=True))
         assert got420.shape == img.shape
         assert np.abs(got420.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """With flat quantization the progressive stream transports the
+    IDENTICAL coefficients as the baseline stream — so both decodes
+    must match exactly, across every scan type the 6-scan script
+    exercises (DC first/refine, banded AC first with EOB runs, AC
+    refinement correction bits), at 4:4:4 and 4:2:0, including
+    non-multiple-of-8/16 dims."""
+    import numpy as np
+
+    from shc_spark.operators import jpeg
+
+    rng = np.random.default_rng(42)
+    for h, w in [(8, 8), (17, 23), (40, 33)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (
+            jpeg.decode(jpeg.encode_progressive(img))
+            == jpeg.decode(jpeg.encode(img))
+        ).all()
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    assert (
+        jpeg.decode(jpeg.encode_progressive(img, subsample=True))
+        == jpeg.decode(jpeg.encode(img, subsample=True))
+    ).all()
+    # smooth gradient: long EOB runs and mostly-zero high bands
+    x = np.linspace(0, 255, 64)[None, :].repeat(48, 0)
+    img = np.stack([x, x[::-1], np.full_like(x, 128)], axis=-1).astype(np.uint8)
+    assert (
+        jpeg.decode(jpeg.encode_progressive(img))
+        == jpeg.decode(jpeg.encode(img))
+    ).all()
+
+
+def test_jpeg_progressive_decodes_via_dispatch():
+    import numpy as np
+
+    from shc_spark.operators import codecs, jpeg
+
+    img = np.random.default_rng(0).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = codecs.decode_image(jpeg.encode_progressive(img))
+    assert out.shape == (16, 16, 3)

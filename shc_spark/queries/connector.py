@@ -737,3 +737,56 @@ def shc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customers updated to the same value (bal+1000 on a deleted row
     # never happens; %7 rows keep their key) -> change set is exact
     return out.select("c_custkey", "change")
+
+
+# co-located rowkey join: two identically-keyed tables joined INSIDE
+# the scan (sources/colocated.py — zero Spark shuffles, pinned by
+# tests/test_plans.py); the oracle is the plain SQL left join, proving
+# the source-level join changes the access path, never the answer.
+@register(
+    "shc_colocated_join",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, round(c.c_acctbal, 2) AS bal,
+           CAST(o.cnt AS BIGINT) AS cnt, round(o.total, 2) AS total
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS total
+               FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def shc_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.sources import colocated_join
+
+    cat_b = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "cust_orders", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "o_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "cnt": {"cf": "cf", "col": "n", "type": "bigint"},
+                "total": {"cf": "cf", "col": "t", "type": "double"},
+            },
+        }
+    )
+    root_a = _ensure_customer(spark, sf_dir)
+    root_b = _root(sf_dir, "custord")
+    if not os.path.exists(os.path.join(root_b, "q.cust_orders", "_regions.json")):
+        agg = (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("o_totalprice").alias("total"),
+            )
+        )
+        write_table(agg, cat_b, root=root_b, num_regions=8, mode="overwrite", timestamp=1000)
+    j = colocated_join(
+        spark, CAT_CUSTOMER, cat_b, root=root_a, root_b=root_b, how="left"
+    )
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("bal"),
+        "cnt",
+        F.round("total", 2).alias("total"),
+    )

@@ -13,12 +13,15 @@ from shc_spark.sources.api import (
     write_stream_table,
     write_table,
 )
+from shc_spark.sources.colocated import ShcJoinDataSource, colocated_join
 from shc_spark.sources.index import SecondaryIndex
 from shc_spark.sources.shc_source import ShcDataSource
 
 __all__ = [
     "SecondaryIndex",
     "ShcDataSource",
+    "ShcJoinDataSource",
+    "colocated_join",
     "bulk_get",
     "compact_table",
     "delete_rows",

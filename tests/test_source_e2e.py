@@ -1402,3 +1402,105 @@ def test_zbox_query_on_keyed_table_prunes_and_is_exact(spark, tmp_path):
     reader2 = ShcReader(None, {"catalog": cat, "root": root})
     full = [p for p in reader2.partitions() if p.path]
     assert len(pruned) < len(full), (len(pruned), len(full))
+
+
+def test_colocated_join_matches_plan_join_and_never_shuffles(spark, tmp_path):
+    """Source-level co-located rowkey join: value-identical to the
+    DataFrame-level join of the two merge-reads, with ZERO Exchange in
+    the executed plan (the join happens inside the scan, per key
+    sub-range), across appends (LSM merge), deletes (tombstones) and
+    differing region counts."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.sources import colocated_join, delete_rows, read_table, write_table
+
+    def cat(name, extra):
+        return _json.dumps(
+            {
+                "table": {"namespace": "cj", "name": name, "tableCoder": "OrderedType", "version": "2.0"},
+                "rowkey": "key",
+                "columns": {"k": {"cf": "rowkey", "col": "key", "type": "bigint"}, **extra},
+            }
+        )
+
+    ca = cat("a", {"v": {"cf": "cf", "col": "v", "type": "double"},
+                   "s": {"cf": "cf", "col": "s", "type": "string"}})
+    cb = cat("b", {"v": {"cf": "cf", "col": "v", "type": "double"},
+                   "w": {"cf": "cf", "col": "w", "type": "bigint"}})
+    root = str(tmp_path / "cj")
+    A = spark.createDataFrame(
+        [(i, float(i), f"s{i}") for i in range(500)], "k long, v double, s string"
+    )
+    B = spark.createDataFrame(
+        [(i, float(i * 10), i * 2) for i in range(0, 500, 3)], "k long, v double, w long"
+    )
+    write_table(A, ca, root=root, num_regions=8, timestamp=1)
+    write_table(B, cb, root=root, num_regions=5, timestamp=1)
+    # append newer versions to A + delete some B rows: both sides'
+    # merge machinery must run inside the join partitions
+    A2 = spark.createDataFrame(
+        [(i, float(i) + 0.5, f"u{i}") for i in range(0, 500, 7)],
+        "k long, v double, s string",
+    )
+    write_table(A2, ca, root=root, mode="append", timestamp=2)
+    delete_rows(spark, cb, [k for k in range(0, 500, 30)], root=root, timestamp=3)
+
+    for how in ("inner", "left"):
+        j = colocated_join(spark, ca, cb, root=root, how=how)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        got = {r.k: (r.v, r.s, r.v_b, r.w) for r in j.collect()}
+        ref_df = read_table(spark, ca, root=root).join(
+            read_table(spark, cb, root=root).selectExpr("k", "v as v_b", "w"),
+            "k",
+            how,
+        )
+        ref = {r.k: (r.v, r.s, r.v_b, r.w) for r in ref_df.collect()}
+        assert got == ref and got
+
+
+def test_colocated_join_composite_key_and_incompatible_keys(spark, tmp_path):
+    import json as _json
+
+    import pytest
+
+    from shc_spark.sources import colocated_join, write_table
+
+    def cat(name, key_types, extra):
+        cols = {}
+        rk = []
+        for i, (cn, t) in enumerate(key_types):
+            cols[cn] = {"cf": "rowkey", "col": f"key{i}", "type": t}
+            rk.append(f"key{i}")
+        cols.update(extra)
+        return _json.dumps(
+            {
+                "table": {"namespace": "cj2", "name": name, "tableCoder": "OrderedType", "version": "2.0"},
+                "rowkey": ":".join(rk),
+                "columns": cols,
+            }
+        )
+
+    ca = cat("a", [("g", "int"), ("k", "bigint")],
+             {"v": {"cf": "cf", "col": "v", "type": "double"}})
+    cb = cat("b", [("g", "int"), ("k", "bigint")],
+             {"w": {"cf": "cf", "col": "w", "type": "bigint"}})
+    root = str(tmp_path / "cj2")
+    A = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(300)], "g int, k long, v double"
+    )
+    B = spark.createDataFrame(
+        [(i % 3, i, i * 2) for i in range(0, 300, 2)], "g int, k long, w long"
+    )
+    write_table(A, ca, root=root, num_regions=6, timestamp=1)
+    write_table(B, cb, root=root, num_regions=4, timestamp=1)
+    j = colocated_join(spark, ca, cb, root=root, how="inner")
+    got = {(r.g, r.k): (r.v, r.w) for r in j.collect()}
+    assert len(got) == 150
+    assert got[(0, 12)] == (12.0, 24)
+
+    cbad = cat("bad", [("k", "bigint")], {"w": {"cf": "cf", "col": "w", "type": "bigint"}})
+    with pytest.raises(Exception, match="rowkey encodings"):
+        colocated_join(spark, ca, cbad, root=root).collect()

@@ -50,10 +50,12 @@ _WINDOW = [
     # §2.1 connector (15; sql_over_view + time_travel rotate out on
     # r01+r02 green rows — the relational SQL gates cover the view
     # surface, and S15 time semantics keep shc_versions_map in-window)
+    # (r04: shc_restrictive rotates out on r01+r03 green rows to give
+    # the new co-located source-level join its first driver row)
     "shc_roundtrip_scan", "shc_pushdown_range", "shc_value_filters",
     "shc_composite_key", "shc_version_merge",
     "shc_avro_cells", "shc_typed_columns",
-    "shc_restrictive", "shc_versions_map", "shc_dynamic_map",
+    "shc_colocated_join", "shc_versions_map", "shc_dynamic_map",
     "shc_compaction", "shc_secondary_index", "shc_delete",
     "shc_merge_into", "shc_phoenix_composite",
     # LLM-pipeline (19): langid / image_decode / bm25 / clusters
@@ -70,8 +72,10 @@ _WINDOW = [
     "text_chunking", "text_lm_ppl", "text_tfidf", "text_heavy_hitters",
     "cluster_assign", "mm_jpeg_decode",
     "embed_quantize", "mm_image_dhash", "text_mixture_sample",
+    # (r04: q_zorder_values rotates out on its r03 green row so the
+    # z-range box-translation path gets its first driver row)
     "text_pack_sequences", "mm_video_scenes", "dq_validate_orders",
-    "q_zorder_values",
+    "q_zorder_box",
     # streaming + storage engine (8; merge_latest rotates out on r02
     # green; incremental_dedup new r03)
     "stream_tumbling_window", "stream_sessionization",

@@ -879,3 +879,83 @@ def chi2_terms(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def frequent_units(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    min_df: int = 2,
+    max_dict: int = 100_000,
+) -> list[str]:
+    """The corpus's boilerplate unit dictionary: every ``sep``-split
+    unit (line, sentence, word — caller's choice of separator)
+    appearing in >= ``min_df`` DISTINCT documents. Bounded driver
+    materialization: boilerplate is the head of the frequency
+    distribution, so the dictionary is small by construction; the
+    limit(n+1)-and-raise guard makes that assumption explicit instead
+    of silently collecting an unbounded set."""
+    import re as _re
+
+    # sep is a LITERAL separator (it is also the reassembly joiner):
+    # escape it for split's regex argument
+    units = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), _re.escape(sep), -1)))
+        .alias("u"),
+    ).where(F.col("u") != "")
+    freq = (
+        units.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    rows = freq.select("u").limit(max_dict + 1).collect()
+    if len(rows) > max_dict:
+        raise ValueError(
+            f"frequent_units: more than {max_dict} units with df >= "
+            f"{min_df} — raise min_df (this threshold is meant to catch "
+            "the head of the distribution, not half the vocabulary) or "
+            "raise max_dict"
+        )
+    return sorted(r["u"] for r in rows)
+
+
+def remove_frequent_units(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    min_df: int = 2,
+    units: list[str] | None = None,
+    out_col: str | None = None,
+    max_dict: int = 100_000,
+) -> DataFrame:
+    """C4-style corpus boilerplate REMOVAL: drop every ``sep``-split
+    unit that occurs in >= ``min_df`` distinct documents (navigation
+    chrome, cookie banners, templated disclaimers when units are
+    lines), reassembling the remaining units in their original order.
+    Adds ``out_col`` (default ``<text_col>_clean``) plus
+    ``n_units`` / ``n_removed`` accounting columns.
+
+    Scale shape: ONE aggregation job builds the (small, guarded)
+    dictionary; the rewrite itself is a zero-shuffle codegen'd
+    filter-over-split with the dictionary as an array literal — the
+    corpus is never exploded, never reassembled through a groupBy.
+    Pass ``units`` to reuse a dictionary across corpora (e.g. train
+    the line blocklist on a sample, apply to the full crawl)."""
+    if units is None:
+        units = frequent_units(df, text_col, id_col, sep, min_df, max_dict)
+    import re as _re
+
+    out_col = out_col or f"{text_col}_clean"
+    lit_units = F.array(*[F.lit(u) for u in units]) if units else F.array().cast("array<string>")
+    parts = F.split(F.col(text_col), _re.escape(sep), -1)
+    kept = F.filter(
+        parts,
+        lambda u: (u != "") & ~F.array_contains(lit_units, u),
+    )
+    n_units = F.size(F.filter(parts, lambda u: u != ""))
+    return df.withColumn(out_col, F.concat_ws(sep, kept)).withColumn(
+        "n_units", n_units.cast("long")
+    ).withColumn("n_removed", (n_units - F.size(kept)).cast("long"))

@@ -1785,3 +1785,41 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.chi2_terms(docs, "source", "text", min_count=5, k=3)
+
+
+# C4-style corpus boilerplate REMOVAL (not just the boilerplate_
+# fraction score): units here are words with df >= 50% of docs + 1 —
+# the corpus head — removed and the text reassembled in order. The
+# Spark side rewrites with a ZERO-shuffle codegen filter-over-split
+# (dictionary as an array literal); the oracle recomputes removal via
+# explode + ordinality + string_agg — same answer, different access
+# path.
+@register(
+    "text_remove_boilerplate",
+    """
+    WITH n AS (SELECT CAST(floor(count(*) * 0.5) + 1 AS BIGINT) AS min_df
+               FROM documents),
+    d AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+    e AS (SELECT doc_id, generate_subscripts(parts, 1) AS i, unnest(parts) AS p
+          FROM d),
+    freq AS (SELECT p AS u FROM e, n WHERE p <> ''
+             GROUP BY p, n.min_df HAVING count(DISTINCT doc_id) >= n.min_df),
+    ne AS (SELECT doc_id, i, p FROM e WHERE p <> ''),
+    kept AS (SELECT doc_id, i, p FROM ne WHERE p NOT IN (SELECT u FROM freq)),
+    agg AS (SELECT doc_id, string_agg(p, ' ' ORDER BY i) AS text_clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    base AS (SELECT doc_id, count(*) AS n_units FROM ne GROUP BY doc_id)
+    SELECT b.doc_id, coalesce(a.text_clean, '') AS text_clean,
+           CAST(b.n_units AS BIGINT) AS n_units,
+           CAST(b.n_units - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    """,
+)
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    min_df = docs.count() // 2 + 1
+    out = text.remove_frequent_units(
+        docs, "text", "doc_id", sep=" ", min_df=min_df
+    )
+    return out.select("doc_id", F.col("text_clean"), "n_units", "n_removed")

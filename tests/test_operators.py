@@ -1699,3 +1699,55 @@ def test_zbox_ranges_beat_single_coarse_range():
     zmin, zmax = r[0][0], r[-1][1]
     assert (zmax - zmin + 1) > (1 << (2 * bits)) // 8  # coarse range is huge
     assert covered < (zmax - zmin + 1) // 50  # trie cover is tiny
+
+
+def test_remove_frequent_units_line_semantics(spark):
+    """C4-style line removal: units in >= min_df distinct docs vanish,
+    order preserved, accounting columns exact, empty result allowed,
+    and the rewrite plan has no shuffle (dictionary is a literal)."""
+    from shc_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world\ncookie banner\nreal content one"),
+            (2, "cookie banner\nreal content two"),
+            (3, "unique line\ncookie banner\nanother unique"),
+            (4, "cookie banner"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.remove_frequent_units(df, sep="\n", min_df=2)
+    got = {r.doc_id: (r.text_clean, r.n_units, r.n_removed) for r in out.collect()}
+    assert got == {
+        1: ("hello world\nreal content one", 3, 1),
+        2: ("real content two", 2, 1),
+        3: ("unique line\nanother unique", 3, 1),
+        4: ("", 1, 1),
+    }
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    # within-doc repeats only count once toward df (array_distinct)
+    df2 = spark.createDataFrame(
+        [(1, "x\nx\nx\ny"), (2, "z")], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r.text_clean
+            for r in text.remove_frequent_units(df2, sep="\n", min_df=2).collect()}
+    assert out2 == {1: "x\nx\nx\ny", 2: "z"}
+
+
+def test_remove_frequent_units_dict_reuse_and_guard(spark):
+    import pytest
+
+    from shc_spark.operators import text
+
+    train = spark.createDataFrame(
+        [(1, "a b spam"), (2, "c spam d"), (3, "spam e")],
+        "doc_id long, text string",
+    )
+    units = text.frequent_units(train, sep=" ", min_df=3)
+    assert units == ["spam"]
+    apply_to = spark.createDataFrame([(9, "x spam y")], "doc_id long, text string")
+    out = text.remove_frequent_units(apply_to, sep=" ", units=units).collect()[0]
+    assert out.text_clean == "x y" and out.n_removed == 1
+    # guard: a min_df that sweeps in half the vocabulary must refuse
+    with pytest.raises(ValueError, match="frequent_units"):
+        text.frequent_units(train, sep=" ", min_df=1, max_dict=3)

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -910,4 +910,94 @@ def prefix_filter_pairs(
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    scope: str = "any",
+) -> DataFrame:
+    """Exact duplicated-substring spans (the Lee et al. 2022
+    "Deduplicating Training Data" primitive): every maximal token span
+    covered by word k-grams that occur more than once — across
+    documents, or anywhere including within one document
+    (``scope="any"``, the paper's semantics; ``scope="cross_doc"``
+    requires >= 2 distinct documents).
+
+    Output: (id, start_tok, end_tok, n_grams) with 0-based token
+    offsets, end exclusive — feed it to a span-removal or
+    span-masking rewrite.
+
+    Scale shape (the suffix-array step of the paper, re-expressed as
+    data-parallel primitives): one vectorized mapInPandas pass emits
+    (id, pos, gram-hash) — positions this time, unlike the distinct
+    sets _word_ngram_hashes keeps; duplicate grams come from one
+    map-side-combined groupBy on the 8-byte hash; flagged positions
+    come back via an equi-join on the hash; and overlapping k-gram
+    intervals merge into maximal spans with a per-document window
+    (bounded by document length). No suffix array, no global sort —
+    the corpus shuffles twice (hash groupBy, hash join), both on
+    fixed-width keys."""
+    if scope not in ("any", "cross_doc"):
+        raise ValueError(f"scope must be any|cross_doc, got {scope!r}")
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            grams: list = []
+            for i, t in zip(pdf["__id"], pdf["__text"]):
+                w = t.split(" ") if t else []
+                if len(w) < k:
+                    continue
+                for j in range(len(w) - k + 1):
+                    grams.append(" ".join(w[j : j + k]))
+                    poss.append(j)
+                    ids.append(i)
+            if not ids:
+                continue
+            hv = pd.util.hash_array(np.array(grams, dtype=object)).view(np.int64)
+            yield pd.DataFrame({"id": ids, "pos": np.array(poss, dtype=np.int64), "h": hv})
+
+    pos_grams = _widen(df).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).mapInPandas(gen, f"id {id_type}, pos long, h long")
+
+    agg = (
+        F.count(F.lit(1)) if scope == "any" else F.countDistinct("id")
+    )
+    dup = (
+        pos_grams.groupBy("h")
+        .agg(agg.alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    flagged = pos_grams.join(dup, "h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    runs = (
+        flagged.withColumn(
+            "__brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("__run", F.sum("__brk").over(w))
+    )
+    return (
+        runs.groupBy("id", "__run")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + k).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col), "start_tok", "end_tok", "n_grams"
+        )
     )

@@ -1823,3 +1823,39 @@ def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", sep=" ", min_df=min_df
     )
     return out.select("doc_id", F.col("text_clean"), "n_units", "n_removed")
+
+
+# exact duplicated-substring spans (Lee et al. 2022, the suffix-array
+# step re-expressed as hash groupBy + join + per-doc window): the
+# oracle recomputes the same maximal spans from gram STRINGS with SQL
+# windows — hash-vs-string equivalence IS the collision-freeness
+# check on this corpus.
+@register(
+    "dedup_substring_spans",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+    g AS (SELECT doc_id, i,
+                 array_to_string(list_slice(parts, i, i + 2), ' ') AS gram
+          FROM d, LATERAL (SELECT unnest(generate_series(1, len(parts) - 2)) AS i)
+          WHERE len(parts) >= 3),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    f AS (SELECT doc_id, i FROM g WHERE gram IN (SELECT gram FROM dup)),
+    r AS (SELECT doc_id, i,
+                 CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 3
+                      THEN 0 ELSE 1 END AS brk
+          FROM f),
+    s AS (SELECT doc_id, i,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS run
+          FROM r)
+    SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS start_tok,
+           CAST(max(i) - 1 + 3 AS BIGINT) AS end_tok,
+           count(*) AS n_grams
+    FROM s GROUP BY doc_id, run
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "text", "doc_id", k=3, scope="any")

@@ -1751,3 +1751,40 @@ def test_remove_frequent_units_dict_reuse_and_guard(spark):
     # guard: a min_df that sweeps in half the vocabulary must refuse
     with pytest.raises(ValueError, match="frequent_units"):
         text.frequent_units(train, sep=" ", min_df=1, max_dict=3)
+
+
+def test_duplicate_spans_semantics(spark):
+    """Maximal spans of repeated k-grams: cross-doc runs found in both
+    docs, within-doc repetition found under scope='any' but not
+    'cross_doc', unique docs absent, offsets 0-based end-exclusive."""
+    from shc_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d e q"),
+            (3, "p q r s t u v w"),
+            (4, "m m m m m m n o"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.n_grams)
+        for r in dedup.duplicate_spans(df, k=3, scope="any").collect()
+    }
+    assert got == {(1, 0, 5, 3), (2, 2, 7, 3), (4, 0, 6, 4)}
+    cross = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in dedup.duplicate_spans(df, k=3, scope="cross_doc").collect()
+    }
+    assert cross == {(1, 0, 5), (2, 2, 7)}  # doc 4's self-repeat excluded
+    # two disjoint duplicated regions in one doc stay two spans
+    df2 = spark.createDataFrame(
+        [(1, "a b c z z z z d e f"), (2, "a b c q q q q d e f")],
+        "doc_id long, text string",
+    )
+    two = sorted(
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in dedup.duplicate_spans(df2, k=3, scope="cross_doc").collect()
+    )
+    assert two == [(1, 0, 3), (1, 7, 10), (2, 0, 3), (2, 7, 10)]

@@ -1929,3 +1929,73 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return behavior.rolling_active_users(ev, "user_id", "ts", window_days=7)
+
+
+# RANGE window frame (value-based, not row-count-based): 30-day
+# trailing revenue per customer — rows with equal orderdates share the
+# frame, which ROWS frames get wrong.
+@register(
+    "q_window_range_frame",
+    """
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+             AS rev_30d
+    FROM orders WHERE o_custkey <= 200
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    # value-based frame on day number: RANGE over a cast-to-days long
+    # (Spark RANGE frames need a numeric ORDER BY expression)
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(days.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
+    )
+
+
+# null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+# match each other — the semantics a plain equi-join silently drops.
+@register(
+    "q_null_safe_join",
+    """
+    WITH a AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                           ELSE o_orderpriority END AS pk,
+                      o_totalprice
+               FROM orders WHERE o_orderkey <= 2000),
+    b AS (SELECT DISTINCT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                               ELSE o_orderpriority END AS pk,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey <= 2000)
+    SELECT a.o_orderkey, coalesce(a.pk, '<null>') AS pk, b.o_orderstatus,
+           round(a.o_totalprice, 2) AS price
+    FROM a JOIN b ON a.pk IS NOT DISTINCT FROM b.pk
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    pk = F.when(F.col("o_orderkey") % 10 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    a = orders.select("o_orderkey", pk.alias("pk"), "o_totalprice")
+    b = orders.select(pk.alias("pk2"), "o_orderstatus").distinct()
+    return (
+        a.join(b, a.pk.eqNullSafe(b.pk2))
+        .select(
+            "o_orderkey",
+            F.coalesce("pk", F.lit("<null>")).alias("pk"),
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )

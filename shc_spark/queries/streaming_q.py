@@ -388,3 +388,23 @@ def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.streaming import run_stream_dq_monitor
 
     return run_stream_dq_monitor(spark, sf_dir)
+
+
+# stream-static broadcast enrichment: the dimension-join topology —
+# static per-type stats broadcast into every micro-batch, no stream
+# state, no watermark. The oracle is the equivalent batch join.
+@register(
+    "stream_static_join",
+    """
+    WITH s AS (SELECT event_type, round(avg(value), 4) AS type_avg,
+                      count(*) AS type_n
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+           s.type_avg, s.type_n, e.value > s.type_avg AS above_avg
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.streaming.events import run_stream_static_enrich
+
+    return run_stream_static_enrich(spark, sf_dir)

@@ -529,3 +529,30 @@ def run_stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         dq.matches("lang", "^[a-z]{2}$").metric().alias("lang_wellformed"),
     )
     return _run_to_memory(agg, "complete")
+
+
+def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich every streamed event with its
+    event_type's corpus-wide statistics computed batch-side. Spark
+    broadcast-joins the tiny static aggregate into every micro-batch —
+    the standard dimension-enrichment topology (stream side never
+    buffers state, no watermark needed for a stream-static inner
+    join)."""
+    stats = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("type_avg"),
+            F.count(F.lit(1)).alias("type_n"),
+        )
+    )
+    ev = stream_events(spark, sf_dir)
+    joined = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "type_avg",
+        "type_n",
+        (F.col("value") > F.col("type_avg")).alias("above_avg"),
+    )
+    return _run_to_memory(joined, "append")

@@ -1001,3 +1001,44 @@ def duplicate_spans(
             F.col("id").alias(id_col), "start_tok", "end_tok", "n_grams"
         )
     )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rewrite ``text_col`` with the given token spans removed —
+    the companion of duplicate_spans (whose output it accepts
+    directly; filter it first to implement keep-one-copy or
+    cross-doc-only policies). ``spans``: (id_col, start_tok, end_tok),
+    0-based, end exclusive. Adds ``out_col`` (default
+    ``<text_col>_clean``) and ``n_removed_tok``.
+
+    Scale shape: spans aggregate to one small array per document
+    (bounded by spans-per-doc, not corpus size), join back on the id
+    (documents without spans pass through a left join untouched), and
+    the rewrite itself is a codegen'd index-aware filter-over-split —
+    no Python in the token loop."""
+    out_col = out_col or f"{text_col}_clean"
+    sp = spans.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
+    )
+    joined = df.join(sp, df[id_col] == sp["__sid"], "left").drop("__sid")
+    parts = F.split(F.col(text_col), " ", -1)
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s["start_tok"]) & (i < s["end_tok"]),
+    )
+    kept = F.filter(parts, lambda tok, i: ~in_span(i))
+    cleaned = F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    removed = F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+        F.size(parts) - F.size(kept)
+    )
+    return joined.withColumn(out_col, cleaned).withColumn(
+        "n_removed_tok", removed.cast("long")
+    ).drop("__spans")

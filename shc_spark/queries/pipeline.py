@@ -1859,3 +1859,53 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return dedup.duplicate_spans(docs, "text", "doc_id", k=3, scope="any")
+
+
+# end-to-end substring dedup REWRITE: cross-doc duplicated spans
+# removed from the text (keep-one-copy variants are a caller-side
+# filter on the span set — tests demonstrate it; the gate removes all
+# cross-doc duplicates for a deterministic oracle).
+@register(
+    "dedup_remove_substrings",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+    g AS (SELECT doc_id, i,
+                 array_to_string(list_slice(parts, i, i + 2), ' ') AS gram
+          FROM d, LATERAL (SELECT unnest(generate_series(1, len(parts) - 2)) AS i)
+          WHERE len(parts) >= 3),
+    dup AS (SELECT gram FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2),
+    f AS (SELECT doc_id, i FROM g WHERE gram IN (SELECT gram FROM dup)),
+    r AS (SELECT doc_id, i,
+                 CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 3
+                      THEN 0 ELSE 1 END AS brk
+          FROM f),
+    s AS (SELECT doc_id, i,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS run
+          FROM r),
+    spans AS (SELECT doc_id, min(i) - 1 AS st, max(i) - 1 + 3 AS en
+              FROM s GROUP BY doc_id, run),
+    toks AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS i0,
+                    unnest(parts) AS p
+             FROM d),
+    kept AS (SELECT t.doc_id, t.i0, t.p FROM toks t
+             WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                               WHERE sp.doc_id = t.doc_id
+                                 AND t.i0 >= sp.st AND t.i0 < sp.en)),
+    agg AS (SELECT doc_id, string_agg(p, ' ' ORDER BY i0) AS text_clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    base AS (SELECT doc_id, len(parts) AS n_tok FROM d)
+    SELECT b.doc_id, coalesce(a.text_clean, '') AS text_clean,
+           CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tok
+    FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    """,
+)
+def dedup_remove_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(docs, "text", "doc_id", k=3, scope="cross_doc")
+    out = dedup.remove_spans(docs, spans, "text", "doc_id")
+    return out.select("doc_id", "text_clean", "n_removed_tok")

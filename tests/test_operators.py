@@ -1788,3 +1788,41 @@ def test_duplicate_spans_semantics(spark):
         for r in dedup.duplicate_spans(df2, k=3, scope="cross_doc").collect()
     )
     assert two == [(1, 0, 3), (1, 7, 10), (2, 0, 3), (2, 7, 10)]
+
+
+def test_remove_spans_keep_one_copy_policy(spark):
+    """remove_spans accepts any filtered span set: the keep-one-copy
+    policy (retain the minimal doc_id's occurrence) leaves exactly one
+    copy of the shared run in the corpus."""
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d e q"),
+            (3, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.duplicate_spans(df, k=3, scope="cross_doc")
+    drop = spans.filter(F.col("doc_id") != 1)  # keep doc 1's copy
+    out = {r.doc_id: (r.text_clean, r.n_removed_tok)
+           for r in dedup.remove_spans(df, drop).collect()}
+    assert out == {
+        1: ("a b c d e f g h", 0),
+        2: ("x y q", 5),
+        3: ("p q r s t u v w", 0),
+    }
+    # removing everywhere deletes both occurrences
+    all_rm = {r.doc_id: r.text_clean
+              for r in dedup.remove_spans(df, spans).collect()}
+    assert all_rm[1] == "f g h" and all_rm[2] == "x y q"
+    # whole-doc removal yields empty string, not null
+    df2 = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    sp2 = dedup.duplicate_spans(df2, k=3)
+    got = {r.doc_id: r.text_clean for r in dedup.remove_spans(df2, sp2).collect()}
+    assert got == {1: "", 2: ""}

@@ -52,6 +52,12 @@ HEADLINE = [
     "text_heavy_hitters",
     "dedup_fuzzy_names",
     "q_sessionize_batch",
+    # round-4 additions: source-level co-located join, substring-dedup
+    # pipeline, boilerplate removal, z-range box path
+    "shc_colocated_join",
+    "dedup_substring_spans",
+    "text_remove_boilerplate",
+    "q_zorder_box",
 ]
 
 
@@ -79,6 +85,8 @@ def main() -> None:
         run("shc_roundtrip_scan")
     if "shc_version_merge" in queries:
         run("shc_version_merge")  # one-time 2-generation table build
+    if "shc_colocated_join" in queries:
+        run("shc_colocated_join")  # one-time dimension table build
     # spawn the 32 Python workers once (pandas imports dominate the
     # first Arrow UDF otherwise; a long-lived cluster has warm workers)
     from pyspark.sql.functions import pandas_udf

@@ -53,23 +53,31 @@ def zvalue(cols: list[str | Column], bits: int = 16, check_bounds: bool = True) 
     if bits * d > 63:
         raise ValueError(f"{bits} bits x {d} dims exceeds a signed 64-bit z-value")
     lim = 1 << bits
+    xs = [F.col(c).cast("long") if isinstance(c, str) else c.cast("long") for c in cols]
     z = F.lit(0).cast("long")
-    for j, c in enumerate(cols):
-        x = F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
-        if check_bounds:
-            name = c if isinstance(c, str) else f"dim{j}"
-            x = F.when(
-                (x < 0) | (x >= lim),
-                F.raise_error(
-                    F.concat(
-                        F.lit(f"zvalue: {name} value "),
-                        x.cast("string"),
-                        F.lit(f" outside [0, {lim}) for bits={bits}"),
-                    )
-                ).cast("long"),
-            ).otherwise(x)
+    for j, x in enumerate(xs):
         for i in range(bits):
             z = z + F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)), i * d + j)
+    if check_bounds:
+        # ONE guard wrapping the whole code — never per bit term: a
+        # per-use guard multiplies the expression tree ~2x per bit and
+        # blew generated filter code past JIT limits (measured 6.5s vs
+        # 0.4s on a sf0.1 box query)
+        ok = None
+        vals = [F.lit(" [")]
+        for j, x in enumerate(xs):
+            c = (x >= 0) & (x < lim)
+            ok = c if ok is None else ok & c
+            vals += ([F.lit(",")] if j else []) + [x.cast("string")]
+        vals.append(F.lit("]"))
+        z = F.when(ok, z).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"zvalue: input outside [0, {lim}) for bits={bits}"),
+                    *vals,
+                )
+            ).cast("long")
+        )
     return z
 
 
@@ -202,11 +210,24 @@ def zbox_filter(
     parquet layout it prunes via the stored column's footer stats. The
     exact bounds keep semantics independent of the range budget."""
     ranges = zbox_ranges(lows, highs, bits=bits, max_ranges=max_ranges)
-    z = F.col(zval_col)
+    # exact bounds FIRST: plain base-column conjuncts push to the scan
+    # and short-circuit before any z arithmetic runs
     cond = None
-    for lo, hi in ranges:
-        c = (z >= lo) & (z <= hi)
-        cond = c if cond is None else cond | c
     for c, lo, hi in zip(cols, lows, highs):
-        cond = cond & (F.col(c) >= lo) & (F.col(c) <= hi)
-    return cond
+        b = (F.col(c) >= lo) & (F.col(c) <= hi)
+        cond = b if cond is None else cond & b
+    # range membership via exists() over a LITERAL struct array: the
+    # z expression is referenced exactly ONCE, so when zval_col is an
+    # on-the-fly withColumn (not a stored key) Catalyst's filter
+    # inlining cannot duplicate the 2*bits-term arithmetic per range —
+    # an OR-chain did, and the blown-up generated code measured 3.5x
+    # slower (1.34s vs 0.38s, sf0.1 lineitem, 34 ranges)
+    z = F.col(zval_col)
+    lit_ranges = F.array(
+        *[
+            F.struct(F.lit(lo).alias("lo"), F.lit(hi).alias("hi"))
+            for lo, hi in ranges
+        ]
+    )
+    rc = F.exists(lit_ranges, lambda r: (z >= r["lo"]) & (z <= r["hi"]))
+    return cond & rc

@@ -60,6 +60,7 @@ def main(spark, root=None):
 
 if __name__ == "__main__":
     import os
+    import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from shc_spark.session import get_spark

@@ -92,12 +92,23 @@ def connector_probe(spark, mults=(1, 5, 50)) -> list[str]:
         F.col("l_returnflag").alias("flag"),
     )
     kmax = base.agg(F.max("okey")).collect()[0][0] + 1
+    cat_b = json.dumps(
+        {
+            "table": {"namespace": "probe", "name": "li_b", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "okey:lnum",
+            "columns": {
+                "okey": {"cf": "rowkey", "col": "okey", "type": "bigint"},
+                "lnum": {"cf": "rowkey", "col": "lnum", "type": "int"},
+                "qty2": {"cf": "cf", "col": "q2", "type": "double"},
+            },
+        }
+    )
     lines = [
         "",
         "## Connector throughput (shc source/sink over inflated lineitem)",
         "",
-        "| rows | write (s / Mrows/s) | full merge-read (s / Mrows/s) | 1% range read (s) | LSM merged read after append (s) |",
-        "|---|---|---|---|---|",
+        "| rows | write (s / Mrows/s) | full merge-read (s / Mrows/s) | 1% range read (s) | LSM merged read after append (s) | co-located join (s / Mrows/s) |",
+        "|---|---|---|---|---|---|",
     ]
     for m in mults:
         df = base
@@ -131,11 +142,28 @@ def connector_probe(spark, mults=(1, 5, 50)) -> list[str]:
             t0 = time.time()
             assert read_table(spark, cat, root=root).count() == n_keys
             t_merge = min(t_merge, time.time() - t0)
+        # co-located source-level join: identically-keyed derived table,
+        # join inside the scan (0 exchanges), count the inner result
+        from shc_spark.sources import colocated_join
+
+        write_table(
+            df.select("okey", "lnum", (F.col("qty") * 2).alias("qty2")),
+            cat_b, root=root + "_b", num_regions=32, mode="overwrite", timestamp=1000,
+        )
+        t_join = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            assert colocated_join(
+                spark, cat, cat_b, root=root, root_b=root + "_b"
+            ).count() == n_keys
+            t_join = min(t_join, time.time() - t0)
+        shutil.rmtree(root + "_b", ignore_errors=True)
         lines.append(
             f"| {n:,} | {t_write:.2f} / {n / t_write / 1e6:.2f} | "
-            f"{t_full:.2f} / {n / t_full / 1e6:.2f} | {t_range:.2f} | {t_merge:.2f} |"
+            f"{t_full:.2f} / {n / t_full / 1e6:.2f} | {t_range:.2f} | {t_merge:.2f} | "
+            f"{t_join:.2f} / {n / t_join / 1e6:.2f} |"
         )
-        print(("connector", m, n, round(t_write, 2), round(t_full, 2), round(t_range, 2), round(t_merge, 2)), flush=True)
+        print(("connector", m, n, round(t_write, 2), round(t_full, 2), round(t_range, 2), round(t_merge, 2), round(t_join, 2)), flush=True)
         shutil.rmtree(root, ignore_errors=True)
     return lines
 
@@ -223,6 +251,17 @@ def main() -> None:
         ),
         "weighted_sample": lambda d, e: text.weighted_sample(
             d.select("doc_id", "n_chars"), "n_chars", "doc_id", n=1000
+        ),
+        # salted copies keep within-copy gram structure bijectively, so
+        # the true span set scales ~linearly with corpus size
+        "dedup_substring_spans": lambda d, e: dedup.duplicate_spans(
+            d, "text", "doc_id", k=3, scope="any"
+        ),
+        # min_df 2500 = half the x1 corpus: the dictionary stays the
+        # (small) head of copy-0's vocabulary at every multiplier,
+        # while the df aggregation still scans the full salted corpus
+        "remove_boilerplate": lambda d, e: text.remove_frequent_units(
+            d, "text", "doc_id", sep=" ", min_df=2500
         ),
     }
 

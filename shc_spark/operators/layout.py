@@ -66,9 +66,12 @@ def zvalue(cols: list[str | Column], bits: int = 16, check_bounds: bool = True) 
         ok = None
         vals = [F.lit(" [")]
         for j, x in enumerate(xs):
-            c = (x >= 0) & (x < lim)
+            # NULL dims stay ok=true: the arithmetic already yields a
+            # NULL z for them (pre-guard behavior), which is the right
+            # outcome — raising on missing data would fail whole writes
+            c = F.coalesce((x >= 0) & (x < lim), F.lit(True))
             ok = c if ok is None else ok & c
-            vals += ([F.lit(",")] if j else []) + [x.cast("string")]
+            vals += ([F.lit(",")] if j else []) + [F.coalesce(x.cast("string"), F.lit("null"))]
         vals.append(F.lit("]"))
         z = F.when(ok, z).otherwise(
             F.raise_error(

@@ -1826,3 +1826,11 @@ def test_remove_spans_keep_one_copy_policy(spark):
     sp2 = dedup.duplicate_spans(df2, k=3)
     got = {r.doc_id: r.text_clean for r in dedup.remove_spans(df2, sp2).collect()}
     assert got == {1: "", 2: ""}
+
+
+def test_zvalue_null_dims_yield_null_not_error(spark):
+    from shc_spark.operators import layout
+
+    df = spark.createDataFrame([(1, 2), (None, 5)], "x int, y int")
+    rows = df.select(layout.zvalue(["x", "y"], bits=8).alias("z")).collect()
+    assert rows[0].z == 9 and rows[1].z is None

@@ -1834,3 +1834,23 @@ def test_zvalue_null_dims_yield_null_not_error(spark):
     df = spark.createDataFrame([(1, 2), (None, 5)], "x int, y int")
     rows = df.select(layout.zvalue(["x", "y"], bits=8).alias("z")).collect()
     assert rows[0].z == 9 and rows[1].z is None
+
+
+def test_remove_frequent_units_set_path_equals_codegen_path(spark):
+    """>32 units switches to the Arrow frozenset rewrite (the x100
+    probe measured the literal-array membership scan at 127x); both
+    paths must produce identical rows."""
+    from shc_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "a b spam x"), (2, "spam c d"), (3, "only unique")],
+        "doc_id long, text string",
+    )
+    units_big = [f"u{i}" for i in range(100)] + ["spam"]
+    big = {r.doc_id: (r.text_clean, r.n_units, r.n_removed)
+           for r in text.remove_frequent_units(df, units=units_big).collect()}
+    small = {r.doc_id: (r.text_clean, r.n_units, r.n_removed)
+             for r in text.remove_frequent_units(df, units=["spam"]).collect()}
+    assert big == small == {
+        1: ("a b x", 4, 1), 2: ("c d", 3, 1), 3: ("only unique", 2, 0)
+    }

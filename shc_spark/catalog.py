@@ -211,6 +211,7 @@ class Catalog:
     min_split: str = "aaaaaa"  # HBaseTableCatalog.scala:301-302
     max_split: str = "zzzzzz"
     has_split_hints: bool = False  # explicit min/maxTableSplitPoint given
+    salt_buckets: int = 0  # Phoenix SALT_BUCKETS analog; 0 = unsalted
 
     @property
     def full_name(self) -> str:
@@ -244,6 +245,9 @@ def parse_catalog(catalog_json: str | dict, numReg: int = 0) -> Catalog:
 
     rowkey_raw = params["rowkey"]
     cols = params["columns"]
+    salt_buckets = int(table.get("saltBuckets", 0) or 0)
+    if not (0 <= salt_buckets <= 256):
+        raise ValueError(f"saltBuckets must be in [0, 256], got {salt_buckets}")
 
     fields: dict[str, Field] = {}
     coders_seen: set[str] = set()
@@ -296,6 +300,7 @@ def parse_catalog(catalog_json: str | dict, numReg: int = 0) -> Catalog:
         has_split_hints=(
             "minTableSplitPoint" in params or "maxTableSplitPoint" in params
         ),
+        salt_buckets=salt_buckets,
     )
 
 

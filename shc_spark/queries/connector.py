@@ -790,3 +790,46 @@ def shc_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round("total", 2).alias("total"),
     )
+
+
+# Phoenix SALT_BUCKETS analog: the write spreads monotonically
+# increasing keys via a 1-byte key hash prefix; reads recompute the
+# bucket (points) or fan ranges out across buckets. The oracle is the
+# plain SQL over the source parquet — salting must never change an
+# answer, only the physical layout.
+@register(
+    "shc_salted_table",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 4000 OR o_orderkey IN (7, 42)
+    """,
+)
+def shc_salted_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "orders_salted", "tableCoder": "OrderedType", "version": "2.0", "saltBuckets": 8},
+            "rowkey": "key",
+            "columns": {
+                "o_orderkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "o_custkey": {"cf": "cf", "col": "ck", "type": "bigint"},
+                "o_totalprice": {"cf": "cf", "col": "tp", "type": "double"},
+                "o_orderstatus": {"cf": "cf", "col": "st", "type": "string"},
+            },
+        }
+    )
+    root = _root(sf_dir, "osalt")
+    if not os.path.exists(os.path.join(root, "q.orders_salted", "_regions.json")):
+        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        write_table(
+            df.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+            cat, root=root, num_regions=8, mode="overwrite", timestamp=1000,
+        )
+    out = read_table(spark, cat, root=root).filter(
+        (F.col("o_orderkey").between(1000, 4000)) | (F.col("o_orderkey").isin(7, 42))
+    )
+    return out.select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("price"), "o_orderstatus",
+    )

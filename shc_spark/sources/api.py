@@ -116,6 +116,26 @@ def _rowkey_encoder(cat: Catalog):
     @F.pandas_udf(T.BinaryType())
     def encode(*cols: pd.Series) -> pd.Series:
         dims = [encode_dim(col, j) for j, col in enumerate(cols)]
+        if cat.salt_buckets:
+            # Phoenix SALT_BUCKETS analog: one hash byte prefixed to
+            # the key spreads monotonically-written keys (timestamps,
+            # sequence ids) across regions — the HBase hotspot fix.
+            # Deterministic (md5 of the UNSALTED key bytes), so point
+            # lookups recompute it (Phoenix does the same).
+            import hashlib as _h
+
+            n = cat.salt_buckets
+            if len(dims) == 1:
+                keys = dims[0]
+            else:
+                seps0 = [
+                    b"\x00" if phoenix_like[j] and lengths[j] is None and j != len(cols) - 1 else b""
+                    for j in range(len(cols))
+                ]
+                keys = [b"".join(d[i] + s0 for d, s0 in zip(dims, seps0)) for i in range(len(dims[0]))]
+            return pd.Series(
+                [bytes([_h.md5(k).digest()[0] % n]) + k for k in keys]
+            )
         seps = [
             b"\x00" if phoenix_like[j] and lengths[j] is None and j != len(cols) - 1 else b""
             for j in range(len(cols))
@@ -295,6 +315,12 @@ def write_table(
         [f.col_name for f in cat.fields.values()]
         + (["__ts_src"] if has_ts_src else [])
     )
+    if cat.salt_buckets and cat.has_split_hints:
+        raise ValueError(
+            "min/maxTableSplitPoint hints assume unsalted keys; a salted "
+            "table (saltBuckets) is spread by the hash prefix already — "
+            "drop the hints"
+        )
     if num_regions and cat.has_split_hints:
         # explicit pre-split (minTableSplitPoint/maxTableSplitPoint,
         # HBaseTableCatalog.scala:301-302 -> Bytes.split analog): byte-
@@ -327,6 +353,20 @@ def write_table(
             .repartition(num_regions, F.col(BUCKET_COL))
             .sortWithinPartitions(ROWKEY_COL)
         )
+    elif cat.salt_buckets:
+        # salted physical order is (salt byte, key) — the typed key
+        # columns no longer sort like the encoded bytes, so partition
+        # and sort on the ENCODED rowkey itself (the encode UDF also
+        # feeds the range-sampling pass; that extra evaluation is the
+        # price of the hotspot spread)
+        for f in cat.fields.values():
+            if f.avro_schema is not None:
+                out = out.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
+        out = out.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
+        if num_regions:
+            out = out.repartitionByRange(num_regions, F.col(ROWKEY_COL))
+        out = out.sortWithinPartitions(ROWKEY_COL)
+        out = out.withColumn(TS_COL, ts_expr).drop("__ts_src")
     else:
         if num_regions:
             # range-partition + sort on the TYPED key columns (same

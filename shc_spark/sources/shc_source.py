@@ -239,10 +239,47 @@ class ShcReader(DataSourceReader):
                 yield f
         self.hrf = pushed
 
+    def _expand_salt(self, hrf: HRF) -> HRF:
+        """Salted tables (catalog saltBuckets, the Phoenix SALT_BUCKETS
+        analog): pushed ranges refer to UNSALTED key bytes, physical
+        keys carry a 1-byte hash prefix. Fan every range out across the
+        buckets (Phoenix's parallel per-bucket scans); single-dim POINT
+        ranges are the full unsalted key, so their bucket is computed
+        exactly and a Get stays one lookup."""
+        import hashlib
+
+        n = self.cat.salt_buckets
+        single_dim = len(self.cat.rowkey_fields()) == 1
+        out = []
+        for r in hrf.ranges:
+            if (
+                single_dim
+                and r.start is not None
+                and r.start == r.end
+                and r.start_inclusive
+                and r.end_inclusive
+            ):
+                s = hashlib.md5(r.start).digest()[0] % n
+                out.append(
+                    ScanRange(bytes([s]) + r.start, True, bytes([s]) + r.end, True)
+                )
+                continue
+            for s in range(n):
+                start = bytes([s]) + r.start if r.start is not None else bytes([s])
+                if r.end is not None:
+                    end, end_inc = bytes([s]) + r.end, r.end_inclusive
+                else:
+                    end, end_inc = bytes([s + 1]), False  # next bucket, exclusive
+                out.append(ScanRange(start, r.start_inclusive, end, end_inc))
+        out.sort(key=lambda x: (x.start is not None, x.start))
+        return HRF(out, hrf.handled)
+
     # -- partition planning + pruning (S10) -------------------------------
     def partitions(self):
         regions = _load_regions(self.path)
         hrf, self.hrf = self.hrf, HRF.full()  # pop: ranges are per-query
+        if self.cat.salt_buckets and hrf.ranges != HRF.full().ranges:
+            hrf = self._expand_salt(hrf)
         if self.options.get("merge") == "latest":
             parts = self._merge_partitions(regions, hrf)
         else:

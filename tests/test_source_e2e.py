@@ -1504,3 +1504,75 @@ def test_colocated_join_composite_key_and_incompatible_keys(spark, tmp_path):
     cbad = cat("bad", [("k", "bigint")], {"w": {"cf": "cf", "col": "w", "type": "bigint"}})
     with pytest.raises(Exception, match="rowkey encodings"):
         colocated_join(spark, ca, cbad, root=root).collect()
+
+
+def test_salted_table_spreads_hotspot_and_keeps_lookups(spark, tmp_path):
+    """Phoenix SALT_BUCKETS analog: catalog `table.saltBuckets` = N
+    prefixes one deterministic hash byte to every rowkey, so
+    monotonically increasing keys (the HBase hotspot) spread evenly
+    across regions. Point lookups compute the exact bucket (one region
+    opened); range scans fan out across buckets and stay exact;
+    appends + merge reads unaffected."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from shc_spark.coders import get_coder
+    from shc_spark.filters import HRF, ScanRange
+    from shc_spark.sources import bulk_get, read_table, write_table
+    from shc_spark.sources.shc_source import ShcReader
+
+    cat = _json.dumps(
+        {
+            "table": {"namespace": "s", "name": "salted", "tableCoder": "OrderedType", "version": "2.0", "saltBuckets": 8},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "v": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path / "salted")
+    df = spark.createDataFrame([(i, float(i)) for i in range(4000)], "k long, v double")
+    write_table(df, cat, root=root, num_regions=8, timestamp=1)
+
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    sizes = sorted(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(root, "s.salted", "gen=*", "region-*.parquet"))
+    )
+    assert len(sizes) == 8 and max(sizes) < 4000 * 0.35  # no hotspot region
+
+    back = read_table(spark, cat, root=root)
+    assert back.count() == 4000
+    assert {r.k for r in back.filter((F.col("k") >= 100) & (F.col("k") < 180)).collect()} == set(range(100, 180))
+    assert back.filter(F.col("k") == 3210).collect()[0].v == 3210.0
+    assert {r.k for r in bulk_get(spark, cat, [5, 17, 3999], root=root).collect()} == {5, 17, 3999}
+
+    # exact-salt point lookup: one region opened
+    coder = get_coder("OrderedType")
+    kb = coder.to_bytes(3210, T.LongType())
+    reader = ShcReader(None, {"catalog": cat, "root": root})
+    reader.hrf = HRF([ScanRange(kb, True, kb, True)], True)
+    assert len([p for p in reader.partitions() if getattr(p, "path", "")]) == 1
+
+    # append + LSM merge read still correct on the salted layout
+    upd = spark.createDataFrame([(i, float(i) + 0.5) for i in range(0, 4000, 10)], "k long, v double")
+    write_table(upd, cat, root=root, mode="append", timestamp=2)
+    m = read_table(spark, cat, root=root)
+    assert m.count() == 4000 and m.filter(F.col("k") == 20).collect()[0].v == 20.5
+
+    # split hints are meaningless on a salted table: refuse them
+    import pytest
+
+    cat_hints = _json.loads(cat)
+    cat_hints["minTableSplitPoint"] = "aaa"
+    cat_hints["maxTableSplitPoint"] = "zzz"
+    with pytest.raises(ValueError, match="unsalted"):
+        write_table(df, _json.dumps(cat_hints), root=str(tmp_path / "s2"),
+                    num_regions=8, timestamp=1)

@@ -50,13 +50,14 @@ _WINDOW = [
     # §2.1 connector (15; sql_over_view + time_travel rotate out on
     # r01+r02 green rows — the relational SQL gates cover the view
     # surface, and S15 time semantics keep shc_versions_map in-window)
-    # (r04: shc_restrictive rotates out on r01+r03 green rows to give
-    # the new co-located source-level join its first driver row)
+    # (r04: shc_restrictive and shc_compaction rotate out on r01+r03
+    # green rows to give the new co-located source-level join and the
+    # salted-table layout their first driver rows)
     "shc_roundtrip_scan", "shc_pushdown_range", "shc_value_filters",
     "shc_composite_key", "shc_version_merge",
     "shc_avro_cells", "shc_typed_columns",
     "shc_colocated_join", "shc_versions_map", "shc_dynamic_map",
-    "shc_compaction", "shc_secondary_index", "shc_delete",
+    "shc_salted_table", "shc_secondary_index", "shc_delete",
     "shc_merge_into", "shc_phoenix_composite",
     # LLM-pipeline (19): langid / image_decode / bm25 / clusters
     # rotate out on r02 green rows (jpeg_decode covers decode,

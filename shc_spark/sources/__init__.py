@@ -1,6 +1,7 @@
 from shc_spark.sources.api import (
     bulk_get,
     compact_table,
+    count_rows,
     delete_rows,
     diff_tables,
     export_snapshot,
@@ -24,6 +25,7 @@ __all__ = [
     "colocated_join",
     "bulk_get",
     "compact_table",
+    "count_rows",
     "delete_rows",
     "diff_tables",
     "export_snapshot",

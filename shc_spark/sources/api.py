@@ -1276,6 +1276,29 @@ def delete_rows(
     )
 
 
+def count_rows(
+    spark: SparkSession,
+    catalog: str,
+    root: str = DEFAULT_ROOT,
+) -> int:
+    """Logical (merged) row count of an shc table. When the region
+    metadata proves one version per key (every generation unique,
+    region ranges pairwise disjoint — the bulk-loaded case), the count
+    is the SUM OF RECORDED REGION ROW COUNTS: a metadata read, zero
+    data scanned — counting a 100 TB table costs one small JSON file.
+    Appended/deleted tables fall back to the distributed merge-read
+    count (still one job, no collect)."""
+    import json as _json
+    import os as _os
+
+    cat = parse_catalog(catalog)
+    path = _os.path.join(root, f"{cat.namespace}.{cat.name}")
+    if _merge_is_noop(path):
+        regions = _json.load(open(_os.path.join(path, "_regions.json")))
+        return sum(int(r.get("rows", 0)) for r in regions)
+    return read_table(spark, catalog, root=root).count()
+
+
 def vacuum_table(
     catalog: str,
     root: str = DEFAULT_ROOT,

@@ -1576,3 +1576,35 @@ def test_salted_table_spreads_hotspot_and_keeps_lookups(spark, tmp_path):
     with pytest.raises(ValueError, match="unsalted"):
         write_table(df, _json.dumps(cat_hints), root=str(tmp_path / "s2"),
                     num_regions=8, timestamp=1)
+
+
+def test_count_rows_metadata_fast_path_and_fallback(spark, tmp_path):
+    """Bulk-loaded tables count from region metadata alone; appended
+    (multi-version) and deleted tables fall back to the merge-read
+    count — both must equal the logical read_table count."""
+    import json as _json
+
+    from shc_spark.sources import count_rows, delete_rows, write_table
+
+    cat = _json.dumps(
+        {
+            "table": {"namespace": "c", "name": "cnt", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "v": {"cf": "cf", "col": "v", "type": "int"},
+            },
+        }
+    )
+    root = str(tmp_path / "cnt")
+    df = spark.createDataFrame([(i, i) for i in range(777)], "k int, v int")
+    # note int key column vs bigint catalog type: cast happens in encode
+    df = df.selectExpr("cast(k as long) k", "v")
+    write_table(df, cat, root=root, num_regions=4, timestamp=1)
+    assert count_rows(spark, cat, root=root) == 777
+    # appends create overlap -> metadata no longer proves uniqueness
+    upd = spark.createDataFrame([(5, 50), (777, 7770)], "k long, v int")
+    write_table(upd, cat, root=root, mode="append", timestamp=2)
+    assert count_rows(spark, cat, root=root) == 778
+    delete_rows(spark, cat, [5, 6, 7], root=root, timestamp=3)
+    assert count_rows(spark, cat, root=root) == 775

@@ -64,6 +64,15 @@ def _check_compatible(cat_a, cat_b) -> None:
             f"colocated_join needs byte-identical rowkey encodings; "
             f"got {ka} vs {kb}"
         )
+    if cat_a.salt_buckets != cat_b.salt_buckets:
+        # different bucket counts place the SAME logical key under
+        # different salt prefixes — the byte join would silently match
+        # nothing; equal bucket counts salt identically (same hash of
+        # the same unsalted bytes) and compose fine
+        raise ValueError(
+            f"colocated_join needs equal saltBuckets; got "
+            f"{cat_a.salt_buckets} vs {cat_b.salt_buckets}"
+        )
     for cat in (cat_a, cat_b):
         if any(f.avro_schema is not None for f in cat.fields.values()):
             raise ValueError(

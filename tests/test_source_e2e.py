@@ -1608,3 +1608,41 @@ def test_count_rows_metadata_fast_path_and_fallback(spark, tmp_path):
     assert count_rows(spark, cat, root=root) == 778
     delete_rows(spark, cat, [5, 6, 7], root=root, timestamp=3)
     assert count_rows(spark, cat, root=root) == 775
+
+
+def test_colocated_join_on_salted_tables(spark, tmp_path):
+    """Hotspot-free co-located join: two tables salted with the SAME
+    bucket count salt identically, so the source-level join still
+    matches keys byte-for-byte (and stays shuffle-free); differing
+    bucket counts are refused (same logical key, different prefix —
+    the byte join would silently return nothing)."""
+    import json as _json
+
+    import pytest
+
+    from shc_spark.sources import colocated_join, write_table
+
+    def cat(name, buckets, extra):
+        return _json.dumps(
+            {
+                "table": {"namespace": "sj", "name": name, "tableCoder": "OrderedType", "version": "2.0", "saltBuckets": buckets},
+                "rowkey": "key",
+                "columns": {"k": {"cf": "rowkey", "col": "key", "type": "bigint"}, **extra},
+            }
+        )
+
+    ca = cat("a", 8, {"v": {"cf": "cf", "col": "v", "type": "double"}})
+    cb = cat("b", 8, {"w": {"cf": "cf", "col": "w", "type": "bigint"}})
+    root = str(tmp_path / "sj")
+    A = spark.createDataFrame([(i, float(i)) for i in range(2000)], "k long, v double")
+    B = spark.createDataFrame([(i, i * 3) for i in range(0, 2000, 4)], "k long, w long")
+    write_table(A, ca, root=root, num_regions=8, timestamp=1)
+    write_table(B, cb, root=root, num_regions=6, timestamp=1)
+    j = colocated_join(spark, ca, cb, root=root, how="inner")
+    assert "Exchange" not in j._jdf.queryExecution().executedPlan().toString()
+    got = {r.k: (r.v, r.w) for r in j.collect()}
+    assert len(got) == 500 and got[8] == (8.0, 24)
+
+    cbad = cat("bad", 4, {"w": {"cf": "cf", "col": "w", "type": "bigint"}})
+    with pytest.raises(Exception, match="saltBuckets"):
+        colocated_join(spark, ca, cbad, root=root).collect()

@@ -1909,3 +1909,23 @@ def dedup_remove_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = dedup.duplicate_spans(docs, "text", "doc_id", k=3, scope="cross_doc")
     out = dedup.remove_spans(docs, spans, "text", "doc_id")
     return out.select("doc_id", "text_clean", "n_removed_tok")
+
+
+# fastText-style quality classifier: distributed full-batch logistic
+# regression over hashed unigram+bigram features (one partial-sum
+# vector per partition per iteration — the corpus never shuffles),
+# then map-only scoring. Iterative training is not SQL-expressible ->
+# rows-only gate; the distributed gradient is pinned EXACTLY equal to
+# the numpy reference by tests/test_operators.py.
+@register("text_quality_classifier", None)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", (F.col("source") == "src0").cast("int")
+    )
+    w, b, _ = classifier.train_quality_classifier(
+        labeled, "text", "label", dim=2**14, iters=8, lr=2.0
+    )
+    return classifier.score_texts(docs, w, b, "text", "doc_id")

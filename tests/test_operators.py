@@ -1854,3 +1854,51 @@ def test_remove_frequent_units_set_path_equals_codegen_path(spark):
     assert big == small == {
         1: ("a b x", 4, 1), 2: ("c d", 3, 1), 3: ("only unique", 2, 0)
     }
+
+
+def test_quality_classifier_trains_and_matches_numpy(spark):
+    """Distributed full-batch GD: (a) loss decreases and a separable
+    corpus is fit; (b) ONE distributed iteration from zero equals the
+    single-machine numpy gradient exactly (the partial-sum fold is the
+    only distributed ingredient, so this pins the whole loop)."""
+    import random
+
+    import numpy as np
+
+    from shc_spark.operators import classifier
+
+    rng = random.Random(0)
+    good = "science method analysis result data theory".split()
+    spam = "buy now cheap click free winner".split()
+    rows = []
+    for i in range(200):
+        is_spam = i % 2
+        words = [rng.choice(spam if is_spam else good) for _ in range(25)]
+        rows.append((i, " ".join(words), is_spam))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int").repartition(8)
+
+    w, b, losses = classifier.train_quality_classifier(df, dim=2**12, iters=12, lr=2.0)
+    assert losses[-1] < losses[0] * 0.5
+    sc = {r.doc_id: r.quality_score
+          for r in classifier.score_texts(df, w, b, "text", "doc_id").collect()}
+    acc = sum((sc[i] > 0.5) == bool(l) for i, _, l in rows) / len(rows)
+    assert acc == 1.0
+
+    texts = [t for _, t, _ in rows]
+    labels = [l for _, _, l in rows]
+    gw, gb, _, n = classifier._grad_partial(texts, labels, np.zeros(2**12), 0.0, 2**12)
+    w1, b1, _ = classifier.train_quality_classifier(df, dim=2**12, iters=1, lr=2.0)
+    assert np.allclose(w1, -2.0 * gw / n, atol=1e-12)
+    assert abs(b1 + 2.0 * gb / n) < 1e-12
+
+
+def test_quality_classifier_empty_and_null_texts(spark):
+    from shc_spark.operators import classifier
+
+    df = spark.createDataFrame(
+        [(1, "good words here", 0), (2, "", 1), (3, None, 1), (4, "spam spam", 1)],
+        "doc_id long, text string, label int",
+    )
+    w, b, _ = classifier.train_quality_classifier(df, dim=256, iters=3, lr=1.0)
+    out = classifier.score_texts(df.where("text is not null"), w, b, "text", "doc_id")
+    assert out.count() == 3  # empty text scores (bias only), nulls excluded upstream

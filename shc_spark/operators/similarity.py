@@ -443,3 +443,114 @@ def hybrid_search_rrf(
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc(doc_id_col)).limit(k)
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    dim: int = 64,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    num_codes: int = 16,
+    rerank_factor: int = 20,
+    seed: int = 11,
+) -> DataFrame:
+    """The full billion-scale ANN recipe in one operator — IVF routing
+    x PQ asymmetric-distance scoring x exact re-rank (the FAISS
+    IVFPQ + refine shape, built from the suite's own pieces):
+
+    1. a coarse spherical-k-means quantizer routes each query to its
+       ``nprobe`` nearest posting lists, so only ~nprobe/num_centroids
+       of the corpus is SCORED at all;
+    2. rows in probed cells are scored by PQ asymmetric distance — a
+       per-query (m, K) lookup table, m adds per row, no full-precision
+       math on the corpus side;
+    3. the ``rerank_factor * k`` PQ survivors per query (and ONLY
+       those) join back to their vectors for exact cosine ordering.
+
+    Output: (query_id, neighbor_id, cosine 4dp, rank) — the same
+    contract as every other *_topk, so recall pins compare directly
+    against cosine_topk. Approximate on two axes (routing can miss a
+    cell, PQ can misrank within the cut); rerank_factor buys back the
+    second. Corpus never shuffles; stage-3 traffic is nq * R * k rows."""
+    from shc_spark.operators import quantize
+
+    cent = _train_centroids(corpus, vec_col, num_centroids, dim, seed)
+    books = quantize.train_pq(corpus, vec_col, id_col, m=m, k=num_codes)
+    q_ids, qm = _collect_queries(queries, vec_col, id_col)
+    probe_map: dict = {}
+    lut = np.zeros((len(q_ids), m, num_codes))
+    sub = dim // m
+    if q_ids:
+        probe_idx = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+        for qi in range(len(q_ids)):
+            for c in probe_idx[qi]:
+                probe_map.setdefault(int(c), []).append(qi)
+            for j in range(m):
+                diff = books[j] - qm[qi, j * sub : (j + 1) * sub][None, :]
+                lut[qi, j] = (diff**2).sum(axis=1)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, probe_map, lut, books))
+    depth = max(k * rerank_factor, k)
+
+    def score(batches):
+        qids_, pmap, lut_, books_ = bc.value
+        if not qids_:
+            return
+        jidx = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy()
+            M = _normalize_batch(pdf["__vec"])
+            cid = np.argmax(M @ cent.T, axis=1)
+            cand = [[] for _ in qids_]
+            for i in range(len(ids)):
+                for qi in pmap.get(int(cid[i]), ()):
+                    cand[qi].append(i)
+            # on-the-fly PQ encode of the batch (production stores the
+            # codes; the math is identical): argmin subspace centroid
+            C = np.empty((len(ids), m), dtype=np.int64)
+            for j in range(m):
+                S_ = M[:, j * sub : (j + 1) * sub]
+                d = ((S_[:, None, :] - books_[j][None, :, :]) ** 2).sum(axis=2)
+                C[:, j] = d.argmin(axis=1)
+            D = lut_[:, jidx, C].sum(axis=2)  # (nq, batch)
+            # negative adist as the pruning score: _emit_topk keeps the
+            # per-batch top-`depth` candidates per query
+            yield from _emit_topk(q_ids, ids, -D.T, cand, depth)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    part = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(score, f"query_id {id_type}, neighbor_id {id_type}, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    pruned = (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= depth)
+        .drop("rank", "cosine")
+    )
+    # exact re-rank on the survivors only
+    qmap = {qid: qm[i] for i, qid in enumerate(q_ids)}
+    bq = spark.sparkContext.broadcast(qmap)
+
+    @F.pandas_udf("double")
+    def _cos(qid: pd.Series, vec: pd.Series) -> pd.Series:
+        qm_ = bq.value
+        if qid.empty:
+            return pd.Series([], dtype=float)
+        M = _normalize_batch(vec)
+        q = np.stack([qm_[x] for x in qid])
+        return pd.Series((M * q).sum(axis=1))
+
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__fv")
+    )
+    scored = pruned.join(vecs, "neighbor_id").withColumn(
+        "cosine", _cos("query_id", "__fv")
+    ).drop("__fv")
+    return _topk_window(scored, k)

@@ -1929,3 +1929,19 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled, "text", "label", dim=2**14, iters=8, lr=2.0
     )
     return classifier.score_texts(docs, w, b, "text", "doc_id")
+
+
+# IVFPQ + refine (the FAISS production recipe as one operator):
+# coarse routing x PQ asymmetric distance x exact re-rank. Approximate
+# by construction -> rows-only; the composition's recall-vs-plain-IVF
+# losslessness and exact re-rank values are pinned by
+# tests/test_operators.py::test_ivf_pq_topk_loses_nothing_beyond_routing.
+@register("sim_topk_ivf_pq", None)
+def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_pq_topk(
+        q, emb, k=5, dim=64, num_centroids=16, nprobe=8, rerank_factor=40
+    )

@@ -1902,3 +1902,29 @@ def test_quality_classifier_empty_and_null_texts(spark):
     w, b, _ = classifier.train_quality_classifier(df, dim=256, iters=3, lr=1.0)
     out = classifier.score_texts(df.where("text is not null"), w, b, "text", "doc_id")
     assert out.count() == 3  # empty text scores (bias only), nulls excluded upstream
+
+
+def test_ivf_pq_topk_loses_nothing_beyond_routing(spark):
+    """IVFPQ+refine composition: at matched nprobe the PQ cut +
+    exact re-rank must not lose recall vs plain IVF (the PQ stage is
+    recall-lossless at the default rerank depth); surviving pairs
+    carry EXACT cosine values (the re-rank is full precision)."""
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(q, emb, k=5).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    ev = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in similarity.ivf_topk(q, emb, k=5, dim=64, nprobe=8).collect()}
+    pq = similarity.ivf_pq_topk(
+        q, emb, k=5, dim=64, num_centroids=16, nprobe=8, rerank_factor=60
+    ).collect()
+    a = {(r.query_id, r.neighbor_id) for r in pq}
+    av = {(r.query_id, r.neighbor_id): r.cosine for r in pq}
+    assert len(e & a) >= len(e & ivf)  # PQ stage lossless vs routing bound
+    assert len(e & a) / len(e) >= 0.6
+    assert all(abs(ev[p] - av[p]) < 1e-9 for p in (e & a))

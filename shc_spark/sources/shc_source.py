@@ -268,6 +268,8 @@ class ShcReader(DataSourceReader):
                 start = bytes([s]) + r.start if r.start is not None else bytes([s])
                 if r.end is not None:
                     end, end_inc = bytes([s]) + r.end, r.end_inclusive
+                elif s == 255:  # top bucket of a 256-bucket table
+                    end, end_inc = None, False
                 else:
                     end, end_inc = bytes([s + 1]), False  # next bucket, exclusive
                 out.append(ScanRange(start, r.start_inclusive, end, end_inc))

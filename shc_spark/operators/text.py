@@ -1000,3 +1000,38 @@ def remove_frequent_units(
             yield pdf
 
     return df.mapInPandas(rewrite, out_schema)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    budgets: dict,
+    text_col: str = "text",
+) -> DataFrame:
+    """TOKEN-budget mixture sampling — "assemble 1B web tokens + 200M
+    code tokens": for each stratum, walk rows in deterministic
+    md5-of-id order and keep them while the running token total stays
+    <= the stratum's budget (whitespace tokens; the row that would
+    cross the budget is dropped, so the kept total never exceeds it).
+    The count-quota sibling is ``mixture_sample``; this one is what a
+    training-data order actually specifies. Strata absent from
+    ``budgets`` are dropped. Adds ``n_tok`` and ``cum_tok``.
+
+    Scale shape: one window per stratum (ordered cumulative sum —
+    sort-based, spills); for petabyte strata apply the same md5-prefix
+    prefilter idea as mixture_sample (cut to ~budget/avg_tokens * 2
+    rows first) before ranking."""
+    from pyspark.sql import Window
+
+    budget_pairs = [x for kv in budgets.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    budget = F.create_map(*budget_pairs)[F.col(strata_col)]
+    src = df.filter(F.col(strata_col).isin(list(budgets)))
+    h = F.md5(F.col(id_col).cast("string"))
+    n_tok = F.size(F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != ""))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        src.withColumn("n_tok", n_tok.cast("long"))
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= budget)
+    )

@@ -1945,3 +1945,31 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(
         q, emb, k=5, dim=64, num_centroids=16, nprobe=8, rerank_factor=40
     )
+
+
+# token-budget mixture sampling ("1200 tokens of src0, 800 of src1"):
+# deterministic md5-of-id walk per stratum, keep while the running
+# token sum fits. The oracle replays the identical window in SQL.
+@register(
+    "text_token_budget_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE source IN ('src0', 'src1')),
+    c AS (SELECT doc_id, source, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_tok
+          FROM t)
+    SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM c
+    WHERE cum_tok <= CASE source WHEN 'src0' THEN 1200 ELSE 800 END
+    """,
+)
+def text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = text.token_budget_sample(
+        docs, "source", "doc_id", {"src0": 1200, "src1": 800}
+    )
+    return out.select("doc_id", "source", "n_tok", "cum_tok")

@@ -1928,3 +1928,25 @@ def test_ivf_pq_topk_loses_nothing_beyond_routing(spark):
     assert len(e & a) >= len(e & ivf)  # PQ stage lossless vs routing bound
     assert len(e & a) / len(e) >= 0.6
     assert all(abs(ev[p] - av[p]) < 1e-9 for p in (e & a))
+
+
+def test_token_budget_sample_never_exceeds_budget(spark):
+    from shc_spark.operators import text
+
+    rows = [(i, "src0" if i % 2 else "src1", "w " * (i % 7 + 1)) for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows], "doc_id long, source string, text string"
+    )
+    out = text.token_budget_sample(df, "source", "doc_id", {"src0": 40, "src1": 25})
+    got = out.collect()
+    by_src: dict = {}
+    for r in got:
+        by_src.setdefault(r.source, 0)
+        by_src[r.source] += r.n_tok
+    assert by_src["src0"] <= 40 and by_src["src1"] <= 25
+    # greedy-maximal: adding the NEXT doc in md5 order would overflow
+    assert by_src["src0"] > 40 - 8 and by_src["src1"] > 25 - 8
+    # deterministic across runs
+    again = {(r.doc_id,) for r in
+             text.token_budget_sample(df, "source", "doc_id", {"src0": 40, "src1": 25}).collect()}
+    assert again == {(r.doc_id,) for r in got}

@@ -408,3 +408,24 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.streaming.events import run_stream_static_enrich
 
     return run_stream_static_enrich(spark, sf_dir)
+
+
+# custom stateful streaming TOP-K per key (bounded state: the current
+# k best pairs per key, whatever the stream length). The drained
+# state must equal the batch window top-k exactly.
+@register(
+    "stream_topk",
+    """
+    SELECT event_type, event_id, round(value, 2) AS value,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rank
+          FROM events)
+    WHERE rank <= 5
+    """,
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.streaming.events import run_stream_topk
+
+    return run_stream_topk(spark, sf_dir, k=5)

@@ -556,3 +556,59 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") > F.col("type_avg")).alias("above_avg"),
     )
     return _run_to_memory(joined, "append")
+
+
+def run_stream_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Custom stateful operator: running per-key TOP-K on a stream
+    (``applyInPandasWithState`` holding the current k best (value, id)
+    pairs — bounded state per key regardless of stream length; the
+    heap-maintenance shape every streaming leaderboard uses). After
+    the stream drains, the emitted state must equal the batch window
+    top-k exactly (ties broken by event_id ascending)."""
+    ev = stream_events(spark, sf_dir)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        vals, ids = (state.get if state.exists else ([], []))
+        best = list(zip(vals, ids))
+        for pdf in pdfs:
+            best.extend(zip(pdf["value"].astype(float), pdf["event_id"].astype(int)))
+            # keep only k: sort by (-value, id) — deterministic ties
+            best.sort(key=lambda t: (-t[0], t[1]))
+            best = best[:k]
+        state.update(([v for v, _ in best], [i for _, i in best]))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(best),
+                "event_id": [i for _, i in best],
+                "value": [v for v, _ in best],  # exact: rounding here
+                # could alias two different floats and break the
+                # final-snapshot selection's tie-break
+                "rank": list(range(1, len(best) + 1)),
+                "n_seen": [len(best)] * len(best),
+            }
+        )
+
+    result = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, event_id long, value double, rank int, n_seen int",
+        stateStructType="vals array<double>, ids array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(result, "update")
+    # update mode emits one snapshot per state change; the FINAL
+    # snapshot per key is the last micro-batch's emission. Identify it
+    # by re-ranking per (event_type, rank): the final snapshot's rank-r
+    # row is the globally best rank-r candidate ever emitted (top-k
+    # state is monotone — once a pair enters rank r it can only be
+    # displaced by a better one, which the final snapshot contains).
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type", "rank").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id", F.round("value", 2).alias("value"), "rank")
+    )

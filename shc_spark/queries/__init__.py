@@ -68,8 +68,11 @@ _WINDOW = [
     # (decontaminate and hybrid_rrf rotate out on r01+r02 green rows
     # so the new perceptual-hash and scene-detection gates get their
     # first driver rows alongside jpeg_decode)
-    "dedup_exact", "dedup_minhash_lsh", "sim_topk_bruteforce",
-    "dedup_cross_corpus", "dedup_fuzzy_names", "text_quality_scores",
+    # (r04: dedup_exact and text_quality_scores rotate out on triple
+    # r01-r03 green rows for the substring-dedup and boilerplate-
+    # removal pipelines' first driver rows)
+    "dedup_substring_spans", "dedup_minhash_lsh", "sim_topk_bruteforce",
+    "dedup_cross_corpus", "dedup_fuzzy_names", "text_remove_boilerplate",
     "text_chunking", "text_lm_ppl", "text_tfidf", "text_heavy_hitters",
     "cluster_assign", "mm_jpeg_decode",
     "embed_quantize", "mm_image_dhash", "text_mixture_sample",
@@ -78,8 +81,9 @@ _WINDOW = [
     "text_pack_sequences", "mm_video_scenes", "dq_validate_orders",
     "q_zorder_box",
     # streaming + storage engine (8; merge_latest rotates out on r02
-    # green; incremental_dedup new r03)
-    "stream_tumbling_window", "stream_sessionization",
+    # green; incremental_dedup new r03; r04: tumbling_window rotates
+    # out on r01-r03 green rows for the stateful top-k's first row)
+    "stream_topk", "stream_sessionization",
     "stream_stateful_totals", "stream_shc_source",
     "stream_stream_join", "stream_incremental_dedup", "stream_shc_sink",
     "shc_rollup",

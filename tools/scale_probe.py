@@ -263,6 +263,9 @@ def main() -> None:
         "remove_boilerplate": lambda d, e: text.remove_frequent_units(
             d, "text", "doc_id", sep=" ", min_df=2500
         ),
+        "token_budget_sample": lambda d, e: text.token_budget_sample(
+            d, "source", "doc_id", {f"src{i}": 50000 for i in range(20)}
+        ),
     }
 
     from shc_spark.operators import sessions
@@ -294,6 +297,20 @@ def main() -> None:
             "shc_spark.operators.behavior", fromlist=["behavior"]
         ).cohort_retention(ev, "user_id", "ts"),
     }
+
+    def classifier_probe(docs):
+        # 2 GD iterations: per-iteration cost = one corpus pass + one
+        # dim-vector partial per partition; wall should scale with the
+        # corpus, driver traffic with partitions only
+        from shc_spark.operators import classifier as clf
+
+        labeled = docs.withColumn("label", (F.col("source") == "src0").cast("int"))
+        w, b, _ = clf.train_quality_classifier(
+            labeled, "text", "label", dim=2**14, iters=2, lr=2.0
+        )
+        return clf.score_texts(docs, w, b, "text", "doc_id")
+
+    OPS["quality_classifier"] = lambda d, e: classifier_probe(d)
 
     rows = []
     for m in mults:

@@ -97,9 +97,12 @@ def _out_names(cat_a, cat_b) -> list[tuple[str, str, str]]:
     return names
 
 
-def _merge_plan(regions, sub: ScanRange) -> MergePartition | None:
+def _merge_plan(regions, sub: ScanRange, live=None) -> MergePartition | None:
     """The boundary-cut overlap logic of ShcReader._merge_partitions
-    for ONE externally-chosen sub-range."""
+    for ONE externally-chosen sub-range. ``live``: the pushed-filter
+    ranges already intersected with ``sub`` (defaults to the whole
+    sub-range) — they become the partition's scan ranges so row-group
+    skipping sees the pushed bounds, not just the boundary cut."""
     over = []
     for reg in regions:
         start = bytes.fromhex(reg["start"]) if reg["start"] is not None else None
@@ -110,9 +113,12 @@ def _merge_plan(regions, sub: ScanRange) -> MergePartition | None:
         return None
     tomb = any(reg.get("tombstones") for reg in over)
     dedup = tomb or not (len(over) == 1 and over[0].get("unique"))
+    rs = live if live is not None else [sub]
     return MergePartition(
         paths=tuple(reg["path"] for reg in over),
-        ranges=((sub.start, sub.start_inclusive, sub.end, sub.end_inclusive),),
+        ranges=tuple(
+            (r.start, r.start_inclusive, r.end, r.end_inclusive) for r in rs
+        ),
         dedup=dedup,
         tombstones=tomb,
     )
@@ -131,8 +137,21 @@ class ShcJoinReader(DataSourceReader):
         if self.how not in ("inner", "left"):
             raise ValueError(f"how must be inner|left, got {self.how!r}")
         self.batch_size = int(options.get("batch_size", 65536))
+        # filter pushdown delegates to the single-table translator: the
+        # two sides share one rowkey encoding, so one translation (on
+        # A's leading key dim) prunes BOTH sides' regions
+        self._delegate = ShcReader(
+            None, {"catalog": options["catalog"], "path": self.path_a}
+        )
+
+    def pushFilters(self, filters):
+        yield from self._delegate.pushFilters(filters)
 
     def partitions(self):
+        hrf = self._delegate.hrf
+        self._delegate.hrf = type(hrf).full()  # pop: per-query state
+        if self.cat_a.salt_buckets and hrf.ranges != type(hrf).full().ranges:
+            hrf = self._delegate._expand_salt(hrf)
         regs_a = _load_regions(self.path_a)
         regs_b = _load_regions(self.path_b)
         cuts = sorted(
@@ -146,9 +165,12 @@ class ShcJoinReader(DataSourceReader):
         parts = []
         for i, lo in enumerate(bounds):
             hi = bounds[i + 1] if i + 1 < len(bounds) else None
+            live = ranges_and(hrf.ranges, [ScanRange(lo, True, hi, False)])
+            if not live:
+                continue  # pruned by pushed rowkey predicates
             sub = ScanRange(lo, True, hi, False)
-            pa_ = _merge_plan(regs_a, sub)
-            pb_ = _merge_plan(regs_b, sub)
+            pa_ = _merge_plan(regs_a, sub, live)
+            pb_ = _merge_plan(regs_b, sub, live)
             if pa_ is None:
                 continue  # no A rows -> no inner/left output
             if pb_ is None and self.how == "inner":
@@ -242,6 +264,7 @@ def colocated_join(
     sub-range). ``how`` is inner or left (A preserved). Column names:
     A's columns as declared; B's value columns, ``_b``-suffixed on
     collision with any A column."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ShcJoinDataSource)
     reader = (
         spark.read.format("shc_join")

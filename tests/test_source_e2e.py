@@ -1646,3 +1646,56 @@ def test_colocated_join_on_salted_tables(spark, tmp_path):
     cbad = cat("bad", 4, {"w": {"cf": "cf", "col": "w", "type": "bigint"}})
     with pytest.raises(Exception, match="saltBuckets"):
         colocated_join(spark, ca, cbad, root=root).collect()
+
+
+def test_colocated_join_filter_pushdown_prunes_subranges(spark, tmp_path):
+    """Rowkey predicates push INTO the join source: one translation on
+    the shared key encoding prunes both sides' regions; inner and left
+    results stay exact under the pruned scan."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from shc_spark.coders import get_coder
+    from shc_spark.filters import HRF, ScanRange
+    from shc_spark.sources import colocated_join, write_table
+    from shc_spark.sources.colocated import ShcJoinReader
+
+    def cat(name, extra):
+        return _json.dumps(
+            {
+                "table": {"namespace": "pp", "name": name, "tableCoder": "OrderedType", "version": "2.0"},
+                "rowkey": "key",
+                "columns": {"k": {"cf": "rowkey", "col": "key", "type": "bigint"}, **extra},
+            }
+        )
+
+    ca = cat("a", {"v": {"cf": "cf", "col": "v", "type": "double"}})
+    cb = cat("b", {"w": {"cf": "cf", "col": "w", "type": "bigint"}})
+    root = str(tmp_path / "pp")
+    A = spark.createDataFrame([(i, float(i)) for i in range(4000)], "k long, v double")
+    B = spark.createDataFrame([(i, i * 2) for i in range(0, 4000, 2)], "k long, w long")
+    write_table(A, ca, root=root, num_regions=8, timestamp=1)
+    write_table(B, cb, root=root, num_regions=8, timestamp=1)
+
+    j = colocated_join(spark, ca, cb, root=root).filter(
+        (F.col("k") >= 1000) & (F.col("k") < 1100)
+    )
+    rows = j.collect()
+    assert len(rows) == 50 and all(1000 <= r.k < 1100 and r.w == r.k * 2 for r in rows)
+
+    coder = get_coder("OrderedType")
+    lo, hi = coder.to_bytes(1000, T.LongType()), coder.to_bytes(1100, T.LongType())
+    r = ShcJoinReader(None, {"catalog": ca, "catalog_b": cb, "root": root})
+    r._delegate.hrf = HRF([ScanRange(lo, True, hi, False)], True)
+    pruned = [p for p in r.partitions() if p.a is not None]
+    r2 = ShcJoinReader(None, {"catalog": ca, "catalog_b": cb, "root": root})
+    full = [p for p in r2.partitions() if p.a is not None]
+    assert len(pruned) < len(full)
+
+    lf = colocated_join(spark, ca, cb, root=root, how="left").filter(
+        F.col("k").between(101, 104)
+    )
+    got = sorted((r.k, r.w) for r in lf.collect())
+    assert got == [(101, None), (102, 204), (103, None), (104, 208)]

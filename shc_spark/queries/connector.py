@@ -833,3 +833,67 @@ def shc_salted_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey",
         F.round("o_totalprice", 2).alias("price"), "o_orderstatus",
     )
+
+
+# batch CDC apply: one appended generation carrying upserts AND
+# tombstones (the Debezium-feed downstream). The oracle reconstructs
+# the post-feed state relationally — updates overlay, deletes drop,
+# inserts append.
+@register(
+    "shc_cdc_apply",
+    """
+    WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    updated AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal + 1000, 2)
+                  ELSE round(c_acctbal, 2) END AS bal
+      FROM base WHERE c_custkey % 13 <> 0),
+    inserted AS (
+      SELECT c_custkey + 1000000 AS c_custkey, 'CDC' AS c_mktsegment,
+             round(0.0, 2) AS bal
+      FROM base WHERE c_custkey % 100 = 0)
+    SELECT * FROM updated UNION ALL SELECT * FROM inserted
+    """,
+)
+def shc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from shc_spark.sources import apply_cdc
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "cust_cdc", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "c_custkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "c_mktsegment": {"cf": "cf", "col": "seg", "type": "string"},
+                "bal": {"cf": "cf", "col": "bal", "type": "double"},
+            },
+        }
+    )
+    root = _root(sf_dir, "custcdc")
+    shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    base = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+    )
+    write_table(base, cat, root=root, num_regions=8, mode="overwrite", timestamp=1000)
+    feed = (
+        base.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("bal", F.round(F.col("bal") + 1000, 2))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            base.filter(F.col("c_custkey") % 13 == 0)
+            .withColumn("op", F.lit("D"))
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") % 100 == 0)
+            .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+            .withColumn("c_mktsegment", F.lit("CDC"))
+            .withColumn("bal", F.round(F.lit(0.0), 2))
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    apply_cdc(spark, cat, feed, root=root, timestamp=2000)
+    return read_table(spark, cat, root=root).select(
+        "c_custkey", "c_mktsegment", F.round("bal", 2).alias("bal")
+    )

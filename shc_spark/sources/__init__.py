@@ -1,4 +1,5 @@
 from shc_spark.sources.api import (
+    apply_cdc,
     bulk_get,
     compact_table,
     count_rows,
@@ -20,6 +21,7 @@ from shc_spark.sources.shc_source import ShcDataSource
 
 __all__ = [
     "SecondaryIndex",
+    "apply_cdc",
     "ShcDataSource",
     "ShcJoinDataSource",
     "colocated_join",

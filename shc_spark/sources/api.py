@@ -1276,6 +1276,73 @@ def delete_rows(
     )
 
 
+def apply_cdc(
+    spark: SparkSession,
+    catalog: str,
+    feed: DataFrame,
+    op_col: str = "op",
+    root: str = DEFAULT_ROOT,
+    timestamp: int | None = None,
+    ts_col: str | None = None,
+) -> None:
+    """Apply a CDC change feed as ONE appended generation: rows with
+    ``op_col`` in (I, U) upsert (HBase Put), rows with D become
+    tombstones (Delete) — the standard downstream of a Debezium-style
+    feed, and the batch twin of the streaming CDC sink. Feed columns:
+    the catalog's columns (key columns mandatory; value columns may be
+    null/absent for deletes) + ``op_col`` + optional ``ts_col``
+    (event-time version stamp per row; otherwise ``timestamp`` or the
+    wall clock stamps the whole batch).
+
+    Order semantics are HBase's, not the feed's: versions resolve by
+    ``__ts`` (latest wins; a tombstone at ts T masks everything at
+    <= T until a newer put). Feeds carrying multiple ops per key in
+    one batch must carry per-row ``ts_col`` to be ordered."""
+    from shc_spark.sources.shc_source import DEL_COL
+
+    cat = parse_catalog(catalog)
+    register(spark)
+    encode, key_names = _rowkey_encoder(cat)
+    ops = F.upper(F.col(op_col))
+    ts = timestamp if timestamp is not None else int(time.time() * 1000)
+    if ts_col is not None:
+        src_dt = feed.schema[ts_col].dataType
+        ts_expr = (
+            F.unix_millis(F.col(ts_col))
+            if isinstance(src_dt, (T.TimestampType, T.TimestampNTZType))
+            else F.col(ts_col).cast("long")
+        )
+    else:
+        ts_expr = F.lit(ts)
+    cols = [f.col_name for f in cat.fields.values()]
+    ups = feed.filter(ops.isin("I", "U")).select(*cols, ts_expr.alias("__cdc_ts"))
+    dels = (
+        feed.filter(ops == "D")
+        .select(*key_names, ts_expr.alias("__cdc_ts"))
+        .withColumn(DEL_COL, F.lit(1).cast("tinyint"))
+    )
+    bad = feed.filter(~ops.isin("I", "U", "D")).limit(1).collect()
+    if bad:
+        raise ValueError(f"apply_cdc: unknown op {bad[0][op_col]!r} (want I/U/D)")
+    for f in cat.fields.values():
+        if f.avro_schema is not None:
+            ups = ups.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
+    out = ups.unionByName(dels, allowMissingColumns=True)
+    out = (
+        out.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
+        .withColumn(TS_COL, F.col("__cdc_ts").cast("long"))
+        .drop("__cdc_ts")
+        .sortWithinPartitions(ROWKEY_COL)
+    )
+    (
+        out.write.format("shc")
+        .mode("append")
+        .option("catalog", catalog)
+        .option("root", root)
+        .save()
+    )
+
+
 def count_rows(
     spark: SparkSession,
     catalog: str,

@@ -1699,3 +1699,46 @@ def test_colocated_join_filter_pushdown_prunes_subranges(spark, tmp_path):
     )
     got = sorted((r.k, r.w) for r in lf.collect())
     assert got == [(101, None), (102, 204), (103, None), (104, 208)]
+
+
+def test_apply_cdc_ops_ordering_and_rejection(spark, tmp_path):
+    """CDC apply: upserts + tombstones in one generation; per-row
+    ts_col orders multiple ops on one key (delete then later re-insert
+    resurrects); unknown ops are refused."""
+    import json as _json
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.sources import apply_cdc, read_table, write_table
+
+    cat = _json.dumps(
+        {
+            "table": {"namespace": "c", "name": "cdc2", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "v": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path / "cdc2")
+    base = spark.createDataFrame([(i, float(i)) for i in range(50)], "k long, v double")
+    write_table(base, cat, root=root, num_regions=4, timestamp=1000)
+    feed = spark.createDataFrame(
+        [
+            (3, None, "D", 2000),   # delete...
+            (3, 333.0, "I", 3000),  # ...then re-insert later: resurrects
+            (4, 444.0, "U", 2000),
+            (5, None, "D", 2000),
+        ],
+        "k long, v double, op string, ts long",
+    )
+    apply_cdc(spark, cat, feed, root=root, ts_col="ts")
+    out = {r.k: r.v for r in read_table(spark, cat, root=root).collect()}
+    assert out[3] == 333.0 and out[4] == 444.0 and 5 not in out
+    assert len(out) == 49
+    bad = spark.createDataFrame([(1, 1.0, "X", 1)], "k long, v double, op string, ts long")
+    with pytest.raises(ValueError, match="unknown op"):
+        apply_cdc(spark, cat, bad, root=root, ts_col="ts")

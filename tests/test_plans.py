@@ -184,3 +184,31 @@ def test_bloom_semi_join_broadcasts_verification(plans):
     # the (small, distinct) key set
     p = plans("q_bloom_semi_join")
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+
+
+def test_colocated_join_plan_has_no_exchange(plans):
+    # the join happens inside the scan: zero shuffles whatever Catalyst
+    # does above it
+    assert "Exchange" not in plans("shc_colocated_join")
+
+
+def test_remove_boilerplate_rewrite_is_shuffle_free(plans):
+    # dictionary built in a separate job; the rewrite plan itself is a
+    # pure scan+project
+    assert "Exchange" not in plans("text_remove_boilerplate")
+
+
+def test_zorder_box_filter_pushes_base_bounds(plans):
+    # the exact per-dimension bounds reach the parquet scan; the
+    # z-range membership stays above as one exists() over a literal
+    p = plans("q_zorder_box")
+    assert "Exchange" not in p
+    assert "GreaterThanOrEqual(l_partkey,100)" in p or "PushedFilters" in p, p
+
+
+def test_substring_spans_shuffles_are_bounded(plans):
+    # hash groupBy + left-semi join + per-doc window + final agg:
+    # a fixed shuffle set, never a cross join or nested loop
+    p = plans("dedup_substring_spans")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange") <= 5, p

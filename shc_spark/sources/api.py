@@ -302,6 +302,22 @@ def write_table(
             num_regions = 8
         if num_regions <= 3:
             raise ValueError("new tables need num_regions > 3 (reference `newtable` rule)")
+    elif mode == "append":
+        # appends may narrow the catalog, but the SALT is part of the
+        # physical key encoding: a mismatched append would interleave
+        # keys salted two different ways into one table
+        stored = _stored_catalog_json(path)
+        if stored is not None:
+            import json as _json
+
+            stored_salt = int(
+                _json.loads(stored).get("table", {}).get("saltBuckets", 0) or 0
+            )
+            if stored_salt != cat.salt_buckets:
+                raise ValueError(
+                    f"append saltBuckets={cat.salt_buckets} does not match "
+                    f"the table's saltBuckets={stored_salt}"
+                )
 
     register(df.sparkSession)
     encode, key_names = _rowkey_encoder(cat)
@@ -438,7 +454,15 @@ def _same_catalog(a: str, b: str) -> bool:
     import json as _json
 
     da, db = _json.loads(a), _json.loads(b)
-    return da.get("columns") == db.get("columns") and da.get("rowkey") == db.get("rowkey")
+    salt = lambda d: int(d.get("table", {}).get("saltBuckets", 0) or 0)  # noqa: E731
+    # saltBuckets is part of the PHYSICAL key encoding: a catalog that
+    # differs only there must NOT take the same-catalog fast path (its
+    # unexpanded ranges would silently miss salted keys)
+    return (
+        da.get("columns") == db.get("columns")
+        and da.get("rowkey") == db.get("rowkey")
+        and salt(da) == salt(db)
+    )
 
 
 def read_table(

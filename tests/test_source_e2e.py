@@ -1742,3 +1742,38 @@ def test_apply_cdc_ops_ordering_and_rejection(spark, tmp_path):
     bad = spark.createDataFrame([(1, 1.0, "X", 1)], "k long, v double, op string, ts long")
     with pytest.raises(ValueError, match="unknown op"):
         apply_cdc(spark, cat, bad, root=root, ts_col="ts")
+
+
+def test_salt_mismatch_guards(spark, tmp_path):
+    """saltBuckets is part of the physical key encoding: a catalog
+    differing only there must not take the same-catalog read fast path
+    (filtered reads stay correct via the cross-catalog route), and a
+    mismatched append is refused outright."""
+    import json as _json
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.sources import read_table, write_table
+
+    def cat(salt):
+        d = {
+            "table": {"namespace": "g", "name": "sg", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "v": {"cf": "cf", "col": "v", "type": "int"},
+            },
+        }
+        if salt:
+            d["table"]["saltBuckets"] = salt
+        return _json.dumps(d)
+
+    root = str(tmp_path / "sg")
+    df = spark.createDataFrame([(i, i) for i in range(300)], "k long, v int")
+    write_table(df, cat(8), root=root, num_regions=4, timestamp=1)
+    out = read_table(spark, cat(0), root=root).filter(F.col("k").between(10, 20))
+    assert out.count() == 11
+    with pytest.raises(ValueError, match="saltBuckets"):
+        write_table(df, cat(0), root=root, mode="append", timestamp=2)

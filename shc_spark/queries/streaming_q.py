@@ -429,3 +429,63 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.streaming.events import run_stream_topk
 
     return run_stream_topk(spark, sf_dir, k=5)
+
+
+# streaming CDC SINK (the twin of the batch apply_cdc and the CDC
+# source): a change feed drains through the exactly-once sink as puts
+# + tombstones, versioned by per-row event time (event_id here — a
+# unique deterministic stamp). The oracle reconstructs the final state
+# relationally: the newest put above each key's newest tombstone wins.
+@register(
+    "stream_cdc_sink",
+    """
+    WITH f AS (
+      SELECT user_id, event_id, value,
+             CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM events),
+    tomb AS (SELECT user_id, max(event_id) AS dmax FROM f
+             WHERE op = 'D' GROUP BY user_id),
+    puts AS (SELECT f.user_id, f.event_id, f.value
+             FROM f LEFT JOIN tomb USING (user_id)
+             WHERE f.op = 'U' AND f.event_id > coalesce(tomb.dmax, -1))
+    SELECT user_id, round(max_by(value, event_id), 2) AS value
+    FROM puts GROUP BY user_id
+    """,
+)
+def stream_cdc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.queries.connector import _root
+    from shc_spark.sources import read_table, write_stream_cdc
+    from shc_spark.streaming import stream_events
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "cdcsink", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "user_id": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "value": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = _root(sf_dir, "cdcsink")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(f"{root}_ckpt", ignore_errors=True)
+    feed = stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 17 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    q = write_stream_cdc(
+        feed, cat, op_col="op", root=root, checkpoint=f"{root}_ckpt", ts_col="event_id"
+    )
+    q.processAllAvailable()
+    q.stop()
+    return read_table(spark, cat, root=root).select(
+        "user_id", F.round("value", 2).alias("value")
+    )

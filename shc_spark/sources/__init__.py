@@ -12,6 +12,7 @@ from shc_spark.sources.api import (
     read_table,
     register,
     vacuum_table,
+    write_stream_cdc,
     write_stream_table,
     write_table,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "read_table",
     "register",
     "vacuum_table",
+    "write_stream_cdc",
     "write_stream_table",
     "write_table",
 ]

@@ -1153,6 +1153,71 @@ def write_stream_table(
     return writer.start()
 
 
+def write_stream_cdc(
+    stream_df: DataFrame,
+    catalog: str,
+    op_col: str = "op",
+    root: str = DEFAULT_ROOT,
+    checkpoint: str | None = None,
+    ts_col: str | None = None,
+):
+    """Streaming CDC SINK: drain a change feed (op I/U/D) into an shc
+    table — upserts as puts, deletes as tombstone rows — through the
+    exactly-once streaming sink (manifest commit per (txn, batchId), a
+    restarted micro-batch replaces its own output). The streaming twin
+    of ``apply_cdc``; version semantics are identical (latest ``__ts``
+    wins, a tombstone masks <= its ts, a later put resurrects), so
+    per-row ``ts_col`` event time makes multi-op keys order correctly
+    across micro-batches. Returns the started StreamingQuery."""
+    from shc_spark.sources.shc_source import DEL_COL
+
+    spark = stream_df.sparkSession
+    cat = parse_catalog(catalog)
+    register(spark)
+    encode, key_names = _rowkey_encoder(cat)
+    ops = F.upper(F.col(op_col))
+    if ts_col is not None:
+        src_dt = stream_df.schema[ts_col].dataType
+        ts_expr = (
+            F.unix_millis(F.col(ts_col))
+            if isinstance(src_dt, (T.TimestampType, T.TimestampNTZType))
+            else F.col(ts_col).cast("long")
+        )
+    else:
+        ts_expr = F.lit(int(time.time() * 1000))
+    cols = [f.col_name for f in cat.fields.values()]
+    ups = stream_df.filter(ops.isin("I", "U")).select(
+        *cols, ts_expr.alias("__cdc_ts")
+    )
+    dels = (
+        stream_df.filter(ops == "D")
+        .select(*key_names, ts_expr.alias("__cdc_ts"))
+        .withColumn(DEL_COL, F.lit(1).cast("tinyint"))
+    )
+    for f in cat.fields.values():
+        if f.avro_schema is not None:
+            ups = ups.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
+    out = ups.unionByName(dels, allowMissingColumns=True)
+    out = (
+        out.withColumn(ROWKEY_COL, encode(*[F.col(k) for k in key_names]))
+        .withColumn(TS_COL, F.col("__cdc_ts").cast("long"))
+        .drop("__cdc_ts")
+    )
+    writer = (
+        out.writeStream.format("shc")
+        .option("catalog", catalog)
+        .option("root", root)
+        .outputMode("append")
+    )
+    if checkpoint:
+        txnid = os.path.abspath(checkpoint)
+        writer = writer.option("checkpointLocation", checkpoint)
+    else:
+        txnid = uuid.uuid4().hex
+    writer = writer.option("txnid", txnid)
+    return writer.start()
+
+
 def compact_table(
     spark: SparkSession,
     catalog: str,

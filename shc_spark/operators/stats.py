@@ -259,9 +259,15 @@ def equi_depth_buckets(
             yield out
 
     out = sorted_df.mapInPandas(emit, schema=f"id {df.schema[id_col].dataType.simpleString()}, v {df.schema[value_col].dataType.simpleString()}, bucket long")
-    # the cache MUST stay alive until the returned DataFrame executes
-    # (same contract as pack.py): repartitionByRange samples its range
-    # boundaries per materialization, so an unpersisted recompute could
-    # place rows in different partitions than the counts job saw and
-    # silently corrupt the global ranks.
-    return out.withColumnRenamed("id", id_col).withColumnRenamed("v", value_col)
+    out = out.withColumnRenamed("id", id_col).withColumnRenamed("v", value_col)
+    # The cached sort MUST back every materialization of `out`
+    # (repartitionByRange samples range boundaries per run, so an
+    # uncached recompute could place rows differently than the counts
+    # job saw and corrupt the global ranks) — but leaving it cached for
+    # the session lifetime leaks executor memory across calls. An
+    # EAGER localCheckpoint pins the finished assignment (MEMORY_AND_
+    # DISK, spill-safe, same size as the output) and cuts the lineage
+    # back to the cache, which is then safe to release.
+    out = out.localCheckpoint(eager=True)
+    sorted_df.unpersist()
+    return out

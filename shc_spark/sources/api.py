@@ -1175,7 +1175,7 @@ def write_stream_cdc(
     cat = parse_catalog(catalog)
     register(spark)
     encode, key_names = _rowkey_encoder(cat)
-    ops = F.upper(F.col(op_col))
+    ops = _validated_cdc_op(op_col, "write_stream_cdc")
     if ts_col is not None:
         src_dt = stream_df.schema[ts_col].dataType
         ts_expr = (
@@ -1365,6 +1365,24 @@ def delete_rows(
     )
 
 
+def _validated_cdc_op(op_col: str, where: str):
+    """Uppercased op column that RAISES at evaluation time on any op
+    outside I/U/D — validation rides inside the single write pass (no
+    separate scan of the feed, works in streaming plans where a
+    collect()-based pre-check cannot), so a typo'd op code fails the
+    job instead of silently dropping the row."""
+    ops = F.upper(F.col(op_col))
+    return F.when(ops.isin("I", "U", "D"), ops).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{where}: unknown op "),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                F.lit(" (want I/U/D)"),
+            )
+        )
+    )
+
+
 def apply_cdc(
     spark: SparkSession,
     catalog: str,
@@ -1392,7 +1410,7 @@ def apply_cdc(
     cat = parse_catalog(catalog)
     register(spark)
     encode, key_names = _rowkey_encoder(cat)
-    ops = F.upper(F.col(op_col))
+    ops = _validated_cdc_op(op_col, "apply_cdc")
     ts = timestamp if timestamp is not None else int(time.time() * 1000)
     if ts_col is not None:
         src_dt = feed.schema[ts_col].dataType
@@ -1410,9 +1428,6 @@ def apply_cdc(
         .select(*key_names, ts_expr.alias("__cdc_ts"))
         .withColumn(DEL_COL, F.lit(1).cast("tinyint"))
     )
-    bad = feed.filter(~ops.isin("I", "U", "D")).limit(1).collect()
-    if bad:
-        raise ValueError(f"apply_cdc: unknown op {bad[0][op_col]!r} (want I/U/D)")
     for f in cat.fields.values():
         if f.avro_schema is not None:
             ups = ups.withColumn(f.col_name, _avro_encode_udf(f)(F.col(f.col_name)))
@@ -1451,7 +1466,13 @@ def count_rows(
     path = _os.path.join(root, f"{cat.namespace}.{cat.name}")
     if _merge_is_noop(path):
         regions = _json.load(open(_os.path.join(path, "_regions.json")))
-        return sum(int(r.get("rows", 0)) for r in regions)
+        # A single-generation table can still carry tombstones (a CDC
+        # feed of inserts + deletes over disjoint unique keys passes
+        # _merge_is_noop): recorded region row counts INCLUDE the
+        # tombstone rows, which are not live — only the tombstone-free
+        # case may answer from metadata.
+        if not any(r.get("tombstones") for r in regions):
+            return sum(int(r.get("rows", 0)) for r in regions)
     return read_table(spark, catalog, root=root).count()
 
 

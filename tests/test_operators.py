@@ -1405,6 +1405,30 @@ def test_equi_depth_buckets_matches_ntile_any_partitioning(spark):
         assert got == want, (n, b, parts)
 
 
+def test_equi_depth_buckets_releases_input_cache(spark):
+    """ADVICE r4 #4: the internal sorted-input cache must not outlive
+    the call (session-lifetime executor-memory leak across repeated
+    calls). The result is pinned by an eager localCheckpoint (so
+    re-materialization can never re-sample range boundaries), and the
+    input cache is released: at most the one checkpoint RDD is newly
+    persistent, and a second collect still matches ntile exactly."""
+    from pyspark.sql import Window
+
+    from shc_spark.operators import stats
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 13 % 7).alias("v"))
+    out = stats.equi_depth_buckets(df, "v", "id", 5)
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before + 1, f"leaked cache: {before} -> {after}"
+    w = Window.orderBy("v", "id")
+    want = {r.id: r.nt for r in df.withColumn("nt", F.ntile(5).over(w)).collect()}
+    for _ in range(2):  # repeated materialization stays stable
+        got = {r.id: r.bucket for r in out.collect()}
+        assert got == want
+
+
 def test_weighted_sample_biases_toward_heavy_rows(spark):
     from shc_spark.operators import text as T
 

@@ -1610,6 +1610,37 @@ def test_count_rows_metadata_fast_path_and_fallback(spark, tmp_path):
     assert count_rows(spark, cat, root=root) == 775
 
 
+def test_count_rows_fresh_cdc_table_excludes_tombstones(spark, tmp_path):
+    """A FRESH table written by one apply_cdc batch (sorted unique
+    keys, disjoint regions) satisfies the metadata fast path's
+    uniqueness proof while still carrying tombstone rows — region
+    'rows' counts include them, so the fast path must decline and the
+    count must equal the live read_table count (ADVICE r4 #1)."""
+    import json as _json
+
+    from shc_spark.sources import apply_cdc, count_rows, read_table
+
+    cat = _json.dumps(
+        {
+            "table": {"namespace": "c", "name": "cnttomb", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "v": {"cf": "cf", "col": "v", "type": "int"},
+            },
+        }
+    )
+    root = str(tmp_path / "cnttomb")
+    feed = spark.createDataFrame(
+        [(1, 10, "I"), (2, 20, "I"), (3, 30, "I"), (4, 40, "I"), (5, 50, "I"),
+         (6, None, "D"), (7, None, "D")],
+        "k long, v int, op string",
+    )
+    apply_cdc(spark, cat, feed, root=root, timestamp=1000)
+    assert read_table(spark, cat, root=root).count() == 5
+    assert count_rows(spark, cat, root=root) == 5
+
+
 def test_colocated_join_on_salted_tables(spark, tmp_path):
     """Hotspot-free co-located join: two tables salted with the SAME
     bucket count salt identically, so the source-level join still
@@ -1739,9 +1770,18 @@ def test_apply_cdc_ops_ordering_and_rejection(spark, tmp_path):
     out = {r.k: r.v for r in read_table(spark, cat, root=root).collect()}
     assert out[3] == 333.0 and out[4] == 444.0 and 5 not in out
     assert len(out) == 49
+    # validation is INLINE in the single write pass (no separate scan
+    # of the feed): the bad op raises at execution time, and nothing
+    # may have landed in the table
+    n_before = read_table(spark, cat, root=root).count()
     bad = spark.createDataFrame([(1, 1.0, "X", 1)], "k long, v double, op string, ts long")
-    with pytest.raises(ValueError, match="unknown op"):
+    with pytest.raises(Exception, match="unknown op"):
         apply_cdc(spark, cat, bad, root=root, ts_col="ts")
+    assert read_table(spark, cat, root=root).count() == n_before
+    # a NULL op is also an error, not a silent drop
+    nul = spark.createDataFrame([(1, 1.0, None, 1)], "k long, v double, op string, ts long")
+    with pytest.raises(Exception, match="unknown op"):
+        apply_cdc(spark, cat, nul, root=root, ts_col="ts")
 
 
 def test_salt_mismatch_guards(spark, tmp_path):

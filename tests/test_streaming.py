@@ -583,3 +583,44 @@ def test_stream_incremental_dedup_equals_batch_rule(spark):
     }
     expect = {r["doc_id"] for r in docs.select("doc_id").collect()} - dropped
     assert got == expect and got
+
+
+def test_write_stream_cdc_rejects_unknown_ops(spark, tmp_path):
+    """The streaming CDC sink must FAIL on an op outside I/U/D, not
+    silently drop the row (ADVICE r4 #2): validation rides inside the
+    write pass as a raise_error expression, mirroring apply_cdc."""
+    import pytest
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from shc_spark.sources import write_stream_cdc
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "s", "name": "cdcbad", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "v": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    feed_dir = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, 1.0, "I", 10), (2, 2.0, "X", 20)],
+        "k long, v double, op string, ts long",
+    ).coalesce(1).write.parquet(feed_dir)
+    stream = (
+        spark.readStream.schema("k long, v double, op string, ts long")
+        .parquet(feed_dir)
+    )
+    q = write_stream_cdc(
+        stream, cat, op_col="op",
+        root=str(tmp_path / "tables"), checkpoint=str(tmp_path / "ckpt"),
+        ts_col="ts",
+    )
+    with pytest.raises(StreamingQueryException, match="unknown op"):
+        q.processAllAvailable()
+        if q.exception() is not None:
+            raise q.exception()
+    q.stop()

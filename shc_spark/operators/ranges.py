@@ -1,0 +1,148 @@
+"""Binned range (interval) join: points ⋈ intervals on
+``start <= point <= end`` without a nested-loop join.
+
+Spark has no native range join: a plain non-equi condition plans as
+BroadcastNestedLoopJoin (O(N·M) comparisons, and only if one side
+fits in a broadcast) or a cartesian product. The classic scale-out
+rewrite is BINNING: pick a width W, give every point the single bin
+``floor(p/W)``, explode every interval to the bins it touches
+(``floor(s/W) .. floor(e/W)``), and equi-join on the bin — Catalyst
+plans a normal shuffled/broadcast hash join — then re-check the exact
+range predicate. Each qualifying (point, interval) pair meets in
+EXACTLY one bin (the point's), so no dedup pass is needed.
+
+Scale shape:
+- the only shuffle is the bin (+ optional key) equi-join; both sides
+  stay columnar and codegen'd end-to-end — no Python in the path;
+- W is derived from the 75th-percentile interval span when not given,
+  so a typical interval explodes to ~1-2 bins (the fan-out IS the
+  cost knob, and it is measured, not guessed);
+- outlier-long intervals would explode to thousands of bins each;
+  intervals spanning more than ``long_interval_bins`` bins are split
+  off and joined via a bounded BROADCAST non-equi join instead (they
+  are few by construction — a count guard refuses the pathological
+  case rather than silently planning a giant explode).
+
+Reference parity note: the reference connector has no range join;
+this is a pipeline-layer operator (SURVEY §2.3 "delegated relational
+surface" extension), same family as the as-of join in
+queries/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_num(df: DataFrame, col: str) -> tuple[Column, bool]:
+    """Numeric image of a column (timestamps -> epoch micros,
+    dates -> epoch days). Returns (column, is_integral)."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(F.col(col)), True
+    if isinstance(dt, T.DateType):
+        return F.unix_date(F.col(col)).cast("long"), True
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return F.col(col).cast("long"), True
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return F.col(col).cast("double"), False
+    raise TypeError(f"range_join: unsupported type {dt} for column {col}")
+
+
+def _int_floordiv(col: Column, w: int) -> Column:
+    """Exact floor(col / w) for integral columns. Spark's integer
+    `div` truncates toward ZERO (wrong bin for negatives) and `/`
+    routes through double (loses exactness above 2^53, i.e. for
+    epoch-micros-scale values near the boundary): subtracting
+    ``pmod(col, w)`` (always in [0, w)) makes the value an exact
+    multiple, whose division IS the true floor."""
+    wl = F.lit(int(w)).cast("long")
+    c = col.cast("long")
+    return ((c - F.pmod(c, wl)) / wl).cast("long")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: list[str] | None = None,
+    bin_width: int | float | None = None,
+    long_interval_bins: int = 64,
+    max_long_intervals: int = 100_000,
+) -> DataFrame:
+    """Inner range join: every (point row, interval row) pair with
+    ``start <= point <= end`` (closed on both ends) and equal values
+    on the optional ``on`` key columns (present on both sides).
+    Output columns: all point columns, then the interval's non-key
+    columns (names must not clash — rename before joining).
+
+    ``bin_width`` is in the column's numeric unit (micros for
+    timestamps, days for dates); when None it is derived from the
+    75th-percentile interval span (one tiny aggregate job)."""
+    on = list(on or [])
+    clash = (set(points.columns) & set(intervals.columns)) - set(on)
+    if clash:
+        raise ValueError(f"range_join: overlapping non-key columns {sorted(clash)}")
+
+    p_num, p_int = _as_num(points, point_col)
+    s_num, s_int = _as_num(intervals, start_col)
+    e_num, e_int = _as_num(intervals, end_col)
+    integral = p_int and s_int and e_int
+
+    pts = points.withColumn("__p", p_num)
+    ivs = (
+        intervals.withColumn("__s", s_num)
+        .withColumn("__e", e_num)
+        .filter(F.col("__s") <= F.col("__e"))
+    )
+
+    if bin_width is None:
+        row = ivs.select(
+            F.expr("approx_percentile(__e - __s, 0.75)").alias("w")
+        ).first()
+        bin_width = row["w"] if row and row["w"] else 1
+        bin_width = max(int(bin_width), 1) if integral else max(float(bin_width), 1e-9)
+    if bin_width <= 0:
+        raise ValueError("range_join: bin_width must be > 0")
+
+    def bins(c: Column) -> Column:
+        if integral:
+            return _int_floordiv(c, int(bin_width))
+        return F.floor(c / F.lit(float(bin_width))).cast("long")
+
+    exact = (F.col("__p") >= F.col("__s")) & (F.col("__p") <= F.col("__e"))
+    span_bins = bins(F.col("__e")) - bins(F.col("__s")) + 1
+    short_iv = ivs.filter(span_bins <= long_interval_bins)
+    long_iv = ivs.filter(span_bins > long_interval_bins)
+
+    # Short intervals: explode to touched bins, equi-join on the bin.
+    exploded = short_iv.withColumn(
+        "__bin", F.explode(F.sequence(bins(F.col("__s")), bins(F.col("__e"))))
+    )
+    binned_pts = pts.withColumn("__bin", bins(F.col("__p")))
+    matched = binned_pts.join(exploded, on=["__bin", *on]).filter(exact).drop("__bin")
+
+    # Outlier-long intervals: few by construction — broadcast them
+    # through the exact non-equi join (a bounded nested loop over a
+    # tiny side is the RIGHT plan there; exploding them is not). The
+    # count guard refuses the pathological case where "few" is false.
+    n_long = len(long_iv.select(F.lit(1)).limit(max_long_intervals + 1).collect())
+    if n_long > max_long_intervals:
+        raise ValueError(
+            f"range_join: more than {max_long_intervals} intervals span > "
+            f"{long_interval_bins} bins at bin_width={bin_width}; raise "
+            "bin_width (fewer, fatter bins) or long_interval_bins"
+        )
+    if n_long:
+        liv = F.broadcast(long_iv)
+        cond = exact
+        for k in on:
+            cond = cond & (pts[k] == long_iv[k])
+        long_matched = pts.join(liv, cond).drop(*(long_iv[k] for k in on))
+        matched = matched.unionByName(long_matched)
+
+    return matched.drop("__p", "__s", "__e")

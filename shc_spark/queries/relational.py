@@ -1999,3 +1999,37 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("price"),
         )
     )
+
+
+# binned range join (operators/ranges.py): clicks counted into 2-hour
+# interval windows opened by a deterministic subset of purchases — a
+# NON-equi join with no equi key at all, the case Spark would plan as
+# BroadcastNestedLoopJoin; the operator rewrites it as a bin equi-join
+# + exact re-filter. The oracle is DuckDB's plain non-equi join.
+@register(
+    "q_range_join_binned",
+    """
+    WITH iv AS (SELECT event_id AS interval_id, ts AS s,
+                       ts + INTERVAL 2 HOUR AS e
+                FROM events
+                WHERE event_type = 'purchase' AND event_id % 13 = 0),
+         c AS (SELECT ts FROM events WHERE event_type = 'click')
+    SELECT iv.interval_id, count(*) AS n_clicks
+    FROM iv JOIN c ON c.ts >= iv.s AND c.ts <= iv.e
+    GROUP BY iv.interval_id
+    """,
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators.ranges import range_join
+
+    ev = _events(spark, sf_dir)
+    iv = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 13 == 0)
+    ).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("ts")
+    pairs = range_join(clicks, iv, "ts", "s", "e")
+    return pairs.groupBy("interval_id").agg(F.count(F.lit(1)).alias("n_clicks"))

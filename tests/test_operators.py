@@ -1974,3 +1974,87 @@ def test_token_budget_sample_never_exceeds_budget(spark):
     again = {(r.doc_id,) for r in
              text.token_budget_sample(df, "source", "doc_id", {"src0": 40, "src1": 25}).collect()}
     assert again == {(r.doc_id,) for r in got}
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Binned range join == brute-force non-equi join for random
+    points/intervals: with and without equi keys, negative values
+    (floor-division bins, not truncate-toward-zero), boundary-exact
+    multiples of the bin width, and outlier-long intervals routed
+    through the broadcast branch."""
+    import random
+
+    from shc_spark.operators.ranges import range_join
+
+    rng = random.Random(42)
+    pts_rows = [(i, rng.randint(-500, 500), rng.randint(0, 3)) for i in range(400)]
+    iv_rows = []
+    for j in range(80):
+        s = rng.randint(-500, 480)
+        span = rng.choice([0, 1, 7, 20, 950])  # 950 -> long-interval branch
+        iv_rows.append((j, s, s + span, rng.randint(0, 3)))
+    pts = spark.createDataFrame(pts_rows, "pid long, p long, k int")
+    ivs = spark.createDataFrame(iv_rows, "iid long, s long, e long, k int")
+
+    def brute(with_key):
+        out = set()
+        for pid, p, pk in pts_rows:
+            for iid, s, e, ik in iv_rows:
+                if s <= p <= e and (not with_key or pk == ik):
+                    out.add((pid, iid))
+        return out
+
+    for with_key in (False, True):
+        a = pts if with_key else pts.drop("k")
+        b = ivs if with_key else ivs.drop("k")
+        got = {
+            (r.pid, r.iid)
+            for r in range_join(
+                a, b, "p", "s", "e",
+                on=["k"] if with_key else None,
+                bin_width=8, long_interval_bins=16,
+            ).collect()
+        }
+        assert got == brute(with_key), f"with_key={with_key}"
+
+    # exact bin-boundary values (multiples of the width)
+    pts2 = spark.createDataFrame([(1, -16), (2, -8), (3, 0), (4, 8), (5, 16)], "pid long, p long")
+    ivs2 = spark.createDataFrame([(1, -16, 0), (2, 0, 16), (3, 8, 8)], "iid long, s long, e long")
+    got2 = {
+        (r.pid, r.iid)
+        for r in range_join(pts2, ivs2, "p", "s", "e", bin_width=8).collect()
+    }
+    assert got2 == {(1, 1), (2, 1), (3, 1), (3, 2), (4, 2), (4, 3), (5, 2)}
+
+
+def test_range_join_timestamps_and_guards(spark):
+    """Timestamp columns bin on epoch micros; derived bin width works;
+    the long-interval count guard refuses a pathological explode; the
+    binned path plans equi hash joins (no nested loop, no cartesian)."""
+    import pytest
+
+    from shc_spark.operators.ranges import range_join
+
+    pts = spark.sql("""
+        SELECT id AS pid, timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0, CAST(id AS INT), 0) AS t
+        FROM range(0, 600)
+    """)
+    ivs = spark.sql("""
+        SELECT id AS iid,
+               timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0, CAST(id*37 % 600 AS INT), 0) AS s,
+               timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0, CAST(id*37 % 600 + 45 AS INT), 0) AS e
+        FROM range(0, 40)
+    """)
+    out = range_join(pts, ivs, "t", "s", "e")  # derived width ~45 min
+    brute = pts.join(ivs, (F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+    assert {(r.pid, r.iid) for r in out.collect()} == {
+        (r.pid, r.iid) for r in brute.collect()
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    with pytest.raises(ValueError, match="intervals span"):
+        range_join(
+            pts, ivs, "t", "s", "e",
+            bin_width=1_000, long_interval_bins=2, max_long_intervals=3,
+        )

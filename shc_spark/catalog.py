@@ -212,6 +212,10 @@ class Catalog:
     max_split: str = "zzzzzz"
     has_split_hints: bool = False  # explicit min/maxTableSplitPoint given
     salt_buckets: int = 0  # Phoenix SALT_BUCKETS analog; 0 = unsalted
+    # HBase per-column-family TTL (HColumnDescriptor.setTimeToLive):
+    # cf -> seconds. Cells whose __ts is older than now - ttl are
+    # invisible to reads and purged by major compaction.
+    ttl: dict = dc_field(default_factory=dict)
 
     @property
     def full_name(self) -> str:
@@ -248,6 +252,23 @@ def parse_catalog(catalog_json: str | dict, numReg: int = 0) -> Catalog:
     salt_buckets = int(table.get("saltBuckets", 0) or 0)
     if not (0 <= salt_buckets <= 256):
         raise ValueError(f"saltBuckets must be in [0, 256], got {salt_buckets}")
+
+    # per-family TTL: {"ttl": {"cf1": seconds, ...}} or a bare number
+    # applying to every value family (HBase's per-family
+    # TimeToLive; rowkey dimensions never expire)
+    ttl_raw = table.get("ttl")
+    known_cfs = {spec["cf"] for spec in cols.values() if spec["cf"] != "rowkey"}
+    if ttl_raw is None:
+        ttl = {}
+    elif isinstance(ttl_raw, dict):
+        ttl = {cf: int(s) for cf, s in ttl_raw.items()}
+    else:
+        ttl = {cf: int(ttl_raw) for cf in known_cfs}
+    for cf, s in ttl.items():
+        if cf == "rowkey" or cf not in known_cfs:
+            raise ValueError(f"ttl names unknown column family {cf!r}")
+        if s <= 0:
+            raise ValueError(f"ttl for family {cf!r} must be > 0 seconds")
 
     fields: dict[str, Field] = {}
     coders_seen: set[str] = set()
@@ -301,6 +322,7 @@ def parse_catalog(catalog_json: str | dict, numReg: int = 0) -> Catalog:
             "minTableSplitPoint" in params or "maxTableSplitPoint" in params
         ),
         salt_buckets=salt_buckets,
+        ttl=ttl,
     )
 
 

@@ -897,3 +897,53 @@ def shc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, cat, root=root).select(
         "c_custkey", "c_mktsegment", F.round("bal", 2).alias("bal")
     )
+
+
+# Per-family TTL (HBase HColumnDescriptor.setTimeToLive; PARITY.md
+# extends S15 time semantics): events land as one row-version each
+# with __ts = the event's own time; family "fa" (the value cell)
+# expires after 7 days while family "fb" (the user_id cell) never
+# does — reading "as of" the newest event must blank exactly the
+# value cells older than the horizon and keep every row alive via its
+# non-expiring cell. Both sides compute the horizon from the data
+# (max ts), so the gate is deterministic per scale factor.
+@register(
+    "shc_ttl_read",
+    """
+    SELECT event_id,
+           user_id,
+           CASE WHEN epoch_ms(ts) >= epoch_ms((SELECT max(ts) FROM events)) - 604800000
+                THEN round(value, 2) END AS value
+    FROM events
+    """,
+)
+def shc_ttl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from shc_spark.queries.relational import _events
+    from shc_spark.sources import apply_cdc
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "q", "name": "evttl", "tableCoder": "OrderedType", "version": "2.0", "ttl": {"fa": 604800}},
+            "rowkey": "key",
+            "columns": {
+                "event_id": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "value": {"cf": "fa", "col": "v", "type": "double"},
+                "user_id": {"cf": "fb", "col": "u", "type": "bigint"},
+            },
+        }
+    )
+    root = _root(sf_dir, "evttl")
+    ev = _events(spark, sf_dir)
+    if not os.path.exists(os.path.join(root, "q.evttl", "_regions.json")):
+        shutil.rmtree(root, ignore_errors=True)
+        feed = ev.select(
+            "event_id", "value", "user_id",
+            F.lit("I").alias("op"), F.col("ts").alias("evt"),
+        )
+        apply_cdc(spark, cat, feed, root=root, ts_col="evt")
+    now_ms = ev.select(F.unix_millis(F.max("ts"))).first()[0]
+    return read_table(spark, cat, root=root, ttl_now_ms=now_ms).select(
+        "event_id", "user_id", F.round("value", 2).alias("value")
+    )

@@ -478,6 +478,7 @@ def read_table(
     keep_internal: bool = False,
     restrictive: str = "column",
     reader_options: dict | None = None,
+    ttl_now_ms: int | None = None,
 ) -> DataFrame:
     """Read an shc table back as a DataFrame with the catalog schema.
 
@@ -504,7 +505,23 @@ def read_table(
 
     table_dir = _os.path.join(root, f"{cat.namespace}.{cat.name}")
     stored = _stored_catalog_json(table_dir)
+    # TTL is a property of the PHYSICAL table (HBase sets it on the
+    # column family descriptor, not on the reader): the stored
+    # catalog's ttl wins when present; a reader-side catalog may also
+    # declare it (e.g. before the first write records the catalog).
+    _ttl = (parse_catalog(stored).ttl if stored else {}) or cat.ttl
+    if _ttl:
+        _ttl_cut = {
+            cf: (ttl_now_ms if ttl_now_ms is not None else int(time.time() * 1000))
+            - int(secs) * 1000
+            for cf, secs in _ttl.items()
+        }
     if stored is not None and not _same_catalog(stored, catalog):
+        if _ttl:
+            raise ValueError(
+                "TTL-bearing tables do not support cross-catalog reads yet; "
+                "read with the stored catalog"
+            )
         if merge_dynamic_maps:
             raise ValueError(
                 "merge_dynamic_maps applies to same-catalog map columns; "
@@ -534,6 +551,7 @@ def read_table(
     value_fields_ = [f for f in cat.fields.values() if not f.is_rowkey]
     in_source_merge = (
         merge_to_latest
+        and not _ttl  # expiry must null cells BEFORE version merge
         and max_versions is None
         and timestamp is None
         and min_stamp is None
@@ -599,6 +617,19 @@ def read_table(
             )
             .drop(_DC, "__tomb")
         )
+    # Per-family TTL (HColumnDescriptor.setTimeToLive): a cell older
+    # than now - ttl(family) is GONE — null it before any version
+    # merge, so max_by falls through to ... nothing (an older version
+    # is older still, hence also expired; expiry is monotone in ts).
+    # Rowkey dimensions never expire.
+    if _ttl:
+        for f in cat.fields.values():
+            if not f.is_rowkey and f.cf in _ttl_cut:
+                df = df.withColumn(
+                    f.col_name,
+                    F.when(F.col(TS_COL) >= _ttl_cut[f.cf], F.col(f.col_name)),
+                )
+
     # S15 time semantics (handleTimeSemantics, HBaseTableScan.scala:496-516)
     if timestamp is not None:
         df = df.filter(F.col(TS_COL) == timestamp)
@@ -701,6 +732,19 @@ def read_table(
     for f in cat.fields.values():
         if f.avro_schema is not None:
             df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))
+    # HBase rows are their cells: when TTL expired EVERY cell of a key
+    # (all its families), the row does not exist — drop it. Only
+    # active with TTL so all-null value rows written by users keep
+    # their existing (row-granular) visibility.
+    if _ttl and value_fields:
+        from functools import reduce as _reduce
+
+        df = df.filter(
+            _reduce(
+                lambda a, b: a | b,
+                [F.col(f.col_name).isNotNull() for f in value_fields],
+            )
+        )
     return df.select(*cols)
 
 
@@ -1225,6 +1269,8 @@ def compact_table(
     num_regions: int = 8,
     max_versions: int | None = None,
     min_stamp: int | None = None,
+    apply_ttl: bool = False,
+    ttl_now_ms: int | None = None,
 ) -> None:
     """MAJOR COMPACTION — the HBase operation the LSM layout calls
     for: rewrite every generation into one, so merge-reads degenerate
@@ -1289,10 +1335,35 @@ def compact_table(
         .drop(DEL_COL, "__tomb")
     )
     if min_stamp is not None:
-        # TTL retention (HBase per-family TTL at compaction time):
-        # versions older than the horizon are dropped outright — a key
-        # whose every version is expired disappears entirely
+        # global retention horizon: versions older than the horizon are
+        # dropped outright — a key whose every version is expired
+        # disappears entirely
         df = df.filter(F.col(TS_COL) >= min_stamp)
+    if apply_ttl:
+        # per-family TTL purge (HBase major compaction physically
+        # removes expired cells): null each expiring family's cells
+        # past its horizon, then drop row versions with no live cell
+        # left. Matches read_table's TTL visibility, made durable.
+        scat = parse_catalog(stored_cat)
+        if scat.ttl:
+            now = ttl_now_ms if ttl_now_ms is not None else int(time.time() * 1000)
+            vfs = [f for f in scat.fields.values() if not f.is_rowkey]
+            for f in vfs:
+                if f.cf in scat.ttl:
+                    cut = now - int(scat.ttl[f.cf]) * 1000
+                    df = df.withColumn(
+                        f.col_name,
+                        F.when(F.col(TS_COL) >= cut, F.col(f.col_name)),
+                    )
+            if vfs:
+                from functools import reduce as _reduce
+
+                df = df.filter(
+                    _reduce(
+                        lambda a, b: a | b,
+                        [F.col(f.col_name).isNotNull() for f in vfs],
+                    )
+                )
     if max_versions is not None:
         if max_versions < 1:
             raise ValueError("max_versions must be >= 1")
@@ -1464,13 +1535,16 @@ def count_rows(
 
     cat = parse_catalog(catalog)
     path = _os.path.join(root, f"{cat.namespace}.{cat.name}")
-    if _merge_is_noop(path):
+    stored = _stored_catalog_json(path)
+    has_ttl = bool((parse_catalog(stored).ttl if stored else {}) or cat.ttl)
+    if _merge_is_noop(path) and not has_ttl:
         regions = _json.load(open(_os.path.join(path, "_regions.json")))
         # A single-generation table can still carry tombstones (a CDC
         # feed of inserts + deletes over disjoint unique keys passes
         # _merge_is_noop): recorded region row counts INCLUDE the
         # tombstone rows, which are not live — only the tombstone-free
-        # case may answer from metadata.
+        # (and TTL-free: expiry is evaluated at read time) case may
+        # answer from metadata.
         if not any(r.get("tombstones") for r in regions):
             return sum(int(r.get("rows", 0)) for r in regions)
     return read_table(spark, catalog, root=root).count()

@@ -1817,3 +1817,95 @@ def test_salt_mismatch_guards(spark, tmp_path):
     assert out.count() == 11
     with pytest.raises(ValueError, match="saltBuckets"):
         write_table(df, cat(0), root=root, mode="append", timestamp=2)
+
+
+def test_ttl_read_visibility_and_compaction_purge(spark, tmp_path):
+    """Per-family TTL (HBase HColumnDescriptor.setTimeToLive): cells
+    whose __ts is past the family's horizon are invisible to reads
+    (per family — other families' cells survive), a key with no live
+    cell left has NO row, version merge sees expiry before max_by,
+    count_rows declines the metadata fast path, and major compaction
+    with apply_ttl makes the purge physical."""
+    import json as _json
+
+    import pytest
+
+    from shc_spark.catalog import parse_catalog
+    from shc_spark.sources import (
+        apply_cdc, compact_table, count_rows, read_table,
+    )
+
+    def cat_json(ttl):
+        return _json.dumps(
+            {
+                "table": {"namespace": "c", "name": "ttl1", "tableCoder": "OrderedType", "version": "2.0", "ttl": ttl},
+                "rowkey": "key",
+                "columns": {
+                    "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                    "a": {"cf": "fa", "col": "a", "type": "double"},
+                    "b": {"cf": "fb", "col": "b", "type": "bigint"},
+                },
+            }
+        )
+
+    # validation: unknown family / non-positive seconds refused
+    with pytest.raises(ValueError, match="unknown column family"):
+        parse_catalog(cat_json({"nope": 10}))
+    with pytest.raises(ValueError, match="must be > 0"):
+        parse_catalog(cat_json({"fa": 0}))
+    # bare number = every value family
+    assert parse_catalog(cat_json(60)).ttl == {"fa": 60, "fb": 60}
+
+    cat = cat_json({"fa": 100})  # family fa expires after 100 s
+    root = str(tmp_path / "ttl1")
+    now = 200_000
+    feed = spark.createDataFrame(
+        [
+            (1, 1.0, 10, "I", 50_000),    # old: fa expired at now
+            (2, 2.0, 20, "I", 150_000),   # fresh: both live
+            (6, 6.0, 60, "I", 250_000),   # two versions of k=6:
+            (6, 66.0, 66, "U", 260_000),  # newest wins, both live
+        ],
+        "k long, a double, b long, op string, ts long",
+    )
+    apply_cdc(spark, cat, feed, root=root, ts_col="ts")
+
+    got = {
+        r.k: (r.a, r.b)
+        for r in read_table(spark, cat, root=root, ttl_now_ms=now).collect()
+    }
+    # k=1: fa cell gone, fb cell (no TTL) still there -> row survives
+    assert got == {1: (None, 10), 2: (2.0, 20), 6: (66.0, 66)}
+
+    # every family expiring -> the old row has no cells left: NO row
+    cat_all = cat_json(100)
+    root2 = str(tmp_path / "ttl2")
+    apply_cdc(spark, cat_all, feed, root=root2, ts_col="ts")
+    got2 = {
+        r.k: (r.a, r.b)
+        for r in read_table(spark, cat_all, root=root2, ttl_now_ms=now).collect()
+    }
+    assert got2 == {2: (2.0, 20), 6: (66.0, 66)}
+    # count_rows must not answer from region metadata (it would count
+    # the expired row); wall-clock now is far past every ts horizon
+    assert count_rows(spark, cat_all, root=root2) == 0
+
+    # TTL is a physical-table property: a reader passing a TTL-free
+    # catalog of the same shape still sees expiry (stored catalog wins)
+    got3 = {
+        r.k: (r.a, r.b)
+        for r in read_table(
+            spark, cat_json(None), root=root2, ttl_now_ms=now
+        ).collect()
+    }
+    assert got3 == got2
+
+    # major compaction purges physically: raw row count drops
+    compact_table(spark, cat, root=root, apply_ttl=True, ttl_now_ms=now, num_regions=2)
+    raw = read_table(
+        spark, cat, root=root, merge_to_latest=False, keep_internal=True
+    )
+    rows = {(r.k, r.a, r.b) for r in raw.collect()}
+    # k=1 keeps only its fb cell; k=6 keeps both versions (both fresh)
+    assert (1, None, 10) in rows and not any(k == 1 and a is not None for k, a, _ in rows)
+    assert len([t for t in rows if t[0] == 6]) == 2

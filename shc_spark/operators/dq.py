@@ -105,3 +105,70 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
         )
     ).alias("r")
     return row.select(report).select("r.*")
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    edges: list[float],
+    laplace: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between a reference corpus and a
+    current corpus over FIXED bucket edges — the standard drift check
+    before trusting a new data drop: PSI < 0.1 stable, 0.1-0.25
+    moderate shift, > 0.25 investigate.
+
+    One aggregate scan per side (map-side combined, ``B+1`` result
+    rows each), then all arithmetic on the tiny joined histogram —
+    nothing about the corpora ever shuffles. Bucket ``i`` holds values
+    in [edge_i-1, edge_i) with open under/overflow ends; nulls are
+    excluded. Fractions are Laplace-smoothed ((n_i + a) / (N + a*B))
+    so empty buckets cannot blow up the log; per-bucket rows carry the
+    smoothed fractions and the PSI contribution (sum them for the
+    index), all rounded to 6dp for engine-neutral comparison."""
+    if not edges or sorted(edges) != list(edges):
+        raise ValueError("edges must be a non-empty ascending list")
+    B = len(edges) + 1
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(column)
+        b = sum(
+            ((v >= F.lit(float(e))).cast("int") for e in edges), F.lit(0)
+        ).alias("bucket")
+        return (
+            df.filter(v.isNotNull())
+            .select(b)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    r = bucketed(ref, "ref_n")
+    c = bucketed(cur, "cur_n")
+    spark = ref.sparkSession
+    all_b = spark.range(B).select(F.col("id").cast("int").alias("bucket"))
+    h = (
+        all_b.join(r, "bucket", "left")
+        .join(c, "bucket", "left")
+        .fillna(0, ["ref_n", "cur_n"])
+    )
+    a = float(laplace)
+    # totals via an unpartitioned window over the B+1 histogram rows —
+    # a single-partition pass over a handful of rows, NOT a second
+    # scan of the corpora (a .first() for the totals would recompute
+    # both aggregates)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(F.lit(1)).rowsBetween(
+        _W.unboundedPreceding, _W.unboundedFollowing
+    )
+    p = (F.col("ref_n") + a) / (F.sum("ref_n").over(w) + a * B)
+    q = (F.col("cur_n") + a) / (F.sum("cur_n").over(w) + a * B)
+    return h.select(
+        "bucket",
+        "ref_n",
+        "cur_n",
+        F.round(p, 6).alias("ref_frac"),
+        F.round(q, 6).alias("cur_frac"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )

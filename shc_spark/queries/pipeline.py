@@ -1973,3 +1973,48 @@ def text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", "doc_id", {"src0": 1200, "src1": 800}
     )
     return out.select("doc_id", "source", "n_tok", "cum_tok")
+
+
+# Population Stability Index drift between two halves of the events
+# corpus (first vs second half of the month) over the value column —
+# the standard "did the new data drop shift?" check. One aggregate
+# scan per side; all arithmetic on the 5-row joined histogram.
+@register(
+    "dq_psi_drift",
+    """
+    WITH r AS (SELECT CAST(CASE WHEN value >= 10 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 20 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 50 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 100 THEN 1 ELSE 0 END AS INT) AS bucket
+               FROM events WHERE value IS NOT NULL AND day(ts) <= 15),
+         c AS (SELECT CAST(CASE WHEN value >= 10 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 20 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 50 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 100 THEN 1 ELSE 0 END AS INT) AS bucket
+               FROM events WHERE value IS NOT NULL AND day(ts) > 15),
+         rh AS (SELECT bucket, count(*) AS ref_n FROM r GROUP BY bucket),
+         ch AS (SELECT bucket, count(*) AS cur_n FROM c GROUP BY bucket),
+         b AS (SELECT CAST(unnest(range(5)) AS INT) AS bucket),
+         h AS (SELECT b.bucket,
+                      coalesce(rh.ref_n, 0) AS ref_n,
+                      coalesce(ch.cur_n, 0) AS cur_n
+               FROM b LEFT JOIN rh USING (bucket) LEFT JOIN ch USING (bucket)),
+         t AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS rt,
+                      CAST(sum(cur_n) AS DOUBLE) AS ct FROM h)
+    SELECT h.bucket, h.ref_n, h.cur_n,
+           round((h.ref_n + 0.5) / (t.rt + 2.5), 6) AS ref_frac,
+           round((h.cur_n + 0.5) / (t.ct + 2.5), 6) AS cur_frac,
+           round(((h.ref_n + 0.5) / (t.rt + 2.5) - (h.cur_n + 0.5) / (t.ct + 2.5))
+                 * ln(((h.ref_n + 0.5) / (t.rt + 2.5)) / ((h.cur_n + 0.5) / (t.ct + 2.5))), 6)
+             AS psi_contrib
+    FROM h, t
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators.dq import psi_drift
+    from shc_spark.queries.relational import _events
+
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.dayofmonth("ts") <= 15).select("value")
+    cur = ev.filter(F.dayofmonth("ts") > 15).select("value")
+    return psi_drift(ref, cur, "value", [10.0, 20.0, 50.0, 100.0])

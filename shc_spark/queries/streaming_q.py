@@ -161,6 +161,34 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join(spark, sf_dir)
 
 
+# LEFT-OUTER stream-stream join: unmatched clicks must ALSO emit (with
+# a null purchase) — exactly when the watermark proves no match can
+# still arrive. The click side is bounded to max_ts - 41 minutes on
+# BOTH sides because a finite stream's watermark stops 10 minutes
+# short of max event time and can never give the tail that proof
+# (see run_stream_stream_join_outer).
+@register(
+    "stream_join_outer",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+          WHERE event_type = 'click'
+            AND ts <= (SELECT m FROM mx) - INTERVAL 41 MINUTE),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id, c.user_id,
+           (epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 1000000 AS gap_s
+    FROM c LEFT JOIN p
+      ON p.p_user = c.user_id
+     AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.streaming.events import run_stream_stream_join_outer
+
+    return run_stream_stream_join_outer(spark, sf_dir)
+
+
 @register(
     "stream_sliding_window",
     """

@@ -243,6 +243,72 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
+def run_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join with watermark-driven state
+    eviction: every click, joined to the same user's purchases in the
+    following 30 minutes — and clicks with NO such purchase still
+    emit, with a null match, once the watermark PROVES no match can
+    arrive anymore (c_ts + 30 min < right-side watermark). That proof
+    is what bounds the state at 100 TB/day: a buffered click is
+    dropped (emitting its null row) the moment it is out of reach.
+
+    A finite stream's tail can never get the proof — the watermark
+    stops 10 minutes short of max event time, stranding the last ~40
+    minutes of clicks in state — so the click side is bounded to
+    max_ts - 41 minutes, computed once from the STATIC table (the
+    batch oracle applies the same bound; both are deterministic per
+    scale factor)."""
+    from shc_spark.queries.relational import _events as _batch_events
+
+    cutoff = (
+        _batch_events(spark, sf_dir)
+        .select(F.max("ts") - F.expr("INTERVAL 41 MINUTES"))
+        .first()[0]
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    # the tail bound applies to the OUTPUT, not the input: filtering
+    # the click side before withWatermark would derive the click
+    # watermark from the filtered max (data-dependently older),
+    # dragging the query's global watermark back and stranding MORE
+    # state — the opposite of the intent
+    joined = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "leftOuter",
+        )
+        .filter(F.col("c_ts") <= F.lit(cutoff))
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("c_user").alias("user_id"),
+            F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias("gap_s"),
+        )
+    )
+    return _run_to_memory(joined, "append")
+
+
 def run_stream_merge_latest(
     spark: SparkSession, catalog: str, root: str, apply_deletes: bool = False
 ) -> DataFrame:

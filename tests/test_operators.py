@@ -2058,3 +2058,30 @@ def test_range_join_timestamps_and_guards(spark):
             pts, ivs, "t", "s", "e",
             bin_width=1_000, long_interval_bins=2, max_long_intervals=3,
         )
+
+
+def test_psi_drift_smoothing_and_identity(spark):
+    """PSI over identical corpora is ~0 per bucket; empty buckets are
+    Laplace-smoothed (no inf/NaN); fractions sum to 1; bad edges
+    refused."""
+    import math
+
+    import pytest
+
+    from shc_spark.operators.dq import psi_drift
+
+    a = spark.range(1000).select((F.col("id") % 97).cast("double").alias("v"))
+    same = psi_drift(a, a, "v", [10.0, 50.0]).collect()
+    assert all(abs(r.psi_contrib) < 1e-9 for r in same)
+    assert abs(sum(r.ref_frac for r in same) - 1.0) < 1e-4
+
+    b = spark.range(1000).select((F.col("id") % 9).cast("double").alias("v"))  # all < 10
+    shifted = {r.bucket: r for r in psi_drift(a, b, "v", [10.0, 50.0]).collect()}
+    assert len(shifted) == 3
+    for r in shifted.values():
+        assert r.psi_contrib is not None and not math.isnan(r.psi_contrib)
+    assert shifted[0].cur_n == 1000 and shifted[1].cur_n == 0 and shifted[2].cur_n == 0
+    assert sum(r.psi_contrib for r in shifted.values()) > 0.25  # gross shift
+
+    with pytest.raises(ValueError, match="ascending"):
+        psi_drift(a, b, "v", [50.0, 10.0])

@@ -58,6 +58,11 @@ HEADLINE = [
     "dedup_substring_spans",
     "text_remove_boilerplate",
     "q_zorder_box",
+    # round-5 additions: binned range join (no-equi-key non-equi join),
+    # per-family TTL read path, PSI drift histogram
+    "q_range_join_binned",
+    "shc_ttl_read",
+    "dq_psi_drift",
 ]
 
 
@@ -87,6 +92,8 @@ def main() -> None:
         run("shc_version_merge")  # one-time 2-generation table build
     if "shc_colocated_join" in queries:
         run("shc_colocated_join")  # one-time dimension table build
+    if "shc_ttl_read" in queries:
+        run("shc_ttl_read")  # one-time per-event-ts table build
     # spawn the 32 Python workers once (pandas imports dominate the
     # first Arrow UDF otherwise; a long-lived cluster has warm workers)
     from pyspark.sql.functions import pandas_udf

@@ -47,56 +47,45 @@ def _with_utc(fn):
 _MODULES = (connector, pipeline, streaming_q, relational)
 
 _WINDOW = [
-    # §2.1 connector (15; sql_over_view + time_travel rotate out on
-    # r01+r02 green rows — the relational SQL gates cover the view
-    # surface, and S15 time semantics keep shc_versions_map in-window)
-    # (r04: shc_restrictive and shc_compaction rotate out on r01+r03
-    # green rows to give the new co-located source-level join and the
-    # salted-table layout their first driver rows)
+    # §2.1 connector (15). r05: shc_avro_cells rotates out on
+    # r01+r03+r04 green rows so the new per-family-TTL gate gets its
+    # first driver row (S15 time-semantics family stays covered by
+    # shc_versions_map + shc_ttl_read).
     "shc_roundtrip_scan", "shc_pushdown_range", "shc_value_filters",
     "shc_composite_key", "shc_version_merge",
-    "shc_avro_cells", "shc_typed_columns",
+    "shc_ttl_read", "shc_typed_columns",
     "shc_colocated_join", "shc_versions_map", "shc_dynamic_map",
     "shc_salted_table", "shc_secondary_index", "shc_delete",
     "shc_merge_into", "shc_phoenix_composite",
-    # LLM-pipeline (19): langid / image_decode / bm25 / clusters
-    # rotate out on r02 green rows (jpeg_decode covers decode,
-    # hybrid_rrf covers retrieval, canonical-names CC covers the
-    # component machinery); tfidf, heavy_hitters, fuzzy-linkage,
-    # dq-validation, mixture sampling and z-order are new-in-r03
-    # value-exact gates with their first driver rows
-    # (decontaminate and hybrid_rrf rotate out on r01+r02 green rows
-    # so the new perceptual-hash and scene-detection gates get their
-    # first driver rows alongside jpeg_decode)
-    # (r04: dedup_exact and text_quality_scores rotate out on triple
-    # r01-r03 green rows for the substring-dedup and boilerplate-
-    # removal pipelines' first driver rows)
+    # LLM-pipeline (18). r05: dq_validate_orders rotates out on
+    # r03+r04 green rows for the new PSI drift gate (DQ family stays
+    # fresh), and cluster_assign rotates out on r03+r04 green rows to
+    # free a slot for the relational refresh below.
     "dedup_substring_spans", "dedup_minhash_lsh", "sim_topk_bruteforce",
     "dedup_cross_corpus", "dedup_fuzzy_names", "text_remove_boilerplate",
     "text_chunking", "text_lm_ppl", "text_tfidf", "text_heavy_hitters",
-    "cluster_assign", "mm_jpeg_decode",
+    "mm_jpeg_decode",
     "embed_quantize", "mm_image_dhash", "text_mixture_sample",
-    # (r04: q_zorder_values rotates out on its r03 green row so the
-    # z-range box-translation path gets its first driver row)
-    "text_pack_sequences", "mm_video_scenes", "dq_validate_orders",
+    "text_pack_sequences", "mm_video_scenes", "dq_psi_drift",
     "q_zorder_box",
-    # streaming + storage engine (8; merge_latest rotates out on r02
-    # green; incremental_dedup new r03; r04: tumbling_window rotates
-    # out on r01-r03 green rows for the stateful top-k's first row)
+    # streaming + storage engine (8). r05: the inner stream-stream
+    # join rotates out on r01-r04 green rows for the new left-outer
+    # watermark-eviction join's first driver row (same family).
     "stream_topk", "stream_sessionization",
     "stream_stateful_totals", "stream_shc_source",
-    "stream_stream_join", "stream_incremental_dedup", "stream_shc_sink",
+    "stream_join_outer", "stream_incremental_dedup", "stream_shc_sink",
     "shc_rollup",
-    # §2.3 relational representatives (8). Rotation policy: no family's
-    # newest driver row should be older than two rounds. r03 refreshed
-    # agg/broadcast-join/window/rollup/asof/top-k/complex/sessionize
-    # (all hash-match, retained in the r01∪r02∪r03 union), so r04
-    # rotates in the families whose newest rows were r01: join+top-k
-    # (q03), group-join-agg (q10), set ops, pivot, scalar-subquery,
-    # percentile/datetime, JSON, string battery.
-    "q03_top_revenue_orders", "q10_returned_items", "q_set_ops",
-    "q_pivot_linestatus", "q_above_avg_orders", "q_percentiles_datetime",
-    "q_json_props", "q_string_functions",
+    # §2.3 relational representatives (9). Rotation policy: no
+    # family's newest driver row should be older than two rounds.
+    # r04 refreshed q03/q10/set-ops/pivot/subquery/percentiles/JSON/
+    # strings (all hash-match, retained in the round union), so r05
+    # rotates back the families whose newest rows are r03 — agg,
+    # broadcast star join, window top-k, rollup, as-of, global top-k,
+    # TPC-H complex, sessionization — plus the NEW binned range join.
+    "q01_pricing_summary", "q05_local_supplier_volume",
+    "q_window_topk_per_segment", "q_rollup", "q_asof_join",
+    "q_global_topk", "q21_waiting_orders", "q_sessionize_batch",
+    "q_range_join_binned",
 ]
 
 

@@ -212,3 +212,26 @@ def test_substring_spans_shuffles_are_bounded(plans):
     p = plans("dedup_substring_spans")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("Exchange") <= 5, p
+
+
+def test_range_join_is_hash_join_not_nested_loop(plans):
+    # the binned rewrite's whole point: a no-equi-key interval join
+    # plans as a hash equi-join on the bin, never a nested loop or
+    # cartesian product
+    p = plans("q_range_join_binned")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "HashJoin" in p, p
+
+
+def test_ttl_read_filter_is_scan_side(plans):
+    # TTL expiry is a codegen WHEN over __ts — no extra exchange
+    # beyond the table's own merge shape, no Python in the path
+    p = plans("shc_ttl_read")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_psi_drift_single_scan_per_side(plans):
+    # one partial+final aggregate pair per corpus half; the window
+    # totals run over the tiny histogram, not the corpus
+    p = plans("dq_psi_drift")
+    assert p.count("FileScan") <= 2, p

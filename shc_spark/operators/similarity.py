@@ -554,3 +554,55 @@ def ivf_pq_topk(
         "cosine", _cos("query_id", "__fv")
     ).drop("__fv")
     return _topk_window(scored, k)
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the k most-similar corpus vectors with a DIFFERENT label — similar
+    enough to be hard, excluded from the positive class by the label.
+
+    Same scale shape as cosine_topk (query side broadcast, corpus
+    scanned once in Arrow batches, distributed per-batch prune to a
+    provable superset of the global top-k): the label exclusion is a
+    per-query candidate mask inside the batch, not a join."""
+    spark = corpus.sparkSession
+    rows = queries.select(id_col, vec_col, label_col).collect()
+    q_ids = [r[0] for r in rows]
+    if rows:
+        qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        n = np.linalg.norm(qm, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        qm = qm / n
+        q_labels = np.asarray([r[2] for r in rows], dtype=object)
+    else:
+        qm = np.zeros((0, 1), dtype=np.float64)
+        q_labels = np.asarray([], dtype=object)
+    bq = spark.sparkContext.broadcast((q_ids, qm, q_labels))
+
+    def score(batches):
+        ids_q, q_mat, labs_q = bq.value
+        if not ids_q:
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy()
+            labs = pdf["__lab"].to_numpy()
+            S = _normalize_batch(pdf["__vec"]) @ q_mat.T
+            cand = [np.nonzero(labs != labs_q[j])[0] for j in range(len(ids_q))]
+            yield from _emit_topk(ids_q, ids, S, cand, k)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    part = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.col(label_col).alias("__lab"),
+    ).mapInPandas(score, f"query_id {id_type}, neighbor_id {id_type}, cosine double")
+    return _topk_window(part, k)

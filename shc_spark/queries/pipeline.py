@@ -2018,3 +2018,36 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter(F.dayofmonth("ts") <= 15).select("value")
     cur = ev.filter(F.dayofmonth("ts") > 15).select("value")
     return psi_drift(ref, cur, "value", [10.0, 20.0, 50.0, 100.0])
+
+
+# hard-negative mining: for each of the first 8 vectors, the 5 most
+# cosine-similar embeddings carrying a DIFFERENT label (similar enough
+# to be hard, outside the positive class) — the standard negative-pool
+# builder for contrastive training. Oracle = DuckDB brute force with
+# the label anti-predicate.
+@register(
+    "sim_hard_negatives",
+    """
+    WITH n AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    nn AS (SELECT vec_id, label, v,
+                  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+      FROM nn q JOIN nn c ON c.vec_id != q.vec_id AND c.label != q.label
+      WHERE q.vec_id < 8),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.hard_negative_topk(
+        emb.filter(F.col("vec_id") < 8), emb, "embedding", "vec_id", "label", k=5
+    )

@@ -2085,3 +2085,34 @@ def test_psi_drift_smoothing_and_identity(spark):
 
     with pytest.raises(ValueError, match="ascending"):
         psi_drift(a, b, "v", [50.0, 10.0])
+
+
+def test_hard_negative_topk_excludes_query_label(spark):
+    """Every mined negative carries a different label than its query,
+    and the result equals the brute-force different-label top-k."""
+    import numpy as np
+
+    from shc_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)], int(i % 3)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.hard_negative_topk(
+        df.filter(F.col("vec_id") < 4), df, "embedding", "vec_id", "label", k=3
+    ).collect()
+    labels = {i: lab for i, _, lab in rows}
+    vecs = {i: np.asarray(v) / np.linalg.norm(v) for i, v, _ in rows}
+    assert out and all(labels[r.neighbor_id] != labels[r.query_id] for r in out)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out}
+    for q in range(4):
+        scored = sorted(
+            (
+                (-round(float(vecs[q] @ vecs[c]), 4), c)
+                for c in labels
+                if c != q and labels[c] != labels[q]
+            )
+        )
+        for rank, (_, c) in enumerate(scored[:3], start=1):
+            assert got[(q, rank)] == c, (q, rank)

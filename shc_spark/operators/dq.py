@@ -153,17 +153,16 @@ def psi_drift(
         .fillna(0, ["ref_n", "cur_n"])
     )
     a = float(laplace)
-    # totals via an unpartitioned window over the B+1 histogram rows —
-    # a single-partition pass over a handful of rows, NOT a second
-    # scan of the corpora (a .first() for the totals would recompute
-    # both aggregates)
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy(F.lit(1)).rowsBetween(
-        _W.unboundedPreceding, _W.unboundedFollowing
+    # pin the B+1-row histogram once (each corpus scanned exactly one
+    # time, into the checkpoint), then totals are a broadcast join of
+    # its own aggregate — no global window (whose WindowExec warning
+    # is noise), no second corpus scan
+    h = h.localCheckpoint(eager=True)
+    h = h.crossJoin(
+        F.broadcast(h.agg(F.sum("ref_n").alias("__rt"), F.sum("cur_n").alias("__ct")))
     )
-    p = (F.col("ref_n") + a) / (F.sum("ref_n").over(w) + a * B)
-    q = (F.col("cur_n") + a) / (F.sum("cur_n").over(w) + a * B)
+    p = (F.col("ref_n") + a) / (F.col("__rt") + a * B)
+    q = (F.col("cur_n") + a) / (F.col("__ct") + a * B)
     return h.select(
         "bucket",
         "ref_n",

@@ -23,6 +23,12 @@ Scale shape:
   are few by construction — a count guard refuses the pathological
   case rather than silently planning a giant explode).
 
+The same operator serves STREAMING enrichment unchanged: a streaming
+point side against static intervals composes entirely of stateless
+ops (bin column, stream-static equi-join on the bin, exact re-filter),
+so tagging a stream with the interval it falls into needs NO state
+store at all (gate: stream_range_tag, pinned equal to the batch join).
+
 Reference parity note: the reference connector has no range join;
 this is a pipeline-layer operator (SURVEY §2.3 "delegated relational
 surface" extension), same family as the as-of join in

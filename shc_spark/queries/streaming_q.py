@@ -517,3 +517,46 @@ def stream_cdc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, cat, root=root).select(
         "user_id", F.round("value", 2).alias("value")
     )
+
+
+# STREAMING range enrichment: the binned range join's point side is a
+# STREAM (clicks), the interval side static — the rewrite composes
+# entirely of stateless operators (bin column, stream-static hash
+# join on the bin, exact re-filter), so tagging each streamed click
+# with the purchase window it falls into needs no state store at all.
+# Oracle = the plain batch non-equi join.
+@register(
+    "stream_range_tag",
+    """
+    WITH iv AS (SELECT event_id AS interval_id, ts AS s,
+                       ts + INTERVAL 2 HOUR AS e
+                FROM events
+                WHERE event_type = 'purchase' AND event_id % 13 = 0),
+         c AS (SELECT event_id AS click_id, ts FROM events
+               WHERE event_type = 'click')
+    SELECT c.click_id, iv.interval_id
+    FROM c JOIN iv ON c.ts >= iv.s AND c.ts <= iv.e
+    """,
+)
+def stream_range_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators.ranges import range_join
+    from shc_spark.queries.relational import _events
+    from shc_spark.streaming.events import _run_to_memory, stream_events
+
+    ev = _events(spark, sf_dir)
+    iv = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 13 == 0)
+    ).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    pts = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "ts")
+    )
+    tagged = range_join(pts, iv, "ts", "s", "e").select("click_id", "interval_id")
+    return _run_to_memory(tagged, "append")

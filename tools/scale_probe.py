@@ -296,7 +296,43 @@ def main() -> None:
         "cohort_retention": lambda ev: __import__(
             "shc_spark.operators.behavior", fromlist=["behavior"]
         ).cohort_retention(ev, "user_id", "ts"),
+        # binned range join: id-shifted copies share the SAME ts axis,
+        # so without a key the (clicks x intervals) pair OUTPUT itself
+        # grows m^2 (the unsalted-dedup confound); joining per copy
+        # (on=cpy, derived from the shifted id space) keeps the true
+        # pair structure linear and measures the ALGORITHM's curve
+        "range_join_binned": lambda ev: _range_join_probe(ev),
+        # PSI drift: two aggregate scans + tiny histogram math; the
+        # flattest curve on the board if the design is right
+        "psi_drift": lambda ev: __import__(
+            "shc_spark.operators.dq", fromlist=["dq"]
+        ).psi_drift(
+            ev.filter(F.dayofmonth("ts") <= 15).select("value"),
+            ev.filter(F.dayofmonth("ts") > 15).select("value"),
+            "value",
+            [10.0, 20.0, 50.0, 100.0],
+        ),
     }
+
+    def _range_join_probe(ev):
+        from shc_spark.operators.ranges import range_join
+
+        n0 = 100_000  # sf0.1 events row count == inflate's id-shift
+        # stride, so cpy is constant within a copy and distinct
+        # across copies
+        with_cpy = ev.withColumn("cpy", (F.col("event_id") / n0).cast("long"))
+        iv = with_cpy.filter(
+            (F.col("event_type") == "purchase") & (F.col("event_id") % 13 == 0)
+        ).select(
+            "cpy",
+            F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+        )
+        pts = with_cpy.filter(F.col("event_type") == "click").select("cpy", "ts")
+        return range_join(pts, iv, "ts", "s", "e", on=["cpy"]).groupBy(
+            "interval_id"
+        ).agg(F.count(F.lit(1)).alias("n"))
 
     def classifier_probe(docs):
         # 2 GD iterations: per-iteration cost = one corpus pass + one

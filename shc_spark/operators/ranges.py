@@ -66,6 +66,10 @@ def _int_floordiv(col: Column, w: int) -> Column:
     multiple, whose division IS the true floor."""
     wl = F.lit(int(w)).cast("long")
     c = col.cast("long")
+    # (c - pmod(c, w)) is an exact multiple of w; its double quotient
+    # is the exactly-representable integer floor(c/w) whenever the
+    # numerator is below 2^53 — epoch micros (~1.8e15) sit 5000x
+    # under that. A caller binning raw > 2^53 longs should pre-scale.
     return ((c - F.pmod(c, wl)) / wl).cast("long")
 
 

@@ -264,6 +264,22 @@ def colocated_join(
     sub-range). ``how`` is inner or left (A preserved). Column names:
     A's columns as declared; B's value columns, ``_b``-suffixed on
     collision with any A column."""
+    # TTL tables are refused: the in-source merge has no expiry
+    # horizon, so joining one here would silently resurrect expired
+    # cells (same explicit-error stance as cross-catalog TTL reads).
+    import os as _os
+
+    from shc_spark.catalog import parse_catalog as _pc
+    from shc_spark.sources.api import _stored_catalog_json as _scj
+
+    for c, r in ((catalog_a, root), (catalog_b, root_b or root)):
+        cat = _pc(c)
+        stored = _scj(_os.path.join(r, f"{cat.namespace}.{cat.name}"))
+        if (stored and _pc(stored).ttl) or cat.ttl:
+            raise ValueError(
+                "colocated_join does not support TTL tables; read them "
+                "through read_table (which applies expiry) and join"
+            )
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ShcJoinDataSource)
     reader = (

@@ -1909,3 +1909,39 @@ def test_ttl_read_visibility_and_compaction_purge(spark, tmp_path):
     # k=1 keeps only its fb cell; k=6 keeps both versions (both fresh)
     assert (1, None, 10) in rows and not any(k == 1 and a is not None for k, a, _ in rows)
     assert len([t for t in rows if t[0] == 6]) == 2
+
+
+def test_colocated_join_refuses_ttl_tables(spark, tmp_path):
+    """The co-located source-level join merges in-source with no TTL
+    horizon — joining a TTL table would silently resurrect expired
+    cells, so it is refused outright (same stance as cross-catalog
+    reads of TTL tables)."""
+    import json as _json
+
+    import pytest
+
+    from shc_spark.sources import apply_cdc, colocated_join
+
+    def cat(ttl):
+        t = {"namespace": "c", "name": "cjttl", "tableCoder": "OrderedType", "version": "2.0"}
+        if ttl:
+            t["ttl"] = ttl
+        return _json.dumps(
+            {
+                "table": t,
+                "rowkey": "key",
+                "columns": {
+                    "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                    "v": {"cf": "cf", "col": "v", "type": "double"},
+                },
+            }
+        )
+
+    root = str(tmp_path / "cjttl")
+    feed = spark.createDataFrame([(1, 1.0, "I")], "k long, v double, op string")
+    apply_cdc(spark, cat({"cf": 60}), feed, root=root, timestamp=1000)
+    with pytest.raises(ValueError, match="TTL"):
+        colocated_join(spark, cat({"cf": 60}), cat({"cf": 60}), root=root)
+    # stored TTL wins even when the reader-side catalog omits it
+    with pytest.raises(ValueError, match="TTL"):
+        colocated_join(spark, cat(None), cat(None), root=root)

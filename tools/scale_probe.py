@@ -107,8 +107,8 @@ def connector_probe(spark, mults=(1, 5, 50)) -> list[str]:
         "",
         "## Connector throughput (shc source/sink over inflated lineitem)",
         "",
-        "| rows | write (s / Mrows/s) | full merge-read (s / Mrows/s) | 1% range read (s) | LSM merged read after append (s) | co-located join (s / Mrows/s) |",
-        "|---|---|---|---|---|---|",
+        "| rows | write (s / Mrows/s) | full merge-read (s / Mrows/s) | 1% range read (s) | LSM merged read after append (s) | co-located join (s / Mrows/s) | CDC apply ~16% feed + merged read (s) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for m in mults:
         df = base
@@ -158,12 +158,38 @@ def connector_probe(spark, mults=(1, 5, 50)) -> list[str]:
             ).count() == n_keys
             t_join = min(t_join, time.time() - t0)
         shutil.rmtree(root + "_b", ignore_errors=True)
+        # CDC apply: ~14% upserts + ~2% deletes with per-row event
+        # time land as ONE appended generation; the timed read after
+        # it pays the 3-generation LSM merge with tombstone masking
+        from shc_spark.sources import apply_cdc
+
+        n_del_keys = (
+            df.filter(F.col("okey") % 50 == 3).select("okey", "lnum").distinct().count()
+        )
+        feed = (
+            df.filter(F.col("okey") % 7 == 0)
+            .withColumn("qty", F.col("qty") + 5.0)
+            .withColumn("op", F.lit("U"))
+            .unionByName(
+                df.filter(F.col("okey") % 50 == 3)
+                .select("okey", "lnum")
+                .withColumn("qty", F.lit(None).cast("double"))
+                .withColumn("price", F.lit(None).cast("double"))
+                .withColumn("flag", F.lit(None).cast("string"))
+                .withColumn("op", F.lit("D"))
+            )
+            .withColumn("evt", F.lit(3000))
+        ).localCheckpoint(eager=True)
+        t0 = time.time()
+        apply_cdc(spark, cat, feed, root=root, ts_col="evt")
+        assert read_table(spark, cat, root=root).count() == n_keys - n_del_keys
+        t_cdc = time.time() - t0
         lines.append(
             f"| {n:,} | {t_write:.2f} / {n / t_write / 1e6:.2f} | "
             f"{t_full:.2f} / {n / t_full / 1e6:.2f} | {t_range:.2f} | {t_merge:.2f} | "
-            f"{t_join:.2f} / {n / t_join / 1e6:.2f} |"
+            f"{t_join:.2f} / {n / t_join / 1e6:.2f} | {t_cdc:.2f} |"
         )
-        print(("connector", m, n, round(t_write, 2), round(t_full, 2), round(t_range, 2), round(t_merge, 2), round(t_join, 2)), flush=True)
+        print(("connector", m, n, round(t_write, 2), round(t_full, 2), round(t_range, 2), round(t_merge, 2), round(t_join, 2), round(t_cdc, 2)), flush=True)
         shutil.rmtree(root, ignore_errors=True)
     return lines
 

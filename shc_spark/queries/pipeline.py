@@ -2051,3 +2051,54 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_topk(
         emb.filter(F.col("vec_id") < 8), emb, "embedding", "vec_id", "label", k=5
     )
+
+
+# Area-average RESIZE over real PNG decode: the 8x9 codepoint raster
+# resizes to 4x3 (2x3 blocks tile exactly, so area interpolation IS
+# the block mean) and DuckDB recomputes every output pixel straight
+# from the text — a value-exact gate for an image resize.
+def _resize_oracle() -> str:
+    cells = []
+    for dr in (0, 1):
+        for dc in (0, 1, 2):
+            cells.append(f"p[CAST((2*y + {dr})*9 + 3*x + {dc} + 1 AS INT)]")
+    s = " + ".join(cells)
+    return f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 72), i ->
+               CASE WHEN i <= length(text)
+                    THEN unicode(substr(text, CAST(i AS INT), 1)) % 256
+                    ELSE 32 END) AS p
+      FROM documents),
+    g AS (SELECT unnest(range(4)) AS y),
+    h AS (SELECT unnest(range(3)) AS x)
+    SELECT doc_id AS media_id, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+           round(({s}) / 6.0, 4) AS value
+    FROM px, g, h
+    """
+
+
+@register("mm_image_resize", None)  # SQL attached below (generator-built)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def png(texts: pd.Series) -> pd.Series:
+        from shc_spark.operators.codecs import encode_png
+
+        out = []
+        for t in texts:
+            cps = [(ord(t[i]) % 256) if i < len(t) else 32 for i in range(72)]
+            out.append(encode_png(np.array(cps, dtype=np.uint8).reshape(8, 9)))
+        return pd.Series(out)
+
+    media = multimodal.make_media_df(
+        docs.withColumn("payload", png("text")), "doc_id", "payload", "image/png"
+    )
+    return multimodal.resize_image(media, 4, 3, emit="pixels").select(
+        "media_id", "y", "x", F.round("value", 4).alias("value")
+    )
+
+
+ORACLE["mm_image_resize"] = _resize_oracle()

@@ -2116,3 +2116,42 @@ def test_hard_negative_topk_excludes_query_label(spark):
         )
         for rank, (_, c) in enumerate(scored[:3], start=1):
             assert got[(q, rank)] == c, (q, rank)
+
+
+def test_resize_image_area_average_and_payload_roundtrip(spark):
+    """Exact area interpolation: non-divisible target sizes match the
+    hand-computed overlap weighting, the global mean is preserved, and
+    payload mode re-encodes a decodable PNG of the resized plane."""
+    import numpy as np
+
+    from shc_spark.operators import multimodal
+    from shc_spark.operators.codecs import decode_image, encode_png
+    from shc_spark.operators.multimodal import _area_weights
+
+    # weights: every row sums to 1; divisible case = plain block mean
+    for src, dst in [(8, 4), (9, 3), (7, 3), (5, 2)]:
+        W = _area_weights(src, dst)
+        assert np.allclose(W.sum(axis=1), 1.0)
+    assert np.allclose(_area_weights(8, 4), np.repeat(np.eye(4), 2, axis=1) / 2)
+    # 3 -> 2 fractional overlap: rows cover [0,1.5) and [1.5,3)
+    assert np.allclose(_area_weights(3, 2), [[2 / 3, 1 / 3, 0], [0, 1 / 3, 2 / 3]])
+
+    img = (np.arange(35, dtype=np.uint8) * 7 % 256).reshape(5, 7)
+    pay = encode_png(img)
+    media = multimodal.make_media_df(
+        spark.createDataFrame([(1, bytearray(pay))], "media_id long, payload binary"),
+        "media_id", "payload", "image/png",
+    )
+    px = multimodal.resize_image(media, 2, 3, emit="pixels").collect()
+    Wr, Wc = _area_weights(5, 2), _area_weights(7, 3)
+    want = Wr @ img.astype(np.float64) @ Wc.T
+    got = np.zeros((2, 3))
+    for r in px:
+        got[r.y, r.x] = r.value
+    assert np.allclose(got, want)
+    assert abs(got.mean() - img.mean()) < 1e-9  # area resize preserves the mean
+
+    out = multimodal.resize_image(media, 2, 3, emit="payload").collect()[0]
+    back = decode_image(bytes(out.payload), "image/png")
+    assert back.shape[:2] == (2, 3)
+    assert np.array_equal(back[:, :, 0], np.clip(np.rint(want), 0, 255).astype(np.uint8))

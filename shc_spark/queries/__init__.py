@@ -66,12 +66,17 @@ _WINDOW = [
     "text_chunking", "text_lm_ppl", "text_tfidf", "text_heavy_hitters",
     "mm_jpeg_decode",
     "embed_quantize", "mm_image_dhash", "text_mixture_sample",
-    "text_pack_sequences", "mm_video_scenes", "dq_psi_drift",
+    # (late r05: mm_video_scenes rotates out on r03+r04 green rows so
+    # the new area-resize gate — value-exact through the real PNG
+    # decoder — gets its first driver row)
+    "text_pack_sequences", "mm_image_resize", "dq_psi_drift",
     "q_zorder_box",
     # streaming + storage engine (8). r05: the inner stream-stream
     # join rotates out on r01-r04 green rows for the new left-outer
-    # watermark-eviction join's first driver row (same family).
-    "stream_topk", "stream_sessionization",
+    # watermark-eviction join's first driver row (same family);
+    # sessionization (r01-r04 green) rotates out for the stateless
+    # streaming range-enrichment gate's first row.
+    "stream_topk", "stream_range_tag",
     "stream_stateful_totals", "stream_shc_source",
     "stream_join_outer", "stream_incremental_dedup", "stream_shc_sink",
     "shc_rollup",

@@ -13,8 +13,11 @@ formats are fully decodable with the standard library:
   4:2:2 upsampling, restart markers; non-baseline modes fall back to
   PIL when importable.
 
-compressed video stays behind NotImplementedError — a full codec needs a
-real codec library; the dispatch keeps a clean drop-in slot for it.
+Video: uncompressed-DIB AVI decodes natively, and so does
+Motion-JPEG AVI (each frame an independent baseline JPEG through the
+T.81 codec) — the standard compressed transport cameras produce.
+Inter-frame codecs (H.264 etc.) need a real codec library; the
+dispatch keeps a clean drop-in slot for them.
 
 Encoders exist so tests and gates can synthesize real payloads
 deterministically from testdata columns.
@@ -220,10 +223,15 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
-def encode_avi(frames: np.ndarray, fps: int = 2) -> bytes:
-    """(n, H, W, 3) uint8 RGB -> uncompressed AVI (RIFF, 'DIB ' codec,
-    24-bit bottom-up BGR frames — the rawvideo format every AVI tool
-    accepts)."""
+def encode_avi(frames: np.ndarray, fps: int = 2, codec: str = "DIB") -> bytes:
+    """(n, H, W, 3) uint8 RGB -> AVI (RIFF). ``codec="DIB"`` writes
+    uncompressed 24-bit bottom-up BGR frames (the rawvideo format
+    every AVI tool accepts); ``codec="MJPG"`` writes Motion-JPEG —
+    each frame an independent baseline JPEG from the from-scratch
+    T.81 encoder (operators/jpeg.py), the standard compressed-AVI
+    transport cameras produce."""
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError("codec must be DIB or MJPG")
     frames = np.asarray(frames, dtype=np.uint8)
     n, h, w, _ = frames.shape
     stride = (w * 3 + 3) & ~3
@@ -254,15 +262,24 @@ def encode_avi(frames: np.ndarray, fps: int = 2) -> bytes:
         0,
         0,
     )
-    strh = b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0)
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    fourcc = b"DIB " if codec == "DIB" else b"MJPG"
+    compression = 0 if codec == "DIB" else struct.unpack("<I", b"MJPG")[0]
+    strh = b"vids" + fourcc + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size, 2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi_chunks = []
-    for f in range(n):
-        rows = b"".join(
-            frames[f, y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
-        )
-        movi_chunks.append(chunk(b"00db", rows))
+    if codec == "MJPG":
+        from shc_spark.operators import jpeg as _jpeg
+
+        for f in range(n):
+            movi_chunks.append(chunk(b"00dc", _jpeg.encode(frames[f])))
+    else:
+        for f in range(n):
+            rows = b"".join(
+                frames[f, y, :, ::-1].tobytes() + b"\x00" * pad
+                for y in range(h - 1, -1, -1)
+            )
+            movi_chunks.append(chunk(b"00db", rows))
     movi = lst(b"movi", b"".join(movi_chunks))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
@@ -281,10 +298,11 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
     vid_stream = None
     stream_no = 0
     in_video_strl = False
+    compression = b"\x00\x00\x00\x00"
     frames = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal fps, w, h, vid_stream, stream_no, in_video_strl
+        nonlocal fps, w, h, vid_stream, stream_no, in_video_strl, compression
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -304,8 +322,13 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
                 stream_no += 1
             elif cid == b"strf" and in_video_strl and w is None:
                 w_, h_, _, bpp = struct.unpack("<iiHH", data[body_start + 4 : body_start + 16])
-                if bpp != 24:
-                    raise NotImplementedError("only 24-bit DIB AVI frames")
+                compression = data[body_start + 16 : body_start + 20]
+                if compression not in (b"\x00\x00\x00\x00", b"MJPG") or (
+                    compression == b"\x00\x00\x00\x00" and bpp != 24
+                ):
+                    raise NotImplementedError(
+                        "only 24-bit DIB or MJPG AVI frames"
+                    )
                 w, h = w_, abs(h_)
             elif (
                 vid_stream is not None
@@ -318,8 +341,21 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
     walk(12, len(data))
     if w is None or fps is None:
         raise ValueError("truncated AVI")
-    stride = (w * 3 + 3) & ~3
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    if compression == b"MJPG":
+        # Motion-JPEG: every frame is an independent baseline JPEG —
+        # decoded by the from-scratch T.81 decoder (operators/jpeg.py)
+        for i, fb in enumerate(frames):
+            img = decode_jpeg(bytes(fb))
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            if img.shape[0] != h or img.shape[1] != w:
+                raise ValueError("MJPG frame size differs from stream header")
+            out[i] = img[:, :, :3]
+        return out, fps
+    stride = (w * 3 + 3) & ~3
     for i, fb in enumerate(frames):
         rows = np.frombuffer(fb, dtype=np.uint8, count=h * stride).reshape(h, stride)
         out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up BGR

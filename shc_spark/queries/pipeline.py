@@ -2102,3 +2102,46 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["mm_image_resize"] = _resize_oracle()
+
+
+# COMPRESSED video scene detection: the same shot-boundary operator
+# over a Motion-JPEG AVI — every frame an independent baseline JPEG
+# through the from-scratch T.81 codec. Flat 8x8 frames survive the
+# lossy transport exactly (the JPEG contract invariant), so even the
+# compressed path gets a value-exact oracle recomputed from the text.
+@register(
+    "mm_mjpeg_scenes",
+    """
+    WITH f AS (SELECT doc_id, text, unnest(generate_series(1, 4)) AS fi FROM documents),
+    d AS (SELECT doc_id, fi,
+      abs(CAST(CASE WHEN fi + 1 <= length(text)
+                    THEN unicode(substr(text, CAST(fi + 1 AS INT), 1)) % 256
+                    ELSE 32 END AS DOUBLE)
+        - CAST(CASE WHEN fi <= length(text)
+                    THEN unicode(substr(text, CAST(fi AS INT), 1)) % 256
+                    ELSE 32 END AS DOUBLE)) AS diff
+      FROM f)
+    SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx, round(diff, 4) AS diff
+    FROM d WHERE diff > 30.0
+    """,
+)
+def mm_mjpeg_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def avi(pdf: pd.DataFrame) -> pd.Series:
+        from shc_spark.operators.codecs import encode_avi
+
+        out = []
+        for t in pdf["text"]:
+            levels = [(ord(t[i]) % 256) if i < len(t) else 32 for i in range(5)]
+            frames = np.stack(
+                [np.full((8, 8, 3), v, dtype=np.uint8) for v in levels]
+            )
+            out.append(encode_avi(frames, fps=2, codec="MJPG"))
+        return pd.Series(out)
+
+    media = multimodal.make_media_df(
+        docs.withColumn("payload", avi(F.struct("text"))), "doc_id", "payload", "video/avi"
+    )
+    return multimodal.scene_cuts(media, threshold=30.0)

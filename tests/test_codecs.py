@@ -269,3 +269,33 @@ def test_jpeg_progressive_decodes_via_dispatch():
     img = np.random.default_rng(0).integers(0, 256, (16, 16, 3), dtype=np.uint8)
     out = codecs.decode_image(jpeg.encode_progressive(img))
     assert out.shape == (16, 16, 3)
+
+
+def test_mjpeg_avi_roundtrip():
+    """Motion-JPEG AVI: flat 8x8 blocks survive the baseline-JPEG
+    transport EXACTLY (the same invariant the JPEG contract tests
+    pin), arbitrary frames come back within DCT rounding, and the
+    stream header's fps/dimensions parse like the DIB path."""
+    import numpy as np
+
+    from shc_spark.operators.codecs import decode_avi, encode_avi
+
+    # flat-block frames: each frame one gray level per 8x8 tile
+    levels = np.array([10, 200, 60, 61, 255], dtype=np.uint8)
+    frames = np.stack([np.full((8, 8, 3), v, dtype=np.uint8) for v in levels])
+    avi = encode_avi(frames, fps=3, codec="MJPG")
+    back, fps = decode_avi(avi)
+    assert fps == 3.0 and back.shape == frames.shape
+    assert np.array_equal(back, frames)
+
+    # textured frames: lossy but bounded (flat quantization => DCT
+    # rounding only)
+    rng = np.random.RandomState(3)
+    tex = rng.randint(0, 256, size=(2, 16, 24, 3), dtype=np.uint8)
+    back2, _ = decode_avi(encode_avi(tex, fps=2, codec="MJPG"))
+    assert back2.shape == tex.shape
+    assert np.max(np.abs(back2.astype(int) - tex.astype(int))) <= 8
+
+    # DIB path unchanged
+    back3, _ = decode_avi(encode_avi(tex, fps=2, codec="DIB"))
+    assert np.array_equal(back3, tex)

@@ -1,12 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata structs.
 
-Image decode is REAL for PNG/PPM/BMP/baseline-JPEG (pure stdlib+numpy
-codecs in ``codecs.py``/``jpeg.py``) and audio decode is REAL for PCM
-WAV; compressed video remains
-behind NotImplementedError until a codec library (PIL/opencv) is
-available — ``fake=True`` selects a deterministic digest-seeded stub
-decoder for those pipelines.
+Image decode is REAL for PNG/PPM/BMP and JPEG (baseline, extended
+sequential and progressive — pure stdlib+numpy codecs in
+``codecs.py``/``jpeg.py``); audio decode is REAL for PCM WAV; video
+decode is REAL for uncompressed-DIB AVI and Motion-JPEG AVI (each
+frame through the T.81 codec). Inter-frame codecs (H.264 etc.) need a
+codec library — ``fake=True`` selects a deterministic digest-seeded
+stub decoder for those pipelines.
 
 At 100 TB: payloads stay in executor memory only for the duration of
 one Arrow batch (``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -447,5 +448,68 @@ def resize_image(
         "media_id long, height int, width int, payload binary"
         if emit == "payload"
         else "media_id long, y int, x int, value double"
+    )
+    return media.mapInPandas(run, schema=schema)
+
+
+def resample_audio(
+    media: DataFrame,
+    target_rate: int,
+    emit: str = "payload",
+) -> DataFrame:
+    """LINEAR-interpolation resample of decoded PCM payloads to
+    ``target_rate`` — map-only mapInPandas, payloads never shuffle.
+    Output sample j sits at source position ``j * src_rate /
+    target_rate``; the length is ``ceil(n * target / src)`` with the
+    tail clamped to the last source sample (no extrapolation).
+    Multi-channel audio resamples per channel.
+
+    ``emit="payload"``: (media_id, sample_rate, n_samples, payload)
+    with int16-rounded samples re-encoded as WAV. ``emit="samples"``:
+    long-format (media_id, i, value DOUBLE, unrounded first channel) —
+    the shape the value-exact oracle checks."""
+    if emit not in ("payload", "samples"):
+        raise ValueError("emit must be 'payload' or 'samples'")
+    if target_rate < 1:
+        raise ValueError("target_rate must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shc_spark.operators.codecs import decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, src_rate = decode_wav(bytes(payload))
+                n = arr.shape[0]
+                m = int(np.ceil(n * target_rate / src_rate)) if n else 0
+                pos = np.arange(m, dtype=np.float64) * src_rate / target_rate
+                lo = np.minimum(np.floor(pos).astype(np.int64), n - 1)
+                hi = np.minimum(lo + 1, n - 1)
+                frac = np.minimum(pos - lo, 1.0)
+                s = arr.astype(np.float64)
+                out = s[lo] * (1.0 - frac)[:, None] + s[hi] * frac[:, None]
+                if emit == "payload":
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "sample_rate": target_rate,
+                            "n_samples": m,
+                            "payload": encode_wav(
+                                np.clip(np.rint(out), -32768, 32767).astype("<i2"),
+                                target_rate,
+                            ),
+                        }
+                    )
+                else:
+                    for j in range(m):
+                        rows.append(
+                            {"media_id": mid, "i": j, "value": float(out[j, 0])}
+                        )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "media_id long, sample_rate int, n_samples int, payload binary"
+        if emit == "payload"
+        else "media_id long, i int, value double"
     )
     return media.mapInPandas(run, schema=schema)

@@ -2145,3 +2145,51 @@ def mm_mjpeg_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("payload", avi(F.struct("text"))), "doc_id", "payload", "video/avi"
     )
     return multimodal.scene_cuts(media, threshold=30.0)
+
+
+# Linear audio RESAMPLE over real PCM-WAV decode: 6 codepoint-derived
+# int16 samples at 8 kHz resample to 12 kHz (9 samples, tail clamped)
+# and DuckDB recomputes every interpolated sample straight from the
+# text with the IDENTICAL position/fraction arithmetic — value-exact.
+@register(
+    "mm_audio_resample",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 6), k ->
+               CAST(((CASE WHEN k <= length(text)
+                           THEN unicode(substr(text, CAST(k AS INT), 1)) % 256
+                           ELSE 32 END) - 128) * 200 AS DOUBLE)) AS v
+      FROM documents),
+    j AS (SELECT unnest(range(9)) AS i),
+    d AS (SELECT doc_id, v, i,
+                 (i * 8000.0) / 12000.0 AS pos,
+                 least(CAST(floor((i * 8000.0) / 12000.0) AS BIGINT), 5) AS lo
+          FROM s, j)
+    SELECT doc_id AS media_id, CAST(i AS INT) AS i,
+           round(v[CAST(lo + 1 AS INT)] * (1 - least(pos - lo, 1.0))
+               + v[CAST(least(lo + 1, 5) + 1 AS INT)] * least(pos - lo, 1.0), 4)
+             AS value
+    FROM d
+    """,
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def wav(texts: pd.Series) -> pd.Series:
+        from shc_spark.operators.codecs import encode_wav
+
+        out = []
+        for t in texts:
+            cps = [(ord(t[i]) % 256) if i < len(t) else 32 for i in range(6)]
+            smp = (np.array(cps, dtype=np.int32) - 128) * 200
+            out.append(encode_wav(smp.astype("<i2"), 8000))
+        return pd.Series(out)
+
+    media = multimodal.make_media_df(
+        docs.withColumn("payload", wav("text")), "doc_id", "payload", "audio/wav"
+    )
+    return multimodal.resample_audio(media, 12000, emit="samples").select(
+        "media_id", "i", F.round("value", 4).alias("value")
+    )

@@ -2155,3 +2155,39 @@ def test_resize_image_area_average_and_payload_roundtrip(spark):
     back = decode_image(bytes(out.payload), "image/png")
     assert back.shape[:2] == (2, 3)
     assert np.array_equal(back[:, :, 0], np.clip(np.rint(want), 0, 255).astype(np.uint8))
+
+
+def test_resample_audio_linear_and_payload(spark):
+    """Linear resample matches numpy interpolation for up- and
+    down-sampling (incl. tail clamp), and payload mode re-encodes a
+    decodable WAV at the target rate."""
+    import numpy as np
+
+    from shc_spark.operators import multimodal
+    from shc_spark.operators.codecs import decode_wav, encode_wav
+
+    smp = np.array([0, 1000, -2000, 3000, -4000, 500], dtype="<i2")
+    media = multimodal.make_media_df(
+        spark.createDataFrame(
+            [(1, bytearray(encode_wav(smp, 8000)))], "media_id long, payload binary"
+        ),
+        "media_id", "payload", "audio/wav",
+    )
+    for dst in (12000, 4000, 8000):
+        got = {
+            r.i: r.value
+            for r in multimodal.resample_audio(media, dst, emit="samples").collect()
+        }
+        n = len(smp)
+        m = int(np.ceil(n * dst / 8000))
+        assert len(got) == m
+        pos = np.arange(m) * 8000 / dst
+        lo = np.minimum(np.floor(pos).astype(int), n - 1)
+        hi = np.minimum(lo + 1, n - 1)
+        frac = np.minimum(pos - lo, 1.0)
+        want = smp[lo] * (1 - frac) + smp[hi] * frac
+        assert np.allclose([got[i] for i in range(m)], want), dst
+
+    out = multimodal.resample_audio(media, 12000, emit="payload").collect()[0]
+    arr, rate = decode_wav(bytes(out.payload))
+    assert rate == 12000 and arr.shape[0] == out.n_samples == 9

@@ -236,10 +236,10 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> 
     (media_id, frame_idx, ts_ms, frame_sha256, mean_px). Fan-out
     happens inside mapInPandas so no shuffle carries the payload.
 
-    The REAL path decodes uncompressed-DIB AVI (codecs.decode_avi) and
-    samples the nearest frame at each every_ms tick within the clip;
-    compressed video stays behind the codec-library slot (the fake
-    path emits digest-derived rows for it)."""
+    The REAL path decodes uncompressed-DIB and Motion-JPEG AVI
+    (codecs.decode_avi) and samples the nearest frame at each
+    every_ms tick within the clip; inter-frame codecs stay behind the
+    codec-library slot (the fake path emits digest-derived rows)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from shc_spark.operators.codecs import decode_avi

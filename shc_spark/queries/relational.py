@@ -2133,3 +2133,32 @@ def q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("value") * 1000 + 0.5) / 1000).alias("value"),
         "observed",
     )
+
+
+# counter increase with reset handling (PromQL increase()/rate()
+# building block, operators/timeseries.py): a negative delta means
+# the counter restarted, so the new reading is the whole increase.
+@register(
+    "q_counter_increase",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      FROM events)
+    SELECT user_id,
+           round(CAST(sum(CASE WHEN pv IS NULL THEN NULL
+                         WHEN value - pv >= 0 THEN value - pv
+                         ELSE value END) AS DOUBLE), 2) AS total_increase,
+           count(pv) AS n_samples
+    FROM w GROUP BY user_id
+    """,
+)
+def q_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators.timeseries import counter_increase
+
+    ev = _events(spark, sf_dir)
+    inc = counter_increase(ev, "user_id", "ts", "value", tiebreak_col="event_id")
+    return inc.groupBy("user_id").agg(
+        F.round(F.sum("increase"), 2).alias("total_increase"),
+        F.count(F.when(F.col("increase").isNotNull(), 1)).alias("n_samples"),
+    )

@@ -2238,3 +2238,24 @@ def test_gapfill_locf_linear_and_null(spark):
     # check via a hole before the first observation of a second series
     with pytest.raises(ValueError, match="how must be"):
         gapfill(df, "k", "ts", "v", 3600, how="cubic")
+
+
+def test_counter_increase_reset_semantics(spark):
+    """Monotone deltas pass through; a drop (reset) contributes the
+    new reading; the first sample per key is null."""
+    from shc_spark.operators.timeseries import counter_increase
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, 3.0),  # reset at t=3
+        ("a", 4, 4.0), ("b", 1, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    df = df.withColumn("ts", F.timestamp_seconds("t"))
+    got = {
+        (r.k, r.t): r.increase
+        for r in counter_increase(df, "k", "ts", "v", tiebreak_col="t").collect()
+    }
+    assert got == {
+        ("a", 1): None, ("a", 2): 5.0, ("a", 3): 3.0,
+        ("a", 4): 1.0, ("b", 1): None,
+    }

@@ -61,9 +61,11 @@ _WINDOW = [
     # r03+r04 green rows for the new PSI drift gate (DQ family stays
     # fresh), and cluster_assign rotates out on r03+r04 green rows to
     # free a slot for the relational refresh below.
+    # (late r05: text_chunking and text_lm_ppl rotate out on r03+r04
+    # green rows for the gapfill and audio-resample gates' first rows)
     "dedup_substring_spans", "dedup_minhash_lsh", "sim_topk_bruteforce",
     "dedup_cross_corpus", "dedup_fuzzy_names", "text_remove_boilerplate",
-    "text_chunking", "text_lm_ppl", "text_tfidf", "text_heavy_hitters",
+    "q_gapfill_locf", "mm_audio_resample", "text_tfidf", "text_heavy_hitters",
     "mm_jpeg_decode",
     "embed_quantize", "mm_image_dhash", "text_mixture_sample",
     # (late r05: mm_video_scenes rotates out on r03+r04 green rows so

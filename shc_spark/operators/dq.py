@@ -127,8 +127,11 @@ def psi_drift(
     so empty buckets cannot blow up the log; per-bucket rows carry the
     smoothed fractions and the PSI contribution (sum them for the
     index), all rounded to 6dp for engine-neutral comparison."""
-    if not edges or sorted(edges) != list(edges):
-        raise ValueError("edges must be a non-empty ascending list")
+    if not edges or any(b <= a for a, b in zip(edges, edges[1:])):
+        # STRICTLY ascending: a duplicate edge creates an impossible
+        # [e, e) bucket that still receives Laplace mass and skews
+        # every smoothed fraction
+        raise ValueError("edges must be a non-empty strictly ascending list")
     B = len(edges) + 1
 
     def bucketed(df: DataFrame, out: str) -> DataFrame:

@@ -118,6 +118,14 @@ def range_join(
         bin_width = max(int(bin_width), 1) if integral else max(float(bin_width), 1e-9)
     if bin_width <= 0:
         raise ValueError("range_join: bin_width must be > 0")
+    if integral and int(bin_width) != bin_width:
+        # int(0.5) would floor to a ZERO width (pmod by 0 -> NULL bins
+        # -> silently empty result) and int(2.5) would silently bin at
+        # a different width than requested — refuse instead
+        raise ValueError(
+            f"range_join: bin_width {bin_width} must be a whole number "
+            "for integral point/start/end columns"
+        )
 
     def bins(c: Column) -> Column:
         if integral:
@@ -140,7 +148,7 @@ def range_join(
     # through the exact non-equi join (a bounded nested loop over a
     # tiny side is the RIGHT plan there; exploding them is not). The
     # count guard refuses the pathological case where "few" is false.
-    n_long = len(long_iv.select(F.lit(1)).limit(max_long_intervals + 1).collect())
+    n_long = long_iv.limit(max_long_intervals + 1).count()
     if n_long > max_long_intervals:
         raise ValueError(
             f"range_join: more than {max_long_intervals} intervals span > "

@@ -571,7 +571,10 @@ def hard_negative_topk(
     Same scale shape as cosine_topk (query side broadcast, corpus
     scanned once in Arrow batches, distributed per-batch prune to a
     provable superset of the global top-k): the label exclusion is a
-    per-query candidate mask inside the batch, not a join."""
+    per-query candidate mask inside the batch, not a join. NULL
+    labels follow SQL three-valued semantics (``c.label != q.label``
+    is NULL, not true): a NULL-labeled corpus row is never a
+    negative, a NULL-labeled query mines nothing."""
     spark = corpus.sparkSession
     rows = queries.select(id_col, vec_col, label_col).collect()
     q_ids = [r[0] for r in rows]
@@ -595,8 +598,14 @@ def hard_negative_topk(
                 continue
             ids = pdf["__id"].to_numpy()
             labs = pdf["__lab"].to_numpy()
+            notnull = pd.notna(labs)
             S = _normalize_batch(pdf["__vec"]) @ q_mat.T
-            cand = [np.nonzero(labs != labs_q[j])[0] for j in range(len(ids_q))]
+            cand = [
+                np.nonzero((labs != labs_q[j]) & notnull)[0]
+                if pd.notna(labs_q[j])
+                else np.array([], dtype=np.int64)
+                for j in range(len(ids_q))
+            ]
             yield from _emit_topk(ids_q, ids, S, cand, k)
 
     id_type = corpus.schema[id_col].dataType.simpleString()

@@ -47,7 +47,11 @@ def gapfill(
     if bucket_seconds < 1:
         raise ValueError("bucket_seconds must be >= 1")
 
-    b = (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long") * bucket_seconds
+    # FLOOR, not cast-truncation: truncation rounds toward zero, so a
+    # pre-1970 (negative-epoch) timestamp would land one bucket LATE
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast(
+        "long"
+    ) * bucket_seconds
     agg = F.avg("v")
     if round_dp is not None:
         agg = F.round(agg, round_dp)

@@ -163,14 +163,18 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # LEFT-OUTER stream-stream join: unmatched clicks must ALSO emit (with
 # a null purchase) — exactly when the watermark proves no match can
-# still arrive. The click side is bounded to max_ts - 41 minutes on
-# BOTH sides because a finite stream's watermark stops 10 minutes
-# short of max event time and can never give the tail that proof
-# (see run_stream_stream_join_outer).
+# still arrive. The click side is bounded on BOTH sides to 41 minutes
+# before the SMALLER of the two sides' max event times: the global
+# watermark is the min across inputs, and a finite stream's watermark
+# stops 10 minutes short of max event time, so the tail past that
+# bound can never get the proof (see run_stream_stream_join_outer).
 @register(
     "stream_join_outer",
     """
-    WITH mx AS (SELECT max(ts) AS m FROM events),
+    WITH mx AS (SELECT least(
+                  max(CASE WHEN event_type = 'click' THEN ts END),
+                  max(CASE WHEN event_type = 'purchase' THEN ts END)) AS m
+                FROM events),
     c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
           WHERE event_type = 'click'
             AND ts <= (SELECT m FROM mx) - INTERVAL 41 MINUTE),

@@ -418,6 +418,15 @@ def _split_boundaries(lo: bytes, hi: bytes, n: int) -> "list[bytes]":
     return [(a + (b - a) * i // n).to_bytes(width, "big") for i in range(1, n)]
 
 
+def _any_live_cell(col_names: list) -> "F.Column":
+    """OR over the columns' isNotNull — the HBase row-liveness rule
+    (a row IS its cells; none live, no row). One definition shared by
+    the maxVersions drop, TTL drop, and compaction TTL purge."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a | b, [F.col(c).isNotNull() for c in col_names])
+
+
 def _merge_is_noop(table_path: str) -> bool:
     """True when every region file has unique keys (writer-recorded)
     and region key ranges are pairwise disjoint — then one row per key
@@ -506,10 +515,12 @@ def read_table(
     table_dir = _os.path.join(root, f"{cat.namespace}.{cat.name}")
     stored = _stored_catalog_json(table_dir)
     # TTL is a property of the PHYSICAL table (HBase sets it on the
-    # column family descriptor, not on the reader): the stored
-    # catalog's ttl wins when present; a reader-side catalog may also
-    # declare it (e.g. before the first write records the catalog).
-    _ttl = (parse_catalog(stored).ttl if stored else {}) or cat.ttl
+    # column family descriptor, not on the reader): when a stored
+    # catalog exists its ttl is authoritative — INCLUDING "no ttl"
+    # (a reader-side catalog must not conjure expiry onto a TTL-free
+    # table). The reader's ttl applies only before the first write
+    # records the catalog.
+    _ttl = parse_catalog(stored).ttl if stored is not None else cat.ttl
     if _ttl:
         _ttl_cut = {
             cf: (ttl_now_ms if ttl_now_ms is not None else int(time.time() * 1000))
@@ -674,14 +685,7 @@ def read_table(
                 ),
             )
         if value_fields:
-            from functools import reduce
-
-            df = df.filter(
-                reduce(
-                    lambda a, b: a | b,
-                    [F.col(f.col_name).isNotNull() for f in value_fields],
-                )
-            )
+            df = df.filter(_any_live_cell([f.col_name for f in value_fields]))
 
     if merge_to_latest:
         # per-cell latest-non-null merge (buildRow, HBaseTableScan.scala:114-175):
@@ -737,14 +741,7 @@ def read_table(
     # active with TTL so all-null value rows written by users keep
     # their existing (row-granular) visibility.
     if _ttl and value_fields:
-        from functools import reduce as _reduce
-
-        df = df.filter(
-            _reduce(
-                lambda a, b: a | b,
-                [F.col(f.col_name).isNotNull() for f in value_fields],
-            )
-        )
+        df = df.filter(_any_live_cell([f.col_name for f in value_fields]))
     return df.select(*cols)
 
 
@@ -938,11 +935,7 @@ def _read_cross_catalog(
                 ),
             )
         if needed:
-            from functools import reduce as _reduce
-
-            df = df.filter(
-                _reduce(lambda a, b: a | b, [F.col(c).isNotNull() for c in needed])
-            )
+            df = df.filter(_any_live_cell(list(needed)))
 
     has_versions = any(
         k == "vmap" or (k == "dyn" and _is_vmap_type(f.dt.valueType))
@@ -1356,14 +1349,7 @@ def compact_table(
                         F.when(F.col(TS_COL) >= cut, F.col(f.col_name)),
                     )
             if vfs:
-                from functools import reduce as _reduce
-
-                df = df.filter(
-                    _reduce(
-                        lambda a, b: a | b,
-                        [F.col(f.col_name).isNotNull() for f in vfs],
-                    )
-                )
+                df = df.filter(_any_live_cell([f.col_name for f in vfs]))
     if max_versions is not None:
         if max_versions < 1:
             raise ValueError("max_versions must be >= 1")
@@ -1536,7 +1522,7 @@ def count_rows(
     cat = parse_catalog(catalog)
     path = _os.path.join(root, f"{cat.namespace}.{cat.name}")
     stored = _stored_catalog_json(path)
-    has_ttl = bool((parse_catalog(stored).ttl if stored else {}) or cat.ttl)
+    has_ttl = bool(parse_catalog(stored).ttl if stored is not None else cat.ttl)
     if _merge_is_noop(path) and not has_ttl:
         regions = _json.load(open(_os.path.join(path, "_regions.json")))
         # A single-generation table can still carry tombstones (a CDC

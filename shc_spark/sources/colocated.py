@@ -275,7 +275,7 @@ def colocated_join(
     for c, r in ((catalog_a, root), (catalog_b, root_b or root)):
         cat = _pc(c)
         stored = _scj(_os.path.join(r, f"{cat.namespace}.{cat.name}"))
-        if (stored and _pc(stored).ttl) or cat.ttl:
+        if _pc(stored).ttl if stored is not None else cat.ttl:
             raise ValueError(
                 "colocated_join does not support TTL tables; read them "
                 "through read_table (which applies expiry) and join"

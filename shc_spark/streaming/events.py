@@ -255,16 +255,24 @@ def run_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     A finite stream's tail can never get the proof — the watermark
     stops 10 minutes short of max event time, stranding the last ~40
     minutes of clicks in state — so the click side is bounded to
-    max_ts - 41 minutes, computed once from the STATIC table (the
-    batch oracle applies the same bound; both are deterministic per
-    scale factor)."""
+    41 minutes before the smaller of the two sides' max event times,
+    computed once from the STATIC table (the batch oracle applies the
+    same bound; both are deterministic per scale factor). The GLOBAL
+    watermark is the min across both inputs, so bounding against the
+    overall max alone would leave only whatever slack the lagging
+    side happens to have — if the last purchase trailed the last
+    click by over a minute, tail null rows would silently go
+    missing."""
     from shc_spark.queries.relational import _events as _batch_events
 
-    cutoff = (
-        _batch_events(spark, sf_dir)
-        .select(F.max("ts") - F.expr("INTERVAL 41 MINUTES"))
-        .first()[0]
-    )
+    ev_static = _batch_events(spark, sf_dir)
+    cutoff = ev_static.select(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        )
+        - F.expr("INTERVAL 41 MINUTES")
+    ).first()[0]
     clicks = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "click")

@@ -2259,3 +2259,58 @@ def test_counter_increase_reset_semantics(spark):
         ("a", 1): None, ("a", 2): 5.0, ("a", 3): 3.0,
         ("a", 4): 1.0, ("b", 1): None,
     }
+
+
+def test_round5_review_fixes(spark):
+    """Code-review regression battery: fractional bin widths on
+    integral range-join columns are refused (int(0.5)=0 would NULL
+    every bin and silently return empty); gapfill floors negative
+    epochs into the EARLIER bucket; hard negatives follow SQL
+    three-valued label semantics (NULL never matches); psi_drift
+    refuses duplicate edges."""
+    import datetime as dt
+
+    import numpy as np
+    import pytest
+
+    from shc_spark.operators import similarity
+    from shc_spark.operators.dq import psi_drift
+    from shc_spark.operators.ranges import range_join
+    from shc_spark.operators.timeseries import gapfill
+
+    pts = spark.createDataFrame([(1, 5)], "pid long, p long")
+    ivs = spark.createDataFrame([(1, 0, 10)], "iid long, s long, e long")
+    with pytest.raises(ValueError, match="whole number"):
+        range_join(pts, ivs, "p", "s", "e", bin_width=0.5)
+    with pytest.raises(ValueError, match="whole number"):
+        range_join(pts, ivs, "p", "s", "e", bin_width=2.5)
+
+    pre = spark.createDataFrame(
+        [("a", dt.datetime(1969, 12, 31, 23, 30), 5.0)], "k string, ts timestamp, v double"
+    )
+    row = gapfill(pre, "k", "ts", "v", 3600, how="null").collect()[0]
+    assert row.bucket_start == dt.datetime(1969, 12, 31, 23, 0)
+
+    rng = np.random.RandomState(11)
+
+    def lab(i):
+        return None if i % 2 == 0 else ("x" if i % 4 == 1 else "y")
+
+    rows = [(i, [float(x) for x in rng.randn(4)], lab(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = similarity.hard_negative_topk(
+        df.filter(F.col("vec_id") < 4), df, "embedding", "vec_id", "label", k=3
+    ).collect()
+    labels = {i: la for i, _, la in rows}
+    assert out  # labeled queries (1='x', 3='y') do mine
+    # NULL-labeled queries mine nothing; NULL-labeled corpus rows are
+    # never negatives; every mined pair has two distinct real labels
+    assert all(labels[r.query_id] is not None for r in out)
+    assert all(labels[r.neighbor_id] is not None for r in out)
+    assert all(labels[r.query_id] != labels[r.neighbor_id] for r in out)
+    assert {r.query_id for r in out} == {1, 3}
+
+    with pytest.raises(ValueError, match="strictly ascending"):
+        psi_drift(df.select(F.col("vec_id").cast("double").alias("v")),
+                  df.select(F.col("vec_id").cast("double").alias("v")),
+                  "v", [10.0, 10.0])

@@ -1900,6 +1900,19 @@ def test_ttl_read_visibility_and_compaction_purge(spark, tmp_path):
     }
     assert got3 == got2
 
+    # a reader-side catalog must NOT conjure expiry onto a TTL-free
+    # table: the stored catalog (no ttl) is authoritative
+    root3 = str(tmp_path / "ttl3")
+    apply_cdc(spark, cat_json(None), feed, root=root3, ts_col="ts")
+    got4 = {
+        r.k
+        for r in read_table(
+            spark, cat_json({"fa": 100}), root=root3, ttl_now_ms=now
+        ).collect()
+    }
+    assert got4 == {1, 2, 6}  # nothing expired
+    assert count_rows(spark, cat_json({"fa": 100}), root=root3) == 3
+
     # major compaction purges physically: raw row count drops
     compact_table(spark, cat, root=root, apply_ttl=True, ttl_now_ms=now, num_regions=2)
     raw = read_table(

@@ -418,7 +418,7 @@ def _split_boundaries(lo: bytes, hi: bytes, n: int) -> "list[bytes]":
     return [(a + (b - a) * i // n).to_bytes(width, "big") for i in range(1, n)]
 
 
-def _any_live_cell(col_names: list) -> "F.Column":
+def _any_live_cell(col_names: list):
     """OR over the columns' isNotNull — the HBase row-liveness rule
     (a row IS its cells; none live, no row). One definition shared by
     the maxVersions drop, TTL drop, and compaction TTL purge."""

@@ -119,8 +119,8 @@ def psi_drift(
     before trusting a new data drop: PSI < 0.1 stable, 0.1-0.25
     moderate shift, > 0.25 investigate.
 
-    One aggregate scan per side (map-side combined, ``B+1`` result
-    rows each), then all arithmetic on the tiny joined histogram —
+    One aggregate scan per side (map-side combined, at most ``B``
+    result rows each, B = len(edges)+1 buckets), then all arithmetic on the tiny joined histogram —
     nothing about the corpora ever shuffles. Bucket ``i`` holds values
     in [edge_i-1, edge_i) with open under/overflow ends; nulls are
     excluded. Fractions are Laplace-smoothed ((n_i + a) / (N + a*B))
@@ -156,7 +156,7 @@ def psi_drift(
         .fillna(0, ["ref_n", "cur_n"])
     )
     a = float(laplace)
-    # pin the B+1-row histogram once (each corpus scanned exactly one
+    # pin the B-row histogram once (each corpus scanned exactly one
     # time, into the checkpoint), then totals are a broadcast join of
     # its own aggregate — no global window (whose WindowExec warning
     # is noise), no second corpus scan

@@ -432,17 +432,26 @@ def resize_image(
                         }
                     )
                 else:
-                    for y in range(out_h):
-                        for x in range(out_w):
-                            rows.append(
-                                {
-                                    "media_id": mid,
-                                    "y": y,
-                                    "x": x,
-                                    "value": float(small[y, x]),
-                                }
-                            )
-            yield pd.DataFrame(rows)
+                    # vectorized long-format emit: np.repeat/np.tile
+                    # index arrays + ravel, no per-pixel Python dicts
+                    rows.append(
+                        pd.DataFrame(
+                            {
+                                "media_id": np.full(out_h * out_w, mid),
+                                "y": np.repeat(
+                                    np.arange(out_h, dtype=np.int32), out_w
+                                ),
+                                "x": np.tile(
+                                    np.arange(out_w, dtype=np.int32), out_h
+                                ),
+                                "value": small.ravel().astype(np.float64),
+                            }
+                        )
+                    )
+            if emit == "payload":
+                yield pd.DataFrame(rows)
+            elif rows:
+                yield pd.concat(rows, ignore_index=True)
 
     schema = (
         "media_id long, height int, width int, payload binary"

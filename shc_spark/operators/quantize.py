@@ -180,6 +180,7 @@ def pq_topk(
     k: int = 5,
     rerank_factor: int = 0,
     vectors: DataFrame | None = None,
+    max_queries: int | None = None,
 ) -> DataFrame:
     from pyspark.sql import Window
 
@@ -198,9 +199,13 @@ def pq_topk(
     instead of on raw code fidelity (measured on the near-isotropic
     synthetic embeddings — the adversarial case for PQ: 0.79 at R=10,
     0.93 at R=20, 0.98 at R=40; pinned by test)."""
+    from shc_spark.operators.similarity import MAX_QUERY_ROWS, _bounded_query_rows
+
     books = np.asarray(codebooks, dtype=np.float64)
     m, K, sub = books.shape
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _bounded_query_rows(
+        queries, (id_col, vec_col), max_queries or MAX_QUERY_ROWS
+    )
     q_ids = [r[0] for r in q_rows]
     lut = np.empty((len(q_ids), m, K))
     for qi, r in enumerate(q_rows):

@@ -42,10 +42,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _collect_queries(queries: DataFrame, vec_col: str, id_col: str):
+# The query side of every top-k path is collected to the driver and
+# broadcast (the build side of a broadcast hash join). That is the
+# right 100 TB shape ONLY while the query set is small; pointing
+# `queries` at a large table must fail loudly, not OOM the driver.
+MAX_QUERY_ROWS = 100_000
+
+
+def _bounded_query_rows(queries: DataFrame, cols, max_queries: int):
+    """Collect the query side with the repo's limit-and-raise guard
+    (same convention as dedup.embedding_near_dups / index fetch):
+    limit(n+1) proves overflow without materializing the overflow."""
+    rows = queries.select(*cols).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query side exceeds max_queries={max_queries} rows; the "
+            f"top-k operators broadcast the query set to every executor "
+            f"(corpus and queries are not symmetric). Swap the sides, "
+            f"pre-filter the queries, or raise max_queries explicitly."
+        )
+    return rows
+
+
+def _collect_queries(
+    queries: DataFrame, vec_col: str, id_col: str, max_queries: int = MAX_QUERY_ROWS
+):
     """(ids list, normalized float64 matrix) for the small query side.
     Empty query sets return an empty matrix (callers emit nothing)."""
-    rows = queries.select(id_col, vec_col).collect()
+    rows = _bounded_query_rows(queries, (id_col, vec_col), max_queries)
     ids = [r[0] for r in rows]
     if not rows:
         return ids, np.zeros((0, 1), dtype=np.float64)
@@ -128,13 +152,14 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact cosine top-k of corpus for each query vector.
 
     Output: query_id, neighbor_id, cosine (4dp), rank. Ties broken by
     neighbor id -> fully deterministic. Self-matches excluded."""
     spark = corpus.sparkSession
-    bq = spark.sparkContext.broadcast(_collect_queries(queries, vec_col, id_col))
+    bq = spark.sparkContext.broadcast(_collect_queries(queries, vec_col, id_col, max_queries))
 
     def score(batches):
         q_ids, q_mat = bq.value
@@ -159,6 +184,7 @@ def sq8_topk(
     id_col: str = "vec_id",
     k: int = 5,
     levels: int = 256,
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Cosine top-k over an SQ8-COMPRESSED corpus (see
     operators/quantize.py): the scan reads int8-range codes — 4x less
@@ -171,7 +197,7 @@ def sq8_topk(
     mn = np.array([s[0] for s in stats], dtype=np.float64)
     step = np.array([(s[1] - s[0]) / (levels - 1) for s in stats], dtype=np.float64)
     spark = codes.sparkSession
-    bq = spark.sparkContext.broadcast(_collect_queries(queries, vec_col, id_col))
+    bq = spark.sparkContext.broadcast(_collect_queries(queries, vec_col, id_col, max_queries))
 
     def score(batches):
         q_ids, q_mat = bq.value
@@ -202,6 +228,7 @@ def lsh_topk(
     planes_per_table: int = 8,
     multiprobe: bool = True,
     seed: int = 7,
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH.
 
@@ -223,7 +250,7 @@ def lsh_topk(
     weights = (1 << np.arange(planes_per_table)).astype(np.int64)
     flat = planes.reshape(num_tables * planes_per_table, dim)
 
-    q_ids, qm = _collect_queries(queries, vec_col, id_col)
+    q_ids, qm = _collect_queries(queries, vec_col, id_col, max_queries)
     probe_map: dict = {}
     for t in range(num_tables if q_ids else 0):
         b0 = (((qm @ planes[t].T) > 0) * weights).sum(axis=1).astype(np.int64)
@@ -320,6 +347,7 @@ def ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 11,
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """IVF ANN with a spherical-k-means coarse quantizer trained on a
     bounded corpus sample: corpus rows attach to their single nearest
@@ -330,7 +358,7 @@ def ivf_topk(
     sqrt(|corpus|) at scale."""
     cent = _train_centroids(corpus, vec_col, num_centroids, dim, seed)
 
-    q_ids, qm = _collect_queries(queries, vec_col, id_col)
+    q_ids, qm = _collect_queries(queries, vec_col, id_col, max_queries)
     probe_map: dict = {}
     if q_ids:
         probe_idx = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
@@ -458,6 +486,7 @@ def ivf_pq_topk(
     num_codes: int = 16,
     rerank_factor: int = 20,
     seed: int = 11,
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """The full billion-scale ANN recipe in one operator — IVF routing
     x PQ asymmetric-distance scoring x exact re-rank (the FAISS
@@ -481,7 +510,7 @@ def ivf_pq_topk(
 
     cent = _train_centroids(corpus, vec_col, num_centroids, dim, seed)
     books = quantize.train_pq(corpus, vec_col, id_col, m=m, k=num_codes)
-    q_ids, qm = _collect_queries(queries, vec_col, id_col)
+    q_ids, qm = _collect_queries(queries, vec_col, id_col, max_queries)
     probe_map: dict = {}
     lut = np.zeros((len(q_ids), m, num_codes))
     sub = dim // m
@@ -563,6 +592,7 @@ def hard_negative_topk(
     id_col: str = "vec_id",
     label_col: str = "label",
     k: int = 5,
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each query,
     the k most-similar corpus vectors with a DIFFERENT label — similar
@@ -576,7 +606,7 @@ def hard_negative_topk(
     is NULL, not true): a NULL-labeled corpus row is never a
     negative, a NULL-labeled query mines nothing."""
     spark = corpus.sparkSession
-    rows = queries.select(id_col, vec_col, label_col).collect()
+    rows = _bounded_query_rows(queries, (id_col, vec_col, label_col), max_queries)
     q_ids = [r[0] for r in rows]
     if rows:
         qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])

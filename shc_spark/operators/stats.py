@@ -205,7 +205,14 @@ def equi_depth_buckets(
     deciles) via the two-phase distributed rank (same machinery as
     pack.py): range-partition + sort, per-partition counts -> exclusive
     offsets broadcast, local row index + offset = global rank, bucket =
-    (rank-1)*B // N + 1 (exactly ntile's remainder-first distribution)."""
+    (rank-1)*B // N + 1 (exactly ntile's remainder-first distribution).
+
+    Eager-evaluation contract: the call MATERIALIZES its full result
+    (counts job + an eager localCheckpoint that pins the assignment so
+    re-execution can never re-sample range boundaries) — the cost is
+    paid at call time even if the result is never used, and the
+    checkpointed blocks are NOT recomputable on executor loss (lineage
+    is cut; on a lost executor, re-run the call)."""
     from typing import Iterator
 
     import pandas as pd

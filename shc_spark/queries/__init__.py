@@ -57,21 +57,19 @@ _WINDOW = [
     "shc_colocated_join", "shc_versions_map", "shc_dynamic_map",
     "shc_salted_table", "shc_secondary_index", "shc_delete",
     "shc_merge_into", "shc_phoenix_composite",
-    # LLM-pipeline (18). r05: dq_validate_orders rotates out on
-    # r03+r04 green rows for the new PSI drift gate (DQ family stays
-    # fresh), and cluster_assign rotates out on r03+r04 green rows to
-    # free a slot for the relational refresh below.
-    # (late r05: text_chunking and text_lm_ppl rotate out on r03+r04
-    # green rows for the gapfill and audio-resample gates' first rows)
-    "dedup_substring_spans", "dedup_minhash_lsh", "sim_topk_bruteforce",
+    # LLM-pipeline (18). r06 rotation (VERDICT r5 #3): first driver
+    # rows for the round-5 stragglers — sim_hard_negatives (out:
+    # sim_topk_bruteforce, r02-r05 green; similarity family stays
+    # covered), q_gapfill_linear (out: q_gapfill_locf, r05 green, same
+    # gapfill family), q_counter_increase (out: text_pack_sequences,
+    # r03-r05 green), mm_mjpeg_scenes (out: mm_image_dhash, r03-r05
+    # green; mm family covered by resize/resample/jpeg/mjpeg).
+    "dedup_substring_spans", "dedup_minhash_lsh", "sim_hard_negatives",
     "dedup_cross_corpus", "dedup_fuzzy_names", "text_remove_boilerplate",
-    "q_gapfill_locf", "mm_audio_resample", "text_tfidf", "text_heavy_hitters",
+    "q_gapfill_linear", "mm_audio_resample", "text_tfidf", "text_heavy_hitters",
     "mm_jpeg_decode",
-    "embed_quantize", "mm_image_dhash", "text_mixture_sample",
-    # (late r05: mm_video_scenes rotates out on r03+r04 green rows so
-    # the new area-resize gate — value-exact through the real PNG
-    # decoder — gets its first driver row)
-    "text_pack_sequences", "mm_image_resize", "dq_psi_drift",
+    "embed_quantize", "mm_mjpeg_scenes", "text_mixture_sample",
+    "q_counter_increase", "mm_image_resize", "dq_psi_drift",
     "q_zorder_box",
     # streaming + storage engine (8). r05: the inner stream-stream
     # join rotates out on r01-r04 green rows for the new left-outer

@@ -37,18 +37,55 @@ def test_no_complex_types_in_any_gate_output_schema(spark):
     """Gate output schemas must be scalar-only at the top level:
     driver-side canonicalizers sort result columns with pandas, which
     cannot factorize list/dict cells (round-3's `embed_quantize` red
-    was exactly this crash). Structural ban over ALL registered gates,
-    not just the window — rotation must never reintroduce the class."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    was exactly this crash). Also bans raw TIMESTAMP outputs (Spark's
+    are tz-aware UTC, DuckDB's naive — a guaranteed hash mismatch;
+    cast to DATE or format as string). Structural ban over ALL
+    registered gates INCLUDING the TAIL_QUERIES outside the window —
+    rotation must never reintroduce either class."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     sf_dir = "/root/testdata/sf0.001"
     offenders = []
     for name, fn in all_queries().items():
         df = fn(spark, sf_dir)
         for f in df.schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            if isinstance(
+                f.dataType,
+                (ArrayType, MapType, StructType, TimestampType, TimestampNTZType),
+            ):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert offenders == []
+
+
+def test_tail_queries_distinct_and_oracle_checked():
+    """TAIL_QUERIES are redundant baselines kept OUTSIDE the driver
+    window; a rotation could still promote one, so they get the same
+    hygiene: distinct from every windowed/registered name (no silent
+    shadowing in the all_queries() merge) and each either carries a
+    DuckDB oracle or is a documented rows-only approximation."""
+    from shc_spark.queries import connector, pipeline, relational, streaming_q
+
+    primary = set()
+    for m in (connector, pipeline, streaming_q, relational):
+        primary |= set(m.QUERIES)
+    tail = set(pipeline.TAIL_QUERIES)
+    assert not (tail & primary), sorted(tail & primary)
+    # every tail gate is callable and registered in the full listing
+    q = all_queries()
+    assert tail <= set(q)
+    # rows-only tail gates are the deliberately approximate families
+    # (sampling/ANN variants); anything else must be value-exact
+    oracles = all_oracles()
+    no_oracle = sorted(tail - set(oracles))
+    allowed_rows_only_prefixes = ("sim_", "dedup_", "mm_", "embed_", "text_")
+    bad = [n for n in no_oracle if not n.startswith(allowed_rows_only_prefixes)]
+    assert bad == []
 
 
 def test_every_query_callable_and_every_oracle_has_query():

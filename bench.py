@@ -66,10 +66,17 @@ HEADLINE = [
 ]
 
 
+# The full TPC-H analog sweep (`bench.py --tpch`): one headline number
+# for the relational surface instead of per-family samples. All 22 are
+# value-exact vs DuckDB (check_oracle); this times them end-to-end.
+TPCH = [f"q{i:02d}" for i in range(1, 23)]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    tpch_mode = "--tpch" in sys.argv[1:]
 
     from shc_spark.queries import all_queries
 
@@ -81,6 +88,26 @@ def main() -> None:
         df = queries[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
+
+    if tpch_mode:
+        # TPC-H sweep needs no connector/UDF warm-up — it's pure
+        # DataFrame/SQL over parquet; one query primes JIT + footers
+        run("q06_forecast_revenue")
+        names = sorted(n for n in queries if n.split("_")[0] in TPCH)
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+        timings = {n: round(min(run(n) for _ in range(reps)), 3) for n in names}
+        print(
+            json.dumps(
+                {
+                    "metric": "tpch22_total_wall",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                }
+            )
+        )
+        return
 
     # warm-up (not counted): JIT, codegen, parquet footer caches, and
     # the connector query's one-time table materialization (the timed

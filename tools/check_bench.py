@@ -36,17 +36,21 @@ def main() -> int:
     with open(os.path.join(REPO, "BENCH_FLOOR.json")) as fh:
         floor = json.load(fh)
 
-    if len(sys.argv) > 1:
-        with open(sys.argv[1]) as fh:
+    args = [a for a in sys.argv[1:] if a != "--tpch"]
+    tpch = "--tpch" in sys.argv[1:]
+    if args:
+        with open(args[0]) as fh:
             cur = json.load(fh)
+        tpch = tpch or cur.get("metric") == "tpch22_total_wall"
     else:
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
+        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+        if tpch:
+            cmd.append("--tpch")
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         cur = json.loads(out.stdout.strip().splitlines()[-1])
+    if tpch:
+        # a tpch artifact compares against the tpch floor section
+        floor = floor["tpch"]
 
     failures = []
     # compare like-for-like on BOTH sides when the headline set grew:

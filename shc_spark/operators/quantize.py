@@ -180,7 +180,7 @@ def pq_topk(
     k: int = 5,
     rerank_factor: int = 0,
     vectors: DataFrame | None = None,
-    max_queries: int | None = None,
+    max_queries: int | None = None,  # None -> similarity.MAX_QUERY_ROWS
 ) -> DataFrame:
     from pyspark.sql import Window
 
@@ -204,7 +204,9 @@ def pq_topk(
     books = np.asarray(codebooks, dtype=np.float64)
     m, K, sub = books.shape
     q_rows = _bounded_query_rows(
-        queries, (id_col, vec_col), max_queries or MAX_QUERY_ROWS
+        queries,
+        (id_col, vec_col),
+        MAX_QUERY_ROWS if max_queries is None else max_queries,
     )
     q_ids = [r[0] for r in q_rows]
     lut = np.empty((len(q_ids), m, K))

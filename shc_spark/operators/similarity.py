@@ -32,6 +32,13 @@ dots are interpreted per row and made both ANN paths slower than the
 brute force they approximate; and every extra stage (explode + bucket
 equi-join + dedup groupBy) costs more at moderate scale than the
 masked matmul it saves.
+
+API change (round 6): the collected query side is bounded — every
+top-k entry point raises ``ValueError`` once the query set exceeds
+``MAX_QUERY_ROWS`` (100_000) instead of silently collecting it to the
+driver. Callers with genuinely larger query sets must pass
+``max_queries=<n>`` explicitly (and accept the driver memory bill) or
+chunk their query set.
 """
 
 from __future__ import annotations

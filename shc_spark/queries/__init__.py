@@ -47,50 +47,44 @@ def _with_utc(fn):
 _MODULES = (connector, pipeline, streaming_q, relational)
 
 _WINDOW = [
-    # §2.1 connector (15). r05: shc_avro_cells rotates out on
-    # r01+r03+r04 green rows so the new per-family-TTL gate gets its
-    # first driver row (S15 time-semantics family stays covered by
-    # shc_versions_map + shc_ttl_read).
-    "shc_roundtrip_scan", "shc_pushdown_range", "shc_value_filters",
-    "shc_composite_key", "shc_version_merge",
-    "shc_ttl_read", "shc_typed_columns",
-    "shc_colocated_join", "shc_versions_map", "shc_dynamic_map",
-    "shc_salted_table", "shc_secondary_index", "shc_delete",
-    "shc_merge_into", "shc_phoenix_composite",
-    # LLM-pipeline (18). r06 rotation (VERDICT r5 #3): first driver
-    # rows for the round-5 stragglers — sim_hard_negatives (out:
-    # sim_topk_bruteforce, r02-r05 green; similarity family stays
-    # covered), q_gapfill_linear (out: q_gapfill_locf, r05 green, same
-    # gapfill family), q_counter_increase (out: text_pack_sequences,
-    # r03-r05 green), mm_mjpeg_scenes (out: mm_image_dhash, r03-r05
-    # green; mm family covered by resize/resample/jpeg/mjpeg).
-    "dedup_substring_spans", "dedup_minhash_lsh", "sim_hard_negatives",
-    "dedup_cross_corpus", "dedup_fuzzy_names", "text_remove_boilerplate",
-    "q_gapfill_linear", "mm_audio_resample", "text_tfidf", "text_heavy_hitters",
-    "mm_jpeg_decode",
-    "embed_quantize", "mm_mjpeg_scenes", "text_mixture_sample",
-    "q_counter_increase", "mm_image_resize", "dq_psi_drift",
-    "q_zorder_box",
-    # streaming + storage engine (8). r05: the inner stream-stream
-    # join rotates out on r01-r04 green rows for the new left-outer
-    # watermark-eviction join's first driver row (same family);
-    # sessionization (r01-r04 green) rotates out for the stateless
-    # streaming range-enrichment gate's first row.
-    "stream_topk", "stream_range_tag",
-    "stream_stateful_totals", "stream_shc_source",
-    "stream_join_outer", "stream_incremental_dedup", "stream_shc_sink",
-    "shc_rollup",
-    # §2.3 relational representatives (9). Rotation policy: no
-    # family's newest driver row should be older than two rounds.
-    # r04 refreshed q03/q10/set-ops/pivot/subquery/percentiles/JSON/
-    # strings (all hash-match, retained in the round union), so r05
-    # rotates back the families whose newest rows are r03 — agg,
-    # broadcast star join, window top-k, rollup, as-of, global top-k,
-    # TPC-H complex, sessionization — plus the NEW binned range join.
-    "q01_pricing_summary", "q05_local_supplier_volume",
-    "q_window_topk_per_segment", "q_rollup", "q_asof_join",
-    "q_global_topk", "q21_waiting_orders", "q_sessionize_batch",
-    "q_range_join_binned",
+    # r07 rotation (VERDICT r6 #1): every r06 window gate now holds a
+    # driver-green row, so this round spends 47 of the 50 slots on
+    # FIRST driver rows — the 46 local-green gates that had never been
+    # in any round's window, plus the new S14 version-explode gate
+    # (VERDICT r6 #3). The r01-r06 union keeps the rotated-out gates'
+    # evidence; 3 canaries (one per major family) guard against a
+    # systemic regression slipping through a window full of newcomers.
+    # Canaries (dedup/text/stream families are covered by their many
+    # first-time gates below; mm has no never-driven oracle gate, so
+    # its canary keeps the family represented):
+    "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
+    # §2.1 connector — first driver rows:
+    "shc_version_explode", "shc_table_diff", "shc_cdc_apply",
+    # TPC-H analogs never driven (queries/relational.py:799-964):
+    "q08_market_share", "q11_important_stock", "q13_order_distribution",
+    "q15_top_supplier", "q16_parts_suppliers", "q17_small_quantity",
+    "q20_promo_suppliers",
+    # relational never driven:
+    "q_lateral_topk", "q_winsorize_prices", "q_salted_join",
+    "q_window_range_frame", "q_null_safe_join", "q_bloom_semi_join",
+    "q_anomaly_events",
+    # behavior/graph never driven:
+    "q_pagerank", "q_event_funnel", "q_cohort_retention", "q_rolling_wau",
+    # dedup/linkage never driven:
+    "dedup_canonical_names", "dedup_clusters_star", "dedup_normalized",
+    "dedup_prefix_filter", "dedup_remove_substrings", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_embedding_blocked", "link_fuzzy_tables",
+    # similarity/embedding never driven:
+    "sim_topk_filtered", "embed_project_jl",
+    # text never driven:
+    "text_shard_shuffle", "text_phrase_search", "text_length_buckets",
+    "text_weighted_sample", "text_split_assign", "text_canonical_urls",
+    "text_pmi_pairs", "text_chi2_terms", "text_token_budget_sample",
+    # dq never driven:
+    "dq_profile_lineitem", "dq_histogram_prices",
+    # streaming never driven:
+    "stream_quality_by_source", "stream_dq_monitor", "stream_static_join",
+    "stream_cdc_sink",
 ]
 
 

@@ -211,6 +211,44 @@ def shc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("c_custkey", "c_name")
 
 
+# S14 version explode: merge_to_latest=False yields one row PER
+# WRITTEN VERSION (multiset — deliberate divergence from the
+# reference's lossy Set[Row], HBaseTableScan.scala:245; replays the
+# MaxVersionsSuite.scala:45-98 generation matrix as a driver gate).
+# Keys with c_custkey%10==0 carry two generations: ts=2000 wrote only
+# c_name (':v2'), so that version row has NULL acctbal — cells do NOT
+# merge across versions in explode mode.
+@register(
+    "shc_version_explode",
+    """
+    SELECT c_custkey, 1 AS version_rank,
+           concat(c_name, ':v2') AS name_v,
+           CAST(NULL AS DOUBLE) AS bal_v
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS version_rank,
+           c_name AS name_v, c_acctbal AS bal_v
+    FROM customer
+    """,
+)
+def shc_version_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    shc_version_merge(spark, sf_dir)  # ensure both generations exist
+    root = _root(sf_dir, "custv")
+    t = read_table(
+        spark, CAT_CUSTOMER, root=root, merge_to_latest=False, keep_internal=True
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.col("__ts").desc())
+    return t.select(
+        "c_custkey",
+        F.row_number().over(w).alias("version_rank"),
+        F.col("c_name").alias("name_v"),
+        F.col("c_acctbal").alias("bal_v"),
+    )
+
+
 CAT_PART_AVRO = json.dumps(
     {
         "table": {"namespace": "q", "name": "part_avro", "tableCoder": "OrderedType", "version": "2.0"},

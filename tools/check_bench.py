@@ -7,8 +7,14 @@ this tool runs (or reads) a bench result and fails if the total or any
 query regresses beyond tolerance.
 
 Usage:
-    python tools/check_bench.py                # runs bench.py fresh
+    python tools/check_bench.py                # runs headline AND tpch fresh
+    python tools/check_bench.py --headline     # headline suite only
+    python tools/check_bench.py --tpch         # 22-query tpch suite only
     python tools/check_bench.py BENCH_r02.json # checks an existing run
+
+With an artifact, the floor section is derived solely from the
+artifact's "metric" field; a --tpch/--headline flag that contradicts
+the artifact is an error (never a silent wrong-floor comparison).
 
 Tolerances default to 1.8x on the headline total and 3.5x per query —
 wide because walls on this shared box drift in multi-minute phases:
@@ -32,24 +38,20 @@ TOTAL_TOL = float(os.environ.get("BENCH_TOTAL_TOL", "1.8"))
 QUERY_TOL = float(os.environ.get("BENCH_QUERY_TOL", "3.5"))
 
 
-def main() -> int:
-    with open(os.path.join(REPO, "BENCH_FLOOR.json")) as fh:
-        floor = json.load(fh)
-
-    args = [a for a in sys.argv[1:] if a != "--tpch"]
-    tpch = "--tpch" in sys.argv[1:]
-    if args:
-        with open(args[0]) as fh:
-            cur = json.load(fh)
-        tpch = tpch or cur.get("metric") == "tpch22_total_wall"
-    else:
-        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
-        if tpch:
-            cmd.append("--tpch")
-        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        cur = json.loads(out.stdout.strip().splitlines()[-1])
+def _run_bench(tpch: bool) -> dict:
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if tpch:
-        # a tpch artifact compares against the tpch floor section
+        cmd.append("--tpch")
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def check_one(cur: dict, floor: dict) -> int:
+    """Compare one bench artifact against ITS floor section, derived
+    from the artifact's metric — never from a flag (a headline
+    artifact checked against the tpch floor would silently mis-grade:
+    q01/q03/q05 exist in both sections with different walls)."""
+    if cur.get("metric") == "tpch22_total_wall":
         floor = floor["tpch"]
 
     failures = []
@@ -78,6 +80,36 @@ def main() -> int:
         return 1
     print(f"bench ok: total {cur['value']:.2f}s vs floor {floor_total:.2f}s")
     return 0
+
+
+def main() -> int:
+    with open(os.path.join(REPO, "BENCH_FLOOR.json")) as fh:
+        floor = json.load(fh)
+
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if args:
+        with open(args[0]) as fh:
+            cur = json.load(fh)
+        if "queries" not in cur and isinstance(cur.get("parsed"), dict):
+            cur = cur["parsed"]  # driver BENCH_r{N}.json wraps bench's line
+        is_tpch = cur.get("metric") == "tpch22_total_wall"
+        if ("--tpch" in flags and not is_tpch) or ("--headline" in flags and is_tpch):
+            print(
+                f"ERROR: {args[0]} metric={cur.get('metric')!r} contradicts "
+                f"{' '.join(flags)}; mode is derived from the artifact"
+            )
+            return 2
+        return check_one(cur, floor)
+
+    rc = 0
+    if "--tpch" not in flags:
+        print("== headline suite ==")
+        rc |= check_one(_run_bench(tpch=False), floor)
+    if "--headline" not in flags:
+        print("== tpch22 suite ==")
+        rc |= check_one(_run_bench(tpch=True), floor)
+    return rc
 
 
 if __name__ == "__main__":

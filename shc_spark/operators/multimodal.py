@@ -253,7 +253,10 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> 
                 if fake:
                     dur = (meta or {}).get("duration_ms") or 3000
                     for i, ts in enumerate(range(0, dur, every_ms)):
-                        fr = hashlib.sha256(payload + ts.to_bytes(4, "big")).hexdigest()
+                        # ASCII-decimal ts (not packed bytes): keeps the
+                        # digest input engine-neutral so a SQL oracle can
+                        # replay sha256(payload || CAST(ts AS VARCHAR))
+                        fr = hashlib.sha256(payload + str(ts).encode()).hexdigest()
                         rows.append(
                             {
                                 "media_id": mid,

@@ -88,24 +88,38 @@ def internal_schema(cat: Catalog, include_deletes: bool = False) -> StructType:
     return StructType(fields)
 
 
-_REGION_CACHE: dict = {}
+from collections import OrderedDict
+
+_REGION_CACHE: OrderedDict = OrderedDict()
+# Housekeeping analog of the reference's connection cache (S20,
+# HBaseConnectionCache.scala:35-154): the reference refcounts
+# connections and evicts after 10 idle minutes via a housekeeping
+# thread. Region metadata is a read-only snapshot, not a live socket,
+# so no refcounts are needed; boundedness is the surviving contract —
+# LRU capped so scanning thousands of distinct tables from one
+# long-lived process cannot grow the cache without bound.
+_REGION_CACHE_MAX = 256
 
 
 def _load_regions(path: str) -> list[dict]:
-    """Region metadata with an mtime-validated cache — the analog of
-    the reference's connection/region-locator cache (S20,
-    HBaseConnectionCache): repeated queries against the same table
-    skip re-reading and re-parsing the metadata file; any write bumps
-    the file mtime and invalidates naturally."""
+    """Region metadata with an mtime-validated, LRU-bounded cache —
+    the analog of the reference's connection/region-locator cache
+    (S20, HBaseConnectionCache): repeated queries against the same
+    table skip re-reading and re-parsing the metadata file; any write
+    bumps the file mtime and invalidates naturally."""
     meta = os.path.join(path, "_regions.json")
     st = os.stat(meta)
     key = (st.st_mtime_ns, st.st_size)  # size guards coarse-mtime filesystems
     hit = _REGION_CACHE.get(meta)
     if hit is not None and hit[0] == key:
+        _REGION_CACHE.move_to_end(meta)
         return [dict(r) for r in hit[1]]  # callers mutate (commit)
     with open(meta) as fh:
         regions = json.load(fh)
     _REGION_CACHE[meta] = (key, regions)
+    _REGION_CACHE.move_to_end(meta)
+    while len(_REGION_CACHE) > _REGION_CACHE_MAX:
+        _REGION_CACHE.popitem(last=False)
     return [dict(r) for r in regions]
 
 
@@ -276,10 +290,68 @@ class ShcReader(DataSourceReader):
         out.sort(key=lambda x: (x.start is not None, x.start))
         return HRF(out, hrf.handled)
 
+    def _warn_on_replan(self, hrf) -> None:
+        """Spark 4.1 reuse hazard tripwire: the JVM caches ONE planned
+        (partitions, read function) per relation (PythonDataSourceV2.
+        readInfo is a single mutable slot, overwritten by each pushdown
+        planning). A query with no pushable filters reuses whatever
+        plan was cached last — if that plan was pruned, rows silently
+        vanish. Planning happens in a driver-node python worker, so
+        this detects "same relation planned twice with different
+        pushdown state" via a per-relation token file and shouts on
+        the worker's stderr (visible on the local-mode console /
+        driver log) plus a breadcrumb file tests can assert on. With
+        option reuse_check=strict it raises instead, failing the
+        second query loudly. api.read_table is immune: it builds a
+        fresh relation per call."""
+        token = self.options.get("_relation_token".lower())
+        if not token:
+            return
+        import sys
+        import tempfile
+
+        fp = hashlib.md5(
+            repr(
+                [(r.start, r.start_inclusive, r.end, r.end_inclusive) for r in hrf.ranges]
+            ).encode()
+        ).hexdigest()
+        marker = os.path.join(tempfile.gettempdir(), f".shc_plan_{token}")
+        try:
+            prev = open(marker).read() if os.path.exists(marker) else None
+        except OSError:
+            return
+        if prev is None:
+            try:
+                with open(marker, "w") as fh:
+                    fh.write(fp)
+            except OSError:
+                pass
+            return
+        if prev == fp:
+            return
+        msg = (
+            "shc: this DataFrame's relation has now been planned twice "
+            "with different pushed-filter state. Spark 4.1 caches one "
+            "planned read per relation, so running a query WITHOUT "
+            "pushable filters on this same DataFrame will silently "
+            "serve the last pruned plan (missing rows). Build a fresh "
+            "relation per logical query — shc_spark.sources.read_table "
+            "does — instead of reusing one loaded DataFrame."
+        )
+        try:
+            with open(marker + ".warned", "w") as fh:
+                fh.write(msg)
+        except OSError:
+            pass
+        if str(self.options.get("reuse_check", "")).lower() == "strict":
+            raise RuntimeError(msg)
+        print("WARNING: " + msg, file=sys.stderr)
+
     # -- partition planning + pruning (S10) -------------------------------
     def partitions(self):
         regions = _load_regions(self.path)
         hrf, self.hrf = self.hrf, HRF.full()  # pop: ranges are per-query
+        self._warn_on_replan(hrf)
         if self.cat.salt_buckets and hrf.ranges != HRF.full().ranges:
             hrf = self._expand_salt(hrf)
         if self.options.get("merge") == "latest":
@@ -879,6 +951,14 @@ class ShcStreamReader(DataSourceStreamReader):
 class ShcDataSource(DataSource):
     """format("shc") — register with
     ``spark.dataSource.register(ShcDataSource)``."""
+
+    def __init__(self, options) -> None:
+        super().__init__(options)
+        # One token per relation instance (__init__ runs once per
+        # load(); pickling for later plannings preserves it). The
+        # reader uses it to detect the Spark 4.1 plan-cache reuse
+        # hazard — see ShcReader._warn_on_replan.
+        self.options.setdefault("_relation_token", os.urandom(8).hex())
 
     @classmethod
     def name(cls) -> str:

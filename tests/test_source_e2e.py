@@ -1958,3 +1958,126 @@ def test_colocated_join_refuses_ttl_tables(spark, tmp_path):
     # stored TTL wins even when the reader-side catalog omits it
     with pytest.raises(ValueError, match="TTL"):
         colocated_join(spark, cat(None), cat(None), root=root)
+
+
+def test_relation_reuse_tripwire(spark, tmp_path):
+    """Spark 4.1 plan-cache hazard (shc_source.ShcReader._warn_on_replan):
+    reusing ONE loaded DataFrame across differently-filtered queries
+    poisons the per-relation plan cache. The source now detects the
+    second distinct planning and leaves a loud breadcrumb (default) or
+    raises (reuse_check=strict)."""
+    import glob
+    import json as _json
+    import os
+    import tempfile
+
+    cat = _json.dumps(
+        {
+            "table": {"namespace": "g", "name": "reuse", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "v": {"cf": "cf", "col": "v", "type": "string"},
+            },
+        }
+    )
+    root = str(tmp_path / "reuse")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k bigint, v string"
+    )
+    write_table(df, cat, root=root, num_regions=4, mode="overwrite")
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), ".shc_plan_*.warned")))
+    loaded = spark.read.format("shc").options(catalog=cat, root=root).load()
+    assert loaded.filter(F.col("k") < 10).count() == 10
+    # second DISTINCT planning on the same relation -> breadcrumb
+    assert loaded.filter(F.col("k") >= 50).count() == 50
+    new = set(glob.glob(os.path.join(tempfile.gettempdir(), ".shc_plan_*.warned"))) - before
+    assert new, "second distinct planning left no reuse-warning breadcrumb"
+    msg = open(sorted(new)[0]).read()
+    assert "planned twice" in msg and "read_table" in msg
+
+    # strict mode: the second distinct planning fails the query loudly
+    strict = (
+        spark.read.format("shc")
+        .options(catalog=cat, root=root, reuse_check="strict")
+        .load()
+    )
+    assert strict.filter(F.col("k") < 10).count() == 10
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="planned twice"):
+        strict.filter(F.col("k") >= 50).count()
+
+    # the documented-correct pattern never trips: fresh relation per query
+    for _ in range(2):
+        fresh = spark.read.format("shc").options(catalog=cat, root=root).load()
+        assert fresh.count() == 100
+
+
+def test_region_cache_housekeeping(spark, tmp_path):
+    """S20 housekeeping parity (HBaseConnectionCacheSuite.scala:89
+    semantics on the embedded analog): staleness under a concurrent
+    writer, invalidation on overwrite/compact, and bounded growth
+    across many tables (the LRU cap standing in for the reference's
+    idle-eviction housekeeping thread)."""
+    import json as _json
+    import os
+
+    import shc_spark.sources.shc_source as src
+    from shc_spark.sources import compact_table, read_table, write_table
+
+    def cat(name):
+        return _json.dumps(
+            {
+                "table": {"namespace": "hk", "name": name, "tableCoder": "OrderedType", "version": "2.0"},
+                "rowkey": "key",
+                "columns": {
+                    "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                    "v": {"cf": "cf", "col": "v", "type": "double"},
+                },
+            }
+        )
+
+    root = str(tmp_path / "hk")
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], "k bigint, v double")
+    c = cat("t0")
+    write_table(df, c, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+    meta = os.path.join(root, "hk.t0", "_regions.json")
+
+    # warm the cache, then append behind its back (concurrent-writer
+    # staleness): the mtime bump must invalidate, NOT serve the stale
+    # 1-generation region list
+    assert read_table(spark, c, root=root).count() == 20
+    assert meta in src._REGION_CACHE
+    gen1_regions = len(src._REGION_CACHE[meta][1])
+    extra = spark.createDataFrame([(100 + i, 1.0) for i in range(5)], "k bigint, v double")
+    write_table(extra, c, root=root, timestamp=2000)
+    assert read_table(spark, c, root=root).count() == 25
+    assert len(src._REGION_CACHE[meta][1]) > gen1_regions
+
+    # overwrite invalidates (fewer rows, new files)
+    write_table(df.limit(3), c, root=root, num_regions=4, mode="overwrite", timestamp=3000)
+    assert read_table(spark, c, root=root).count() == 3
+
+    # compact rewrites metadata; cache must follow
+    extra2 = spark.createDataFrame([(200, 2.0)], "k bigint, v double")
+    write_table(extra2, c, root=root, timestamp=4000)
+    compact_table(spark, c, root=root)
+    assert read_table(spark, c, root=root).count() == 4
+
+    # bounded growth: many distinct tables never exceed the LRU cap,
+    # oldest entries leave first, hot entries survive
+    old_max = src._REGION_CACHE_MAX
+    src._REGION_CACHE_MAX = 8
+    try:
+        src._REGION_CACHE.clear()
+        for i in range(20):
+            ci = cat(f"m{i}")
+            write_table(df.limit(2), ci, root=root, num_regions=4, mode="overwrite")
+            assert read_table(spark, ci, root=root).count() == 2
+        assert len(src._REGION_CACHE) <= 8
+        survivors = {os.path.basename(os.path.dirname(k)) for k in src._REGION_CACHE}
+        assert "hk.m19" in survivors and "hk.m0" not in survivors
+    finally:
+        src._REGION_CACHE_MAX = old_max

@@ -178,19 +178,71 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# LSH / IVF ANN are approximate by construction — rows-only checks.
-@register("sim_topk_lsh", None)
+# Approximate ANN gates emit a deterministic recall VERDICT instead
+# of raw neighbor rows (VERDICT r6 #2): the seeded approximate top-k
+# is joined against the in-Spark exact brute-force top-k; per query
+# the gate asserts full k results and a method-specific hit floor,
+# plus one aggregate row (query_id = -1) asserting the corpus-wide
+# hit total. All thresholds sit well under the measured sf0.01
+# recalls, so only a genuine algorithm regression flips a bit; the
+# DuckDB oracle states the expected all-true verdict per query. The
+# reference asserts exact counts for everything it ships
+# (DefaultSourceSuite.scala:212-324) — this applies the same
+# discipline to the quality metric of approximate ops.
+_ANN_VERDICT_SQL = """
+    SELECT vec_id AS query_id, TRUE AS full_k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    UNION ALL SELECT CAST(-1 AS BIGINT), TRUE, TRUE
+"""
+
+
+def _ann_recall_verdict(approx, exact, k, min_hits_q, min_total):
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hits = (
+        a.join(e, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    per = (
+        a.groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.col("n") == k).alias("full_k"),
+            (F.coalesce(F.col("hits"), F.lit(0)) >= min_hits_q).alias("recall_ok"),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("h"),
+        )
+    )
+    agg = per.agg(
+        F.min("full_k").alias("full_k"), F.sum("h").alias("tot")
+    ).select(
+        F.lit(-1).cast("long").alias("query_id"),
+        "full_k",
+        (F.col("tot") >= min_total).alias("recall_ok"),
+    )
+    return per.drop("h").unionByName(agg)
+
+
+def _ann_exact(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return queries, emb, similarity.cosine_topk(queries, emb, "embedding", "vec_id", k=5)
+
+
+@register("sim_topk_lsh", _ANN_VERDICT_SQL)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.lsh_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)
+    queries, emb, exact = _ann_exact(spark, sf_dir)
+    approx = similarity.lsh_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)
+    return _ann_recall_verdict(approx, exact, k=5, min_hits_q=1, min_total=18)
 
 
-@register("sim_topk_ivf", None)
+@register("sim_topk_ivf", _ANN_VERDICT_SQL)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.ivf_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)
+    queries, emb, exact = _ann_exact(spark, sf_dir)
+    approx = similarity.ivf_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)
+    return _ann_recall_verdict(approx, exact, k=5, min_hits_q=1, min_total=14)
 
 
 # near-dup clustering: MinHash pairs -> connected components (the
@@ -664,9 +716,33 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "sha256")
 
 
-@register("mm_frame_sample", None, tail=True)  # rows-only plumbing; mm_video_frames is the oracle-checked decode
+# The fake decode path's plumbing (schema, mapInPandas batching,
+# per-tick fan-out) is value-exact replayable: digest input is
+# payload || ASCII-decimal ts, so DuckDB recomputes every sha256 and
+# the hex-derived mean_px (docs are pure ASCII, so VARCHAR sha256
+# hashes the same bytes). mm_video_frames covers the REAL decode.
+@register(
+    "mm_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, text, unnest([0, 1000, 2000]) AS ts
+      FROM documents WHERE doc_id < 50),
+    h AS (
+      SELECT doc_id, ts, sha256(text || CAST(ts AS VARCHAR)) AS fr
+      FROM f)
+    SELECT doc_id AS media_id,
+           CAST(ts // 1000 AS INT) AS frame_idx,
+           CAST(ts AS INT) AS ts_ms,
+           fr AS frame_sha256,
+           CAST(16 * (strpos('0123456789abcdef', substr(fr, 1, 1)) - 1)
+                + (strpos('0123456789abcdef', substr(fr, 2, 1)) - 1)
+                AS DOUBLE) AS mean_px
+    FROM h
+    """,
+    tail=True,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").limit(50)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     media = multimodal.make_media_df(
         docs.withColumn("payload", F.encode("text", "utf-8")), "doc_id", "payload", "video/fake"
     )
@@ -1066,17 +1142,46 @@ def text_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # learned BPE tokenizer: distributed word counts -> driver merge
-# training (bounded dict) -> vectorized encode. Iterative training is
-# not SQL-expressible: rows-only gate; the merge sequence and the
-# detokenization invariant are pinned by tests/test_operators.py
-# (textbook Sennrich example reproduces exactly).
-@register("text_bpe_tokens", None)
+# training (bounded dict) -> vectorized encode. The merge sequence is
+# not SQL-expressible, but the gate is hash-checked on invariants a
+# correct BPE must satisfy for EVERY doc (VERDICT r6 #2): exact word
+# count, the detokenization identity (concatenating tokens must
+# reproduce each word + EOW — merges only ever concatenate adjacent
+# symbols), and per-word token-count bounds (>= 1, <= chars + EOW).
+# The exact Sennrich textbook merge sequence stays pinned by tests.
+@register(
+    "text_bpe_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             AS n_words,
+           TRUE AS roundtrip_ok, TRUE AS tokens_bounded
+    FROM documents
+    """,
+)
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.operators import tokenizer
 
     docs = _t(spark, sf_dir, "documents")
     merges = tokenizer.train_bpe(docs, "text", num_merges=100, min_freq=2)
-    return tokenizer.bpe_encode(docs, merges).select("doc_id", "n_tokens")
+    enc = tokenizer.bpe_encode(docs, merges).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    expected = F.array_join(
+        F.transform(words, lambda w: F.concat(w, F.lit(tokenizer.EOW))), ""
+    )
+    n_chars = F.length(F.concat_ws("", words))
+    return enc.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (F.array_join(F.col("tokens"), "") == expected).alias("roundtrip_ok"),
+        (
+            (F.col("n_tokens") >= n_words.cast("long"))
+            & (F.col("n_tokens") <= (n_chars + n_words).cast("long"))
+        ).alias("tokens_bounded"),
+    )
 
 
 # SQ8 scalar quantization: integer codes are engine-neutral, so the
@@ -1143,18 +1248,19 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack.pack_sequences(docs, "n_tok", "doc_id", seq_len=256)
 
 
-# ANN over the SQ8-compressed corpus (4x less scan I/O); approximate
-# by construction -> rows-only, recall pinned >= 0.95 vs exact by
+# ANN over the SQ8-compressed corpus (4x less scan I/O); recall
+# verdict vs exact (see _ann_recall_verdict) — SQ8 at sf0.01 measures
+# a perfect 40/40, floors set at 4/q and 36 total; also pinned by
 # tests/test_operators.py::test_sq8_topk_recall_near_exact.
-@register("sim_topk_sq8", None)
+@register("sim_topk_sq8", _ANN_VERDICT_SQL)
 def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.operators import quantize
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
+    queries, emb, exact = _ann_exact(spark, sf_dir)
     stats = quantize.dim_stats(emb, "embedding")
     codes = quantize.quantize_embeddings(emb, "embedding", "vec_id", stats=stats)
-    return similarity.sq8_topk(queries, codes, stats, k=5)
+    approx = similarity.sq8_topk(queries, codes, stats, k=5)
+    return _ann_recall_verdict(approx, exact, k=5, min_hits_q=4, min_total=36)
 
 
 # REAL JPEG decode end-to-end, NO codec library: each doc renders a
@@ -1231,10 +1337,42 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # REAL spectral front-end over the same synthesized WAVs: Hann window
-# + rfft + banded power. FFT is not SQL-expressible -> rows-only; the
-# numeric kernel is pinned against direct numpy on the same payloads
-# by tests/test_operators.py::test_audio_spectrogram_matches_numpy.
-@register("mm_audio_spectrogram", None)
+# + rfft + banded power. The FFT itself has no SQL builtin, but at
+# frame_samples=32 the DFT is a fixed 32x17 linear transform — the
+# oracle replays it TERM BY TERM (cos/sin sums per bin) plus the full
+# int16 quantize -> window -> band-fold -> log10 pipeline, so every
+# energy value is checked exactly (numpy FFT vs naive DFT agree far
+# below the 6dp rounding). Kernel additionally pinned vs numpy by
+# tests/test_operators.py::test_audio_spectrogram_matches_numpy.
+@register(
+    "mm_audio_spectrogram",
+    """
+    WITH s AS (
+      SELECT vec_id, list_transform(embedding, e ->
+        greatest(-32767.0, least(32767.0, floor(CAST(e AS DOUBLE) * 10000)))) AS x
+      FROM embeddings),
+    fr AS (SELECT vec_id, x, unnest([0, 1, 2]) AS f FROM s),
+    wf AS (SELECT vec_id, f,
+            list_transform(generate_series(0, 31), n ->
+              (0.5 - 0.5 * cos(2 * pi() * n / 31)) * x[16 * f + n + 1]) AS fx
+           FROM fr),
+    pw AS (SELECT vec_id, f,
+            list_transform(generate_series(0, 16), k ->
+              power(list_sum(list_transform(generate_series(0, 31), n ->
+                fx[n + 1] * cos(2 * pi() * k * n / 32))), 2)
+            + power(list_sum(list_transform(generate_series(0, 31), n ->
+                fx[n + 1] * sin(2 * pi() * k * n / 32))), 2)) AS p
+           FROM wf),
+    bands AS (SELECT vec_id, f, unnest([0, 1, 2, 3]) AS band, p FROM pw)
+    SELECT vec_id AS media_id, CAST(f AS INT) AS frame_idx,
+           CAST(band AS INT) AS band,
+           round(log10(1 + list_sum(
+             p[CASE band WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 9 ELSE 13 END :
+               CASE band WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 12 ELSE 17 END])), 6)
+             AS energy
+    FROM bands
+    """,
+)
 def mm_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
 
@@ -1285,20 +1423,20 @@ def text_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # PQ-pruned + exact-reranked ANN: the billion-scale production shape
 # (PQ codes prune to R*k candidates per query, full-precision cosine
-# re-ranks only those). Approximate by construction -> rows-only;
-# recall curve pinned by tests (0.93 at R=20 on these near-isotropic
-# embeddings, the adversarial case for PQ).
-@register("sim_topk_pq", None)
+# re-ranks only those). Recall verdict vs exact (36/40 measured at
+# sf0.01, floors 3/q and 30 total); curve pinned by tests (0.93 at
+# R=20 on these near-isotropic embeddings, the adversarial PQ case).
+@register("sim_topk_pq", _ANN_VERDICT_SQL)
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.operators import quantize
 
-    emb = _t(spark, sf_dir, "embeddings")
+    queries, emb, exact = _ann_exact(spark, sf_dir)
     books = quantize.train_pq(emb, "embedding", "vec_id", m=8, k=16)
     codes = quantize.pq_encode(emb, books, "embedding", "vec_id")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return quantize.pq_topk(
+    approx = quantize.pq_topk(
         queries, codes, books, k=5, rerank_factor=20, vectors=emb
     )
+    return _ann_recall_verdict(approx, exact, k=5, min_hits_q=3, min_total=30)
 
 
 # Exact count-quota corpus mixing: deterministic md5-order selection,
@@ -1661,13 +1799,29 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_filter_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
 
 
-# zlib has no SQL analog — rows-only tail gate; the ratio kernel is
-# pinned against direct zlib in tests.
-@register("text_compression_ratio", None, tail=True)
+# zlib itself has no SQL analog, but the gate is still hash-checkable
+# (VERDICT r6 #2): n_bytes is value-exact (utf-8 length), and the
+# DEFLATE output is pinned by hard format bounds — stored-block
+# overhead caps expansion at n_bytes+64, header+adler floor it at 8
+# bytes, and any >=400-byte English-ish doc must actually shrink.
+# The exact ratio kernel stays pinned against direct zlib in tests.
+@register(
+    "text_compression_ratio",
+    """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           TRUE AS bound_ok, TRUE AS shrinks_long
+    FROM documents
+    """,
+    tail=True,
+)
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return text.compression_features(docs, "text", "doc_id").select(
-        "doc_id", "n_bytes", "n_compressed", "compress_ratio"
+    feats = text.compression_features(docs, "text", "doc_id")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        ((F.col("n_compressed") >= 8) & (F.col("n_compressed") <= F.col("n_bytes") + 64)).alias("bound_ok"),
+        ((F.col("n_bytes") < 400) | (F.col("compress_ratio") < 1.0)).alias("shrinks_long"),
     )
 
 
@@ -1932,19 +2086,20 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # IVFPQ + refine (the FAISS production recipe as one operator):
-# coarse routing x PQ asymmetric distance x exact re-rank. Approximate
-# by construction -> rows-only; the composition's recall-vs-plain-IVF
-# losslessness and exact re-rank values are pinned by
+# coarse routing x PQ asymmetric distance x exact re-rank. Recall
+# verdict vs exact (33/40 measured at sf0.01, floors 3/q, 28 total);
+# the composition's recall-vs-plain-IVF losslessness and exact
+# re-rank values stay pinned by
 # tests/test_operators.py::test_ivf_pq_topk_loses_nothing_beyond_routing.
-@register("sim_topk_ivf_pq", None)
+@register("sim_topk_ivf_pq", _ANN_VERDICT_SQL)
 def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.operators import similarity
 
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8)
-    return similarity.ivf_pq_topk(
-        q, emb, k=5, dim=64, num_centroids=16, nprobe=8, rerank_factor=40
+    queries, emb, exact = _ann_exact(spark, sf_dir)
+    approx = similarity.ivf_pq_topk(
+        queries, emb, k=5, dim=64, num_centroids=16, nprobe=8, rerank_factor=40
     )
+    return _ann_recall_verdict(approx, exact, k=5, min_hits_q=3, min_total=28)
 
 
 # token-budget mixture sampling ("1200 tokens of src0, 800 of src1"):

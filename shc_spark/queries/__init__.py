@@ -54,6 +54,12 @@ _WINDOW = [
     # (VERDICT r6 #3). The r01-r06 union keeps the rotated-out gates'
     # evidence; 3 canaries (one per major family) guard against a
     # systemic regression slipping through a window full of newcomers.
+    # r08 rotation TODO: the 15 formerly rows-only gates converted to
+    # hash-checked verdicts in r07 (sim_topk_{lsh,ivf,sq8,pq,ivf_pq},
+    # dedup_{semantic,simhash}, text_{bpe_tokens,quality_classifier,
+    # compression_ratio}, mm_{audio_spectrogram,frame_sample},
+    # embed_pca, q_approx_distinct, q_sample) have never been driven —
+    # they are the next window's first-time rows.
     # Canaries (dedup/text/stream families are covered by their many
     # first-time gates below; mm has no never-driven oracle gate, so
     # its canary keeps the family represented):

@@ -93,11 +93,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SimHash hamming<=3 pairs — hash function not SQL-expressible: rows-only.
-@register("dedup_simhash", None, tail=True)  # rows-only (hamming logic unit-tested); minhash/jaccard cover the oracle
+# SimHash hamming<=3 pairs — the hash itself is not SQL-expressible,
+# but its COMPLETENESS contract is (VERDICT r6 #2): the gate plants
+# exact copies of 50 docs under shifted ids; identical text gives
+# identical simhash (hamming 0), so the pigeonhole block join MUST
+# surface every planted pair — any miss is a banding/join bug, not
+# noise. An aggregate row bounds the organic near-dup pair count.
+# Hamming kernel stays unit-tested; minhash/jaccard cover Jaccard.
+@register(
+    "dedup_simhash",
+    """
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b, TRUE AS ok
+    FROM documents WHERE doc_id < 50
+    UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE
+    """,
+    tail=True,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    pairs = dedup.simhash_near_dups(corpus, "text", "doc_id", max_hamming=3)
+    found = pairs.filter(
+        (F.col("id_a") < 50) & (F.col("id_b") == F.col("id_a") + 100000)
+    ).select("id_a", "id_b", F.lit(True).alias("ok"))
+    organic = pairs.filter((F.col("id_a") < 100000) & (F.col("id_b") < 100000))
+    agg = organic.agg(F.count("*").alias("n")).select(
+        F.lit(-1).cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        ((F.col("n") >= 1) & (F.col("n") <= 500)).alias("ok"),
+    )
+    return found.unionByName(agg)
 
 
 # tail: documented O(n^2) baseline; the sim_topk_* gates cover the
@@ -1074,16 +1102,50 @@ def cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# full Lloyd's k-means + one-representative-per-cluster semantic dedup
-# — iterative, not SQL-expressible: rows-only gate (the assignment
-# kernel itself is value-checked by cluster_assign above, the fit /
-# partial-sum machinery by tests/test_operators.py).
-@register("dedup_semantic", None)
+# full Lloyd's k-means + one-representative-per-cluster semantic
+# dedup — iterative, not SQL-expressible, but the PARTITION contract
+# is hash-checked (VERDICT r6 #2): cluster member counts must sum to
+# the exact corpus size, representatives must be distinct real
+# members that re-assign to their own cluster under the final
+# centroids, and the cluster count must respect k. (The assignment
+# kernel stays value-checked by cluster_assign, the fit machinery by
+# tests/test_operators.py.)
+@register(
+    "dedup_semantic",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS members_total,
+           TRUE AS k_bounded, TRUE AS reps_distinct, TRUE AS reps_self_assigned
+    FROM embeddings
+    """,
+)
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.operators import cluster
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cluster.semantic_dedup(emb, "embedding", "vec_id", k=32, max_iter=4)
+    cents = cluster.kmeans_fit(emb, "embedding", "vec_id", k=32, max_iter=4)
+    reps = cluster.semantic_dedup(emb, "embedding", "vec_id", k=32, max_iter=4)
+    rep_assign = cluster.kmeans_assign(
+        emb.join(reps.select("vec_id"), "vec_id", "left_semi"),
+        cents,
+        "embedding",
+        "rcluster",
+        "__d",
+    ).select("vec_id", "rcluster")
+    checks = (
+        reps.join(rep_assign, "vec_id", "left")
+        .agg(
+            F.sum("members").alias("members_total"),
+            (F.countDistinct("cluster") <= 32).alias("k_bounded"),
+            (F.countDistinct("vec_id") == F.count("*")).alias("reps_distinct"),
+            F.min(F.col("rcluster") == F.col("cluster")).alias("reps_self_assigned"),
+        )
+    )
+    return checks.select(
+        F.col("members_total").cast("long").alias("members_total"),
+        "k_bounded",
+        "reps_distinct",
+        "reps_self_assigned",
+    )
 
 
 # bipartite near-dedup across two corpora (even doc_ids = "existing
@@ -1716,18 +1778,44 @@ def embed_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select("vec_id", F.posexplode("proj").alias("i", "p"))
 
 
-# PCA is an eigendecomposition — not SQL-expressible: rows-only gate;
-# the basis itself is pinned against numpy on the full corpus in
-# tests (orthonormality, variance ordering, reconstruction error).
-@register("embed_pca", None, tail=True)
+# PCA is an eigendecomposition — not SQL-expressible, but the
+# defining properties of a correct centered PCA are (VERDICT r6 #2):
+# per component the score mean is exactly 0 (data is centered before
+# projection), component variances are non-increasing (eigenvalue
+# order), and the basis is orthonormal (checked in numpy on the
+# driver-side d x d factors, emitted as a flag). Any wrong centering,
+# ordering, or normalization flips a hashed bit. The basis stays
+# pinned against full-corpus numpy in tests.
+@register(
+    "embed_pca",
+    """
+    SELECT CAST(unnest(generate_series(0, 15)) AS INT) AS i,
+           0.0 AS mean_score, TRUE AS var_ordered, TRUE AS orthonormal
+    """,
+    tail=True,
+)
 def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from shc_spark.operators import project
 
     emb = _t(spark, sf_dir, "embeddings")
     mean, comp = project.pca_fit(emb, "embedding", k=16)
+    ortho = bool(np.abs(comp @ comp.T - np.eye(comp.shape[0])).max() < 1e-8)
     out = project.pca_transform(emb, mean, comp, "embedding", "vec_id")
-    # scalar wire format (registry convention): components as rows
-    return out.select("vec_id", F.posexplode("proj").alias("i", "p"))
+    per_dim = (
+        out.select(F.posexplode("proj").alias("i", "p"))
+        .groupBy("i")
+        .agg(F.round(F.avg("p"), 6).alias("mean_score"), F.variance("p").alias("v"))
+    )
+    w = Window.orderBy("i")
+    return per_dim.select(
+        "i",
+        # -0.0 and 0.0 hash differently in some canonicalizers: + 0.0 normalizes
+        (F.col("mean_score") + F.lit(0.0)).alias("mean_score"),
+        (F.col("v") >= F.coalesce(F.lead("v").over(w), F.lit(0.0)) - F.lit(1e-9)).alias("var_ordered"),
+        F.lit(ortho).alias("orthonormal"),
+    ).drop("v")
 
 
 # Equi-depth bucketing WITHOUT the single-partition window: the
@@ -2068,10 +2156,20 @@ def dedup_remove_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fastText-style quality classifier: distributed full-batch logistic
 # regression over hashed unigram+bigram features (one partial-sum
 # vector per partition per iteration — the corpus never shuffles),
-# then map-only scoring. Iterative training is not SQL-expressible ->
-# rows-only gate; the distributed gradient is pinned EXACTLY equal to
-# the numpy reference by tests/test_operators.py.
-@register("text_quality_classifier", None)
+# then map-only scoring. Training is not SQL-expressible, but the
+# LEARNED MODEL's contract is hash-checked (VERDICT r6 #2): every doc
+# scored, every probability in (0,1), and a per-doc prediction-
+# correct flag whose aggregate row asserts training accuracy >= 0.8
+# (deterministic seeded training measures 0.95 at sf0.01). The
+# distributed gradient stays pinned EXACTLY equal to the numpy
+# reference by tests/test_operators.py.
+@register(
+    "text_quality_classifier",
+    """
+    SELECT doc_id, TRUE AS prob_in_unit FROM documents
+    UNION ALL SELECT CAST(-1 AS BIGINT), TRUE
+    """,
+)
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.operators import classifier
 
@@ -2082,7 +2180,19 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, b, _ = classifier.train_quality_classifier(
         labeled, "text", "label", dim=2**14, iters=8, lr=2.0
     )
-    return classifier.score_texts(docs, w, b, "text", "doc_id")
+    scored = classifier.score_texts(docs, w, b, "text", "doc_id").join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    per = scored.select(
+        "doc_id",
+        ((F.col("quality_score") > 0) & (F.col("quality_score") < 1)).alias("prob_in_unit"),
+        ((F.col("quality_score") > 0.5).cast("int") == F.col("label")).cast("int").alias("hit"),
+    )
+    agg = per.agg(F.avg("hit").alias("acc")).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        (F.col("acc") >= 0.8).alias("prob_in_unit"),
+    )
+    return per.drop("hit").unionByName(agg)
 
 
 # IVFPQ + refine (the FAISS production recipe as one operator):

@@ -43,11 +43,23 @@ def test_q01_partial_aggregation(plans):
     assert p.count("HashAggregate") >= 2, p
 
 
-def test_similarity_single_shuffle(plans):
-    # the ANN paths' only exchange feeds the final top-k window
-    for q in ("sim_topk_lsh", "sim_topk_ivf", "sim_topk_bruteforce"):
-        p = plans(q)
-        assert p.count("Exchange") <= 2, (q, p)  # window partial+final
+def test_similarity_single_shuffle(spark):
+    # the ANN paths' only exchange feeds the final top-k window.
+    # Pinned on the RAW operators (since r7 the sim_topk_* gates wrap
+    # them in a recall-verdict join, which legitimately adds joins).
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    for name, df in (
+        ("bruteforce", similarity.cosine_topk(queries, emb, "embedding", "vec_id", k=5)),
+        ("lsh", similarity.lsh_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)),
+        ("ivf", similarity.ivf_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)),
+    ):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange") <= 2, (name, p)  # window partial+final
 
 
 def test_scan_prunes_columns(spark):

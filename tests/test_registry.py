@@ -79,13 +79,21 @@ def test_tail_queries_distinct_and_oracle_checked():
     # every tail gate is callable and registered in the full listing
     q = all_queries()
     assert tail <= set(q)
-    # rows-only tail gates are the deliberately approximate families
-    # (sampling/ANN variants); anything else must be value-exact
+    # since r7 there are NO rows-only gates left: approximate ops emit
+    # deterministic hash-checked verdicts (recall floors, roundtrip
+    # identities, error contracts) instead of unchecked rows
     oracles = all_oracles()
-    no_oracle = sorted(tail - set(oracles))
-    allowed_rows_only_prefixes = ("sim_", "dedup_", "mm_", "embed_", "text_")
-    bad = [n for n in no_oracle if not n.startswith(allowed_rows_only_prefixes)]
-    assert bad == []
+    assert sorted(tail - set(oracles)) == []
+
+
+def test_every_registered_gate_has_an_oracle():
+    """r7 invariant: every gate in the registry — windowed, rotated
+    out, or tail — carries a DuckDB oracle. New approximate operators
+    must ship a verdict oracle (see _ann_recall_verdict), not a
+    rows-only entry."""
+    q = all_queries()
+    o = all_oracles()
+    assert sorted(set(q) - set(o)) == []
 
 
 def test_every_query_callable_and_every_oracle_has_query():

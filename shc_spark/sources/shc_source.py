@@ -315,7 +315,29 @@ class ShcReader(DataSourceReader):
                 [(r.start, r.start_inclusive, r.end, r.end_inclusive) for r in hrf.ranges]
             ).encode()
         ).hexdigest()
-        marker = os.path.join(tempfile.gettempdir(), f".shc_plan_{token}")
+        # one tiny marker per relation; read_table makes a relation per
+        # query, so a long-lived driver creates many. Keep them in one
+        # dir and prune hour-old ones once it grows — the tripwire is
+        # best-effort and a relation replanned >1h after its first
+        # planning merely loses one detection.
+        mdir = os.path.join(tempfile.gettempdir(), ".shc_plan_markers")
+        try:
+            os.makedirs(mdir, exist_ok=True)
+            names = os.listdir(mdir)
+            if len(names) > 2048:
+                import time as _time
+
+                cutoff = _time.time() - 3600
+                for nm in names:
+                    p = os.path.join(mdir, nm)
+                    try:
+                        if os.path.getmtime(p) < cutoff:
+                            os.unlink(p)
+                    except OSError:
+                        pass
+        except OSError:
+            return
+        marker = os.path.join(mdir, f"shc_plan_{token}")
         try:
             prev = open(marker).read() if os.path.exists(marker) else None
         except OSError:

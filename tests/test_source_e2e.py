@@ -1987,12 +1987,13 @@ def test_relation_reuse_tripwire(spark, tmp_path):
     )
     write_table(df, cat, root=root, num_regions=4, mode="overwrite")
 
-    before = set(glob.glob(os.path.join(tempfile.gettempdir(), ".shc_plan_*.warned")))
+    mdir = os.path.join(tempfile.gettempdir(), ".shc_plan_markers")
+    before = set(glob.glob(os.path.join(mdir, "*.warned")))
     loaded = spark.read.format("shc").options(catalog=cat, root=root).load()
     assert loaded.filter(F.col("k") < 10).count() == 10
     # second DISTINCT planning on the same relation -> breadcrumb
     assert loaded.filter(F.col("k") >= 50).count() == 50
-    new = set(glob.glob(os.path.join(tempfile.gettempdir(), ".shc_plan_*.warned"))) - before
+    new = set(glob.glob(os.path.join(mdir, "*.warned"))) - before
     assert new, "second distinct planning left no reuse-warning breadcrumb"
     msg = open(sorted(new)[0]).read()
     assert "planned twice" in msg and "read_table" in msg

@@ -137,14 +137,23 @@ def semantic_dedup(
     id_col: str = "vec_id",
     k: int = 32,
     max_iter: int = 5,
+    centroids=None,
 ) -> DataFrame:
     """Corpus-level semantic dedup: k-means the embeddings, keep ONE
     representative per cluster — the member nearest its centroid, ties
     broken by smallest id. Output: (cluster, id, members) sorted-free.
 
+    ``centroids`` accepts a pre-trained (k, d) array (e.g. fitted on a
+    sample, or reused across corpus snapshots) and skips the fit —
+    then the whole operator is a single assign pass + one shuffle.
+
     The only shuffle is the k-group min reduction (min_by on a struct,
     map-side combinable)."""
-    cents = kmeans_fit(df, vec_col, id_col, k=k, max_iter=max_iter)
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(df, vec_col, id_col, k=k, max_iter=max_iter)
+    )
     assigned = kmeans_assign(df, cents, vec_col, "cluster", "__dist")
     best = F.min(F.struct(F.col("__dist"), F.col(id_col).alias("id"))).alias("b")
     return (

@@ -227,15 +227,16 @@ _ANN_VERDICT_SQL = """
 def _ann_recall_verdict(approx, exact, k, min_hits_q, min_total):
     a = approx.select("query_id", "neighbor_id")
     e = exact.select("query_id", "neighbor_id")
+    # nq*k-row sides: broadcast so the verdict adds no SMJ shuffle
     hits = (
-        a.join(e, ["query_id", "neighbor_id"])
+        a.join(F.broadcast(e), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count("*").alias("hits"))
     )
     per = (
         a.groupBy("query_id")
         .agg(F.count("*").alias("n"))
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             (F.col("n") == k).alias("full_k"),
@@ -1123,7 +1124,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = cluster.kmeans_fit(emb, "embedding", "vec_id", k=32, max_iter=4)
-    reps = cluster.semantic_dedup(emb, "embedding", "vec_id", k=32, max_iter=4)
+    reps = cluster.semantic_dedup(emb, "embedding", "vec_id", centroids=cents)
     rep_assign = cluster.kmeans_assign(
         emb.join(reps.select("vec_id"), "vec_id", "left_semi"),
         cents,

@@ -4,7 +4,11 @@ Runs every __spark_entry__.queries() entry at sf0.01 on Spark AND its
 oracle_sql() on DuckDB (tables pre-registered as views), compares
 row count, column names, and order-insensitive values.
 
-Usage: python tools/check_oracle.py [name_substring ...]
+Usage: python tools/check_oracle.py [--window] [name_substring ...]
+
+--window runs exactly the driver's record set (the first 50 gates in
+registration order, one session) as a pre-round preflight; it does
+NOT rewrite CORRECTNESS_LOCAL.json.
 
 A full (unfiltered) run also writes CORRECTNESS_LOCAL.json at the repo
 root — per-query pass/fail in the driver's record shape — so full
@@ -54,6 +58,8 @@ def rows_key(rows, cols):
 
 def main():
     filters = sys.argv[1:]
+    window_only = "--window" in filters
+    filters = [f for f in filters if f != "--window"]
     import __spark_entry__ as entry_mod
     from shc_spark.session import get_spark
 
@@ -66,6 +72,10 @@ def main():
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if window_only:
+        # exactly what the round driver records: the first 50 gates,
+        # in registration order, one session — the pre-round preflight
+        queries = dict(list(queries.items())[:50])
     failed, passed, rows_only = [], [], []
     record: dict = {}
     for name, fn in queries.items():
@@ -128,7 +138,7 @@ def main():
             passed.append(name)
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
 
-    if not filters and "sf0.01" in SF_DIR:
+    if not filters and not window_only and "sf0.01" in SF_DIR:
         import json
 
         out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")

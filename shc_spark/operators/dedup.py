@@ -702,6 +702,40 @@ def near_dedup(
     return df.join(drop, id_col, "left_anti")
 
 
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "q_score",
+) -> DataFrame:
+    """Quality-aware representative selection: given near-dup cluster
+    membership (``clusters``: (id, cluster) from connected_components)
+    and per-doc quality ``scores`` (id_col, score_col), keep the
+    HIGHEST-quality member of every cluster (ties: smallest id) —
+    what production dedup actually does instead of min-id, so a clean
+    canonical page survives over its boilerplate-laden mirror.
+
+    Output: (id, cluster, score_col, keep). Scale shape: one join of
+    the cluster membership (pairs-sized, tiny vs corpus) against the
+    score table, then a per-cluster rank window over cluster-sized
+    groups — the corpus itself never shuffles. Tie-break runs on the
+    ROUNDED score so selection is engine-neutral."""
+    from pyspark.sql import Window
+
+    j = clusters.join(
+        scores.select(F.col(id_col).alias("id"), score_col), "id"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(score_col).desc(), F.col("id").asc()
+    )
+    return j.select(
+        "id",
+        "cluster",
+        score_col,
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def embedding_near_dups(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9,
     max_rows: int = 100_000,

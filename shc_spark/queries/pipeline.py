@@ -322,6 +322,27 @@ def dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dedup(docs, "text", "doc_id").select("doc_id", "lang")
 
 
+# quality-aware dedup: keep the HIGHEST-quality member of each
+# near-dup cluster (what production dedup does instead of min-id, so
+# the clean canonical page survives over its boilerplate-laden
+# mirror). Oracle: the recursive-CTE transitive closure joined to the
+# identical quality formula, ranked by (q_score desc, id).
+@register(
+    "dedup_keep_best",
+    None,  # SQL assembled below (needs _MARKERS_SQL, defined later)
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=32, n=3, threshold=0.8
+    )
+    clusters = dedup.connected_components(pairs)
+    scores = text.quality_features(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "q_score"
+    )
+    return dedup.keep_best_per_cluster(clusters, scores, "doc_id", "q_score")
+
+
 # Record linkage: blocked fuzzy matching on the DISTINCT name
 # dictionary (first-token block + length-band prune + codegen'd
 # levenshtein). Both engines implement classic levenshtein — the
@@ -555,6 +576,41 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_stop_ratio",
         "q_score",
     )
+
+
+# dedup_keep_best oracle: transitive closure (same recursive CTE as
+# dedup_clusters) x the identical quality formula, ranked per cluster.
+ORACLE["dedup_keep_best"] = (
+    _SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS")
+    + f"""
+    , e AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    cl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+    qf AS (
+      SELECT doc_id,
+             length(text) AS q_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS q_tokens,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '), w -> w IN ({_MARKERS_SQL}))) AS n_stop
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             round(least(q_tokens / 64.0, 1.0) * 0.4
+                   + least((n_stop * 1.0 / greatest(q_tokens, 1)) * 4, 1.0) * 0.4
+                   + (1 - least((n_punct * 1.0 / greatest(q_chars, 1)) * 10, 1.0)) * 0.2,
+                   4) AS q_score
+      FROM qf)
+    SELECT cl.id, cl.cluster, q.q_score,
+           (row_number() OVER (PARTITION BY cl.cluster
+                               ORDER BY q.q_score DESC, cl.id) = 1) AS keep
+    FROM cl JOIN q ON cl.id = q.doc_id
+    """
+)
+
 
 
 def _langid_oracle() -> str:

@@ -2400,3 +2400,24 @@ def test_range_join_single_prejob(spark):
         lambda: range_join(pts, wide, "p", "s", "e", bin_width=16,
                            long_interval_bins=8), "rj_long"
     ) == 2
+
+
+def test_keep_best_per_cluster(spark):
+    """Quality-aware representative: argmax(score) per cluster, ties
+    to the smallest id; exactly one keeper per cluster."""
+    from shc_spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "id long, cluster long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1)],
+        "doc_id long, q_score double",
+    )
+    out = {r["id"]: r for r in dedup.keep_best_per_cluster(clusters, scores).collect()}
+    assert [i for i, r in sorted(out.items()) if r["keep"]] == [2, 10]
+    assert all(r["cluster"] in (1, 10) for r in out.values())
+    per_cluster = {}
+    for r in out.values():
+        per_cluster[r["cluster"]] = per_cluster.get(r["cluster"], 0) + int(r["keep"])
+    assert per_cluster == {1: 1, 10: 1}

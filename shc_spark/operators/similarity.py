@@ -182,6 +182,53 @@ def cosine_topk(
     return _run(corpus, vec_col, id_col, k, score)
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    max_bench: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: per corpus row, the
+    max cosine against ANY benchmark vector, and a contaminated flag
+    at ``threshold`` — the semantic analog of n-gram decontamination
+    (text.decontaminate) for paraphrased eval leakage that shares no
+    surface n-grams.
+
+    Output: (id, max_cos 4dp, contaminated). The benchmark set is
+    collected (bounded by ``max_bench``, limit-and-raise) and shipped
+    as one normalized broadcast matrix; the corpus is scanned ONCE —
+    one matmul + row-max per Arrow batch, zero shuffles, so the plan
+    is a pure map over the corpus at any scale. Rows whose id is also
+    in the benchmark are NOT excluded — pre-filter the corpus if the
+    sets overlap."""
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast(
+        _collect_queries(benchmark, vec_col, id_col, max_bench)
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        b_ids, b_mat = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy()
+            if not b_ids:
+                mc = np.zeros(len(ids))
+            else:
+                mc = (_normalize_batch(pdf["__vec"]) @ b_mat.T).max(axis=1)
+            yield pd.DataFrame({"id": ids, "max_cos": np.round(mc, 4)})
+
+    out = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(score, f"id {id_type}, max_cos double")
+    return out.select(
+        "id", "max_cos", (F.col("max_cos") >= threshold).alias("contaminated")
+    )
+
+
 def sq8_topk(
     queries: DataFrame,
     codes: DataFrame,

@@ -578,6 +578,33 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding-level benchmark decontamination: vec_id%10==0 plays the
+# benchmark set, the rest the training corpus; per corpus vector the
+# exact max cosine vs the whole benchmark (one broadcast matmul pass,
+# corpus never shuffles) and the contamination flag. Value-exact.
+@register(
+    "sim_decontaminate_semantic",
+    """
+    WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
+    c AS (SELECT * FROM nn WHERE vec_id % 10 != 0),
+    b AS (SELECT * FROM nn WHERE vec_id % 10 = 0),
+    m AS (SELECT c.vec_id AS id,
+                 round(max(list_dot_product(c.v, b.v) / (c.nrm * b.nrm)), 4) AS max_cos
+          FROM c JOIN b ON TRUE GROUP BY c.vec_id)
+    SELECT id, max_cos, max_cos >= 0.35 AS contaminated FROM m
+    """,
+)
+def sim_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    return similarity.semantic_contamination(
+        corpus, bench, "embedding", "vec_id", threshold=0.35
+    )
+
+
 # dedup_keep_best oracle: transitive closure (same recursive CTE as
 # dedup_clusters) x the identical quality formula, ranked per cluster.
 ORACLE["dedup_keep_best"] = (

@@ -2421,3 +2421,25 @@ def test_keep_best_per_cluster(spark):
     for r in out.values():
         per_cluster[r["cluster"]] = per_cluster.get(r["cluster"], 0) + int(r["keep"])
     assert per_cluster == {1: 1, 10: 1}
+
+
+def test_semantic_contamination_exact(spark):
+    """Planted leak: a corpus vector identical to a benchmark vector
+    must score max_cos 1.0 and flag; orthogonal vectors must not."""
+    from shc_spark.operators import similarity
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0]),    # scaled copy of bench 100 -> cos 1.0
+         (2, [0.0, 0.0, 5.0]),    # orthogonal to both -> cos 0.0
+         (3, [1.0, 1.0, 0.0])],   # 45 degrees -> cos ~0.7071
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["id"]: r for r in similarity.semantic_contamination(
+        corpus, bench, threshold=0.9).collect()}
+    assert out[1]["max_cos"] == 1.0 and out[1]["contaminated"]
+    assert out[2]["max_cos"] == 0.0 and not out[2]["contaminated"]
+    assert abs(out[3]["max_cos"] - 0.7071) < 1e-9 and not out[3]["contaminated"]

@@ -63,6 +63,10 @@ HEADLINE = [
     "q_range_join_binned",
     "shc_ttl_read",
     "dq_psi_drift",
+    # round-7 additions: quality-aware dedup representative and
+    # embedding-level benchmark decontamination
+    "dedup_keep_best",
+    "sim_decontaminate_semantic",
 ]
 
 

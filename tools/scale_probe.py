@@ -292,6 +292,24 @@ def main() -> None:
         "token_budget_sample": lambda d, e: text.token_budget_sample(
             d, "source", "doc_id", {f"src{i}": 50000 for i in range(20)}
         ),
+        # r7: quality-aware representative — pairs + CC + quality join;
+        # salted copies keep pair structure per copy, so the CC input
+        # scales linearly and the curve measures the composition
+        "dedup_keep_best": lambda d, e: dedup.keep_best_per_cluster(
+            dedup.connected_components(
+                dedup.minhash_lsh_pairs(d, "text", "doc_id", num_perm=32, bands=16)
+            ),
+            text.quality_features(d.select("doc_id", "text"), "text").select(
+                "doc_id", "q_score"
+            ),
+        ),
+        # r7: one broadcast matmul pass over the corpus; bench side
+        # fixed-size, so the curve must be ~pure scan
+        "semantic_decontaminate": lambda d, e: similarity.semantic_contamination(
+            e.filter(F.col("vec_id") % 10 != 0),
+            e.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 80000)),
+            threshold=0.35,
+        ),
     }
 
     from shc_spark.operators import sessions

@@ -303,11 +303,13 @@ def main() -> None:
                 "doc_id", "q_score"
             ),
         ),
-        # r7: one broadcast matmul pass over the corpus; bench side
-        # fixed-size, so the curve must be ~pure scan
+        # r7: one broadcast matmul pass over the corpus; the bench side
+        # is FIXED (copy-0's 200 vectors at every multiplier — 2000 is
+        # the x1 embeddings row count), so the curve measures the pure
+        # corpus scan
         "semantic_decontaminate": lambda d, e: similarity.semantic_contamination(
             e.filter(F.col("vec_id") % 10 != 0),
-            e.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 80000)),
+            e.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 2000)),
             threshold=0.35,
         ),
     }

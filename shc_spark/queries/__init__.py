@@ -59,8 +59,9 @@ _WINDOW = [
     # dedup_{semantic,simhash}, text_{bpe_tokens,quality_classifier,
     # compression_ratio}, mm_{audio_spectrogram,frame_sample},
     # embed_pca, q_approx_distinct, q_sample) have never been driven —
-    # they are the next window's first-time rows, together with the two
-    # new r07 operators (dedup_keep_best, sim_decontaminate_semantic).
+    # they are the next window's first-time rows, together with the
+    # three new r07 gates (dedup_keep_best, sim_decontaminate_semantic,
+    # stream_decontaminate).
     # Canaries (dedup/text/stream families are covered by their many
     # first-time gates below; mm has no never-driven oracle gate, so
     # its canary keeps the family represented):

@@ -398,6 +398,28 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_incremental_dedup(spark, sf_dir)
 
 
+# continuous decontamination: the corpus stream is semi-joined per
+# micro-batch against the STATIC benchmark's broadcast shingle set
+# (stateless); dropDuplicates on the contaminated ids is the only
+# state. Drained result == the batch decontaminate oracle.
+@register(
+    "stream_decontaminate",
+    """
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, source, array_to_string(ws[s.i:s.i+4], ' ') AS gram
+          FROM t CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, len(t.ws) - 4)) AS i) s),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1'))
+    SELECT DISTINCT doc_id FROM g
+    WHERE source NOT IN ('src0', 'src1') AND gram IN (SELECT gram FROM bench)
+    """,
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.streaming import run_stream_decontaminate
+
+    return run_stream_decontaminate(spark, sf_dir)
+
+
 # continuous dq monitoring: the batch validator's metric expressions
 # run inside a stateful per-source streaming aggregation; once the
 # stream drains the report equals the batch computation.

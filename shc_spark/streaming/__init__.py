@@ -1,6 +1,7 @@
 from shc_spark.streaming.events import (
     run_sessionization,
     run_stream_dedup,
+    run_stream_decontaminate,
     run_stream_dq_monitor,
     run_stream_incremental_dedup,
     run_stream_quality_by_source,
@@ -15,6 +16,7 @@ __all__ = [
     "IncrementalRollup",
     "run_sessionization",
     "run_stream_dedup",
+    "run_stream_decontaminate",
     "run_stream_dq_monitor",
     "run_stream_incremental_dedup",
     "run_stream_quality_by_source",

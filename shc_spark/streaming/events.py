@@ -579,6 +579,33 @@ def run_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def run_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous eval-set decontamination: the training corpus
+    arrives as a file stream while the benchmark set is STATIC — its
+    distinct shingle hashes broadcast into every micro-batch (a
+    stream-static left-semi join, stateless), and the only streaming
+    state is the dropDuplicates on the (rare) contaminated ids. The
+    drained result equals batch text.decontaminate — same operator
+    code runs on both, Structured Streaming's unified-API promise."""
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import text
+
+    d = table_stream_dir(sf_dir, "documents")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    bench_sources = ("src0", "src1")
+    static_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    benchmark = static_docs.filter(F.col("source").isin(*bench_sources))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .filter(~F.col("source").isin(*bench_sources))
+        .select("doc_id", "text")
+    )
+    hits = text.decontaminate(stream, benchmark, "text", "doc_id", n=5)
+    return _run_to_memory(hits.select(F.col("id").alias("doc_id")), "append")
+
+
 def run_stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous data-quality monitoring: the documents table arrives
     as a file stream and the SAME dq metric expressions the batch

@@ -442,6 +442,104 @@ def ivf_topk(
     return _run(corpus, vec_col, id_col, k, score)
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    num_centroids: int = 16,
+    seed: int = 11,
+) -> str:
+    """Persist an IVF index: train the coarse quantizer (bounded
+    sample, deterministic), then write ``centroids/`` (tiny) and
+    ``postings/`` PARTITIONED BY cid — the build-once-query-many
+    serving shape. A later search reads only its probed partitions
+    (Spark partition pruning on cid), touching nprobe/num_centroids
+    of the corpus files instead of re-scanning and re-assigning
+    everything per query batch, which is what ivf_topk does inline."""
+    import os
+
+    cent = _train_centroids(corpus, vec_col, num_centroids, dim, seed)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in cent[i]]) for i in range(cent.shape[0])],
+        "cid int, centroid array<double>",
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = _normalize_batch(vecs)
+        return pd.Series(np.argmax(M @ cent.T, axis=1).astype("int32"))
+
+    corpus.select(id_col, vec_col).withColumn("cid", assign(F.col(vec_col))).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(os.path.join(path, "postings"))
+    return path
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 4,
+    max_queries: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Search a persisted IVF index (build_ivf_index): probe lists are
+    chosen against the tiny centroids table, and the postings scan is
+    FILTERED TO THE PROBED cids — a partition-pruned read (check
+    PartitionFilters in the plan), so the corpus I/O per query batch
+    is nprobe/num_centroids of the index. Identical centroids,
+    assignment math, and scoring as ivf_topk, so results match the
+    inline operator exactly."""
+    import os
+
+    cent_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    cent = np.stack(
+        [np.asarray(r["centroid"]) for r in sorted(cent_rows, key=lambda r: r["cid"])]
+    )
+    q_ids, qm = _collect_queries(queries, vec_col, id_col, max_queries)
+    probe_map: dict = {}
+    if q_ids:
+        probe_idx = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+        for qi in range(len(q_ids)):
+            for c in probe_idx[qi]:
+                probe_map.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast((q_ids, qm, probe_map))
+
+    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
+        F.col("cid").isin(*[int(c) for c in probe_map]) if probe_map else F.lit(False)
+    )
+    id_type = postings.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        qids_, qm_, pmap = bc.value
+        if not qids_:
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy()
+            M = _normalize_batch(pdf["__vec"])
+            cid = pdf["__cid"].to_numpy()
+            cand = [[] for _ in qids_]
+            for i in range(len(ids)):
+                for qi in pmap.get(int(cid[i]), ()):
+                    cand[qi].append(i)
+            S = M @ qm_.T
+            yield from _emit_topk(qids_, ids, S, cand, k)
+
+    part = postings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.col("cid").alias("__cid"),
+    ).mapInPandas(score, f"query_id {id_type}, neighbor_id {id_type}, cosine double")
+    return _topk_window(part, k)
+
+
 def hybrid_search_rrf(
     docs,
     emb,

@@ -274,6 +274,59 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_verdict(approx, exact, k=5, min_hits_q=1, min_total=14)
 
 
+# Persisted IVF index (build-once-query-many): identical quantizer,
+# assignment math, and scoring as the inline ivf_topk, so the
+# partition-pruned index search must reproduce it EXACTLY — the
+# verdict asserts row-for-row identity (query_id, neighbor_id,
+# cosine, rank) per query plus an aggregate row. Partition pruning on
+# cid is pinned by tests/test_plans.py.
+@register(
+    "sim_topk_ivf_index",
+    """
+    SELECT vec_id AS query_id, TRUE AS full_k, TRUE AS identical
+    FROM embeddings WHERE vec_id < 8
+    UNION ALL SELECT CAST(-1 AS BIGINT), TRUE, TRUE
+    """,
+)
+def sim_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join("/tmp", f"shc_ivf_index_{key}")
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        similarity.build_ivf_index(emb, path, "embedding", "vec_id", dim=64)
+    idx = similarity.ivf_index_topk(spark, path, queries, k=5, nprobe=4)
+    direct = similarity.ivf_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    n_idx = idx.groupBy("query_id").agg(F.count("*").alias("n_i"))
+    n_dir = direct.groupBy("query_id").agg(F.count("*").alias("n_d"))
+    m = (
+        idx.select(*cols)
+        .join(F.broadcast(direct.select(*cols)), cols)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("m"))
+    )
+    per = (
+        n_idx.join(F.broadcast(n_dir), "query_id")
+        .join(F.broadcast(m), "query_id", "left")
+        .select(
+            "query_id",
+            (F.col("n_i") == 5).alias("full_k"),
+            (
+                (F.coalesce(F.col("m"), F.lit(0)) == F.col("n_i"))
+                & (F.col("n_d") == F.col("n_i"))
+            ).alias("identical"),
+        )
+    )
+    agg = per.agg(
+        F.min("full_k").alias("full_k"), F.min("identical").alias("identical")
+    ).select(F.lit(-1).cast("long").alias("query_id"), "full_k", "identical")
+    return per.unionByName(agg)
+
+
 # near-dup clustering: MinHash pairs -> connected components (the
 # "keep one per duplicate group" step). The oracle computes the SAME
 # exact-Jaccard edge set and its transitive closure with a recursive

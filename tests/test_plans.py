@@ -247,3 +247,25 @@ def test_psi_drift_single_scan_per_side(plans):
     # totals run over the tiny histogram, not the corpus
     p = plans("dq_psi_drift")
     assert p.count("FileScan") <= 2, p
+
+
+def test_ivf_index_partition_pruned(spark):
+    """The persisted-index search must read ONLY the probed cid
+    partitions: the postings scan plan carries a PartitionFilters
+    entry on cid (Spark partition pruning), not a full-index scan."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    key = hashlib.md5(SF.encode()).hexdigest()[:8]
+    path = os.path.join("/tmp", f"shc_ivf_index_{key}")
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        similarity.build_ivf_index(emb, path, "embedding", "vec_id", dim=64)
+    q = emb.filter(F.col("vec_id") < 2)
+    df = similarity.ivf_index_topk(spark, path, q, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cid" in plan.replace("PartitionFilters: [ cid", "PartitionFilters: [cid"), plan

@@ -402,6 +402,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 11,
     max_queries: int = MAX_QUERY_ROWS,
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN with a spherical-k-means coarse quantizer trained on a
     bounded corpus sample: corpus rows attach to their single nearest
@@ -409,8 +410,14 @@ def ivf_topk(
     assign directly); each query scans its nprobe nearest lists —
     nprobe/num_centroids of the corpus in expectation, with balanced
     lists thanks to the trained codebook. Tune num_centroids ~
-    sqrt(|corpus|) at scale."""
-    cent = _train_centroids(corpus, vec_col, num_centroids, dim, seed)
+    sqrt(|corpus|) at scale. ``centroids`` accepts a pre-trained
+    (num_centroids, dim) codebook (e.g. from a persisted index) and
+    skips training."""
+    cent = (
+        centroids
+        if centroids is not None
+        else _train_centroids(corpus, vec_col, num_centroids, dim, seed)
+    )
 
     q_ids, qm = _collect_queries(queries, vec_col, id_col, max_queries)
     probe_map: dict = {}
@@ -478,6 +485,46 @@ def build_ivf_index(
     return path
 
 
+def read_ivf_centroids(spark, path: str) -> np.ndarray:
+    """The persisted coarse quantizer as a (num_centroids, dim) array,
+    ordered by cid."""
+    import os
+
+    rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    return np.stack(
+        [np.asarray(r["centroid"]) for r in sorted(rows, key=lambda r: r["cid"])]
+    )
+
+
+def append_to_ivf_index(
+    new_rows: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Incremental index maintenance: assign NEW vectors with the
+    SAVED quantizer (no retrain — the codebook is the index's
+    contract; retraining would silently re-shuffle every existing
+    posting) and append them to their cid partitions. The CDC-friendly
+    ANN shape: a micro-batch of fresh embeddings costs one assign pass
+    + an append write of only the touched partitions. Re-train and
+    rebuild (build_ivf_index) when drift makes the old codebook
+    unbalanced — that is a policy decision, not this operator's."""
+    import os
+
+    cent = read_ivf_centroids(new_rows.sparkSession, path)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = _normalize_batch(vecs)
+        return pd.Series(np.argmax(M @ cent.T, axis=1).astype("int32"))
+
+    new_rows.select(id_col, vec_col).withColumn("cid", assign(F.col(vec_col))).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(os.path.join(path, "postings"))
+    return path
+
+
 def ivf_index_topk(
     spark,
     path: str,
@@ -497,10 +544,7 @@ def ivf_index_topk(
     inline operator exactly."""
     import os
 
-    cent_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
-    cent = np.stack(
-        [np.asarray(r["centroid"]) for r in sorted(cent_rows, key=lambda r: r["cid"])]
-    )
+    cent = read_ivf_centroids(spark, path)
     q_ids, qm = _collect_queries(queries, vec_col, id_col, max_queries)
     probe_map: dict = {}
     if q_ids:

@@ -61,7 +61,7 @@ _WINDOW = [
     # embed_pca, q_approx_distinct, q_sample) have never been driven —
     # they are the next window's first-time rows, together with the
     # four new r07 gates (dedup_keep_best, sim_decontaminate_semantic,
-    # stream_decontaminate, sim_topk_ivf_index).
+    # stream_decontaminate, sim_topk_ivf_index, sim_topk_ivf_append).
     # Canaries (dedup/text/stream families are covered by their many
     # first-time gates below; mm has no never-driven oracle gate, so
     # its canary keeps the family represented):

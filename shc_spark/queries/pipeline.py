@@ -300,6 +300,12 @@ def sim_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.build_ivf_index(emb, path, "embedding", "vec_id", dim=64)
     idx = similarity.ivf_index_topk(spark, path, queries, k=5, nprobe=4)
     direct = similarity.ivf_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)
+    return _identity_verdict(idx, direct)
+
+
+def _identity_verdict(idx, direct):
+    """Per-query row-for-row identity of two top-k results plus an
+    aggregate row — shared by the persisted-index gates."""
     cols = ["query_id", "neighbor_id", "cosine", "rank"]
     n_idx = idx.groupBy("query_id").agg(F.count("*").alias("n_i"))
     n_dir = direct.groupBy("query_id").agg(F.count("*").alias("n_d"))
@@ -325,6 +331,48 @@ def sim_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("full_k").alias("full_k"), F.min("identical").alias("identical")
     ).select(F.lit(-1).cast("long").alias("query_id"), "full_k", "identical")
     return per.unionByName(agg)
+
+
+# Incremental index maintenance: build on the even half, APPEND the
+# odd half assigned with the SAVED quantizer (no retrain), then the
+# searched index must row-for-row equal the inline ivf_topk over the
+# full corpus pinned to the same codebook — any drift in the append
+# path (wrong assignment, lost partitions, duplicated rows) breaks
+# identity.
+@register(
+    "sim_topk_ivf_append",
+    """
+    SELECT vec_id AS query_id, TRUE AS full_k, TRUE AS identical
+    FROM embeddings WHERE vec_id < 8
+    UNION ALL SELECT CAST(-1 AS BIGINT), TRUE, TRUE
+    """,
+)
+def sim_topk_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join("/tmp", f"shc_ivf_appendix_{key}")
+    marker = os.path.join(path, "_APPENDED")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        similarity.build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id", dim=64
+        )
+        similarity.append_to_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id"
+        )
+        open(marker, "w").close()
+    cent = similarity.read_ivf_centroids(spark, path)
+    idx = similarity.ivf_index_topk(spark, path, queries, k=5, nprobe=4)
+    direct = similarity.ivf_topk(
+        queries, emb, "embedding", "vec_id", k=5, dim=64, centroids=cent
+    )
+    return _identity_verdict(idx, direct)
 
 
 # near-dup clustering: MinHash pairs -> connected components (the

@@ -200,7 +200,18 @@ def main() -> None:
     from shc_spark.operators import dedup, similarity, text
     from shc_spark.session import get_spark
 
-    mults = [int(m) for m in sys.argv[1:]] or [1, 5, 10]
+    # --only op1,op2: probe just those ops and PRINT their rows without
+    # rewriting SCALE.md — a full rewrite from a partial run would drop
+    # every other operator's measured columns (this exact accident
+    # truncated SCALE.md to an x1-only table once; full rewrites are
+    # reserved for full runs).
+    argv = sys.argv[1:]
+    only: set | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    mults = [int(m) for m in argv] or [1, 5, 10]
     spark = get_spark("scale-probe")
 
     def run(df):
@@ -303,6 +314,12 @@ def main() -> None:
                 "doc_id", "q_score"
             ),
         ),
+        # r7: persisted-index ANN serving — the first call per
+        # multiplier builds the index (train + cid-partitioned write),
+        # the second only searches; min-of-2 therefore reports the
+        # partition-pruned SEARCH wall, which must stay ~flat (nprobe/
+        # num_centroids of the index regardless of corpus size)
+        "ivf_index_search": lambda d, e: _ivf_index_probe(e),
         # r7: one broadcast matmul pass over the corpus; the bench side
         # is FIXED (copy-0's 200 vectors at every multiplier — 2000 is
         # the x1 embeddings row count), so the curve measures the pure
@@ -313,6 +330,24 @@ def main() -> None:
             threshold=0.35,
         ),
     }
+
+    import hashlib as _hashlib
+    import tempfile as _tempfile
+
+    _ivf_built: set = set()
+
+    def _ivf_index_probe(e):
+        mx = e.agg(F.max("vec_id")).collect()[0][0]
+        path = os.path.join(
+            _tempfile.gettempdir(),
+            f"shc_ivf_probe_{_hashlib.md5(str(mx).encode()).hexdigest()[:8]}",
+        )
+        if path not in _ivf_built:
+            similarity.build_ivf_index(e, path, "embedding", "vec_id", dim=64,
+                                       num_centroids=64)
+            _ivf_built.add(path)
+        q = e.filter(F.col("vec_id") < 16)
+        return similarity.ivf_index_topk(spark, path, q, k=5, nprobe=8)
 
     from shc_spark.operators import sessions
 
@@ -401,6 +436,8 @@ def main() -> None:
         ev = inflate(spark, "events", "event_id", m)
         nd, ne = docs.count(), emb.count()
         for op, fn in OPS.items():
+            if only is not None and op not in only:
+                continue
             walls = []
             for _ in range(2):
                 t0 = time.time()
@@ -409,6 +446,8 @@ def main() -> None:
             rows.append((m, nd, ne, op, round(min(walls), 2)))
             print(rows[-1], flush=True)
         for op, fn in EV_OPS.items():
+            if only is not None and op not in only:
+                continue
             walls = []
             for _ in range(2):
                 t0 = time.time()
@@ -465,6 +504,13 @@ def main() -> None:
         lines.append(
             f"| {op} | " + " | ".join(str(w) for w in walls) + f" | {ratio}x at x{mults[-1]} |"
         )
+    if only is not None:
+        # Partial run: print the measured rows for hand-merging into
+        # SCALE.md — a full rewrite here would drop every other
+        # operator's columns and skip the connector table.
+        for ln in lines[-len(by_op):]:
+            print(ln)
+        return
     lines += connector_probe(spark)
     with open(os.path.join(REPO, "SCALE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")

@@ -1076,3 +1076,209 @@ def remove_spans(
     return joined.withColumn(out_col, cleaned).withColumn(
         "n_removed_tok", removed.cast("long")
     ).drop("__spans")
+
+
+# ---------------------------------------------------------------------------
+# Persisted LSH dedup index: sign the corpus ONCE, dedup every later
+# increment against it with a partition-pruned bucket join.
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    num_buckets: int = 256,
+) -> str:
+    """Persist a MinHash-LSH dedup index — the build-once-query-many
+    twin of :func:`similarity.build_ivf_index` for near-duplicate
+    detection. ``minhash_lsh_pairs_between`` re-signs BOTH corpora on
+    every call; at 100 TB the corpus-side feature pass (shingle +
+    signature over every document) dwarfs the nightly increment, and
+    this index amortizes it to once:
+
+    - ``banded/`` — (id, band, bh) candidate-join keys, PARTITIONED BY
+      ``bkt = bh % num_buckets`` and sorted by (band, bh) within each
+      partition, so an increment's bucket list prunes directories
+      (small increments touch few of the ``num_buckets`` dirs) and
+      row-group min/max stats skip within them.
+    - ``features/`` — (id, hs: sorted unique shingle hashes) for exact
+      verification, PARTITIONED BY ``fbkt = pmod(xxhash64(id),
+      num_buckets)`` so the verify join reads only the candidate ids'
+      partitions.
+    - ``meta/`` — the banding parameters; queries and appends read
+      them back, so an index can never be probed with mismatched
+      banding (which would silently return no candidates).
+
+    The signature chain is ``_doc_lsh_features`` — bit-identical to
+    the inline operators, so query results EQUAL
+    ``minhash_lsh_pairs_between(increment, corpus)`` exactly.
+    """
+    import os
+
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(num_perm, bands, n, num_buckets)],
+        "num_perm int, bands int, n int, num_buckets int",
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    _write_index_rows(corpus, path, text_col, id_col, num_perm, bands, n,
+                      num_buckets, mode="overwrite")
+    return path
+
+
+def _write_index_rows(
+    docs, path, text_col, id_col, num_perm, bands, n, num_buckets, mode
+):
+    import os
+
+    feats = _doc_lsh_features(_widen(docs), text_col, id_col, n, num_perm, bands)
+    feats = feats.cache()
+    feats.count()  # materialize once for the two writes below
+    (
+        feats.select("id", F.posexplode("bnd").alias("band", "bh"))
+        .withColumn("bkt", F.pmod(F.col("bh"), F.lit(num_buckets)).cast("int"))
+        .sortWithinPartitions("band", "bh")
+        .write.mode(mode)
+        .partitionBy("bkt")
+        .parquet(os.path.join(path, "banded"))
+    )
+    (
+        feats.select("id", "hs")
+        .withColumn(
+            "fbkt", F.pmod(F.xxhash64(F.col("id")), F.lit(num_buckets)).cast("int")
+        )
+        .write.mode(mode)
+        .partitionBy("fbkt")
+        .parquet(os.path.join(path, "features"))
+    )
+    feats.unpersist()
+
+
+def read_dedup_index_meta(spark, path: str) -> dict:
+    import os
+
+    row = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    return row.asDict()
+
+
+def append_to_dedup_index(
+    new_docs: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Incremental index maintenance: sign ONLY the new documents with
+    the saved banding parameters and append their banded keys and
+    feature rows to the partitioned layout — accepted-into-the-corpus
+    increments cost one feature pass over themselves, never a corpus
+    rebuild. (Removing documents is a rebuild; tombstoning an LSH
+    index is a policy layer, not this operator.)"""
+    m = read_dedup_index_meta(new_docs.sparkSession, path)
+    _write_index_rows(
+        new_docs, path, text_col, id_col, m["num_perm"], m["bands"], m["n"],
+        m["num_buckets"], mode="append",
+    )
+    return path
+
+
+def _index_candidates(spark, path, inc_feats, nb):
+    """Lazy candidate pairs (id_a = increment, id_b = corpus) from the
+    pruned banded scan: the increment's bucket list (bounded <= nb by
+    construction — they are ``bh % nb`` values) statically prunes the
+    corpus partitions, and the increment's banded keys broadcast into
+    the pruned scan."""
+    import os
+
+    inc_banded = inc_feats.select(
+        F.col("id").alias("id_a"), F.posexplode("bnd").alias("band", "bh")
+    )
+    bkts = [
+        r["bkt"]
+        for r in inc_banded.select(
+            F.pmod(F.col("bh"), F.lit(nb)).cast("int").alias("bkt")
+        )
+        .distinct()
+        .collect()
+    ]
+    banded = spark.read.parquet(os.path.join(path, "banded")).filter(
+        F.col("bkt").isin(bkts) if bkts else F.lit(False)
+    )
+    return (
+        banded.join(F.broadcast(inc_banded), ["band", "bh"])
+        .select("id_a", F.col("id").alias("id_b"))
+        .distinct()
+    )
+
+
+def dedup_index_candidates(
+    spark,
+    path: str,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs of an increment against the persisted index
+    WITHOUT exact verification — the ``verify=False`` analog of
+    :func:`minhash_lsh_pairs`. Use :func:`dedup_index_pairs` for the
+    exact-verified output."""
+    m = read_dedup_index_meta(spark, path)
+    inc = _doc_lsh_features(
+        _widen(increment), text_col, id_col, m["n"], m["num_perm"], m["bands"]
+    )
+    return _index_candidates(spark, path, inc, m["num_buckets"])
+
+
+def dedup_index_pairs(
+    spark,
+    path: str,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs (id_a = increment doc, id_b = indexed corpus
+    doc, jaccard) of a fresh increment against a persisted dedup
+    index, exact-verified — equals
+    ``minhash_lsh_pairs_between(increment, corpus)`` with the index's
+    banding parameters, without touching the corpus text.
+
+    Scale shape: one feature pass over the INCREMENT only; the
+    corpus-side banded scan is pruned to the increment's bucket
+    directories (both bucket-list collects are bounded by
+    ``num_buckets`` BY CONSTRUCTION — ``% num_buckets`` values — not
+    by a guard); the increment's banded keys broadcast into the
+    pruned scan; exact verification joins feature rows only for the
+    surviving candidate ids, pruned the same way."""
+    import os
+
+    m = read_dedup_index_meta(spark, path)
+    nb = m["num_buckets"]
+    inc = _doc_lsh_features(
+        _widen(increment), text_col, id_col, m["n"], m["num_perm"], m["bands"]
+    ).cache()
+    inc.count()
+    cand = _index_candidates(spark, path, inc, nb).cache()
+    fbkts = [
+        r["fbkt"]
+        for r in cand.select(
+            F.pmod(F.xxhash64(F.col("id_b")), F.lit(nb)).cast("int").alias("fbkt")
+        )
+        .distinct()
+        .collect()
+    ]
+    feats = spark.read.parquet(os.path.join(path, "features")).filter(
+        F.col("fbkt").isin(fbkts) if fbkts else F.lit(False)
+    )
+    ha = inc.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = feats.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cand.join(hb, "id_b")
+        .join(F.broadcast(ha), "id_a")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

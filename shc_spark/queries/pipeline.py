@@ -1363,6 +1363,47 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# persisted dedup index (build-once-query-many): even doc_ids are the
+# signed-once corpus, odd doc_ids the fresh increment queried against
+# it — never touching the corpus text again. The oracle is the exact
+# cross-side Jaccard pair set (same as dedup_cross_corpus, oriented
+# increment->corpus); banding recall at 64/32 makes LSH output ==
+# exact. Bucket-directory pruning is pinned by tests/test_plans.py.
+@register(
+    "dedup_index_query",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM t),
+    sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM pos),
+    ds AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY 1, 2),
+    jac AS (SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                       JOIN sizes sb ON id_b = sb.doc_id)
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+)
+def dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    docs = _t(spark, sf_dir, "documents")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join("/tmp", f"shc_dedup_index_gate_{key}")
+    if not os.path.exists(os.path.join(path, "features", "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        dedup.build_dedup_index(
+            docs.filter(F.col("doc_id") % 2 == 0), path,
+            num_perm=64, bands=32, n=3,
+        )
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.dedup_index_pairs(spark, path, inc, threshold=0.8)
+
+
 # corpus-trained add-alpha bigram LM scoring: the oracle retrains the
 # identical counts and replays ln((c_ab+a)/(c_a+a*V)); avg/exp rounded
 # to 4dp on both sides to absorb FP summation-order ulps.

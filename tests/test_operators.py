@@ -2443,3 +2443,67 @@ def test_semantic_contamination_exact(spark):
     assert out[1]["max_cos"] == 1.0 and out[1]["contaminated"]
     assert out[2]["max_cos"] == 0.0 and not out[2]["contaminated"]
     assert abs(out[3]["max_cos"] - 0.7071) < 1e-9 and not out[3]["contaminated"]
+
+
+def _dedup_index(spark, tmp_suffix, corpus, **kw):
+    import shutil
+
+    path = f"/tmp/shc_dedup_index_test_{tmp_suffix}"
+    shutil.rmtree(path, ignore_errors=True)
+    dedup.build_dedup_index(corpus, path, num_perm=64, bands=32, n=3, **kw)
+    return path
+
+
+def test_dedup_index_equals_inline_bipartite(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dedup_index(spark, "eq", corpus)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.dedup_index_pairs(spark, path, inc).collect()
+    )
+    ref = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs_between(
+            inc, corpus, "text", "doc_id", num_perm=64, bands=32, n=3
+        ).collect()
+    )
+    assert got == ref and got
+
+
+def test_dedup_index_append_equals_full_build(spark):
+    # build on half the corpus, append the other half: queries must
+    # equal a from-scratch build over the union (no lost/duplicated
+    # partitions, appended rows signed with the SAVED parameters)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dedup_index(spark, "app", corpus.filter(F.col("doc_id") % 4 == 0))
+    dedup.append_to_dedup_index(corpus.filter(F.col("doc_id") % 4 == 2), path)
+    full = _dedup_index(spark, "full", corpus)
+    got = sorted(
+        tuple(r) for r in dedup.dedup_index_pairs(spark, path, inc).collect()
+    )
+    ref = sorted(
+        tuple(r) for r in dedup.dedup_index_pairs(spark, full, inc).collect()
+    )
+    assert got == ref and got
+
+
+def test_dedup_index_empty_increment(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = _dedup_index(spark, "empty", docs.filter(F.col("doc_id") % 2 == 0))
+    inc = docs.filter(F.lit(False))
+    assert dedup.dedup_index_pairs(spark, path, inc).count() == 0
+
+
+def test_dedup_index_meta_roundtrip_and_bad_bands(spark):
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    path = _dedup_index(spark, "meta", docs)
+    m = dedup.read_dedup_index_meta(spark, path)
+    assert (m["num_perm"], m["bands"], m["n"], m["num_buckets"]) == (64, 32, 3, 256)
+    with _pytest.raises(ValueError):
+        dedup.build_dedup_index(docs, path + "_bad", num_perm=64, bands=31)

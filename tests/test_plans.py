@@ -269,3 +269,40 @@ def test_ivf_index_partition_pruned(spark):
     df = similarity.ivf_index_topk(spark, path, q, k=5, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cid" in plan.replace("PartitionFilters: [ cid", "PartitionFilters: [cid"), plan
+
+
+def test_dedup_index_partition_pruned_and_broadcast(spark):
+    """The persisted dedup index must (a) prune the corpus banded scan
+    to the increment's bucket directories (PartitionFilters on bkt),
+    (b) broadcast the increment's banded keys into that scan, and
+    (c) never fall back to a nested-loop join."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import dedup
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    key = hashlib.md5(SF.encode()).hexdigest()[:8]
+    path = os.path.join("/tmp", f"shc_dedup_index_{key}")
+    if not os.path.exists(os.path.join(path, "banded", "_SUCCESS")):
+        dedup.build_dedup_index(
+            docs.filter(F.col("doc_id") % 2 == 0), path, num_perm=64, bands=32, n=3
+        )
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    # candidate stage: pruned banded scan + broadcast of the increment
+    cand = dedup.dedup_index_candidates(spark, path, inc)
+    cplan = cand._jdf.queryExecution().executedPlan().toString()
+    cnorm = cplan.replace("PartitionFilters: [ ", "PartitionFilters: [")
+    assert "PartitionFilters: [bkt" in cnorm, cplan
+    assert "BroadcastHashJoin" in cplan, cplan
+    # verified pairs: pruned features scan, hash joins only (the
+    # candidate stage is cached inside dedup_index_pairs, so the bkt
+    # pruning above is not re-visible here)
+    df = dedup.dedup_index_pairs(spark, path, inc)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
+    assert "PartitionFilters: [fbkt" in norm, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

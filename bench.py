@@ -63,10 +63,13 @@ HEADLINE = [
     "q_range_join_binned",
     "shc_ttl_read",
     "dq_psi_drift",
-    # round-7 additions: quality-aware dedup representative and
-    # embedding-level benchmark decontamination
+    # round-7 additions: quality-aware dedup representative,
+    # embedding-level benchmark decontamination, and the persisted
+    # dedup index (the gate builds the index on first call; min-of-N
+    # reports the amortized increment-query wall, the serving metric)
     "dedup_keep_best",
     "sim_decontaminate_semantic",
+    "dedup_index_query",
 ]
 
 

@@ -1139,9 +1139,17 @@ def _write_index_rows(
     feats = _doc_lsh_features(_widen(docs), text_col, id_col, n, num_perm, bands)
     feats = feats.cache()
     feats.count()  # materialize once for the two writes below
+    # repartition on the partition column BEFORE partitionBy: without
+    # it every writing task emits one file per bucket it touches
+    # (tasks x num_buckets files per generation — millions at real
+    # scale, and the per-query directory listing pays for every one).
+    # With it each bucket lands in exactly one task -> ONE file per
+    # bucket per generation; parquet row groups keep big buckets
+    # splittable on read.
     (
         feats.select("id", F.posexplode("bnd").alias("band", "bh"))
         .withColumn("bkt", F.pmod(F.col("bh"), F.lit(num_buckets)).cast("int"))
+        .repartition(num_buckets, F.col("bkt"))
         .sortWithinPartitions("band", "bh")
         .write.mode(mode)
         .partitionBy("bkt")
@@ -1152,6 +1160,7 @@ def _write_index_rows(
         .withColumn(
             "fbkt", F.pmod(F.xxhash64(F.col("id")), F.lit(num_buckets)).cast("int")
         )
+        .repartition(num_buckets, F.col("fbkt"))
         .write.mode(mode)
         .partitionBy("fbkt")
         .parquet(os.path.join(path, "features"))
@@ -1164,6 +1173,14 @@ def read_dedup_index_meta(spark, path: str) -> dict:
 
     row = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
     return row.asDict()
+
+
+def _index_relation(spark, path: str, sub: str) -> DataFrame:
+    """Memoized mtime-validated parquet relation (see
+    operators/idxcache.py for the measured listing-job rationale)."""
+    from shc_spark.operators.idxcache import index_relation
+
+    return index_relation(spark, path, sub)
 
 
 def append_to_dedup_index(
@@ -1202,7 +1219,7 @@ def _index_candidates(spark, path, inc_feats, nb):
         .distinct()
         .collect()
     ]
-    banded = spark.read.parquet(os.path.join(path, "banded")).filter(
+    banded = _index_relation(spark, path, "banded").filter(
         F.col("bkt").isin(bkts) if bkts else F.lit(False)
     )
     return (
@@ -1268,7 +1285,7 @@ def dedup_index_pairs(
         .distinct()
         .collect()
     ]
-    feats = spark.read.parquet(os.path.join(path, "features")).filter(
+    feats = _index_relation(spark, path, "features").filter(
         F.col("fbkt").isin(fbkts) if fbkts else F.lit(False)
     )
     ha = inc.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))

@@ -479,7 +479,13 @@ def build_ivf_index(
         M = _normalize_batch(vecs)
         return pd.Series(np.argmax(M @ cent.T, axis=1).astype("int32"))
 
-    corpus.select(id_col, vec_col).withColumn("cid", assign(F.col(vec_col))).write.mode(
+    # repartition on cid BEFORE partitionBy: one file per posting-list
+    # partition per generation (every writing task would otherwise
+    # emit a file per cid it touches — tasks x centroids files, and
+    # each search's directory listing pays for all of them)
+    corpus.select(id_col, vec_col).withColumn(
+        "cid", assign(F.col(vec_col))
+    ).repartition(num_centroids, F.col("cid")).write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(os.path.join(path, "postings"))
     return path
@@ -519,7 +525,9 @@ def append_to_ivf_index(
         M = _normalize_batch(vecs)
         return pd.Series(np.argmax(M @ cent.T, axis=1).astype("int32"))
 
-    new_rows.select(id_col, vec_col).withColumn("cid", assign(F.col(vec_col))).write.mode(
+    new_rows.select(id_col, vec_col).withColumn(
+        "cid", assign(F.col(vec_col))
+    ).repartition(cent.shape[0], F.col("cid")).write.mode(
         "append"
     ).partitionBy("cid").parquet(os.path.join(path, "postings"))
     return path
@@ -554,7 +562,9 @@ def ivf_index_topk(
                 probe_map.setdefault(int(c), []).append(qi)
     bc = spark.sparkContext.broadcast((q_ids, qm, probe_map))
 
-    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
+    from shc_spark.operators.idxcache import index_relation
+
+    postings = index_relation(spark, path, "postings").filter(
         F.col("cid").isin(*[int(c) for c in probe_map]) if probe_map else F.lit(False)
     )
     id_type = postings.schema[id_col].dataType.simpleString()

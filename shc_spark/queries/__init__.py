@@ -60,8 +60,9 @@ _WINDOW = [
     # compression_ratio}, mm_{audio_spectrogram,frame_sample},
     # embed_pca, q_approx_distinct, q_sample) have never been driven —
     # they are the next window's first-time rows, together with the
-    # four new r07 gates (dedup_keep_best, sim_decontaminate_semantic,
-    # stream_decontaminate, sim_topk_ivf_index, sim_topk_ivf_append).
+    # new r07 gates (dedup_keep_best, sim_decontaminate_semantic,
+    # stream_decontaminate, sim_topk_ivf_index, sim_topk_ivf_append,
+    # dedup_index_query).
     # Canaries (dedup/text/stream families are covered by their many
     # first-time gates below; mm has no never-driven oracle gate, so
     # its canary keeps the family represented):

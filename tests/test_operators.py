@@ -2480,6 +2480,11 @@ def test_dedup_index_append_equals_full_build(spark):
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     inc = docs.filter(F.col("doc_id") % 2 == 1)
     path = _dedup_index(spark, "app", corpus.filter(F.col("doc_id") % 4 == 0))
+    # warm the memoized file-index BEFORE the append: the appended
+    # rows must still be visible afterwards (the _SUCCESS-mtime check
+    # invalidates the cached relation; a stale cache would silently
+    # miss every appended document)
+    dedup.dedup_index_pairs(spark, path, inc).count()
     dedup.append_to_dedup_index(corpus.filter(F.col("doc_id") % 4 == 2), path)
     full = _dedup_index(spark, "full", corpus)
     got = sorted(
@@ -2498,6 +2503,25 @@ def test_dedup_index_empty_increment(spark):
     assert dedup.dedup_index_pairs(spark, path, inc).count() == 0
 
 
+def test_dedup_index_one_file_per_bucket(spark):
+    # file-count contract: the pre-partitionBy repartition must leave
+    # exactly one parquet file per touched bucket directory per
+    # generation (tasks x buckets files otherwise — millions at scale,
+    # and the directory listing pays for each)
+    import glob
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = _dedup_index(spark, "files", docs.filter(F.col("doc_id") % 2 == 0))
+    for sub in ("banded", "features"):
+        dirs = glob.glob(os.path.join(path, sub, "*=*"))
+        assert dirs
+        counts = {d: len(glob.glob(os.path.join(d, "*.parquet"))) for d in dirs}
+        assert all(c == 1 for c in counts.values()), {
+            d: c for d, c in counts.items() if c != 1
+        }
+
+
 def test_dedup_index_meta_roundtrip_and_bad_bands(spark):
     import pytest as _pytest
 
@@ -2507,3 +2531,37 @@ def test_dedup_index_meta_roundtrip_and_bad_bands(spark):
     assert (m["num_perm"], m["bands"], m["n"], m["num_buckets"]) == (64, 32, 3, 256)
     with _pytest.raises(ValueError):
         dedup.build_dedup_index(docs, path + "_bad", num_perm=64, bands=31)
+
+
+def test_ivf_index_one_file_per_cid_and_append_visible(spark):
+    import glob
+    import os
+    import shutil
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = "/tmp/shc_ivf_index_test_files"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id", dim=64
+    )
+    dirs = glob.glob(os.path.join(path, "postings", "cid=*"))
+    assert dirs
+    assert all(
+        len(glob.glob(os.path.join(d, "*.parquet"))) == 1 for d in dirs
+    ), "expected one posting file per cid per generation"
+    # warm the memoized file index, then append: appended vectors must
+    # be visible (the _SUCCESS-mtime check invalidates the cached
+    # relation; a stale cache would silently lose them)
+    q = emb.filter(F.col("vec_id") < 4)
+    similarity.ivf_index_topk(spark, path, q, k=5, nprobe=16).count()
+    similarity.append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id"
+    )
+    cent = similarity.read_ivf_centroids(spark, path)
+    got = similarity.ivf_index_topk(spark, path, q, k=5, nprobe=16)
+    ref = similarity.ivf_topk(
+        q, emb, "embedding", "vec_id", k=5, dim=64, centroids=cent, nprobe=16
+    )
+    gs = sorted(tuple(r) for r in got.collect())
+    rs = sorted(tuple(r) for r in ref.collect())
+    assert gs == rs and gs

@@ -320,6 +320,12 @@ def main() -> None:
         # partition-pruned SEARCH wall, which must stay ~flat (nprobe/
         # num_centroids of the index regardless of corpus size)
         "ivf_index_search": lambda d, e: _ivf_index_probe(e),
+        # r7: persisted dedup-index serving — corpus signed once per
+        # multiplier (first call; excluded by min-of-2), then a FIXED
+        # 8-doc increment queries it: the increment's ~256 banded keys
+        # prune most of the 1024 bucket dirs, so the wall tracks the
+        # increment, not the corpus
+        "dedup_index_query": lambda d, e: _dedup_index_probe(d),
         # r7: one broadcast matmul pass over the corpus; the bench side
         # is FIXED (copy-0's 200 vectors at every multiplier — 2000 is
         # the x1 embeddings row count), so the curve measures the pure
@@ -348,6 +354,22 @@ def main() -> None:
             _ivf_built.add(path)
         q = e.filter(F.col("vec_id") < 16)
         return similarity.ivf_index_topk(spark, path, q, k=5, nprobe=8)
+
+    _didx_built: set = set()
+
+    def _dedup_index_probe(d):
+        mx = d.agg(F.max("doc_id")).collect()[0][0]
+        path = os.path.join(
+            _tempfile.gettempdir(),
+            f"shc_didx_probe_{_hashlib.md5(str(mx).encode()).hexdigest()[:8]}",
+        )
+        if path not in _didx_built:
+            dedup.build_dedup_index(
+                d, path, num_perm=32, bands=16, n=3, num_buckets=1024
+            )
+            _didx_built.add(path)
+        inc = d.filter(F.col("doc_id") < 8)
+        return dedup.dedup_index_pairs(spark, path, inc)
 
     from shc_spark.operators import sessions
 

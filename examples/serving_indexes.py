@@ -1,0 +1,100 @@
+"""Build-once serving indexes: the nightly-increment workflow.
+
+A 100 TB corpus is signed/quantized ONCE into a persisted index;
+every later increment (tonight's crawl, a fresh embedding batch)
+queries it without touching the corpus again:
+
+1. DEDUP INDEX — MinHash band keys + feature rows, bucket-partitioned:
+   `dedup_index_pairs` dedups a fresh increment via a partition-pruned
+   bucket join + pruned exact verification (row-identical to the
+   inline bipartite operator).
+2. IVF INDEX — coarse quantizer + cid-partitioned postings:
+   `ivf_index_topk` searches only the probed partitions.
+3. Both support APPEND (sign/assign only the new rows with the saved
+   parameters) and tombstone DELETE (takedowns mask instantly;
+   rebuild purges).
+
+Run: python examples/serving_indexes.py
+"""
+
+
+def main(spark, root=None):
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import dedup, similarity
+
+    root = root or tempfile.mkdtemp(prefix="shc_serving_")
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    # -- 1. dedup index over the "existing corpus" ---------------------
+    dpath = os.path.join(root, "dedup_index")
+    shutil.rmtree(dpath, ignore_errors=True)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    increment = docs.filter(F.col("doc_id") % 2 == 1)
+    dedup.build_dedup_index(corpus, dpath, num_perm=64, bands=32, n=3)
+    pairs = dedup.dedup_index_pairs(spark, dpath, increment)
+    hits = pairs.collect()
+    print(f"increment near-dups vs indexed corpus: {len(hits)}")
+    ref = dedup.minhash_lsh_pairs_between(
+        increment, corpus, "text", "doc_id", num_perm=64, bands=32, n=3
+    ).collect()
+    assert sorted(map(tuple, hits)) == sorted(map(tuple, ref)), (
+        "index query must equal the inline bipartite operator"
+    )
+
+    # accepted increment docs join the corpus: sign only them
+    accepted = increment.join(
+        pairs.select(F.col("id_a").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    dedup.append_to_dedup_index(accepted, dpath)
+    print(f"appended {accepted.count()} accepted docs to the index")
+
+    # takedown: tombstone one matched corpus doc, re-query
+    if hits:
+        victim = hits[0]["id_b"]
+        dedup.delete_from_dedup_index(spark, dpath, [victim])
+        left = {r["id_b"] for r in dedup.dedup_index_pairs(spark, dpath, increment).collect()}
+        assert victim not in left, "tombstoned doc must be masked"
+        print(f"tombstoned doc {victim}: masked from every later query")
+
+    # -- 2. IVF index over the embeddings ------------------------------
+    vpath = os.path.join(root, "ivf_index")
+    shutil.rmtree(vpath, ignore_errors=True)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    similarity.build_ivf_index(old, vpath, "embedding", "vec_id", dim=64)
+    similarity.append_to_ivf_index(new, vpath, "embedding", "vec_id")
+    q = emb.filter(F.col("vec_id") < 4)
+    top = similarity.ivf_index_topk(spark, path=vpath, queries=q, k=5, nprobe=8)
+    cent = similarity.read_ivf_centroids(spark, vpath)
+    ref = similarity.ivf_topk(
+        q, emb, "embedding", "vec_id", k=5, dim=64, centroids=cent, nprobe=8
+    )
+    assert sorted(map(tuple, top.collect())) == sorted(map(tuple, ref.collect())), (
+        "appended index search must equal inline search over the union"
+    )
+    print("ivf index (build + append) search matches inline search")
+
+    victims = [r["neighbor_id"] for r in top.limit(1).collect()]
+    similarity.delete_from_ivf_index(spark, vpath, victims)
+    after = similarity.ivf_index_topk(spark, path=vpath, queries=q, k=5, nprobe=8)
+    assert not set(victims) & {r["neighbor_id"] for r in after.collect()}
+    print(f"tombstoned vector {victims[0]}: masked from search")
+    print("serving_indexes example OK")
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, ".")
+    from shc_spark.session import get_spark
+
+    main(get_spark("example-serving", cpus=8))

@@ -1190,14 +1190,54 @@ def append_to_dedup_index(
     the saved banding parameters and append their banded keys and
     feature rows to the partitioned layout — accepted-into-the-corpus
     increments cost one feature pass over themselves, never a corpus
-    rebuild. (Removing documents is a rebuild; tombstoning an LSH
-    index is a policy layer, not this operator.)"""
+    rebuild. Removal is :func:`delete_from_dedup_index` (tombstone
+    masking); physical purge is a rebuild."""
     m = read_dedup_index_meta(new_docs.sparkSession, path)
     _write_index_rows(
         new_docs, path, text_col, id_col, m["num_perm"], m["bands"], m["n"],
         m["num_buckets"], mode="append",
     )
     return path
+
+
+def delete_from_dedup_index(spark, path: str, ids) -> str:
+    """Mask documents out of the index without rebuilding it — the
+    takedown/right-to-be-forgotten path. ``ids`` is a 1-column
+    DataFrame (or a driver-side list) of corpus doc ids; they append
+    to ``tombstones/`` and every later query anti-joins its
+    candidates against the set BEFORE verification, so masked docs
+    cost nothing downstream. LSM-style masking: banded/feature rows
+    stay in place physically; a rebuild purges. Id-level and
+    terminal: re-appending a tombstoned id does NOT resurrect it
+    (unlike the shc store's timestamped tombstones, the index has no
+    version axis) — rebuild to truly re-admit one."""
+    import os
+
+    if not isinstance(ids, DataFrame):
+        id_type = _index_relation(spark, path, "features").schema["id"].dataType
+        ids = spark.createDataFrame(
+            [(i,) for i in ids], T.StructType([T.StructField("id", id_type)])
+        )
+    else:
+        ids = ids.select(F.col(ids.columns[0]).alias("id"))
+    ids.distinct().repartition(1).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+    return path
+
+
+def _not_tombstoned(spark, path: str, pairs: DataFrame) -> DataFrame:
+    """Drop candidate pairs whose corpus side is tombstoned. The
+    tombstone relation rides the same mtime-validated cache, so a
+    delete from another process is picked up immediately."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "tombstones", "_SUCCESS")):
+        return pairs
+    tomb = _index_relation(spark, path, "tombstones")
+    return pairs.join(
+        tomb.select(F.col("id").alias("id_b")), "id_b", "left_anti"
+    )
 
 
 def _index_candidates(spark, path, inc_feats, nb):
@@ -1222,11 +1262,12 @@ def _index_candidates(spark, path, inc_feats, nb):
     banded = _index_relation(spark, path, "banded").filter(
         F.col("bkt").isin(bkts) if bkts else F.lit(False)
     )
-    return (
+    cand = (
         banded.join(F.broadcast(inc_banded), ["band", "bh"])
         .select("id_a", F.col("id").alias("id_b"))
         .distinct()
     )
+    return _not_tombstoned(spark, path, cand)
 
 
 def dedup_index_candidates(

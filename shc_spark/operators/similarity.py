@@ -533,6 +533,35 @@ def append_to_ivf_index(
     return path
 
 
+def delete_from_ivf_index(spark, path: str, ids) -> str:
+    """Mask vectors out of the persisted IVF index without rebuilding
+    it (takedown path): ids append to ``tombstones/`` and every later
+    search anti-joins its pruned postings against the set before
+    scoring. Posting rows stay in place physically (rebuild purges);
+    id-level and terminal — re-appending a tombstoned id does not
+    resurrect it."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from shc_spark.operators.idxcache import index_relation
+
+    if not isinstance(ids, DataFrame):
+        id_type = None
+        for f in index_relation(spark, path, "postings").schema.fields:
+            if f.name != "cid" and not f.dataType.simpleString().startswith("array"):
+                id_type = f.dataType
+        ids = spark.createDataFrame(
+            [(i,) for i in ids], T.StructType([T.StructField("id", id_type)])
+        )
+    else:
+        ids = ids.select(F.col(ids.columns[0]).alias("id"))
+    ids.distinct().repartition(1).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+    return path
+
+
 def ivf_index_topk(
     spark,
     path: str,
@@ -567,6 +596,11 @@ def ivf_index_topk(
     postings = index_relation(spark, path, "postings").filter(
         F.col("cid").isin(*[int(c) for c in probe_map]) if probe_map else F.lit(False)
     )
+    if os.path.exists(os.path.join(path, "tombstones", "_SUCCESS")):
+        tomb = index_relation(spark, path, "tombstones")
+        postings = postings.join(
+            tomb.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
     id_type = postings.schema[id_col].dataType.simpleString()
 
     def score(batches):

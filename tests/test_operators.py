@@ -2565,3 +2565,57 @@ def test_ivf_index_one_file_per_cid_and_append_visible(spark):
     gs = sorted(tuple(r) for r in got.collect())
     rs = sorted(tuple(r) for r in ref.collect())
     assert gs == rs and gs
+
+
+def test_dedup_index_tombstone_delete(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dedup_index(spark, "tomb", corpus)
+    before = dedup.dedup_index_pairs(spark, path, inc).collect()
+    assert before
+    # tombstone every matched corpus doc; warm cache first (the query
+    # above warmed it) so staleness is exercised
+    victims = sorted({r["id_b"] for r in before})[:1]
+    dedup.delete_from_dedup_index(spark, path, victims)
+    after = {(r["id_a"], r["id_b"]) for r in dedup.dedup_index_pairs(spark, path, inc).collect()}
+    assert victims[0] not in {b for _, b in after}
+    assert after == {(r["id_a"], r["id_b"]) for r in before if r["id_b"] != victims[0]}
+    # equals the inline operator over corpus-minus-deleted
+    ref = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs_between(
+            inc, corpus.filter(~F.col("doc_id").isin(victims)),
+            "text", "doc_id", num_perm=64, bands=32, n=3,
+        ).collect()
+    }
+    assert after == ref
+    # terminal: re-appending the tombstoned doc does not resurrect it
+    dedup.append_to_dedup_index(
+        docs.filter(F.col("doc_id").isin(victims)), path
+    )
+    again = {(r["id_a"], r["id_b"]) for r in dedup.dedup_index_pairs(spark, path, inc).collect()}
+    assert victims[0] not in {b for _, b in again}
+
+
+def test_ivf_index_tombstone_delete(spark):
+    import shutil
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = "/tmp/shc_ivf_index_test_tomb"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.build_ivf_index(emb, path, "embedding", "vec_id", dim=64)
+    q = emb.filter(F.col("vec_id") < 4)
+    before = similarity.ivf_index_topk(spark, path, q, k=5, nprobe=16).collect()
+    victims = sorted({r["neighbor_id"] for r in before})[:2]
+    similarity.delete_from_ivf_index(spark, path, victims)
+    cent = similarity.read_ivf_centroids(spark, path)
+    after = similarity.ivf_index_topk(spark, path, q, k=5, nprobe=16)
+    ref = similarity.ivf_topk(
+        q, emb.filter(~F.col("vec_id").isin(victims)),
+        "embedding", "vec_id", k=5, dim=64, centroids=cent, nprobe=16,
+    )
+    gs = sorted(tuple(r) for r in after.collect())
+    rs = sorted(tuple(r) for r in ref.collect())
+    assert gs == rs and gs
+    assert not {v for v in victims} & {r[1] for r in gs}

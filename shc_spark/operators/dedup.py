@@ -1340,3 +1340,44 @@ def dedup_index_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def compact_dedup_index(spark, path: str) -> str:
+    """Major compaction for the persisted dedup index: fold the
+    append generations back to ONE file per bucket, physically purge
+    tombstone-masked rows, and clear the tombstone set — after which
+    a purged id CAN be re-admitted by a later append (tombstone
+    masking alone is terminal). The index is derived data (rebuildable
+    from the corpus), so the rewrite is plain replace-on-success: new
+    subtrees are written next to the old ones and swapped in only
+    after their _SUCCESS markers exist — a crash before the swap
+    leaves the old index intact."""
+    import os
+    import shutil
+
+    m = read_dedup_index_meta(spark, path)
+    nb = m["num_buckets"]
+    tomb_path = os.path.join(path, "tombstones")
+    has_tomb = os.path.exists(os.path.join(tomb_path, "_SUCCESS"))
+    tomb = (
+        _index_relation(spark, path, "tombstones").select("id").distinct()
+        if has_tomb
+        else None
+    )
+    for sub, part_col in (("banded", "bkt"), ("features", "fbkt")):
+        cur = spark.read.parquet(os.path.join(path, sub))
+        if tomb is not None:
+            cur = cur.join(tomb, "id", "left_anti")
+        tmp = os.path.join(path, sub + ".compact")
+        shutil.rmtree(tmp, ignore_errors=True)
+        w = cur.repartition(nb, F.col(part_col))
+        if sub == "banded":
+            w = w.sortWithinPartitions("band", "bh")
+        w.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError(f"compaction write of {sub} did not commit")
+        old = os.path.join(path, sub)
+        shutil.rmtree(old)
+        os.rename(tmp, old)
+    shutil.rmtree(tomb_path, ignore_errors=True)
+    return path

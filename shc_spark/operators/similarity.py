@@ -885,3 +885,42 @@ def hard_negative_topk(
         F.col(label_col).alias("__lab"),
     ).mapInPandas(score, f"query_id {id_type}, neighbor_id {id_type}, cosine double")
     return _topk_window(part, k)
+
+
+def compact_ivf_index(spark, path: str) -> str:
+    """Major compaction for the persisted IVF index: fold append
+    generations back to one posting file per cid, physically purge
+    tombstone-masked vectors, clear the tombstone set (a purged id can
+    then be re-admitted by a later append). Derived-data rewrite:
+    replace-on-success — the new postings subtree swaps in only after
+    its _SUCCESS marker exists."""
+    import os
+    import shutil
+
+    from shc_spark.operators.idxcache import index_relation
+
+    tomb_path = os.path.join(path, "tombstones")
+    cur = spark.read.parquet(os.path.join(path, "postings"))
+    if os.path.exists(os.path.join(tomb_path, "_SUCCESS")):
+        id_col = next(
+            f.name
+            for f in cur.schema.fields
+            if f.name != "cid" and not f.dataType.simpleString().startswith("array")
+        )
+        tomb = index_relation(spark, path, "tombstones").select(
+            F.col("id").alias(id_col)
+        )
+        cur = cur.join(tomb, id_col, "left_anti")
+    n_cids = read_ivf_centroids(spark, path).shape[0]
+    tmp = os.path.join(path, "postings.compact")
+    shutil.rmtree(tmp, ignore_errors=True)
+    cur.repartition(n_cids, F.col("cid")).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(tmp)
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        raise RuntimeError("compaction write of postings did not commit")
+    old = os.path.join(path, "postings")
+    shutil.rmtree(old)
+    os.rename(tmp, old)
+    shutil.rmtree(tomb_path, ignore_errors=True)
+    return path

@@ -2619,3 +2619,73 @@ def test_ivf_index_tombstone_delete(spark):
     rs = sorted(tuple(r) for r in ref.collect())
     assert gs == rs and gs
     assert not {v for v in victims} & {r[1] for r in gs}
+
+
+def test_dedup_index_compaction(spark):
+    import glob
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dedup_index(spark, "cmp", corpus.filter(F.col("doc_id") % 4 == 0))
+    dedup.append_to_dedup_index(corpus.filter(F.col("doc_id") % 4 == 2), path)
+    before = dedup.dedup_index_pairs(spark, path, inc).collect()
+    assert before
+    victim = sorted({r["id_b"] for r in before})[0]
+    dedup.delete_from_dedup_index(spark, path, [victim])
+    dedup.compact_dedup_index(spark, path)
+    # physically compacted: one file per bucket again, tombstones gone
+    for sub in ("banded", "features"):
+        dirs = glob.glob(os.path.join(path, sub, "*=*"))
+        assert dirs and all(
+            len(glob.glob(os.path.join(d, "*.parquet"))) == 1 for d in dirs
+        )
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    got = {(r["id_a"], r["id_b"]) for r in dedup.dedup_index_pairs(spark, path, inc).collect()}
+    assert got == {(r["id_a"], r["id_b"]) for r in before if r["id_b"] != victim}
+    # purge is real: the id can be RE-ADMITTED by a later append
+    dedup.append_to_dedup_index(docs.filter(F.col("doc_id") == victim), path)
+    back = {(r["id_a"], r["id_b"]) for r in dedup.dedup_index_pairs(spark, path, inc).collect()}
+    assert back == {(r["id_a"], r["id_b"]) for r in before}
+
+
+def test_ivf_index_compaction(spark):
+    import glob
+    import os
+    import shutil
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = "/tmp/shc_ivf_index_test_cmp"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, "embedding", "vec_id", dim=64
+    )
+    similarity.append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), path, "embedding", "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    before = similarity.ivf_index_topk(spark, path, q, k=5, nprobe=16).collect()
+    victim = sorted({r["neighbor_id"] for r in before})[0]
+    similarity.delete_from_ivf_index(spark, path, [victim])
+    similarity.compact_ivf_index(spark, path)
+    dirs = glob.glob(os.path.join(path, "postings", "cid=*"))
+    assert dirs and all(
+        len(glob.glob(os.path.join(d, "*.parquet"))) == 1 for d in dirs
+    )
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    got = similarity.ivf_index_topk(spark, path, q, k=5, nprobe=16)
+    cent = similarity.read_ivf_centroids(spark, path)
+    ref = similarity.ivf_topk(
+        q, emb.filter(F.col("vec_id") != victim),
+        "embedding", "vec_id", k=5, dim=64, centroids=cent, nprobe=16,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # re-admission after purge
+    similarity.append_to_ivf_index(
+        emb.filter(F.col("vec_id") == victim), path, "embedding", "vec_id"
+    )
+    again = similarity.ivf_index_topk(spark, path, q, k=5, nprobe=16)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, (r for r in before))
+    )

@@ -719,14 +719,21 @@ def keep_best_per_cluster(
     the cluster membership (pairs-sized, tiny vs corpus) against the
     score table, then a per-cluster rank window over cluster-sized
     groups — the corpus itself never shuffles. Tie-break runs on the
-    ROUNDED score so selection is engine-neutral."""
+    ROUNDED score so selection is engine-neutral.
+
+    Membership joins the scores LEFT so a cluster member missing from
+    the score table stays VISIBLE (null score, ranked last — desc
+    ordering on nullable columns puts nulls last on both engines)
+    instead of silently vanishing and possibly crowning a worse
+    representative with no signal; if every member is unscored the
+    smallest id still wins."""
     from pyspark.sql import Window
 
     j = clusters.join(
-        scores.select(F.col(id_col).alias("id"), score_col), "id"
+        scores.select(F.col(id_col).alias("id"), score_col), "id", "left"
     )
     w = Window.partitionBy("cluster").orderBy(
-        F.col(score_col).desc(), F.col("id").asc()
+        F.col(score_col).desc_nulls_last(), F.col("id").asc()
     )
     return j.select(
         "id",
@@ -1083,6 +1090,13 @@ def remove_spans(
 # increment against it with a partition-pruned bucket join.
 
 
+# On-disk layout version of the persisted dedup index (banded/bkt=*/
+# + features/fbkt=*/ + tombstones/). Bump on ANY schema/partitioning
+# change so index caches keyed on build inputs rebuild instead of
+# reading a stale layout.
+DEDUP_INDEX_LAYOUT = 1
+
+
 def build_dedup_index(
     corpus: DataFrame,
     path: str,
@@ -1288,6 +1302,11 @@ def dedup_index_candidates(
     return _index_candidates(spark, path, inc, m["num_buckets"])
 
 
+# DataFrames cached by the previous dedup_index_pairs call, released
+# at the start of the next one (deferred one-query lifecycle).
+_INDEX_QUERY_CACHES: list = []
+
+
 def dedup_index_pairs(
     spark,
     path: str,
@@ -1308,9 +1327,18 @@ def dedup_index_pairs(
     ``num_buckets`` BY CONSTRUCTION — ``% num_buckets`` values — not
     by a guard); the increment's banded keys broadcast into the
     pruned scan; exact verification joins feature rows only for the
-    surviving candidate ids, pruned the same way."""
+    surviving candidate ids, pruned the same way.
+
+    Cache lifecycle: ``inc``/``cand`` are cached (two consumers each:
+    the bucket collects and the final join), and released at the START
+    of the NEXT call — the caller of this query can still materialize
+    its result from cache, and a long-lived query-many serving process
+    accumulates at most one query's blocks instead of growing without
+    bound."""
     import os
 
+    while _INDEX_QUERY_CACHES:
+        _INDEX_QUERY_CACHES.pop().unpersist()
     m = read_dedup_index_meta(spark, path)
     nb = m["num_buckets"]
     inc = _doc_lsh_features(
@@ -1318,6 +1346,7 @@ def dedup_index_pairs(
     ).cache()
     inc.count()
     cand = _index_candidates(spark, path, inc, nb).cache()
+    _INDEX_QUERY_CACHES.extend([inc, cand])
     fbkts = [
         r["fbkt"]
         for r in cand.select(
@@ -1348,20 +1377,31 @@ def compact_dedup_index(spark, path: str) -> str:
     tombstone-masked rows, and clear the tombstone set — after which
     a purged id CAN be re-admitted by a later append (tombstone
     masking alone is terminal). The index is derived data (rebuildable
-    from the corpus), so the rewrite is plain replace-on-success: new
-    subtrees are written next to the old ones and swapped in only
-    after their _SUCCESS markers exist — a crash before the swap
-    leaves the old index intact."""
+    from the corpus), so the rewrite is replace-on-success: new
+    subtrees are written next to the old ones and swapped in (two
+    renames via a .bak, see idxcache.replace_subtree) only after their
+    _SUCCESS markers exist — a crash at any point leaves a recoverable
+    index on disk. Tombstones are SNAPSHOTTED at entry: only the rows
+    in the snapshot files are purged and only those files are deleted,
+    so a tombstone appended concurrently by another process keeps
+    masking until the next compaction instead of being silently
+    resurrected."""
     import os
     import shutil
+
+    from shc_spark.operators.idxcache import (
+        drop_tombstone_snapshot,
+        replace_subtree,
+        tombstone_snapshot,
+    )
 
     m = read_dedup_index_meta(spark, path)
     nb = m["num_buckets"]
     tomb_path = os.path.join(path, "tombstones")
-    has_tomb = os.path.exists(os.path.join(tomb_path, "_SUCCESS"))
+    snapshot = tombstone_snapshot(tomb_path)
     tomb = (
-        _index_relation(spark, path, "tombstones").select("id").distinct()
-        if has_tomb
+        spark.read.parquet(*snapshot).select("id").distinct()
+        if snapshot
         else None
     )
     for sub, part_col in (("banded", "bkt"), ("features", "fbkt")):
@@ -1376,8 +1416,6 @@ def compact_dedup_index(spark, path: str) -> str:
         w.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
         if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
             raise RuntimeError(f"compaction write of {sub} did not commit")
-        old = os.path.join(path, sub)
-        shutil.rmtree(old)
-        os.rename(tmp, old)
-    shutil.rmtree(tomb_path, ignore_errors=True)
+        replace_subtree(os.path.join(path, sub), tmp)
+    drop_tombstone_snapshot(tomb_path, snapshot)
     return path

@@ -8,9 +8,14 @@ tasks + ~3 read tasks). A serving system lists once and queries many
 times; reuse is safe here because these are plain parquet reads (the
 Spark 4.1 replan hazard is specific to Python DataSource relations)
 and per-query partition pruning happens at planning time against the
-cached file index. The _SUCCESS mtime guards staleness: every append
-rewrites it, invalidating the entry even when another process did the
-append.
+cached file index. Staleness is guarded by a subtree fingerprint, not
+the _SUCCESS mtime alone: the marker is zero-byte, so on filesystems
+with coarse mtime granularity two appends within one tick would look
+identical (the size guard _load_regions uses for the same hazard is
+useless on an always-empty file). The fingerprint folds in the data
+file census — (marker mtime_ns, file count, max file mtime_ns, total
+bytes) from one os.walk — so any append, tombstone delete, or
+compaction changes it even within a single mtime tick.
 """
 
 from __future__ import annotations
@@ -19,20 +24,96 @@ import os
 
 from pyspark.sql import DataFrame
 
-# (appId, absolute subtree path) -> (_SUCCESS mtime_ns, DataFrame)
+# (appId, absolute subtree path) -> (fingerprint tuple, DataFrame)
 _RELATIONS: dict = {}
+
+
+def _fingerprint(p: str):
+    """Census of the subtree: cheap (local metadata walk over at most
+    a few thousand entries) next to the Spark listing job it avoids,
+    and strictly stronger than the marker mtime: appends add files,
+    compaction replaces them (count/size/mtime all move), tombstone
+    purges remove them."""
+    try:
+        marker = os.stat(os.path.join(p, "_SUCCESS")).st_mtime_ns
+    except OSError:
+        return None  # no marker: never cache-hit
+    n, max_mtime, total = 0, 0, 0
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(root, f))
+            n += 1
+            total += st.st_size
+            if st.st_mtime_ns > max_mtime:
+                max_mtime = st.st_mtime_ns
+    return (marker, n, max_mtime, total)
+
+
+def tombstone_snapshot(tomb_path: str) -> list:
+    """Census of the tombstone data files at compaction start. The
+    compaction purges exactly the rows in these files and later
+    deletes exactly these files — a tombstone appended by another
+    process while the compaction runs is neither folded in nor
+    deleted, so it keeps masking until the next compaction (the
+    advertised cross-process delete visibility survives a concurrent
+    compaction)."""
+    if not os.path.exists(os.path.join(tomb_path, "_SUCCESS")):
+        return []
+    out = []
+    for root, _dirs, files in os.walk(tomb_path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def drop_tombstone_snapshot(tomb_path: str, snapshot: list) -> None:
+    """Delete only the snapshotted tombstone files; later appends stay
+    in place. If nothing remains, remove the subtree entirely so
+    readers never open a parquet dir with no data files."""
+    import shutil
+
+    for f in snapshot:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    remaining = [
+        f
+        for root, _dirs, files in os.walk(tomb_path)
+        for f in files
+        if not f.startswith(("_", "."))
+    ]
+    if not remaining:
+        shutil.rmtree(tomb_path, ignore_errors=True)
+
+
+def replace_subtree(old: str, tmp: str) -> None:
+    """Swap a freshly written subtree over the live one via two
+    renames instead of rmtree-then-rename: old -> old.bak,
+    tmp -> old, then drop the .bak. The live name is absent only for
+    the instant between the two renames (vs the full rmtree wall of
+    the naive swap), and a crash anywhere leaves a recoverable copy on
+    disk (.bak and/or tmp, both with _SUCCESS) rather than no index.
+    Stale .bak from a previous crash is cleared first."""
+    import shutil
+
+    bak = old + ".bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(old, bak)
+    os.rename(tmp, old)
+    shutil.rmtree(bak, ignore_errors=True)
 
 
 def index_relation(spark, path: str, sub: str) -> DataFrame:
     p = os.path.join(path, sub)
-    try:
-        mtime = os.stat(os.path.join(p, "_SUCCESS")).st_mtime_ns
-    except OSError:
-        mtime = -1  # no marker: fall through, never cache-hit
+    fp = _fingerprint(p)
     key = (spark.sparkContext.applicationId, p)
     hit = _RELATIONS.get(key)
-    if hit is not None and hit[0] == mtime and mtime != -1:
+    if hit is not None and fp is not None and hit[0] == fp:
         return hit[1]
     df = spark.read.parquet(p)
-    _RELATIONS[key] = (mtime, df)
+    _RELATIONS[key] = (fp, df)
     return df

@@ -449,6 +449,14 @@ def ivf_topk(
     return _run(corpus, vec_col, id_col, k, score)
 
 
+# On-disk layout version of the persisted IVF index (centroids/ +
+# postings/cid=*/ + tombstones/). Bump on ANY change to the subtree
+# schema or partitioning so callers that cache a built index keyed on
+# build inputs (e.g. the driver gates under /tmp) rebuild instead of
+# silently reading a stale layout.
+IVF_INDEX_LAYOUT = 1
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -892,24 +900,32 @@ def compact_ivf_index(spark, path: str) -> str:
     generations back to one posting file per cid, physically purge
     tombstone-masked vectors, clear the tombstone set (a purged id can
     then be re-admitted by a later append). Derived-data rewrite:
-    replace-on-success — the new postings subtree swaps in only after
-    its _SUCCESS marker exists."""
+    replace-on-success — the new postings subtree swaps in (two
+    renames via .bak, idxcache.replace_subtree) only after its
+    _SUCCESS marker exists; a crash at any point leaves a recoverable
+    postings tree on disk. Tombstones are snapshotted at entry — only
+    the snapshot rows are purged and only those files deleted, so a
+    concurrent cross-process tombstone append keeps masking until the
+    next compaction."""
     import os
     import shutil
 
-    from shc_spark.operators.idxcache import index_relation
+    from shc_spark.operators.idxcache import (
+        drop_tombstone_snapshot,
+        replace_subtree,
+        tombstone_snapshot,
+    )
 
     tomb_path = os.path.join(path, "tombstones")
     cur = spark.read.parquet(os.path.join(path, "postings"))
-    if os.path.exists(os.path.join(tomb_path, "_SUCCESS")):
+    snapshot = tombstone_snapshot(tomb_path)
+    if snapshot:
         id_col = next(
             f.name
             for f in cur.schema.fields
             if f.name != "cid" and not f.dataType.simpleString().startswith("array")
         )
-        tomb = index_relation(spark, path, "tombstones").select(
-            F.col("id").alias(id_col)
-        )
+        tomb = spark.read.parquet(*snapshot).select(F.col("id").alias(id_col))
         cur = cur.join(tomb, id_col, "left_anti")
     n_cids = read_ivf_centroids(spark, path).shape[0]
     tmp = os.path.join(path, "postings.compact")
@@ -919,8 +935,6 @@ def compact_ivf_index(spark, path: str) -> str:
     ).parquet(tmp)
     if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
         raise RuntimeError("compaction write of postings did not commit")
-    old = os.path.join(path, "postings")
-    shutil.rmtree(old)
-    os.rename(tmp, old)
-    shutil.rmtree(tomb_path, ignore_errors=True)
+    replace_subtree(os.path.join(path, "postings"), tmp)
+    drop_tombstone_snapshot(tomb_path, snapshot)
     return path

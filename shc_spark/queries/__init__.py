@@ -47,53 +47,40 @@ def _with_utc(fn):
 _MODULES = (connector, pipeline, streaming_q, relational)
 
 _WINDOW = [
-    # r07 rotation (VERDICT r6 #1): every r06 window gate now holds a
-    # driver-green row, so this round spends 47 of the 50 slots on
-    # FIRST driver rows — the 46 local-green gates that had never been
-    # in any round's window, plus the new S14 version-explode gate
-    # (VERDICT r6 #3). The r01-r06 union keeps the rotated-out gates'
-    # evidence; 3 canaries (one per major family) guard against a
-    # systemic regression slipping through a window full of newcomers.
-    # r08 rotation TODO: the 15 formerly rows-only gates converted to
-    # hash-checked verdicts in r07 (sim_topk_{lsh,ivf,sq8,pq,ivf_pq},
-    # dedup_{semantic,simhash}, text_{bpe_tokens,quality_classifier,
-    # compression_ratio}, mm_{audio_spectrogram,frame_sample},
-    # embed_pca, q_approx_distinct, q_sample) have never been driven —
-    # they are the next window's first-time rows, together with the
-    # new r07 gates (dedup_keep_best, sim_decontaminate_semantic,
-    # stream_decontaminate, sim_topk_ivf_index, sim_topk_ivf_append,
-    # dedup_index_query).
-    # Canaries (dedup/text/stream families are covered by their many
-    # first-time gates below; mm has no never-driven oracle gate, so
-    # its canary keeps the family represented):
+    # r08 rotation (VERDICT r7 #1): the 21 gates with NO driver-green
+    # row anywhere in the r01-r07 union — the 15 verdict-converted
+    # approximate/verdict gates plus the 6 r07-new gates (both serving
+    # indexes, keep-best, semantic/stream decontamination) — take the
+    # first-time slots. sim_topk_lsh/ivf and q_approx_distinct/q_sample
+    # additionally erase their stale r01/r02 `err: no_oracle` rows, the
+    # only red cells left in the driver union. The remaining 26 slots
+    # refresh the OLDEST evidence on the board: r01-green relational
+    # gates that have not been re-driven since round 1.
+    # Canaries (one per major family, all r07-green):
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
-    # §2.1 connector — first driver rows:
-    "shc_version_explode", "shc_table_diff", "shc_cdc_apply",
-    # TPC-H analogs never driven (queries/relational.py:799-964):
-    "q08_market_share", "q11_important_stock", "q13_order_distribution",
-    "q15_top_supplier", "q16_parts_suppliers", "q17_small_quantity",
-    "q20_promo_suppliers",
-    # relational never driven:
-    "q_lateral_topk", "q_winsorize_prices", "q_salted_join",
-    "q_window_range_frame", "q_null_safe_join", "q_bloom_semi_join",
-    "q_anomaly_events",
-    # behavior/graph never driven:
-    "q_pagerank", "q_event_funnel", "q_cohort_retention", "q_rolling_wau",
-    # dedup/linkage never driven:
-    "dedup_canonical_names", "dedup_clusters_star", "dedup_normalized",
-    "dedup_prefix_filter", "dedup_remove_substrings", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_embedding_blocked", "link_fuzzy_tables",
-    # similarity/embedding never driven:
-    "sim_topk_filtered", "embed_project_jl",
-    # text never driven:
-    "text_shard_shuffle", "text_phrase_search", "text_length_buckets",
-    "text_weighted_sample", "text_split_assign", "text_canonical_urls",
-    "text_pmi_pairs", "text_chi2_terms", "text_token_budget_sample",
-    # dq never driven:
-    "dq_profile_lineitem", "dq_histogram_prices",
-    # streaming never driven:
-    "stream_quality_by_source", "stream_dq_monitor", "stream_static_join",
-    "stream_cdc_sink",
+    # similarity — first driver rows (stale err rows erased):
+    "sim_topk_lsh", "sim_topk_ivf", "sim_topk_sq8", "sim_topk_pq",
+    "sim_topk_ivf_pq", "sim_topk_ivf_index", "sim_topk_ivf_append",
+    "sim_decontaminate_semantic",
+    # dedup — first driver rows:
+    "dedup_semantic", "dedup_simhash", "dedup_keep_best",
+    "dedup_index_query",
+    # text/mm/embed — first driver rows:
+    "text_bpe_tokens", "text_quality_classifier", "text_compression_ratio",
+    "mm_audio_spectrogram", "mm_frame_sample", "embed_pca",
+    # relational/streaming — first driver rows (stale err rows erased):
+    "q_approx_distinct", "q_sample", "stream_decontaminate",
+    # r01-green refresh (oldest evidence; TPC-H analogs first):
+    "q02_filter_scan", "q04_priority_semi_join", "q06_forecast_revenue",
+    "q07_nation_trade", "q09_product_profit", "q12_priority_mix",
+    "q14_promo_share", "q18_large_orders", "q19_disjunctive_filter",
+    "q22_idle_rich_customers",
+    "q_agg_stats", "q_anti_join_customers", "q_array_functions",
+    "q_asof_join_cogroup", "q_conditional_null_semantics", "q_cube",
+    "q_distinct_pairs", "q_filter_in_notin", "q_filter_string_zoo",
+    "q_grouped_regression", "q_grouping_sets", "q_part_brand_volume",
+    "q_range_join", "q_unpivot", "q_window_ranks",
+    "q_window_running_sum",
 ]
 
 

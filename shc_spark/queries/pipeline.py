@@ -274,6 +274,21 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_verdict(approx, exact, k=5, min_hits_q=1, min_total=14)
 
 
+def _gate_index_path(prefix: str, sf_dir: str, layout: int, **params) -> str:
+    """Cache path for a gate's persisted index under /tmp, keyed by
+    (sf_dir, index LAYOUT version, build params) — a layout or param
+    change in a later round forces a rebuild instead of the gate
+    silently reading/judging a stale artifact (VERDICT r7 #4)."""
+    import hashlib
+
+    sig = f"{sf_dir}|v{layout}|" + ",".join(
+        f"{k}={params[k]}" for k in sorted(params)
+    )
+    return os.path.join(
+        "/tmp", f"{prefix}_{hashlib.md5(sig.encode()).hexdigest()[:8]}"
+    )
+
+
 # Persisted IVF index (build-once-query-many): identical quantizer,
 # assignment math, and scoring as the inline ivf_topk, so the
 # partition-pruned index search must reproduce it EXACTLY — the
@@ -289,13 +304,11 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join("/tmp", f"shc_ivf_index_{key}")
+    path = _gate_index_path(
+        "shc_ivf_index", sf_dir, similarity.IVF_INDEX_LAYOUT, dim=64
+    )
     if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
         similarity.build_ivf_index(emb, path, "embedding", "vec_id", dim=64)
     idx = similarity.ivf_index_topk(spark, path, queries, k=5, nprobe=4)
@@ -348,13 +361,11 @@ def _identity_verdict(idx, direct):
     """,
 )
 def sim_topk_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join("/tmp", f"shc_ivf_appendix_{key}")
+    path = _gate_index_path(
+        "shc_ivf_appendix", sf_dir, similarity.IVF_INDEX_LAYOUT, dim=64
+    )
     marker = os.path.join(path, "_APPENDED")
     if not os.path.exists(marker):
         import shutil
@@ -734,8 +745,9 @@ ORACLE["dedup_keep_best"] = (
       FROM qf)
     SELECT cl.id, cl.cluster, q.q_score,
            (row_number() OVER (PARTITION BY cl.cluster
-                               ORDER BY q.q_score DESC, cl.id) = 1) AS keep
-    FROM cl JOIN q ON cl.id = q.doc_id
+                               ORDER BY q.q_score DESC NULLS LAST, cl.id) = 1
+           ) AS keep
+    FROM cl LEFT JOIN q ON cl.id = q.doc_id
     """
 )
 
@@ -1388,12 +1400,13 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import shutil
 
     docs = _t(spark, sf_dir, "documents")
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join("/tmp", f"shc_dedup_index_gate_{key}")
+    path = _gate_index_path(
+        "shc_dedup_index_gate", sf_dir, dedup.DEDUP_INDEX_LAYOUT,
+        num_perm=64, bands=32, n=3,
+    )
     if not os.path.exists(os.path.join(path, "features", "_SUCCESS")):
         shutil.rmtree(path, ignore_errors=True)
         dedup.build_dedup_index(

@@ -16,6 +16,7 @@ Reference evidence for the surface: DefaultSourceSuite.scala:206-324
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1143,7 +1144,7 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sample",
     """
     SELECT TRUE AS size_ok, TRUE AS subset_ok,
-           CAST(round(count(*) * 0.01 / 50) * 50 AS BIGINT) AS expected_bucket
+           CAST(floor(count(*) * 0.01 / 50 + 0.5) * 50 AS BIGINT) AS expected_bucket
     FROM lineitem
     """,
 )
@@ -1160,8 +1161,10 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).count()
     return li.sparkSession.createDataFrame(
+        # floor(x+0.5) on BOTH sides: Python round() is half-to-even,
+        # DuckDB round() half-away — a .5 boundary would disagree.
         [(bool(lo <= n <= hi), bool(n_in_src == n and n > 0),
-          int(round(expect / 50) * 50))],
+          int(math.floor(expect / 50 + 0.5) * 50))],
         "size_ok boolean, subset_ok boolean, expected_bucket long",
     )
 

@@ -2689,3 +2689,104 @@ def test_ivf_index_compaction(spark):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, (r for r in before))
     )
+
+
+def test_compaction_preserves_concurrent_tombstone(spark, monkeypatch):
+    """ADVICE r7: a tombstone appended by ANOTHER process while a
+    compaction runs must survive it (keep masking), not be silently
+    discarded with the folded-in snapshot. Simulated by appending a
+    second tombstone right after the compaction takes its snapshot."""
+    import os
+
+    from shc_spark.operators import idxcache
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dedup_index(spark, "ctomb", corpus)
+    before = dedup.dedup_index_pairs(spark, path, inc).collect()
+    matched = sorted({r["id_b"] for r in before})
+    assert len(matched) >= 2
+    v1, v2 = matched[0], matched[1]
+    dedup.delete_from_dedup_index(spark, path, [v1])
+
+    real_snapshot = idxcache.tombstone_snapshot
+    fired = []
+
+    def snap_then_concurrent_append(tomb_path):
+        snap = real_snapshot(tomb_path)
+        if not fired:  # concurrent delete lands mid-compaction
+            fired.append(True)
+            dedup.delete_from_dedup_index(spark, path, [v2])
+        return snap
+
+    monkeypatch.setattr(idxcache, "tombstone_snapshot", snap_then_concurrent_append)
+    dedup.compact_dedup_index(spark, path)
+    # the concurrent tombstone's file survives the compaction
+    assert os.path.exists(os.path.join(path, "tombstones"))
+    after = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.dedup_index_pairs(spark, path, inc).collect()
+    }
+    masked = {b for _, b in after}
+    assert v1 not in masked  # physically purged by the compaction
+    assert v2 not in masked  # still masked by the surviving tombstone
+    assert after == {
+        (r["id_a"], r["id_b"]) for r in before if r["id_b"] not in (v1, v2)
+    }
+    # v1 was purged -> re-admittable; v2 is tombstoned -> terminal
+    dedup.append_to_dedup_index(docs.filter(F.col("doc_id").isin([v1, v2])), path)
+    again = {
+        r["id_b"] for r in dedup.dedup_index_pairs(spark, path, inc).collect()
+    }
+    assert v1 in again and v2 not in again
+
+
+def test_index_relation_survives_coarse_mtime(spark, tmp_path):
+    """ADVICE r7: the memoized listing must invalidate on an append
+    even when the _SUCCESS marker mtime does not move (coarse-mtime
+    filesystems) — the fingerprint folds in the data-file census."""
+    import os
+
+    from shc_spark.operators import idxcache
+
+    p = str(tmp_path / "idx")
+    spark.range(10).write.parquet(os.path.join(p, "rows"))
+    assert idxcache.index_relation(spark, p, "rows").count() == 10
+    marker = os.path.join(p, "rows", "_SUCCESS")
+    st = os.stat(marker)
+    spark.range(10, 15).write.mode("append").parquet(os.path.join(p, "rows"))
+    # simulate a filesystem whose mtime tick swallowed the append
+    os.utime(marker, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert idxcache.index_relation(spark, p, "rows").count() == 15
+
+
+def test_keep_best_missing_score_visible(spark):
+    """ADVICE r7: a cluster member missing from the score table stays
+    in the output (null score, ranked last) instead of silently
+    vanishing; a fully-unscored cluster still keeps its smallest id."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "id long, cluster long"
+    )
+    scores = spark.createDataFrame([(1, 0.2)], "doc_id long, q_score double")
+    out = {
+        r["id"]: (r["q_score"], r["keep"])
+        for r in dedup.keep_best_per_cluster(clusters, scores).collect()
+    }
+    assert set(out) == {1, 2, 5, 6}  # nobody dropped
+    assert out[1] == (0.2, True)
+    assert out[2] == (None, False)  # unscored member visible, ranked last
+    assert out[5] == (None, True) and out[6] == (None, False)
+
+
+def test_gate_index_cache_versioned():
+    """VERDICT r7 #4: the /tmp gate-index cache path must move when
+    the build params or the index layout version change, forcing a
+    rebuild instead of judging against a stale artifact."""
+    from shc_spark.queries.pipeline import _gate_index_path
+
+    base = _gate_index_path("g", "/d", 1, num_perm=64, bands=32)
+    assert base == _gate_index_path("g", "/d", 1, bands=32, num_perm=64)
+    assert base != _gate_index_path("g", "/d", 1, num_perm=64, bands=16)
+    assert base != _gate_index_path("g", "/d", 2, num_perm=64, bands=32)
+    assert base != _gate_index_path("g", "/e", 1, num_perm=64, bands=32)

@@ -253,3 +253,250 @@ def test_point_range_detection():
     assert len(hrf.ranges) == 1 and hrf.ranges[0].is_point()
     hrf = translate_filters([In(a(), (1, 2, 3))], KEY, enc)
     assert all(r.is_point() for r in hrf.ranges)
+
+
+# ---------------------------------------------------------------------------
+# ScanRangeTestSuite.scala:40-493 parity — the reference's adversarial
+# FIXED cases (adjacent merges at open/closed boundaries, infinities,
+# point ranges), each pytest case named after its reference test. The
+# 300-case random property above covers the space; these pin the exact
+# boundary decisions the reference asserts. Int keys map to single
+# bytes (unsigned compare == Bytes.compareTo), strings to ASCII bytes.
+
+
+def _r(lo, lo_inc=True, hi=None, hi_inc=False):
+    enc = lambda v: bytes([v]) if isinstance(v, int) else (
+        v.encode() if isinstance(v, str) else v
+    )
+    return ScanRange(
+        None if lo is None else enc(lo), lo_inc,
+        None if hi is None else enc(hi), hi_inc,
+    )
+
+
+def _point(v):
+    return _r(v, True, v, True)
+
+
+def _set(ranges):
+    return {
+        (r.start, r.start_inclusive, r.end, r.end_inclusive) for r in ranges
+    }
+
+
+class TestScanRangeSuiteParity:
+    # andRange 1 (ScanRangeTestSuite.scala:40)
+    def test_and_range_1(self):
+        got = ranges_and([_r(50, True, 100, False)],
+                         [_r(0, True, 52, False), _r(80, True, 120, False)])
+        assert _set(got) == _set([_r(50, True, 52, False), _r(80, True, 100, False)])
+
+    # andRange 2 (:51) — open lower bound survives intersection
+    def test_and_range_2(self):
+        got = ranges_and([_r(50, False, 100, False)],
+                         [_r(0, True, 52, True), _r(80, False, 120, False)])
+        assert _set(got) == _set([_r(50, False, 52, True), _r(80, False, 100, False)])
+
+    # andRange 3 (:63) — -inf lower bound
+    def test_and_range_3(self):
+        got = ranges_and([_r(None, True, 100, False)],
+                         [_r(0, True, 52, True), _r(80, False, 120, False)])
+        assert _set(got) == _set([_r(0, True, 52, True), _r(80, False, 100, False)])
+
+    # andRange 4 (:77) — full scan is AND-identity
+    def test_and_range_4(self):
+        got = ranges_and([ScanRange()],
+                         [_r(0, True, 52, True), _r(80, False, 120, False)])
+        assert _set(got) == _set([_r(0, True, 52, True), _r(80, False, 120, False)])
+
+    # andRange 5 (:90) — identity with +inf tail
+    def test_and_range_5(self):
+        got = ranges_and([ScanRange()],
+                         [_r(0, True, 52, True), _r(80, False, None, False)])
+        assert _set(got) == _set([_r(0, True, 52, True), _r(80, False, None, False)])
+
+    # andRange 6 (:104) — identity with -inf head and +inf tail
+    def test_and_range_6(self):
+        got = ranges_and([ScanRange()],
+                         [_r(None, True, 52, True), _r(80, False, None, False)])
+        assert _set(got) == _set([_r(None, True, 52, True), _r(80, False, None, False)])
+
+    # andRange 7 (:118) — touching OPEN boundaries produce nothing
+    def test_and_range_7(self):
+        got = ranges_and([_r(50, True, 100, False)],
+                         [_r(0, True, 50, False), _r(100, True, 120, False)])
+        assert got == []
+
+    # andRange 8 (:128) — point vs both-sides-open neighbors is empty
+    def test_and_range_8(self):
+        got = ranges_and([_point(50)],
+                         [_r(0, True, 50, False), _r(50, False, None, False)])
+        assert got == []
+
+    # andRange 9 (:138) — point AND full scan keeps the point
+    def test_and_range_9(self):
+        got = ranges_and([_point(50)], [ScanRange()])
+        assert _set(got) == _set([_point(50)])
+
+    # andRange 19 (:147) — full AND full = full
+    def test_and_range_19(self):
+        got = ranges_and([ScanRange()], [ScanRange()])
+        assert _set(got) == _set([ScanRange()])
+
+    # andRange 20 (:159) — multi-range AND multi-range
+    def test_and_range_20(self):
+        got = ranges_and([_r(10, True, 20, True), _r(30, True, 40, True)],
+                         [_r(5, True, 15, False), _r(35, True, 45, False)])
+        assert _set(got) == _set([_r(10, True, 15, False), _r(35, True, 40, True)])
+
+    # andRange 21 (:175) — AND with full-scan list
+    def test_and_range_21(self):
+        got = ranges_and([_r(5, True, 15, False)], [ScanRange()])
+        assert _set(got) == _set([_r(5, True, 15, False)])
+
+    # orRange 1 (:188) — overlap chain merges, disjoint tail survives
+    def test_or_range_1(self):
+        got = ranges_or([_r(50, True, 100, False)],
+                        [_r(0, True, 60, False), _r(80, True, 120, False),
+                         _r(150, True, 200, False)])
+        assert _set(got) == _set([_r(0, True, 120, False), _r(150, True, 200, False)])
+
+    # orRange 2 (:201) — closed/open adjacency at BOTH ends merges
+    def test_or_range_2(self):
+        got = ranges_or([_r(50, True, 100, False)],
+                        [_r(0, True, 50, False), _r(100, True, 120, False)])
+        assert _set(got) == _set([_r(0, True, 120, False)])
+
+    # orRange 3 (:213) — open/open adjacency at 50 does NOT merge
+    def test_or_range_3(self):
+        got = ranges_or([_r(50, False, 100, False)],
+                        [_r(0, True, 50, False), _r(100, True, 120, False)])
+        assert _set(got) == _set([_r(0, True, 50, False), _r(50, False, 120, False)])
+
+    # orRange 4 (:225) — -inf head absorbs and extends
+    def test_or_range_4(self):
+        got = ranges_or([_r(None, True, 100, False)],
+                        [_r(0, True, 50, False), _r(100, True, 120, False)])
+        assert _set(got) == _set([_r(None, True, 120, False)])
+
+    # orRange 5 (:236)
+    def test_or_range_5(self):
+        got = ranges_or([_r(None, True, 100, False)],
+                        [_r(None, True, 50, False), _r(100, True, 120, False)])
+        assert _set(got) == _set([_r(None, True, 120, False)])
+
+    # orRange 6 (:248) — merge into +inf tail
+    def test_or_range_6(self):
+        got = ranges_or([_r(0, True, 100, False)],
+                        [_r(0, True, 50, False), _r(100, True, None, False)])
+        assert _set(got) == _set([_r(0, True, None, False)])
+
+    # orRange 7 (:260) — -inf OR +inf collapses to full scan
+    def test_or_range_7(self):
+        got = ranges_or([_r(None, True, 100, False)],
+                        [_r(0, True, 50, False), _r(100, True, None, False)])
+        assert _set(got) == _set([ScanRange()])
+
+    # orRange 8 (:271) — one range bridges three into one
+    def test_or_range_8(self):
+        got = ranges_or([_r(50, True, 150, False)],
+                        [_r(0, True, 60, False), _r(80, True, 120, False),
+                         _r(150, True, 200, False)])
+        assert _set(got) == _set([_r(0, True, 200, False)])
+
+    # orRange 9 (:284) — +inf tail swallows later ranges only
+    def test_or_range_9(self):
+        got = ranges_or([_r(70, True, None, False)],
+                        [_r(0, True, 60, False), _r(80, True, 120, False),
+                         _r(150, True, 200, False)])
+        assert _set(got) == _set([_r(0, True, 60, False), _r(70, True, None, False)])
+
+    # orRange 10 (:297) — distinct points stay distinct (byte space
+    # has no integer adjacency)
+    def test_or_range_10(self):
+        got = ranges_or([_point(70)], [_point(71)])
+        assert _set(got) == _set([_point(70), _point(71)])
+
+    # orRange 11 (:309) — point on closed end absorbs
+    def test_or_range_11(self):
+        got = ranges_or([_point(70)], [_r(70, True, 71, True)])
+        assert _set(got) == _set([_r(70, True, 71, True)])
+
+    # orRange 12 (:320) — point closes an open lower bound
+    def test_or_range_12(self):
+        got = ranges_or([_point(70)], [_r(70, False, 71, True)])
+        assert _set(got) == _set([_r(70, True, 71, True)])
+
+    # orRange 13 (:331) — point closes an open -inf..70) end
+    def test_or_range_13(self):
+        got = ranges_or([_point(70)], [_r(None, True, 70, False)])
+        assert _set(got) == _set([_r(None, True, 70, True)])
+
+    # orRange 14 (:342) — point closes an open (70..+inf start
+    def test_or_range_14(self):
+        got = ranges_or([_point(70)], [_r(70, False, None, False)])
+        assert _set(got) == _set([_r(70, True, None, False)])
+
+    # orRange 15 (:353) — disjoint point below an open range survives
+    def test_or_range_15(self):
+        got = ranges_or([_r(80, False, 90, False)], [_point(70)])
+        assert _set(got) == _set([_point(70), _r(80, False, 90, False)])
+
+    # orRange 16 (:365) — disjoint point above an open range survives
+    def test_or_range_16(self):
+        got = ranges_or([_r(80, False, 90, False)], [_point(100)])
+        assert _set(got) == _set([_point(100), _r(80, False, 90, False)])
+
+    # orRange 17 (:377) — string keys: "r20" < "row005" in byte order
+    # ("2" < "o"), so both the "r20" and "row005" points are absorbed
+    # by (-inf,"row005"]; "row020" and ("row040","row050"] survive.
+    def test_or_range_17(self):
+        got = ranges_or(
+            [_r(None, True, "row005", True)],
+            [_point("r20"), _point("row005"), _point("row020"),
+             _r("row040", False, "row050", True)])
+        assert _set(got) == _set([
+            _r(None, True, "row005", True), _point("row020"),
+            _r("row040", False, "row050", True)])
+
+    # orRange 18 (:404) — same as 17 with explicit UTF-8 byte keys
+    def test_or_range_18(self):
+        got = ranges_or(
+            [_r(None, True, b"row005", True)],
+            [_point(b"r20"), _point(b"row005"), _point(b"row020"),
+             _r(b"row040", False, b"row050", True)])
+        assert _set(got) == _set([
+            _r(None, True, b"row005", True), _point(b"row020"),
+            _r(b"row040", False, b"row050", True)])
+
+    # orRange 19 (:431) — idempotence
+    def test_or_range_19(self):
+        got = ranges_or([_r(10, True, 20, True)], [_r(10, True, 20, True)])
+        assert _set(got) == _set([_r(10, True, 20, True)])
+
+    # orRange 20 (:445) — full OR full = full
+    def test_or_range_20(self):
+        got = ranges_or([ScanRange()], [ScanRange()])
+        assert _set(got) == _set([ScanRange()])
+
+    # orRange 21 (:457) — closed end wins over open end on merge
+    def test_or_range_21(self):
+        got = ranges_or([_r(10, True, 20, True)], [_r(10, True, 20, False)])
+        assert _set(got) == _set([_r(10, True, 20, True)])
+
+    # orRange 22 (:469) — multi OR multi, pairwise bridges
+    def test_or_range_22(self):
+        got = ranges_or([_r(10, True, 20, True), _r(30, True, 40, True)],
+                        [_r(5, True, 15, False), _r(35, True, 45, False)])
+        assert _set(got) == _set([_r(5, True, 20, True), _r(30, True, 45, False)])
+
+    # orRange 23 (:484) — unsigned byte ordering: [0x00]*6.."row005"
+    # absorbs the "row005" point; [0x80]*6..[0xff]*6 (signed
+    # MinValue..-1 under Bytes.compareTo) stays disjoint ABOVE ASCII
+    def test_or_range_23(self):
+        lo0, r5 = bytes(6), b"row005"
+        hi_lo, hi_hi = bytes([0x80] * 6), bytes([0xFF] * 6)
+        got = ranges_or([_r(r5, True, r5, True)],
+                        [_r(lo0, True, r5, True), _r(hi_lo, True, hi_hi, True)])
+        assert _set(got) == _set(
+            [_r(lo0, True, r5, True), _r(hi_lo, True, hi_hi, True)])

@@ -2790,3 +2790,25 @@ def test_gate_index_cache_versioned():
     assert base != _gate_index_path("g", "/d", 1, num_perm=64, bands=16)
     assert base != _gate_index_path("g", "/d", 2, num_perm=64, bands=32)
     assert base != _gate_index_path("g", "/e", 1, num_perm=64, bands=32)
+
+
+def test_cc_auto_routes_long_chain_to_star(spark):
+    """VERDICT r7 #6: a chain-shaped duplicate graph (diameter >>
+    min-label's max_iter) must be routed to the star variant by the
+    density heuristic — min-label with default max_iter=25 would RAISE
+    on a 300-link chain, so completing correctly proves the routing."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components_auto(chain).collect()
+    assert len(out) == 301
+    assert {r["cluster"] for r in out} == {0}
+    # dense near-clique graph routes to (and agrees with) min-label
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(a + 1, 8)]
+        + [(10 + a, 10 + b) for a in range(5) for b in range(a + 1, 5)],
+        "id_a long, id_b long",
+    )
+    got = {(r["id"], r["cluster"]) for r in dedup.connected_components_auto(clique).collect()}
+    ref = {(r["id"], r["cluster"]) for r in dedup.connected_components(clique).collect()}
+    assert got == ref

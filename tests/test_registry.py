@@ -102,3 +102,29 @@ def test_every_query_callable_and_every_oracle_has_query():
     assert all(callable(f) for f in q.values())
     dangling = [n for n in o if n not in q]
     assert dangling == []
+
+
+def test_local_correctness_artifact_covers_every_gate():
+    """VERDICT r7 #3: the committed CORRECTNESS_LOCAL.json must have a
+    green row for EVERY registered gate — the README's "all gates
+    hash-checked" claim can never again run ahead of the recorded
+    artifact. A full (unfiltered) `python tools/check_oracle.py` run
+    rewrites it — make that the last commit of every round."""
+    import json
+    import os
+
+    art = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_LOCAL.json")
+    rows = json.load(open(art))
+    q = set(all_queries())
+    missing = sorted(q - set(rows))
+    assert missing == [], f"gates without a recorded local row: {missing}"
+    stale = sorted(set(rows) - q)
+    assert stale == [], f"recorded rows for unregistered gates: {stale}"
+    red = sorted(
+        n
+        for n, v in rows.items()
+        if not (v.get("rows_match") and v.get("schema_match"))
+        or v.get("hash_match") is False
+        or v.get("err")
+    )
+    assert red == [], f"non-green local rows: {red}"

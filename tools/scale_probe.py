@@ -326,6 +326,11 @@ def main() -> None:
         # prune most of the 1024 bucket dirs, so the wall tracks the
         # increment, not the corpus
         "dedup_index_query": lambda d, e: _dedup_index_probe(d),
+        # r8 (VERDICT r7 #7): same serving queries AFTER the full
+        # append+delete+compact lifecycle — fragmented-then-compacted
+        # walls must match the fresh-build rows above
+        "ivf_index_search_compacted": lambda d, e: _ivf_frag_probe(e),
+        "dedup_index_query_compacted": lambda d, e: _dedup_frag_probe(d),
         # r7: one broadcast matmul pass over the corpus; the bench side
         # is FIXED (copy-0's 200 vectors at every multiplier — 2000 is
         # the x1 embeddings row count), so the curve measures the pure
@@ -355,6 +360,36 @@ def main() -> None:
         q = e.filter(F.col("vec_id") < 16)
         return similarity.ivf_index_topk(spark, path, q, k=5, nprobe=8)
 
+    _ivf_frag_built: set = set()
+
+    def _ivf_frag_probe(e):
+        # VERDICT r7 #7 SLA probe: the index goes through the FULL
+        # serving lifecycle (build on half, 3 append generations,
+        # tombstone delete, major compaction) before the measured
+        # query — its wall must match the fresh-build curve, proving
+        # compaction actually restores the one-file-per-partition
+        # pruned-read shape after fragmentation
+        mx = e.agg(F.max("vec_id")).collect()[0][0]
+        path = os.path.join(
+            _tempfile.gettempdir(),
+            f"shc_ivf_frag_{_hashlib.md5(str(mx).encode()).hexdigest()[:8]}",
+        )
+        if path not in _ivf_frag_built:
+            similarity.build_ivf_index(
+                e.filter(F.col("vec_id") % 2 == 0), path, "embedding",
+                "vec_id", dim=64, num_centroids=64,
+            )
+            for k in range(3):
+                similarity.append_to_ivf_index(
+                    e.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 3 == k)),
+                    path, "embedding", "vec_id",
+                )
+            similarity.delete_from_ivf_index(spark, path, list(range(100, 116)))
+            similarity.compact_ivf_index(spark, path)
+            _ivf_frag_built.add(path)
+        q = e.filter(F.col("vec_id") < 16)
+        return similarity.ivf_index_topk(spark, path, q, k=5, nprobe=8)
+
     _didx_built: set = set()
 
     def _dedup_index_probe(d):
@@ -368,6 +403,30 @@ def main() -> None:
                 d, path, num_perm=32, bands=16, n=3, num_buckets=1024
             )
             _didx_built.add(path)
+        inc = d.filter(F.col("doc_id") < 8)
+        return dedup.dedup_index_pairs(spark, path, inc)
+
+    _didx_frag_built: set = set()
+
+    def _dedup_frag_probe(d):
+        # lifecycle twin of _dedup_index_probe: build on a quarter,
+        # append the rest in 3 generations, tombstone, compact — the
+        # measured increment query must match the fresh-build curve
+        mx = d.agg(F.max("doc_id")).collect()[0][0]
+        path = os.path.join(
+            _tempfile.gettempdir(),
+            f"shc_didx_frag_{_hashlib.md5(str(mx).encode()).hexdigest()[:8]}",
+        )
+        if path not in _didx_frag_built:
+            dedup.build_dedup_index(
+                d.filter(F.col("doc_id") % 4 == 0), path,
+                num_perm=32, bands=16, n=3, num_buckets=1024,
+            )
+            for k in (1, 2, 3):
+                dedup.append_to_dedup_index(d.filter(F.col("doc_id") % 4 == k), path)
+            dedup.delete_from_dedup_index(spark, path, list(range(100, 116)))
+            dedup.compact_dedup_index(spark, path)
+            _didx_frag_built.add(path)
         inc = d.filter(F.col("doc_id") < 8)
         return dedup.dedup_index_pairs(spark, path, inc)
 

@@ -851,7 +851,7 @@ def embedding_near_dups(
 
 def embedding_near_dups_blocked(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9,
-    num_blocks: int = 8,
+    num_blocks: int = 8, use_arrow: bool = True,
 ) -> DataFrame:
     """EXACT cosine >= threshold pairs with NO driver-side corpus
     materialization — the scale-correct exact path
@@ -872,7 +872,16 @@ def embedding_near_dups_blocked(
     output; what this removes vs the baseline is the quadratic/driver
     MEMORY. Numeric semantics match embedding_near_dups: float64
     matmul, superset cut at threshold-1e-4, exact cut on the
-    F.round'ed value."""
+    F.round'ed value.
+
+    ``use_arrow=True`` (default) runs the per-group kernel through
+    applyInArrow instead of applyInPandas: the vector column stays an
+    Arrow ListArray whose flat values buffer reshapes straight into
+    the (n, dim) float64 matrix — no pandas object-Series of python
+    lists and no per-row np.asarray, which is the dominant
+    serialization cost on these widest rows (VERDICT r7 #8). Falls
+    back to the same math via pandas when the list lengths are ragged
+    (malformed input) — results are identical either way."""
     B = int(num_blocks)
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
@@ -926,7 +935,75 @@ def embedding_near_dups_blocked(
             bb = np.maximum(li[ii], rj[jj])
         return pd.DataFrame({"id_a": a, "id_b": bb, "cosine": S[ii, jj]})
 
-    out = ex.groupBy("__pid").applyInPandas(block_pairs, schema)
+    def block_pairs_arrow(key, tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        k = key[0]
+        pid = int(k.as_py() if hasattr(k, "as_py") else k)
+        i, j = divmod(pid, B)
+        idt = tbl.column("__id").type
+
+        def empty():
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=idt),
+                    "id_b": pa.array([], type=idt),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+
+        def mat(t):
+            ids = t.column("__id").to_numpy(zero_copy_only=False)
+            vec = t.column("__vec").combine_chunks()
+            lens = vec.value_lengths().to_numpy(zero_copy_only=False)
+            n = len(ids)
+            if n and vec.null_count == 0 and lens.min() == lens.max():
+                # fixed-dim fast path: the ListArray's flat values
+                # buffer IS the (n, dim) matrix — one zero-copy-ish
+                # asarray + reshape, no per-row conversion
+                M = np.asarray(vec.flatten(), dtype=np.float64).reshape(
+                    n, int(lens[0])
+                )
+            else:  # ragged/null rows: same math, row at a time
+                M = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vec.to_pylist()]
+                )
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            return ids, M / nrm
+
+        left = tbl.filter(pc.equal(tbl.column("__b"), i))
+        right = tbl.filter(pc.equal(tbl.column("__b"), j)) if i != j else left
+        if not left.num_rows or not right.num_rows:
+            return empty()
+        li, L = mat(left)
+        rj, R = mat(right)
+        S = L @ R.T
+        if i == j:
+            mask = (S >= threshold - 1e-4) & (li[:, None] < rj[None, :])
+            ii, jj = np.nonzero(mask)
+            a, bb = li[ii], rj[jj]
+        else:
+            ii, jj = np.nonzero(S >= threshold - 1e-4)
+            a = np.minimum(li[ii], rj[jj])
+            bb = np.maximum(li[ii], rj[jj])
+        if not len(ii):
+            return empty()
+        return pa.table(
+            {
+                "id_a": pa.array(a, type=idt),
+                "id_b": pa.array(bb, type=idt),
+                "cosine": pa.array(S[ii, jj], type=pa.float64()),
+            }
+        )
+
+    grouped = ex.groupBy("__pid")
+    out = (
+        grouped.applyInArrow(block_pairs_arrow, schema)
+        if use_arrow
+        else grouped.applyInPandas(block_pairs, schema)
+    )
     return out.withColumn("cosine", F.round("cosine", 4)).filter(
         F.col("cosine") >= threshold
     )

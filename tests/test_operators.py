@@ -2812,3 +2812,26 @@ def test_cc_auto_routes_long_chain_to_star(spark):
     got = {(r["id"], r["cluster"]) for r in dedup.connected_components_auto(clique).collect()}
     ref = {(r["id"], r["cluster"]) for r in dedup.connected_components(clique).collect()}
     assert got == ref
+
+
+def test_embedding_blocked_arrow_equals_pandas(spark):
+    """VERDICT r7 #8: the applyInArrow kernel must be value-identical
+    to the applyInPandas one (same float64 matmul, same superset cut),
+    on both numeric and string id types."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = dedup.embedding_near_dups_blocked(
+        emb, "embedding", "vec_id", 0.45, use_arrow=True
+    ).collect()
+    p = dedup.embedding_near_dups_blocked(
+        emb, "embedding", "vec_id", 0.45, use_arrow=False
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, p)) and a
+    s = emb.select(
+        F.concat(F.lit("id"), F.col("vec_id").cast("string")).alias("sid"),
+        "embedding",
+    )
+    sa = dedup.embedding_near_dups_blocked(s, "embedding", "sid", 0.45).collect()
+    sp = dedup.embedding_near_dups_blocked(
+        s, "embedding", "sid", 0.45, use_arrow=False
+    ).collect()
+    assert sorted(map(tuple, sa)) == sorted(map(tuple, sp)) and sa

@@ -68,8 +68,11 @@ _WINDOW = [
     # text/mm/embed — first driver rows:
     "text_bpe_tokens", "text_quality_classifier", "text_compression_ratio",
     "mm_audio_spectrogram", "mm_frame_sample", "embed_pca",
-    # relational/streaming — first driver rows (stale err rows erased):
+    # relational/streaming — first driver rows (stale err rows erased;
+    # stream_index_ingest is r8-new: foreachBatch ingestion into the
+    # persisted dedup index):
     "q_approx_distinct", "q_sample", "stream_decontaminate",
+    "stream_index_ingest",
     # r01-green refresh (oldest evidence; TPC-H analogs first):
     "q02_filter_scan", "q04_priority_semi_join", "q06_forecast_revenue",
     "q07_nation_trade", "q09_product_profit", "q12_priority_mix",
@@ -80,7 +83,6 @@ _WINDOW = [
     "q_distinct_pairs", "q_filter_in_notin", "q_filter_string_zoo",
     "q_grouped_regression", "q_grouping_sets", "q_part_brand_volume",
     "q_range_join", "q_unpivot", "q_window_ranks",
-    "q_window_running_sum",
 ]
 
 

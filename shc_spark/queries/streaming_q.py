@@ -586,3 +586,34 @@ def stream_range_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = range_join(pts, iv, "ts", "s", "e").select("click_id", "interval_id")
     return _run_to_memory(tagged, "append")
+
+
+# continuous serving-index ingestion: micro-batches append to the
+# persisted MinHash-LSH dedup index via foreachBatch (build on the
+# first batch), then a fixed increment queries the drained index —
+# the result must equal the batch exact-Jaccard oracle, proving
+# batch/stream INGESTION parity for the serving shape (not just row
+# delivery). Same oracle as dedup_index_query: even ids are the
+# streamed corpus, odd ids the increment.
+@register(
+    "stream_index_ingest",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM t),
+    sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM pos),
+    ds AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY 1, 2),
+    jac AS (SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                       JOIN sizes sb ON id_b = sb.doc_id)
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+)
+def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.streaming.events import run_stream_index_ingest
+
+    return run_stream_index_ingest(spark, sf_dir)

@@ -713,3 +713,62 @@ def run_stream_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", "event_id", F.round("value", 2).alias("value"), "rank")
     )
+
+
+def run_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingestion into the persisted MinHash-LSH dedup
+    index: the corpus arrives as a file stream and every micro-batch
+    APPENDS its (even-id) documents to the serving index — build on
+    the first batch, append generations after, exactly the streaming
+    write path of the build-once-query-many serving shape (the
+    reference has no streaming surface at all — this extends its
+    batch-only connector the way ``stream_write_table`` extends the
+    table sink; here the sink is the LSM-style index itself, so the
+    stream output is immediately queryable). After the stream drains,
+    a fixed increment (odd ids)
+    queries the index through the partition-pruned path; the result
+    must equal the batch exact-Jaccard oracle — batch/stream
+    ingestion parity, not just row delivery.
+
+    Scale shape: per micro-batch work is one feature pass over the
+    BATCH (corpus never re-signed), one bucket-partitioned append
+    write; index queries prune to the increment's bucket dirs. State
+    lives entirely in the index files — the streaming query itself is
+    stateless, so a 100 TB corpus can ingest through arbitrarily many
+    batches without executor state growth."""
+    from shc_spark.operators import dedup
+
+    stream_dir = _staged_doc_slices(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    work = tempfile.mkdtemp(prefix="shc_stream_didx_")
+    path = os.path.join(work, "index")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        corpus = (
+            batch.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)  # detach from the stream plan
+        )
+        if not corpus.count():
+            return
+        if os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+            dedup.append_to_dedup_index(corpus, path)
+        else:
+            dedup.build_dedup_index(corpus, path, num_perm=64, bands=32, n=3)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = src.writeStream.foreachBatch(step).start()
+    q.processAllAvailable()
+    q.stop()
+    inc = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    out = dedup.dedup_index_pairs(spark, path, inc, threshold=0.8).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

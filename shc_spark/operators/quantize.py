@@ -37,20 +37,13 @@ def dim_stats(df: DataFrame, vec_col: str = "embedding") -> list[tuple[float, fl
     return [(r["mn"], r["mx"]) for r in rows]
 
 
-def quantize_embeddings(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    levels: int = 256,
-    stats: list[tuple[float, float]] | None = None,
-) -> DataFrame:
-    """(id, codes array<int>): code_i = round((x_i - mn_i) * (levels-1)
-    / (mx_i - mn_i)), 0 when the dimension is constant. Pass ``stats``
-    to quantize a new batch under a previously trained codebook."""
-    stats = stats if stats is not None else dim_stats(df, vec_col)
+def code_expr(vec_col: str, stats: list[tuple[float, float]], levels: int = 256):
+    """Column expression encoding ``vec_col`` to SQ codes under the
+    given per-dimension stats: code_i = round((x_i - mn_i) * (levels-1)
+    / (mx_i - mn_i)), 0 when the dimension is constant."""
     mn = F.array(*[F.lit(s[0]) for s in stats])
     span = F.array(*[F.lit(s[1] - s[0]) for s in stats])
-    code = F.transform(
+    return F.transform(
         F.col(vec_col),
         lambda x, i: F.when(F.element_at(span, i + 1) == 0.0, F.lit(0)).otherwise(
             F.round(
@@ -60,7 +53,19 @@ def quantize_embeddings(
             ).cast("int")
         ),
     )
-    return df.select(F.col(id_col), code.alias("codes"))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 256,
+    stats: list[tuple[float, float]] | None = None,
+) -> DataFrame:
+    """(id, codes array<int>). Pass ``stats`` to quantize a new batch
+    under a previously trained codebook (see :func:`code_expr`)."""
+    stats = stats if stats is not None else dim_stats(df, vec_col)
+    return df.select(F.col(id_col), code_expr(vec_col, stats, levels).alias("codes"))
 
 
 def dequantize(

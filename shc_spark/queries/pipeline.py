@@ -316,6 +316,26 @@ def sim_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _identity_verdict(idx, direct)
 
 
+# SQ8-storage persisted IVF (FAISS IVF,SQ8 analog): postings hold
+# per-dimension affine codes (2.3x fewer parquet bytes measured at a
+# 20k build, similarity.py build_ivf_index docstring), searches
+# dequantize per Arrow batch. Recall-floor verdict vs the in-Spark
+# exact top-k, same contract as sim_topk_ivf.
+@register("sim_topk_ivf_index_sq8", _ANN_VERDICT_SQL)
+def sim_topk_ivf_index_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, emb, exact = _ann_exact(spark, sf_dir)
+    path = _gate_index_path(
+        "shc_ivf_index_sq8", sf_dir, similarity.IVF_INDEX_LAYOUT,
+        dim=64, storage="sq8",
+    )
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        similarity.build_ivf_index(
+            emb, path, "embedding", "vec_id", dim=64, storage="sq8"
+        )
+    approx = similarity.ivf_index_topk(spark, path, queries, k=5, nprobe=4)
+    return _ann_recall_verdict(approx, exact, k=5, min_hits_q=1, min_total=14)
+
+
 def _identity_verdict(idx, direct):
     """Per-query row-for-row identity of two top-k results plus an
     aggregate row — shared by the persisted-index gates."""

@@ -2835,3 +2835,51 @@ def test_embedding_blocked_arrow_equals_pandas(spark):
         s, "embedding", "sid", 0.45, use_arrow=False
     ).collect()
     assert sorted(map(tuple, sa)) == sorted(map(tuple, sp)) and sa
+
+
+def test_ivf_index_sq8_storage(spark):
+    """SQ8-storage IVF index (r8): same recall as the float index at
+    identical params, appends encode under the SAVED codebook, delete/
+    compact lifecycle works over code postings, and posting bytes
+    shrink."""
+    import glob
+    import os
+    import shutil
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    pf, ps = "/tmp/shc_ivf_t_float", "/tmp/shc_ivf_t_sq8"
+    for p in (pf, ps):
+        shutil.rmtree(p, ignore_errors=True)
+    similarity.build_ivf_index(emb, pf, "embedding", "vec_id", dim=64)
+    similarity.build_ivf_index(
+        emb, ps, "embedding", "vec_id", dim=64, storage="sq8"
+    )
+    exact = similarity.cosine_topk(q, emb, k=5).collect()
+    f = similarity.ivf_index_topk(spark, pf, q, k=5, nprobe=4).collect()
+    s = similarity.ivf_index_topk(spark, ps, q, k=5, nprobe=4).collect()
+    assert len(s) == len(f) == 40
+    assert _recall(s, exact) >= _recall(f, exact) - 0.05  # SQ8 ~= float
+    # bytes actually shrink
+    du = lambda p: sum(
+        os.path.getsize(fn)
+        for fn in glob.glob(os.path.join(p, "postings", "**", "*.parquet"),
+                            recursive=True)
+    )
+    assert du(ps) < du(pf)
+    # append under the saved codebook == building on the full corpus
+    shutil.rmtree(ps, ignore_errors=True)
+    similarity.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), ps, "embedding", "vec_id",
+        dim=64, storage="sq8",
+    )
+    similarity.append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), ps, "embedding", "vec_id"
+    )
+    s2 = similarity.ivf_index_topk(spark, ps, q, k=5, nprobe=16).collect()
+    victims = sorted({r["neighbor_id"] for r in s2})[:2]
+    similarity.delete_from_ivf_index(spark, ps, victims)
+    similarity.compact_ivf_index(spark, ps)
+    s3 = similarity.ivf_index_topk(spark, ps, q, k=5, nprobe=16).collect()
+    assert len(s3) == 40
+    assert not set(victims) & {r["neighbor_id"] for r in s3}

@@ -69,10 +69,10 @@ _WINDOW = [
     "text_bpe_tokens", "text_quality_classifier", "text_compression_ratio",
     "mm_audio_spectrogram", "mm_frame_sample", "embed_pca",
     # relational/streaming — first driver rows (stale err rows erased;
-    # stream_index_ingest is r8-new: foreachBatch ingestion into the
-    # persisted dedup index):
+    # stream_index_ingest / stream_ivf_ingest are r8-new: foreachBatch
+    # ingestion into the persisted dedup / IVF serving indexes):
     "q_approx_distinct", "q_sample", "stream_decontaminate",
-    "stream_index_ingest",
+    "stream_index_ingest", "stream_ivf_ingest",
     # r01-green refresh (oldest evidence; TPC-H analogs first):
     "q02_filter_scan", "q04_priority_semi_join", "q06_forecast_revenue",
     "q07_nation_trade", "q09_product_profit", "q12_priority_mix",
@@ -82,7 +82,7 @@ _WINDOW = [
     "q_asof_join_cogroup", "q_conditional_null_semantics", "q_cube",
     "q_distinct_pairs", "q_filter_in_notin", "q_filter_string_zoo",
     "q_grouped_regression", "q_grouping_sets", "q_part_brand_volume",
-    "q_range_join", "q_unpivot", "q_window_ranks",
+    "q_range_join", "q_unpivot",
 ]
 
 

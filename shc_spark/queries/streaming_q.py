@@ -617,3 +617,24 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.streaming.events import run_stream_index_ingest
 
     return run_stream_index_ingest(spark, sf_dir)
+
+
+# streaming ANN ingestion: the first embedding micro-batch trains the
+# coarse quantizer and builds the persisted IVF index, later batches
+# append under the saved centroids; the drained index must search
+# row-for-row identically to the inline operator pinned to the same
+# codebook (the streaming twin of sim_topk_ivf_append).
+@register(
+    "stream_ivf_ingest",
+    """
+    SELECT vec_id AS query_id, TRUE AS full_k, TRUE AS identical
+    FROM embeddings WHERE vec_id < 8
+    UNION ALL SELECT CAST(-1 AS BIGINT), TRUE, TRUE
+    """,
+)
+def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.queries.pipeline import _identity_verdict
+    from shc_spark.streaming.events import run_stream_ivf_ingest
+
+    idx, direct = run_stream_ivf_ingest(spark, sf_dir)
+    return _identity_verdict(idx, direct)

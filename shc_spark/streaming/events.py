@@ -489,29 +489,31 @@ def run_stream_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
-def _staged_doc_slices(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> str:
-    """Stage documents as n_slices single-file parquets in doc_id-range
-    order with strictly increasing mtimes, so the file stream source
-    (which orders by timestamp) delivers ascending-id micro-batches
-    deterministically."""
+def _staged_table_slices(
+    spark: SparkSession, sf_dir: str, table: str, id_col: str, n_slices: int = 4
+) -> str:
+    """Stage a testdata table as n_slices single-file parquets in
+    id-range order with strictly increasing mtimes, so the file stream
+    source (which orders by timestamp) delivers ascending-id
+    micro-batches deterministically."""
     import hashlib
 
     from pyspark.sql import functions as F
 
-    key = hashlib.md5(f"{sf_dir}:docslices{n_slices}".encode()).hexdigest()[:16]
+    key = hashlib.md5(f"{sf_dir}:{table}slices{n_slices}".encode()).hexdigest()[:16]
     d = os.path.join(tempfile.gettempdir(), f"shc_stream_{key}")
     done = os.path.join(d, "_STAGED")
     if os.path.exists(done):
         return d
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    rows = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    lo, hi = rows.agg(F.min(id_col), F.max(id_col)).collect()[0]
     step = (hi - lo + n_slices) // n_slices
     t0 = 1_700_000_000
     for i in range(n_slices):
-        part = docs.filter(
-            (F.col("doc_id") >= lo + i * step) & (F.col("doc_id") < lo + (i + 1) * step)
+        part = rows.filter(
+            (F.col(id_col) >= lo + i * step) & (F.col(id_col) < lo + (i + 1) * step)
         )
         tmp = os.path.join(d, f"_tmp{i}")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -522,6 +524,10 @@ def _staged_doc_slices(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> s
         os.utime(dst, (t0 + i, t0 + i))
     open(done, "w").close()
     return d
+
+
+def _staged_doc_slices(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> str:
+    return _staged_table_slices(spark, sf_dir, "documents", "doc_id", n_slices)
 
 
 def run_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,3 +778,59 @@ def run_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def run_stream_ivf_ingest(spark: SparkSession, sf_dir: str):
+    """Continuous ingestion into the persisted IVF index: embeddings
+    arrive as a file stream; the FIRST micro-batch trains the coarse
+    quantizer and builds the index, every later batch appends under
+    the SAVED centroids (the no-retrain contract — retraining would
+    re-shuffle existing postings). After the drain, the index search
+    must row-for-row equal the inline ivf_topk over the same corpus
+    pinned to the saved codebook — ingestion parity, the streaming
+    twin of sim_topk_ivf_append. Returns (index_topk, inline_topk)
+    materialized; the caller builds the identity verdict.
+
+    Scale shape: per-batch work is one assign pass over the BATCH plus
+    an append write of only the touched cid partitions; the streaming
+    query itself is stateless (state lives in the index files)."""
+    from shc_spark.operators import similarity
+
+    stream_dir = _staged_table_slices(spark, sf_dir, "embeddings", "vec_id")
+    schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+    work = tempfile.mkdtemp(prefix="shc_stream_ivf_")
+    path = os.path.join(work, "index")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch.filter(F.col("vec_id") % 2 == 0)
+            .select("vec_id", "embedding")
+            .localCheckpoint(eager=True)  # detach from the stream plan
+        )
+        if not rows.count():
+            return
+        if os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
+            similarity.append_to_ivf_index(rows, path, "embedding", "vec_id")
+        else:
+            similarity.build_ivf_index(rows, path, "embedding", "vec_id", dim=64)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = src.writeStream.foreachBatch(step).start()
+    q.processAllAvailable()
+    q.stop()
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent = similarity.read_ivf_centroids(spark, path)
+    idx = similarity.ivf_index_topk(spark, path, queries, k=5, nprobe=4).localCheckpoint(
+        eager=True
+    )
+    direct = similarity.ivf_topk(
+        queries, emb.filter(F.col("vec_id") % 2 == 0),
+        "embedding", "vec_id", k=5, dim=64, centroids=cent, nprobe=4,
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return idx, direct

@@ -88,6 +88,26 @@ def main(spark, root=None):
     after = similarity.ivf_index_topk(spark, path=vpath, queries=q, k=5, nprobe=8)
     assert not set(victims) & {r["neighbor_id"] for r in after.collect()}
     print(f"tombstoned vector {victims[0]}: masked from search")
+
+    # -- 3. SQ8 storage: same index, ~2-4x fewer posting bytes ---------
+    spath = os.path.join(root, "ivf_index_sq8")
+    shutil.rmtree(spath, ignore_errors=True)
+    similarity.build_ivf_index(
+        emb, spath, "embedding", "vec_id", dim=64, storage="sq8"
+    )
+    sq = similarity.ivf_index_topk(spark, path=spath, queries=q, k=5, nprobe=8)
+    assert sq.count() == q.count() * 5
+
+    def _bytes(p):
+        t = 0
+        for r, _dirs, files in os.walk(os.path.join(p, "postings")):
+            t += sum(os.path.getsize(os.path.join(r, f)) for f in files)
+        return t
+
+    print(
+        f"sq8 postings {_bytes(spath)} bytes vs float {_bytes(vpath)} "
+        "(codebook saved; appends encode under it)"
+    )
     print("serving_indexes example OK")
 
 

@@ -1,0 +1,262 @@
+"""Persisted BM25 inverted index — the text-retrieval member of the
+serving-index family (dedup.py: MinHash-LSH index; similarity.py: IVF
+index). A 100 TB corpus is tokenized ONCE into term-bucket-partitioned
+posting lists; every later query reads only the buckets of its |Q|
+terms instead of re-exploding the corpus per query, which is what the
+inline ``text.bm25_search`` does.
+
+On-disk layout (all parquet, same lifecycle conventions as the other
+two indexes — one file per partition per generation, memoized
+mtime-census-validated listings, tombstone deletes, major compaction):
+
+- ``postings/tbkt=*/``  (term, id, tf)   — term-hash-bucketed
+- ``lengths/lbkt=*/``   (id, dl)         — id-hash-bucketed doc lengths
+- ``stats/``            (n_docs, sum_dl) — one row per generation;
+  deletes append NEGATIVE correction rows so n_docs/avgdl stay exact
+  without rescanning anything
+- ``tombstones/``       (id)             — masked doc ids
+- ``meta/``             (num_buckets)
+
+Query semantics are IDENTICAL to ``text.bm25_search`` over the same
+(non-deleted) corpus: same tf/df/idf/length normalization, same 4dp
+rounding, same (score desc, id asc) top-k — the driver gate shares the
+inline operator's exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Bump on ANY subtree schema/partitioning change so caches keyed on
+# build inputs rebuild instead of reading a stale layout.
+TEXT_INDEX_LAYOUT = 1
+
+
+def _tbkt(col, nb: int):
+    return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
+
+
+def read_text_index_meta(spark, path: str) -> dict:
+    row = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    return {"num_buckets": row["num_buckets"]}
+
+
+def _tokens(corpus: DataFrame, text_col: str, id_col: str):
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("ws")
+    )
+    dl = base.select("id", F.size("ws").alias("dl"))
+    tf = (
+        base.select("id", F.explode("ws").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf, dl
+
+
+def _write_rows(tf: DataFrame, dl: DataFrame, path: str, nb: int, mode: str) -> None:
+    # repartition on the partition column BEFORE partitionBy: one file
+    # per bucket per generation (same listing-cost rationale as the
+    # dedup/IVF indexes)
+    tf.withColumn("tbkt", _tbkt(F.col("term"), nb)).repartition(
+        nb, F.col("tbkt")
+    ).write.mode(mode).partitionBy("tbkt").parquet(os.path.join(path, "postings"))
+    dl.withColumn("lbkt", _tbkt(F.col("id"), nb)).repartition(
+        nb, F.col("lbkt")
+    ).write.mode(mode).partitionBy("lbkt").parquet(os.path.join(path, "lengths"))
+
+
+def _append_stats(spark, path: str, n_docs: int, sum_dl: int) -> None:
+    spark.createDataFrame(
+        [(int(n_docs), int(sum_dl))], "n_docs long, sum_dl long"
+    ).repartition(1).write.mode("append").parquet(os.path.join(path, "stats"))
+
+
+def build_text_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> str:
+    """Tokenize the corpus once and persist the inverted index. One
+    corpus pass computes (id, term, tf) and (id, dl); the corpus text
+    itself is never stored or touched again."""
+    spark = corpus.sparkSession
+    tf, dl = _tokens(corpus, text_col, id_col)
+    dl = dl.cache()
+    row = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
+    spark.createDataFrame(
+        [(int(num_buckets),)], "num_buckets int"
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    _write_rows(tf, dl, path, num_buckets, mode="overwrite")
+    _append_stats(spark, path, row["n"], row["s"] or 0)
+    dl.unpersist()
+    return path
+
+
+def append_to_text_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Incremental maintenance: tokenize ONLY the new docs and append
+    their postings/lengths generations plus one stats row — the
+    nightly-crawl shape; queries see the union immediately."""
+    spark = new_docs.sparkSession
+    nb = read_text_index_meta(spark, path)["num_buckets"]
+    tf, dl = _tokens(new_docs, text_col, id_col)
+    dl = dl.cache()
+    row = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
+    _write_rows(tf, dl, path, nb, mode="append")
+    _append_stats(spark, path, row["n"], row["s"] or 0)
+    dl.unpersist()
+    return path
+
+
+def delete_from_text_index(spark, path: str, ids) -> str:
+    """Takedown path: mask documents without rebuilding. Ids append to
+    ``tombstones/`` (candidates anti-join it), and ONE NEGATIVE stats
+    correction row keeps n_docs/avgdl exact — the deleted docs' dl is
+    read back from the pruned lengths buckets, never a full scan.
+    Already-tombstoned ids are ignored (no double-correction)."""
+    from shc_spark.operators.idxcache import index_relation
+
+    from pyspark.sql import types as T
+
+    nb = read_text_index_meta(spark, path)["num_buckets"]
+    if not isinstance(ids, DataFrame):
+        id_type = index_relation(spark, path, "lengths").schema["id"].dataType
+        ids = spark.createDataFrame(
+            [(i,) for i in ids], T.StructType([T.StructField("id", id_type)])
+        )
+    else:
+        ids = ids.select(F.col(ids.columns[0]).alias("id"))
+    ids = ids.distinct()
+    tomb_path = os.path.join(path, "tombstones")
+    if os.path.exists(os.path.join(tomb_path, "_SUCCESS")):
+        ids = ids.join(
+            index_relation(spark, path, "tombstones").select("id"), "id", "left_anti"
+        )
+    lbkts = [r["b"] for r in ids.select(_tbkt(F.col("id"), nb).alias("b")).distinct().collect()]
+    if not lbkts:
+        return path
+    dl = index_relation(spark, path, "lengths").filter(F.col("lbkt").isin(lbkts))
+    row = (
+        dl.join(F.broadcast(ids), "id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    ids.repartition(1).write.mode("append").parquet(tomb_path)
+    if row["n"]:
+        _append_stats(spark, path, -row["n"], -(row["s"] or 0))
+    return path
+
+
+def text_index_topk(
+    spark,
+    path: str,
+    terms: list,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k over the persisted index — value-identical to
+    ``text.bm25_search(corpus_minus_deleted, terms, ...)``. Reads ONLY
+    the |Q| query terms' posting buckets (partition pruning on tbkt +
+    a term predicate inside them) and the candidate ids' length
+    buckets; df comes from the pruned candidates, n_docs/avgdl from
+    the (correction-aware) stats rows — nothing corpus-sized moves."""
+    from shc_spark.operators.idxcache import index_relation
+
+    nb = read_text_index_meta(spark, path)["num_buckets"]
+    terms = list(terms)
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    tbkts = [r["b"] for r in tdf.select(_tbkt(F.col("term"), nb).alias("b")).distinct().collect()]
+    cand = index_relation(spark, path, "postings").filter(
+        F.col("tbkt").isin(tbkts) & F.col("term").isin(terms)
+    )
+    if os.path.exists(os.path.join(path, "tombstones", "_SUCCESS")):
+        cand = cand.join(
+            index_relation(spark, path, "tombstones").select("id"), "id", "left_anti"
+        )
+    cand = cand.cache()
+    lbkts = [r["b"] for r in cand.select(_tbkt(F.col("id"), nb).alias("b")).distinct().collect()]
+    srow = (
+        spark.read.parquet(os.path.join(path, "stats"))
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .collect()[0]
+    )
+    n_docs, avgdl = srow["n"], (srow["s"] or 0) / max(srow["n"], 1)
+    dl = index_relation(spark, path, "lengths").filter(
+        F.col("lbkt").isin(lbkts) if lbkts else F.lit(False)
+    ).select("id", "dl")
+    dfreq = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        cand.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .withColumn(
+            "w",
+            F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("w"), 4).alias("bm25"))
+    )
+    out = scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
+    cand.unpersist()
+    return out
+
+
+def compact_text_index(spark, path: str) -> str:
+    """Major compaction: fold the append generations back to one file
+    per bucket, physically purge tombstone-masked rows, clear the
+    tombstone set, and reset ``stats/`` to one exact row recomputed
+    from the compacted lengths. Same crash/concurrency contract as the
+    other two indexes: tombstones are SNAPSHOTTED (a concurrent append
+    survives and keeps masking), subtrees swap via rename/.bak
+    (idxcache.replace_subtree)."""
+    import shutil
+
+    from shc_spark.operators.idxcache import (
+        drop_tombstone_snapshot,
+        replace_subtree,
+        tombstone_snapshot,
+    )
+
+    nb = read_text_index_meta(spark, path)["num_buckets"]
+    tomb_path = os.path.join(path, "tombstones")
+    snapshot = tombstone_snapshot(tomb_path)
+    tomb = (
+        spark.read.parquet(*snapshot).select("id").distinct() if snapshot else None
+    )
+    for sub, part_col in (("postings", "tbkt"), ("lengths", "lbkt")):
+        cur = spark.read.parquet(os.path.join(path, sub))
+        if tomb is not None:
+            cur = cur.join(tomb, "id", "left_anti")
+        tmp = os.path.join(path, sub + ".compact")
+        shutil.rmtree(tmp, ignore_errors=True)
+        cur.repartition(nb, F.col(part_col)).write.mode("overwrite").partitionBy(
+            part_col
+        ).parquet(tmp)
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError(f"compaction write of {sub} did not commit")
+        replace_subtree(os.path.join(path, sub), tmp)
+    row = (
+        spark.read.parquet(os.path.join(path, "lengths"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    tmp_stats = os.path.join(path, "stats.compact")
+    shutil.rmtree(tmp_stats, ignore_errors=True)
+    spark.createDataFrame(
+        [(int(row["n"]), int(row["s"] or 0))], "n_docs long, sum_dl long"
+    ).repartition(1).write.mode("overwrite").parquet(tmp_stats)
+    replace_subtree(os.path.join(path, "stats"), tmp_stats)
+    drop_tombstone_snapshot(tomb_path, snapshot)
+    return path

@@ -65,9 +65,11 @@ _WINDOW = [
     # dedup — first driver rows:
     "dedup_semantic", "dedup_simhash", "dedup_keep_best",
     "dedup_index_query",
-    # text/mm/embed — first driver rows:
+    # text/mm/embed — first driver rows (text_index_search is r8-new:
+    # the persisted BM25 inverted index):
     "text_bpe_tokens", "text_quality_classifier", "text_compression_ratio",
-    "mm_audio_spectrogram", "mm_frame_sample", "embed_pca",
+    "text_index_search", "mm_audio_spectrogram", "mm_frame_sample",
+    "embed_pca",
     # relational/streaming — first driver rows (stale err rows erased;
     # stream_index_ingest / stream_ivf_ingest are r8-new: foreachBatch
     # ingestion into the persisted dedup / IVF serving indexes):
@@ -82,7 +84,7 @@ _WINDOW = [
     "q_asof_join_cogroup", "q_conditional_null_semantics", "q_cube",
     "q_distinct_pairs", "q_filter_in_notin", "q_filter_string_zoo",
     "q_grouped_regression", "q_grouping_sets", "q_part_brand_volume",
-    "q_range_join", "q_unpivot",
+    "q_range_join",
 ]
 
 

@@ -941,6 +941,30 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_search(docs, ["join", "scan", "vector"], "text", "doc_id", k=20)
 
 
+# Persisted BM25 inverted index (operators/textindex.py): the corpus
+# is tokenized ONCE into term-bucket posting lists; the search reads
+# only the query terms' buckets. Value-identical to the inline
+# bm25_search — the gate shares its exact DuckDB oracle. Partition
+# pruning pinned by tests/test_plans.py.
+@register(
+    "text_index_search",
+    ORACLE["text_bm25_search"],  # identical semantics, identical oracle
+)
+def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import textindex
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _gate_index_path(
+        "shc_text_index_gate", sf_dir, textindex.TEXT_INDEX_LAYOUT, num_buckets=64
+    )
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        textindex.build_text_index(docs, path)
+    return textindex.text_index_topk(spark, path, ["join", "scan", "vector"], k=20)
+
+
 # -- multimodal (payload plumbing; codecs stubbed) --------------------------
 
 

@@ -2883,3 +2883,45 @@ def test_ivf_index_sq8_storage(spark):
     s3 = similarity.ivf_index_topk(spark, ps, q, k=5, nprobe=16).collect()
     assert len(s3) == 40
     assert not set(victims) & {r["neighbor_id"] for r in s3}
+
+
+def test_text_index_lifecycle(spark):
+    """Persisted BM25 index (r8): build == inline bm25_search; append
+    under the saved layout == full build; tombstone delete == inline
+    over corpus-minus-deleted (stats corrected, no double-correction);
+    compaction purges and preserves results."""
+    import glob
+    import os
+    import shutil
+
+    from shc_spark.operators import text, textindex
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    terms = ["join", "scan", "vector"]
+    p = "/tmp/shc_text_index_test"
+    shutil.rmtree(p, ignore_errors=True)
+    textindex.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), p)
+    textindex.append_to_text_index(docs.filter(F.col("doc_id") % 2 == 1), p)
+    ref = [tuple(r) for r in text.bm25_search(docs, terms, "text", "doc_id", k=20).collect()]
+    got = [tuple(r) for r in textindex.text_index_topk(spark, p, terms, k=20).collect()]
+    assert got == ref and len(got) == 20
+    victims = [got[0][0], got[3][0]]
+    textindex.delete_from_text_index(spark, p, victims)
+    textindex.delete_from_text_index(spark, p, victims)  # idempotent
+    ref2 = [
+        tuple(r)
+        for r in text.bm25_search(
+            docs.filter(~F.col("doc_id").isin(victims)), terms, "text", "doc_id", k=20
+        ).collect()
+    ]
+    got2 = [tuple(r) for r in textindex.text_index_topk(spark, p, terms, k=20).collect()]
+    assert got2 == ref2
+    assert not set(victims) & {r[0] for r in got2}
+    textindex.compact_text_index(spark, p)
+    got3 = [tuple(r) for r in textindex.text_index_topk(spark, p, terms, k=20).collect()]
+    assert got3 == ref2
+    assert not os.path.exists(os.path.join(p, "tombstones"))
+    dirs = glob.glob(os.path.join(p, "postings", "tbkt=*"))
+    assert dirs and all(
+        len(glob.glob(os.path.join(d, "*.parquet"))) == 1 for d in dirs
+    )

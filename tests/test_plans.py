@@ -306,3 +306,24 @@ def test_dedup_index_partition_pruned_and_broadcast(spark):
     assert "PartitionFilters: [fbkt" in norm, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_text_index_partition_pruned(spark):
+    """The persisted BM25 index must read only the query terms'
+    posting buckets (PartitionFilters on tbkt) and the candidate ids'
+    length buckets (PartitionFilters on lbkt), joining by broadcast."""
+    import os
+    import shutil
+
+    from shc_spark.operators import textindex
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    path = "/tmp/shc_text_index_planpin"
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        textindex.build_text_index(docs, path)
+    df = textindex.text_index_topk(spark, path, ["join", "scan", "vector"], k=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
+    assert "PartitionFilters: [lbkt" in norm, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

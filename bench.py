@@ -73,6 +73,9 @@ HEADLINE = [
     "dedup_keep_best",
     "sim_decontaminate_semantic",
     "dedup_index_query",
+    # round-8 addition: persisted BM25 inverted index (build cached
+    # under /tmp across reps; min-of-N reports the pruned query wall)
+    "text_index_search",
 ]
 
 

@@ -51,11 +51,13 @@ _WINDOW = [
     # row anywhere in the r01-r07 union — the 15 verdict-converted
     # approximate/verdict gates plus the 6 r07-new gates (both serving
     # indexes, keep-best, semantic/stream decontamination) — take the
-    # first-time slots. sim_topk_lsh/ivf and q_approx_distinct/q_sample
-    # additionally erase their stale r01/r02 `err: no_oracle` rows, the
-    # only red cells left in the driver union. The remaining 26 slots
-    # refresh the OLDEST evidence on the board: r01-green relational
-    # gates that have not been re-driven since round 1.
+    # first-time slots, joined by the 4 r8-NEW gates (BM25 inverted
+    # index + the three streaming-ingest gates). sim_topk_lsh/ivf and
+    # q_approx_distinct/q_sample additionally erase their stale
+    # r01/r02 `err: no_oracle` rows, the only red cells left in the
+    # driver union. The remaining 22 slots refresh the OLDEST evidence
+    # on the board: r01-green relational gates not re-driven since
+    # round 1.
     # Canaries (one per major family, all r07-green):
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
     # similarity — first driver rows (stale err rows erased):
@@ -74,7 +76,7 @@ _WINDOW = [
     # stream_index_ingest / stream_ivf_ingest are r8-new: foreachBatch
     # ingestion into the persisted dedup / IVF serving indexes):
     "q_approx_distinct", "q_sample", "stream_decontaminate",
-    "stream_index_ingest", "stream_ivf_ingest",
+    "stream_index_ingest", "stream_ivf_ingest", "stream_text_ingest",
     # r01-green refresh (oldest evidence; TPC-H analogs first):
     "q02_filter_scan", "q04_priority_semi_join", "q06_forecast_revenue",
     "q07_nation_trade", "q09_product_profit", "q12_priority_mix",
@@ -84,7 +86,6 @@ _WINDOW = [
     "q_asof_join_cogroup", "q_conditional_null_semantics", "q_cube",
     "q_distinct_pairs", "q_filter_in_notin", "q_filter_string_zoo",
     "q_grouped_regression", "q_grouping_sets", "q_part_brand_volume",
-    "q_range_join",
 ]
 
 

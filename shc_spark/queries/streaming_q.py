@@ -638,3 +638,34 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx, direct = run_stream_ivf_ingest(spark, sf_dir)
     return _identity_verdict(idx, direct)
+
+
+# streaming text-retrieval ingestion: micro-batches append posting
+# generations to the persisted BM25 index (build on the first batch);
+# the drained index answers the fixed query identically to the inline
+# bm25_search over the whole corpus — same oracle as text_bm25_search.
+@register(
+    "stream_text_ingest",
+    """
+    WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    dl AS (SELECT id, len(ws) AS dl FROM t),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT id, unnest(ws) AS term FROM t),
+    tf AS (SELECT id, term, count(*) AS tf FROM tok
+           WHERE term IN ('join', 'scan', 'vector') GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.id,
+             sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (id), stats
+      GROUP BY 1)
+    SELECT id, round(s, 4) AS bm25 FROM scored
+    ORDER BY round(s, 4) DESC, id LIMIT 20
+    """,
+)
+def stream_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.streaming.events import run_stream_text_ingest
+
+    return run_stream_text_ingest(spark, sf_dir)

@@ -834,3 +834,42 @@ def run_stream_ivf_ingest(spark: SparkSession, sf_dir: str):
     ).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return idx, direct
+
+
+def run_stream_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingestion into the persisted BM25 inverted index:
+    document micro-batches append their posting/length generations and
+    stats rows (build on the first batch); the drained index answers a
+    fixed query identically to the inline bm25_search over everything
+    ingested — the third serving index's streaming twin. Stateless on
+    the streaming side; per-batch work is one tokenize pass over the
+    BATCH plus bucket-partitioned appends."""
+    from shc_spark.operators import textindex
+
+    stream_dir = _staged_doc_slices(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    work = tempfile.mkdtemp(prefix="shc_stream_tidx_")
+    path = os.path.join(work, "index")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        rows = batch.select("doc_id", "text").localCheckpoint(eager=True)
+        if not rows.count():
+            return
+        if os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+            textindex.append_to_text_index(rows, path)
+        else:
+            textindex.build_text_index(rows, path)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = src.writeStream.foreachBatch(step).start()
+    q.processAllAvailable()
+    q.stop()
+    out = textindex.text_index_topk(
+        spark, path, ["join", "scan", "vector"], k=20
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -108,6 +108,21 @@ def main(spark, root=None):
         f"sq8 postings {_bytes(spath)} bytes vs float {_bytes(vpath)} "
         "(codebook saved; appends encode under it)"
     )
+
+    # -- 4. BM25 inverted index: text retrieval without re-tokenizing --
+    from shc_spark.operators import text, textindex
+
+    tpath = os.path.join(root, "text_index")
+    shutil.rmtree(tpath, ignore_errors=True)
+    terms = ["join", "scan", "vector"]
+    textindex.build_text_index(corpus, tpath)
+    textindex.append_to_text_index(increment, tpath)
+    got = textindex.text_index_topk(spark, tpath, terms, k=10).collect()
+    ref = text.bm25_search(docs, terms, "text", "doc_id", k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref], (
+        "index BM25 must equal the inline search over the union"
+    )
+    print(f"bm25 index (build + append) top-10 matches inline search")
     print("serving_indexes example OK")
 
 

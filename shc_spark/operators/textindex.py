@@ -172,11 +172,14 @@ def text_index_topk(
     buckets; df comes from the pruned candidates, n_docs/avgdl from
     the (correction-aware) stats rows — nothing corpus-sized moves."""
     from shc_spark.operators.idxcache import index_relation
+    from shc_spark.operators.xxh import bucket_of_str
 
     nb = read_text_index_meta(spark, path)["num_buckets"]
     terms = list(terms)
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    tbkts = [r["b"] for r in tdf.select(_tbkt(F.col("term"), nb).alias("b")).distinct().collect()]
+    # the query terms' buckets computed DRIVER-SIDE with the
+    # Spark-identical XXH64 (operators/xxh.py) — zero Spark jobs where
+    # a createDataFrame + collect round-trip used to be
+    tbkts = sorted({bucket_of_str(t, nb) for t in terms})
     cand = index_relation(spark, path, "postings").filter(
         F.col("tbkt").isin(tbkts) & F.col("term").isin(terms)
     )

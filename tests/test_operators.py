@@ -2925,3 +2925,31 @@ def test_text_index_lifecycle(spark):
     assert dirs and all(
         len(glob.glob(os.path.join(d, "*.parquet"))) == 1 for d in dirs
     )
+
+
+def test_python_xxh64_matches_spark(spark):
+    """operators/xxh.py must be bit-identical to F.xxhash64 on string
+    columns — serving-index bucket derivation depends on it. Property
+    test over random unicode strings plus adversarial lengths (0, 3,
+    4, 7, 8, 31, 32, 33 bytes straddle every code path)."""
+    import random
+    import string as _s
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators.xxh import xxhash64_str
+
+    rng = random.Random(7)
+    fixed = ["", "a", "abc", "abcd", "abcdefg", "abcdefgh",
+             "x" * 31, "y" * 32, "z" * 33, "émoji ünïcode ✓ 日本語"]
+    rand = [
+        "".join(rng.choice(_s.printable[:94]) for _ in range(rng.randint(1, 64)))
+        for _ in range(200)
+    ]
+    words = fixed + rand
+    rows = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", F.xxhash64("w").alias("h")
+    ).collect()
+    bad = [(r["w"], r["h"], xxhash64_str(r["w"])) for r in rows
+           if xxhash64_str(r["w"]) != r["h"]]
+    assert bad == [], bad[:3]

@@ -783,6 +783,61 @@ def hybrid_search_rrf(
     return fused.orderBy(F.desc("rrf"), F.asc(doc_id_col)).limit(k)
 
 
+def hybrid_index_rrf(
+    spark,
+    text_path: str,
+    ivf_path: str,
+    terms: list,
+    query_vec,
+    k: int = 10,
+    rrf_k: int = 60,
+    depth: int = 100,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Hybrid retrieval SERVED FROM PERSISTED INDEXES: the lexical
+    ranking comes from the BM25 inverted index (textindex.py, reads
+    only the |Q| terms' posting buckets) and the vector ranking from
+    the IVF index (reads only the probed cid partitions) — the corpus
+    text and embeddings are never touched at query time, which is the
+    whole point of a serving stack. Fusion is the same RRF formula as
+    the inline :func:`hybrid_search_rrf`, over each ranker's
+    top-``depth`` list with reproducible (rounded score, id) ranks.
+
+    ``query_vec`` is the single query embedding as a plain list — the
+    one-request serving shape. With ``nprobe`` >= num_centroids the
+    vector ranking is exhaustive-exact and the whole result is
+    SQL-replayable (the driver gate pins exactly that)."""
+    from shc_spark.operators.textindex import text_index_topk
+
+    bm = text_index_topk(spark, text_path, terms, k=depth)
+    bm_r = (
+        bm.coalesce(1)
+        .sortWithinPartitions(F.desc("bm25"), F.asc("id"))
+        .select(
+            "id", (F.monotonically_increasing_id() + 1).cast("int").alias("r_bm")
+        )
+    )
+    # query id -1: the top-k operators exclude self-matches by id
+    # equality, so a placeholder id that collides with a corpus id
+    # would silently drop that corpus vector from the ranking
+    qdf = spark.createDataFrame(
+        [(-1, [float(x) for x in query_vec])], "vec_id long, embedding array<double>"
+    )
+    vec = ivf_index_topk(spark, ivf_path, qdf, k=depth, nprobe=nprobe)
+    vec_r = vec.select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("r_cos")
+    )
+    fused = bm_r.join(vec_r, "id", "full_outer").select(
+        F.col("id").alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (rrf_k + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (rrf_k + F.col("r_cos")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1242,6 +1242,66 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hybrid retrieval served from PERSISTED indexes (r8): BM25 from the
+# inverted index + vector ranks from the IVF index, RRF-fused — the
+# corpus text/embeddings are never touched at query time. nprobe =
+# num_centroids makes the vector side exhaustive-exact, so the WHOLE
+# two-index serving answer is SQL-replayable (cos ranked at the index
+# path's 4dp rounding; bm25 replay identical to text_bm25_search).
+@register(
+    "sim_hybrid_index_rrf",
+    """
+    WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    dl AS (SELECT id, len(ws) AS dl FROM t),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT id, unnest(ws) AS term FROM t),
+    tf AS (SELECT id, term, count(*) AS tf FROM tok
+           WHERE term IN ('join', 'scan', 'vector') GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    bm AS (SELECT id, round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN stats GROUP BY id),
+    bmr AS (SELECT id, r_bm FROM (
+        SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r_bm FROM bm) WHERE r_bm <= 100),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    cs AS (SELECT vec_id AS id,
+                  round(list_cosine_similarity(
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)), qv), 4) AS cos
+           FROM embeddings CROSS JOIN q),
+    csr AS (SELECT id, r_cos FROM (
+        SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS r_cos FROM cs) WHERE r_cos <= 100),
+    fused AS (
+      SELECT coalesce(b.id, c.id) AS doc_id,
+             round(coalesce(1.0 / (60 + r_bm), 0) + coalesce(1.0 / (60 + r_cos), 0), 6) AS rrf
+      FROM bmr b FULL OUTER JOIN csr c ON b.id = c.id)
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def sim_hybrid_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import textindex
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    tpath = _gate_index_path(
+        "shc_text_index_gate", sf_dir, textindex.TEXT_INDEX_LAYOUT, num_buckets=64
+    )
+    if not os.path.exists(os.path.join(tpath, "postings", "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(tpath, ignore_errors=True)
+        textindex.build_text_index(docs, tpath)
+    vpath = _gate_index_path(
+        "shc_ivf_index", sf_dir, similarity.IVF_INDEX_LAYOUT, dim=64
+    )
+    if not os.path.exists(os.path.join(vpath, "postings", "_SUCCESS")):
+        similarity.build_ivf_index(emb, vpath, "embedding", "vec_id", dim=64)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.hybrid_index_rrf(
+        spark, tpath, vpath, ["join", "scan", "vector"], qv, k=10, nprobe=16
+    )
+
+
 # boilerplate detection: per-doc share of 3-grams that occur in >= 5
 # distinct docs. (_word_ngram_hashes emits per-doc-DISTINCT shingles,
 # so doc-frequency == distinct-doc count by construction; the oracle

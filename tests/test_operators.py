@@ -2953,3 +2953,41 @@ def test_python_xxh64_matches_spark(spark):
     bad = [(r["w"], r["h"], xxhash64_str(r["w"])) for r in rows
            if xxhash64_str(r["w"]) != r["h"]]
     assert bad == [], bad[:3]
+
+
+def test_hybrid_index_rrf_matches_components(spark):
+    """Hybrid serving search: fused result must be consistent with its
+    two index rankings (bm25 inverted index + IVF exhaustive probe),
+    and a corpus id equal to the query placeholder must not vanish
+    (the self-match exclusion uses id equality; the operator pins a
+    non-colliding -1 placeholder)."""
+    import shutil
+
+    from shc_spark.operators import similarity, textindex
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    tp, vp = "/tmp/shc_hybrid_tidx", "/tmp/shc_hybrid_vidx"
+    import os
+
+    if not os.path.exists(os.path.join(tp, "postings", "_SUCCESS")):
+        shutil.rmtree(tp, ignore_errors=True)
+        textindex.build_text_index(docs, tp)
+    if not os.path.exists(os.path.join(vp, "postings", "_SUCCESS")):
+        shutil.rmtree(vp, ignore_errors=True)
+        similarity.build_ivf_index(emb, vp, "embedding", "vec_id", dim=64)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    fused = similarity.hybrid_index_rrf(
+        spark, tp, vp, ["join", "scan", "vector"], qv, k=10, nprobe=16
+    ).collect()
+    assert len(fused) == 10
+    # rrf values are within the two-ranker bound
+    for r in fused:
+        assert 0 < r["rrf"] <= 2.0 / 61
+    # vec 0 IS the query vector: the exhaustive probe must rank it
+    # first (cos 1.0) — i.e. the -1 placeholder did NOT self-exclude it
+    qdf = spark.createDataFrame(
+        [(-1, [float(x) for x in qv])], "vec_id long, embedding array<double>"
+    )
+    top = similarity.ivf_index_topk(spark, vp, qdf, k=3, nprobe=16).collect()
+    assert top[0]["neighbor_id"] == 0 and top[0]["cosine"] == 1.0

@@ -123,6 +123,15 @@ def main(spark, root=None):
         "index BM25 must equal the inline search over the union"
     )
     print(f"bm25 index (build + append) top-10 matches inline search")
+
+    # -- 5. hybrid serving: BM25 + vector RRF from the two indexes ----
+    qv = emb.filter(F.col("vec_id") == 2).select("embedding").collect()[0][0]
+    fused = similarity.hybrid_index_rrf(
+        spark, tpath, vpath, terms, qv, k=5, nprobe=8
+    ).collect()
+    assert len(fused) == 5
+    print("hybrid rrf (text index + ivf index):",
+          [(r["doc_id"], r["rrf"]) for r in fused[:3]])
     print("serving_indexes example OK")
 
 

@@ -34,14 +34,29 @@ from pyspark.sql import functions as F
 # build inputs rebuild instead of reading a stale layout.
 TEXT_INDEX_LAYOUT = 1
 
+# DataFrames cached by the previous text_index_topk call, released at
+# the start of the next one — the caller can still materialize its
+# result from cache, and a query-many serving process accumulates at
+# most one query's blocks (same lifecycle as dedup_index_pairs).
+_QUERY_CACHES: list = []
+
 
 def _tbkt(col, nb: int):
     return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
 
 
+# (appId, path) -> meta dict. Meta is immutable after build (a layout
+# change moves the path via the LAYOUT version), so one collect per
+# session suffices instead of one per query.
+_META: dict = {}
+
+
 def read_text_index_meta(spark, path: str) -> dict:
-    row = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
-    return {"num_buckets": row["num_buckets"]}
+    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    if key not in _META:
+        row = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+        _META[key] = {"num_buckets": row["num_buckets"]}
+    return _META[key]
 
 
 def _tokens(corpus: DataFrame, text_col: str, id_col: str):
@@ -174,6 +189,8 @@ def text_index_topk(
     from shc_spark.operators.idxcache import index_relation
     from shc_spark.operators.xxh import bucket_of_str
 
+    while _QUERY_CACHES:
+        _QUERY_CACHES.pop().unpersist()
     nb = read_text_index_meta(spark, path)["num_buckets"]
     terms = list(terms)
     # the query terms' buckets computed DRIVER-SIDE with the
@@ -190,7 +207,7 @@ def text_index_topk(
     cand = cand.cache()
     lbkts = [r["b"] for r in cand.select(_tbkt(F.col("id"), nb).alias("b")).distinct().collect()]
     srow = (
-        spark.read.parquet(os.path.join(path, "stats"))
+        index_relation(spark, path, "stats")
         .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
         .collect()[0]
     )
@@ -211,9 +228,8 @@ def text_index_topk(
         .groupBy("id")
         .agg(F.round(F.sum("w"), 4).alias("bm25"))
     )
-    out = scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
-    cand.unpersist()
-    return out
+    _QUERY_CACHES.append(cand)
+    return scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
 
 
 def compact_text_index(spark, path: str) -> str:

@@ -107,7 +107,7 @@ def main() -> None:
         # DataFrame/SQL over parquet; one query primes JIT + footers
         run("q06_forecast_revenue")
         names = sorted(n for n in queries if n.split("_")[0] in TPCH)
-        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
         timings = {n: round(min(run(n) for _ in range(reps)), 3) for n in names}
         print(
             json.dumps(

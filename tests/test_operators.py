@@ -2991,3 +2991,29 @@ def test_hybrid_index_rrf_matches_components(spark):
     )
     top = similarity.ivf_index_topk(spark, vp, qdf, k=3, nprobe=16).collect()
     assert top[0]["neighbor_id"] == 0 and top[0]["cosine"] == 1.0
+
+
+def test_text_index_adversarial_corpus(spark):
+    """Index == inline on a crafted corpus: empty text, single-term
+    docs, unicode terms, duplicate tokens, a doc that is ONLY query
+    terms — the tokenize/bucket edge cases sf-corpus tests miss."""
+    from shc_spark.operators import text, textindex
+    import shutil
+
+    rows = [
+        (1, "join scan vector"),
+        (2, ""),
+        (3, "join join join join"),
+        (4, "völler übergrün join"),
+        (5, "scan"),
+        (6, "unrelated words only here"),
+        (7, "vector vector scan join vector"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = "/tmp/shc_text_index_adv"
+    shutil.rmtree(p, ignore_errors=True)
+    textindex.build_text_index(docs, p, num_buckets=8)
+    for terms in (["join", "scan", "vector"], ["völler"], ["missing_term"]):
+        got = [tuple(r) for r in textindex.text_index_topk(spark, p, terms, k=10).collect()]
+        ref = [tuple(r) for r in text.bm25_search(docs, terms, "text", "doc_id", k=10).collect()]
+        assert got == ref, (terms, got, ref)

@@ -232,6 +232,81 @@ def text_index_topk(
     return scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
 
 
+def text_index_topk_batch(
+    spark,
+    path: str,
+    queries: dict,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k for a BATCH of queries — ``queries`` maps query_id
+    -> list of terms — in ONE pruned pass: the union of all queries'
+    posting buckets is read once, a broadcast (query_id, term) join
+    fans candidates out per query, and one window takes each query's
+    top-k. Per-query semantics are identical to :func:`text_index_topk`
+    (same rounding, same tie order); output is (query_id, id, bm25,
+    rank). This is the cluster-serving shape: 1000 queries cost one
+    index read of their combined term buckets, not 1000 round-trips."""
+    from shc_spark.operators.idxcache import index_relation
+    from shc_spark.operators.xxh import bucket_of_str
+
+    from pyspark.sql import Window
+
+    while _QUERY_CACHES:
+        _QUERY_CACHES.pop().unpersist()
+    nb = read_text_index_meta(spark, path)["num_buckets"]
+    pairs = [(qid, t) for qid, terms in queries.items() for t in set(terms)]
+    if not pairs:
+        raise ValueError("queries must map query_id -> non-empty term list")
+    qdf = spark.createDataFrame(pairs, "query_id string, term string")
+    tbkts = sorted({bucket_of_str(t, nb) for _, t in pairs})
+    cand = index_relation(spark, path, "postings").filter(
+        F.col("tbkt").isin(tbkts)
+        & F.col("term").isin(sorted({t for _, t in pairs}))
+    )
+    if os.path.exists(os.path.join(path, "tombstones", "_SUCCESS")):
+        cand = cand.join(
+            index_relation(spark, path, "tombstones").select("id"), "id", "left_anti"
+        )
+    # fan out per query BEFORE df/score: df is per (query_id, term)
+    # over the query's candidate set — identical to the single-query
+    # operator run per query, in one plan
+    cand = cand.join(F.broadcast(qdf), "term").cache()
+    lbkts = [
+        r["b"]
+        for r in cand.select(_tbkt(F.col("id"), nb).alias("b")).distinct().collect()
+    ]
+    srow = (
+        index_relation(spark, path, "stats")
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .collect()[0]
+    )
+    n_docs, avgdl = srow["n"], (srow["s"] or 0) / max(srow["n"], 1)
+    dl = index_relation(spark, path, "lengths").filter(
+        F.col("lbkt").isin(lbkts) if lbkts else F.lit(False)
+    ).select("id", "dl")
+    dfreq = cand.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("id"))
+    out = (
+        cand.join(F.broadcast(dfreq), ["query_id", "term"])
+        .join(dl, "id")
+        .withColumn(
+            "w",
+            F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("w"), 4).alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "bm25", "rank")
+    )
+    _QUERY_CACHES.append(cand)
+    return out
+
+
 def compact_text_index(spark, path: str) -> str:
     """Major compaction: fold the append generations back to one file
     per bucket, physically purge tombstone-masked rows, clear the

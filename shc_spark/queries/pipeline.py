@@ -1302,6 +1302,66 @@ def sim_hybrid_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BATCH_QUERIES = {
+    "q1": ["join", "scan", "vector"],
+    "q2": ["data", "model"],
+    "q3": ["join"],
+}
+
+
+def _bm25_batch_oracle(queries: dict, k: int = 10) -> str:
+    """One top-level WITH holding per-query BM25 replays (CTE names
+    prefixed by query id), UNION ALL'd — each block is exactly the
+    text_bm25_search oracle restricted to that query's terms."""
+    ctes, finals = [], []
+    for qid, terms in queries.items():
+        tl = ", ".join(f"'{t}'" for t in terms)
+        p = qid
+        ctes.append(f"""
+    {p}_tf AS (SELECT id, term, count(*) AS tf FROM tok
+           WHERE term IN ({tl}) GROUP BY 1, 2),
+    {p}_df AS (SELECT term, count(*) AS df FROM {p}_tf GROUP BY 1),
+    {p}_bm AS (SELECT id, round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+           FROM {p}_tf JOIN {p}_df USING (term) JOIN dl USING (id) CROSS JOIN stats GROUP BY id),
+    {p}_r AS (SELECT id, bm25, row_number() OVER (ORDER BY bm25 DESC, id) AS rank FROM {p}_bm)""")
+        finals.append(
+            f"SELECT '{qid}' AS query_id, id, bm25, CAST(rank AS INT) AS rank"
+            f" FROM {p}_r WHERE rank <= {k}"
+        )
+    return (
+        """
+    WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    dl AS (SELECT id, len(ws) AS dl FROM t),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT id, unnest(ws) AS term FROM t),"""
+        + ",".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(finals)
+    )
+
+
+# Batched serving over the BM25 index: one pruned pass answers a whole
+# query batch (union of the queries' term buckets read once, broadcast
+# (query_id, term) fan-out, one per-query top-k window) — per-query
+# results identical to text_index_topk. The oracle replays every query
+# in one SQL statement.
+@register("text_index_batch", _bm25_batch_oracle(_BATCH_QUERIES))
+def text_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import textindex
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _gate_index_path(
+        "shc_text_index_gate", sf_dir, textindex.TEXT_INDEX_LAYOUT, num_buckets=64
+    )
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        textindex.build_text_index(docs, path)
+    return textindex.text_index_topk_batch(spark, path, _BATCH_QUERIES, k=10)
+
+
 # boilerplate detection: per-doc share of 3-grams that occur in >= 5
 # distinct docs. (_word_ngram_hashes emits per-doc-DISTINCT shingles,
 # so doc-frequency == distinct-doc count by construction; the oracle

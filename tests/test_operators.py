@@ -3017,3 +3017,30 @@ def test_text_index_adversarial_corpus(spark):
         got = [tuple(r) for r in textindex.text_index_topk(spark, p, terms, k=10).collect()]
         ref = [tuple(r) for r in text.bm25_search(docs, terms, "text", "doc_id", k=10).collect()]
         assert got == ref, (terms, got, ref)
+
+
+def test_text_index_batch_equals_per_query(spark):
+    """Batched serving: each query's rows in text_index_topk_batch
+    must equal its standalone text_index_topk run (same scores, same
+    rank order)."""
+    import shutil
+
+    from shc_spark.operators import textindex
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = "/tmp/shc_tidx_batch_t"
+    shutil.rmtree(p, ignore_errors=True)
+    textindex.build_text_index(docs, p)
+    Q = {"a": ["join", "scan", "vector"], "b": ["data", "model"], "c": ["join"]}
+    out = textindex.text_index_topk_batch(spark, p, Q, k=10).collect()
+    by: dict = {}
+    for r in out:
+        by.setdefault(r["query_id"], []).append((r["id"], r["bm25"], r["rank"]))
+    for qid, terms in Q.items():
+        single = [
+            (r["id"], r["bm25"], i + 1)
+            for i, r in enumerate(
+                textindex.text_index_topk(spark, p, terms, k=10).collect()
+            )
+        ]
+        assert sorted(by[qid], key=lambda t: t[2]) == single, qid

@@ -838,6 +838,66 @@ def hybrid_index_rrf(
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
 
 
+def hybrid_index_rrf_batch(
+    spark,
+    text_path: str,
+    ivf_path: str,
+    queries: dict,
+    k: int = 10,
+    rrf_k: int = 60,
+    depth: int = 100,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Batched hybrid serving: ``queries`` maps query_id -> (terms,
+    query_vec). The lexical side answers ALL queries in one pruned
+    pass (textindex.text_index_topk_batch); the vector side probes the
+    IVF index with the whole query-vector batch at once
+    (ivf_index_topk is batch-native); RRF fuses per query. Per-query
+    results equal :func:`hybrid_index_rrf` run one by one — pinned by
+    test — at a fraction of the round-trips: the 1000-query serving
+    shape. Output: (query_id, doc_id, rrf, rank)."""
+    from shc_spark.operators.textindex import text_index_topk_batch
+
+    from pyspark.sql import Window
+
+    bm = text_index_topk_batch(
+        spark, text_path, {q: t for q, (t, _v) in queries.items()}, k=depth
+    ).select("query_id", "id", F.col("rank").alias("r_bm"))
+    # vector ids are negative ordinals so a corpus id can never
+    # self-exclude (see hybrid_index_rrf); map back to query_id after
+    qorder = sorted(queries)
+    qdf = spark.createDataFrame(
+        [(-(i + 1), [float(x) for x in queries[q][1]]) for i, q in enumerate(qorder)],
+        "vec_id long, embedding array<double>",
+    )
+    vmap = F.create_map(
+        *[x for i, q in enumerate(qorder) for x in (F.lit(-(i + 1)), F.lit(q))]
+    )
+    vec = (
+        ivf_index_topk(spark, ivf_path, qdf, k=depth, nprobe=nprobe)
+        .select(
+            vmap[F.col("query_id")].alias("query_id"),
+            F.col("neighbor_id").alias("id"),
+            F.col("rank").alias("r_cos"),
+        )
+    )
+    fused = bm.join(vec, ["query_id", "id"], "full_outer").select(
+        "query_id",
+        F.col("id").alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (rrf_k + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (rrf_k + F.col("r_cos")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf", "rank")
+    )
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1362,6 +1362,95 @@ def text_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textindex.text_index_topk_batch(spark, path, _BATCH_QUERIES, k=10)
 
 
+_HYBRID_BATCH = {
+    "qa": (["join", "scan", "vector"], 0),
+    "qb": (["data", "model"], 1),
+    "qc": (["join"], 2),
+}
+
+
+def _hybrid_batch_oracle(queries: dict, k: int = 10) -> str:
+    """Composed SQL replay of a batched hybrid serving call: for every
+    query, the text_bm25_search replay (top-100 ranks) full-outer
+    RRF-fused with the exhaustive cosine ranking against that query's
+    vector, ranked per query."""
+    ctes, finals = [], []
+    for qid, (terms, vid) in queries.items():
+        tl = ", ".join(f"'{t}'" for t in terms)
+        p = qid
+        ctes.append(f"""
+    {p}_tf AS (SELECT id, term, count(*) AS tf FROM tok
+           WHERE term IN ({tl}) GROUP BY 1, 2),
+    {p}_df AS (SELECT term, count(*) AS df FROM {p}_tf GROUP BY 1),
+    {p}_bm AS (SELECT id, round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+           FROM {p}_tf JOIN {p}_df USING (term) JOIN dl USING (id) CROSS JOIN stats GROUP BY id),
+    {p}_bmr AS (SELECT id, r_bm FROM (
+        SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r_bm FROM {p}_bm) WHERE r_bm <= 100),
+    {p}_q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = {vid}),
+    {p}_cs AS (SELECT vec_id AS id,
+                      round(list_cosine_similarity(
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)), qv), 4) AS cos
+               FROM embeddings CROSS JOIN {p}_q),
+    {p}_csr AS (SELECT id, r_cos FROM (
+        SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS r_cos FROM {p}_cs) WHERE r_cos <= 100),
+    {p}_fused AS (
+      SELECT coalesce(b.id, c.id) AS doc_id,
+             round(coalesce(1.0 / (60 + r_bm), 0) + coalesce(1.0 / (60 + r_cos), 0), 6) AS rrf
+      FROM {p}_bmr b FULL OUTER JOIN {p}_csr c ON b.id = c.id),
+    {p}_out AS (SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+                FROM {p}_fused)""")
+        finals.append(
+            f"SELECT '{qid}' AS query_id, doc_id, rrf, CAST(rank AS INT) AS rank"
+            f" FROM {p}_out WHERE rank <= {k}"
+        )
+    return (
+        """
+    WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    dl AS (SELECT id, len(ws) AS dl FROM t),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT id, unnest(ws) AS term FROM t),"""
+        + ",".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(finals)
+    )
+
+
+# Batched hybrid serving (r8): lexical ranks for the whole batch from
+# ONE pruned BM25-index pass, vector ranks from ONE IVF batch probe,
+# RRF fused per query — per-query equal to sim_hybrid_index_rrf run
+# one at a time. Exhaustive probes make the whole batch SQL-replayable.
+@register("sim_hybrid_index_batch", _hybrid_batch_oracle(_HYBRID_BATCH))
+def sim_hybrid_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import textindex
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    tpath = _gate_index_path(
+        "shc_text_index_gate", sf_dir, textindex.TEXT_INDEX_LAYOUT, num_buckets=64
+    )
+    if not os.path.exists(os.path.join(tpath, "postings", "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(tpath, ignore_errors=True)
+        textindex.build_text_index(docs, tpath)
+    vpath = _gate_index_path(
+        "shc_ivf_index", sf_dir, similarity.IVF_INDEX_LAYOUT, dim=64
+    )
+    if not os.path.exists(os.path.join(vpath, "postings", "_SUCCESS")):
+        similarity.build_ivf_index(emb, vpath, "embedding", "vec_id", dim=64)
+    vids = [v for _, v in _HYBRID_BATCH.values()]
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin(vids)).collect()
+    }
+    q = {qid: (terms, vecs[vid]) for qid, (terms, vid) in _HYBRID_BATCH.items()}
+    return similarity.hybrid_index_rrf_batch(
+        spark, tpath, vpath, q, k=10, nprobe=16
+    )
+
+
 # boilerplate detection: per-doc share of 3-grams that occur in >= 5
 # distinct docs. (_word_ngram_hashes emits per-doc-DISTINCT shingles,
 # so doc-frequency == distinct-doc count by construction; the oracle

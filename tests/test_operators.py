@@ -3044,3 +3044,42 @@ def test_text_index_batch_equals_per_query(spark):
             )
         ]
         assert sorted(by[qid], key=lambda t: t[2]) == single, qid
+
+
+def test_hybrid_index_batch_equals_per_query(spark):
+    """Batched hybrid serving == per-query hybrid_index_rrf for every
+    query in the batch (same fusion values, same rank order)."""
+    import os
+    import shutil
+
+    from shc_spark.operators import similarity, textindex
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    tp, vp = "/tmp/shc_hybrid_tidx", "/tmp/shc_hybrid_vidx"
+    if not os.path.exists(os.path.join(tp, "postings", "_SUCCESS")):
+        shutil.rmtree(tp, ignore_errors=True)
+        textindex.build_text_index(docs, tp)
+    if not os.path.exists(os.path.join(vp, "postings", "_SUCCESS")):
+        shutil.rmtree(vp, ignore_errors=True)
+        similarity.build_ivf_index(emb, vp, "embedding", "vec_id", dim=64)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.filter(F.col("vec_id") < 3).collect()}
+    Q = {
+        "qa": (["join", "scan", "vector"], vecs[0]),
+        "qb": (["data", "model"], vecs[1]),
+        "qc": (["join"], vecs[2]),
+    }
+    batch = similarity.hybrid_index_rrf_batch(spark, tp, vp, Q, k=10, nprobe=16).collect()
+    by: dict = {}
+    for r in batch:
+        by.setdefault(r["query_id"], []).append((r["doc_id"], r["rrf"], r["rank"]))
+    for qid, (terms, qv) in Q.items():
+        single = [
+            (r["doc_id"], r["rrf"], i + 1)
+            for i, r in enumerate(
+                similarity.hybrid_index_rrf(
+                    spark, tp, vp, terms, qv, k=10, nprobe=16
+                ).collect()
+            )
+        ]
+        assert sorted(by[qid], key=lambda t: t[2]) == single, qid

@@ -3083,3 +3083,22 @@ def test_hybrid_index_batch_equals_per_query(spark):
             )
         ]
         assert sorted(by[qid], key=lambda t: t[2]) == single, qid
+
+
+def test_replace_subtree_swap_and_stale_bak(tmp_path):
+    """replace_subtree: the new subtree takes the live name, nothing
+    is left behind, and a stale .bak from a previous crash is cleared
+    instead of breaking the rename chain."""
+    import os
+
+    from shc_spark.operators.idxcache import replace_subtree
+
+    old = tmp_path / "postings"
+    tmp = tmp_path / "postings.compact"
+    bak = tmp_path / "postings.bak"
+    for d, content in ((old, "old"), (tmp, "new"), (bak, "stale")):
+        d.mkdir()
+        (d / "data.parquet").write_text(content)
+    replace_subtree(str(old), str(tmp))
+    assert (old / "data.parquet").read_text() == "new"
+    assert not os.path.exists(str(tmp)) and not os.path.exists(str(bak))

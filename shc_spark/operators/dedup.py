@@ -1482,6 +1482,27 @@ def dedup_index_pairs(
     )
 
 
+def minor_compact_dedup_index(spark, path: str, threshold: int = 2) -> str:
+    """MINOR compaction: fold only the bucket partitions fragmented by
+    appends (>= threshold files) back to one file each — cold buckets
+    are untouched, tombstones stay in force (no purge; that is
+    :func:`compact_dedup_index`). Cost is O(appended mass), the shape
+    that holds at 100 TB where a nightly append touches a fraction of
+    the 1024 buckets."""
+    import os
+
+    from shc_spark.operators.idxcache import compact_fragmented_partitions
+
+    compact_fragmented_partitions(
+        spark, os.path.join(path, "banded"), "bkt",
+        sort_within=("band", "bh"), threshold=threshold,
+    )
+    compact_fragmented_partitions(
+        spark, os.path.join(path, "features"), "fbkt", threshold=threshold
+    )
+    return path
+
+
 def compact_dedup_index(spark, path: str) -> str:
     """Major compaction for the persisted dedup index: fold the
     append generations back to ONE file per bucket, physically purge

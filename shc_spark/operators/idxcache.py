@@ -117,3 +117,57 @@ def index_relation(spark, path: str, sub: str) -> DataFrame:
     df = spark.read.parquet(p)
     _RELATIONS[key] = (fp, df)
     return df
+
+
+def compact_fragmented_partitions(
+    spark, subtree: str, part_col: str, sort_within=None, threshold: int = 2
+) -> int:
+    """MINOR compaction: fold only the partitions of ``subtree`` that
+    have >= ``threshold`` data files back to one file each, leaving
+    cold partitions untouched — the maintenance shape that scales: a
+    nightly append touches a fraction of buckets, so folding ONLY
+    those costs O(appended mass), not O(index). Tombstones are NOT
+    purged (that is major compaction's job); masked rows ride along
+    unchanged. One Spark job rewrites all fragmented partitions
+    (partition-pruned read, repartition on the partition column), then
+    each folded partition directory swaps in via the same rename/.bak
+    contract as the subtree-level swap. Returns the number of
+    partitions folded."""
+    from pyspark.sql import functions as F
+
+    frag = []
+    for d in os.listdir(subtree):
+        if not d.startswith(f"{part_col}="):
+            continue
+        full = os.path.join(subtree, d)
+        n = sum(
+            1 for f in os.listdir(full) if not f.startswith(("_", "."))
+        )
+        if n >= threshold:
+            frag.append(int(d.split("=", 1)[1]))
+    if not frag:
+        return 0
+    cur = spark.read.parquet(subtree).filter(F.col(part_col).isin(frag))
+    if sort_within:
+        cur = cur.repartition(len(frag), F.col(part_col)).sortWithinPartitions(
+            *sort_within
+        )
+    else:
+        cur = cur.repartition(len(frag), F.col(part_col))
+    tmp = subtree + ".minor"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    cur.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        raise RuntimeError("minor compaction write did not commit")
+    for v in frag:
+        src = os.path.join(tmp, f"{part_col}={v}")
+        if not os.path.exists(src):
+            # all-empty fragments fold to nothing; keep the originals
+            # (harmless zero-row files) rather than risking a swap
+            # with a missing source
+            continue
+        replace_subtree(os.path.join(subtree, f"{part_col}={v}"), src)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(frag)

@@ -1072,6 +1072,21 @@ def hard_negative_topk(
     return _topk_window(part, k)
 
 
+def minor_compact_ivf_index(spark, path: str, threshold: int = 2) -> str:
+    """MINOR compaction: fold only the cid partitions fragmented by
+    appends back to one posting file each; cold lists untouched,
+    tombstones stay in force (no purge — :func:`compact_ivf_index`
+    does that). O(appended mass), not O(index)."""
+    import os
+
+    from shc_spark.operators.idxcache import compact_fragmented_partitions
+
+    compact_fragmented_partitions(
+        spark, os.path.join(path, "postings"), "cid", threshold=threshold
+    )
+    return path
+
+
 def compact_ivf_index(spark, path: str) -> str:
     """Major compaction for the persisted IVF index: fold append
     generations back to one posting file per cid, physically purge

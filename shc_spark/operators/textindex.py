@@ -307,6 +307,23 @@ def text_index_topk_batch(
     return out
 
 
+def minor_compact_text_index(spark, path: str, threshold: int = 2) -> str:
+    """MINOR compaction: fold only the posting/length buckets
+    fragmented by appends back to one file each; cold buckets
+    untouched, tombstones and stats corrections stay in force (no
+    purge/reset — :func:`compact_text_index` does that). O(appended
+    mass), not O(index)."""
+    from shc_spark.operators.idxcache import compact_fragmented_partitions
+
+    compact_fragmented_partitions(
+        spark, os.path.join(path, "postings"), "tbkt", threshold=threshold
+    )
+    compact_fragmented_partitions(
+        spark, os.path.join(path, "lengths"), "lbkt", threshold=threshold
+    )
+    return path
+
+
 def compact_text_index(spark, path: str) -> str:
     """Major compaction: fold the append generations back to one file
     per bucket, physically purge tombstone-masked rows, clear the

@@ -3102,3 +3102,77 @@ def test_replace_subtree_swap_and_stale_bak(tmp_path):
     replace_subtree(str(old), str(tmp))
     assert (old / "data.parquet").read_text() == "new"
     assert not os.path.exists(str(tmp)) and not os.path.exists(str(bak))
+
+
+def test_minor_compaction_all_three_indexes(spark):
+    """Minor compaction folds ONLY fragmented buckets (one file each
+    afterwards), leaves queries value-identical, and keeps tombstones
+    masking (no purge)."""
+    import glob
+    import os
+    import shutil
+
+    from shc_spark.operators import similarity, text, textindex
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def one_file_per_dir(sub, pat):
+        dirs = glob.glob(os.path.join(sub, pat))
+        return dirs and all(
+            len(glob.glob(os.path.join(d, "*.parquet"))) == 1 for d in dirs
+        )
+
+    # dedup index
+    p = "/tmp/shc_minor_didx"
+    shutil.rmtree(p, ignore_errors=True)
+    dedup.build_dedup_index(
+        docs.filter(F.col("doc_id") % 4 == 0), p, num_perm=32, bands=16, n=3
+    )
+    for k in (1, 2, 3):
+        dedup.append_to_dedup_index(docs.filter(F.col("doc_id") % 4 == k), p)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    before = dedup.dedup_index_pairs(spark, p, inc).collect()
+    victim = sorted({r["id_b"] for r in before})[0]
+    dedup.delete_from_dedup_index(spark, p, [victim])
+    masked = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.dedup_index_pairs(spark, p, inc).collect()
+    }
+    dedup.minor_compact_dedup_index(spark, p)
+    assert one_file_per_dir(os.path.join(p, "banded"), "bkt=*")
+    assert os.path.exists(os.path.join(p, "tombstones"))  # NOT purged
+    after = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.dedup_index_pairs(spark, p, inc).collect()
+    }
+    assert after == masked  # identical incl. tombstone masking
+
+    # ivf index
+    v = "/tmp/shc_minor_vidx"
+    shutil.rmtree(v, ignore_errors=True)
+    similarity.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), v, "embedding", "vec_id", dim=64
+    )
+    similarity.append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), v, "embedding", "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    vb = sorted(map(tuple, similarity.ivf_index_topk(spark, v, q, k=5, nprobe=16).collect()))
+    similarity.minor_compact_ivf_index(spark, v)
+    assert one_file_per_dir(os.path.join(v, "postings"), "cid=*")
+    va = sorted(map(tuple, similarity.ivf_index_topk(spark, v, q, k=5, nprobe=16).collect()))
+    assert va == vb
+
+    # text index
+    t = "/tmp/shc_minor_tidx"
+    shutil.rmtree(t, ignore_errors=True)
+    textindex.build_text_index(docs.filter(F.col("doc_id") % 2 == 0), t)
+    textindex.append_to_text_index(docs.filter(F.col("doc_id") % 2 == 1), t)
+    terms = ["join", "scan", "vector"]
+    tb = [tuple(r) for r in textindex.text_index_topk(spark, t, terms, k=20).collect()]
+    textindex.minor_compact_text_index(spark, t)
+    ta = [tuple(r) for r in textindex.text_index_topk(spark, t, terms, k=20).collect()]
+    assert ta == tb == [
+        tuple(r) for r in text.bm25_search(docs, terms, "text", "doc_id", k=20).collect()
+    ]

@@ -58,6 +58,13 @@ _WINDOW = [
     # driver union. The remaining 22 slots refresh the OLDEST evidence
     # on the board: r01-green relational gates not re-driven since
     # round 1.
+    # r09 rotation TODO: the four r8 gates added AFTER this window
+    # filled (sim_topk_ivf_index_sq8, sim_hybrid_index_rrf,
+    # sim_hybrid_index_batch, text_index_batch) have local-green rows
+    # but no driver row — they are the next window's first-timers,
+    # together with whatever r9 adds; the r01 refreshes dropped for
+    # them (q_range_join, q_unpivot, q_window_ranks,
+    # q_window_running_sum) still hold r01-green rows.
     # Canaries (one per major family, all r07-green):
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
     # similarity — first driver rows (stale err rows erased):

@@ -327,3 +327,27 @@ def test_text_index_partition_pruned(spark):
     norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
     assert "PartitionFilters: [lbkt" in norm, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_text_index_batch_plan(spark):
+    """Batched BM25 serving: the (query_id, term) fan-out must be a
+    broadcast join over the pruned posting read (lbkt PartitionFilters
+    on the lengths side, no nested-loop join anywhere)."""
+    import os
+    import shutil
+
+    from shc_spark.operators import textindex
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    path = "/tmp/shc_text_index_planpin"
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        textindex.build_text_index(docs, path)
+    df = textindex.text_index_topk_batch(
+        spark, path, {"a": ["join", "scan"], "b": ["vector"]}, k=10
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
+    assert "PartitionFilters: [lbkt" in norm, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

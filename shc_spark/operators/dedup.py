@@ -1486,9 +1486,12 @@ def minor_compact_dedup_index(spark, path: str, threshold: int = 2) -> str:
     """MINOR compaction: fold only the bucket partitions fragmented by
     appends (>= threshold files) back to one file each — cold buckets
     are untouched, tombstones stay in force (no purge; that is
-    :func:`compact_dedup_index`). Cost is O(appended mass), the shape
-    that holds at 100 TB where a nightly append touches a fraction of
-    the 1024 buckets."""
+    :func:`compact_dedup_index`). Cost tracks the corpus mass in
+    FRAGMENTED buckets: a tiny increment (rows x bands << num_buckets)
+    folds cheaply; a fat hash-spread append fragments everything and
+    costs the same as major (measured — see
+    idxcache.compact_fragmented_partitions), so defer with
+    ``threshold`` or go major in that regime."""
     import os
 
     from shc_spark.operators.idxcache import compact_fragmented_partitions

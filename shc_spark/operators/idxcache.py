@@ -124,9 +124,16 @@ def compact_fragmented_partitions(
 ) -> int:
     """MINOR compaction: fold only the partitions of ``subtree`` that
     have >= ``threshold`` data files back to one file each, leaving
-    cold partitions untouched — the maintenance shape that scales: a
-    nightly append touches a fraction of buckets, so folding ONLY
-    those costs O(appended mass), not O(index). Tombstones are NOT
+    cold partitions untouched. Cost is the corpus MASS IN FRAGMENTED
+    BUCKETS (each folded bucket is fully rewritten), so it beats major
+    compaction exactly when appends are bucket-sparse: appended_rows
+    << num_buckets. Hash bucketing SPREADS large appends — a 1%
+    corpus append fragmented nearly every bucket and measured the
+    same wall as major compaction (SCALE.md r8 datapoint) — so for
+    fat appends either defer folding (raise ``threshold`` to
+    amortize several generations per rewrite) or run the major
+    compaction and purge tombstones while paying the same IO.
+    Tombstones are NOT
     purged (that is major compaction's job); masked rows ride along
     unchanged. One Spark job rewrites all fragmented partitions
     (partition-pruned read, repartition on the partition column), then

@@ -1076,7 +1076,9 @@ def minor_compact_ivf_index(spark, path: str, threshold: int = 2) -> str:
     """MINOR compaction: fold only the cid partitions fragmented by
     appends back to one posting file each; cold lists untouched,
     tombstones stay in force (no purge — :func:`compact_ivf_index`
-    does that). O(appended mass), not O(index)."""
+    does that). Cost = mass in fragmented lists; cheap only for
+    bucket-sparse appends (see idxcache.compact_fragmented_partitions
+    for the regime analysis)."""
     import os
 
     from shc_spark.operators.idxcache import compact_fragmented_partitions

@@ -311,8 +311,9 @@ def minor_compact_text_index(spark, path: str, threshold: int = 2) -> str:
     """MINOR compaction: fold only the posting/length buckets
     fragmented by appends back to one file each; cold buckets
     untouched, tombstones and stats corrections stay in force (no
-    purge/reset — :func:`compact_text_index` does that). O(appended
-    mass), not O(index)."""
+    purge/reset — :func:`compact_text_index` does that). Cost = mass
+    in fragmented buckets; cheap only for bucket-sparse appends (see
+    idxcache.compact_fragmented_partitions)."""
     from shc_spark.operators.idxcache import compact_fragmented_partitions
 
     compact_fragmented_partitions(

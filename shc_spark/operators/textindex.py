@@ -121,9 +121,23 @@ def append_to_text_index(
 ) -> str:
     """Incremental maintenance: tokenize ONLY the new docs and append
     their postings/lengths generations plus one stats row — the
-    nightly-crawl shape; queries see the union immediately."""
+    nightly-crawl shape; queries see the union immediately.
+
+    Tombstoned ids are dropped from the increment FIRST (broadcast
+    anti-join against the tiny tombstone set): tombstones are terminal
+    until major compaction, and writing masked rows would still count
+    them in the stats row, silently drifting n_docs/avgdl away from
+    the visible corpus — so a re-append of a deleted id is a no-op,
+    not a corruption."""
     spark = new_docs.sparkSession
     nb = read_text_index_meta(spark, path)["num_buckets"]
+    if os.path.exists(os.path.join(path, "tombstones", "_SUCCESS")):
+        from shc_spark.operators.idxcache import index_relation
+
+        tomb = index_relation(spark, path, "tombstones").select(
+            F.col("id").alias(id_col)
+        )
+        new_docs = new_docs.join(F.broadcast(tomb), id_col, "left_anti")
     tf, dl = _tokens(new_docs, text_col, id_col)
     dl = dl.cache()
     row = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]

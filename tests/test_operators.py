@@ -3176,3 +3176,48 @@ def test_minor_compaction_all_three_indexes(spark):
     assert ta == tb == [
         tuple(r) for r in text.bm25_search(docs, terms, "text", "doc_id", k=20).collect()
     ]
+
+
+def test_text_index_interleaved_lifecycle_stats_exact(spark):
+    """Interleaved append/delete sequence: after every step the index
+    answer must equal the inline bm25_search over the VISIBLE corpus —
+    this pins the negative stats corrections AND that re-appending a
+    tombstoned id is a no-op (masked rows must not drift n_docs/avgdl)."""
+    import shutil
+
+    from shc_spark.operators import text, textindex
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    terms = ["join", "scan", "vector"]
+    p = "/tmp/shc_tidx_interleave"
+    shutil.rmtree(p, ignore_errors=True)
+
+    def check(visible):
+        got = [tuple(r) for r in textindex.text_index_topk(spark, p, terms, k=15).collect()]
+        ref = [tuple(r) for r in text.bm25_search(visible, terms, "text", "doc_id", k=15).collect()]
+        assert got == ref
+
+    q0 = docs.filter(F.col("doc_id") % 3 == 0)
+    q1 = docs.filter(F.col("doc_id") % 3 == 1)
+    q2 = docs.filter(F.col("doc_id") % 3 == 2)
+    textindex.build_text_index(q0, p)
+    check(q0)
+    textindex.append_to_text_index(q1, p)
+    check(q0.union(q1))
+    victims = [r["doc_id"] for r in q0.limit(3).collect()]
+    textindex.delete_from_text_index(spark, p, victims)
+    vis = q0.filter(~F.col("doc_id").isin(victims)).union(q1)
+    check(vis)
+    textindex.append_to_text_index(q2, p)
+    vis = vis.union(q2)
+    check(vis)
+    # re-append the tombstoned victims: must be a NO-OP (stats exact)
+    textindex.append_to_text_index(docs.filter(F.col("doc_id").isin(victims)), p)
+    check(vis)
+    more = [r["doc_id"] for r in q2.limit(2).collect()]
+    textindex.delete_from_text_index(spark, p, more)
+    vis = vis.filter(~F.col("doc_id").isin(more))
+    check(vis)
+    # major compaction purges and preserves the final answer
+    textindex.compact_text_index(spark, p)
+    check(vis)

@@ -199,7 +199,14 @@ def text_index_topk(
     the |Q| query terms' posting buckets (partition pruning on tbkt +
     a term predicate inside them) and the candidate ids' length
     buckets; df comes from the pruned candidates, n_docs/avgdl from
-    the (correction-aware) stats rows — nothing corpus-sized moves."""
+    the (correction-aware) stats rows — nothing corpus-sized moves.
+
+    ZERO driver jobs before the action: term buckets come from the
+    Spark-identical driver-side XXH64, the lengths side prunes via
+    DYNAMIC partition pruning off the broadcast candidate join
+    (pinned by tests/test_plans.py), and the stats scalars ride a
+    broadcast single-row cross join instead of a collect — the whole
+    query is one Spark job at the caller's action."""
     from shc_spark.operators.idxcache import index_relation
     from shc_spark.operators.xxh import bucket_of_str
 
@@ -207,9 +214,6 @@ def text_index_topk(
         _QUERY_CACHES.pop().unpersist()
     nb = read_text_index_meta(spark, path)["num_buckets"]
     terms = list(terms)
-    # the query terms' buckets computed DRIVER-SIDE with the
-    # Spark-identical XXH64 (operators/xxh.py) — zero Spark jobs where
-    # a createDataFrame + collect round-trip used to be
     tbkts = sorted({bucket_of_str(t, nb) for t in terms})
     cand = index_relation(spark, path, "postings").filter(
         F.col("tbkt").isin(tbkts) & F.col("term").isin(terms)
@@ -218,31 +222,30 @@ def text_index_topk(
         cand = cand.join(
             index_relation(spark, path, "tombstones").select("id"), "id", "left_anti"
         )
-    cand = cand.cache()
-    lbkts = [r["b"] for r in cand.select(_tbkt(F.col("id"), nb).alias("b")).distinct().collect()]
-    srow = (
-        index_relation(spark, path, "stats")
-        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
-        .collect()[0]
+    # NOT cached: with zero driver collects the only double consumer
+    # is dfreq, and a cached (InMemoryRelation) build side stops Spark
+    # from inserting the dynamic-partition-pruning subquery on the
+    # lengths scan — re-running the tiny pruned postings scan twice
+    # inside the one job is far cheaper than a full lengths read
+    cand = cand.withColumn("lbkt", _tbkt(F.col("id"), nb))
+    stats = index_relation(spark, path, "stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
     )
-    n_docs, avgdl = srow["n"], (srow["s"] or 0) / max(srow["n"], 1)
-    dl = index_relation(spark, path, "lengths").filter(
-        F.col("lbkt").isin(lbkts) if lbkts else F.lit(False)
-    ).select("id", "dl")
+    dl = index_relation(spark, path, "lengths")
     dfreq = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        cand.join(F.broadcast(dfreq), "term")
-        .join(dl, "id")
+        dl.join(cand.join(F.broadcast(dfreq), "term"), ["lbkt", "id"])
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "w",
-            F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy("id")
         .agg(F.round(F.sum("w"), 4).alias("bm25"))
     )
-    _QUERY_CACHES.append(cand)
     return scored.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
 
 

@@ -288,31 +288,28 @@ def text_index_topk_batch(
         )
     # fan out per query BEFORE df/score: df is per (query_id, term)
     # over the query's candidate set — identical to the single-query
-    # operator run per query, in one plan
-    cand = cand.join(F.broadcast(qdf), "term").cache()
-    lbkts = [
-        r["b"]
-        for r in cand.select(_tbkt(F.col("id"), nb).alias("b")).distinct().collect()
-    ]
-    srow = (
-        index_relation(spark, path, "stats")
-        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
-        .collect()[0]
+    # operator run per query, in one plan. Uncached, same as the
+    # single-query path: zero pre-action jobs, lengths prune via DPP.
+    cand = cand.join(F.broadcast(qdf), "term").withColumn(
+        "lbkt", _tbkt(F.col("id"), nb)
     )
-    n_docs, avgdl = srow["n"], (srow["s"] or 0) / max(srow["n"], 1)
-    dl = index_relation(spark, path, "lengths").filter(
-        F.col("lbkt").isin(lbkts) if lbkts else F.lit(False)
-    ).select("id", "dl")
+    stats = index_relation(spark, path, "stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+    )
+    dl = index_relation(spark, path, "lengths")
     dfreq = cand.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("id"))
-    out = (
-        cand.join(F.broadcast(dfreq), ["query_id", "term"])
-        .join(dl, "id")
+    return (
+        dl.join(
+            cand.join(F.broadcast(dfreq), ["query_id", "term"]), ["lbkt", "id"]
+        )
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "w",
-            F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy("query_id", "id")
         .agg(F.round(F.sum("w"), 4).alias("bm25"))
@@ -320,8 +317,6 @@ def text_index_topk_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "bm25", "rank")
     )
-    _QUERY_CACHES.append(cand)
-    return out
 
 
 def minor_compact_text_index(spark, path: str, threshold: int = 2) -> str:

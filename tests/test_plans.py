@@ -351,7 +351,9 @@ def test_text_index_batch_plan(spark):
         spark, path, {"a": ["join", "scan"], "b": ["vector"]}, k=10
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
-    assert "PartitionFilters: [lbkt" in norm, plan
+    # same contract as the single-query pin: dynamic pruning on the
+    # lengths side, broadcast hash joins for data, and at most the
+    # one-row stats cross join as a nested-loop
+    assert "dynamicpruning" in plan.lower(), plan
     assert "BroadcastHashJoin" in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan

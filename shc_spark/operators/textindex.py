@@ -34,13 +34,6 @@ from pyspark.sql import functions as F
 # build inputs rebuild instead of reading a stale layout.
 TEXT_INDEX_LAYOUT = 1
 
-# DataFrames cached by the previous text_index_topk call, released at
-# the start of the next one — the caller can still materialize its
-# result from cache, and a query-many serving process accumulates at
-# most one query's blocks (same lifecycle as dedup_index_pairs).
-_QUERY_CACHES: list = []
-
-
 def _tbkt(col, nb: int):
     return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
 
@@ -210,8 +203,6 @@ def text_index_topk(
     from shc_spark.operators.idxcache import index_relation
     from shc_spark.operators.xxh import bucket_of_str
 
-    while _QUERY_CACHES:
-        _QUERY_CACHES.pop().unpersist()
     nb = read_text_index_meta(spark, path)["num_buckets"]
     terms = list(terms)
     tbkts = sorted({bucket_of_str(t, nb) for t in terms})
@@ -270,8 +261,6 @@ def text_index_topk_batch(
 
     from pyspark.sql import Window
 
-    while _QUERY_CACHES:
-        _QUERY_CACHES.pop().unpersist()
     nb = read_text_index_meta(spark, path)["num_buckets"]
     pairs = [(qid, t) for qid, terms in queries.items() for t in set(terms)]
     if not pairs:

@@ -3221,3 +3221,32 @@ def test_text_index_interleaved_lifecycle_stats_exact(spark):
     # major compaction purges and preserves the final answer
     textindex.compact_text_index(spark, p)
     check(vis)
+
+
+def test_python_xxh64_unicode_fuzz(spark):
+    """Seeded random unicode strings across all planes (surrogates
+    excluded) must hash identically in operators/xxh.py and
+    F.xxhash64 — one batched Spark comparison over the whole set."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators.xxh import xxhash64_str
+
+    rng = random.Random(11)
+
+    def rand_char():
+        while True:
+            cp = rng.randint(0, 0x10FFFF)
+            if not (0xD800 <= cp <= 0xDFFF):
+                return chr(cp)
+
+    words = list({
+        "".join(rand_char() for _ in range(rng.randint(0, 100)))
+        for _ in range(150)
+    })
+    rows = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", F.xxhash64("w").alias("h")
+    ).collect()
+    bad = [r["w"] for r in rows if xxhash64_str(r["w"]) != r["h"]]
+    assert bad == [], bad[:3]

@@ -3250,3 +3250,35 @@ def test_python_xxh64_unicode_fuzz(spark):
     ).collect()
     bad = [r["w"] for r in rows if xxhash64_str(r["w"]) != r["h"]]
     assert bad == [], bad[:3]
+
+
+def test_text_index_string_ids(spark):
+    """The inverted index must be id-type generic: string doc ids
+    flow through build/query/delete (bucketing hashes strings the same
+    way the writer did; the tombstone join and stats correction use
+    the schema-derived id type)."""
+    import shutil
+
+    from shc_spark.operators import text, textindex
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("sid"),
+        "text",
+    )
+    terms = ["join", "scan", "vector"]
+    p = "/tmp/shc_tidx_strid"
+    shutil.rmtree(p, ignore_errors=True)
+    textindex.build_text_index(docs, p, id_col="sid")
+    got = [tuple(r) for r in textindex.text_index_topk(spark, p, terms, k=10).collect()]
+    ref = [tuple(r) for r in text.bm25_search(docs, terms, "text", "sid", k=10).collect()]
+    assert got == ref and len(got) == 10
+    victim = got[0][0]
+    textindex.delete_from_text_index(spark, p, [victim])
+    got2 = [tuple(r) for r in textindex.text_index_topk(spark, p, terms, k=10).collect()]
+    ref2 = [
+        tuple(r)
+        for r in text.bm25_search(
+            docs.filter(F.col("sid") != victim), terms, "text", "sid", k=10
+        ).collect()
+    ]
+    assert got2 == ref2

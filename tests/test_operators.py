@@ -3282,3 +3282,51 @@ def test_text_index_string_ids(spark):
         ).collect()
     ]
     assert got2 == ref2
+
+
+def test_ivf_and_dedup_index_string_ids(spark):
+    """IVF and dedup serving indexes must also be id-type generic:
+    string ids through build/query/delete."""
+    import shutil
+
+    from shc_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.concat(F.lit("v-"), F.col("vec_id").cast("string")).alias("sid"),
+        "embedding",
+    )
+    v = "/tmp/shc_vidx_strid"
+    shutil.rmtree(v, ignore_errors=True)
+    similarity.build_ivf_index(emb, v, "embedding", "sid", dim=64)
+    q = emb.filter(F.col("sid").isin(["v-0", "v-1"]))
+    top = similarity.ivf_index_topk(
+        spark, v, q, "embedding", "sid", k=5, nprobe=16
+    ).collect()
+    assert len(top) == 10 and all(isinstance(r["neighbor_id"], str) for r in top)
+    victim = top[0]["neighbor_id"]
+    similarity.delete_from_ivf_index(spark, v, [victim])
+    top2 = similarity.ivf_index_topk(
+        spark, v, q, "embedding", "sid", k=5, nprobe=16
+    ).collect()
+    assert victim not in {r["neighbor_id"] for r in top2} and len(top2) == 10
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.concat(F.lit("d-"), F.col("doc_id").cast("string")).alias("sid"),
+        "text",
+        F.col("doc_id").alias("orig"),
+    )
+    p = "/tmp/shc_didx_strid"
+    shutil.rmtree(p, ignore_errors=True)
+    dedup.build_dedup_index(
+        docs.filter(F.col("orig") % 2 == 0).select("sid", "text"), p,
+        id_col="sid", num_perm=32, bands=16, n=3,
+    )
+    inc = docs.filter(F.col("orig") % 2 == 1).select("sid", "text")
+    pairs = dedup.dedup_index_pairs(spark, p, inc, id_col="sid").collect()
+    assert pairs and all(
+        r["id_a"].startswith("d-") and r["id_b"].startswith("d-") for r in pairs
+    )
+    victim = pairs[0]["id_b"]
+    dedup.delete_from_dedup_index(spark, p, [victim])
+    after = dedup.dedup_index_pairs(spark, p, inc, id_col="sid").collect()
+    assert victim not in {r["id_b"] for r in after}

@@ -667,10 +667,22 @@ def connected_components_star(
     else:
         nodes.unpersist()
         raise RuntimeError(f"star contraction did not converge in {max_iter} rounds")
-    # fixed point: every edge points a node at its component minimum
-    labels = nodes.join(
-        cur.select(F.col("u").alias("id"), F.col("v").alias("cluster")), "id", "left"
-    ).select("id", F.coalesce("cluster", "id").alias("cluster"))
+    # fixed point: every edge points a node at its component minimum.
+    # Materialize the labels EAGERLY (matching the min-label variant's
+    # contract) so the nodes cache can be released here: returned lazily,
+    # a caller dropping its upstream cache (near_dedup unpersists pairs
+    # right after CC) would silently recompute the whole LSH pass, and
+    # the nodes cache entry would leak for the session.
+    labels = (
+        nodes.join(
+            cur.select(F.col("u").alias("id"), F.col("v").alias("cluster")),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("cluster", "id").alias("cluster"))
+        .localCheckpoint(eager=True)
+    )
+    nodes.unpersist()
     return labels
 
 

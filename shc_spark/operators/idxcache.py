@@ -20,9 +20,12 @@ compaction changes it even within a single mtime tick.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame
+
+log = logging.getLogger("shc_spark.idxcache")
 
 # (appId, absolute subtree path) -> (fingerprint tuple, DataFrame)
 _RELATIONS: dict = {}
@@ -79,7 +82,11 @@ def drop_tombstone_snapshot(tomb_path: str, snapshot: list) -> None:
         try:
             os.remove(f)
         except OSError:
-            pass
+            # best-effort cleanup (the file may be gone already); the
+            # fallback is benign but must not be invisible — a
+            # PERSISTENT removal failure would leave purged tombstones
+            # masking forever
+            log.debug("tombstone snapshot cleanup could not remove %s", f, exc_info=True)
     remaining = [
         f
         for root, _dirs, files in os.walk(tomb_path)
@@ -114,6 +121,17 @@ def index_relation(spark, path: str, sub: str) -> DataFrame:
     hit = _RELATIONS.get(key)
     if hit is not None and fp is not None and hit[0] == fp:
         return hit[1]
+    # invalidation events are debug-visible: a PERSISTENT miss (e.g. a
+    # corrupted/missing _SUCCESS marker making fp None forever) means
+    # every query pays the full listing job again — silent before r9
+    if fp is None:
+        log.debug(
+            "index relation cache bypassed for %s: no readable _SUCCESS "
+            "marker; relation will be rebuilt every call until the "
+            "marker is restored (rewrite or compact the index)", p,
+        )
+    elif hit is not None:
+        log.debug("index relation cache invalidated for %s (census changed)", p)
     df = spark.read.parquet(p)
     _RELATIONS[key] = (fp, df)
     return df

@@ -92,14 +92,29 @@ def build_text_index(
 ) -> str:
     """Tokenize the corpus once and persist the inverted index. One
     corpus pass computes (id, term, tf) and (id, dl); the corpus text
-    itself is never stored or touched again."""
+    itself is never stored or touched again.
+
+    Same-path REBUILD is a full reset: stats and tombstones from any
+    previous index at ``path`` are cleared (stats rows otherwise
+    accumulate across builds — doubling n_docs and inflating every
+    idf — and stale tombstones would mask docs of the NEW corpus)."""
+    import shutil
+
     spark = corpus.sparkSession
+    shutil.rmtree(os.path.join(path, "stats"), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     tf, dl = _tokens(corpus, text_col, id_col)
     dl = dl.cache()
     row = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
     spark.createDataFrame(
         [(int(num_buckets),)], "num_buckets int"
     ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    # Same-path REBUILD support: meta just changed on disk, so the
+    # session memo must follow — a stale num_buckets would prune the
+    # wrong tbkt partitions and silently return incomplete top-k.
+    _META[(spark.sparkContext.applicationId, os.path.abspath(path))] = {
+        "num_buckets": int(num_buckets)
+    }
     _write_rows(tf, dl, path, num_buckets, mode="overwrite")
     _append_stats(spark, path, row["n"], row["s"] or 0)
     dl.unpersist()
@@ -333,7 +348,10 @@ def compact_text_index(spark, path: str) -> str:
     from the compacted lengths. Same crash/concurrency contract as the
     other two indexes: tombstones are SNAPSHOTTED (a concurrent append
     survives and keeps masking), subtrees swap via rename/.bak
-    (idxcache.replace_subtree)."""
+    (idxcache.replace_subtree). The stats reset anti-joins tombstones
+    still present AFTER the snapshot (concurrent deletes), so their
+    negative correction rows being clobbered by the reset does not
+    drift n_docs/avgdl — the recount simply excludes those docs."""
     import shutil
 
     from shc_spark.operators.idxcache import (
@@ -360,11 +378,19 @@ def compact_text_index(spark, path: str) -> str:
         if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
             raise RuntimeError(f"compaction write of {sub} did not commit")
         replace_subtree(os.path.join(path, sub), tmp)
-    row = (
-        spark.read.parquet(os.path.join(path, "lengths"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
-        .collect()[0]
-    )
+    lengths = spark.read.parquet(os.path.join(path, "lengths"))
+    if os.path.exists(os.path.join(tomb_path, "_SUCCESS")):
+        # Tombstones appended DURING compaction are not in the snapshot
+        # (their rows survived the purge and still mask at query time);
+        # exclude them from the recount or the stats replace would
+        # clobber their negative correction rows. Snapshot tombstones
+        # are already physically gone from lengths, so the anti-join is
+        # a no-op for them.
+        live_tomb = spark.read.parquet(tomb_path).select("id").distinct()
+        lengths = lengths.join(live_tomb, "id", "left_anti")
+    row = lengths.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
     tmp_stats = os.path.join(path, "stats.compact")
     shutil.rmtree(tmp_stats, ignore_errors=True)
     spark.createDataFrame(

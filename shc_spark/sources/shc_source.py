@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 import uuid
 from dataclasses import dataclass
@@ -58,6 +59,8 @@ from pyspark.sql.types import BinaryType, ByteType, LongType, StructField, Struc
 
 from shc_spark.catalog import Catalog, parse_catalog
 from shc_spark.coders import get_coder
+
+log = logging.getLogger("shc_spark.source")
 from shc_spark.filters import HRF, ScanRange, _prefix_upper, ranges_and, translate_filters
 
 ROWKEY_COL = "__rowkey"
@@ -334,8 +337,9 @@ class ShcReader(DataSourceReader):
                         if os.path.getmtime(p) < cutoff:
                             os.unlink(p)
                     except OSError:
-                        pass
+                        log.debug("plan-marker prune skipped %s", p, exc_info=True)
         except OSError:
+            log.debug("plan-marker dir unavailable; replan tripwire inactive", exc_info=True)
             return
         marker = os.path.join(mdir, f"shc_plan_{token}")
         try:
@@ -347,7 +351,7 @@ class ShcReader(DataSourceReader):
                 with open(marker, "w") as fh:
                     fh.write(fp)
             except OSError:
-                pass
+                log.debug("plan-marker write failed for %s", marker, exc_info=True)
             return
         if prev == fp:
             return
@@ -364,7 +368,7 @@ class ShcReader(DataSourceReader):
             with open(marker + ".warned", "w") as fh:
                 fh.write(msg)
         except OSError:
-            pass
+            log.debug("replan breadcrumb write failed for %s", marker, exc_info=True)
         if str(self.options.get("reuse_check", "")).lower() == "strict":
             raise RuntimeError(msg)
         print("WARNING: " + msg, file=sys.stderr)

@@ -344,6 +344,232 @@ def _decode(buf: io.BytesIO, schema):
     raise ValueError(f"cannot decode avro type {t!r}")
 
 
+# ---------------------------------------------------------------------------
+# Vectorized batch encode (VERDICT r8 #3): the Avro cell serde was the
+# last row-at-a-time Python path in the repo. For the common shape — a
+# flat record of primitive fields (including nullable single unions
+# and the int/long, float/double widened unions) — the whole Arrow
+# batch encodes column-wise: zigzag varints generated with numpy over
+# the full column, 4/8-byte floats reinterpreted straight from the
+# numpy buffer, length prefixes concatenated with pyarrow's
+# binary_join_element_wise. Per-row _encode remains the fallback for
+# nested records/arrays/maps/enums/member-struct unions, and is the
+# bit-exactness oracle (property-tested equal).
+
+
+def _varint_chunks(vals):
+    """int64 numpy array -> (flat uint8 buffer, int64 offsets) of the
+    per-value zigzag varints — the vectorized twin of _write_long."""
+    import numpy as np
+
+    v = vals.astype(np.int64, copy=False)
+    z = ((v << np.int64(1)) ^ (v >> np.int64(63))).astype(np.uint64)
+    lengths = np.ones(len(z), dtype=np.int64)
+    tmp = z >> np.uint64(7)
+    while tmp.any():
+        lengths += tmp != 0
+        tmp >>= np.uint64(7)
+    offsets = np.zeros(len(z) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    cur = z.copy()
+    pos = offsets[:-1].copy()
+    active = np.ones(len(z), dtype=bool)
+    while active.any():
+        more = cur >= np.uint64(0x80)
+        b = (cur & np.uint64(0x7F)).astype(np.uint8) | (
+            more.astype(np.uint8) << np.uint8(7)
+        )
+        out[pos[active]] = b[active]
+        pos += 1
+        cur >>= np.uint64(7)
+        active &= more
+    return out, offsets
+
+
+def _large_binary(flat, offsets):
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+
+
+def _fixed_width_binary(raw_bytes: bytes, n: int, width: int):
+    import numpy as np
+
+    offsets = (np.arange(n + 1, dtype=np.int64) * width)
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(raw_bytes)],
+    )
+
+
+_PROXY_FAMILY = {
+    # Spark field type -> the avro primitive families its coerced
+    # python value would match in _value_matches (first match wins,
+    # mirroring _encode's generic union branch selection)
+    "int": ("int", "long"),
+    "float": ("float", "double"),
+    "string": ("string",),
+    "boolean": ("boolean",),
+    "bytes": ("bytes",),
+}
+
+
+def _field_plan(avro_field_schema, spark_dt):
+    """(kind, avro_primitive, union_prefixes) for a vectorizable field,
+    else None. union_prefixes is (null_prefix_bytes, branch_prefix_bytes)
+    when the avro schema is a union, else None."""
+    families = {
+        T.ByteType: "int", T.ShortType: "int", T.IntegerType: "int",
+        T.LongType: "int", T.FloatType: "float", T.DoubleType: "float",
+        T.StringType: "string", T.BooleanType: "boolean",
+        T.BinaryType: "bytes",
+    }
+    fam = families.get(type(spark_dt))
+    if fam is None:
+        return None
+    s = avro_field_schema
+    if isinstance(s, str):
+        if s in _PROXY_FAMILY[fam]:
+            return (s, None)
+        return None
+    if isinstance(s, list):
+        if _union_members(s) is not None:
+            return None  # member-struct representation: per-row path
+        branch_idx = None
+        for i, br in enumerate(s):
+            if isinstance(br, str) and br in _PROXY_FAMILY[fam]:
+                branch_idx = i
+                break
+            if not isinstance(br, str):
+                return None  # nested branch: per-row path
+        if branch_idx is None:
+            return None
+        null_prefix = None
+        if "null" in s:
+            nb = io.BytesIO()
+            _write_long(nb, s.index("null"))
+            null_prefix = nb.getvalue()
+        bb = io.BytesIO()
+        _write_long(bb, branch_idx)
+        return (s[branch_idx], (null_prefix, bb.getvalue()))
+    return None
+
+
+def record_encode_plan(schema, struct_fields):
+    """Per-field vector plans for a flat record schema, or None when
+    any field needs the per-row path. ``struct_fields`` are the Spark
+    StructFields the batch columns carry (their types decide which
+    union branch _encode's first-match rule would pick)."""
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        return None
+    if len(schema.get("fields", [])) != len(struct_fields):
+        return None
+    plans = []
+    for af, sf in zip(schema["fields"], struct_fields):
+        p = _field_plan(af["type"], sf.dataType)
+        if p is None:
+            return None
+        plans.append(p)
+    return plans
+
+
+def _encode_column(col, avro_t: str, prefixes):
+    """One record field for the whole batch -> (large_binary values,
+    null mask numpy bool). ``col`` is a pandas Series."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(col)
+    if avro_t in ("int", "long"):
+        arr = pa.array(col, type=pa.int64(), from_pandas=True)
+        nulls = np.asarray(arr.is_null())
+        vals = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        flat, offs = _varint_chunks(vals)
+        body = _large_binary(flat, offs)
+    elif avro_t in ("float", "double"):
+        np_t = np.float32 if avro_t == "float" else np.float64
+        arr = pa.array(col, type=pa.from_numpy_dtype(np_t), from_pandas=True)
+        nulls = np.asarray(arr.is_null())
+        vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np_t, copy=False)
+        if vals.dtype.byteorder == ">":  # avro floats are little-endian
+            vals = vals.byteswap()
+        body = _fixed_width_binary(vals.tobytes(), n, vals.dtype.itemsize)
+    elif avro_t == "boolean":
+        arr = pa.array(col, type=pa.bool_(), from_pandas=True)
+        nulls = np.asarray(arr.is_null())
+        vals = arr.fill_null(False).to_numpy(zero_copy_only=False).astype(np.uint8)
+        body = _fixed_width_binary(vals.tobytes(), n, 1)
+    elif avro_t in ("string", "bytes"):
+        t = pa.large_utf8() if avro_t == "string" else pa.large_binary()
+        arr = pa.array(col, type=t, from_pandas=True)
+        nulls = np.asarray(arr.is_null())
+        filled = arr.fill_null("" if avro_t == "string" else b"")
+        if avro_t == "string":
+            filled = filled.cast(pa.large_binary())
+        lengths = pc.binary_length(filled).to_numpy(zero_copy_only=False)
+        flat, offs = _varint_chunks(lengths.astype(np.int64))
+        prefix = _large_binary(flat, offs)
+        body = pc.binary_join_element_wise(prefix, filled, pa.scalar(b"", pa.large_binary()))
+    else:  # pragma: no cover - record_encode_plan filters these out
+        raise ValueError(f"not vectorizable: {avro_t!r}")
+    if prefixes is not None:
+        null_prefix, branch_prefix = prefixes
+        # vectorized two-way select: take from a 2-element dictionary
+        pre = pc.take(
+            pa.array([branch_prefix, null_prefix], type=pa.large_binary()),
+            pa.array(nulls.astype(np.int8)),
+        )
+        body = pc.if_else(pa.array(nulls), pa.scalar(b"", pa.large_binary()), body)
+        return pc.binary_join_element_wise(pre, body, pa.scalar(b"", pa.large_binary())), nulls
+    # non-union avro field: nulls here are only legal in all-null
+    # struct rows (the caller turns those cells into NULL) — the
+    # caller checks, because only it knows the cross-column mask
+    return body, nulls
+
+
+def encode_record_batch(plans, pdf, struct_fields):
+    """Whole-batch record encode under a record_encode_plan: returns a
+    pyarrow large_binary array, one Avro-binary record per row;
+    all-null struct rows (Spark NULL struct) become null cells."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols, masks = [], []
+    all_null = None
+    for (avro_t, prefixes), sf in zip(plans, struct_fields):
+        body, nulls = _encode_column(pdf[sf.name], avro_t, prefixes)
+        cols.append(body)
+        masks.append((nulls, prefixes is not None, avro_t, sf.name))
+        all_null = nulls if all_null is None else (all_null & nulls)
+    for nulls, nullable, avro_t, name in masks:
+        if not nullable and bool((nulls & ~all_null).any()):
+            # same failure the per-row _encode hits (int(None) etc.):
+            # a null in a non-nullable avro field of a non-null row
+            raise ValueError(
+                f"null value for non-nullable avro {avro_t!r} field {name!r}"
+            )
+    if len(cols) == 1:
+        joined = cols[0]
+    else:
+        joined = pc.binary_join_element_wise(*cols, pa.scalar(b"", pa.large_binary()))
+    if all_null is not None and all_null.any():
+        joined = pc.if_else(
+            pa.array(all_null), pa.scalar(None, pa.large_binary()), joined
+        )
+    return joined
+
+
 class AvroType(Coder):
     """Cell coder: serialize/deserialize one Avro value per cell
     (AvroSerde, Avro.scala:401-426). ``dt`` is ignored; the schema

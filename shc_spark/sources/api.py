@@ -152,14 +152,24 @@ def _rowkey_encoder(cat: Catalog):
 def _avro_encode_udf(field):
     """struct value -> Avro binary cell (pure-python serde — the
     spark-avro jar is not loadable here; mirrors AvroSerde.serialize,
-    types/Avro.scala:401-414)."""
-    from shc_spark.coders.avro import AvroType
+    types/Avro.scala:401-414).
+
+    Flat records of primitives encode WHOLE-BATCH column-wise
+    (coders/avro.py:encode_record_batch — numpy zigzag varints +
+    pyarrow length-prefix concat; VERDICT r8 #3), pinned bit-equal to
+    the per-row coder by test_avro_batch_encode_matches_per_row. Only
+    nested records/arrays/maps/enums/member-struct unions fall back to
+    the per-row path."""
+    from shc_spark.coders.avro import AvroType, encode_record_batch, record_encode_plan
 
     coder = AvroType(field.avro_schema)
     struct_fields = list(field.dt.fields)
+    plans = record_encode_plan(coder.schema, struct_fields)
 
     @F.pandas_udf(T.BinaryType())
     def enc(pdf: pd.DataFrame) -> pd.Series:
+        if plans is not None:
+            return encode_record_batch(plans, pdf, struct_fields).to_pandas()
         out = []
         for _, row in pdf.iterrows():
             if row.isna().all():
@@ -201,6 +211,22 @@ def _coerce(v, dt: T.DataType):
     return v
 
 
+def _deep_nullable(dt: T.DataType) -> T.DataType:
+    """Copy of ``dt`` with every nested field nullable — the decode
+    UDF's intermediate rows carry all-null placeholders for null
+    cells, which would NPE codegen under non-nullable avro-derived
+    fields (plain "string" maps to nullable=False)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _deep_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_deep_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(dt.keyType, _deep_nullable(dt.valueType), True)
+    return dt
+
+
 def _avro_decode_udf(field):
     """Avro binary cell -> struct value (AvroSerde.deserialize,
     types/Avro.scala:416-426)."""
@@ -209,7 +235,7 @@ def _avro_decode_udf(field):
     coder = AvroType(field.avro_schema)
     names = [sf.name for sf in field.dt.fields]
 
-    @F.pandas_udf(field.dt)
+    @F.pandas_udf(_deep_nullable(field.dt))
     def dec(blobs: pd.Series) -> pd.DataFrame:
         rows = []
         for b in blobs:
@@ -221,6 +247,18 @@ def _avro_decode_udf(field):
         return pd.DataFrame(rows)
 
     return dec
+
+
+def _avro_decode_expr(field):
+    """Decode expression for one avro column: NULL cell -> NULL struct
+    (a missing HBase cell is an absent value, not a record of nulls;
+    the UDF's all-null placeholder row is filtered back to a true NULL
+    here, outside the UDF, where struct-level null is expressible)."""
+    dec = _avro_decode_udf(field)
+    c = F.col(field.col_name)
+    return F.when(
+        c.isNull(), F.lit(None).cast(_deep_nullable(field.dt))
+    ).otherwise(dec(c))
 
 
 def _expand_version_maps(df: DataFrame, catalog: str, write_ts: int):
@@ -735,7 +773,7 @@ def read_table(
     # decodes here with the value cells.
     for f in cat.fields.values():
         if f.avro_schema is not None:
-            df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))
+            df = df.withColumn(f.col_name, _avro_decode_expr(f))
     # HBase rows are their cells: when TTL expired EVERY cell of a key
     # (all its families), the row does not exist — drop it. Only
     # active with TTL so all-null value rows written by users keep
@@ -1066,7 +1104,7 @@ def _read_cross_catalog(
     # included — they group/merge as binary above)
     for f in rcat.fields.values():
         if f.avro_schema is not None:
-            df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))
+            df = df.withColumn(f.col_name, _avro_decode_expr(f))
     cols = [f.col_name for f in rcat.fields.values()]
     if keep_internal:
         cols.append(TS_COL)
@@ -1107,7 +1145,7 @@ def read_stream_table(
         cols += [DEL_COL]
     for f in cat.fields.values():
         if f.avro_schema is not None:
-            df = df.withColumn(f.col_name, _avro_decode_udf(f)(F.col(f.col_name)))
+            df = df.withColumn(f.col_name, _avro_decode_expr(f))
     return df.select(*cols)
 
 

@@ -109,6 +109,23 @@ def main(spark, root=None):
         "(codebook saved; appends encode under it)"
     )
 
+    # -- 3b. PQ storage: the 16-32x tier + refine stage ----------------
+    qpath = os.path.join(root, "ivf_index_pq")
+    shutil.rmtree(qpath, ignore_errors=True)
+    similarity.build_ivf_index(
+        emb, qpath, "embedding", "vec_id", dim=64, storage="pq",
+        pq_m=16, pq_codes=256,
+    )
+    refined = similarity.ivf_index_topk(
+        spark, path=qpath, queries=q, k=5, nprobe=8,
+        rerank_with=emb, rerank_factor=20,
+    )
+    assert refined.count() == q.count() * 5
+    print(
+        f"pq postings {_bytes(qpath)} bytes vs float {_bytes(vpath)} "
+        "(ADC search + exact re-rank of R*k survivors)"
+    )
+
     # -- 4. BM25 inverted index: text retrieval without re-tokenizing --
     from shc_spark.operators import text, textindex
 

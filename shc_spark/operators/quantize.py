@@ -131,7 +131,10 @@ def train_pq(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     if n < k:
-        raise ValueError(f"sample {n} smaller than k={k}")
+        # a codebook cannot have more centroids than training points;
+        # clamp (deterministically) instead of failing small corpora —
+        # k is an upper bound on quantizer resolution, not a contract
+        k = n
     sub = dim // m
     books = np.empty((m, k, sub))
     for j in range(m):

@@ -466,6 +466,8 @@ def build_ivf_index(
     num_centroids: int = 16,
     seed: int = 11,
     storage: str = "float",
+    pq_m: int = 8,
+    pq_codes: int = 256,
 ) -> str:
     """Persist an IVF index: train the coarse quantizer (bounded
     sample, deterministic), then write ``centroids/`` (tiny) and
@@ -484,11 +486,23 @@ def build_ivf_index(
     the probed partitions fitting page cache or not. The search
     dequantizes per Arrow batch with one affine numpy op before the
     same scoring (score error per dim <= span/510, recall@k
-    near-exact — the sim_topk_sq8 trade, now on the serving path)."""
+    near-exact — the sim_topk_sq8 trade, now on the serving path).
+
+    ``storage="pq"`` stores PQ CODES (the FAISS IVF,PQ shape —
+    VERDICT r8 #4): ``pq_m`` subspace codebooks of ``pq_codes``
+    centroids each, trained on the same bounded deterministic sample
+    discipline (quantize.train_pq) and saved under ``pq/`` — appends
+    encode under the saved books, never retrain. Posting bytes drop
+    to m small ints per vector (m=8 over dim=64 float64 is the 16-32x
+    tier that makes a 100 TB index fit), at the cost that the search
+    scores by PQ asymmetric distance (cosine ~ 1 - adist/2 on the
+    unit sphere) instead of exact cosines — recall governed by
+    (nprobe, m, pq_codes); re-rank survivors against a full-precision
+    store (ivf_index_topk(rerank_with=...)) to buy exactness back."""
     import os
 
-    if storage not in ("float", "sq8"):
-        raise ValueError(f"storage must be 'float' or 'sq8', got {storage!r}")
+    if storage not in ("float", "sq8", "pq"):
+        raise ValueError(f"storage must be 'float', 'sq8' or 'pq', got {storage!r}")
     cent = _train_centroids(corpus, vec_col, num_centroids, dim, seed)
     spark = corpus.sparkSession
     spark.createDataFrame(
@@ -513,6 +527,19 @@ def build_ivf_index(
         rows = rows.select(
             id_col, quantize.code_expr(vec_col, stats).alias("codes"), "cid"
         )
+    elif storage == "pq":
+        from shc_spark.operators import quantize
+
+        books = quantize.train_pq(corpus, vec_col, id_col, m=pq_m, k=pq_codes)
+        spark.createDataFrame(
+            [
+                (int(j), int(c), [float(x) for x in books[j, c]])
+                for j in range(books.shape[0])
+                for c in range(books.shape[1])
+            ],
+            "j int, c int, centroid array<double>",
+        ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "pq"))
+        rows = rows.select(id_col, _pq_code_udf(books)(F.col(vec_col)).alias("codes"), "cid")
     # repartition on cid BEFORE partitionBy: one file per posting-list
     # partition per generation (every writing task would otherwise
     # emit a file per cid it touches — tasks x centroids files, and
@@ -521,6 +548,47 @@ def build_ivf_index(
         "overwrite"
     ).partitionBy("cid").parquet(os.path.join(path, "postings"))
     return path
+
+
+def _pq_code_udf(books: np.ndarray):
+    """array<int> PQ codes for a vector column under fixed codebooks —
+    the same subspace-argmin math as quantize.pq_encode (unit
+    normalization first, so codes are scale-invariant like every
+    cosine op in the suite)."""
+    books = np.asarray(books, dtype=np.float64)
+    m, _k, sub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def _enc(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        X = _normalize_batch(col)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * sub : (j + 1) * sub]
+            c2 = (books[j] ** 2).sum(axis=1)
+            d = c2[None, :] - 2.0 * (S @ books[j].T)  # + |s|^2 (rank-invariant)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return _enc
+
+
+def read_ivf_pq(spark, path: str) -> np.ndarray | None:
+    """The saved PQ codebooks as an (m, k, sub) array, or None for a
+    non-PQ index."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "pq", "_SUCCESS")):
+        return None
+    rows = spark.read.parquet(os.path.join(path, "pq")).collect()
+    m = max(r["j"] for r in rows) + 1
+    k = max(r["c"] for r in rows) + 1
+    sub = len(rows[0]["centroid"])
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for r in rows:
+        books[r["j"], r["c"]] = np.asarray(r["centroid"])
+    return books
 
 
 def read_ivf_quant(spark, path: str) -> list | None:
@@ -571,11 +639,16 @@ def append_to_ivf_index(
 
     rows = new_rows.select(id_col, vec_col).withColumn("cid", assign(F.col(vec_col)))
     stats = read_ivf_quant(spark, path)
+    books = read_ivf_pq(spark, path)
     if stats is not None:  # SQ8 index: encode under the SAVED codebook
         from shc_spark.operators import quantize
 
         rows = rows.select(
             id_col, quantize.code_expr(vec_col, stats).alias("codes"), "cid"
+        )
+    elif books is not None:  # PQ index: encode under the SAVED books
+        rows = rows.select(
+            id_col, _pq_code_udf(books)(F.col(vec_col)).alias("codes"), "cid"
         )
     rows.repartition(cent.shape[0], F.col("cid")).write.mode(
         "append"
@@ -621,6 +694,8 @@ def ivf_index_topk(
     k: int = 5,
     nprobe: int = 4,
     max_queries: int = MAX_QUERY_ROWS,
+    rerank_with: DataFrame | None = None,
+    rerank_factor: int = 20,
 ) -> DataFrame:
     """Search a persisted IVF index (build_ivf_index): probe lists are
     chosen against the tiny centroids table, and the postings scan is
@@ -628,11 +703,21 @@ def ivf_index_topk(
     PartitionFilters in the plan), so the corpus I/O per query batch
     is nprobe/num_centroids of the index. Identical centroids,
     assignment math, and scoring as ivf_topk, so results match the
-    inline operator exactly."""
+    inline operator exactly (float and SQ8 storage).
+
+    PQ-storage indexes score by asymmetric distance against the saved
+    codebooks — per query an (m, K) lookup table, m table adds per
+    posting row, no vector reconstruction — and report the implied
+    cosine (1 - adist/2: codes live on the unit sphere, where
+    squared-L2 and cosine are affine twins). Pass ``rerank_with`` (a
+    full-precision (id_col, vec_col) table, e.g. the corpus) to get
+    the FAISS refine stage: PQ prunes to ``rerank_factor * k``
+    survivors per query and only those join back for exact cosines."""
     import os
 
     cent = read_ivf_centroids(spark, path)
     stats = read_ivf_quant(spark, path)
+    books = read_ivf_pq(spark, path)
     dq = (
         None
         if stats is None
@@ -643,12 +728,20 @@ def ivf_index_topk(
     )
     q_ids, qm = _collect_queries(queries, vec_col, id_col, max_queries)
     probe_map: dict = {}
+    lut = None
+    if books is not None and len(q_ids):
+        m, K, sub = books.shape
+        lut = np.zeros((len(q_ids), m, K))
+        for qi in range(len(q_ids)):
+            for j in range(m):
+                diff = books[j] - qm[qi, j * sub : (j + 1) * sub][None, :]
+                lut[qi, j] = (diff**2).sum(axis=1)
     if q_ids:
         probe_idx = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
         for qi in range(len(q_ids)):
             for c in probe_idx[qi]:
                 probe_map.setdefault(int(c), []).append(qi)
-    bc = spark.sparkContext.broadcast((q_ids, qm, probe_map, dq))
+    bc = spark.sparkContext.broadcast((q_ids, qm, probe_map, dq, lut))
 
     from shc_spark.operators.idxcache import index_relation
 
@@ -661,17 +754,29 @@ def ivf_index_topk(
             tomb.select(F.col("id").alias(id_col)), id_col, "left_anti"
         )
     id_type = postings.schema[id_col].dataType.simpleString()
-    payload_col = "codes" if stats is not None else vec_col
+    payload_col = "codes" if (stats is not None or books is not None) else vec_col
+    depth = max(k * rerank_factor, k) if rerank_with is not None else k
 
     def score(batches):
-        qids_, qm_, pmap, dq_ = bc.value
+        qids_, qm_, pmap, dq_, lut_ = bc.value
         if not qids_:
             return
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["__id"].to_numpy()
-            if dq_ is not None:
+            cid = pdf["__cid"].to_numpy()
+            cand = [[] for _ in qids_]
+            for i in range(len(ids)):
+                for qi in pmap.get(int(cid[i]), ()):
+                    cand[qi].append(i)
+            if lut_ is not None:
+                # PQ postings: ADC — D[q, i] = sum_j lut[q, j, code_ij];
+                # report 1 - D/2 (the unit-sphere cosine equivalent)
+                C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["__vec"]])
+                D = lut_[:, np.arange(C.shape[1]), C].sum(axis=2)
+                S = 1.0 - D.T / 2.0
+            elif dq_ is not None:
                 # SQ8 postings: one affine reconstruction (mn + code *
                 # step — the sq8_topk formula) before normalization
                 mn_, step_ = dq_
@@ -680,22 +785,40 @@ def ivf_index_topk(
                 n = np.linalg.norm(M, axis=1, keepdims=True)
                 n[n == 0] = 1.0
                 M = M / n
+                S = M @ qm_.T
             else:
                 M = _normalize_batch(pdf["__vec"])
-            cid = pdf["__cid"].to_numpy()
-            cand = [[] for _ in qids_]
-            for i in range(len(ids)):
-                for qi in pmap.get(int(cid[i]), ()):
-                    cand[qi].append(i)
-            S = M @ qm_.T
-            yield from _emit_topk(qids_, ids, S, cand, k)
+                S = M @ qm_.T
+            yield from _emit_topk(qids_, ids, S, cand, depth)
 
     part = postings.select(
         F.col(id_col).alias("__id"),
         F.col(payload_col).alias("__vec"),
         F.col("cid").alias("__cid"),
     ).mapInPandas(score, f"query_id {id_type}, neighbor_id {id_type}, cosine double")
-    return _topk_window(part, k)
+    if rerank_with is None:
+        return _topk_window(part, k)
+    # refine stage: exact cosine on the depth survivors only
+    pruned = _topk_window(part, depth).drop("rank", "cosine")
+    qmap = {qid: qm[i] for i, qid in enumerate(q_ids)}
+    bq = spark.sparkContext.broadcast(qmap)
+
+    @F.pandas_udf("double")
+    def _cos(qid: pd.Series, vec: pd.Series) -> pd.Series:
+        qm_ = bq.value
+        if qid.empty:
+            return pd.Series([], dtype=float)
+        M = _normalize_batch(vec)
+        q = np.stack([qm_[x] for x in qid])
+        return pd.Series((M * q).sum(axis=1))
+
+    vecs = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__fv")
+    )
+    scored = pruned.join(vecs, "neighbor_id").withColumn(
+        "cosine", _cos("query_id", "__fv")
+    ).drop("__fv")
+    return _topk_window(scored, k)
 
 
 def hybrid_search_rrf(

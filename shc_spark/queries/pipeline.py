@@ -336,6 +336,52 @@ def sim_topk_ivf_index_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_verdict(approx, exact, k=5, min_hits_q=1, min_total=14)
 
 
+# PQ-storage persisted IVF (FAISS IVF,PQ — VERDICT r8 #4): postings
+# hold m=16 one-byte subspace codes instead of 64 float64s (the
+# 16-32x tier that makes a 100 TB index fit), codebooks saved under
+# pq/ (appends encode under them, never retrain). The verdict is a
+# recall floor of the ADC-only search vs THE FLOAT INDEX at identical
+# (centroids, nprobe) — isolating exactly the quantization loss —
+# ANDed with a near-perfect floor for the refine stage
+# (rerank_with=corpus), the production read path. Measured at sf0.01:
+# ADC 27/40 (per-query min 2), refine 40/40; floors 20/40 (min 1)
+# and 36/40 (min 4).
+@register("sim_topk_ivf_index_pq", _ANN_VERDICT_SQL)
+def sim_topk_ivf_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    fpath = _gate_index_path(
+        "shc_ivf_index", sf_dir, similarity.IVF_INDEX_LAYOUT, dim=64
+    )
+    if not os.path.exists(os.path.join(fpath, "postings", "_SUCCESS")):
+        similarity.build_ivf_index(emb, fpath, "embedding", "vec_id", dim=64)
+    ppath = _gate_index_path(
+        "shc_ivf_index_pq", sf_dir, similarity.IVF_INDEX_LAYOUT,
+        dim=64, storage="pq", m=16, codes=256,
+    )
+    if not os.path.exists(os.path.join(ppath, "postings", "_SUCCESS")):
+        similarity.build_ivf_index(
+            emb, ppath, "embedding", "vec_id", dim=64,
+            storage="pq", pq_m=16, pq_codes=256,
+        )
+    ref = similarity.ivf_index_topk(spark, fpath, queries, k=5, nprobe=4)
+    adc = similarity.ivf_index_topk(spark, ppath, queries, k=5, nprobe=4)
+    refined = similarity.ivf_index_topk(
+        spark, ppath, queries, k=5, nprobe=4, rerank_with=emb, rerank_factor=20
+    )
+    v_adc = _ann_recall_verdict(adc, ref, k=5, min_hits_q=1, min_total=20)
+    v_ref = _ann_recall_verdict(refined, ref, k=5, min_hits_q=4, min_total=36)
+    return (
+        v_adc.alias("a")
+        .join(F.broadcast(v_ref.alias("b")), "query_id")
+        .select(
+            "query_id",
+            (F.col("a.full_k") & F.col("b.full_k")).alias("full_k"),
+            (F.col("a.recall_ok") & F.col("b.recall_ok")).alias("recall_ok"),
+        )
+    )
+
+
 def _identity_verdict(idx, direct):
     """Per-query row-for-row identity of two top-k results plus an
     aggregate row — shared by the persisted-index gates."""

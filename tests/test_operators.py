@@ -2985,6 +2985,69 @@ def test_ivf_index_sq8_storage(spark):
     assert not set(victims) & {r["neighbor_id"] for r in s3}
 
 
+def test_ivf_index_pq_storage(spark):
+    """PQ-storage IVF index (VERDICT r8 #4 — the FAISS IVF,PQ tier):
+    codebooks saved under the index, appends encode under them, ADC
+    search recall stays useful vs the float index and the refine stage
+    (rerank_with) recovers it, delete/compact lifecycle works over
+    code postings, and posting bytes shrink well below SQ8."""
+    import glob
+    import os
+    import shutil
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    pf, pp = "/tmp/shc_ivf_t_float2", "/tmp/shc_ivf_t_pq"
+    for p in (pf, pp):
+        shutil.rmtree(p, ignore_errors=True)
+    similarity.build_ivf_index(emb, pf, "embedding", "vec_id", dim=64)
+    similarity.build_ivf_index(
+        emb, pp, "embedding", "vec_id", dim=64, storage="pq", pq_m=16, pq_codes=256
+    )
+    assert os.path.exists(os.path.join(pp, "pq", "_SUCCESS"))
+    fl = similarity.ivf_index_topk(spark, pf, q, k=5, nprobe=16).collect()
+    pq = similarity.ivf_index_topk(spark, pp, q, k=5, nprobe=16).collect()
+    assert len(pq) == len(fl) == 40
+    # ADC-only recall floor vs the float index's results
+    want = {(r["query_id"], r["neighbor_id"]) for r in fl}
+    got = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    assert len(want & got) / len(want) >= 0.5, len(want & got) / len(want)
+    # refine stage buys exactness back
+    rr = similarity.ivf_index_topk(
+        spark, pp, q, k=5, nprobe=16, rerank_with=emb, rerank_factor=20
+    ).collect()
+    got_rr = {(r["query_id"], r["neighbor_id"]) for r in rr}
+    assert len(want & got_rr) / len(want) >= 0.9, len(want & got_rr) / len(want)
+    # bytes shrink below the float postings
+    du = lambda p: sum(
+        os.path.getsize(fn)
+        for fn in glob.glob(os.path.join(p, "postings", "**", "*.parquet"),
+                            recursive=True)
+    )
+    assert du(pp) < du(pf) / 2
+    # append under the SAVED books == building on the full corpus
+    shutil.rmtree(pp, ignore_errors=True)
+    similarity.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), pp, "embedding", "vec_id",
+        dim=64, storage="pq",
+    )
+    books_before = similarity.read_ivf_pq(spark, pp)
+    similarity.append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), pp, "embedding", "vec_id"
+    )
+    import numpy as np
+
+    assert np.array_equal(books_before, similarity.read_ivf_pq(spark, pp))
+    s2 = similarity.ivf_index_topk(spark, pp, q, k=5, nprobe=16).collect()
+    assert len(s2) == 40
+    victims = sorted({r["neighbor_id"] for r in s2})[:2]
+    similarity.delete_from_ivf_index(spark, pp, victims)
+    similarity.compact_ivf_index(spark, pp)
+    s3 = similarity.ivf_index_topk(spark, pp, q, k=5, nprobe=16).collect()
+    assert len(s3) == 40
+    assert not set(victims) & {r["neighbor_id"] for r in s3}
+
+
 def test_text_index_lifecycle(spark):
     """Persisted BM25 index (r8): build == inline bm25_search; append
     under the saved layout == full build; tombstone delete == inline

@@ -1177,6 +1177,36 @@ def test_anomaly_robust_z_flags_outlier_not_threshold_drag(spark):
     assert not any(flags)
 
 
+def test_anomaly_robust_z_auto_routes_by_group_size(spark):
+    """VERDICT r8 #5: the default approximate="auto" must pick the
+    sketch path above the avg-rows-per-group threshold (no per-group
+    sort at 100 TB) and the exact path below it — and both paths must
+    agree on well-separated outliers."""
+    from shc_spark.operators import stats
+
+    rows = [("a", float(10 + (i % 7) / 10.0)) for i in range(400)] + [
+        ("a", 9000.0),
+        ("b", 50.0), ("b", 51.0), ("b", 49.0), ("b", 50.5), ("b", -7000.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    def plan_of(out):
+        return out._jdf.queryExecution().optimizedPlan().toString()
+
+    # avg group size ~200 > 10 -> sketch path (approx_percentile, no
+    # ranked-window median selection)
+    approx_out = stats.anomaly_robust_z(df, "v", ["g"], auto_threshold=10)
+    assert "percentile_approx" in plan_of(approx_out)
+    # avg group size 200 < 10^6 -> exact discrete-quantile path
+    exact_out = stats.anomaly_robust_z(df, "v", ["g"], auto_threshold=10**6)
+    assert "percentile_approx" not in plan_of(exact_out)
+    flags_a = {(r.g, r.v): r.is_anomaly for r in approx_out.collect()}
+    flags_e = {(r.g, r.v): r.is_anomaly for r in exact_out.collect()}
+    assert flags_a == flags_e
+    assert flags_e[("a", 9000.0)] and flags_e[("b", -7000.0)]
+    assert sum(flags_e.values()) == 2
+
+
 # -- bloom semi-join --------------------------------------------------------
 
 

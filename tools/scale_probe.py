@@ -459,10 +459,18 @@ def main() -> None:
         "sessionize_batch": lambda ev: sessions.session_stats(
             ev, "user_id", "ts", 1800, tiebreak_col="event_id"
         ),
+        # DEFAULT path (approximate="auto" since r9): exact below 100k
+        # avg rows/group, sketch above — the curve a naive caller gets
         "anomaly_robust_z": lambda ev: __import__(
             "shc_spark.operators.stats", fromlist=["stats"]
         ).anomaly_robust_z(
             ev.select("event_id", "event_type", "value"), "value", ["event_type"]
+        ),
+        "anomaly_robust_z_exact": lambda ev: __import__(
+            "shc_spark.operators.stats", fromlist=["stats"]
+        ).anomaly_robust_z(
+            ev.select("event_id", "event_type", "value"), "value", ["event_type"],
+            approximate=False,
         ),
         # the 100 TB path: approx_percentile median/MAD — one
         # map-side-combined aggregate per stat, no per-group sort

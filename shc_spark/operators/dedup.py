@@ -1494,6 +1494,85 @@ def dedup_index_pairs(
     )
 
 
+def dedup_index_pairs_batch(
+    spark,
+    path: str,
+    increments: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs for a BATCH of increments against the persisted
+    index in ONE pruned pass (VERDICT r8 #7 — the micro-batch serving
+    shape): ``increments`` maps increment_id -> DataFrame, the union
+    gets ONE feature pass, the corpus-side banded scan is pruned to the
+    union of all increments' buckets and read once, and exact
+    verification prunes the same way. Output: (increment_id, id_a,
+    id_b, jaccard) — per increment IDENTICAL to a
+    :func:`dedup_index_pairs` call on it alone (candidates and
+    verification are per-pair, so batching is semantically invisible;
+    the gate pins this). N increments cost one index read of their
+    combined buckets, not N round-trips of fixed job overhead.
+
+    Increments are independent documents: the composite (increment_id,
+    doc id) key rides the feature pass as a struct, so the same doc id
+    may appear in several increments (even with different text)
+    without conflation. Same deferred one-query cache lifecycle as the
+    single-increment path."""
+    import os
+    from functools import reduce
+
+    while _INDEX_QUERY_CACHES:
+        _INDEX_QUERY_CACHES.pop().unpersist()
+    if not increments:
+        raise ValueError("increments must map increment_id -> DataFrame")
+    m = read_dedup_index_meta(spark, path)
+    nb = m["num_buckets"]
+    parts = [
+        df.select(
+            F.struct(
+                F.lit(str(inc_id)).alias("inc"), F.col(id_col).alias("id")
+            ).alias("__key"),
+            F.col(text_col).alias("__text"),
+        )
+        for inc_id, df in increments.items()
+    ]
+    un = reduce(lambda a, b: a.unionByName(b), parts)
+    inc = _doc_lsh_features(
+        _widen(un), "__text", "__key", m["n"], m["num_perm"], m["bands"]
+    ).cache()
+    inc.count()
+    cand = _index_candidates(spark, path, inc, nb).cache()
+    _INDEX_QUERY_CACHES.extend([inc, cand])
+    fbkts = [
+        r["fbkt"]
+        for r in cand.select(
+            F.pmod(F.xxhash64(F.col("id_b")), F.lit(nb)).cast("int").alias("fbkt")
+        )
+        .distinct()
+        .collect()
+    ]
+    feats = _index_relation(spark, path, "features").filter(
+        F.col("fbkt").isin(fbkts) if fbkts else F.lit(False)
+    )
+    ha = inc.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = feats.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cand.join(hb, "id_b")
+        .join(F.broadcast(ha), "id_a")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a.inc").alias("increment_id"),
+            F.col("id_a.id").alias("id_a"),
+            "id_b",
+            "jaccard",
+        )
+    )
+
+
 def minor_compact_dedup_index(spark, path: str, threshold: int = 2) -> str:
     """MINOR compaction: fold only the bucket partitions fragmented by
     appends (>= threshold files) back to one file each — cold buckets

@@ -2721,6 +2721,42 @@ def test_ivf_index_compaction(spark):
     )
 
 
+def test_dedup_index_batch_equals_per_call(spark):
+    """VERDICT r8 #7: N increments answered in one pruned pass must be
+    per-increment IDENTICAL to N separate dedup_index_pairs calls —
+    including when the SAME doc id appears in two increments with
+    different text (the composite struct key prevents conflation)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    path = _dedup_index(spark, "batch", corpus)
+    incs = {f"i{r}": docs.filter(F.col("doc_id") % 6 == r) for r in (1, 3, 5)}
+    got = {}
+    for r in dedup.dedup_index_pairs_batch(spark, path, incs).collect():
+        got.setdefault(r["increment_id"], set()).add(
+            (r["id_a"], r["id_b"], r["jaccard"])
+        )
+    for name, inc in incs.items():
+        want = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.dedup_index_pairs(spark, path, inc).collect()
+        }
+        assert got.get(name, set()) == want, name
+    # same id in two increments, different text: one matches the
+    # corpus doc it duplicates, the other (scrambled) must not
+    dup = corpus.limit(1).collect()[0]
+    a = spark.createDataFrame([(dup["doc_id"], dup["text"])], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(dup["doc_id"], " ".join(sorted(set(dup["text"].split(" ")))[:3]))],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_index_pairs_batch(spark, path, {"x": a, "y": b}).collect()
+    by_inc = {}
+    for r in out:
+        by_inc.setdefault(r["increment_id"], []).append(r)
+    assert any(r["id_b"] == dup["doc_id"] and r["jaccard"] == 1.0 for r in by_inc.get("x", []))
+    assert not by_inc.get("y")
+
+
 def test_compaction_preserves_concurrent_tombstone(spark, monkeypatch):
     """ADVICE r7: a tombstone appended by ANOTHER process while a
     compaction runs must survive it (keep masking), not be silently

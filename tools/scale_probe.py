@@ -326,6 +326,9 @@ def main() -> None:
         # prune most of the 1024 bucket dirs, so the wall tracks the
         # increment, not the corpus
         "dedup_index_query": lambda d, e: _dedup_index_probe(d),
+        # r9 (VERDICT r8 #7): 8 increments in ONE pruned pass — divide
+        # this wall by 8 for the per-increment steady-state figure
+        "dedup_index_batch8": lambda d, e: _dedup_index_batch_probe(d),
         # r8 (VERDICT r7 #7): same serving queries AFTER the full
         # append+delete+compact lifecycle — fragmented-then-compacted
         # walls must match the fresh-build rows above
@@ -410,6 +413,28 @@ def main() -> None:
             _didx_built.add(path)
         inc = d.filter(F.col("doc_id") < 8)
         return dedup.dedup_index_pairs(spark, path, inc)
+
+    def _dedup_index_batch_probe(d):
+        # the micro-batch serving shape (r9): EIGHT increments in one
+        # pruned pass over the same index as dedup_index_query — the
+        # per-increment wall is this row's wall / 8, to compare against
+        # the single-call row (fixed job overhead amortizes across the
+        # batch)
+        mx = d.agg(F.max("doc_id")).collect()[0][0]
+        path = os.path.join(
+            _tempfile.gettempdir(),
+            f"shc_didx_probe_{_hashlib.md5(str(mx).encode()).hexdigest()[:8]}",
+        )
+        if path not in _didx_built:
+            dedup.build_dedup_index(
+                d, path, num_perm=32, bands=16, n=3, num_buckets=1024
+            )
+            _didx_built.add(path)
+        incs = {
+            f"i{r}": d.filter(F.col("doc_id") % 8 == r).filter(F.col("doc_id") < 64)
+            for r in range(8)
+        }
+        return dedup.dedup_index_pairs_batch(spark, path, incs)
 
     _tidx_built: set = set()
 

@@ -570,6 +570,167 @@ def encode_record_batch(plans, pdf, struct_fields):
     return joined
 
 
+def record_decode_plan(schema, struct_fields):
+    """Like :func:`record_encode_plan` but for the READ side, which
+    must parse whatever branch index the writer recorded: a union
+    whose non-null branches parse DIFFERENTLY (float vs double widths,
+    string vs bytes vs numerics) would need per-row branch dispatch,
+    so only single-branch unions and the parse-identical {int, long}
+    pair take the vector path."""
+    plans = record_encode_plan(schema, struct_fields)
+    if plans is None:
+        return None
+    for af in schema["fields"]:
+        s = af["type"]
+        if isinstance(s, list):
+            non_null = [b for b in s if b != "null"]
+            if len(non_null) > 1 and set(non_null) != {"int", "long"}:
+                return None
+    return plans
+
+
+# -- vectorized batch DECODE (the read-side twin) ---------------------------
+#
+# Same contract as the encode path: flat primitive records parse
+# whole-batch with numpy — varints via a masked accumulate loop (max
+# 10 iterations regardless of batch size), fixed-width floats/bools
+# via strided gathers, strings/bytes via one repeat-based gather into
+# a single output buffer — per-row _decode stays the fallback and the
+# bit-exactness oracle.
+
+
+def _parse_varints(flat, pos):
+    """Parse one zigzag varint per row starting at ``pos`` (int64
+    positions into ``flat`` uint8). Returns (int64 values, positions
+    after the varint)."""
+    import numpy as np
+
+    n = len(pos)
+    acc = np.zeros(n, dtype=np.uint64)
+    shift = np.zeros(n, dtype=np.uint64)
+    cur = pos.astype(np.int64).copy()
+    active = np.ones(n, dtype=bool)
+    while active.any():
+        idx = np.flatnonzero(active)
+        b = flat[cur[idx]].astype(np.uint64)
+        acc[idx] |= (b & np.uint64(0x7F)) << shift[idx]
+        cur[idx] += 1
+        shift[idx] += np.uint64(7)
+        active[idx] = (b & np.uint64(0x80)) != 0
+    val = ((acc >> np.uint64(1)).astype(np.int64)) ^ -(
+        (acc & np.uint64(1)).astype(np.int64)
+    )
+    return val, cur
+
+
+def _gather_slices(flat, starts, lens):
+    """Vectorized extraction of per-row [start, start+len) slices into
+    one contiguous buffer + offsets (a large_binary's internals)."""
+    import numpy as np
+
+    lens = lens.astype(np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8), offsets
+    within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+    src = np.repeat(starts.astype(np.int64), lens) + within
+    return flat[src], offsets
+
+
+def decode_record_batch(plans, blobs, struct_fields):
+    """Whole-batch decode of Avro-binary record cells under a
+    record_encode_plan: ``blobs`` is a pandas Series of bytes (None =
+    null cell -> all-null row). Returns a pandas DataFrame with one
+    column per struct field."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    n = len(blobs)
+    null_cell = np.array([b is None for b in blobs], dtype=bool)
+    chunks = [b if b is not None else b"" for b in blobs]
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.array([len(c) for c in chunks], dtype=np.int64), out=starts[1:])
+    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    pos = starts[:-1].copy()
+    live = ~null_cell  # only real cells advance their cursor
+    out: dict = {}
+    for (avro_t, prefixes), sf in zip(plans, struct_fields):
+        nulls = null_cell.copy()
+        if prefixes is not None:
+            null_prefix, _branch_prefix = prefixes
+            idx, pos_live = _parse_varints(flat, pos[live])
+            pos[live] = pos_live
+            if null_prefix is not None:
+                # branch index == the null branch -> null value
+                import io as _io
+
+                nb = _io.BytesIO(null_prefix)
+                null_idx = _read_long(nb)
+                is_null = np.zeros(n, dtype=bool)
+                is_null[np.flatnonzero(live)] = idx == null_idx
+                nulls |= is_null
+        decode_rows = live & ~nulls
+        d_idx = np.flatnonzero(decode_rows)
+        if avro_t in ("int", "long"):
+            vals, pos_d = _parse_varints(flat, pos[d_idx])
+            pos[d_idx] = pos_d
+            full = np.zeros(n, dtype=np.int64)
+            full[d_idx] = vals
+            arr = pa.array(full, mask=~decode_rows, type=pa.int64())
+            # width follows the SPARK field type, not the avro branch:
+            # widened [int, long] unions carry an "int" branch label
+            # but surface as LongType
+            if isinstance(sf.dataType, (T.ByteType, T.ShortType, T.IntegerType)):
+                arr = arr.cast(pa.int32())
+            out[sf.name] = arr
+        elif avro_t in ("float", "double", "boolean"):
+            w = {"float": 4, "double": 8, "boolean": 1}[avro_t]
+            gathered = flat[
+                pos[d_idx][:, None] + np.arange(w, dtype=np.int64)[None, :]
+            ].reshape(len(d_idx), w) if len(d_idx) else np.zeros((0, w), np.uint8)
+            pos[d_idx] += w
+            if avro_t == "boolean":
+                vals = gathered[:, 0] != 0
+                full = np.zeros(n, dtype=bool)
+            else:
+                dt = np.dtype("<f4" if avro_t == "float" else "<f8")
+                vals = np.ascontiguousarray(gathered).view(dt).reshape(len(d_idx))
+                full = np.zeros(n, dtype=dt)
+            full[d_idx] = vals
+            out[sf.name] = pa.array(full, mask=~decode_rows)
+        elif avro_t in ("string", "bytes"):
+            lens, pos_d = _parse_varints(flat, pos[d_idx])
+            buf, offs = _gather_slices(flat, pos_d, lens)
+            pos[d_idx] = pos_d + lens
+            # scatter the d_idx-compact binary array back to n rows
+            compact = _large_binary(buf, offs)
+            if avro_t == "string":
+                compact = compact.cast(pa.large_utf8())
+            take_idx = np.full(n, -1, dtype=np.int64)
+            take_idx[d_idx] = np.arange(len(d_idx))
+            out[sf.name] = compact.take(
+                pa.array(np.where(take_idx < 0, None, take_idx), type=pa.int64())
+            )
+        else:  # pragma: no cover - plan filters these out
+            raise ValueError(f"not vectorizable: {avro_t!r}")
+    # nullable pandas dtypes keep int64 EXACT through the UDF return
+    # bridge (plain to_pandas would widen int-with-nulls to float64)
+    mapper = {
+        pa.int64(): pd.Int64Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.bool_(): pd.BooleanDtype(),
+        # floats too: a masked null must reach Spark as NULL, not NaN
+        pa.float32(): pd.Float32Dtype(),
+        pa.float64(): pd.Float64Dtype(),
+    }.get
+    return pd.DataFrame(
+        {name: arr.to_pandas(types_mapper=mapper) for name, arr in out.items()}
+    )
+
+
 class AvroType(Coder):
     """Cell coder: serialize/deserialize one Avro value per cell
     (AvroSerde, Avro.scala:401-426). ``dt`` is ignored; the schema

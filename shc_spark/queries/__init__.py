@@ -47,52 +47,45 @@ def _with_utc(fn):
 _MODULES = (connector, pipeline, streaming_q, relational)
 
 _WINDOW = [
-    # r08 rotation (VERDICT r7 #1): the 21 gates with NO driver-green
-    # row anywhere in the r01-r07 union — the 15 verdict-converted
-    # approximate/verdict gates plus the 6 r07-new gates (both serving
-    # indexes, keep-best, semantic/stream decontamination) — take the
-    # first-time slots, joined by the 4 r8-NEW gates (BM25 inverted
-    # index + the three streaming-ingest gates). sim_topk_lsh/ivf and
-    # q_approx_distinct/q_sample additionally erase their stale
-    # r01/r02 `err: no_oracle` rows, the only red cells left in the
-    # driver union. The remaining 22 slots refresh the OLDEST evidence
-    # on the board: r01-green relational gates not re-driven since
-    # round 1.
-    # r09 rotation TODO: the four r8 gates added AFTER this window
-    # filled (sim_topk_ivf_index_sq8, sim_hybrid_index_rrf,
-    # sim_hybrid_index_batch, text_index_batch) have local-green rows
-    # but no driver row — they are the next window's first-timers,
-    # together with whatever r9 adds; the r01 refreshes dropped for
-    # them (q_range_join, q_unpivot, q_window_ranks,
-    # q_window_running_sum) still hold r01-green rows.
-    # Canaries (one per major family, all r07-green):
+    # r09 rotation (VERDICT r8 #1): first-time slots go to the ONLY
+    # registry gates without a driver row anywhere in the r01-r08
+    # union — the 4 r8 serving gates added after the r8 window filled
+    # (sim_topk_ivf_index_sq8, sim_hybrid_index_rrf,
+    # sim_hybrid_index_batch, text_index_batch) — plus the 2 r9-NEW
+    # gates (sim_topk_ivf_index_pq: PQ storage tier; dedup_index_batch:
+    # batched dedup-index serving). Behavior-touched-this-round gates
+    # re-drive: shc_avro_cells (vectorized encode), q_anomaly_events
+    # (approximate="auto" default), dedup_clusters_star (eager label
+    # materialization). The remaining slots refresh the OLDEST
+    # evidence on the board: ALL r1 (7), r2 (22) and r3 (6) last-green
+    # gates, plus the three oldest r4 rows.
+    # Canaries (one per major family, all r08-green):
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
-    # similarity — first driver rows (stale err rows erased):
-    "sim_topk_lsh", "sim_topk_ivf", "sim_topk_sq8", "sim_topk_pq",
-    "sim_topk_ivf_pq", "sim_topk_ivf_index", "sim_topk_ivf_append",
-    "sim_decontaminate_semantic",
-    # dedup — first driver rows:
-    "dedup_semantic", "dedup_simhash", "dedup_keep_best",
-    "dedup_index_query",
-    # text/mm/embed — first driver rows (text_index_search is r8-new:
-    # the persisted BM25 inverted index):
-    "text_bpe_tokens", "text_quality_classifier", "text_compression_ratio",
-    "text_index_search", "mm_audio_spectrogram", "mm_frame_sample",
-    "embed_pca",
-    # relational/streaming — first driver rows (stale err rows erased;
-    # stream_index_ingest / stream_ivf_ingest are r8-new: foreachBatch
-    # ingestion into the persisted dedup / IVF serving indexes):
-    "q_approx_distinct", "q_sample", "stream_decontaminate",
-    "stream_index_ingest", "stream_ivf_ingest", "stream_text_ingest",
-    # r01-green refresh (oldest evidence; TPC-H analogs first):
-    "q02_filter_scan", "q04_priority_semi_join", "q06_forecast_revenue",
-    "q07_nation_trade", "q09_product_profit", "q12_priority_mix",
-    "q14_promo_share", "q18_large_orders", "q19_disjunctive_filter",
-    "q22_idle_rich_customers",
-    "q_agg_stats", "q_anti_join_customers", "q_array_functions",
-    "q_asof_join_cogroup", "q_conditional_null_semantics", "q_cube",
-    "q_distinct_pairs", "q_filter_in_notin", "q_filter_string_zoo",
-    "q_grouped_regression", "q_grouping_sets", "q_part_brand_volume",
+    # never-driven r8 serving gates — first driver rows:
+    "sim_topk_ivf_index_sq8", "sim_hybrid_index_rrf",
+    "sim_hybrid_index_batch", "text_index_batch",
+    # r9-new — first driver rows:
+    "sim_topk_ivf_index_pq", "dedup_index_batch",
+    # behavior touched in r9 — fresh rows on the changed paths:
+    "shc_avro_cells", "q_anomaly_events", "dedup_clusters_star",
+    # r1-green refresh (oldest evidence on the board):
+    "q_left_join_order_counts", "q_range_join", "q_sql_tempview_agg",
+    "q_unpivot", "q_window_first_last", "q_window_ranks",
+    "q_window_running_sum",
+    # r2-green refresh:
+    "dedup_clusters", "dedup_near_corpus", "mm_audio_features",
+    "mm_image_decode", "mm_image_features", "mm_video_frames",
+    "shc_sql_over_view", "shc_time_travel", "sim_hybrid_rrf",
+    "stream_dedup", "stream_merge_latest", "stream_sliding_window",
+    "text_bm25_search", "text_boilerplate", "text_decontaminate",
+    "text_deterministic_sample", "text_fingerprint", "text_langid",
+    "text_pii_scan", "text_repetition", "text_stratified_sample",
+    "text_token_stats",
+    # r3-green refresh:
+    "dedup_exact", "q_zorder_values", "shc_compaction",
+    "shc_restrictive", "stream_tumbling_window", "text_quality_scores",
+    # r4-green refresh (oldest remaining):
+    "cluster_assign", "dq_validate_orders", "q03_top_revenue_orders",
 ]
 
 

@@ -229,14 +229,25 @@ def _deep_nullable(dt: T.DataType) -> T.DataType:
 
 def _avro_decode_udf(field):
     """Avro binary cell -> struct value (AvroSerde.deserialize,
-    types/Avro.scala:416-426)."""
-    from shc_spark.coders.avro import AvroType
+    types/Avro.scala:416-426). Flat primitive records decode
+    WHOLE-BATCH (coders/avro.py:decode_record_batch — numpy varint
+    parse + strided/repeat gathers), pinned bit-equal to the per-row
+    coder; nested shapes and mixed-parse unions fall back per row."""
+    from shc_spark.coders.avro import (
+        AvroType,
+        decode_record_batch,
+        record_decode_plan,
+    )
 
     coder = AvroType(field.avro_schema)
-    names = [sf.name for sf in field.dt.fields]
+    struct_fields = list(field.dt.fields)
+    names = [sf.name for sf in struct_fields]
+    plans = record_decode_plan(coder.schema, struct_fields)
 
     @F.pandas_udf(_deep_nullable(field.dt))
     def dec(blobs: pd.Series) -> pd.DataFrame:
+        if plans is not None:
+            return decode_record_batch(plans, blobs, struct_fields)
         rows = []
         for b in blobs:
             if b is None:

@@ -221,3 +221,76 @@ def test_avro_flat_roundtrip_through_source(spark, tmp_path):
                 assert got_x is not None and math.isclose(got_x, want_x, rel_tol=1e-6)
             else:
                 assert got_x == want_x, (k, name, want_x, got_x)
+
+
+def test_avro_batch_decode_matches_per_row(spark):
+    """Read-side twin of the encode property test: the vectorized
+    whole-batch decoder must reproduce the per-row pure-python decode
+    exactly on every vectorizable shape, including null cells and
+    per-field nulls."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        decode_record_batch,
+        record_decode_plan,
+    )
+    from shc_spark.sources.api import _coerce
+
+    coder = AvroType(FLAT_AVRO)
+    struct_fields = list(T._parse_datatype_string(FLAT_SPARK).fields)
+    plans = record_decode_plan(coder.schema, struct_fields)
+    assert plans is not None
+    rows = _flat_rows()
+    # cells produced by the per-row reference encoder
+    blobs = []
+    for r in rows:
+        if all(v is None for v in r):
+            blobs.append(None)
+        else:
+            blobs.append(
+                coder.to_bytes(
+                    tuple(_coerce(v, sf.dataType) for v, sf in zip(r, struct_fields))
+                )
+            )
+    got = decode_record_batch(plans, pd.Series(blobs, dtype=object), struct_fields)
+    for i, b in enumerate(blobs):
+        want = (
+            (None,) * len(struct_fields) if b is None else coder.from_bytes(b)
+        )
+        for j, sf in enumerate(struct_fields):
+            g = got[sf.name].iloc[i]
+            g = None if (g is pd.NA or (not isinstance(g, (bytes, str)) and pd.isna(g))) else g
+            w = want[j]
+            if isinstance(w, float) and w is not None and g is not None:
+                assert float(g) == w, (i, sf.name, g, w)
+            else:
+                assert (g == w) or (g is None and w is None), (i, sf.name, g, w)
+
+
+def test_avro_mixed_parse_union_declines_vector_decode(spark):
+    """A [float, double] union needs per-row branch dispatch on read —
+    the decode plan must decline it (the encode plan may still
+    vectorize: it always writes one branch)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        record_decode_plan,
+        record_encode_plan,
+    )
+
+    sch = _json.dumps(
+        {
+            "type": "record",
+            "name": "w",
+            "fields": [{"name": "x", "type": ["float", "double"]}],
+        }
+    )
+    fields = list(T._parse_datatype_string("x double").fields)
+    coder = AvroType(sch)
+    assert record_encode_plan(coder.schema, fields) is not None
+    assert record_decode_plan(coder.schema, fields) is None

@@ -76,6 +76,11 @@ HEADLINE = [
     # round-8 addition: persisted BM25 inverted index (build cached
     # under /tmp across reps; min-of-N reports the pruned query wall)
     "text_index_search",
+    # round-9 additions: batched dedup-index serving (3 increments in
+    # ONE pruned pass — compare against 3x dedup_index_query) and the
+    # PQ storage tier (ADC search + refine verdict vs the float index)
+    "dedup_index_batch",
+    "sim_topk_ivf_index_pq",
 ]
 
 

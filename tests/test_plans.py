@@ -357,3 +357,64 @@ def test_text_index_batch_plan(spark):
     assert "dynamicpruning" in plan.lower(), plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_ivf_index_pq_partition_pruned(spark):
+    """PQ-storage index search keeps the same pruning contract as the
+    float index: PartitionFilters on cid, and with rerank_with the
+    refine join must be a broadcast hash join (survivor set is nq*R*k
+    rows), never a nested loop over the corpus."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    key = hashlib.md5((SF + "pq").encode()).hexdigest()[:8]
+    path = os.path.join("/tmp", f"shc_ivf_index_pq_{key}")
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        similarity.build_ivf_index(
+            emb, path, "embedding", "vec_id", dim=64, storage="pq",
+            pq_m=16, pq_codes=256,
+        )
+    q = emb.filter(F.col("vec_id") < 2)
+    df = similarity.ivf_index_topk(spark, path, q, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
+    assert "PartitionFilters: [cid" in norm, plan
+    rr = similarity.ivf_index_topk(
+        spark, path, q, k=5, nprobe=2, rerank_with=emb, rerank_factor=10
+    )
+    rplan = rr._jdf.queryExecution().executedPlan().toString()
+    rnorm = rplan.replace("PartitionFilters: [ ", "PartitionFilters: [")
+    assert "PartitionFilters: [cid" in rnorm, rplan
+    assert "BroadcastNestedLoopJoin" not in rplan, rplan
+
+
+def test_dedup_index_batch_plan(spark):
+    """Batched dedup-index serving keeps the single-call contract on
+    the UNION of increments: pruned features scan (PartitionFilters on
+    fbkt), broadcast hash joins, no nested loop."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import dedup
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    key = hashlib.md5(SF.encode()).hexdigest()[:8]
+    path = os.path.join("/tmp", f"shc_dedup_index_{key}")
+    if not os.path.exists(os.path.join(path, "banded", "_SUCCESS")):
+        dedup.build_dedup_index(
+            docs.filter(F.col("doc_id") % 2 == 0), path, num_perm=64, bands=32, n=3
+        )
+    incs = {f"i{r}": docs.filter(F.col("doc_id") % 6 == r) for r in (1, 3)}
+    df = dedup.dedup_index_pairs_batch(spark, path, incs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
+    assert "PartitionFilters: [fbkt" in norm, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

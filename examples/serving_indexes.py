@@ -149,6 +149,31 @@ def main(spark, root=None):
     assert len(fused) == 5
     print("hybrid rrf (text index + ivf index):",
           [(r["doc_id"], r["rrf"]) for r in fused[:3]])
+
+    # -- 6. batched serving: N increments, ONE pruned pass -------------
+    incs = {
+        "crawl_mon": docs.filter(F.col("doc_id") % 4 == 1),
+        "crawl_tue": docs.filter(F.col("doc_id") % 4 == 3),
+    }
+    batched = dedup.dedup_index_pairs_batch(spark, dpath, incs).collect()
+    per_call = {
+        name: {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.dedup_index_pairs(spark, dpath, df).collect()
+        }
+        for name, df in incs.items()
+    }
+    for name in incs:
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in batched
+            if r["increment_id"] == name
+        }
+        assert got == per_call[name], name
+    print(
+        f"batched dedup serving: {len(batched)} pairs across "
+        f"{len(incs)} increments in one pruned pass == per-call results"
+    )
     print("serving_indexes example OK")
 
 

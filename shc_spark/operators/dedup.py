@@ -1467,7 +1467,10 @@ def dedup_index_pairs(
     inc = _doc_lsh_features(
         _widen(increment), text_col, id_col, m["n"], m["num_perm"], m["bands"]
     ).cache()
-    inc.count()
+    # no explicit materialize: the bucket collect inside
+    # _index_candidates is the cache's first evaluation and fills it —
+    # a count() here would spend one whole extra Spark job (fixed
+    # scheduler overhead is the serving wall's dominant term)
     cand = _index_candidates(spark, path, inc, nb).cache()
     _INDEX_QUERY_CACHES.extend([inc, cand])
     fbkts = [
@@ -1541,7 +1544,8 @@ def dedup_index_pairs_batch(
     inc = _doc_lsh_features(
         _widen(un), "__text", "__key", m["n"], m["num_perm"], m["bands"]
     ).cache()
-    inc.count()
+    # cache fills on the bucket collect's first evaluation (see
+    # dedup_index_pairs) — no explicit materialize job
     cand = _index_candidates(spark, path, inc, nb).cache()
     _INDEX_QUERY_CACHES.extend([inc, cand])
     fbkts = [

@@ -492,18 +492,39 @@ def _simhash_blocks(col):
     )
 
 
-def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, n: int = 3
+def fingerprint_near_dups(
+    sigs: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs with hamming(simhash) <= max_hamming via the pigeonhole
-    block join: split 64 bits into 4 16-bit blocks; any pair within
-    distance 3 agrees exactly on >= 1 block -> equi-join per block."""
-    sigs = simhash64(df, text_col, id_col, n).cache()
-    blocks = sigs.select(
-        "id",
-        "simhash",
-        F.posexplode(_simhash_blocks(F.col("simhash"))).alias("blk", "bval"),
+    """Near-dup pairs (id_a < id_b, hamming <= max_hamming) over ANY
+    precomputed 64-bit fingerprint column — perceptual image dHash
+    (multimodal.perceptual_dhash), text SimHash (simhash64), audio
+    fingerprints — via the pigeonhole block join: 64 bits split into
+    ``max_hamming + 1`` blocks guarantees any pair within distance
+    max_hamming agrees EXACTLY on at least one block, so candidates
+    come from per-block equi-joins (bucketed; never all-pairs) and
+    one codegen'd popcount verifies them. The scale shape image dedup
+    needs at 100 TB: payloads were already reduced to 8-byte hashes
+    map-only, and only hash pairs sharing a block ever meet."""
+    nblocks = max_hamming + 1
+    if nblocks > 64:
+        raise ValueError("max_hamming > 63 is meaningless for 64-bit fingerprints")
+    w = 64 // nblocks
+    widths = [w + (1 if i < 64 % nblocks else 0) for i in range(nblocks)]
+    offs = [sum(widths[:i]) for i in range(nblocks)]
+    # mask, not %: Spark's % keeps the dividend's sign (ADVICE r1)
+    blocks_expr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("fp"), offs[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+            for i in range(nblocks)
+        ]
     )
+    base = sigs.select(F.col(id_col).alias("id"), F.col(hash_col).alias("fp"))
+    blocks = base.select("id", "fp", F.posexplode(blocks_expr).alias("blk", "bval"))
     a = blocks.alias("a")
     b = blocks.alias("b")
     cand = (
@@ -516,15 +537,26 @@ def simhash_near_dups(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
         )
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, n: int = 3
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming via the pigeonhole
+    block join (see :func:`fingerprint_near_dups` — this is its
+    text-keyed composition with simhash64)."""
+    return fingerprint_near_dups(
+        simhash64(df, text_col, id_col, n), "simhash", "id", max_hamming
     )
 
 

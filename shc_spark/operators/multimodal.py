@@ -312,8 +312,8 @@ def perceptual_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
     set bit r*grid+c iff thumb[r, c+1] > thumb[r, c], pack the
     grid*grid bits into a signed 64-bit long (grid <= 8). Visually
     identical images (recompression, mild rescaling) hash equal or
-    within a few bits — pair them with the same pigeonhole block
-    machinery as SimHash (``dedup._simhash_blocks``).
+    within a few bits — pair them with
+    ``dedup.fingerprint_near_dups`` (pigeonhole block join).
 
     Map-only mapInPandas stage: payloads never shuffle; the 8-byte
     hashes are what any downstream join touches. Output:

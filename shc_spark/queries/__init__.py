@@ -65,7 +65,7 @@ _WINDOW = [
     "sim_topk_ivf_index_sq8", "sim_hybrid_index_rrf",
     "sim_hybrid_index_batch", "text_index_batch",
     # r9-new — first driver rows:
-    "sim_topk_ivf_index_pq", "dedup_index_batch",
+    "sim_topk_ivf_index_pq", "dedup_index_batch", "mm_dhash_near_dup",
     # behavior touched in r9 — fresh rows on the changed paths:
     "shc_avro_cells", "q_anomaly_events", "dedup_clusters_star",
     # r1-green refresh (oldest evidence on the board):
@@ -85,7 +85,7 @@ _WINDOW = [
     "dedup_exact", "q_zorder_values", "shc_compaction",
     "shc_restrictive", "stream_tumbling_window", "text_quality_scores",
     # r4-green refresh (oldest remaining):
-    "cluster_assign", "dq_validate_orders", "q03_top_revenue_orders",
+    "cluster_assign", "dq_validate_orders",
 ]
 
 

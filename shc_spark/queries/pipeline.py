@@ -2164,6 +2164,89 @@ def _dhash_oracle() -> str:
     """
 
 
+def _dhash_pairs_oracle() -> str:
+    """Image near-dup pairs oracle: recompute the dHash of every doc's
+    8x9 raster AND of its planted twin (pixel 72 forced to 255), then
+    brute-force all pairs with hamming <= 3 via xor + bit_count — the
+    exact answer the pigeonhole block join must reproduce."""
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            a = r * 9 + c + 1
+            terms.append(
+                f"(CASE WHEN p[{a + 1}] > p[{a}] THEN CAST({1 << (r * 8 + c)} AS HUGEINT)"
+                " ELSE CAST(0 AS HUGEINT) END)"
+            )
+    bits = " + ".join(terms)
+    return f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 72), i ->
+               CASE WHEN i <= length(text)
+                    THEN unicode(substr(text, CAST(i AS INT), 1)) % 256
+                    ELSE 32 END) AS p0
+      FROM documents),
+    both_rasters AS (
+      SELECT doc_id AS id, p0 AS p FROM px
+      UNION ALL
+      SELECT doc_id + 1000000 AS id,
+             list_transform(generate_series(1, 72), i ->
+               CASE WHEN i = 72 THEN 255 ELSE p0[i] END) AS p
+      FROM px),
+    s AS (SELECT id, {bits} AS v FROM both_rasters),
+    h AS (SELECT id,
+           CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN v - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE v END AS BIGINT) AS fp
+          FROM s)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.id < b.id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """
+
+
+# Image NEAR-DUPLICATE detection at scale (r9): perceptual dHash of
+# every image (map-only; payloads reduced to 8-byte hashes) paired by
+# the generic pigeonhole block join (dedup.fingerprint_near_dups —
+# bucketed, never all-pairs). Planted twins (one pixel forced) sit
+# within hamming 1 of their originals; the oracle recomputes every
+# hash from the text and brute-forces all pairs — value-exact.
+@register("mm_dhash_near_dup", None)  # SQL attached below (generator-built)
+def mm_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    def png_udf(mutate_last: bool):
+        @F.pandas_udf("binary")
+        def png(texts: pd.Series) -> pd.Series:
+            from shc_spark.operators.codecs import encode_png
+
+            out = []
+            for t in texts:
+                cps = [(ord(t[i]) % 256) if i < len(t) else 32 for i in range(72)]
+                if mutate_last:
+                    cps[71] = 255
+                out.append(encode_png(np.array(cps, dtype=np.uint8).reshape(8, 9)))
+            return pd.Series(out)
+
+        return png
+
+    orig = docs.withColumn("payload", png_udf(False)("text")).select(
+        "doc_id", "payload"
+    )
+    twin = docs.withColumn("payload", png_udf(True)("text")).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "payload"
+    )
+    media = multimodal.make_media_df(
+        orig.unionByName(twin), "doc_id", "payload", "image/png"
+    )
+    sigs = multimodal.perceptual_dhash(media, grid=8)
+    return dedup.fingerprint_near_dups(sigs, "dhash", "media_id", max_hamming=3)
+
+
+ORACLE["mm_dhash_near_dup"] = _dhash_pairs_oracle()
+
+
 @register("mm_image_dhash", None)  # SQL attached below (generator-built)
 def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

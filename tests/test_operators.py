@@ -3559,3 +3559,37 @@ def test_ivf_and_dedup_index_string_ids(spark):
     dedup.delete_from_dedup_index(spark, p, [victim])
     after = dedup.dedup_index_pairs(spark, p, inc, id_col="sid").collect()
     assert victim not in {r["id_b"] for r in after}
+
+
+def test_fingerprint_near_dups_equals_brute_force(spark):
+    """Pigeonhole block join over ANY 64-bit fingerprint column must
+    equal all-pairs popcount at several distance thresholds (including
+    > 3, where the block width adapts), across the sign boundary."""
+    import itertools
+    import random
+
+    rng = random.Random(5)
+    base = [rng.getrandbits(64) for _ in range(40)]
+    fps = []
+    for i, b in enumerate(base):
+        fps.append(b)
+        if i % 3 == 0:  # planted near-dups at varying distances
+            m = b
+            for bit in rng.sample(range(64), i % 7):
+                m ^= 1 << bit
+            fps.append(m)
+    signed = [v - (1 << 64) if v >= 1 << 63 else v for v in fps]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(signed)], "id long, fp long"
+    )
+    for h in (1, 3, 6):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.fingerprint_near_dups(df, "fp", "id", h).collect()
+        }
+        want = set()
+        for (i, a), (j, b) in itertools.combinations(enumerate(fps), 2):
+            d = bin(a ^ b).count("1")
+            if d <= h:
+                want.add((i, j, d))
+        assert got == want, (h, len(got), len(want))

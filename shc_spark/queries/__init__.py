@@ -51,14 +51,15 @@ _WINDOW = [
     # registry gates without a driver row anywhere in the r01-r08
     # union — the 4 r8 serving gates added after the r8 window filled
     # (sim_topk_ivf_index_sq8, sim_hybrid_index_rrf,
-    # sim_hybrid_index_batch, text_index_batch) — plus the 2 r9-NEW
+    # sim_hybrid_index_batch, text_index_batch) — plus the 3 r9-NEW
     # gates (sim_topk_ivf_index_pq: PQ storage tier; dedup_index_batch:
-    # batched dedup-index serving). Behavior-touched-this-round gates
+    # batched dedup-index serving; mm_dhash_near_dup: image near-dup
+    # via the generic pigeonhole fingerprint join). Behavior-touched-this-round gates
     # re-drive: shc_avro_cells (vectorized encode), q_anomaly_events
     # (approximate="auto" default), dedup_clusters_star (eager label
     # materialization). The remaining slots refresh the OLDEST
     # evidence on the board: ALL r1 (7), r2 (22) and r3 (6) last-green
-    # gates, plus the three oldest r4 rows.
+    # gates, plus the two oldest r4 rows.
     # Canaries (one per major family, all r08-green):
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
     # never-driven r8 serving gates — first driver rows:

@@ -231,6 +231,69 @@ def extract_audio_spectrogram(
     return media.mapInPandas(run, schema)
 
 
+def audio_fingerprint(
+    media: DataFrame,
+    frame_samples: int = 8,
+    hop: int = 2,
+    n_bands: int = 4,
+) -> DataFrame:
+    """64-bit audio fingerprint (Haitsma-Kalker 2002 shape — a public
+    algorithm): the sign of the band-energy DELTA slope, bit
+    ``(f-1)*(n_bands-1) + b`` (frames f >= 1, bands b < n_bands-1,
+    capped at 64 bits) set iff
+
+        E[f, b] - E[f, b+1] - (E[f-1, b] - E[f-1, b+1]) > 0
+
+    over the same Hann-window + rfft + band-fold + log10 front-end as
+    :func:`extract_audio_spectrogram`. Energies are rounded to 6dp
+    BEFORE the sign decision so the bits are engine-neutral (the
+    DuckDB oracle replays the fixed-size DFT term by term). Output:
+    (media_id, afp long) — pair with ``dedup.fingerprint_near_dups``
+    for near-duplicate audio at scale: payloads reduce to 8-byte
+    hashes map-only, pairing is the pigeonhole block join, never
+    all-pairs."""
+    window = np.hanning(frame_samples)
+    schema = "media_id long, afp long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shc_spark.operators.codecs import decode_wav
+
+        for pdf in batches:
+            mids, fps = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = decode_wav(bytes(payload))
+                mono = samples.astype(np.float64).mean(axis=1)
+                if len(mono) < frame_samples:
+                    mono = np.pad(mono, (0, frame_samples - len(mono)))
+                n_frames = 1 + (len(mono) - frame_samples) // hop
+                starts = np.arange(n_frames) * hop
+                frames = mono[starts[:, None] + np.arange(frame_samples)] * window
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                bins = power.shape[1]
+                edges = np.linspace(0, bins, n_bands + 1).astype(int)
+                bands = np.stack(
+                    [power[:, a:b].sum(axis=1) for a, b in zip(edges, edges[1:])],
+                    axis=1,
+                )
+                E = np.round(np.log10(bands + 1.0), 6)  # (F, n_bands)
+                d = E[:, :-1] - E[:, 1:]  # (F, n_bands-1)
+                bits = (d[1:] - d[:-1]) > 0  # (F-1, n_bands-1)
+                flat = bits.reshape(-1)[:64]
+                v = 0
+                for i, b in enumerate(flat):
+                    if b:
+                        v |= 1 << i
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                mids.append(mid)
+                fps.append(v)
+            yield pd.DataFrame(
+                {"media_id": mids, "afp": pd.array(fps, dtype="int64")}
+            )
+
+    return media.mapInPandas(run, schema)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
     """Video frame sampling: one output row per sampled frame
     (media_id, frame_idx, ts_ms, frame_sha256, mean_px). Fan-out

@@ -2164,6 +2164,118 @@ def _dhash_oracle() -> str:
     """
 
 
+def _afp_pairs_oracle() -> str:
+    """Audio near-dup pairs oracle: replay the whole fingerprint chain
+    in SQL — int16 quantize, Hann window, 8-point DFT term by term,
+    band fold ([0,1,2,3,5] edges over 5 bins), 6dp-rounded log
+    energies, delta-slope sign bits packed to 64 — for every synth WAV
+    AND its planted twin (sample 6 forced), then brute-force all pairs
+    with hamming <= 10 via xor + bit_count."""
+    # per-frame band energies from the 8-point DFT (bins k=0..4)
+    powers = ", ".join(
+        f"power(list_sum(list_transform(generate_series(0, 7), n -> "
+        f"fx[n + 1] * cos(2 * pi() * {k} * n / 8))), 2) + "
+        f"power(list_sum(list_transform(generate_series(0, 7), n -> "
+        f"fx[n + 1] * sin(2 * pi() * {k} * n / 8))), 2)"
+        for k in range(5)
+    )
+    # bit (f-1)*3 + b for f = 1..28, capped at index 63: all three
+    # bands through f = 21, band 0 only at f = 22
+    terms = []
+    for f in range(1, 29):
+        for b in range(3):
+            pos = (f - 1) * 3 + b
+            if pos >= 64:
+                continue
+            terms.append(
+                f"(CASE WHEN d.f = {f} AND (d.d{b} - prev.d{b}) > 0 "
+                f"THEN CAST({1 << pos} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+            )
+    bits = " + ".join(terms)
+    return f"""
+    WITH s AS (
+      SELECT vec_id, list_transform(embedding, e ->
+        greatest(-32767.0, least(32767.0, floor(CAST(e AS DOUBLE) * 10000)))) AS x
+      FROM embeddings),
+    dual AS (
+      SELECT vec_id AS id, x FROM s
+      UNION ALL
+      SELECT vec_id + 1000000 AS id,
+             list_transform(generate_series(1, 64), i ->
+               CASE WHEN i = 6 THEN 31999.0 ELSE x[i] END) AS x
+      FROM s),
+    fr AS (SELECT id, x, unnest(generate_series(0, 28)) AS f FROM dual),
+    wf AS (SELECT id, f,
+            list_transform(generate_series(0, 7), n ->
+              (0.5 - 0.5 * cos(2 * pi() * n / 7)) * x[2 * f + n + 1]) AS fx
+           FROM fr),
+    pw AS (SELECT id, f, [{powers}] AS p FROM wf),
+    en AS (SELECT id, f,
+            round(log10(1 + p[1]), 6) AS e0, round(log10(1 + p[2]), 6) AS e1,
+            round(log10(1 + p[3]), 6) AS e2,
+            round(log10(1 + p[4] + p[5]), 6) AS e3
+           FROM pw),
+    d AS (SELECT id, f, e0 - e1 AS d0, e1 - e2 AS d1, e2 - e3 AS d2 FROM en),
+    fpv AS (
+      SELECT d.id, sum({bits}) AS v
+      FROM d JOIN d prev ON d.id = prev.id AND prev.f = d.f - 1
+      WHERE d.f >= 1
+      GROUP BY d.id),
+    h AS (SELECT id,
+           CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN v - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE v END AS BIGINT) AS fp
+          FROM fpv)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.id < b.id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 10
+    """
+
+
+# Audio NEAR-DUPLICATE detection (r9): Haitsma-Kalker delta-slope
+# fingerprint over the real WAV decode + DFT front-end (map-only;
+# payloads reduce to 8-byte hashes), paired by the same pigeonhole
+# block join as text SimHash and image dHash. Planted twins (one PCM
+# sample forced) perturb only the first three frames (<= 9 bits); the
+# oracle replays the ENTIRE chain — 8-point DFT term by term through
+# the packed bits — and brute-forces all pairs, value-exact.
+@register("mm_audio_fingerprint_pairs", None)  # SQL attached (generator-built)
+def mm_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def wav_udf(mutate: bool):
+        @F.pandas_udf("binary")
+        def wav(vecs: pd.Series) -> pd.Series:
+            from shc_spark.operators.codecs import encode_wav
+
+            out = []
+            for v in vecs:
+                x = np.asarray(v, dtype=np.float64)
+                smp = np.clip(np.floor(x * 10000), -32767, 32767).astype(np.int16)
+                if mutate:
+                    smp[5] = 31999
+                out.append(encode_wav(smp, 8000))
+            return pd.Series(out)
+
+        return wav
+
+    orig = emb.withColumn("payload", wav_udf(False)("embedding")).select(
+        "vec_id", "payload"
+    )
+    twin = emb.withColumn("payload", wav_udf(True)("embedding")).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "payload"
+    )
+    media = multimodal.make_media_df(
+        orig.unionByName(twin), "vec_id", "payload", "audio/wav"
+    )
+    sigs = multimodal.audio_fingerprint(media, frame_samples=8, hop=2, n_bands=4)
+    return dedup.fingerprint_near_dups(sigs, "afp", "media_id", max_hamming=10)
+
+
+ORACLE["mm_audio_fingerprint_pairs"] = _afp_pairs_oracle()
+
+
 def _dhash_pairs_oracle() -> str:
     """Image near-dup pairs oracle: recompute the dHash of every doc's
     8x9 raster AND of its planted twin (pixel 72 forced to 255), then

@@ -3593,3 +3593,55 @@ def test_fingerprint_near_dups_equals_brute_force(spark):
             if d <= h:
                 want.add((i, j, d))
         assert got == want, (h, len(got), len(want))
+
+
+def test_audio_fingerprint_matches_numpy_and_pairs(spark):
+    """The 64-bit delta-slope audio fingerprint must equal a direct
+    numpy recomputation, and a one-sample perturbation must stay
+    within the hamming radius the pigeonhole pairing searches (the
+    near-dup property the operator exists for)."""
+    import numpy as np
+
+    from shc_spark.operators import multimodal
+    from shc_spark.operators.codecs import encode_wav
+
+    rng = np.random.default_rng(9)
+    clips = []
+    for i in range(6):
+        smp = (rng.normal(size=64) * 9000).astype(np.int16)
+        clips.append((i, encode_wav(smp, 8000), smp))
+        tw = smp.copy()
+        tw[5] = 31999
+        clips.append((i + 100, encode_wav(tw, 8000), tw))
+    media = multimodal.make_media_df(
+        spark.createDataFrame(
+            [(i, p) for i, p, _ in clips], "media_id long, payload binary"
+        ),
+        "media_id", "payload", "audio/wav",
+    )
+    got = {
+        r["media_id"]: r["afp"]
+        for r in multimodal.audio_fingerprint(
+            media, frame_samples=8, hop=2, n_bands=4
+        ).collect()
+    }
+
+    def ref_fp(smp):
+        mono = smp.astype(np.float64)
+        w = np.hanning(8)
+        starts = np.arange(1 + (64 - 8) // 2) * 2
+        frames = mono[starts[:, None] + np.arange(8)] * w
+        p = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        edges = np.linspace(0, p.shape[1], 5).astype(int)
+        bands = np.stack([p[:, a:b].sum(axis=1) for a, b in zip(edges, edges[1:])], axis=1)
+        E = np.round(np.log10(bands + 1.0), 6)
+        d = E[:, :-1] - E[:, 1:]
+        flat = ((d[1:] - d[:-1]) > 0).reshape(-1)[:64]
+        v = sum(1 << i for i, b in enumerate(flat) if b)
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    for i, _p, smp in clips:
+        assert got[i] == ref_fp(smp), i
+    for i in range(6):
+        h = bin((got[i] ^ got[i + 100]) & ((1 << 64) - 1)).count("1")
+        assert h <= 9, (i, h)  # one early sample touches frames 0-2 only

@@ -38,18 +38,27 @@ def _tbkt(col, nb: int):
     return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
 
 
-# (appId, path) -> meta dict. Meta is immutable after build (a layout
-# change moves the path via the LAYOUT version), so one collect per
-# session suffices instead of one per query.
+# (appId, path) -> (meta-subtree fingerprint, meta dict). The memo
+# saves one collect per query, and the census fingerprint (same
+# staleness guard as idxcache relations) invalidates it whenever the
+# meta subtree changes — covering same-path rebuilds from THIS session
+# (ADVICE r8 medium) and from other processes alike.
 _META: dict = {}
 
 
 def read_text_index_meta(spark, path: str) -> dict:
+    from shc_spark.operators.idxcache import _fingerprint
+
+    mp = os.path.join(path, "meta")
     key = (spark.sparkContext.applicationId, os.path.abspath(path))
-    if key not in _META:
-        row = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
-        _META[key] = {"num_buckets": row["num_buckets"]}
-    return _META[key]
+    fp = _fingerprint(mp)
+    hit = _META.get(key)
+    if hit is not None and fp is not None and hit[0] == fp:
+        return hit[1]
+    row = spark.read.parquet(mp).collect()[0]
+    meta = {"num_buckets": row["num_buckets"]}
+    _META[key] = (fp, meta)
+    return meta
 
 
 def _tokens(corpus: DataFrame, text_col: str, id_col: str):
@@ -109,12 +118,8 @@ def build_text_index(
     spark.createDataFrame(
         [(int(num_buckets),)], "num_buckets int"
     ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
-    # Same-path REBUILD support: meta just changed on disk, so the
-    # session memo must follow — a stale num_buckets would prune the
-    # wrong tbkt partitions and silently return incomplete top-k.
-    _META[(spark.sparkContext.applicationId, os.path.abspath(path))] = {
-        "num_buckets": int(num_buckets)
-    }
+    # (the session meta memo needs no explicit refresh: it is keyed on
+    # the meta subtree's census fingerprint, which this write changed)
     _write_rows(tf, dl, path, num_buckets, mode="overwrite")
     _append_stats(spark, path, row["n"], row["s"] or 0)
     dl.unpersist()

@@ -440,44 +440,79 @@ def minhash_lsh_pairs_between(
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, simhash: long) 64-bit SimHash over n-gram shingles —
-    numpy bit-count accumulation per Arrow batch."""
+    """(id, simhash: long) 64-bit SimHash over distinct n-gram
+    shingles — ONE fused mapInPandas pass (r9): split, shingle, hash
+    (pd.util.hash_array — the same deterministic fixed-key siphash
+    chain _doc_lsh_features uses), per-doc unique, and the chunked
+    numpy bit-vote accumulation, all vectorized per Arrow batch.
 
-    @F.pandas_udf(T.LongType())
-    def sh(hashes: pd.Series) -> pd.Series:
-        # batch-vectorized in bounded chunks: the (shingles, 64) int32
-        # bit expansion is capped at ~_CHUNK shingles per slice so peak
-        # transient memory stays ~64 MB however large the Arrow batch
+    The pre-r9 version built shingle hashes with an interpreted
+    ``transform(sequence(...), xxhash64(element_at(...)))`` column
+    expression — higher-order functions are not codegen'd and
+    re-evaluate the split per element, measured at 28s for 5k docs at
+    sf0.1 (the fused kernel cut the x1 scale-probe wall ~15x). The
+    hash-chain change is contract-safe: SimHash is an approximate
+    fingerprint whose gate is a planted-duplicate verdict, not a
+    pinned bit pattern; docs with < n words keep simhash 0."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, simhash long"
+
+    def gen(batches):
         weights = 1 << np.arange(64, dtype=np.uint64)
         _CHUNK = 1 << 18
-        arrs = [np.asarray(a, dtype=np.int64) for a in hashes]
-        out = np.zeros(len(arrs), dtype=np.int64)
-        flat, offsets, nonempty = _segments(arrs)
-        if flat is not None:
-            ndocs = len(offsets)
-            seg_lens = np.diff(np.append(offsets, len(flat)))
-            vals = np.empty(ndocs, dtype=np.uint64)
-            d0 = 0
-            while d0 < ndocs:
-                d1 = d0 + 1
-                span = seg_lens[d0]
-                while d1 < ndocs and span + seg_lens[d1] <= _CHUNK:
-                    span += seg_lens[d1]
-                    d1 += 1
-                sl = flat[offsets[d0] : offsets[d0] + span]
-                bits = (
-                    (sl[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-                ).astype(np.int32)
-                local = (offsets[d0:d1] - offsets[d0]).astype(np.int64)
-                sums = np.add.reduceat(bits, local, axis=0)  # (docs, 64)
-                votes = 2 * sums - seg_lens[d0:d1, None]
-                vals[d0:d1] = ((votes > 0) * weights).sum(axis=1, dtype=np.uint64)
-                d0 = d1
-            out[nonempty] = vals.view(np.int64)
-        return pd.Series(out)
+        for pdf in batches:
+            texts = pdf["__text"]
+            out = np.zeros(len(texts), dtype=np.int64)
+            grams: list = []
+            lens = []
+            keep = []
+            for i, t in enumerate(texts):
+                w = t.split(" ") if t else []
+                if len(w) < n:
+                    continue
+                g = [" ".join(w[j : j + n]) for j in range(len(w) - n + 1)]
+                grams.extend(g)
+                lens.append(len(g))
+                keep.append(i)
+            if keep:
+                hv = pd.util.hash_array(np.array(grams, dtype=object)).astype(
+                    np.uint64
+                )
+                bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+                np.cumsum(lens, out=bounds[1:])
+                uniq = [
+                    np.unique(hv[bounds[i] : bounds[i + 1]]) for i in range(len(lens))
+                ]
+                flat = np.concatenate(uniq)
+                seg_lens = np.array([len(u) for u in uniq], dtype=np.int64)
+                offsets = np.zeros(len(uniq), dtype=np.int64)
+                np.cumsum(seg_lens[:-1], out=offsets[1:])
+                ndocs = len(uniq)
+                vals = np.empty(ndocs, dtype=np.uint64)
+                d0 = 0
+                while d0 < ndocs:
+                    d1 = d0 + 1
+                    span = seg_lens[d0]
+                    while d1 < ndocs and span + seg_lens[d1] <= _CHUNK:
+                        span += seg_lens[d1]
+                        d1 += 1
+                    sl = flat[offsets[d0] : offsets[d0] + span]
+                    bits = (
+                        (sl[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+                    ).astype(np.int32)
+                    local = (offsets[d0:d1] - offsets[d0]).astype(np.int64)
+                    sums = np.add.reduceat(bits, local, axis=0)  # (docs, 64)
+                    votes = 2 * sums - seg_lens[d0:d1, None]
+                    vals[d0:d1] = ((votes > 0) * weights).sum(axis=1, dtype=np.uint64)
+                    d0 = d1
+                out[keep] = vals.view(np.int64)
+            yield pd.DataFrame({"id": pdf["__id"], "simhash": out})
 
-    hashed = _hashed_shingles(df, text_col, id_col, n)
-    return hashed.select("id", sh(F.col("hs")).alias("simhash"))
+    return (
+        _widen(df)
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .mapInPandas(gen, schema)
+    )
 
 
 def _simhash_blocks(col):

@@ -234,6 +234,12 @@ def main() -> None:
 
     OPS = {
         "dedup_exact": lambda d, e: dedup.exact_dedup(d, ["text"], "doc_id"),
+        # r9: the pigeonhole fingerprint join shared by text SimHash /
+        # image dHash / audio fingerprints — simhash64 feeds it here so
+        # the probe covers signature + block join + popcount verify
+        "fingerprint_pairs_simhash": lambda d, e: dedup.simhash_near_dups(
+            d, "text", "doc_id", max_hamming=3
+        ),
         "dedup_minhash_lsh": lambda d, e: dedup.minhash_lsh_pairs(
             d, "text", "doc_id", num_perm=32, bands=16
         ),

@@ -51,16 +51,16 @@ _WINDOW = [
     # registry gates without a driver row anywhere in the r01-r08
     # union — the 4 r8 serving gates added after the r8 window filled
     # (sim_topk_ivf_index_sq8, sim_hybrid_index_rrf,
-    # sim_hybrid_index_batch, text_index_batch) — plus the 4 r9-NEW
+    # sim_hybrid_index_batch, text_index_batch) — plus the 5 r9-NEW
     # gates (sim_topk_ivf_index_pq: PQ storage tier; dedup_index_batch:
-    # batched dedup-index serving; mm_dhash_near_dup / 
-    # mm_audio_fingerprint_pairs: image and audio near-dup via the
-    # generic pigeonhole fingerprint join). Behavior-touched-this-round gates
+    # batched dedup-index serving; mm_dhash_near_dup /
+    # mm_audio_fingerprint_pairs / mm_video_fingerprint_pairs: image,
+    # audio and video near-dup via the generic pigeonhole join). Behavior-touched-this-round gates
     # re-drive: shc_avro_cells (vectorized encode), q_anomaly_events
     # (approximate="auto" default), dedup_clusters_star (eager label
     # materialization). The remaining slots refresh the OLDEST
     # evidence on the board: ALL r1 (7), r2 (22) and r3 (6) last-green
-    # gates, plus the oldest r4 row.
+    # gates.
     # Canaries (one per major family, all r08-green):
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
     # never-driven r8 serving gates — first driver rows:
@@ -68,7 +68,7 @@ _WINDOW = [
     "sim_hybrid_index_batch", "text_index_batch",
     # r9-new — first driver rows:
     "sim_topk_ivf_index_pq", "dedup_index_batch", "mm_dhash_near_dup",
-    "mm_audio_fingerprint_pairs",
+    "mm_audio_fingerprint_pairs", "mm_video_fingerprint_pairs",
     # behavior touched in r9 — fresh rows on the changed paths:
     "shc_avro_cells", "q_anomaly_events", "dedup_clusters_star",
     # r1-green refresh (oldest evidence on the board):
@@ -87,8 +87,6 @@ _WINDOW = [
     # r3-green refresh:
     "dedup_exact", "q_zorder_values", "shc_compaction",
     "shc_restrictive", "stream_tumbling_window", "text_quality_scores",
-    # r4-green refresh (oldest remaining):
-    "dq_validate_orders",
 ]
 
 

@@ -2164,6 +2164,102 @@ def _dhash_oracle() -> str:
     """
 
 
+def _vfp_pairs_oracle() -> str:
+    """Video near-dup pairs oracle: replay the per-frame dHash bits of
+    every 4-frame synth clip (pixel (f, i) = codepoint(text[f*72+i]) %
+    256, padded with 32) and of its planted twin (frame 0, pixel 72
+    forced to 255 — provably flips at most bit 63), majority-vote the
+    bits across frames, brute-force all pairs with hamming <= 3."""
+    bits = []
+    for r in range(8):
+        for c in range(8):
+            a = r * 9 + c + 1  # 1-based within one 72-pixel frame
+            votes = " + ".join(
+                f"(CASE WHEN p[{f * 72 + a + 1}] > p[{f * 72 + a}] THEN 1 ELSE 0 END)"
+                for f in range(4)
+            )
+            bits.append(
+                f"(CASE WHEN ({votes}) > 2 THEN CAST({1 << (r * 8 + c)} AS HUGEINT)"
+                " ELSE CAST(0 AS HUGEINT) END)"
+            )
+    packed = " + ".join(bits)
+    return f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 288), i ->
+               CASE WHEN i <= length(text)
+                    THEN unicode(substr(text, CAST(i AS INT), 1)) % 256
+                    ELSE 32 END) AS p0
+      FROM documents WHERE length(text) >= 217),
+    dual AS (
+      SELECT doc_id AS id, p0 AS p FROM px
+      UNION ALL
+      SELECT doc_id + 1000000 AS id,
+             list_transform(generate_series(1, 288), i ->
+               CASE WHEN i = 72 THEN 255 ELSE p0[i] END) AS p
+      FROM px),
+    s AS (SELECT id, {packed} AS v FROM dual),
+    h AS (SELECT id,
+           CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN v - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE v END AS BIGINT) AS fp
+          FROM s)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.id < b.id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """
+
+
+# Video NEAR-DUPLICATE detection (r9): majority-voted per-frame dHash
+# over REAL AVI decode (map-only; payloads reduce to 8-byte hashes),
+# paired by the shared pigeonhole block join — the fingerprint family
+# now covers text, image, audio AND video, each value-exact. The twin
+# mutation touches one pixel of one frame, which can flip only bit 63
+# of that frame's dHash and therefore at most one majority bit.
+@register("mm_video_fingerprint_pairs", None)  # SQL attached (generator-built)
+def mm_video_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # docs shorter than 3 frames pad to near-constant clips whose
+    # fingerprints all collapse to 0 — honest (identical videos) but an
+    # O(shorts^2) pair output; the gate tests the near-dup machinery,
+    # so it clips to docs that fill >= 3 of the 4 frames
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 217)
+
+    def avi_udf(mutate: bool):
+        @F.pandas_udf("binary")
+        def avi(texts: pd.Series) -> pd.Series:
+            from shc_spark.operators.codecs import encode_avi
+
+            out = []
+            for t in texts:
+                cps = np.array(
+                    [(ord(t[i]) % 256) if i < len(t) else 32 for i in range(288)],
+                    dtype=np.uint8,
+                ).reshape(4, 8, 9)
+                if mutate:
+                    cps[0, 7, 8] = 255  # frame 0, pixel 72
+                frames = np.repeat(cps[:, :, :, None], 3, axis=3)
+                out.append(encode_avi(frames, fps=2, codec="DIB"))
+            return pd.Series(out)
+
+        return avi
+
+    orig = docs.withColumn("payload", avi_udf(False)("text")).select(
+        "doc_id", "payload"
+    )
+    twin = docs.withColumn("payload", avi_udf(True)("text")).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "payload"
+    )
+    media = multimodal.make_media_df(
+        orig.unionByName(twin), "doc_id", "payload", "video/avi"
+    )
+    sigs = multimodal.video_fingerprint(media, grid=8)
+    return dedup.fingerprint_near_dups(sigs, "vfp", "media_id", max_hamming=3)
+
+
+ORACLE["mm_video_fingerprint_pairs"] = _vfp_pairs_oracle()
+
+
 def _afp_pairs_oracle() -> str:
     """Audio near-dup pairs oracle: replay the whole fingerprint chain
     in SQL — int16 quantize, Hann window, 8-point DFT term by term,

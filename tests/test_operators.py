@@ -3645,3 +3645,54 @@ def test_audio_fingerprint_matches_numpy_and_pairs(spark):
     for i in range(6):
         h = bin((got[i] ^ got[i + 100]) & ((1 << 64) - 1)).count("1")
         assert h <= 9, (i, h)  # one early sample touches frames 0-2 only
+
+
+def test_video_fingerprint_matches_numpy_and_twin_bound(spark):
+    """Majority-voted per-frame dHash must equal a direct numpy
+    recomputation through the real AVI transport, and a one-pixel
+    single-frame edit must stay within hamming 1 (it can flip only
+    bit 63 of that frame's dHash, hence at most one majority bit)."""
+    import numpy as np
+
+    from shc_spark.operators import multimodal
+    from shc_spark.operators.codecs import encode_avi
+
+    rng = np.random.default_rng(4)
+    clips = []
+    for i in range(5):
+        cps = rng.integers(0, 256, size=(4, 8, 9)).astype(np.uint8)
+        clips.append((i, cps))
+        tw = cps.copy()
+        tw[0, 7, 8] = 255
+        clips.append((i + 100, tw))
+    rows = [
+        (i, encode_avi(np.repeat(c[:, :, :, None], 3, axis=3), fps=2, codec="DIB"))
+        for i, c in clips
+    ]
+    media = multimodal.make_media_df(
+        spark.createDataFrame(rows, "media_id long, payload binary"),
+        "media_id", "payload", "video/avi",
+    )
+    got = {
+        r["media_id"]: r["vfp"]
+        for r in multimodal.video_fingerprint(media, grid=8).collect()
+    }
+
+    def ref(cps):
+        counts = np.zeros((8, 8), dtype=int)
+        for f in range(4):
+            t = cps[f].astype(np.float64)
+            counts += t[:, 1:] > t[:, :-1]
+        v = sum(
+            1 << (r * 8 + c)
+            for r in range(8)
+            for c in range(8)
+            if counts[r, c] * 2 > 4
+        )
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    for i, cps in clips:
+        assert got[i] == ref(cps), i
+    for i in range(5):
+        h = bin((got[i] ^ got[i + 100]) & ((1 << 64) - 1)).count("1")
+        assert h <= 1, (i, h)

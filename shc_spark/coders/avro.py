@@ -524,6 +524,19 @@ def _encode_column(col, avro_t: str, prefixes):
         raise ValueError(f"not vectorizable: {avro_t!r}")
     if prefixes is not None:
         null_prefix, branch_prefix = prefixes
+        if null_prefix is None:
+            # union WITHOUT a null branch (e.g. [int, long]): there is
+            # no branch for None, so nulls outside all-null rows must
+            # RAISE like per-row _encode ('no union branch for None')
+            # — the caller's non-nullable check does that (ADVICE r9:
+            # feeding None into the prefix dictionary silently nulled
+            # the whole cell, discarding the row's other fields)
+            pre = pc.take(
+                pa.array([branch_prefix], type=pa.large_binary()),
+                pa.array(np.zeros(n, dtype=np.int8)),
+            )
+            body = pc.if_else(pa.array(nulls), pa.scalar(b"", pa.large_binary()), body)
+            return pc.binary_join_element_wise(pre, body, pa.scalar(b"", pa.large_binary())), nulls
         # vectorized two-way select: take from a 2-element dictionary
         pre = pc.take(
             pa.array([branch_prefix, null_prefix], type=pa.large_binary()),
@@ -550,7 +563,10 @@ def encode_record_batch(plans, pdf, struct_fields):
     for (avro_t, prefixes), sf in zip(plans, struct_fields):
         body, nulls = _encode_column(pdf[sf.name], avro_t, prefixes)
         cols.append(body)
-        masks.append((nulls, prefixes is not None, avro_t, sf.name))
+        # a union without a 'null' branch is effectively non-nullable:
+        # its nulls must fail the check below, not encode (ADVICE r9)
+        nullable = prefixes is not None and prefixes[0] is not None
+        masks.append((nulls, nullable, avro_t, sf.name))
         all_null = nulls if all_null is None else (all_null & nulls)
     for nulls, nullable, avro_t, name in masks:
         if not nullable and bool((nulls & ~all_null).any()):

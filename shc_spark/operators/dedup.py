@@ -546,6 +546,19 @@ def fingerprint_near_dups(
     nblocks = max_hamming + 1
     if nblocks > 64:
         raise ValueError("max_hamming > 63 is meaningless for 64-bit fingerprints")
+    base = sigs.select(F.col(id_col).alias("id"), F.col(hash_col).alias("fp"))
+    if nblocks == 1:
+        # max_hamming=0 degenerates to exact fingerprint equality; the
+        # single 64-bit "block" mask (1<<64)-1 would overflow LongType
+        # (ADVICE r9), and an equi-join on fp needs no explode at all
+        a, b = base.alias("a"), base.alias("b")
+        return a.join(
+            b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id"))
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
     w = 64 // nblocks
     widths = [w + (1 if i < 64 % nblocks else 0) for i in range(nblocks)]
     offs = [sum(widths[:i]) for i in range(nblocks)]
@@ -558,7 +571,6 @@ def fingerprint_near_dups(
             for i in range(nblocks)
         ]
     )
-    base = sigs.select(F.col(id_col).alias("id"), F.col(hash_col).alias("fp"))
     blocks = base.select("id", "fp", F.posexplode(blocks_expr).alias("blk", "bval"))
     a = blocks.alias("a")
     b = blocks.alias("b")

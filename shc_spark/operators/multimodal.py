@@ -206,6 +206,8 @@ def extract_audio_spectrogram(
         for pdf in batches:
             mids, idxs, feats = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 samples, _rate = decode_wav(bytes(payload))
                 mono = samples.astype(np.float64).mean(axis=1)
                 if len(mono) < frame_samples:
@@ -224,8 +226,15 @@ def extract_audio_spectrogram(
                 mids.extend([mid] * n_frames)
                 idxs.extend(range(n_frames))
                 feats.extend(np.round(logb, 6).tolist())
+            # explicit dtypes: an all-null batch yields EMPTY lists,
+            # and pandas' default float64 empty column cannot cast to
+            # arrow list<double> / int64
             yield pd.DataFrame(
-                {"media_id": mids, "frame_idx": idxs, "band_energy": feats}
+                {
+                    "media_id": pd.array(mids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "band_energy": pd.Series(feats, dtype=object),
+                }
             )
 
     return media.mapInPandas(run, schema)
@@ -261,6 +270,10 @@ def audio_fingerprint(
         for pdf in batches:
             mids, fps = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    # skip null media like the image/video siblings —
+                    # bytes(None) would kill the whole job (ADVICE r9)
+                    continue
                 samples, _rate = decode_wav(bytes(payload))
                 mono = samples.astype(np.float64).mean(axis=1)
                 if len(mono) < frame_samples:
@@ -288,7 +301,10 @@ def audio_fingerprint(
                 mids.append(mid)
                 fps.append(v)
             yield pd.DataFrame(
-                {"media_id": mids, "afp": pd.array(fps, dtype="int64")}
+                {
+                    "media_id": pd.array(mids, dtype="int64"),
+                    "afp": pd.array(fps, dtype="int64"),
+                }
             )
 
     return media.mapInPandas(run, schema)

@@ -106,12 +106,18 @@ def build_text_index(
     Same-path REBUILD is a full reset: stats and tombstones from any
     previous index at ``path`` are cleared (stats rows otherwise
     accumulate across builds — doubling n_docs and inflating every
-    idf — and stale tombstones would mask docs of the NEW corpus)."""
+    idf — and stale tombstones would mask docs of the NEW corpus).
+    The reset is STAGED (ADVICE r9): new stats build under
+    ``stats.build`` and swap over the old subtree only AFTER the row
+    write commits, tombstones clear last — a crash mid-build leaves
+    the previous index's stats on disk, never rows without stats
+    (the same rename/.bak discipline the compaction paths use)."""
     import shutil
 
     spark = corpus.sparkSession
-    shutil.rmtree(os.path.join(path, "stats"), ignore_errors=True)
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    stats_path = os.path.join(path, "stats")
+    stats_tmp = stats_path + ".build"
+    shutil.rmtree(stats_tmp, ignore_errors=True)
     tf, dl = _tokens(corpus, text_col, id_col)
     dl = dl.cache()
     row = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
@@ -121,8 +127,17 @@ def build_text_index(
     # (the session meta memo needs no explicit refresh: it is keyed on
     # the meta subtree's census fingerprint, which this write changed)
     _write_rows(tf, dl, path, num_buckets, mode="overwrite")
-    _append_stats(spark, path, row["n"], row["s"] or 0)
     dl.unpersist()
+    spark.createDataFrame(
+        [(int(row["n"]), int(row["s"] or 0))], "n_docs long, sum_dl long"
+    ).repartition(1).write.mode("overwrite").parquet(stats_tmp)
+    if os.path.exists(stats_path):
+        from shc_spark.operators.idxcache import replace_subtree
+
+        replace_subtree(stats_path, stats_tmp)
+    else:
+        os.rename(stats_tmp, stats_path)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     return path
 
 

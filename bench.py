@@ -174,6 +174,7 @@ def main() -> None:
     # the recorded artifact (r7's q01 outlier was exactly this)
     floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_FLOOR.json")
+    floors = {}
     if os.path.exists(floor_path):
         floors = json.load(open(floor_path)).get("queries", {})
         for name, wall in list(timings.items()):
@@ -184,17 +185,26 @@ def main() -> None:
                 )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # canary record (VERDICT r9 #2): q01's wall/floor ratio measures
+    # THIS RUN's machine speed phase — check_bench normalizes every
+    # query's floor ratio by it (ratio-of-ratios), so a uniform slow
+    # phase passes while a genuine single-query regression flags
+    canary_q = "q01_pricing_summary"
+    if canary_q in timings and floors.get(canary_q):
+        out["canary"] = {
+            "query": canary_q,
+            "wall": timings[canary_q],
+            "floor": floors[canary_q],
+            "ratio": round(timings[canary_q] / floors[canary_q], 3),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

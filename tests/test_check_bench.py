@@ -1,0 +1,93 @@
+"""Unit tests for the bench regression gate (no Spark needed):
+absolute floor tolerances plus the r10 canary-normalized check
+(VERDICT r9 #2) — a uniform slow phase passes, a genuine single-query
+regression flags even inside a fast phase."""
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "check_bench",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "check_bench.py"),
+)
+check_bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(check_bench)
+
+
+FLOOR = {
+    "queries": {
+        "q01_pricing_summary": 0.30,
+        "alpha": 1.0,
+        "beta": 0.8,
+        "gamma": 2.0,
+    }
+}
+
+
+def _cur(mult: float, **overrides) -> dict:
+    qs = {q: round(f * mult, 3) for q, f in FLOOR["queries"].items()}
+    qs.update(overrides)
+    return {
+        "metric": "headline_total_wall",
+        "value": round(sum(qs.values()), 3),
+        "unit": "sec",
+        "queries": qs,
+        "sf": 0.1,
+    }
+
+
+def test_fast_phase_all_at_floor_passes(capsys):
+    assert check_bench.check_one(_cur(1.0), FLOOR) == 0
+
+
+def test_uniform_slow_phase_passes(capsys):
+    # 1.7x across the board: the absolute 1.8x/3.5x tolerances hold
+    # and the canary normalizes every ratio-of-ratios to 1.0
+    assert check_bench.check_one(_cur(1.7), FLOOR) == 0
+
+
+def test_single_query_regression_in_fast_phase_flags(capsys):
+    # canary at floor (fast phase) but alpha at 1.9x — under the 3.5x
+    # absolute tolerance, so ONLY the canary check can catch it
+    cur = _cur(1.0, alpha=1.9)
+    assert check_bench.check_one(cur, FLOOR) == 1
+    out = capsys.readouterr().out
+    assert "canary-normalized" in out
+    assert "alpha" in out
+
+
+def test_regression_inside_slow_phase_flags(capsys):
+    # phase 1.8x but gamma at 3.4x floor: passes the absolute check,
+    # fails ratio-of-ratios (3.4/1.8 = 1.89 > 1.5)
+    cur = _cur(1.8, gamma=round(2.0 * 3.4, 3))
+    assert check_bench.check_one(cur, FLOOR) == 1
+    out = capsys.readouterr().out
+    assert "canary-normalized" in out and "gamma" in out
+
+
+def test_tiny_absolute_excess_does_not_flag(capsys):
+    # sub-second jitter guard: rr above 1.5 with < 0.25s absolute
+    # excess stays quiet
+    floor = {"queries": {"q01_pricing_summary": 0.30, "tiny": 0.10}}
+    cur = {
+        "metric": "headline_total_wall",
+        "value": 0.47,
+        "unit": "sec",
+        "queries": {"q01_pricing_summary": 0.30, "tiny": 0.17},
+        "sf": 0.1,
+    }
+    # tiny at 1.7x floor, phase 1.0 -> rr 1.7 > 1.5 BUT excess 0.07s < 0.25s
+    assert check_bench.check_one(cur, floor) == 0
+
+
+def test_lucky_fast_canary_clamps_to_one(capsys):
+    # canary BELOW floor must not inflate ratios: alpha at 1.4x passes
+    cur = _cur(1.0, q01_pricing_summary=0.21, alpha=1.4)
+    assert check_bench.check_one(cur, FLOOR) == 0
+
+
+def test_canary_itself_regressing_uses_absolute_check(capsys):
+    # canary 4x floor: caught by the plain 3.5x per-query tolerance
+    cur = _cur(1.0, q01_pricing_summary=1.2)
+    assert check_bench.check_one(cur, FLOOR) == 1
+    assert "3.5x floor" in capsys.readouterr().out

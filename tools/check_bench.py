@@ -23,6 +23,14 @@ back-to-back full runs with identical code (2026-08-13). A genuine
 algorithmic regression (round 1's interpreted-HOF signature was 4.5x)
 still trips them; the per-round BENCH_r{N} series is the
 higher-signal trend.
+
+r10 (VERDICT r9 #2): the q01 canary protocol is part of the gate.
+q01_pricing_summary's wall/floor ratio measures the run's machine
+phase; every other query's floor ratio is divided by it and flagged
+above BENCH_CANARY_TOL (1.5x) with a BENCH_CANARY_ABS (0.25s)
+absolute-excess guard. This catches a true single-query regression
+inside a fast phase (the 3.5x absolute tolerance alone would pass a
+1.9x regression) while a uniform slow phase normalizes to ~1.0.
 """
 
 from __future__ import annotations
@@ -36,6 +44,16 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 TOTAL_TOL = float(os.environ.get("BENCH_TOTAL_TOL", "1.8"))
 QUERY_TOL = float(os.environ.get("BENCH_QUERY_TOL", "3.5"))
+# canary-normalized per-query tolerance (VERDICT r9 #2): a query's
+# floor ratio divided by the canary's floor ratio. Catches a genuine
+# single-query regression inside a FAST phase (which the wide 3.5x
+# absolute tolerance would wave through) while a uniform slow phase
+# normalizes to ~1.0 and passes.
+CANARY_TOL = float(os.environ.get("BENCH_CANARY_TOL", "1.5"))
+# absolute-seconds guard: sub-second queries jitter independently of
+# the phase; a canary flag needs a real excess, not 0.1s of noise
+CANARY_ABS_FLOOR = float(os.environ.get("BENCH_CANARY_ABS", "0.25"))
+CANARY_QUERY = "q01_pricing_summary"
 
 
 def _run_bench(tpch: bool) -> dict:
@@ -69,10 +87,31 @@ def check_one(cur: dict, floor: dict) -> int:
         if f is not None and wall > f * QUERY_TOL:
             failures.append(f"{q}: {wall:.2f}s > {QUERY_TOL}x floor {f:.2f}s")
 
+    # canary-normalized check (headline only; tpch has no canary):
+    # phase = canary wall / canary floor, clamped >= 1 (a lucky fast
+    # canary must not inflate everyone else's normalized ratio)
+    c_wall = cur["queries"].get(CANARY_QUERY)
+    c_floor = floor["queries"].get(CANARY_QUERY)
+    phase = None
+    if c_wall is not None and c_floor:
+        phase = max(1.0, c_wall / c_floor)
+        for q, wall in cur["queries"].items():
+            f = floor["queries"].get(q)
+            if q == CANARY_QUERY or f is None:
+                continue  # the canary itself is covered by the 3.5x check
+            rr = (wall / f) / phase
+            if rr > CANARY_TOL and wall > f * phase + CANARY_ABS_FLOOR:
+                failures.append(
+                    f"{q}: {wall:.2f}s = {rr:.2f}x canary-normalized floor "
+                    f"(phase {phase:.2f}x from {CANARY_QUERY}) > {CANARY_TOL}x"
+                )
+
     for q, wall in sorted(cur["queries"].items()):
         f = floor["queries"].get(q)
         rel = f" ({wall / f:.2f}x floor)" if f else " (no floor)"
         print(f"  {q}: {wall:.3f}s{rel}")
+    if phase is not None:
+        print(f"  [canary {CANARY_QUERY}: phase {phase:.2f}x floor]")
     if failures:
         print("BENCH REGRESSION:")
         for msg in failures:

@@ -1307,7 +1307,7 @@ def build_dedup_index(
     num_perm: int = 64,
     bands: int = 32,
     n: int = 3,
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
 ) -> str:
     """Persist a MinHash-LSH dedup index — the build-once-query-many
     twin of :func:`similarity.build_ivf_index` for near-duplicate
@@ -1338,6 +1338,18 @@ def build_dedup_index(
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     spark = corpus.sparkSession
+    if num_buckets is None:
+        # corpus-derived sizing (VERDICT r9 #4): one count() at build
+        # time (build is once; queries are many). Banded rows are
+        # exactly n_docs x bands; an expected serving micro-batch is
+        # ~8 increments x ~8 docs, each contributing `bands` band
+        # keys — the bucket union the batch pass must keep a small
+        # fraction of the tree (SCALE.md batch8 row).
+        from shc_spark.operators.idxcache import suggest_num_buckets
+
+        num_buckets = suggest_num_buckets(
+            corpus.count() * bands, expected_batch_keys=64 * bands
+        )
     spark.createDataFrame(
         [(num_perm, bands, n, num_buckets)],
         "num_perm int, bands int, n int, num_buckets int",

@@ -31,6 +31,54 @@ log = logging.getLogger("shc_spark.idxcache")
 _RELATIONS: dict = {}
 
 
+def suggest_num_buckets(
+    total_keys: int,
+    expected_batch_keys: int = 256,
+    target_keys_per_bucket: int = 250_000,
+    min_keys_per_bucket: int = 2_000,
+    min_buckets: int = 16,
+    max_buckets: int = 65_536,
+) -> int:
+    """Corpus-derived partition-bucket count for the serving indexes
+    (VERDICT r9 #4). Three forces, reconciled:
+
+    - batch serving only SUB-scans while the batch's bucket union is a
+      small fraction of the tree (SCALE.md batch8 row: growth at x100
+      was honest physics because batch_keys ~ num_buckets): want
+      >= 8x the expected batch's key count.
+    - pruning wants buckets bounded in size at deploy scale: want
+      >= total_keys / target_keys_per_bucket.
+    - tiny corpora must not pay thousands of listing entries for
+      near-empty files: cap at total_keys / min_keys_per_bucket.
+
+    Power of two (floor) for a stable pmod distribution. The result is
+    persisted in the index meta, so queries/appends adapt per index.
+    """
+    total_keys = max(0, int(total_keys))
+    want = max(
+        min_buckets,
+        8 * int(expected_batch_keys),
+        total_keys // int(target_keys_per_bucket),
+    )
+    cap = max(min_buckets, total_keys // int(min_keys_per_bucket))
+    nb = 1 << max(0, min(want, cap).bit_length() - 1)
+    return int(max(min_buckets, min(max_buckets, nb)))
+
+
+def suggest_num_centroids(
+    n_vectors: int, min_centroids: int = 8, max_centroids: int = 4_096
+) -> int:
+    """IVF coarse-quantizer size from corpus row count: the classic
+    ~sqrt(n) rule (balanced posting lists ~ sqrt(n) vectors each),
+    floored to a power of two and clamped. Callers that pin recall
+    behavior (fixed nprobe contracts) should keep passing an explicit
+    num_centroids."""
+    n_vectors = max(1, int(n_vectors))
+    root = int(n_vectors**0.5)
+    nc = 1 << max(0, root.bit_length() - 1)
+    return int(max(min_centroids, min(max_centroids, nc)))
+
+
 def _fingerprint(p: str):
     """Census of the subtree: cheap (local metadata walk over at most
     a few thousand entries) next to the Spark listing job it avoids,

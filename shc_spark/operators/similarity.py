@@ -463,7 +463,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    num_centroids: int = 16,
+    num_centroids: int | None = 16,
     seed: int = 11,
     storage: str = "float",
     pq_m: int = 8,
@@ -503,6 +503,13 @@ def build_ivf_index(
 
     if storage not in ("float", "sq8", "pq"):
         raise ValueError(f"storage must be 'float', 'sq8' or 'pq', got {storage!r}")
+    if num_centroids is None:
+        # corpus-derived ~sqrt(n) sizing (VERDICT r9 #4): balanced
+        # posting lists at deploy scale. Callers pinning a recall
+        # contract (fixed nprobe/num_centroids ratio) pass explicitly.
+        from shc_spark.operators.idxcache import suggest_num_centroids
+
+        num_centroids = suggest_num_centroids(corpus.count())
     cent = _train_centroids(corpus, vec_col, num_centroids, dim, seed)
     spark = corpus.sparkSession
     spark.createDataFrame(

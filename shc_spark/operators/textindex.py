@@ -97,7 +97,7 @@ def build_text_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> str:
     """Tokenize the corpus once and persist the inverted index. One
     corpus pass computes (id, term, tf) and (id, dl); the corpus text
@@ -121,6 +121,15 @@ def build_text_index(
     tf, dl = _tokens(corpus, text_col, id_col)
     dl = dl.cache()
     row = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
+    if num_buckets is None:
+        # corpus-derived sizing (VERDICT r9 #4), free here: the stats
+        # aggregate above already knows the token volume. Postings
+        # rows <= sum_dl; expected batch ~ 8 queries x ~4 terms.
+        from shc_spark.operators.idxcache import suggest_num_buckets
+
+        num_buckets = suggest_num_buckets(
+            int(row["s"] or 0), expected_batch_keys=32
+        )
     spark.createDataFrame(
         [(int(num_buckets),)], "num_buckets int"
     ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))

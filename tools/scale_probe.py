@@ -335,6 +335,7 @@ def main() -> None:
         # r9 (VERDICT r8 #7): 8 increments in ONE pruned pass — divide
         # this wall by 8 for the per-increment steady-state figure
         "dedup_index_batch8": lambda d, e: _dedup_index_batch_probe(d),
+        "dedup_index_batch8_sized": lambda d, e: _dedup_index_batch_sized_probe(d),
         # r8 (VERDICT r7 #7): same serving queries AFTER the full
         # append+delete+compact lifecycle — fragmented-then-compacted
         # walls must match the fresh-build rows above
@@ -436,6 +437,28 @@ def main() -> None:
                 d, path, num_perm=32, bands=16, n=3, num_buckets=1024
             )
             _didx_built.add(path)
+        incs = {
+            f"i{r}": d.filter(F.col("doc_id") % 8 == r).filter(F.col("doc_id") < 64)
+            for r in range(8)
+        }
+        return dedup.dedup_index_pairs_batch(spark, path, incs)
+
+    _didx_sized_built: set = set()
+
+    def _dedup_index_batch_sized_probe(d):
+        # r10 (VERDICT r9 #4): same 8-increment batch over an index
+        # built with AUTO-SIZED num_buckets (suggest_num_buckets from
+        # corpus row count + expected batch coverage) instead of the
+        # fixed 1024 — at x100 the sized tree keeps the batch's bucket
+        # union a sub-scan, flattening the batch8 growth curve
+        mx = d.agg(F.max("doc_id")).collect()[0][0]
+        path = os.path.join(
+            _tempfile.gettempdir(),
+            f"shc_didx_sized_{_hashlib.md5(str(mx).encode()).hexdigest()[:8]}",
+        )
+        if path not in _didx_sized_built:
+            dedup.build_dedup_index(d, path, num_perm=32, bands=16, n=3)
+            _didx_sized_built.add(path)
         incs = {
             f"i{r}": d.filter(F.col("doc_id") % 8 == r).filter(F.col("doc_id") < 64)
             for r in range(8)

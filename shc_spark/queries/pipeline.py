@@ -2260,6 +2260,55 @@ def mm_video_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["mm_video_fingerprint_pairs"] = _vfp_pairs_oracle()
 
 
+# COMPRESSED-video near-dup (r10, VERDICT r9 #6): the same fingerprint
+# chain over Motion-JPEG AVI — every frame an independent baseline
+# JPEG through the from-scratch T.81 codec (operators/jpeg.py). Each
+# dHash cell is materialized as a FLAT 8x8 JPEG block (frame = 64x72
+# grayscale, block (r, c) filled with codepoint level), and flat
+# blocks survive the lossy transport exactly (DC-only, flat quant), so
+# the decoded thumbnail equals the codepoint grid and the SAME
+# brute-force SQL oracle as the uncompressed gate stays value-exact.
+@register("mm_mjpeg_fingerprint_pairs", None)  # SQL attached (generator-built)
+def mm_mjpeg_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 217)
+
+    def avi_udf(mutate: bool):
+        @F.pandas_udf("binary")
+        def avi(texts: pd.Series) -> pd.Series:
+            from shc_spark.operators.codecs import encode_avi
+
+            out = []
+            for t in texts:
+                cps = np.array(
+                    [(ord(t[i]) % 256) if i < len(t) else 32 for i in range(288)],
+                    dtype=np.uint8,
+                ).reshape(4, 8, 9)
+                if mutate:
+                    cps[0, 7, 8] = 255  # frame 0, cell 72 -> flips <= 1 bit
+                # blow each cell up to a flat 8x8 JPEG block: (4, 64, 72)
+                big = np.repeat(np.repeat(cps, 8, axis=1), 8, axis=2)
+                frames = np.repeat(big[:, :, :, None], 3, axis=3)
+                out.append(encode_avi(frames, fps=2, codec="MJPG"))
+            return pd.Series(out)
+
+        return avi
+
+    orig = docs.withColumn("payload", avi_udf(False)("text")).select(
+        "doc_id", "payload"
+    )
+    twin = docs.withColumn("payload", avi_udf(True)("text")).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "payload"
+    )
+    media = multimodal.make_media_df(
+        orig.unionByName(twin), "doc_id", "payload", "video/avi"
+    )
+    sigs = multimodal.video_fingerprint(media, grid=8)
+    return dedup.fingerprint_near_dups(sigs, "vfp", "media_id", max_hamming=3)
+
+
+ORACLE["mm_mjpeg_fingerprint_pairs"] = _vfp_pairs_oracle()
+
+
 def _afp_pairs_oracle() -> str:
     """Audio near-dup pairs oracle: replay the whole fingerprint chain
     in SQL — int16 quantize, Hann window, 8-point DFT term by term,

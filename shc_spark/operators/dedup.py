@@ -596,6 +596,97 @@ def fingerprint_near_dups(
     )
 
 
+def fingerprint_near_dups128(
+    sigs: DataFrame,
+    hi_col: str,
+    lo_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """128-bit twin of :func:`fingerprint_near_dups` (VERDICT r9 #7):
+    near-dup pairs over TWO 64-bit fingerprint words (bit i of the
+    logical 128-bit fingerprint = bit i of ``lo_col`` for i < 64, bit
+    i-64 of ``hi_col`` above). 64 bits give ~1e-5 random-pair
+    collisions at hamming <= 3 on billion-doc corpora — millions of
+    false candidates at 100 TB; 128 bits push that to ~1e-24. The
+    pigeonhole join generalizes directly: ``max_hamming + 1`` blocks
+    over the 128-bit space (blocks may straddle the word boundary),
+    per-block equi-joins for candidates, popcount-sum verify."""
+    nblocks = max_hamming + 1
+    if nblocks > 128:
+        raise ValueError("max_hamming > 127 is meaningless for 128-bit fingerprints")
+    base = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col(hi_col).alias("fhi"),
+        F.col(lo_col).alias("flo"),
+    )
+    if nblocks == 1:
+        a, b = base.alias("a"), base.alias("b")
+        return a.join(
+            b,
+            (F.col("a.fhi") == F.col("b.fhi"))
+            & (F.col("a.flo") == F.col("b.flo"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    w = 128 // nblocks
+    widths = [w + (1 if i < 128 % nblocks else 0) for i in range(nblocks)]
+    offs = [sum(widths[:i]) for i in range(nblocks)]
+
+    def block_expr(start: int, width: int):
+        end = start + width
+        lo, hi = F.col("flo"), F.col("fhi")
+        if width == 64:  # whole-word block (nblocks == 2): no mask fits
+            return lo if start == 0 else hi
+        mask = F.lit((1 << width) - 1)
+        if end <= 64:
+            return F.shiftrightunsigned(lo, start).bitwiseAND(mask)
+        if start >= 64:
+            return F.shiftrightunsigned(hi, start - 64).bitwiseAND(mask)
+        # straddles the word boundary: low bits from flo, rest from fhi
+        lo_bits = 64 - start
+        return F.shiftrightunsigned(lo, start).bitwiseAND(
+            F.lit((1 << lo_bits) - 1)
+        ).bitwiseOR(
+            F.shiftleft(hi.bitwiseAND(F.lit((1 << (end - 64)) - 1)), lo_bits)
+        )
+
+    blocks_expr = F.array(*[block_expr(offs[i], widths[i]) for i in range(nblocks)])
+    blocks = base.select(
+        "id", "fhi", "flo", F.posexplode(blocks_expr).alias("blk", "bval")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fhi").alias("hi_a"),
+            F.col("b.fhi").alias("hi_b"),
+            F.col("a.flo").alias("lo_a"),
+            F.col("b.flo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, n: int = 3
 ) -> DataFrame:

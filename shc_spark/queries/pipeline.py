@@ -2504,6 +2504,99 @@ def mm_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["mm_dhash_near_dup"] = _dhash_pairs_oracle()
 
 
+def _dhash128_pairs_oracle() -> str:
+    """128-bit dHash near-dup oracle: replay BOTH gradient words of
+    the 9x9 codepoint raster (lo = horizontal thumb[r][c+1]>thumb[r][c],
+    hi = vertical thumb[r+1][c]>thumb[r][c]) for every doc and its
+    planted twin (pixel (7,8) -> 255, flips at most lo bit 63), then
+    brute-force pairs on the summed two-word popcount."""
+    lo_terms, hi_terms = [], []
+    for r in range(8):
+        for c in range(8):
+            a = r * 9 + c + 1  # 1-based pixel (r, c) in the 81-cp raster
+            bit = f"CAST({1 << (r * 8 + c)} AS HUGEINT)"
+            lo_terms.append(
+                f"(CASE WHEN p[{a + 1}] > p[{a}] THEN {bit} ELSE CAST(0 AS HUGEINT) END)"
+            )
+            hi_terms.append(
+                f"(CASE WHEN p[{a + 9}] > p[{a}] THEN {bit} ELSE CAST(0 AS HUGEINT) END)"
+            )
+    lo = " + ".join(lo_terms)
+    hi = " + ".join(hi_terms)
+    signed = (
+        "CAST(CASE WHEN {v} >= CAST(9223372036854775808 AS HUGEINT) "
+        "THEN {v} - CAST(18446744073709551616 AS HUGEINT) "
+        "ELSE {v} END AS BIGINT)"
+    )
+    return f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 81), i ->
+               CASE WHEN i <= length(text)
+                    THEN unicode(substr(text, CAST(i AS INT), 1)) % 256
+                    ELSE 32 END) AS p0
+      FROM documents),
+    dual AS (
+      SELECT doc_id AS id, p0 AS p FROM px
+      UNION ALL
+      SELECT doc_id + 1000000 AS id,
+             list_transform(generate_series(1, 81), i ->
+               CASE WHEN i = 72 THEN 255 ELSE p0[i] END) AS p
+      FROM px),
+    s AS (SELECT id, {lo} AS vlo, {hi} AS vhi FROM dual),
+    h AS (SELECT id, {signed.format(v='vlo')} AS flo,
+                     {signed.format(v='vhi')} AS fhi
+          FROM s)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.flo, b.flo))
+              + bit_count(xor(a.fhi, b.fhi)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.id < b.id
+    WHERE bit_count(xor(a.flo, b.flo)) + bit_count(xor(a.fhi, b.fhi)) <= 3
+    """
+
+
+# 128-bit image near-dup (r10, VERDICT r9 #7): the two-word pigeonhole
+# join (dedup.fingerprint_near_dups128) over the 128-bit dHash
+# (horizontal + vertical gradients) — the collision-rate tier a
+# billion-image corpus needs (64 bits: ~1e-5 random pairs at h<=3;
+# 128: ~1e-24). Value-exact: the 9x9 PNG raster IS the thumbnail.
+@register("mm_dhash128_near_dup", None)  # SQL attached (generator-built)
+def mm_dhash128_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    def png_udf(mutate: bool):
+        @F.pandas_udf("binary")
+        def png(texts: pd.Series) -> pd.Series:
+            from shc_spark.operators.codecs import encode_png
+
+            out = []
+            for t in texts:
+                cps = [(ord(t[i]) % 256) if i < len(t) else 32 for i in range(81)]
+                if mutate:
+                    cps[71] = 255  # pixel (7, 8): flips at most lo bit 63
+                out.append(encode_png(np.array(cps, dtype=np.uint8).reshape(9, 9)))
+            return pd.Series(out)
+
+        return png
+
+    orig = docs.withColumn("payload", png_udf(False)("text")).select(
+        "doc_id", "payload"
+    )
+    twin = docs.withColumn("payload", png_udf(True)("text")).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "payload"
+    )
+    media = multimodal.make_media_df(
+        orig.unionByName(twin), "doc_id", "payload", "image/png"
+    )
+    sigs = multimodal.perceptual_dhash128(media, grid=8)
+    return dedup.fingerprint_near_dups128(
+        sigs, "dhash_hi", "dhash_lo", "media_id", max_hamming=3
+    )
+
+
+ORACLE["mm_dhash128_near_dup"] = _dhash128_pairs_oracle()
+
+
 @register("mm_image_dhash", None)  # SQL attached below (generator-built)
 def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

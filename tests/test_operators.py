@@ -3872,3 +3872,47 @@ def test_text_index_auto_buckets_persist_and_query(spark, tmp_path):
     assert m["num_buckets"] <= 64 and m["num_buckets"] & (m["num_buckets"] - 1) == 0
     got = textindex.text_index_topk(spark, p, ["alpha"], k=5).collect()
     assert len(got) == 5
+
+
+def test_fingerprint_near_dups128_equals_brute_force(spark):
+    """VERDICT r9 #7: the two-word pigeonhole join must equal all-pairs
+    popcount over the concatenated 128 bits at several thresholds —
+    including blocks that straddle the word boundary (h=1 -> two
+    64-bit word blocks; h=3 -> 32-bit blocks; h=6 -> 18/19-bit blocks)
+    and the h=0 equi-join degenerate case."""
+    import itertools
+    import random
+
+    rng = random.Random(17)
+    fps = []
+    for i in range(30):
+        v = rng.getrandbits(128)
+        fps.append(v)
+        if i % 3 == 0:
+            m = v
+            for bit in rng.sample(range(128), i % 8):
+                m ^= 1 << bit
+            fps.append(m)
+    fps.append(fps[0])  # exact dup for h=0
+
+    def signed(x):
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    rows = [
+        (i, signed(v >> 64), signed(v & ((1 << 64) - 1)))
+        for i, v in enumerate(fps)
+    ]
+    df = spark.createDataFrame(rows, "id long, hi long, lo long")
+    for h in (0, 1, 3, 6):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.fingerprint_near_dups128(
+                df, "hi", "lo", "id", max_hamming=h
+            ).collect()
+        }
+        want = set()
+        for (i, a), (j, b) in itertools.combinations(enumerate(fps), 2):
+            d = bin(a ^ b).count("1")
+            if d <= h:
+                want.add((i, j, d))
+        assert got == want, (h, len(got), len(want))

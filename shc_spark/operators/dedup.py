@@ -1387,7 +1387,7 @@ def remove_spans(
 # + features/fbkt=*/ + tombstones/). Bump on ANY schema/partitioning
 # change so index caches keyed on build inputs rebuild instead of
 # reading a stale layout.
-DEDUP_INDEX_LAYOUT = 1
+DEDUP_INDEX_LAYOUT = 2  # r10: corpus-derived auto num_buckets default
 
 
 def build_dedup_index(

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 # Bump on ANY subtree schema/partitioning change so caches keyed on
 # build inputs rebuild instead of reading a stale layout.
-TEXT_INDEX_LAYOUT = 1
+TEXT_INDEX_LAYOUT = 2  # r10: corpus-derived auto num_buckets default
 
 def _tbkt(col, nb: int):
     return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")

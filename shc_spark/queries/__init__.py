@@ -47,46 +47,43 @@ def _with_utc(fn):
 _MODULES = (connector, pipeline, streaming_q, relational)
 
 _WINDOW = [
-    # r09 rotation (VERDICT r8 #1): first-time slots go to the ONLY
-    # registry gates without a driver row anywhere in the r01-r08
-    # union — the 4 r8 serving gates added after the r8 window filled
-    # (sim_topk_ivf_index_sq8, sim_hybrid_index_rrf,
-    # sim_hybrid_index_batch, text_index_batch) — plus the 5 r9-NEW
-    # gates (sim_topk_ivf_index_pq: PQ storage tier; dedup_index_batch:
-    # batched dedup-index serving; mm_dhash_near_dup /
-    # mm_audio_fingerprint_pairs / mm_video_fingerprint_pairs: image,
-    # audio and video near-dup via the generic pigeonhole join). Behavior-touched-this-round gates
-    # re-drive: shc_avro_cells (vectorized encode), q_anomaly_events
-    # (approximate="auto" default), dedup_clusters_star (eager label
-    # materialization). The remaining slots refresh the OLDEST
-    # evidence on the board: ALL r1 (7), r2 (22) and r3 (6) last-green
-    # gates.
-    # Canaries (one per major family, all r08-green):
+    # r10 rotation (VERDICT r9 #8): zero never-driven gates remained
+    # after r9, so the window spends its slots on the OLDEST evidence
+    # in the r01-r09 union — ALL r4 (15) and r5 (4) last-green gates
+    # plus the r6 shc_* coder/pushdown battery (15) and the r6
+    # streaming block (7) — alongside first rows for the 2 r10-new
+    # gates (mm_mjpeg_fingerprint_pairs: compressed-video fingerprint;
+    # mm_dhash128_near_dup: two-word pigeonhole join) and fresh rows
+    # on r10-touched paths (shc_avro_cells: nested-array vector serde;
+    # text_heavy_hitters: hash-domain Misra-Gries; dedup_index_batch /
+    # text_index_batch: auto-sized bucket builds). Gates rotated out
+    # keep their local oracle check and prior driver rows.
+    # Canaries (one per major family, all r09-green):
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
-    # never-driven r8 serving gates — first driver rows:
-    "sim_topk_ivf_index_sq8", "sim_hybrid_index_rrf",
-    "sim_hybrid_index_batch", "text_index_batch",
-    # r9-new — first driver rows:
-    "sim_topk_ivf_index_pq", "dedup_index_batch", "mm_dhash_near_dup",
-    "mm_audio_fingerprint_pairs", "mm_video_fingerprint_pairs",
-    # behavior touched in r9 — fresh rows on the changed paths:
-    "shc_avro_cells", "q_anomaly_events", "dedup_clusters_star",
-    # r1-green refresh (oldest evidence on the board):
-    "q_left_join_order_counts", "q_range_join", "q_sql_tempview_agg",
-    "q_unpivot", "q_window_first_last", "q_window_ranks",
-    "q_window_running_sum",
-    # r2-green refresh:
-    "dedup_clusters", "dedup_near_corpus", "mm_audio_features",
-    "mm_image_decode", "mm_image_features", "mm_video_frames",
-    "shc_sql_over_view", "shc_time_travel", "sim_hybrid_rrf",
-    "stream_dedup", "stream_merge_latest", "stream_sliding_window",
-    "text_bm25_search", "text_boilerplate", "text_decontaminate",
-    "text_deterministic_sample", "text_fingerprint", "text_langid",
-    "text_pii_scan", "text_repetition", "text_stratified_sample",
-    "text_token_stats",
-    # r3-green refresh:
-    "dedup_exact", "q_zorder_values", "shc_compaction",
-    "shc_restrictive", "stream_tumbling_window", "text_quality_scores",
+    # r10-new — first driver rows:
+    "mm_mjpeg_fingerprint_pairs", "mm_dhash128_near_dup",
+    # behavior touched in r10 — fresh rows on the changed paths:
+    "shc_avro_cells", "text_heavy_hitters", "dedup_index_batch",
+    "text_index_batch",
+    # r4-green refresh (oldest evidence on the board):
+    "cluster_assign", "dq_validate_orders", "mm_video_scenes",
+    "q03_top_revenue_orders", "q10_returned_items", "q_above_avg_orders",
+    "q_json_props", "q_percentiles_datetime", "q_pivot_linestatus",
+    "q_set_ops", "q_string_functions", "stream_sessionization",
+    "stream_stream_join", "text_chunking", "text_lm_ppl",
+    # r5-green refresh:
+    "mm_image_dhash", "q_gapfill_locf", "sim_topk_bruteforce",
+    "text_pack_sequences",
+    # r6-green refresh — the shc_* coder/pushdown battery:
+    "shc_colocated_join", "shc_composite_key", "shc_delete",
+    "shc_dynamic_map", "shc_merge_into", "shc_phoenix_composite",
+    "shc_pushdown_range", "shc_rollup", "shc_salted_table",
+    "shc_secondary_index", "shc_ttl_read", "shc_typed_columns",
+    "shc_value_filters", "shc_version_merge", "shc_versions_map",
+    # r6-green refresh — the streaming block:
+    "stream_incremental_dedup", "stream_join_outer", "stream_range_tag",
+    "stream_shc_sink", "stream_shc_source", "stream_stateful_totals",
+    "stream_topk",
 ]
 
 

@@ -1001,7 +1001,7 @@ def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     path = _gate_index_path(
-        "shc_text_index_gate", sf_dir, textindex.TEXT_INDEX_LAYOUT, num_buckets=64
+        "shc_text_index_gate", sf_dir, textindex.TEXT_INDEX_LAYOUT, num_buckets="auto"
     )
     if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
         import shutil
@@ -1330,7 +1330,7 @@ def sim_hybrid_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     tpath = _gate_index_path(
-        "shc_text_index_gate", sf_dir, textindex.TEXT_INDEX_LAYOUT, num_buckets=64
+        "shc_text_index_gate", sf_dir, textindex.TEXT_INDEX_LAYOUT, num_buckets="auto"
     )
     if not os.path.exists(os.path.join(tpath, "postings", "_SUCCESS")):
         import shutil
@@ -1398,7 +1398,7 @@ def text_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     path = _gate_index_path(
-        "shc_text_index_gate", sf_dir, textindex.TEXT_INDEX_LAYOUT, num_buckets=64
+        "shc_text_index_gate", sf_dir, textindex.TEXT_INDEX_LAYOUT, num_buckets="auto"
     )
     if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
         import shutil
@@ -1474,7 +1474,7 @@ def sim_hybrid_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     tpath = _gate_index_path(
-        "shc_text_index_gate", sf_dir, textindex.TEXT_INDEX_LAYOUT, num_buckets=64
+        "shc_text_index_gate", sf_dir, textindex.TEXT_INDEX_LAYOUT, num_buckets="auto"
     )
     if not os.path.exists(os.path.join(tpath, "postings", "_SUCCESS")):
         import shutil

@@ -178,17 +178,52 @@ def test_avro_batch_encode_matches_per_row(spark):
 
 
 def test_avro_nested_schema_uses_per_row_plan(spark):
-    """Map / member-struct-union / nested-array fields must decline the
-    vector plan (the per-row path is the correctness fallback); arrays
-    of primitives VECTORIZE as of r10 (VERDICT r9 #1)."""
+    """Enum / member-struct-union / nested-collection fields must
+    decline the vector plan (the per-row path is the correctness
+    fallback); arrays AND maps of primitives VECTORIZE as of r10
+    (VERDICT r9 #1) — including the reference's full flagship record
+    (AvroSourceSuite.scala:105: favorite_array + favorite_map)."""
     from pyspark.sql import types as T
 
     from shc_spark.coders.avro import AvroType, record_encode_plan
 
-    # AVRO_SCHEMA contains favorite_map: whole record stays per-row
+    # the reference's flagship user record now takes the vector path
     coder = AvroType(AVRO_SCHEMA)
     sf = T._parse_datatype_string(SCHEMA)["col1"].dataType.fields
-    assert record_encode_plan(coder.schema, list(sf)) is None
+    assert record_encode_plan(coder.schema, list(sf)) is not None
+    # an enum field declines
+    enum_sch = json.dumps(
+        {
+            "type": "record",
+            "name": "e",
+            "fields": [
+                {
+                    "name": "s",
+                    "type": {"type": "enum", "name": "suit", "symbols": ["H", "S"]},
+                }
+            ],
+        }
+    )
+    sfe = T._parse_datatype_string("s string").fields
+    assert record_encode_plan(AvroType(enum_sch).schema, list(sfe)) is None
+    # a map of ARRAYS declines (only primitive values vectorize)
+    map_arr = json.dumps(
+        {
+            "type": "record",
+            "name": "ma",
+            "fields": [
+                {
+                    "name": "m",
+                    "type": {
+                        "type": "map",
+                        "values": {"type": "array", "items": "int"},
+                    },
+                }
+            ],
+        }
+    )
+    sfm = T._parse_datatype_string("m map<string,array<int>>").fields
+    assert record_encode_plan(AvroType(map_arr).schema, list(sfm)) is None
     # an array of ARRAYS also declines (only primitive items vectorize)
     nested_arr = json.dumps(
         {
@@ -557,3 +592,184 @@ def test_avro_array_roundtrip_through_source(spark, tmp_path):
                 assert got_x == want_x or (
                     isinstance(want_x, list) and got_x is not None and list(got_x) == want_x
                 ), (k, name, want_x, got_x)
+
+
+MAP_AVRO = json.dumps(
+    {
+        "type": "record",
+        "name": "maps",
+        "fields": [
+            {"name": "fm", "type": {"type": "map", "values": "int"}},
+            {"name": "nm", "type": ["null", {"type": "map", "values": ["long", "null"]}]},
+            {"name": "dm", "type": [{"type": "map", "values": "double"}, "null"]},
+            {"name": "sm", "type": {"type": "map", "values": "string"}},
+            {"name": "z", "type": "long"},
+        ],
+    }
+)
+
+MAP_SPARK = (
+    "fm map<string,int>, nm map<string,long>, dm map<string,double>, "
+    "sm map<string,string>, z long"
+)
+
+
+def _map_rows(n=173):
+    import random
+
+    rng = random.Random(23)
+    out = []
+    for i in range(n):
+        if i % 19 == 0:
+            out.append((None, None, None, None, None))
+            continue
+        out.append(
+            (
+                {f"k{j} é": rng.randint(-(2**31), 2**31 - 1) for j in range(rng.randint(0, 4))},
+                None
+                if i % 7 == 0
+                else {
+                    f"n{j}": (None if rng.random() < 0.3 else rng.randint(-(2**40), 2**40))
+                    for j in range(rng.randint(0, 3))
+                },
+                None if i % 5 == 0 else {f"d{j}": rng.uniform(-1e300, 1e300) for j in range(rng.randint(0, 3))},
+                {f"s{j}": "".join(rng.choice("xy 世") for _ in range(rng.randint(0, 5))) for j in range(rng.randint(0, 3))},
+                rng.randint(-(2**52), 2**52),
+            )
+        )
+    return out
+
+
+def test_avro_batch_encode_matches_per_row_maps(spark):
+    """r10: maps of primitives (incl. union-wrapped maps and
+    nullable-union values) must encode whole-batch BIT-IDENTICAL to
+    the per-row coder — empty maps, null maps, null values, unicode
+    keys/values, and all-null rows."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        encode_record_batch,
+        record_encode_plan,
+    )
+    from shc_spark.sources.api import _coerce
+
+    coder = AvroType(MAP_AVRO)
+    struct_fields = list(T._parse_datatype_string(MAP_SPARK).fields)
+    plans = record_encode_plan(coder.schema, struct_fields)
+    assert plans is not None, "map-of-primitive record must take the vector path"
+    rows = _map_rows()
+    pdf = pd.DataFrame(rows, columns=[sf.name for sf in struct_fields])
+    got = encode_record_batch(plans, pdf, struct_fields).to_pylist()
+    want = []
+    for _, row in pdf.iterrows():
+        if row.isna().all():
+            want.append(None)
+            continue
+        value = tuple(_coerce(row[sf.name], sf.dataType) for sf in struct_fields)
+        want.append(coder.to_bytes(value))
+    assert got == want
+
+
+def test_avro_batch_decode_matches_per_row_maps(spark):
+    """Read-side twin for maps, including a hand-crafted multi-block /
+    negative-count map from a foreign conformant writer."""
+    import io
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        _encode,
+        _write_long,
+        decode_record_batch,
+        record_decode_plan,
+    )
+    from shc_spark.sources.api import _coerce
+
+    coder = AvroType(MAP_AVRO)
+    struct_fields = list(T._parse_datatype_string(MAP_SPARK).fields)
+    plans = record_decode_plan(coder.schema, struct_fields)
+    assert plans is not None
+    rows = _map_rows()
+    blobs = []
+    for r in rows:
+        if all(v is None for v in r):
+            blobs.append(None)
+        else:
+            blobs.append(
+                coder.to_bytes(
+                    tuple(_coerce(v, sf.dataType) for v, sf in zip(r, struct_fields))
+                )
+            )
+    got = decode_record_batch(plans, pd.Series(blobs, dtype=object), struct_fields)
+    for i, b in enumerate(blobs):
+        want = (None,) * len(struct_fields) if b is None else coder.from_bytes(b)
+        for j, sf in enumerate(struct_fields):
+            g = got[sf.name].iloc[i]
+            if not isinstance(g, (dict, str)) and (
+                g is pd.NA or (g is not None and pd.isna(g))
+            ):
+                g = None
+            w = want[j]
+            if isinstance(w, dict) and w and isinstance(next(iter(w.values())), float):
+                assert g is not None and g.keys() == w.keys()
+                for kk in w:
+                    assert math.isclose(g[kk], w[kk], rel_tol=1e-12), (i, sf.name, kk)
+            else:
+                assert g == w or (g is None and w is None), (i, sf.name, g, w)
+    # multi-block map from a foreign writer
+    buf = io.BytesIO()
+    _write_long(buf, 1)
+    _encode(buf, "string", "a")
+    _encode(buf, "int", 3)
+    _write_long(buf, -1)  # negative count + byte size
+    _write_long(buf, 4)
+    _encode(buf, "string", "bb")
+    _encode(buf, "int", -7)
+    _write_long(buf, 0)
+    _write_long(buf, 0)  # nm -> null branch
+    _write_long(buf, 1)  # dm -> null branch ([map, null])
+    _write_long(buf, 0)  # sm empty
+    _write_long(buf, 11)  # z
+    blob = buf.getvalue()
+    assert coder.from_bytes(blob) == ({"a": 3, "bb": -7}, None, None, {}, 11)
+    d2 = decode_record_batch(plans, pd.Series([blob], dtype=object), struct_fields)
+    assert d2["fm"].iloc[0] == {"a": 3, "bb": -7}
+    assert d2["sm"].iloc[0] == {}
+    assert int(d2["z"].iloc[0]) == 11
+
+
+def test_avro_map_roundtrip_through_source(spark, tmp_path):
+    """End-to-end write/read through the shc source on the VECTORIZED
+    map path (the reference's favorite_map shape)."""
+    cat = json.dumps(
+        {
+            "table": {"namespace": "default", "name": "avro_map", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "key": {"cf": "rowkey", "col": "key", "type": "string"},
+                "col1": {"cf": "cf1", "col": "c1", "avro": "schema1"},
+            },
+            "schema1": MAP_AVRO,
+        }
+    )
+    rows_in = [(f"k{i:04d}", r) for i, r in enumerate(_map_rows(48))]
+    df = spark.createDataFrame(rows_in, schema=f"key string, col1 struct<{MAP_SPARK}>")
+    write_table(df, cat, root=str(tmp_path), num_regions=4, mode="overwrite")
+    back = read_table(spark, cat, root=str(tmp_path))
+    got = {r["key"]: r["col1"] for r in back.collect()}
+    for k, v in rows_in:
+        gv = got[k]
+        if all(x is None for x in v):
+            assert gv is None, (k, gv)
+            continue
+        for name, want_x, got_x in zip(
+            [f.split(" ")[0] for f in MAP_SPARK.split(", ")], v, list(gv)
+        ):
+            assert got_x == want_x or (got_x is None and want_x is None), (
+                k, name, want_x, got_x,
+            )

@@ -61,7 +61,7 @@ _WINDOW = [
     # Canaries (one per major family, all r09-green):
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
     # r10-new — first driver rows:
-    "mm_mjpeg_fingerprint_pairs", "mm_dhash128_near_dup",
+    "mm_mjpeg_fingerprint_pairs", "mm_dhash128_near_dup", "shc_avro_nested",
     # behavior touched in r10 — fresh rows on the changed paths:
     "shc_avro_cells", "text_heavy_hitters", "dedup_index_batch",
     "text_index_batch",
@@ -80,10 +80,11 @@ _WINDOW = [
     "shc_pushdown_range", "shc_rollup", "shc_salted_table",
     "shc_secondary_index", "shc_ttl_read", "shc_typed_columns",
     "shc_value_filters", "shc_version_merge", "shc_versions_map",
-    # r6-green refresh — the streaming block:
+    # r6-green refresh — the streaming block (stream_topk yields its
+    # slot to the new shc_avro_nested first row; its r6 union row
+    # stands):
     "stream_incremental_dedup", "stream_join_outer", "stream_range_tag",
     "stream_shc_sink", "stream_shc_source", "stream_stateful_totals",
-    "stream_topk",
 ]
 
 

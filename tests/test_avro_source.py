@@ -191,7 +191,17 @@ def test_avro_nested_schema_uses_per_row_plan(spark):
     coder = AvroType(AVRO_SCHEMA)
     sf = T._parse_datatype_string(SCHEMA)["col1"].dataType.fields
     assert record_encode_plan(coder.schema, list(sf)) is not None
-    # an enum field declines
+    # a member-struct union ([int, string]) declines (per-row branch
+    # dispatch); enums and fixed VECTORIZE as of r10
+    ms_sch = json.dumps(
+        {
+            "type": "record",
+            "name": "u",
+            "fields": [{"name": "v", "type": ["int", "string"]}],
+        }
+    )
+    sfu = T._parse_datatype_string("v struct<member0:int,member1:string>").fields
+    assert record_encode_plan(AvroType(ms_sch).schema, list(sfu)) is None
     enum_sch = json.dumps(
         {
             "type": "record",
@@ -205,7 +215,7 @@ def test_avro_nested_schema_uses_per_row_plan(spark):
         }
     )
     sfe = T._parse_datatype_string("s string").fields
-    assert record_encode_plan(AvroType(enum_sch).schema, list(sfe)) is None
+    assert record_encode_plan(AvroType(enum_sch).schema, list(sfe)) is not None
     # a map of ARRAYS declines (only primitive values vectorize)
     map_arr = json.dumps(
         {
@@ -773,3 +783,75 @@ def test_avro_map_roundtrip_through_source(spark, tmp_path):
             assert got_x == want_x or (got_x is None and want_x is None), (
                 k, name, want_x, got_x,
             )
+
+
+def test_avro_batch_enum_fixed_match_per_row(spark):
+    """r10: enum (symbol-index varint via a dictionary lookup) and
+    fixed (raw width-framed bytes) vectorize on both directions,
+    bit-identical to the per-row coder, incl. nullable unions and
+    all-null rows; an out-of-symbols enum value raises on BOTH paths,
+    as does a wrong-length fixed value."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        decode_record_batch,
+        encode_record_batch,
+        record_decode_plan,
+        record_encode_plan,
+    )
+    from shc_spark.sources.api import _coerce
+
+    sch = json.dumps(
+        {
+            "type": "record",
+            "name": "ef",
+            "fields": [
+                {"name": "suit", "type": {"type": "enum", "name": "s", "symbols": ["H", "D", "C", "S"]}},
+                {"name": "osuit", "type": [{"type": "enum", "name": "s2", "symbols": ["a", "b"]}, "null"]},
+                {"name": "fp", "type": {"type": "fixed", "name": "f4", "size": 4}},
+                {"name": "ofp", "type": ["null", {"type": "fixed", "name": "f2", "size": 2}]},
+                {"name": "z", "type": "long"},
+            ],
+        }
+    )
+    fields = list(
+        T._parse_datatype_string("suit string, osuit string, fp binary, ofp binary, z long").fields
+    )
+    coder = AvroType(sch)
+    ep = record_encode_plan(coder.schema, fields)
+    dp = record_decode_plan(coder.schema, fields)
+    assert ep is not None and dp is not None
+    rows = [
+        ("H", "a", b"\x01\x02\x03\xff", b"\x00\x10", 7),
+        ("S", None, b"abcd", None, -2),
+        (None, None, None, None, None),
+        ("D", "b", b"\xff\xff\xff\xff", b"zz", 0),
+    ]
+    pdf = pd.DataFrame(rows, columns=[f.name for f in fields])
+    got = encode_record_batch(ep, pdf, fields).to_pylist()
+    want = []
+    for r in rows:
+        if all(v is None for v in r):
+            want.append(None)
+            continue
+        want.append(coder.to_bytes(tuple(_coerce(v, f.dataType) for v, f in zip(r, fields))))
+    assert got == want
+    dec = decode_record_batch(dp, pd.Series(want, dtype=object), fields)
+    for i, b in enumerate(want):
+        ref = (None,) * 5 if b is None else coder.from_bytes(b)
+        for j, f in enumerate(fields):
+            g = dec[f.name].iloc[i]
+            if not isinstance(g, (str, bytes)) and (g is None or g is pd.NA or pd.isna(g)):
+                g = None
+            assert g == ref[j] or (g is None and ref[j] is None), (i, f.name)
+    bad_enum = pd.DataFrame([("X", "a", b"0000", b"00", 1)], columns=[f.name for f in fields])
+    with pytest.raises(ValueError, match="enum"):
+        encode_record_batch(ep, bad_enum, fields)
+    with pytest.raises(ValueError):
+        coder.to_bytes(("X", "a", b"0000", b"00", 1))
+    bad_fixed = pd.DataFrame([("H", "a", b"toolong!", b"00", 1)], columns=[f.name for f in fields])
+    with pytest.raises(ValueError, match="fixed"):
+        encode_record_batch(ep, bad_fixed, fields)

@@ -418,3 +418,28 @@ def test_dedup_index_batch_plan(spark):
     assert "PartitionFilters: [fbkt" in norm, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fingerprint_near_dups128_plan_no_cartesian(spark):
+    """r10: the two-word pigeonhole join must plan as a hash join on
+    (blk, bval) — never a nested-loop/cartesian over the corpus — and
+    the h=0 degenerate case as a plain two-column equi hash join."""
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import dedup
+
+    df = spark.range(0, 512).select(
+        F.col("id"),
+        F.xxhash64(F.col("id")).alias("hi"),
+        F.xxhash64(F.col("id") + 1).alias("lo"),
+    )
+    plan = (
+        dedup.fingerprint_near_dups128(df, "hi", "lo", "id", max_hamming=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    plan0 = (
+        dedup.fingerprint_near_dups128(df, "hi", "lo", "id", max_hamming=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan0 and "BroadcastNestedLoop" not in plan0, plan0

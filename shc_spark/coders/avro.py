@@ -802,9 +802,9 @@ def record_decode_plan(schema, struct_fields):
         return None
 
     def parse_safe(s) -> bool:
-        # every union reachable by the plan (field level AND array
-        # items) must parse identically on whatever branch the writer
-        # recorded: single-non-null, or the {int, long} varint pair
+        # every union reachable INSIDE a collection must parse
+        # identically on whatever branch the writer recorded:
+        # single-non-null, or the {int, long} varint pair
         if isinstance(s, list):
             non_null = [b for b in s if b != "null"]
             if len(non_null) > 1 and (
@@ -819,9 +819,29 @@ def record_decode_plan(schema, struct_fields):
             return parse_safe(s["values"])
         return True
 
-    if not all(parse_safe(af["type"]) for af in schema["fields"]):
-        return None
-    return plans
+    out = []
+    for plan, af in zip(plans, schema["fields"]):
+        s = af["type"]
+        if isinstance(s, list):
+            non_null = [b for b in s if b != "null"]
+            if (
+                len(non_null) > 1
+                and all(isinstance(b, str) for b in non_null)
+                and set(non_null) == {"float", "double"}
+            ):
+                # r10: mixed-PARSE scalar union — decode dispatches on
+                # the writer's recorded branch with a per-branch masked
+                # gather (both branches surface as Spark DoubleType)
+                null_idx = s.index("null") if "null" in s else None
+                branches = tuple(
+                    (i, b) for i, b in enumerate(s) if b != "null"
+                )
+                out.append((("sunion", branches, null_idx), None))
+                continue
+        if not parse_safe(s):
+            return None
+        out.append(plan)
+    return out
 
 
 # -- vectorized batch DECODE (the read-side twin) ---------------------------
@@ -1104,6 +1124,32 @@ def decode_record_batch(plans, blobs, struct_fields):
             # already a pandas Series of dicts (numpy scalars inside
             # convert fine through the Spark return bridge)
             out[sf.name] = _decode_map_column(flat, pos, d_idx, avro_t[1], n)
+        elif isinstance(avro_t, tuple) and avro_t[0] == "sunion":
+            _, branches, null_idx = avro_t
+            bidx = np.zeros(n, dtype=np.int64)
+            v, p2 = _parse_varints(flat, pos[d_idx])
+            pos[d_idx] = p2
+            bidx[d_idx] = v
+            if null_idx is not None:
+                isnull = np.zeros(n, dtype=bool)
+                isnull[d_idx] = v == null_idx
+                decode_rows = decode_rows & ~isnull
+                d_idx = np.flatnonzero(decode_rows)
+            full = np.zeros(n, dtype=np.float64)
+            for i, bt in branches:
+                rows = d_idx[bidx[d_idx] == i]
+                w = 4 if bt == "float" else 8
+                g = (
+                    flat[pos[rows][:, None] + np.arange(w, dtype=np.int64)[None, :]]
+                    if len(rows)
+                    else np.zeros((0, w), np.uint8)
+                )
+                pos[rows] += w
+                dt = np.dtype("<f4" if bt == "float" else "<f8")
+                full[rows] = (
+                    np.ascontiguousarray(g).view(dt).reshape(len(rows)).astype(np.float64)
+                )
+            out[sf.name] = pa.array(full, mask=~decode_rows)
         elif isinstance(avro_t, tuple) and avro_t[0] == "enum":
             symbols = avro_t[1]
             vals, pos_d = _parse_varints(flat, pos[d_idx])

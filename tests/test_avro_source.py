@@ -347,16 +347,23 @@ def test_avro_batch_decode_matches_per_row(spark):
                 assert (g == w) or (g is None and w is None), (i, sf.name, g, w)
 
 
-def test_avro_mixed_parse_union_declines_vector_decode(spark):
-    """A [float, double] union needs per-row branch dispatch on read —
-    the decode plan must decline it (the encode plan may still
-    vectorize: it always writes one branch)."""
+def test_avro_mixed_parse_union_vector_decode(spark):
+    """r10: a [float, double] union decodes whole-batch via a
+    per-branch masked gather dispatched on the writer's recorded
+    branch — exact against per-row decode for cells written by BOTH
+    branches (a foreign writer may emit either), incl. a nullable
+    variant."""
+    import io
     import json as _json
 
+    import pandas as pd
     from pyspark.sql import types as T
 
     from shc_spark.coders.avro import (
         AvroType,
+        _encode,
+        _write_long,
+        decode_record_batch,
         record_decode_plan,
         record_encode_plan,
     )
@@ -365,13 +372,46 @@ def test_avro_mixed_parse_union_declines_vector_decode(spark):
         {
             "type": "record",
             "name": "w",
-            "fields": [{"name": "x", "type": ["float", "double"]}],
+            "fields": [
+                {"name": "x", "type": ["float", "double"]},
+                {"name": "y", "type": ["double", "null", "float"]},
+                {"name": "z", "type": "long"},
+            ],
         }
     )
-    fields = list(T._parse_datatype_string("x double").fields)
+    fields = list(T._parse_datatype_string("x double, y double, z long").fields)
     coder = AvroType(sch)
     assert record_encode_plan(coder.schema, fields) is not None
-    assert record_decode_plan(coder.schema, fields) is None
+    plans = record_decode_plan(coder.schema, fields)
+    assert plans is not None, "mixed-parse scalar unions vectorize as of r10"
+
+    def cell(xb, xv, yb, yv, z):
+        buf = io.BytesIO()
+        _write_long(buf, xb)
+        _encode(buf, ["float", "double"][xb], xv)
+        _write_long(buf, yb)
+        if yb != 1:
+            _encode(buf, ["double", None, "float"][yb], yv)
+        _write_long(buf, z)
+        return buf.getvalue()
+
+    blobs = [
+        cell(0, 1.5, 0, 2.25, 7),       # float x, double y
+        cell(1, 1e300, 2, -3.5, -2),    # double x, float y
+        cell(0, -0.125, 1, None, 0),    # float x, NULL y
+        None,                            # null cell
+    ]
+    got = decode_record_batch(plans, pd.Series(blobs, dtype=object), fields)
+    for i, b in enumerate(blobs):
+        want = (None, None, None) if b is None else coder.from_bytes(b)
+        for j, f in enumerate(fields):
+            g = got[f.name].iloc[i]
+            g = None if (g is pd.NA or (g is not None and pd.isna(g))) else g
+            w = want[j]
+            if isinstance(w, float) and g is not None:
+                assert float(g) == w, (i, f.name, g, w)
+            else:
+                assert g == w or (g is None and w is None), (i, f.name, g, w)
 
 
 NESTED_AVRO = json.dumps(

@@ -458,6 +458,37 @@ def _field_plan(avro_field_schema, spark_dt):
         spark_dt, T.BinaryType
     ):
         return (("fixed", int(s0["size"])), prefixes0)
+    if isinstance(spark_dt, T.StructType) and isinstance(avro_field_schema, list):
+        # member-struct union (r10): >= 2 primitive non-null branches
+        # surface as struct<member0..>; exactly one populated slot per
+        # row picks the branch (first wins, like per-row _encode)
+        members = _union_members(avro_field_schema)
+        if (
+            members is not None
+            and len(members) == len(spark_dt.fields)
+            and all(isinstance(b, str) for b in members)
+        ):
+            idxs = [i for i, b in enumerate(avro_field_schema) if b != "null"]
+            branches = []
+            for j, b in enumerate(members):
+                sub = _field_plan(b, spark_dt.fields[j].dataType)
+                if sub is None or not isinstance(sub[0], str):
+                    return None
+                branches.append((idxs[j], sub[0]))
+            null_idx = (
+                avro_field_schema.index("null")
+                if "null" in avro_field_schema
+                else None
+            )
+            # prefixes carry only the NULLABILITY flag for the caller's
+            # non-nullable check; the munion kernels write all branch
+            # varints themselves
+            nb = io.BytesIO()
+            if null_idx is not None:
+                _write_long(nb, null_idx)
+            pseudo = (nb.getvalue() if null_idx is not None else None, b"")
+            return (("munion", tuple(branches), null_idx), pseudo)
+        return None
     if isinstance(spark_dt, (T.ArrayType, T.MapType)):
         s = avro_field_schema
         prefixes = None
@@ -626,6 +657,8 @@ def _encode_column(col, avro_t, prefixes):
         return _encode_array_column(col, avro_t[1], prefixes)
     if isinstance(avro_t, tuple) and avro_t[0] == "map":
         return _encode_map_column(col, avro_t[1], prefixes)
+    if isinstance(avro_t, tuple) and avro_t[0] == "munion":
+        return _encode_munion_column(col, avro_t[1], avro_t[2])
     if isinstance(avro_t, tuple) and avro_t[0] == "enum":
         symbols = avro_t[1]
         arr = pa.array(col, type=pa.large_utf8(), from_pandas=True)
@@ -716,6 +749,60 @@ def _assemble_blocked(entry_body, offsets, n: int):
     term = _fixed_width_binary(b"\x00" * n, n, 1)
     return pc.binary_join_element_wise(
         count_pre, concat, term, pa.scalar(b"", pa.large_binary())
+    )
+
+
+def _encode_munion_column(col, branches, null_idx):
+    """Whole-batch encode of a member-struct union field (r10 — the
+    struct<member0..> representation of a multi-branch union,
+    types/Avro.scala:83-135): every member encodes in one vectorized
+    pass, the FIRST populated member per row picks the branch (per-row
+    _encode's rule), an all-null member struct or a null struct cell
+    takes the null branch (or raises upstream when the union has
+    none). Returns (bodies, null mask) like every column kernel."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = len(branches)
+    struct_t = pa.struct(
+        [pa.field(f"member{j}", _arrow_type_of(bt)) for j, (_bi, bt) in enumerate(branches)]
+    )
+    arr = pa.array(col, type=struct_t, from_pandas=True)
+    n = len(arr)
+    cell_null = np.asarray(arr.is_null()) if n else np.zeros(0, dtype=bool)
+    member_null = np.stack(
+        [np.asarray(arr.field(j).is_null()) for j in range(m)]
+    ) if n else np.zeros((m, 0), dtype=bool)
+    pop = ~member_null & ~cell_null[None, :]
+    first = np.argmax(pop, axis=0) if n else np.zeros(0, dtype=np.int64)
+    eff_null = cell_null | ~pop.any(axis=0)
+    bodies = []
+    for j, (_bi, bt) in enumerate(branches):
+        body_j, _nulls_j = _encode_values(arr.field(j), bt)
+        bodies.append(body_j)
+    body = bodies[-1]
+    for j in range(m - 2, -1, -1):
+        body = pc.if_else(pa.array(first == j), bodies[j], body)
+    prefix_dict = []
+    for bi, _bt in branches:
+        bb = io.BytesIO()
+        _write_long(bb, bi)
+        prefix_dict.append(bb.getvalue())
+    if null_idx is not None:
+        nb = io.BytesIO()
+        _write_long(nb, null_idx)
+        prefix_dict.append(nb.getvalue())
+        sel = np.where(eff_null, m, first).astype(np.int8)
+    else:
+        # no null branch: eff_null rows raise via the caller's
+        # non-nullable check (all-null record rows become null cells)
+        sel = first.astype(np.int8)
+    pre = pc.take(pa.array(prefix_dict, type=pa.large_binary()), pa.array(sel))
+    body = pc.if_else(pa.array(eff_null), pa.scalar(b"", pa.large_binary()), body)
+    return (
+        pc.binary_join_element_wise(pre, body, pa.scalar(b"", pa.large_binary())),
+        eff_null,
     )
 
 
@@ -822,6 +909,11 @@ def record_decode_plan(schema, struct_fields):
     out = []
     for plan, af in zip(plans, schema["fields"]):
         s = af["type"]
+        if isinstance(plan[0], tuple) and plan[0][0] == "munion":
+            # decode dispatches on the recorded branch index — always
+            # parse-safe regardless of branch families
+            out.append(plan)
+            continue
         if isinstance(s, list):
             non_null = [b for b in s if b != "null"]
             if (
@@ -1075,6 +1167,52 @@ def _decode_blocked(flat, pos, d_idx, item_plan, n, with_keys: bool):
     )
 
 
+def _parse_scalar_rows(flat, pos, rows, avro_t: str, n: int):
+    """Parse one ``avro_t`` primitive for each row index in ``rows``
+    (advancing ``pos``) and scatter into an n-row arrow array (null
+    elsewhere) — the member-struct union decoder's per-branch step."""
+    import numpy as np
+    import pyarrow as pa
+
+    valid = np.zeros(n, dtype=bool)
+    valid[rows] = True
+    if avro_t in ("int", "long"):
+        vals, p2 = _parse_varints(flat, pos[rows])
+        pos[rows] = p2
+        full = np.zeros(n, dtype=np.int64)
+        full[rows] = vals
+        return pa.array(full, mask=~valid, type=pa.int64())
+    if avro_t in ("float", "double", "boolean"):
+        w = {"float": 4, "double": 8, "boolean": 1}[avro_t]
+        g = (
+            flat[pos[rows][:, None] + np.arange(w, dtype=np.int64)[None, :]]
+            if len(rows)
+            else np.zeros((0, w), np.uint8)
+        )
+        pos[rows] += w
+        if avro_t == "boolean":
+            full = np.zeros(n, dtype=bool)
+            full[rows] = g[:, 0] != 0
+            return pa.array(full, mask=~valid)
+        dt = np.dtype("<f4" if avro_t == "float" else "<f8")
+        full = np.zeros(n, dtype=dt)
+        full[rows] = np.ascontiguousarray(g).view(dt).reshape(len(rows))
+        return pa.array(full, mask=~valid)
+    if avro_t in ("string", "bytes"):
+        lens, p2 = _parse_varints(flat, pos[rows])
+        buf, offs = _gather_slices(flat, p2, lens)
+        pos[rows] = p2 + lens
+        compact = _large_binary(buf, offs)
+        if avro_t == "string":
+            compact = compact.cast(pa.large_utf8())
+        take_idx = np.full(n, -1, dtype=np.int64)
+        take_idx[rows] = np.arange(len(rows))
+        return compact.take(
+            pa.array(np.where(take_idx < 0, None, take_idx), type=pa.int64())
+        )
+    raise ValueError(f"not vectorizable: {avro_t!r}")  # pragma: no cover
+
+
 def decode_record_batch(plans, blobs, struct_fields):
     """Whole-batch decode of Avro-binary record cells under a
     record_encode_plan: ``blobs`` is a pandas Series of bytes (None =
@@ -1095,7 +1233,10 @@ def decode_record_batch(plans, blobs, struct_fields):
     out: dict = {}
     for (avro_t, prefixes), sf in zip(plans, struct_fields):
         nulls = null_cell.copy()
-        if prefixes is not None:
+        is_munion = isinstance(avro_t, tuple) and avro_t[0] == "munion"
+        if prefixes is not None and not is_munion:
+            # (munion fields parse their own branch varint: the index
+            # doubles as the member dispatch, not just a null marker)
             null_prefix, _branch_prefix = prefixes
             idx, pos_live = _parse_varints(flat, pos[live])
             pos[live] = pos_live
@@ -1124,6 +1265,29 @@ def decode_record_batch(plans, blobs, struct_fields):
             # already a pandas Series of dicts (numpy scalars inside
             # convert fine through the Spark return bridge)
             out[sf.name] = _decode_map_column(flat, pos, d_idx, avro_t[1], n)
+        elif isinstance(avro_t, tuple) and avro_t[0] == "munion":
+            branches, null_idx = avro_t[1], avro_t[2]
+            bidx = np.full(n, -9, dtype=np.int64)
+            v, p2 = _parse_varints(flat, pos[d_idx])
+            pos[d_idx] = p2
+            bidx[d_idx] = v
+            struct_null = ~decode_rows
+            if null_idx is not None:
+                struct_null = struct_null | (bidx == null_idx)
+            member_arrays, member_fields = [], []
+            for j, (bi, bt) in enumerate(branches):
+                rows = np.flatnonzero((bidx == bi) & ~struct_null)
+                marr = _parse_scalar_rows(flat, pos, rows, bt, n)
+                mdt = sf.dataType.fields[j].dataType
+                if isinstance(
+                    mdt, (T.ByteType, T.ShortType, T.IntegerType)
+                ) and marr.type.equals(pa.int64()):
+                    marr = marr.cast(pa.int32())
+                member_arrays.append(marr)
+                member_fields.append(f"member{j}")
+            out[sf.name] = pa.StructArray.from_arrays(
+                member_arrays, names=member_fields, mask=pa.array(struct_null)
+            )
         elif isinstance(avro_t, tuple) and avro_t[0] == "sunion":
             _, branches, null_idx = avro_t
             bidx = np.zeros(n, dtype=np.int64)
@@ -1231,6 +1395,10 @@ def decode_record_batch(plans, blobs, struct_fields):
     def bridge(arr):
         if isinstance(arr, pd.Series):  # map columns arrive pre-bridged
             return arr
+        if pa.types.is_struct(arr.type):
+            # member-struct unions: exact dict rows (to_pandas would
+            # surface a null int member as float NaN inside the dict)
+            return pd.Series(arr.to_pylist(), dtype=object)
         if pa.types.is_large_list(arr.type) or pa.types.is_list(arr.type):
             # numpy-backed to_pandas is ~15x faster than to_pylist but
             # surfaces null NUMERIC items as float NaN inside the row

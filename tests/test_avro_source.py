@@ -191,17 +191,30 @@ def test_avro_nested_schema_uses_per_row_plan(spark):
     coder = AvroType(AVRO_SCHEMA)
     sf = T._parse_datatype_string(SCHEMA)["col1"].dataType.fields
     assert record_encode_plan(coder.schema, list(sf)) is not None
-    # a member-struct union ([int, string]) declines (per-row branch
-    # dispatch); enums and fixed VECTORIZE as of r10
+    # a member-struct union with a NON-primitive branch declines
+    # (primitive member unions, enums and fixed vectorize as of r10)
     ms_sch = json.dumps(
         {
             "type": "record",
             "name": "u",
+            "fields": [
+                {"name": "v", "type": ["int", {"type": "array", "items": "int"}]}
+            ],
+        }
+    )
+    sfu = T._parse_datatype_string(
+        "v struct<member0:int,member1:array<int>>"
+    ).fields
+    assert record_encode_plan(AvroType(ms_sch).schema, list(sfu)) is None
+    ms_prim = json.dumps(
+        {
+            "type": "record",
+            "name": "u2",
             "fields": [{"name": "v", "type": ["int", "string"]}],
         }
     )
-    sfu = T._parse_datatype_string("v struct<member0:int,member1:string>").fields
-    assert record_encode_plan(AvroType(ms_sch).schema, list(sfu)) is None
+    sfp = T._parse_datatype_string("v struct<member0:int,member1:string>").fields
+    assert record_encode_plan(AvroType(ms_prim).schema, list(sfp)) is not None
     enum_sch = json.dumps(
         {
             "type": "record",
@@ -895,3 +908,133 @@ def test_avro_batch_enum_fixed_match_per_row(spark):
     bad_fixed = pd.DataFrame([("H", "a", b"toolong!", b"00", 1)], columns=[f.name for f in fields])
     with pytest.raises(ValueError, match="fixed"):
         encode_record_batch(ep, bad_fixed, fields)
+
+
+def test_avro_member_struct_union_batch_matches_per_row(spark):
+    """r10: member-struct unions (>= 2 primitive non-null branches ->
+    struct<member0..>) vectorize on both directions bit-identically:
+    the FIRST populated member picks the branch, an all-null member
+    struct or None struct takes the null branch, and a non-nullable
+    union with no populated member raises on both paths."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        decode_record_batch,
+        encode_record_batch,
+        record_decode_plan,
+        record_encode_plan,
+    )
+    from shc_spark.sources.api import _coerce
+
+    sch = json.dumps(
+        {
+            "type": "record",
+            "name": "mu",
+            "fields": [
+                {"name": "v", "type": ["int", "string"]},
+                {"name": "w", "type": ["null", "long", "double", "boolean"]},
+                {"name": "z", "type": "long"},
+            ],
+        }
+    )
+    fields = list(
+        T._parse_datatype_string(
+            "v struct<member0:int,member1:string>, "
+            "w struct<member0:long,member1:double,member2:boolean>, z long"
+        ).fields
+    )
+    coder = AvroType(sch)
+    ep = record_encode_plan(coder.schema, fields)
+    dp = record_decode_plan(coder.schema, fields)
+    assert ep is not None and dp is not None
+    rows = [
+        ({"member0": 5, "member1": None}, {"member0": 7, "member1": None, "member2": None}, 1),
+        ({"member0": None, "member1": "hé"}, {"member0": None, "member1": -2.5, "member2": None}, 2),
+        ({"member0": 9, "member1": None}, {"member0": None, "member1": None, "member2": True}, 3),
+        ({"member0": -1, "member1": None}, {"member0": None, "member1": None, "member2": None}, 4),
+        ({"member0": -1, "member1": None}, None, 5),  # None struct -> null branch
+        (None, None, None),  # all-null row -> null cell
+    ]
+    pdf = pd.DataFrame(rows, columns=[f.name for f in fields])
+    got = encode_record_batch(ep, pdf, fields).to_pylist()
+    want = []
+    for r in rows:
+        if all(v is None for v in r):
+            want.append(None)
+            continue
+        want.append(coder.to_bytes(tuple(_coerce(v, f.dataType) for v, f in zip(r, fields))))
+    assert got == want
+    dec = decode_record_batch(dp, pd.Series(want, dtype=object), fields)
+    for i, b in enumerate(want):
+        ref = (None,) * 3 if b is None else coder.from_bytes(b)
+        for j, f in enumerate(fields):
+            g = dec[f.name].iloc[i]
+            if isinstance(g, dict):
+                g = tuple(g.values())
+            if not isinstance(g, (tuple, str)) and (
+                g is None or g is pd.NA or pd.isna(g)
+            ):
+                g = None
+            assert g == ref[j] or (g is None and ref[j] is None), (i, f.name, g, ref[j])
+    # all-null member struct in a NON-nullable union raises (per-row:
+    # 'all-null member struct for non-nullable union')
+    bad = pd.DataFrame(
+        [({"member0": None, "member1": None}, {"member0": 1, "member1": None, "member2": None}, 9)],
+        columns=[f.name for f in fields],
+    )
+    with pytest.raises(ValueError):
+        encode_record_batch(ep, bad, fields)
+    with pytest.raises(ValueError):
+        coder.to_bytes(((None, None), (1, None, None), 9))
+
+
+def test_avro_member_struct_union_roundtrip_through_source(spark, tmp_path):
+    """End-to-end member-struct union cells through the source on the
+    vector path (types/Avro.scala:83-135 member representation)."""
+    sch = json.dumps(
+        {
+            "type": "record",
+            "name": "rec",
+            "fields": [
+                {"name": "u", "type": ["long", "string", "null"]},
+                {"name": "tag", "type": "string"},
+            ],
+        }
+    )
+    cat = json.dumps(
+        {
+            "table": {"namespace": "default", "name": "avro_mu", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "key": {"cf": "rowkey", "col": "key", "type": "string"},
+                "col1": {"cf": "cf1", "col": "c1", "avro": "schema1"},
+            },
+            "schema1": sch,
+        }
+    )
+    rows_in = []
+    for i in range(30):
+        if i % 3 == 0:
+            u = (i * 7, None)
+        elif i % 3 == 1:
+            u = (None, f"s{i}")
+        else:
+            u = None  # null branch
+        rows_in.append((f"k{i:03d}", (u, f"t{i}")))
+    df = spark.createDataFrame(
+        rows_in,
+        schema="key string, col1 struct<u:struct<member0:bigint,member1:string>, tag:string>",
+    )
+    write_table(df, cat, root=str(tmp_path), num_regions=4, mode="overwrite")
+    back = read_table(spark, cat, root=str(tmp_path))
+    got = {r["key"]: r["col1"] for r in back.collect()}
+    for k, (u, tag) in rows_in:
+        gv = got[k]
+        assert gv["tag"] == tag
+        if u is None:
+            assert gv["u"] is None, (k, gv)
+        else:
+            assert tuple(gv["u"]) == u, (k, gv)

@@ -160,8 +160,9 @@ def _avro_encode_udf(field):
     one child pass and reassemble per row, VERDICT r9 #1), pinned
     bit-equal to the per-row coder by the
     test_avro_batch_encode_matches_per_row(_arrays) properties. Only
-    member-struct unions and nested-nested collections fall back to
-    the per-row path (maps/enums/fixed vectorize as of r10)."""
+    collections of non-primitives (array<array>, map<array>, unions
+    with collection branches) fall back to the per-row path — every
+    scalar shape incl. member-struct unions vectorizes as of r10."""
     from shc_spark.coders.avro import AvroType, encode_record_batch, record_encode_plan
 
     coder = AvroType(field.avro_schema)
@@ -244,10 +245,9 @@ def _avro_decode_udf(field):
     coder = AvroType(field.avro_schema)
     struct_fields = list(field.dt.fields)
     names = [sf.name for sf in struct_fields]
-    # r10: arrays/maps of primitives, enums and fixed decode
-    # whole-batch too (masked block/item loops); only member-struct
-    # unions, nested-nested collections and mixed-parse unions still
-    # fall back per row
+    # r10: arrays/maps of primitives, enums, fixed, member-struct
+    # unions and mixed-parse scalar unions all decode whole-batch;
+    # only collections of non-primitives still fall back per row
     plans = record_decode_plan(coder.schema, struct_fields)
 
     @F.pandas_udf(_deep_nullable(field.dt))

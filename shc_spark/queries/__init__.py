@@ -60,8 +60,11 @@ _WINDOW = [
     # keep their local oracle check and prior driver rows.
     # Canaries (one per major family, all r09-green):
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
-    # r10-new — first driver rows:
+    # r10-new — first driver rows (shc_avro_deep: the deep-nested
+    # vector serde — records in records, arrays/maps of records;
+    # q_string_functions yields its slot, its r4 union row stands):
     "mm_mjpeg_fingerprint_pairs", "mm_dhash128_near_dup", "shc_avro_nested",
+    "shc_avro_deep",
     # behavior touched in r10 — fresh rows on the changed paths:
     "shc_avro_cells", "text_heavy_hitters", "dedup_index_batch",
     "text_index_batch",
@@ -69,7 +72,7 @@ _WINDOW = [
     "cluster_assign", "dq_validate_orders", "mm_video_scenes",
     "q03_top_revenue_orders", "q10_returned_items", "q_above_avg_orders",
     "q_json_props", "q_percentiles_datetime", "q_pivot_linestatus",
-    "q_set_ops", "q_string_functions", "stream_sessionization",
+    "q_set_ops", "stream_sessionization",
     "stream_stream_join", "text_chunking", "text_lm_ppl",
     # r5-green refresh:
     "mm_image_dhash", "q_gapfill_locf", "sim_topk_bruteforce",

@@ -377,6 +377,129 @@ def shc_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAT_PART_AVRO_DEEP = json.dumps(
+    {
+        "table": {"namespace": "q", "name": "part_avro_deep", "tableCoder": "OrderedType", "version": "2.0"},
+        "rowkey": "key",
+        "columns": {
+            "p_partkey": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "p_doc": {"cf": "cf", "col": "doc", "avro": "schema_deep"},
+        },
+        "schema_deep": json.dumps(
+            {
+                "type": "record",
+                "name": "partdeep",
+                "fields": [
+                    {
+                        "name": "meta",
+                        "type": {
+                            "type": "record",
+                            "name": "meta_t",
+                            "fields": [
+                                {"name": "name", "type": "string"},
+                                {"name": "retail", "type": ["null", "double"]},
+                            ],
+                        },
+                    },
+                    {
+                        "name": "spans",
+                        "type": {
+                            "type": "array",
+                            "items": {
+                                "type": "record",
+                                "name": "span_t",
+                                "fields": [
+                                    {"name": "pos", "type": "long"},
+                                    {"name": "tag", "type": "string"},
+                                ],
+                            },
+                        },
+                    },
+                    {
+                        "name": "counts",
+                        "type": {
+                            "type": "map",
+                            "values": {
+                                "type": "record",
+                                "name": "cnt_t",
+                                "fields": [{"name": "n", "type": "int"}],
+                            },
+                        },
+                    },
+                ],
+            }
+        ),
+    }
+)
+
+
+# S17 Avro serde, DEEP nested shapes on the r10 vector path (the last
+# per-row family: nested records, arrays of records, maps of records —
+# types/Avro.scala:83-135 recursive record conversion): a
+# record-in-record with a nullable-union subfield, an array<record>
+# and a map<string,record> cell all roundtrip through the source
+# whole-batch (coders/avro.py recursive kernels), and the oracle
+# recomputes every projected nested access straight from part.parquet.
+@register(
+    "shc_avro_deep",
+    """
+    SELECT p_partkey,
+           p_name AS name,
+           round(p_retailprice, 2) AS retail,
+           CAST(p_size * 3 + p_partkey % 5 AS BIGINT) AS span2_pos,
+           't' || CAST(p_partkey % 3 AS VARCHAR) AS span1_tag,
+           CAST(p_partkey % 100 AS INT) AS k2_n
+    FROM part
+    WHERE p_partkey <= 800 AND p_partkey % 7 <> 0
+    """,
+)
+def shc_avro_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _root(sf_dir, "partavro_deep")
+    if not os.path.exists(os.path.join(root, "q.part_avro_deep", "_regions.json")):
+        part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        pk = F.col("p_partkey")
+        df = part.select(
+            "p_partkey",
+            F.struct(
+                F.struct(
+                    F.col("p_name").alias("name"),
+                    F.when(pk % 7 == 0, F.lit(None).cast("double"))
+                    .otherwise(F.round(F.col("p_retailprice"), 2))
+                    .alias("retail"),
+                ).alias("meta"),
+                F.array(
+                    F.struct(
+                        F.col("p_size").cast("long").alias("pos"),
+                        F.concat(F.lit("t"), (pk % 3).cast("string")).alias("tag"),
+                    ),
+                    F.struct(
+                        (F.col("p_size") * 3 + pk % 5).cast("long").alias("pos"),
+                        F.lit("u").alias("tag"),
+                    ),
+                ).alias("spans"),
+                F.create_map(
+                    F.lit("k1"),
+                    F.struct((F.col("p_size") + 1).cast("int").alias("n")),
+                    F.lit("k2"),
+                    F.struct((pk % 100).cast("int").alias("n")),
+                ).alias("counts"),
+            ).alias("p_doc"),
+        )
+        write_table(df, CAT_PART_AVRO_DEEP, root=root, num_regions=4,
+                    mode="overwrite", timestamp=1000)
+    t = read_table(spark, CAT_PART_AVRO_DEEP, root=root)
+    return t.filter(
+        (F.col("p_partkey") <= 800) & F.col("p_doc.meta.retail").isNotNull()
+    ).select(
+        "p_partkey",
+        F.col("p_doc.meta.name").alias("name"),
+        F.col("p_doc.meta.retail").alias("retail"),
+        F.element_at(F.col("p_doc.spans"), 2)["pos"].alias("span2_pos"),
+        F.element_at(F.col("p_doc.spans"), 1)["tag"].alias("span1_tag"),
+        F.element_at(F.col("p_doc.counts"), F.lit("k2"))["n"].alias("k2_n"),
+    )
+
+
 CAT_SEG_MAP = json.dumps(
     {
         "table": {"namespace": "q", "name": "seg_stats", "tableCoder": "OrderedType", "version": "2.0"},

@@ -161,3 +161,103 @@ def semantic_dedup(
         .agg(best, F.count(F.lit(1)).alias("members"))
         .select("cluster", F.col("b.id").alias(id_col), "members")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    threshold: float = 0.45,
+    centroids=None,
+    max_iter: int = 5,
+    keep: str = "farthest",
+    round_dp: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings, then WITHIN each cluster drop every example that has a
+    higher-ranked ε-neighbor (cosine >= ``threshold``). Rank follows
+    the paper's keep rule: ``keep="farthest"`` ranks members by
+    distance-to-centroid DESCENDING (keep the most atypical example of
+    each duplicate neighborhood, drop its near-copies); ``"closest"``
+    keeps prototypes instead. Ties break by smallest id, so the output
+    is fully deterministic given the centroids.
+
+    Scale design (the paper's own): assignment is a broadcast argmin
+    (no shuffle); the ONLY shuffle is the cluster-keyed group, and
+    per-cluster work is a |c| x |c| cosine matmul — bounded by cluster
+    size, so pick k ~ corpus_size / target_cluster_size. Distances
+    round to 6dp and cosines to ``round_dp`` BEFORE any comparison,
+    making the whole decision chain engine-exact (replayable in SQL —
+    the dedup_semdedup gate's oracle replays assignment, ranking and
+    domination verbatim).
+
+    Returns one row per input vector: (id, cluster, kept, dup_of) —
+    ``dup_of`` is the highest-ranked ε-neighbor that dominated a
+    dropped row (NULL for kept rows).
+    """
+    cents = np.asarray(
+        centroids
+        if centroids is not None
+        else kmeans_fit(df, vec_col, id_col, k=k, max_iter=max_iter),
+        dtype=np.float64,
+    )
+    descending = keep == "farthest"
+
+    @F.pandas_udf("struct<cluster: long, dist: double>")
+    def _assign(col: pd.Series) -> pd.DataFrame:
+        if col.empty:
+            return pd.DataFrame({"cluster": [], "dist": []})
+        mat = _stack(col)
+        # explicit (x-c)^2 sums (not the matmul expansion): closer to
+        # the oracle's left-to-right list_sum than the cancellation-
+        # prone ||x||^2 - 2xc + ||c||^2 form; 6dp rounding absorbs the
+        # remaining ulps BEFORE the argmin (ties -> first centroid,
+        # matching ORDER BY dist, cid)
+        diff = mat[:, None, :] - cents[None, :, :]
+        d = np.round((diff * diff).sum(axis=2), 6)
+        a = d.argmin(axis=1)
+        return pd.DataFrame({"cluster": a, "dist": d[np.arange(len(a)), a]})
+
+    assigned = (
+        df.select(id_col, vec_col)
+        .withColumn("__a", _assign(F.col(vec_col)))
+        .select(
+            id_col,
+            vec_col,
+            F.col("__a.cluster").alias("cluster"),
+            F.col("__a.dist").alias("__dist"),
+        )
+    )
+    out_schema = f"{id_col} long, cluster long, kept boolean, dup_of long"
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        dist = pdf["__dist"].to_numpy()
+        cl = int(pdf["cluster"].iloc[0])
+        # rank order: (dist desc|asc, id asc) — lexsort keys minor first
+        order = np.lexsort((ids, -dist if descending else dist))
+        mat = _stack(pdf[vec_col])[order]
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        S = np.round(mat @ mat.T / np.outer(nrm, nrm), round_dp)
+        dom = np.tril(S >= threshold, k=-1)  # j strictly higher-ranked
+        has = dom.any(axis=1)
+        first = dom.argmax(axis=1)  # first True = smallest rank j
+        ids_sorted = ids[order]
+        dup_of = np.where(has, ids_sorted[first], 0)
+        res = pd.DataFrame(
+            {
+                id_col: ids_sorted,
+                "cluster": np.full(n, cl, dtype=np.int64),
+                "kept": ~has,
+                "dup_of": pd.array(
+                    [int(d) if h else None for d, h in zip(dup_of, has)],
+                    dtype="Int64",
+                ),
+            }
+        )
+        return res
+
+    return assigned.groupBy("cluster").applyInPandas(prune, out_schema)

@@ -62,15 +62,17 @@ _WINDOW = [
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
     # r10-new — first driver rows (shc_avro_deep: the deep-nested
     # vector serde — records in records, arrays/maps of records;
-    # q_string_functions yields its slot, its r4 union row stands):
+    # dedup_semdedup: SemDeDup cluster-prune with a full-chain SQL
+    # oracle; q_string_functions and q_above_avg_orders yield their
+    # slots, their r4 union rows stand):
     "mm_mjpeg_fingerprint_pairs", "mm_dhash128_near_dup", "shc_avro_nested",
-    "shc_avro_deep",
+    "shc_avro_deep", "dedup_semdedup",
     # behavior touched in r10 — fresh rows on the changed paths:
     "shc_avro_cells", "text_heavy_hitters", "dedup_index_batch",
     "text_index_batch",
     # r4-green refresh (oldest evidence on the board):
     "cluster_assign", "dq_validate_orders", "mm_video_scenes",
-    "q03_top_revenue_orders", "q10_returned_items", "q_above_avg_orders",
+    "q03_top_revenue_orders", "q10_returned_items",
     "q_json_props", "q_percentiles_datetime", "q_pivot_linestatus",
     "q_set_ops", "stream_sessionization",
     "stream_stream_join", "text_chunking", "text_lm_ppl",

@@ -1644,6 +1644,56 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings,
+# then drop within-cluster examples that have a higher-ranked
+# ε-neighbor (cosine >= 0.45), keeping the example FARTHEST from its
+# centroid per duplicate neighborhood (the paper's keep rule).
+# Centroids are the 8 smallest-id vectors (no Lloyd iterations), so
+# the ORACLE replays the ENTIRE decision chain — assignment argmin,
+# distance ranking, domination join — value-exactly in SQL; distances
+# round to 6dp and cosines to 4dp before every comparison on both
+# sides. The operator itself is the scale path: broadcast-argmin
+# assignment (no shuffle) + ONE cluster-keyed group with a bounded
+# |c| x |c| matmul per cluster.
+@register(
+    "dedup_semdedup",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, e.v, c.cid,
+            round(list_sum(list_transform(list_zip(e.v, c.cv),
+                                          p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, v, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d),
+    m AS (SELECT vec_id, v, cid AS cluster, dist FROM a WHERE rn = 1),
+    r AS (SELECT vec_id, v, cluster, dist,
+                 row_number() OVER (PARTITION BY cluster ORDER BY dist DESC, vec_id) AS rk,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM m),
+    dom AS (SELECT b.vec_id AS vid, min(a.rk) AS dom_rk
+            FROM r a JOIN r b ON a.cluster = b.cluster AND a.rk < b.rk
+            WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45
+            GROUP BY b.vec_id),
+    dupof AS (SELECT dom.vid, r2.vec_id AS dup_of
+              FROM dom JOIN r r1 ON r1.vec_id = dom.vid
+                       JOIN r r2 ON r2.cluster = r1.cluster AND r2.rk = dom.dom_rk)
+    SELECT r.vec_id, r.cluster, (dupof.dup_of IS NULL) AS kept, dupof.dup_of
+    FROM r LEFT JOIN dupof ON r.vec_id = dupof.vid
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = cluster.seed_centroids(emb, "embedding", "vec_id", 8)
+    return cluster.semdedup(
+        emb, "embedding", "vec_id", threshold=0.45, centroids=cents
+    )
+
+
 # bipartite near-dedup across two corpora (even doc_ids = "existing
 # corpus", odd = "new crawl"): the oracle is the exact cross-side
 # Jaccard pair set; banding recall at 64/32 makes LSH output == exact.

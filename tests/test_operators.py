@@ -405,6 +405,51 @@ def test_semantic_dedup_representatives(spark):
         assert r["vec_id"] == best, (r, best)
 
 
+def test_semdedup_matches_numpy_reference(spark):
+    """SemDeDup invariants against an all-pairs numpy replay: kept
+    rows have NO higher-ranked ε-neighbor, every dropped row's dup_of
+    IS its first (lowest-rank) ε-dominator, and the keep="closest"
+    variant flips the ranking."""
+    import numpy as np
+
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = cluster.seed_centroids(emb, "embedding", "vec_id", 8)
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+
+    def reference(descending):
+        d = np.round(((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
+        a = d.argmin(axis=1)
+        dist = d[np.arange(len(a)), a]
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        S = np.round(mat @ mat.T / np.outer(nrm, nrm), 4)
+        out = {}
+        for c in np.unique(a):
+            m = np.flatnonzero(a == c)
+            order = m[np.lexsort((ids[m], -dist[m] if descending else dist[m]))]
+            for i, oi in enumerate(order):
+                dom = [oj for oj in order[:i] if S[oi, oj] >= 0.45]
+                out[int(ids[oi])] = (int(c), not dom, int(ids[dom[0]]) if dom else None)
+        return out
+
+    for keep, descending in (("farthest", True), ("closest", False)):
+        got = cluster.semdedup(
+            emb, "embedding", "vec_id", threshold=0.45, centroids=cents, keep=keep
+        ).collect()
+        ref = reference(descending)
+        assert len(got) == len(ref)
+        for r in got:
+            c, kept, dup_of = ref[r["vec_id"]]
+            assert (r["cluster"], r["kept"], r["dup_of"]) == (c, kept, dup_of), (
+                keep, r, ref[r["vec_id"]],
+            )
+        n_dropped = sum(1 for r in got if not r["kept"])
+        assert 0 < n_dropped < len(got)  # the corpus has planted near-dups
+
+
 def test_cross_corpus_equals_exact_bipartite(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     left = docs.filter(F.col("doc_id") % 2 == 0)

@@ -1036,17 +1036,15 @@ def record_decode_plan(schema, struct_fields):
         return True
 
     def decode_supported(kind, top: bool) -> bool:
-        # read-side kinds the compact kernels can parse. Maps decode
-        # only at TOP level (their dict bridge builds a pandas Series,
-        # which nests cleanly only as a whole column); member-struct /
-        # mixed-parse unions dispatch at top level only.
+        # read-side kinds the compact kernels can parse. Member-struct
+        # and mixed-parse unions dispatch at top level only; every
+        # collection/record shape nests freely (nested maps decode as
+        # compact MapArrays, dictified by the _pylist_fast bridge).
         if isinstance(kind, str) or kind[0] in ("enum", "fixed"):
             return True
         if kind[0] in ("munion", "sunion"):
             return top
-        if kind[0] == "map":
-            return top and decode_supported(kind[1][0], False)
-        if kind[0] == "array":
+        if kind[0] in ("array", "map"):
             return decode_supported(kind[1][0], False)
         if kind[0] == "record":
             return all(decode_supported(p[0], False) for p in kind[1])
@@ -1225,6 +1223,17 @@ def _decode_kind_compact(flat, pos, rows, kind, spark_dt):
             len(rows),
             with_keys=False,
             item_dt=spark_dt.elementType,
+            compact=True,
+        )
+    if kind[0] == "map":
+        return _decode_blocked(
+            flat,
+            pos,
+            rows,
+            kind[1],
+            len(rows),
+            with_keys=True,
+            item_dt=spark_dt.valueType,
             compact=True,
         )
     raise ValueError(f"not vectorizable in nested context: {kind!r}")
@@ -1456,7 +1465,14 @@ def _decode_blocked(
         )
         kbuf, koffs = _gather_slices(flat, kstarts_all, klens_all)
         keys = _large_binary(kbuf, koffs).cast(pa.large_utf8())
-        # the map caller builds dicts straight from the flat children
+        if compact:
+            # nested map (r10): a compact MapArray aligned with d_idx;
+            # _pylist_fast dictifies it at the bridge
+            return pa.MapArray.from_arrays(
+                pa.array(loffs, type=pa.int64()), keys, child
+            )
+        # the top-level map caller builds dicts straight from the
+        # flat children
         return keys, child, loffs
     larr = pa.LargeListArray.from_arrays(pa.array(loffs, type=pa.int64()), child)
     if compact:
@@ -1537,6 +1553,24 @@ def _pylist_fast(arr):
             nulls = np.asarray(arr.is_null())
             out = [None if nulls[i] else v for i, v in enumerate(out)]
         return out
+    if pa.types.is_map(t):
+        # dict rows from the flat key/value children (to_pylist would
+        # give lists of tuples, which Spark's map bridge rejects)
+        keys = _pylist_fast(arr.keys)
+        vals = _pylist_fast(arr.items)
+        offs = arr.offsets.to_numpy()
+        if arr.null_count:
+            nulls = np.asarray(arr.is_null())
+            return [
+                None
+                if nulls[i]
+                else dict(zip(keys[offs[i]:offs[i + 1]], vals[offs[i]:offs[i + 1]]))
+                for i in range(len(arr))
+            ]
+        return [
+            dict(zip(keys[offs[i]:offs[i + 1]], vals[offs[i]:offs[i + 1]]))
+            for i in range(len(arr))
+        ]
     if pa.types.is_large_list(t) or pa.types.is_list(t):
         child = _pylist_fast(arr.values)
         offs = arr.offsets.to_numpy()

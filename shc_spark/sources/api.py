@@ -235,10 +235,10 @@ def _avro_decode_udf(field):
     types/Avro.scala:416-426). Flat primitive records decode
     WHOLE-BATCH (coders/avro.py:decode_record_batch — numpy varint
     parse + strided/repeat gathers), pinned bit-equal to the per-row
-    coder. Nested records, arrays of records, arrays of arrays and
-    top-level maps of any vectorizable value all decode whole-batch as
-    of r10; per-row remains only for maps nested INSIDE collections
-    and unions that are neither parse-identical nor {float,double}."""
+    coder. EVERY nested shape — records, arrays, maps, at any depth —
+    decodes whole-batch as of r10; per-row remains only for unions
+    that are neither parse-identical nor {float,double} inside
+    collections (the writer's branch index needs per-row dispatch)."""
     from shc_spark.coders.avro import (
         AvroType,
         decode_record_batch,
@@ -248,8 +248,7 @@ def _avro_decode_udf(field):
     coder = AvroType(field.avro_schema)
     struct_fields = list(field.dt.fields)
     names = [sf.name for sf in struct_fields]
-    # r10: every scalar shape plus nested records/arrays decode
-    # whole-batch; per-row remains only for nested maps and
+    # r10: every shape decodes whole-batch; per-row remains only for
     # non-parse-safe unions inside collections
     plans = record_decode_plan(coder.schema, struct_fields)
 

@@ -179,11 +179,11 @@ def test_avro_batch_encode_matches_per_row(spark):
 
 def test_avro_plan_boundary_shapes(spark):
     """The vector-plan boundary as of r10: everything vectorizes on
-    encode except member-struct unions with non-primitive branches;
-    decode additionally declines maps nested INSIDE collections (the
-    dict bridge is a whole-column affair). The reference's full
-    flagship record (AvroSourceSuite.scala:105: favorite_array +
-    favorite_map) takes the vector path both ways."""
+    both directions except member-struct unions with non-primitive
+    branches (encode+decode) and non-parse-safe unions inside
+    collections (decode). The reference's full flagship record
+    (AvroSourceSuite.scala:105: favorite_array + favorite_map) takes
+    the vector path both ways."""
     from pyspark.sql import types as T
 
     from shc_spark.coders.avro import AvroType, record_encode_plan
@@ -254,8 +254,8 @@ def test_avro_plan_boundary_shapes(spark):
     from shc_spark.coders.avro import record_decode_plan
 
     assert record_decode_plan(AvroType(map_arr).schema, list(sfm)) is not None
-    # array of MAPS: encode vectorizes, decode declines (the dict
-    # bridge builds a pandas Series, which nests only as a whole column)
+    # array of MAPS: both directions vectorize (nested maps decode as
+    # compact MapArrays, dictified by the _pylist_fast bridge)
     arr_map = json.dumps(
         {
             "type": "record",
@@ -273,7 +273,25 @@ def test_avro_plan_boundary_shapes(spark):
     )
     sfam = T._parse_datatype_string("m array<map<string,int>>").fields
     assert record_encode_plan(AvroType(arr_map).schema, list(sfam)) is not None
-    assert record_decode_plan(AvroType(arr_map).schema, list(sfam)) is None
+    assert record_decode_plan(AvroType(arr_map).schema, list(sfam)) is not None
+    # the remaining decode decliner: a union whose non-null branches
+    # parse differently (string vs int) inside a collection
+    mixed_items = json.dumps(
+        {
+            "type": "record",
+            "name": "mi",
+            "fields": [
+                {
+                    "name": "m",
+                    "type": {"type": "array", "items": ["int", "string"]},
+                }
+            ],
+        }
+    )
+    sfmi = T._parse_datatype_string(
+        "m array<struct<member0:int,member1:string>>"
+    ).fields
+    assert record_decode_plan(AvroType(mixed_items).schema, list(sfmi)) is None
     # an array of ARRAYS vectorizes both ways as of r10
     nested_arr = json.dumps(
         {
@@ -1144,6 +1162,13 @@ DEEP_AVRO = json.dumps(
                     ],
                 },
             },
+            {
+                "name": "am",
+                "type": {
+                    "type": "array",
+                    "items": {"type": "map", "values": "int"},
+                },
+            },
         ],
     }
 )
@@ -1160,7 +1185,7 @@ def _deep_rows(n=211):
     out = []
     for i in range(n):
         if i % 23 == 0:
-            out.append((None, None, None, None, None, None))
+            out.append((None, None, None, None, None, None, None))
             continue
         out.append(
             (
@@ -1184,6 +1209,10 @@ def _deep_rows(n=211):
                 else [[rng.randint(-100, 100) for _ in range(rng.randint(0, 3))] for _ in range(rng.randint(0, 3))],
                 {s(4) or "k": {"q": bool(rng.randint(0, 1)), "s": s(5)} for _ in range(rng.randint(0, 3))},
                 [None if j % 3 == 0 else {"z": rng.randint(-999, 999)} for j in range(rng.randint(0, 5))],
+                [
+                    {f"m{t}": rng.randint(-50, 50) for t in range(rng.randint(0, 2))}
+                    for _ in range(rng.randint(0, 3))
+                ],
             )
         )
     return out

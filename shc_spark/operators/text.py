@@ -1035,3 +1035,71 @@ def token_budget_sample(
         .withColumn("cum_tok", F.sum("n_tok").over(w))
         .filter(F.col("cum_tok") <= budget)
     )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 4096,
+    n: int = 100,
+    round_dp: int = 4,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every RAW document by the bigram log-likelihood ratio
+    between a target-domain model and the raw-corpus model,
+
+        w(doc) = sum over the doc's vocab bigrams of
+                 ln((c_tgt(b)+1)/(T_tgt+V)) - ln((c_raw(b)+1)/(T_raw+V))
+
+    with add-one smoothing over a capped vocabulary — the ``vocab_size``
+    most frequent raw bigrams, ties by bigram string. The paper's
+    hashed feature space is replaced by this explicit deterministic
+    vocab and its Gumbel resampling by top-``n`` on (rounded weight
+    desc, id), so the whole decision chain replays in SQL (gate
+    text_dsir_select). Documents containing no vocab bigram are not
+    scored (no evidence either way).
+
+    Scale shape: explode/groupBy/join all codegen'd; the vocab is a
+    TakeOrdered over bigram counts (driver-bounded at vocab_size) that
+    broadcasts into the scoring join; the only corpus-sized shuffles
+    key on bigram strings and doc ids. Top-n is TakeOrderedAndProject,
+    never a single-partition window. No Python anywhere.
+    """
+
+    def bg(df: DataFrame) -> DataFrame:
+        ws = F.split(F.col(text_col), " ")
+        pairs = F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        return df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("b"))
+
+    raw_bg = bg(raw)
+    vocab = (
+        raw_bg.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "b")
+        .limit(vocab_size)
+    )
+    tgtc = bg(target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    v = vocab.join(tgtc, "b", "left").na.fill({"ct": 0})
+    tot = v.agg(
+        F.sum("c").alias("rt"), F.sum("ct").alias("tt"), F.count(F.lit(1)).alias("vn")
+    )
+    lw = F.log((F.col("ct") + 1.0) / (F.col("tt") + F.col("vn"))) - F.log(
+        (F.col("c") + 1.0) / (F.col("rt") + F.col("vn"))
+    )
+    w = v.crossJoin(F.broadcast(tot)).select("b", lw.alias("lw"))
+    scored = (
+        raw_bg.join(F.broadcast(w), "b")
+        .groupBy("id")
+        .agg(F.round(F.sum("lw"), round_dp).alias("weight"))
+    )
+    return (
+        scored.orderBy(F.desc("weight"), "id")
+        .limit(n)
+        .select(F.col("id").alias(id_col), "weight")
+    )

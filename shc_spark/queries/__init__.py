@@ -63,10 +63,11 @@ _WINDOW = [
     # r10-new — first driver rows (shc_avro_deep: the deep-nested
     # vector serde — records in records, arrays/maps of records;
     # dedup_semdedup: SemDeDup cluster-prune with a full-chain SQL
-    # oracle; q_string_functions and q_above_avg_orders yield their
-    # slots, their r4 union rows stand):
+    # oracle; text_dsir_select: DSIR bigram-LLR data selection;
+    # q_string_functions, q_above_avg_orders and text_chunking yield
+    # their slots, their r4 union rows stand):
     "mm_mjpeg_fingerprint_pairs", "mm_dhash128_near_dup", "shc_avro_nested",
-    "shc_avro_deep", "dedup_semdedup",
+    "shc_avro_deep", "dedup_semdedup", "text_dsir_select",
     # behavior touched in r10 — fresh rows on the changed paths:
     "shc_avro_cells", "text_heavy_hitters", "dedup_index_batch",
     "text_index_batch",
@@ -75,7 +76,7 @@ _WINDOW = [
     "q03_top_revenue_orders", "q10_returned_items",
     "q_json_props", "q_percentiles_datetime", "q_pivot_linestatus",
     "q_set_ops", "stream_sessionization",
-    "stream_stream_join", "text_chunking", "text_lm_ppl",
+    "stream_stream_join", "text_lm_ppl",
     # r5-green refresh:
     "mm_image_dhash", "q_gapfill_locf", "sim_topk_bruteforce",
     "text_pack_sequences",

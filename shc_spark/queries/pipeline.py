@@ -1836,6 +1836,45 @@ def text_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_bigram_scores(docs, "text", "doc_id", alpha=0.4)
 
 
+# DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+# bigram log-likelihood-ratio weights between a target domain (src0)
+# and the raw corpus, add-one smoothed over the 4096 most frequent
+# raw bigrams; the oracle retrains BOTH models and replays the
+# weighting + deterministic top-k verbatim (weights rounded to 4dp on
+# both sides, ties by doc_id).
+@register(
+    "text_dsir_select",
+    """
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    bgs AS (SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS b
+            FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) s),
+    raw_bg AS (SELECT doc_id, b FROM bgs WHERE source <> 'src0'),
+    vocab AS (SELECT b, count(*) AS c FROM raw_bg GROUP BY b
+              ORDER BY c DESC, b LIMIT 4096),
+    tgtc AS (SELECT b, count(*) AS ct FROM bgs WHERE source = 'src0' GROUP BY b),
+    v AS (SELECT vocab.b, vocab.c, coalesce(tgtc.ct, 0) AS ct
+          FROM vocab LEFT JOIN tgtc ON vocab.b = tgtc.b),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS rt, CAST(sum(ct) AS BIGINT) AS tt,
+                   CAST(count(*) AS BIGINT) AS vn FROM v),
+    w AS (SELECT b, ln((ct + 1.0) / (tt + vn)) - ln((c + 1.0) / (rt + vn)) AS lw
+          FROM v CROSS JOIN tot),
+    dw AS (SELECT raw_bg.doc_id, round(sum(w.lw), 4) AS weight
+           FROM raw_bg JOIN w ON raw_bg.b = w.b GROUP BY raw_bg.doc_id)
+    SELECT doc_id, weight FROM dw ORDER BY weight DESC, doc_id LIMIT 100
+    """,
+)
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.dsir_select(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        vocab_size=4096,
+        n=100,
+    )
+
+
 # learned BPE tokenizer: distributed word counts -> driver merge
 # training (bounded dict) -> vectorized encode. The merge sequence is
 # not SQL-expressible, but the gate is hash-checked on invariants a

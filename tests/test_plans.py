@@ -443,3 +443,27 @@ def test_fingerprint_near_dups128_plan_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan0 and "BroadcastNestedLoop" not in plan0, plan0
+
+
+def test_semdedup_single_shuffle(spark):
+    """r10: SemDeDup's physical plan is assignment (pandas UDF, no
+    shuffle) + ONE cluster-keyed exchange feeding the per-cluster
+    prune — no join, no cartesian, and exactly one shuffle of the
+    corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from shc_spark.operators import cluster
+
+    df = spark.range(0, 256).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    cents = np.zeros((4, 8), dtype=np.float64)
+    cents[np.arange(4), np.arange(4)] = 1.0
+    plan = (
+        cluster.semdedup(df, "embedding", "vec_id", centroids=cents, threshold=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan

@@ -264,10 +264,22 @@ def main() -> None:
         "kmeans_semantic": lambda d, e: cluster.semantic_dedup(
             e, "embedding", "vec_id", k=16, max_iter=2
         ),
+        # SemDeDup (r10): cluster count fixed at 64 so per-cluster
+        # matmul size grows with the corpus — at deploy scale pick
+        # k ~ n/target_cluster_size to keep it bounded
+        "dedup_semdedup": lambda d, e: cluster.semdedup(
+            e, "embedding", "vec_id", k=64, max_iter=2, threshold=0.45
+        ),
         "embed_quantize": lambda d, e: quantize.quantize_embeddings(
             e, "embedding", "vec_id"
         ),
         "text_tfidf": lambda d, e: text.tfidf_terms(d, "text", "doc_id", k=3),
+        # DSIR (r10): pure-Catalyst bigram LLR weighting + top-k
+        "text_dsir_select": lambda d, e: text.dsir_select(
+            d.filter(F.col("source") != "src0"),
+            d.filter(F.col("source") == "src0"),
+            "text", "doc_id", vocab_size=4096, n=100,
+        ),
         "heavy_hitters": lambda d, e: __import__(
             "shc_spark.operators.sketch", fromlist=["sketch"]
         ).heavy_hitters(

@@ -81,6 +81,11 @@ HEADLINE = [
     # PQ storage tier (ADC search + refine verdict vs the float index)
     "dedup_index_batch",
     "sim_topk_ivf_index_pq",
+    # round-10 additions: SemDeDup cluster-prune (single-shuffle
+    # embedding dedup) and DSIR bigram-LLR data selection (pure
+    # Catalyst)
+    "dedup_semdedup",
+    "text_dsir_select",
 ]
 
 

@@ -44,6 +44,20 @@ def main(spark, sf_dir="/root/testdata/sf0.001"):
     #    cluster keeps topical diversity while trimming redundancy
     reps = cluster.semantic_dedup(emb, "embedding", "vec_id", k=8, max_iter=3)
 
+    # 3b. SemDeDup (r10, Abbas et al. 2023): the FINER embedding prune —
+    #     within each cluster drop examples with a higher-ranked
+    #     ε-neighbor instead of keeping just one representative
+    sem = cluster.semdedup(emb, "embedding", "vec_id", k=8, threshold=0.45)
+    sem_kept = sem.filter(F.col("kept"))
+
+    # 3c. DSIR (r10, Xie et al. 2023): rank the merged corpus by bigram
+    #     log-likelihood-ratio affinity to a target domain (src0 docs)
+    dsir_top = text.dsir_select(
+        merged.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text", "doc_id", vocab_size=2048, n=50,
+    )
+
     # 4. chunk to context windows, tokenize with corpus-learned BPE
     chunks = text.chunk_text(merged, "text", "doc_id", chunk_size=240, overlap=40)
     chunk_ids = chunks.select(
@@ -58,15 +72,20 @@ def main(spark, sf_dir="/root/testdata/sf0.001"):
 
     n_docs, n_kept, n_merged = docs.count(), kept.count(), merged.count()
     n_chunks, n_reps = chunks.count(), reps.count()
+    n_emb, n_sem = emb.count(), sem_kept.count()
+    n_dsir = dsir_top.count()
     total_toks = packed.agg(F.sum("n")).collect()[0][0]
     n_bins = packed.agg(F.max("bin_end")).collect()[0][0] + 1
     assert 0 < n_kept <= n_docs and 0 < n_merged <= n_kept
     assert n_chunks >= n_merged and 0 < n_reps <= 8
+    assert n_reps <= n_sem < n_emb  # finer than keep-one, still prunes
+    assert 0 < n_dsir <= 50
     assert n_bins == (total_toks + 511) // 512
     print(
         f"corpus_to_training: OK ({n_docs} docs -> {n_merged} deduped -> "
         f"{n_chunks} chunks -> {total_toks} BPE tokens -> {n_bins} sequences; "
-        f"{n_reps} semantic reps)"
+        f"{n_reps} semantic reps; semdedup keeps {n_sem}/{n_emb}; "
+        f"DSIR top-{n_dsir})"
     )
 
 

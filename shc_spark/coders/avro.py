@@ -467,15 +467,15 @@ def _field_plan(avro_field_schema, spark_dt):
     ):
         # NESTED record field (r10): an avro record body is just its
         # field bodies concatenated, so every subfield reuses the
-        # column kernels and the record joins them element-wise.
-        # Member-struct unions stay per-row inside records (their
-        # struct representation would be ambiguous with this one).
+        # column kernels and the record joins them element-wise
+        # (member-struct union subfields included — their kernel
+        # writes its own branch varints).
         if len(s0.get("fields", [])) != len(spark_dt.fields):
             return None
         subs = []
         for af, sf in zip(s0["fields"], spark_dt.fields):
             p = _field_plan(af["type"], sf.dataType)
-            if p is None or (isinstance(p[0], tuple) and p[0][0] == "munion"):
+            if p is None:
                 return None
             subs.append(p)
         return (
@@ -524,23 +524,20 @@ def _field_plan(avro_field_schema, spark_dt):
             prefixes = _union_prefixes(s, branch_idx)
             s = non_null[0]
         if isinstance(spark_dt, T.MapType):
-            # map of primitives (r10): string keys + any vectorizable
-            # value kind except member-struct unions
+            # map values: string keys + any vectorizable value kind
             if not (isinstance(s, dict) and s.get("type") == "map"):
                 return None
             if not isinstance(spark_dt.keyType, T.StringType):
                 return None
             item = _field_plan(s["values"], spark_dt.valueType)
-            if item is None or (
-                isinstance(item[0], tuple) and item[0][0] == "munion"
-            ):
+            if item is None:
                 return None
             return (("map", item), prefixes)
         if not (isinstance(s, dict) and s.get("type") == "array"):
             return None
         item = _field_plan(s["items"], spark_dt.elementType)
-        if item is None or (isinstance(item[0], tuple) and item[0][0] == "munion"):
-            return None  # member-struct union items stay per-row
+        if item is None:
+            return None
         return (("array", item), prefixes)
     families = {
         T.ByteType: "int", T.ShortType: "int", T.IntegerType: "int",
@@ -791,7 +788,16 @@ def _encode_array_column(col, item_plan, prefixes):
     # compound item kinds (nested records/arrays/maps, r10) route back
     # through the column dispatcher; primitives hit _encode_values
     ibody, inulls = _encode_column(child, item_t, None)
-    if item_prefixes is not None and item_prefixes[0] is not None:
+    item_is_munion = isinstance(item_t, tuple) and item_t[0] == "munion"
+    if item_is_munion:
+        # the member-union kernel writes its own branch varints (incl.
+        # the null branch) — but a null item in a NO-null-branch union
+        # must raise like per-row _encode
+        if item_prefixes is not None and item_prefixes[0] is None and bool(
+            inulls.any()
+        ):
+            raise ValueError("null item in non-nullable avro union array")
+    elif item_prefixes is not None and item_prefixes[0] is not None:
         ibody = _apply_union_prefix(ibody, inulls, item_prefixes)
     elif bool(inulls.any()):
         # no null branch for items: per-row _encode would raise here
@@ -955,7 +961,13 @@ def _encode_map_column(col, value_plan, prefixes):
     if bool(knulls.any()):
         raise ValueError("null key in avro map")
     vbody, vnulls = _encode_column(arr.items, value_t, None)
-    if value_prefixes is not None and value_prefixes[0] is not None:
+    value_is_munion = isinstance(value_t, tuple) and value_t[0] == "munion"
+    if value_is_munion:
+        if value_prefixes is not None and value_prefixes[0] is None and bool(
+            vnulls.any()
+        ):
+            raise ValueError("null value in non-nullable avro union map")
+    elif value_prefixes is not None and value_prefixes[0] is not None:
         vbody = _apply_union_prefix(vbody, vnulls, value_prefixes)
     elif bool(vnulls.any()):
         raise ValueError(f"null value in non-nullable avro map of {value_t!r}")
@@ -1016,16 +1028,21 @@ def record_decode_plan(schema, struct_fields):
         return None
 
     def parse_safe(s) -> bool:
-        # every union reachable INSIDE a collection must parse
-        # identically on whatever branch the writer recorded:
-        # single-non-null, or the {int, long} varint pair
+        # every union reachable INSIDE a collection must either parse
+        # identically on whatever branch the writer recorded ({int,
+        # long} varints, single-non-null) or dispatch on the branch
+        # index (member-struct unions, r10). The widened {float,
+        # double} scalar stays unsafe nested: its Spark type is a
+        # plain double, so the plan carries one branch's width while
+        # a foreign writer may have recorded the other.
         if isinstance(s, list):
             non_null = [b for b in s if b != "null"]
-            if len(non_null) > 1 and (
-                not all(isinstance(b, str) for b in non_null)
-                or set(non_null) != {"int", "long"}
-            ):
-                return False
+            if len(non_null) > 1:
+                if not all(isinstance(b, str) for b in non_null):
+                    return False  # collection branches: per-row
+                if set(non_null) == {"float", "double"}:
+                    return False
+                return True  # {int,long} widened or member-struct
             return all(parse_safe(b) for b in non_null)
         if isinstance(s, dict) and s.get("type") == "array":
             return parse_safe(s["items"])
@@ -1036,13 +1053,15 @@ def record_decode_plan(schema, struct_fields):
         return True
 
     def decode_supported(kind, top: bool) -> bool:
-        # read-side kinds the compact kernels can parse. Member-struct
-        # and mixed-parse unions dispatch at top level only; every
-        # collection/record shape nests freely (nested maps decode as
-        # compact MapArrays, dictified by the _pylist_fast bridge).
-        if isinstance(kind, str) or kind[0] in ("enum", "fixed"):
+        # read-side kinds the compact kernels can parse. Every shape
+        # nests freely as of r10 — records, arrays, maps (compact
+        # MapArrays, dictified by the _pylist_fast bridge) and
+        # member-struct unions (the branch varint dispatches masked
+        # per-branch parses); only the mixed-parse {float,double}
+        # scalar union stays a top-level-only rewrite.
+        if isinstance(kind, str) or kind[0] in ("enum", "fixed", "munion"):
             return True
-        if kind[0] in ("munion", "sunion"):
+        if kind[0] == "sunion":
             return top
         if kind[0] in ("array", "map"):
             return decode_supported(kind[1][0], False)
@@ -1214,6 +1233,31 @@ def _decode_kind_compact(flat, pos, rows, kind, spark_dt):
             for subplan, sf in zip(subplans, spark_dt.fields)
         ]
         return pa.StructArray.from_arrays(children, names=list(subnames))
+    if kind[0] == "munion":
+        # member-struct union (r10, nested): the branch varint IS the
+        # member dispatch; each branch parses its rows masked (cursors
+        # are per-row, so cross-branch parse order is irrelevant)
+        branches, null_idx = kind[1], kind[2]
+        bidx, p2 = _parse_varints(flat, pos[rows])
+        pos[rows] = p2
+        isnull = (
+            bidx == null_idx if null_idx is not None else np.zeros(len(rows), bool)
+        )
+        members = []
+        for j, (bi, bt) in enumerate(branches):
+            sel = np.flatnonzero(bidx == bi)
+            comp = _parse_compact(flat, pos, rows[sel], bt)
+            mdt = spark_dt.fields[j].dataType
+            if isinstance(
+                mdt, (T.ByteType, T.ShortType, T.IntegerType)
+            ) and comp.type.equals(pa.int64()):
+                comp = comp.cast(pa.int32())
+            members.append(_scatter_compact(comp, sel, len(rows)))
+        return pa.StructArray.from_arrays(
+            members,
+            names=[f"member{j}" for j in range(len(branches))],
+            mask=pa.array(isnull),
+        )
     if kind[0] == "array":
         return _decode_blocked(
             flat,
@@ -1246,6 +1290,10 @@ def _decode_compact(flat, pos, rows, plan, spark_dt):
     import numpy as np
 
     kind, prefixes = plan
+    if isinstance(kind, tuple) and kind[0] == "munion":
+        # munion prefixes are PSEUDO (nullability flag only): the
+        # kernel re-parses the branch varint as the member dispatch
+        return _decode_kind_compact(flat, pos, rows, kind, spark_dt)
     if prefixes is None:
         return _decode_kind_compact(flat, pos, rows, kind, spark_dt)
     null_prefix, _bp = prefixes
@@ -1352,7 +1400,12 @@ def _decode_blocked(
                 key_chunks.append((kp, klens))
                 pos[g] = kp + klens
             inulls = np.zeros(len(l), dtype=bool)
-            if item_prefixes is not None:
+            if item_prefixes is not None and not (
+                compound and item_t[0] == "munion"
+            ):
+                # (munion items skip the generic preamble: their
+                # branch varint IS the member dispatch, re-parsed by
+                # the compact kernel with its own null-branch check)
                 bidx, p4 = _parse_varints(flat, pos[g])
                 pos[g] = p4
                 if null_idx is not None:

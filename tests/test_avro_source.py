@@ -274,8 +274,8 @@ def test_avro_plan_boundary_shapes(spark):
     sfam = T._parse_datatype_string("m array<map<string,int>>").fields
     assert record_encode_plan(AvroType(arr_map).schema, list(sfam)) is not None
     assert record_decode_plan(AvroType(arr_map).schema, list(sfam)) is not None
-    # the remaining decode decliner: a union whose non-null branches
-    # parse differently (string vs int) inside a collection
+    # member-struct union ITEMS vectorize both ways (the branch varint
+    # dispatches masked per-branch parses)
     mixed_items = json.dumps(
         {
             "type": "record",
@@ -291,7 +291,26 @@ def test_avro_plan_boundary_shapes(spark):
     sfmi = T._parse_datatype_string(
         "m array<struct<member0:int,member1:string>>"
     ).fields
-    assert record_decode_plan(AvroType(mixed_items).schema, list(sfmi)) is None
+    assert record_encode_plan(AvroType(mixed_items).schema, list(sfmi)) is not None
+    assert record_decode_plan(AvroType(mixed_items).schema, list(sfmi)) is not None
+    # the remaining decode decliner: the widened {float,double} scalar
+    # union inside a collection (one Spark double, branch-dependent
+    # widths — a foreign writer may have recorded either branch)
+    fd_items = json.dumps(
+        {
+            "type": "record",
+            "name": "fd",
+            "fields": [
+                {
+                    "name": "m",
+                    "type": {"type": "array", "items": ["float", "double"]},
+                }
+            ],
+        }
+    )
+    sffd = T._parse_datatype_string("m array<double>").fields
+    assert record_encode_plan(AvroType(fd_items).schema, list(sffd)) is not None
+    assert record_decode_plan(AvroType(fd_items).schema, list(sffd)) is None
     # an array of ARRAYS vectorizes both ways as of r10
     nested_arr = json.dumps(
         {
@@ -1436,3 +1455,129 @@ def test_avro_deep_nested_roundtrip_through_source(spark, tmp_path):
         assert (sc is None) == (v[0][1] is None) and (sc == v[0][1] or sc is None)
         assert [(s["start"], s["label"]) for s in row["doc"]["spans"]] == v[1]
         assert {kk: (vv["n"],) for kk, vv in row["doc"]["counts"].items()} == v[2]
+
+
+def test_avro_nested_munion_batch_matches_per_row(spark):
+    """r10: member-struct unions nested inside records, arrays and
+    maps vectorize both directions — the branch varint doubles as the
+    member dispatch; every member parses masked per branch."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        avro_to_spark_type,
+        decode_record_batch,
+        encode_record_batch,
+        record_decode_plan,
+        record_encode_plan,
+    )
+    from shc_spark.sources.api import _coerce
+
+    sch = {
+        "type": "record",
+        "name": "nm",
+        "fields": [
+            {
+                "name": "rec",
+                "type": {
+                    "type": "record",
+                    "name": "w",
+                    "fields": [
+                        {"name": "u", "type": ["null", "long", "string"]},
+                        {"name": "n", "type": "int"},
+                    ],
+                },
+            },
+            {"name": "arr", "type": {"type": "array", "items": ["int", "string"]}},
+            {
+                "name": "m",
+                "type": {"type": "map", "values": ["null", "boolean", "double"]},
+            },
+        ],
+    }
+    coder = AvroType(sch)
+    fields = list(avro_to_spark_type(coder.schema).fields)
+    ep = record_encode_plan(coder.schema, fields)
+    dp = record_decode_plan(coder.schema, fields)
+    assert ep is not None and dp is not None
+    rng = random.Random(13)
+    rows = []
+    for i in range(163):
+        if i % 17 == 0:
+            rows.append((None, None, None))
+            continue
+        u = (
+            None
+            if i % 5 == 0
+            else {"member0": rng.randint(-(2**40), 2**40), "member1": None}
+            if i % 2
+            else {"member0": None, "member1": f"s{i}é"}
+        )
+        arr = [
+            {"member0": rng.randint(-99, 99), "member1": None}
+            if j % 2
+            else {"member0": None, "member1": f"a{j}"}
+            for j in range(i % 4)
+        ]
+        m = {
+            f"k{j}": (
+                None
+                if j % 3 == 0
+                else {"member0": bool(j % 2), "member1": None}
+                if j % 2
+                else {"member0": None, "member1": j * 0.5}
+            )
+            for j in range(i % 3)
+        }
+        rows.append(({"u": u, "n": i}, arr, m))
+    pdf = pd.DataFrame(rows, columns=[f.name for f in fields])
+    got = encode_record_batch(ep, pdf, fields).to_pylist()
+    want = []
+    for r in rows:
+        if all(v is None for v in r):
+            want.append(None)
+            continue
+        want.append(
+            coder.to_bytes(tuple(_coerce(v, f.dataType) for v, f in zip(r, fields)))
+        )
+    assert got == want  # bit-identical encode
+    dec = decode_record_batch(dp, pd.Series(want, dtype=object), fields)
+
+    def norm(v):
+        import numpy as np
+
+        if isinstance(v, dict):
+            return {str(k): norm(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return [norm(x) for x in v]
+        if isinstance(v, (np.integer,)):
+            return int(v)
+        if isinstance(v, (np.floating,)):
+            return float(v)
+        if isinstance(v, (np.str_,)):
+            return str(v)
+        if isinstance(v, (np.bool_,)):
+            return bool(v)
+        if v is pd.NA:
+            return None
+        return v
+
+    def as_obj(v, dt):
+        if v is None:
+            return None
+        if isinstance(dt, T.StructType):
+            return {f.name: as_obj(x, f.dataType) for x, f in zip(v, dt.fields)}
+        if isinstance(dt, T.ArrayType):
+            return [as_obj(x, dt.elementType) for x in v]
+        if isinstance(dt, T.MapType):
+            return {str(k): as_obj(x, dt.valueType) for k, x in v.items()}
+        return v
+
+    for i, b in enumerate(want):
+        ref = (None,) * len(fields) if b is None else coder.from_bytes(b)
+        for j, f in enumerate(fields):
+            g = norm(dec[f.name].iloc[i])
+            assert g == as_obj(ref[j], f.dataType), (i, f.name, g, ref[j])

@@ -352,11 +352,12 @@ def _decode(buf: io.BytesIO, schema):
 # batch encodes column-wise: zigzag varints generated with numpy over
 # the full column, 4/8-byte floats reinterpreted straight from the
 # numpy buffer, length prefixes concatenated with pyarrow's
-# binary_join_element_wise. Nested records/arrays/maps recurse through
-# the same kernels (r10: records join subfield bodies element-wise,
-# collections flatten into one child pass per level). Per-row _encode
-# remains the fallback only for union-with-collection-branch schemas,
-# and is the bit-exactness oracle (property-tested equal).
+# binary_join_element_wise. Nested records/arrays/maps/member-unions
+# recurse through the same kernels (r10: records join subfield bodies
+# element-wise, collections flatten into one child pass per level,
+# union branch varints double as member dispatch). Every admitted
+# schema has a vector encode plan; per-row _encode remains as the
+# bit-exactness oracle (property-tested equal).
 
 
 def _varint_chunks(vals):
@@ -483,20 +484,17 @@ def _field_plan(avro_field_schema, spark_dt):
             prefixes0,
         )
     if isinstance(spark_dt, T.StructType) and isinstance(avro_field_schema, list):
-        # member-struct union (r10): >= 2 primitive non-null branches
-        # surface as struct<member0..>; exactly one populated slot per
-        # row picks the branch (first wins, like per-row _encode)
+        # member-struct union (r10): >= 2 non-null branches surface as
+        # struct<member0..>; the FIRST populated slot per row picks
+        # the branch (per-row _encode's rule). Members may be ANY
+        # vectorizable kind — primitives, enums, records, collections.
         members = _union_members(avro_field_schema)
-        if (
-            members is not None
-            and len(members) == len(spark_dt.fields)
-            and all(isinstance(b, str) for b in members)
-        ):
+        if members is not None and len(members) == len(spark_dt.fields):
             idxs = [i for i, b in enumerate(avro_field_schema) if b != "null"]
             branches = []
             for j, b in enumerate(members):
                 sub = _field_plan(b, spark_dt.fields[j].dataType)
-                if sub is None or not isinstance(sub[0], str):
+                if sub is None:
                     return None
                 branches.append((idxs[j], sub[0]))
             null_idx = (
@@ -634,7 +632,7 @@ def _arrow_kind_type(kind):
     if kind[0] == "munion":
         return pa.struct(
             [
-                pa.field(f"member{j}", _arrow_type_of(bt))
+                pa.field(f"member{j}", _arrow_kind_type(bt))
                 for j, (_bi, bt) in enumerate(kind[1])
             ]
         )
@@ -849,11 +847,12 @@ def _encode_munion_column(col, branches, null_idx):
 
     m = len(branches)
     struct_t = pa.struct(
-        [pa.field(f"member{j}", _arrow_type_of(bt)) for j, (_bi, bt) in enumerate(branches)]
+        [pa.field(f"member{j}", _arrow_kind_type(bt)) for j, (_bi, bt) in enumerate(branches)]
     )
     arr = _to_arrow(col, struct_t)
     n = len(arr)
     cell_null = np.asarray(arr.is_null()) if n else np.zeros(0, dtype=bool)
+    null_arr = pa.array(cell_null) if bool(cell_null.any()) else None
     member_null = np.stack(
         [np.asarray(arr.field(j).is_null()) for j in range(m)]
     ) if n else np.zeros((m, 0), dtype=bool)
@@ -862,7 +861,16 @@ def _encode_munion_column(col, branches, null_idx):
     eff_null = cell_null | ~pop.any(axis=0)
     bodies = []
     for j, (_bi, bt) in enumerate(branches):
-        body_j, _nulls_j = _encode_values(arr.field(j), bt)
+        child = arr.field(j)
+        if null_arr is not None and not pa.types.is_map(child.type):
+            # children under a null cell are conversion DEFAULTS —
+            # mask them so validating member kernels (enum, fixed,
+            # record-with-enum) don't trip on garbage (same rule as
+            # the record kernel; maps default to empty, harmless)
+            child = pc.if_else(null_arr, pa.scalar(None, child.type), child)
+        # compound member kinds (r10) route through the dispatcher;
+        # primitives land in _encode_values as before
+        body_j, _nulls_j = _encode_column(child, bt, None)
         bodies.append(body_j)
     body = bodies[-1]
     for j in range(m - 2, -1, -1):
@@ -1038,11 +1046,15 @@ def record_decode_plan(schema, struct_fields):
         if isinstance(s, list):
             non_null = [b for b in s if b != "null"]
             if len(non_null) > 1:
-                if not all(isinstance(b, str) for b in non_null):
-                    return False  # collection branches: per-row
-                if set(non_null) == {"float", "double"}:
+                if all(isinstance(b, str) for b in non_null) and set(
+                    non_null
+                ) == {"float", "double"}:
+                    # widened scalar: one Spark double, branch-
+                    # dependent widths — unsafe nested
                     return False
-                return True  # {int,long} widened or member-struct
+                # member-struct union: the branch varint dispatches,
+                # so it is safe whenever every branch is
+                return all(parse_safe(b) for b in non_null)
             return all(parse_safe(b) for b in non_null)
         if isinstance(s, dict) and s.get("type") == "array":
             return parse_safe(s["items"])
@@ -1059,8 +1071,10 @@ def record_decode_plan(schema, struct_fields):
         # member-struct unions (the branch varint dispatches masked
         # per-branch parses); only the mixed-parse {float,double}
         # scalar union stays a top-level-only rewrite.
-        if isinstance(kind, str) or kind[0] in ("enum", "fixed", "munion"):
+        if isinstance(kind, str) or kind[0] in ("enum", "fixed"):
             return True
+        if kind[0] == "munion":
+            return all(decode_supported(bt, False) for _bi, bt in kind[1])
         if kind[0] == "sunion":
             return top
         if kind[0] in ("array", "map"):
@@ -1073,8 +1087,14 @@ def record_decode_plan(schema, struct_fields):
     for plan, af in zip(plans, schema["fields"]):
         s = af["type"]
         if isinstance(plan[0], tuple) and plan[0][0] == "munion":
-            # decode dispatches on the recorded branch index — always
-            # parse-safe regardless of branch families
+            # decode dispatches on the recorded branch index, so the
+            # union itself is parse-safe regardless of branch families
+            # — but each member's INTERIOR must be (a compound member
+            # may hide a widened {float,double} scalar, r10)
+            if not all(parse_safe(b) for b in s if b != "null"):
+                return None
+            if not decode_supported(plan[0], top=True):
+                return None
             out.append(plan)
             continue
         if isinstance(s, list):
@@ -1246,12 +1266,10 @@ def _decode_kind_compact(flat, pos, rows, kind, spark_dt):
         members = []
         for j, (bi, bt) in enumerate(branches):
             sel = np.flatnonzero(bidx == bi)
-            comp = _parse_compact(flat, pos, rows[sel], bt)
             mdt = spark_dt.fields[j].dataType
-            if isinstance(
-                mdt, (T.ByteType, T.ShortType, T.IntegerType)
-            ) and comp.type.equals(pa.int64()):
-                comp = comp.cast(pa.int32())
+            # members may be any vectorizable kind (r10): compound
+            # members recurse through the compact dispatcher
+            comp = _decode_kind_compact(flat, pos, rows[sel], bt, mdt)
             members.append(_scatter_compact(comp, sel, len(rows)))
         return pa.StructArray.from_arrays(
             members,
@@ -1714,12 +1732,12 @@ def decode_record_batch(plans, blobs, struct_fields):
             member_arrays, member_fields = [], []
             for j, (bi, bt) in enumerate(branches):
                 rows = np.flatnonzero((bidx == bi) & ~struct_null)
-                marr = _parse_scalar_rows(flat, pos, rows, bt, n)
                 mdt = sf.dataType.fields[j].dataType
-                if isinstance(
-                    mdt, (T.ByteType, T.ShortType, T.IntegerType)
-                ) and marr.type.equals(pa.int64()):
-                    marr = marr.cast(pa.int32())
+                # any vectorizable member kind (r10): compact parse +
+                # scatter (primitives land in _parse_compact)
+                marr = _scatter_compact(
+                    _decode_kind_compact(flat, pos, rows, bt, mdt), rows, n
+                )
                 member_arrays.append(marr)
                 member_fields.append(f"member{j}")
             out[sf.name] = pa.StructArray.from_arrays(

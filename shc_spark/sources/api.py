@@ -154,16 +154,16 @@ def _avro_encode_udf(field):
     spark-avro jar is not loadable here; mirrors AvroSerde.serialize,
     types/Avro.scala:401-414).
 
-    EVERY shape except unions with COLLECTION branches encodes
-    WHOLE-BATCH column-wise (coders/avro.py:encode_record_batch —
-    numpy zigzag varints + pyarrow length-prefix concat; collections
-    flatten into one child pass per level and reassemble per row with
-    grouped binary joins; nested records join their subfield bodies
-    element-wise; member-struct unions nest anywhere, r10), pinned
-    bit-equal to the per-row coder by the
+    EVERY schema the converter admits encodes WHOLE-BATCH column-wise
+    (coders/avro.py:encode_record_batch — numpy zigzag varints +
+    pyarrow length-prefix concat; collections flatten into one child
+    pass per level and reassemble per row with grouped binary joins;
+    nested records join their subfield bodies element-wise;
+    member-struct unions — compound members included — nest anywhere,
+    r10), pinned bit-equal to the per-row coder by the
     test_avro_batch_encode_matches_per_row(_arrays/_maps/_deep_nested/
-    nested_munion) properties. The per-row path remains only as the
-    bit-exactness oracle and for union-with-collection-branch schemas."""
+    nested_munion/collection_branch_union) properties. The per-row
+    path remains only as the bit-exactness oracle."""
     from shc_spark.coders.avro import AvroType, encode_record_batch, record_encode_plan
 
     coder = AvroType(field.avro_schema)
@@ -237,10 +237,11 @@ def _avro_decode_udf(field):
     WHOLE-BATCH (coders/avro.py:decode_record_batch — numpy varint
     parse + strided/repeat gathers), pinned bit-equal to the per-row
     coder. EVERY nested shape — records, arrays, maps, member-struct
-    unions, at any depth — decodes whole-batch as of r10 (munion
-    branch varints dispatch masked per-branch parses); per-row
-    remains only for the widened {float,double} scalar union inside
-    collections (one Spark double, branch-dependent widths)."""
+    unions (compound members included), at any depth — decodes
+    whole-batch as of r10 (munion branch varints dispatch masked
+    per-branch parses); per-row remains only for schemas hiding a
+    widened {float,double} scalar union inside a nested context (one
+    Spark double, branch-dependent widths)."""
     from shc_spark.coders.avro import (
         AvroType,
         decode_record_batch,

@@ -178,12 +178,13 @@ def test_avro_batch_encode_matches_per_row(spark):
 
 
 def test_avro_plan_boundary_shapes(spark):
-    """The vector-plan boundary as of r10: everything vectorizes on
-    both directions except member-struct unions with non-primitive
-    branches (encode+decode) and non-parse-safe unions inside
-    collections (decode). The reference's full flagship record
-    (AvroSourceSuite.scala:105: favorite_array + favorite_map) takes
-    the vector path both ways."""
+    """The vector-plan boundary as of r10: EVERY schema the converter
+    admits has a vector ENCODE plan; decode declines only schemas
+    hiding a widened {float,double} scalar union inside a nested
+    context (one Spark double, branch-dependent widths — a foreign
+    writer may have recorded either branch). The reference's full
+    flagship record (AvroSourceSuite.scala:105: favorite_array +
+    favorite_map) takes the vector path both ways."""
     from pyspark.sql import types as T
 
     from shc_spark.coders.avro import AvroType, record_encode_plan
@@ -192,8 +193,9 @@ def test_avro_plan_boundary_shapes(spark):
     coder = AvroType(AVRO_SCHEMA)
     sf = T._parse_datatype_string(SCHEMA)["col1"].dataType.fields
     assert record_encode_plan(coder.schema, list(sf)) is not None
-    # a member-struct union with a NON-primitive branch declines
-    # (primitive member unions, enums and fixed vectorize as of r10)
+    # a member-struct union with a COLLECTION branch vectorizes both
+    # ways as of r10 (the branch varint dispatches; compound members
+    # recurse through the column kernels)
     ms_sch = json.dumps(
         {
             "type": "record",
@@ -206,7 +208,10 @@ def test_avro_plan_boundary_shapes(spark):
     sfu = T._parse_datatype_string(
         "v struct<member0:int,member1:array<int>>"
     ).fields
-    assert record_encode_plan(AvroType(ms_sch).schema, list(sfu)) is None
+    from shc_spark.coders.avro import record_decode_plan as _rdp
+
+    assert record_encode_plan(AvroType(ms_sch).schema, list(sfu)) is not None
+    assert _rdp(AvroType(ms_sch).schema, list(sfu)) is not None
     ms_prim = json.dumps(
         {
             "type": "record",
@@ -1533,6 +1538,126 @@ def test_avro_nested_munion_batch_matches_per_row(spark):
             for j in range(i % 3)
         }
         rows.append(({"u": u, "n": i}, arr, m))
+    pdf = pd.DataFrame(rows, columns=[f.name for f in fields])
+    got = encode_record_batch(ep, pdf, fields).to_pylist()
+    want = []
+    for r in rows:
+        if all(v is None for v in r):
+            want.append(None)
+            continue
+        want.append(
+            coder.to_bytes(tuple(_coerce(v, f.dataType) for v, f in zip(r, fields)))
+        )
+    assert got == want  # bit-identical encode
+    dec = decode_record_batch(dp, pd.Series(want, dtype=object), fields)
+
+    def norm(v):
+        import numpy as np
+
+        if isinstance(v, dict):
+            return {str(k): norm(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return [norm(x) for x in v]
+        if isinstance(v, (np.integer,)):
+            return int(v)
+        if isinstance(v, (np.floating,)):
+            return float(v)
+        if isinstance(v, (np.str_,)):
+            return str(v)
+        if isinstance(v, (np.bool_,)):
+            return bool(v)
+        if v is pd.NA:
+            return None
+        return v
+
+    def as_obj(v, dt):
+        if v is None:
+            return None
+        if isinstance(dt, T.StructType):
+            return {f.name: as_obj(x, f.dataType) for x, f in zip(v, dt.fields)}
+        if isinstance(dt, T.ArrayType):
+            return [as_obj(x, dt.elementType) for x in v]
+        if isinstance(dt, T.MapType):
+            return {str(k): as_obj(x, dt.valueType) for k, x in v.items()}
+        return v
+
+    for i, b in enumerate(want):
+        ref = (None,) * len(fields) if b is None else coder.from_bytes(b)
+        for j, f in enumerate(fields):
+            g = norm(dec[f.name].iloc[i])
+            assert g == as_obj(ref[j], f.dataType), (i, f.name, g, ref[j])
+
+
+def test_avro_collection_branch_union_batch_matches_per_row(spark):
+    """r10: member-struct unions whose branches are COLLECTIONS or
+    records vectorize both directions — the first populated slot
+    picks the branch (per-row rule), compound members recurse through
+    the column kernels. This closes the encode side completely: every
+    schema the converter admits now has a vector encode plan."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        avro_to_spark_type,
+        decode_record_batch,
+        encode_record_batch,
+        record_decode_plan,
+        record_encode_plan,
+    )
+    from shc_spark.sources.api import _coerce
+
+    rec = {
+        "type": "record",
+        "name": "q",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": ["null", "string"]},
+        ],
+    }
+    sch = {
+        "type": "record",
+        "name": "cu",
+        "fields": [
+            {"name": "u1", "type": ["int", {"type": "array", "items": "long"}]},
+            {
+                "name": "u2",
+                "type": ["null", "string", {"type": "map", "values": "int"}],
+            },
+            {"name": "u3", "type": [rec, "long"]},
+        ],
+    }
+    coder = AvroType(sch)
+    fields = list(avro_to_spark_type(coder.schema).fields)
+    ep = record_encode_plan(coder.schema, fields)
+    dp = record_decode_plan(coder.schema, fields)
+    assert ep is not None and dp is not None
+    rng = random.Random(41)
+    rows = []
+    for i in range(157):
+        if i % 19 == 0:
+            rows.append((None, None, None))
+            continue
+        u1 = (
+            {"member0": rng.randint(-99, 99), "member1": None}
+            if i % 2
+            else {"member0": None, "member1": [rng.randint(-5, 5) for _ in range(i % 4)]}
+        )
+        u2 = (
+            None
+            if i % 5 == 0
+            else {"member0": f"s{i}", "member1": None}
+            if i % 3
+            else {"member0": None, "member1": {f"k{j}": j for j in range(i % 3)}}
+        )
+        u3 = (
+            {"member0": {"a": i, "b": None if i % 4 else "x"}, "member1": None}
+            if i % 2
+            else {"member0": None, "member1": rng.randint(-(2**40), 2**40)}
+        )
+        rows.append((u1, u2, u3))
     pdf = pd.DataFrame(rows, columns=[f.name for f in fields])
     got = encode_record_batch(ep, pdf, fields).to_pylist()
     want = []

@@ -1024,101 +1024,77 @@ def encode_record_batch(plans, pdf, struct_fields):
     return joined
 
 
+def _is_fd_union(s) -> bool:
+    """True for the widened {float,double} scalar union — the one
+    shape whose ENCODE plan (a single branch's width) cannot drive the
+    read side, because a foreign writer may have recorded the other
+    branch. Decode rewrites it to a dispatching "sunion" kind."""
+    if not isinstance(s, list):
+        return False
+    non_null = [b for b in s if b != "null"]
+    return (
+        len(non_null) > 1
+        and all(isinstance(b, str) for b in non_null)
+        and set(non_null) == {"float", "double"}
+    )
+
+
+def _decode_rewrite(s, plan):
+    """Rewrite one encode plan for the READ side: walk the avro schema
+    alongside the plan and replace every widened {float,double} scalar
+    kind — at ANY depth — with ("sunion", branches, null_idx), which
+    dispatches on the branch index the writer actually recorded (r10:
+    this makes the vector decode TOTAL — every schema with an encode
+    plan also decodes whole-batch)."""
+    kind, prefixes = plan
+    if _is_fd_union(s):
+        null_idx = s.index("null") if "null" in s else None
+        branches = tuple((i, b) for i, b in enumerate(s) if b != "null")
+        return (("sunion", branches, null_idx), None)
+    # unwrap the single-non-null union wrapper exactly as _field_plan
+    # did when it built the plan
+    if isinstance(s, list) and not (
+        isinstance(kind, tuple) and kind[0] == "munion"
+    ):
+        non_null = [b for b in s if b != "null"]
+        if len(non_null) == 1:
+            s = non_null[0]
+    if isinstance(kind, str) or kind[0] in ("enum", "fixed"):
+        return plan
+    if kind[0] == "array":
+        return (("array", _decode_rewrite(s["items"], kind[1])), prefixes)
+    if kind[0] == "map":
+        return (("map", _decode_rewrite(s["values"], kind[1])), prefixes)
+    if kind[0] == "record":
+        subs = tuple(
+            _decode_rewrite(f["type"], p) for f, p in zip(s["fields"], kind[1])
+        )
+        return (("record", subs, kind[2]), prefixes)
+    if kind[0] == "munion":
+        non_null = [b for b in s if b != "null"]
+        new_branches = tuple(
+            (bi, _decode_rewrite(b, (bt, None))[0])
+            for (bi, bt), b in zip(kind[1], non_null)
+        )
+        return (("munion", new_branches, kind[2]), prefixes)
+    raise ValueError(f"unknown plan kind {kind!r}")  # pragma: no cover
+
+
 def record_decode_plan(schema, struct_fields):
     """Like :func:`record_encode_plan` but for the READ side, which
-    must parse whatever branch index the writer recorded: a union
-    whose non-null branches parse DIFFERENTLY (float vs double widths,
-    string vs bytes vs numerics) would need per-row branch dispatch,
-    so only single-branch unions and the parse-identical {int, long}
-    pair take the vector path."""
+    must parse whatever branch index the writer recorded. As of r10
+    the vector decode is TOTAL: every union either parses identically
+    on all branches ({int,long} varints, single-non-null), dispatches
+    on the recorded branch index (member-struct unions), or is
+    rewritten to the dispatching "sunion" kind (widened {float,double}
+    scalars, at any depth)."""
     plans = record_encode_plan(schema, struct_fields)
     if plans is None:
         return None
-
-    def parse_safe(s) -> bool:
-        # every union reachable INSIDE a collection must either parse
-        # identically on whatever branch the writer recorded ({int,
-        # long} varints, single-non-null) or dispatch on the branch
-        # index (member-struct unions, r10). The widened {float,
-        # double} scalar stays unsafe nested: its Spark type is a
-        # plain double, so the plan carries one branch's width while
-        # a foreign writer may have recorded the other.
-        if isinstance(s, list):
-            non_null = [b for b in s if b != "null"]
-            if len(non_null) > 1:
-                if all(isinstance(b, str) for b in non_null) and set(
-                    non_null
-                ) == {"float", "double"}:
-                    # widened scalar: one Spark double, branch-
-                    # dependent widths — unsafe nested
-                    return False
-                # member-struct union: the branch varint dispatches,
-                # so it is safe whenever every branch is
-                return all(parse_safe(b) for b in non_null)
-            return all(parse_safe(b) for b in non_null)
-        if isinstance(s, dict) and s.get("type") == "array":
-            return parse_safe(s["items"])
-        if isinstance(s, dict) and s.get("type") == "map":
-            return parse_safe(s["values"])
-        if isinstance(s, dict) and s.get("type") == "record":
-            return all(parse_safe(f["type"]) for f in s["fields"])
-        return True
-
-    def decode_supported(kind, top: bool) -> bool:
-        # read-side kinds the compact kernels can parse. Every shape
-        # nests freely as of r10 — records, arrays, maps (compact
-        # MapArrays, dictified by the _pylist_fast bridge) and
-        # member-struct unions (the branch varint dispatches masked
-        # per-branch parses); only the mixed-parse {float,double}
-        # scalar union stays a top-level-only rewrite.
-        if isinstance(kind, str) or kind[0] in ("enum", "fixed"):
-            return True
-        if kind[0] == "munion":
-            return all(decode_supported(bt, False) for _bi, bt in kind[1])
-        if kind[0] == "sunion":
-            return top
-        if kind[0] in ("array", "map"):
-            return decode_supported(kind[1][0], False)
-        if kind[0] == "record":
-            return all(decode_supported(p[0], False) for p in kind[1])
-        return False  # pragma: no cover - encode plans filter these
-
-    out = []
-    for plan, af in zip(plans, schema["fields"]):
-        s = af["type"]
-        if isinstance(plan[0], tuple) and plan[0][0] == "munion":
-            # decode dispatches on the recorded branch index, so the
-            # union itself is parse-safe regardless of branch families
-            # — but each member's INTERIOR must be (a compound member
-            # may hide a widened {float,double} scalar, r10)
-            if not all(parse_safe(b) for b in s if b != "null"):
-                return None
-            if not decode_supported(plan[0], top=True):
-                return None
-            out.append(plan)
-            continue
-        if isinstance(s, list):
-            non_null = [b for b in s if b != "null"]
-            if (
-                len(non_null) > 1
-                and all(isinstance(b, str) for b in non_null)
-                and set(non_null) == {"float", "double"}
-            ):
-                # r10: mixed-PARSE scalar union — decode dispatches on
-                # the writer's recorded branch with a per-branch masked
-                # gather (both branches surface as Spark DoubleType)
-                null_idx = s.index("null") if "null" in s else None
-                branches = tuple(
-                    (i, b) for i, b in enumerate(s) if b != "null"
-                )
-                out.append((("sunion", branches, null_idx), None))
-                continue
-        if not parse_safe(s):
-            return None
-        if not decode_supported(plan[0], top=True):
-            return None
-        out.append(plan)
-    return out
+    return [
+        _decode_rewrite(af["type"], plan)
+        for plan, af in zip(plans, schema["fields"])
+    ]
 
 
 # -- vectorized batch DECODE (the read-side twin) ---------------------------
@@ -1253,6 +1229,31 @@ def _decode_kind_compact(flat, pos, rows, kind, spark_dt):
             for subplan, sf in zip(subplans, spark_dt.fields)
         ]
         return pa.StructArray.from_arrays(children, names=list(subnames))
+    if kind[0] == "sunion":
+        # widened {float,double} scalar union (r10, nested): dispatch
+        # on the recorded branch index with per-branch masked gathers;
+        # both branches surface as one Spark double
+        branches, null_idx = kind[1], kind[2]
+        bidx, p2 = _parse_varints(flat, pos[rows])
+        pos[rows] = p2
+        isnull = (
+            bidx == null_idx if null_idx is not None else np.zeros(len(rows), bool)
+        )
+        full = np.zeros(len(rows), dtype=np.float64)
+        for bi, bt in branches:
+            sel = np.flatnonzero((bidx == bi) & ~isnull)
+            w = 4 if bt == "float" else 8
+            g = (
+                flat[pos[rows[sel]][:, None] + np.arange(w, dtype=np.int64)[None, :]]
+                if len(sel)
+                else np.zeros((0, w), np.uint8)
+            )
+            pos[rows[sel]] += w
+            dt = np.dtype("<f4" if bt == "float" else "<f8")
+            full[sel] = (
+                np.ascontiguousarray(g).view(dt).reshape(len(sel)).astype(np.float64)
+            )
+        return pa.array(full, mask=isnull)
     if kind[0] == "munion":
         # member-struct union (r10, nested): the branch varint IS the
         # member dispatch; each branch parses its rows masked (cursors

@@ -236,12 +236,12 @@ def _avro_decode_udf(field):
     types/Avro.scala:416-426). Flat primitive records decode
     WHOLE-BATCH (coders/avro.py:decode_record_batch — numpy varint
     parse + strided/repeat gathers), pinned bit-equal to the per-row
-    coder. EVERY nested shape — records, arrays, maps, member-struct
-    unions (compound members included), at any depth — decodes
-    whole-batch as of r10 (munion branch varints dispatch masked
-    per-branch parses); per-row remains only for schemas hiding a
-    widened {float,double} scalar union inside a nested context (one
-    Spark double, branch-dependent widths)."""
+    coder. The vector decode is TOTAL as of r10: every nested shape
+    — records, arrays, maps, member-struct unions (compound members
+    included), widened {float,double} scalars — decodes whole-batch
+    at any depth (union branch varints dispatch masked per-branch
+    parses); the per-row path survives purely as the bit-exactness
+    oracle."""
     from shc_spark.coders.avro import (
         AvroType,
         decode_record_batch,
@@ -251,8 +251,8 @@ def _avro_decode_udf(field):
     coder = AvroType(field.avro_schema)
     struct_fields = list(field.dt.fields)
     names = [sf.name for sf in struct_fields]
-    # r10: every shape decodes whole-batch; per-row remains only for
-    # non-parse-safe unions inside collections
+    # r10: every shape decodes whole-batch (the vector serde is
+    # total); plans is None only for malformed catalogs
     plans = record_decode_plan(coder.schema, struct_fields)
 
     @F.pandas_udf(_deep_nullable(field.dt))

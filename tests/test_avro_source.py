@@ -178,13 +178,13 @@ def test_avro_batch_encode_matches_per_row(spark):
 
 
 def test_avro_plan_boundary_shapes(spark):
-    """The vector-plan boundary as of r10: EVERY schema the converter
-    admits has a vector ENCODE plan; decode declines only schemas
-    hiding a widened {float,double} scalar union inside a nested
-    context (one Spark double, branch-dependent widths — a foreign
-    writer may have recorded either branch). The reference's full
-    flagship record (AvroSourceSuite.scala:105: favorite_array +
-    favorite_map) takes the vector path both ways."""
+    """The vector serde is TOTAL as of r10: EVERY schema the converter
+    admits has a vector plan on BOTH directions — widened
+    {float,double} scalars rewrite to a dispatching sunion kind at any
+    depth on read. The reference's full flagship record
+    (AvroSourceSuite.scala:105: favorite_array + favorite_map) takes
+    the vector path both ways; the per-row coder remains purely as the
+    bit-exactness oracle."""
     from pyspark.sql import types as T
 
     from shc_spark.coders.avro import AvroType, record_encode_plan
@@ -298,9 +298,10 @@ def test_avro_plan_boundary_shapes(spark):
     ).fields
     assert record_encode_plan(AvroType(mixed_items).schema, list(sfmi)) is not None
     assert record_decode_plan(AvroType(mixed_items).schema, list(sfmi)) is not None
-    # the remaining decode decliner: the widened {float,double} scalar
-    # union inside a collection (one Spark double, branch-dependent
-    # widths — a foreign writer may have recorded either branch)
+    # the widened {float,double} scalar union inside a collection now
+    # decodes too: the read plan rewrites it to a dispatching sunion
+    # kind (one Spark double; the recorded branch index picks the
+    # width per value, so foreign writers mixing branches parse right)
     fd_items = json.dumps(
         {
             "type": "record",
@@ -315,7 +316,7 @@ def test_avro_plan_boundary_shapes(spark):
     )
     sffd = T._parse_datatype_string("m array<double>").fields
     assert record_encode_plan(AvroType(fd_items).schema, list(sffd)) is not None
-    assert record_decode_plan(AvroType(fd_items).schema, list(sffd)) is None
+    assert record_decode_plan(AvroType(fd_items).schema, list(sffd)) is not None
     # an array of ARRAYS vectorizes both ways as of r10
     nested_arr = json.dumps(
         {
@@ -1706,3 +1707,50 @@ def test_avro_collection_branch_union_batch_matches_per_row(spark):
         for j, f in enumerate(fields):
             g = norm(dec[f.name].iloc[i])
             assert g == as_obj(ref[j], f.dataType), (i, f.name, g, ref[j])
+
+
+def test_avro_nested_fd_union_foreign_writer_decode(spark):
+    """The widened {float,double} union nested in a collection must
+    decode whatever branch the WRITER recorded — including a foreign
+    writer mixing branches within one array (our own encoder always
+    picks the first-matching branch, so this hand-crafts the blob)."""
+    import io
+    import struct as st
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from shc_spark.coders.avro import (
+        AvroType,
+        _write_long,
+        avro_to_spark_type,
+        decode_record_batch,
+        record_decode_plan,
+    )
+
+    sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": {"type": "array", "items": ["float", "double"]}}
+        ],
+    }
+    coder = AvroType(sch)
+    fields = list(avro_to_spark_type(coder.schema).fields)
+    dp = record_decode_plan(coder.schema, fields)
+    assert dp is not None, "nested fd union must decode (sunion rewrite)"
+    buf = io.BytesIO()
+    _write_long(buf, 3)
+    _write_long(buf, 0)
+    buf.write(st.pack("<f", 1.5))  # float branch
+    _write_long(buf, 1)
+    buf.write(st.pack("<d", 2.25))  # double branch
+    _write_long(buf, 0)
+    buf.write(st.pack("<f", -0.25))
+    _write_long(buf, 0)
+    blob = buf.getvalue()
+    # cross-check the handcrafted blob against the per-row decoder
+    assert list(coder.from_bytes(blob)[0]) == [1.5, 2.25, -0.25]
+    got = decode_record_batch(dp, pd.Series([blob, None], dtype=object), fields)
+    assert [float(x) for x in got["a"].iloc[0]] == [1.5, 2.25, -0.25]
+    assert got["a"].iloc[1] is None  # null cell -> null array

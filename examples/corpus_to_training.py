@@ -78,7 +78,10 @@ def main(spark, sf_dir="/root/testdata/sf0.001"):
     n_bins = packed.agg(F.max("bin_end")).collect()[0][0] + 1
     assert 0 < n_kept <= n_docs and 0 < n_merged <= n_kept
     assert n_chunks >= n_merged and 0 < n_reps <= 8
-    assert n_reps <= n_sem < n_emb  # finer than keep-one, still prunes
+    # finer than keep-one; semdedup may legitimately keep EVERYTHING
+    # on a diverse corpus (no within-cluster pair crosses the cosine
+    # threshold), so <= on both sides (ADVICE r10)
+    assert n_reps <= n_sem <= n_emb
     assert 0 < n_dsir <= 50
     assert n_bins == (total_toks + 511) // 512
     print(

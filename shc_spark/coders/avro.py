@@ -133,6 +133,28 @@ def spark_to_avro_schema(dt: T.DataType, name: str = "topLevelRecord") -> dict |
 # Avro binary codec (spec-conformant subset)
 
 
+class AvroTruncatedError(ValueError):
+    """A cell's bytes end before (or contradict) its schema: truncated
+    buffers, negative lengths, out-of-range union/enum indexes. The
+    reference raises EOFException from BinaryDecoder here
+    (types/Avro.scala:409-414 deserialize); silent short reads would
+    decode a flipped length byte into plausible-but-wrong values."""
+
+
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    if n < 0:
+        raise AvroTruncatedError(
+            f"malformed Avro cell: negative length {n} at offset {buf.tell()}"
+        )
+    b = buf.read(n)
+    if len(b) != n:
+        raise AvroTruncatedError(
+            f"truncated Avro cell: wanted {n} bytes at offset "
+            f"{buf.tell() - len(b)}, buffer ends after {len(b)}"
+        )
+    return b
+
+
 def _write_long(buf: io.BytesIO, n: int) -> None:
     n = (n << 1) ^ (n >> 63)  # zigzag
     while True:
@@ -148,7 +170,7 @@ def _write_long(buf: io.BytesIO, n: int) -> None:
 def _read_long(buf: io.BytesIO) -> int:
     shift, acc = 0, 0
     while True:
-        b = buf.read(1)[0]
+        b = _read_exact(buf, 1)[0]
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
             break
@@ -287,6 +309,11 @@ def _decode(buf: io.BytesIO, schema):
         t = schema
     elif isinstance(schema, list):
         idx = _read_long(buf)
+        if not 0 <= idx < len(schema):
+            raise AvroTruncatedError(
+                f"malformed Avro cell: union branch index {idx} out of "
+                f"range for {len(schema)} branches at offset {buf.tell()}"
+            )
         val = _decode(buf, schema[idx])
         members = _union_members(schema)
         if members is None or schema[idx] == "null":
@@ -299,17 +326,24 @@ def _decode(buf: io.BytesIO, schema):
     if t == "null":
         return None
     if t == "boolean":
-        return buf.read(1) != b"\x00"
+        return _read_exact(buf, 1) != b"\x00"
     if t in ("int", "long"):
         return _read_long(buf)
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _read_exact(buf, 4))[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8))[0]
     if t == "bytes":
-        return buf.read(_read_long(buf))
+        return _read_exact(buf, _read_long(buf))
     if t == "string":
-        return buf.read(_read_long(buf)).decode("utf-8")
+        raw = _read_exact(buf, _read_long(buf))
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError as e:
+            # a truncated/corrupt cell can slice a multibyte char
+            raise AvroTruncatedError(
+                f"malformed Avro cell: invalid UTF-8 in string at offset {buf.tell()}"
+            ) from e
     if t == "record":
         return tuple(_decode(buf, f["type"]) for f in schema["fields"])
     if t == "array":
@@ -334,13 +368,26 @@ def _decode(buf: io.BytesIO, schema):
                 _read_long(buf)
                 n = -n
             for _ in range(n):
-                k = buf.read(_read_long(buf)).decode("utf-8")
+                kraw = _read_exact(buf, _read_long(buf))
+                try:
+                    k = kraw.decode("utf-8")
+                except UnicodeDecodeError as e:
+                    raise AvroTruncatedError(
+                        f"malformed Avro cell: invalid UTF-8 map key at offset {buf.tell()}"
+                    ) from e
                 out[k] = _decode(buf, schema["values"])
         return out
     if t == "enum":
-        return schema["symbols"][_read_long(buf)]
+        idx = _read_long(buf)
+        symbols = schema["symbols"]
+        if not 0 <= idx < len(symbols):
+            raise AvroTruncatedError(
+                f"malformed Avro cell: enum index {idx} out of range for "
+                f"{len(symbols)} symbols at offset {buf.tell()}"
+            )
+        return symbols[idx]
     if t == "fixed":
-        return buf.read(schema["size"])
+        return _read_exact(buf, schema["size"])
     raise ValueError(f"cannot decode avro type {t!r}")
 
 
@@ -852,7 +899,6 @@ def _encode_munion_column(col, branches, null_idx):
     arr = _to_arrow(col, struct_t)
     n = len(arr)
     cell_null = np.asarray(arr.is_null()) if n else np.zeros(0, dtype=bool)
-    null_arr = pa.array(cell_null) if bool(cell_null.any()) else None
     member_null = np.stack(
         [np.asarray(arr.field(j).is_null()) for j in range(m)]
     ) if n else np.zeros((m, 0), dtype=bool)
@@ -862,12 +908,17 @@ def _encode_munion_column(col, branches, null_idx):
     bodies = []
     for j, (_bi, bt) in enumerate(branches):
         child = arr.field(j)
-        if null_arr is not None and not pa.types.is_map(child.type):
-            # children under a null cell are conversion DEFAULTS —
-            # mask them so validating member kernels (enum, fixed,
-            # record-with-enum) don't trip on garbage (same rule as
-            # the record kernel; maps default to empty, harmless)
-            child = pc.if_else(null_arr, pa.scalar(None, child.type), child)
+        # mask every row this member does NOT encode (null cells,
+        # rows whose FIRST populated member is another branch): their
+        # values are conversion defaults or ignored extra members, and
+        # validating kernels (enum symbols, fixed width) must not trip
+        # on them — per-row _encode encodes only the first populated
+        # slot and never looks at the rest (ADVICE r10). Maps cannot
+        # be masked (pc.if_else has no map kernel) — their default is
+        # an empty map, harmless to encode and discarded below.
+        keep = (first == j) & ~eff_null
+        if not keep.all() and not pa.types.is_map(child.type):
+            child = pc.if_else(pa.array(keep), child, pa.scalar(None, child.type))
         # compound member kinds (r10) route through the dispatcher;
         # primitives land in _encode_values as before
         body_j, _nulls_j = _encode_column(child, bt, None)
@@ -1137,6 +1188,16 @@ def _gather_slices(flat, starts, lens):
     import numpy as np
 
     lens = lens.astype(np.int64)
+    if len(lens) and lens.min() < 0:
+        raise AvroTruncatedError(
+            f"malformed Avro cell: negative length {int(lens.min())} in batch decode"
+        )
+    if len(lens) and (starts.astype(np.int64) + lens > len(flat)).any():
+        # checked BEFORE the repeat-based gather: a misparsed length
+        # (corrupt varint read as e.g. 2^40) must raise, not allocate
+        raise AvroTruncatedError(
+            "truncated Avro cell: length-prefixed slice extends past the buffer end"
+        )
     offsets = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     total = int(offsets[-1])
@@ -1664,7 +1725,33 @@ def decode_record_batch(plans, blobs, struct_fields):
     """Whole-batch decode of Avro-binary record cells under a
     record_encode_plan: ``blobs`` is a pandas Series of bytes (None =
     null cell -> all-null row). Returns a pandas DataFrame with one
-    column per struct field."""
+    column per struct field.
+
+    Malformed input raises :class:`AvroTruncatedError` (never silent
+    garbage, never a bare IndexError): a truncated LAST cell overruns
+    the flat buffer (caught here and retyped with the failing field);
+    a truncated MIDDLE cell parses into its neighbor's bytes and is
+    caught by the per-row end-position audit — cursors only move
+    forward, so ``final_pos > cell_end`` iff some read crossed the
+    cell boundary. Mirrors the reference's EOFException contract
+    (types/Avro.scala:409-414)."""
+    import pyarrow as pa
+
+    try:
+        return _decode_record_batch_impl(plans, blobs, struct_fields)
+    except AvroTruncatedError:
+        raise
+    except IndexError as e:
+        raise AvroTruncatedError(
+            f"truncated Avro cell: batch decode ran past the end of the cell buffer ({e})"
+        ) from e
+    except pa.lib.ArrowInvalid as e:
+        # e.g. a truncated cell slicing a multibyte char: the utf8
+        # cast of the gathered string bytes rejects the fragment
+        raise AvroTruncatedError(f"malformed Avro cell: {e}") from e
+
+
+def _decode_record_batch_impl(plans, blobs, struct_fields):
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -1674,7 +1761,11 @@ def decode_record_batch(plans, blobs, struct_fields):
     chunks = [b if b is not None else b"" for b in blobs]
     starts = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(np.array([len(c) for c in chunks], dtype=np.int64), out=starts[1:])
-    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    # 16 zero bytes of tail padding: a truncated FINAL cell's fixed
+    # -width / varint reads land in padding instead of overrunning
+    # flat, so the end-position audit below reports the row index
+    # rather than a generic buffer overrun
+    flat = np.frombuffer(b"".join(chunks) + b"\x00" * 16, dtype=np.uint8)
     pos = starts[:-1].copy()
     live = ~null_cell  # only real cells advance their cursor
     out: dict = {}
@@ -1837,6 +1928,17 @@ def decode_record_batch(plans, blobs, struct_fields):
             )
         else:  # pragma: no cover - plan filters these out
             raise ValueError(f"not vectorizable: {avro_t!r}")
+    # end-position audit: cursors only move forward, so any read that
+    # crossed its cell's boundary leaves final_pos > cell_end
+    ends = starts[1:]
+    over = live & (pos > ends)
+    if over.any():
+        i = int(np.flatnonzero(over)[0])
+        raise AvroTruncatedError(
+            f"truncated Avro cell at row {i}: decode consumed "
+            f"{int(pos[i] - starts[i])} bytes but the cell holds only "
+            f"{int(ends[i] - starts[i])}"
+        )
     # nullable pandas dtypes keep int64 EXACT through the UDF return
     # bridge (plain to_pandas would widen int-with-nulls to float64)
     mapper = {

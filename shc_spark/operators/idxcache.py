@@ -51,6 +51,16 @@ def suggest_num_buckets(
     - tiny corpora must not pay thousands of listing entries for
       near-empty files: cap at total_keys / min_keys_per_bucket.
 
+    The small-corpus cap DOMINATES the batch force (ADVICE r10): when
+    total_keys < 8 * expected_batch_keys * min_keys_per_bucket the
+    returned count is below 8x the batch, deliberately — a batch that
+    large against a corpus that small touches most of the tree under
+    ANY bucketing, so extra buckets buy no pruning and cost listing
+    entries. The >= 8x-batch sub-scan guarantee holds exactly on
+    corpora big enough for sub-scanning to exist, i.e. whenever
+    total_keys / min_keys_per_bucket >= 8 * expected_batch_keys
+    (pinned by test_bucket_sizing_model).
+
     Power of two (floor) for a stable pmod distribution. The result is
     persisted in the index meta, so queries/appends adapt per index.
     """

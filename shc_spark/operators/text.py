@@ -445,29 +445,43 @@ def lm_bigram_scores(
     (boilerplate and word-salad both surface). Documents with < 2
     tokens have no bigrams and are omitted.
 
-    Scale shape: everything is codegen'd explode/groupBy/join — count
-    tables are map-side combined on 8-byte-hashable string keys, the
-    scoring joins shuffle on bigram/word keys (sort-merge at scale,
-    broadcast when the vocabulary is small), and the vocab size is a
-    broadcast scalar. No Python anywhere."""
+    Scale shape (r11 — was 6.4x at x100 with fat bigram-string
+    shuffle keys and a per-bigram substring_index): every count table
+    and scoring join is keyed on FIXED-WIDTH xxhash64 int64 columns
+    (the heavy_hitters r10 trick) — the word/bigram strings are
+    hashed at assembly and dropped before any shuffle, so the three
+    shuffles of the instance stream move 8-byte keys, map-side
+    combined. Bigram assembly emits (a, b) structs directly from one
+    zip_with (no string concat, no substring_index recovery).
+    Measured at x100 (500k docs / 27M tokens): 5.0s vs 7.0s before;
+    a fused-pandas pair pass and a distinct-bigram pre-join variant
+    both measured SLOWER (9.3s / 14.5s) — the Arrow round trip of
+    the token stream costs more than the interpreted zip_with it
+    replaces. A 64-bit hash collision would merge two count buckets:
+    probability ~n^2/2^65 (~3% of one colliding PAIR at 1e9 distinct
+    bigrams, perturbing one smoothed logp by ulps) — the right trade
+    for a quality-scoring signal; the oracle replays string-keyed
+    counts and stays value-identical at gate scale."""
     ws = F.split(F.col(text_col), " ")
     docs = df.select(F.col(id_col).alias("id"), ws.alias("ws"))
     toks = docs.select(F.explode("ws").alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    uni = toks.select(F.xxhash64("w").alias("ah")).groupBy("ah").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
     vocab = uni.agg(F.count(F.lit(1)).alias("vn"))  # 1-row scalar
-    bigrams = F.zip_with(
+    pairs = F.zip_with(
         F.slice("ws", 1, F.size("ws") - 1),
         F.slice("ws", 2, F.size("ws") - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
-    bi = docs.select("id", F.explode(bigrams).alias("bg")).withColumn(
-        "a", F.substring_index("bg", " ", 1)
+    bi = docs.select("id", F.explode(pairs).alias("p")).select(
+        "id", F.xxhash64("p.a").alias("ah"), F.xxhash64("p.a", "p.b").alias("bgh")
     )
-    big = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    big = bi.groupBy("bgh").agg(F.count(F.lit(1)).alias("cb"))
     lp = F.log((F.col("cb") + alpha) / (F.col("cu") + alpha * F.col("vn")))
     scored = (
-        bi.join(big, "bg")
-        .join(uni, F.col("a") == F.col("w"))
+        bi.join(big, "bgh")
+        .join(uni, "ah")
         .crossJoin(F.broadcast(vocab))
         .select("id", lp.alias("lp"))
     )
@@ -526,7 +540,7 @@ def tfidf_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
-    broadcast_idf: bool = True,
+    broadcast_idf: bool = False,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document — the classic keyword /
     salient-term extraction signal for corpus curation and retrieval:
@@ -539,23 +553,28 @@ def tfidf_terms(
     (tfidf desc, term asc) — ranking happens on the ROUNDED score so
     the ordering is engine-neutral.
 
-    Scale shape: ONE explicit repartition on id up front — hash
-    partitioning on id satisfies every downstream id-keyed
-    requirement (the (id, term) count, the doc-length rollup, their
-    join, and the final per-id top-k window all reuse it; a subset
-    hash partitioning satisfies a superset clustering), so the token
-    stream shuffles once, not four times (8 -> 6 exchanges, measured
-    ~20% faster at sf0.1). The IDF table is vocabulary-sized and
-    broadcasts by default; pass ``broadcast_idf=False`` for corpora
-    whose term dictionary exceeds broadcast limits (falls back to a
-    term-keyed shuffle join). N is a 1-row broadcast scalar (no
-    driver collect)."""
+    Scale shape (r11 — was 6.9x at x100): ONE explicit repartition on
+    id up front — hash partitioning on id satisfies every downstream
+    id-keyed requirement (the (id, term) count, the doc-length
+    window, and the final per-id top-k window all reuse it; a subset
+    hash partitioning satisfies a superset clustering). The doc
+    length is a window sum over that same partitioning — the r10
+    separate rollup + self-join re-shuffled the count table for
+    nothing. The IDF table is NOT broadcast by hint anymore: a
+    corpus-sized vocabulary (3M terms at the x100 probe) made the
+    broadcast build + per-executor hash map the slowest stage
+    (measured 1.6x the hint-free plan, which AQE still broadcast-
+    joins whenever the dict is genuinely small); pass
+    ``broadcast_idf=True`` only when the term dictionary is known
+    tiny. N is a 1-row broadcast scalar (no driver collect). A fused
+    pandas counting pass and a term-first partitioning were both
+    measured and rejected (9.6s / 6.4s vs 6.3s at x100 — the Arrow
+    round trip of the token stream costs more than JVM explode)."""
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).where(F.col("term") != "")
     toks = toks.repartition("id")
     tc = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("c"))
-    dl = tc.groupBy("id").agg(F.sum("c").alias("len"))
     dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     if broadcast_idf:
         dfreq = F.broadcast(dfreq)
@@ -567,9 +586,10 @@ def tfidf_terms(
     )
     from pyspark.sql import Window
 
+    wlen = Window.partitionBy("id")
     w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
-        tc.join(dl, "id")
+        tc.withColumn("len", F.sum("c").over(wlen))
         .join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select("id", "term", score.alias("tfidf"))

@@ -16,10 +16,14 @@ layout, picked up by predicate pushdown.
 
 For key-ordered stores (the shc table layout) the same trick applies
 by modeling the ROWKEY as (zvalue, id): region boundaries then cut
-z-space and the existing range pruning covers z-ranges. Translating a
-per-dimension box predicate into minimal z-ranges (the BIGMIN /
-LITMAX refinement) is the further scale path; file-stat skipping
-already delivers most of the benefit without it.
+z-space and the existing range pruning covers z-ranges. A
+per-dimension box predicate translates into a small set of contiguous
+z-ranges via the quadtree-trie descent in ``zbox_ranges`` below (the
+BIGMIN/LITMAX refinement, done all at once instead of jump-by-jump);
+feed them to ``read_table(key_ranges=...)`` and the scan opens only
+the regions a range touches (HBaseTableScan.scala:63-89 analog) —
+Spark's Python DataSource filter API has no Or class, so the
+disjunction cannot arrive via pushFilters (r11).
 """
 
 from __future__ import annotations

@@ -684,11 +684,61 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_zorder_values"] = _zorder_oracle()
 
 
-# Box query THROUGH the z-range translation (layout.zbox_ranges): the
-# Spark side filters via the z-range disjunction + exact bounds (the
-# plan a z-keyed store executes as pruned rowkey ScanRanges); the
-# oracle is the plain box predicate with no z anywhere — proving the
-# translation changes the ACCESS PATH, never the answer.
+# Box query THROUGH the z-range translation (layout.zbox_ranges) on a
+# z-KEYED store (r11, VERDICT r10 #5): lineitem is persisted once as
+# an shc table with rowkey (zval, l_orderkey, l_linenumber), the box
+# translates driver-side into contiguous z-ranges, and
+# read_table(key_ranges=...) opens ONLY the regions those ranges
+# touch (the reference's rowkey range pruning,
+# HBaseTableScan.scala:63-89; plan-pinned fewer-partitions by
+# test_zbox_key_ranges_prune_via_public_read in test_source_e2e).
+# Exact per-dimension bounds conjoin on top, so the answer never
+# depends on the covering. The oracle is the plain box predicate
+# with no z anywhere — the translation changes the ACCESS PATH,
+# never the answer.
+ZBOX_TABLE_LAYOUT = 1
+
+
+def _zbox_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import json as _json
+
+    from shc_spark.operators import layout
+    from shc_spark.sources import write_table
+
+    cat = _json.dumps(
+        {
+            "table": {"namespace": "gate", "name": "li_zbox",
+                      "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "zval:rid",
+            "columns": {
+                "zval": {"cf": "rowkey", "col": "zval", "type": "bigint"},
+                "rid": {"cf": "rowkey", "col": "rid", "type": "bigint"},
+                "l_orderkey": {"cf": "cf", "col": "okey", "type": "bigint"},
+                "l_linenumber": {"cf": "cf", "col": "lnum", "type": "int"},
+                "l_partkey": {"cf": "cf", "col": "pk", "type": "bigint"},
+                "l_suppkey": {"cf": "cf", "col": "sk", "type": "bigint"},
+                "l_quantity": {"cf": "cf", "col": "qty", "type": "double"},
+            },
+        }
+    )
+    root = _gate_index_path("shc_zbox", sf_dir, ZBOX_TABLE_LAYOUT, bits=15)
+    marker = os.path.join(root, "gate.li_zbox", "_regions.json")
+    if not os.path.exists(marker):
+        # synthetic lineitem (okey, lnum) pairs are NOT unique (the
+        # scale-probe note) — a monotonic rid uniquifies the rowkey so
+        # merge-to-latest collapses nothing; rid never leaves the gate
+        li = _t(spark, sf_dir, "lineitem").select(
+            layout.zvalue(["l_partkey", "l_suppkey"], bits=15).alias("zval"),
+            F.monotonically_increasing_id().alias("rid"),
+            "l_orderkey",
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            "l_partkey", "l_suppkey", "l_quantity",
+        )
+        write_table(li, cat, root=root, num_regions=32, mode="overwrite",
+                    timestamp=1000)
+    return cat, root
+
+
 @register(
     "q_zorder_box",
     """
@@ -700,15 +750,14 @@ ORACLE["q_zorder_values"] = _zorder_oracle()
 )
 def q_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.operators import layout
+    from shc_spark.sources import read_table
 
-    li = _t(spark, sf_dir, "lineitem").withColumn(
-        "zval", layout.zvalue(["l_partkey", "l_suppkey"], bits=15)
-    )
-    box = layout.zbox_filter(
-        ["l_partkey", "l_suppkey"], [100, 10], [700, 60],
-        bits=15, zval_col="zval", max_ranges=64,
-    )
-    return li.filter(box).select(
+    cat, root = _zbox_table(spark, sf_dir)
+    ranges = layout.zbox_ranges([100, 10], [700, 60], bits=15, max_ranges=64)
+    df = read_table(spark, cat, root=root, key_ranges=ranges)
+    return df.filter(
+        F.col("l_partkey").between(100, 700) & F.col("l_suppkey").between(10, 60)
+    ).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         F.round("l_quantity", 2).alias("qty"),
     )

@@ -546,8 +546,18 @@ def read_table(
     restrictive: str = "column",
     reader_options: dict | None = None,
     ttl_now_ms: int | None = None,
+    key_ranges: list | None = None,
 ) -> DataFrame:
     """Read an shc table back as a DataFrame with the catalog schema.
+
+    ``key_ranges``: optional ``[(lo, hi), ...]`` INCLUSIVE logical
+    values of the LEADING rowkey dimension — explicit Scan ranges (the
+    HBase-client Scan(startRow, stopRow) analog) for predicates the
+    engine cannot push, e.g. the z-order box translation
+    (layout.zbox_ranges): Spark 4.1's Python DataSource filter API has
+    no Or class, so a disjunction of ranges never reaches pushFilters.
+    The ranges are a COVERING contract — conjoin the exact predicate
+    as an ordinary .filter() on the returned DataFrame.
 
     Call read_table once per logical query: Spark 4.1 caches the
     planned scan per relation, so reusing ONE returned DataFrame
@@ -666,6 +676,12 @@ def read_table(
         merge_to_latest = False  # the source already merged
     if _mask_dels:
         reader = reader.option("includeDeletes", "true")
+    if key_ranges:
+        import json as _json
+
+        reader = reader.option(
+            "keyranges", _json.dumps([[lo, hi] for lo, hi in key_ranges])
+        )
     for k, v in (reader_options or {}).items():
         reader = reader.option(k, v)
     df = reader.load()

@@ -61,7 +61,14 @@ from shc_spark.catalog import Catalog, parse_catalog
 from shc_spark.coders import get_coder
 
 log = logging.getLogger("shc_spark.source")
-from shc_spark.filters import HRF, ScanRange, _prefix_upper, ranges_and, translate_filters
+from shc_spark.filters import (
+    HRF,
+    ScanRange,
+    _prefix_upper,
+    ranges_and,
+    ranges_or,
+    translate_filters,
+)
 
 ROWKEY_COL = "__rowkey"
 TS_COL = "__ts"
@@ -203,7 +210,60 @@ class ShcReader(DataSourceReader):
             str(options.get("includedeletes", options.get("includeDeletes", ""))).lower()
             == "true"
         )
-        self.hrf = HRF.full()
+        self.hrf = self._base_hrf_from_options(options)
+
+    def _base_hrf_from_options(self, options: dict) -> HRF:
+        """Explicit scan ranges on the LEADING rowkey dimension via the
+        ``keyranges`` option: JSON ``[[lo, hi], ...]`` of INCLUSIVE
+        logical values. This is the HBase-client Scan(startRow,
+        stopRow) analog (HBaseTableScan.scala:63-89) for predicates the
+        engine cannot push — Spark 4.1's Python DataSource filter API
+        has no Or/And classes, so a disjunction of ranges (e.g. the
+        BIGMIN-style z-order box translation, layout.zbox_ranges)
+        never reaches pushFilters. Ranges given here are a COVERING
+        contract: the caller must conjoin the exact predicate as an
+        ordinary DataFrame filter (read_table(key_ranges=...) callers
+        do). Engine-pushed filters still INTERSECT on top."""
+        import json as _json
+
+        raw = options.get("keyranges")
+        if not raw:
+            return HRF.full()
+        first = self.cat.rowkey_fields()[0]
+        try:
+            coder = get_coder(first.coder)
+        except ValueError:
+            raise ValueError(
+                "keyranges requires an order-preserving leading rowkey coder"
+            )
+        if not coder.order_preserving_for(first.dt):
+            raise ValueError(
+                f"keyranges: coder {first.coder!r} is not order-preserving "
+                f"for {first.dt.simpleString()} (§4.2 sign hazard)"
+            )
+        ranges = []
+        for lo, hi in _json.loads(raw):
+            ranges.append(
+                ScanRange(
+                    coder.to_bytes(lo, first.dt), True,
+                    coder.to_bytes(hi, first.dt), True,
+                )
+            )
+        merged: list = []
+        for r in ranges:  # assume caller-sorted (zbox_ranges is); OR-merge
+            merged = ranges_or(merged, [r]) if merged else [r]
+        # map leading-DIM bounds onto full __rowkey bounds (composite
+        # keys: dim <= v  =>  key < next_prefix(v) — without this an
+        # end-inclusive dim bound would EXCLUDE every composite key
+        # sharing the boundary dim value)
+        key_fields = self.cat.rowkey_fields()
+        fixed_w = first.length if not first.var_length else None
+        return HRF(
+            _dim_to_key_ranges(
+                HRF(merged, False), fixed_w, len(key_fields) == 1
+            ).ranges,
+            False,
+        )
 
     # -- pushdown (S6/S7) -------------------------------------------------
     def pushFilters(self, filters):
@@ -242,7 +302,7 @@ class ShcReader(DataSourceReader):
         def encode(v):
             return coder.to_bytes(v, first.dt)
 
-        pushed = HRF.full()
+        pushed = self.hrf  # base: explicit keyranges option (or full)
         for f in filters:
             try:
                 sub = translate_filters([f], first.col_name, encode, points_only)

@@ -1474,12 +1474,21 @@ def build_dedup_index(
         num_buckets = suggest_num_buckets(
             corpus.count() * bands, expected_batch_keys=64 * bands
         )
+    # REBUILD over a live index stages the whole tree and swaps at the
+    # end (VERDICT r10 #8): a crash mid-build leaves the old index
+    # intact — never new banded rows next to old features. A rebuild
+    # also drops any tombstones with the old tree: stale tombstones
+    # must not silently mask docs of the NEW corpus.
+    from shc_spark.operators.idxcache import begin_staged_build, commit_staged_build
+
+    build_root = begin_staged_build(path)
     spark.createDataFrame(
         [(num_perm, bands, n, num_buckets)],
         "num_perm int, bands int, n int, num_buckets int",
-    ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
-    _write_index_rows(corpus, path, text_col, id_col, num_perm, bands, n,
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(build_root, "meta"))
+    _write_index_rows(corpus, build_root, text_col, id_col, num_perm, bands, n,
                       num_buckets, mode="overwrite")
+    commit_staged_build(path, build_root)
     return path
 
 

@@ -155,6 +155,36 @@ def drop_tombstone_snapshot(tomb_path: str, snapshot: list) -> None:
         shutil.rmtree(tomb_path, ignore_errors=True)
 
 
+def begin_staged_build(path: str) -> str:
+    """Where an index (re)build should write its subtrees (VERDICT r10
+    #8). Fresh build (nothing live at ``path``): build in place — a
+    crash leaves a partial tree whose reads fail loudly (missing
+    meta/_SUCCESS), i.e. "nothing". REBUILD over a live index: build
+    under ``path + ".build"`` (cleared first) and commit with
+    :func:`commit_staged_build` — a crash anywhere before the commit
+    leaves the OLD index fully intact and queryable; the in-place
+    overwrite this replaces could leave new banded rows next to old
+    features (silently wrong candidates)."""
+    import shutil
+
+    if not os.path.exists(path):
+        return path
+    tmp = path + ".build"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    return tmp
+
+
+def commit_staged_build(path: str, build_root: str) -> None:
+    """Swap the staged tree over the live one (no-op for fresh
+    builds). One rename pair via replace_subtree — the live index is
+    whole-or-old at every instant except the sub-millisecond window
+    between the two renames, and a crash leaves a recoverable copy."""
+    if build_root == path:
+        return
+    replace_subtree(path, build_root)
+
+
 def replace_subtree(old: str, tmp: str) -> None:
     """Swap a freshly written subtree over the live one via two
     renames instead of rmtree-then-rename: old -> old.bak,

@@ -512,10 +512,18 @@ def build_ivf_index(
         num_centroids = suggest_num_centroids(corpus.count())
     cent = _train_centroids(corpus, vec_col, num_centroids, dim, seed)
     spark = corpus.sparkSession
+    # REBUILD over a live index stages the whole tree and swaps at the
+    # end (VERDICT r10 #8): a crash mid-build leaves the old index
+    # intact - never new centroids next to old postings (whose cids
+    # would be assigned under a different quantizer). Tombstones of
+    # the old tree drop with it.
+    from shc_spark.operators.idxcache import begin_staged_build, commit_staged_build
+
+    build_root = begin_staged_build(path)
     spark.createDataFrame(
         [(int(i), [float(x) for x in cent[i]]) for i in range(cent.shape[0])],
         "cid int, centroid array<double>",
-    ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(build_root, "centroids"))
 
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
@@ -530,7 +538,7 @@ def build_ivf_index(
         spark.createDataFrame(
             [(i, s[0], s[1]) for i, s in enumerate(stats)],
             "i int, mn double, mx double",
-        ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "quant"))
+        ).repartition(1).write.mode("overwrite").parquet(os.path.join(build_root, "quant"))
         rows = rows.select(
             id_col, quantize.code_expr(vec_col, stats).alias("codes"), "cid"
         )
@@ -545,7 +553,7 @@ def build_ivf_index(
                 for c in range(books.shape[1])
             ],
             "j int, c int, centroid array<double>",
-        ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "pq"))
+        ).repartition(1).write.mode("overwrite").parquet(os.path.join(build_root, "pq"))
         rows = rows.select(id_col, _pq_code_udf(books)(F.col(vec_col)).alias("codes"), "cid")
     # repartition on cid BEFORE partitionBy: one file per posting-list
     # partition per generation (every writing task would otherwise
@@ -553,7 +561,8 @@ def build_ivf_index(
     # each search's directory listing pays for all of them)
     rows.repartition(num_centroids, F.col("cid")).write.mode(
         "overwrite"
-    ).partitionBy("cid").parquet(os.path.join(path, "postings"))
+    ).partitionBy("cid").parquet(os.path.join(build_root, "postings"))
+    commit_staged_build(path, build_root)
     return path
 
 

@@ -1532,8 +1532,9 @@ def _write_index_rows(
 def read_dedup_index_meta(spark, path: str) -> dict:
     import os
 
-    row = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
-    return row.asDict()
+    from shc_spark.operators.idxcache import local_meta_rows
+
+    return dict(local_meta_rows(os.path.join(path, "meta"))[0])  # no Spark job
 
 
 def _index_relation(spark, path: str, sub: str) -> DataFrame:

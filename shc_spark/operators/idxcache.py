@@ -155,6 +155,33 @@ def drop_tombstone_snapshot(tomb_path: str, snapshot: list) -> None:
         shutil.rmtree(tomb_path, ignore_errors=True)
 
 
+def local_meta_rows(path: str) -> list[dict]:
+    """Driver-side pyarrow read of a TINY meta subtree (centroids,
+    quant/PQ codebooks, banding params — single-file repartition(1)
+    trees of a few KB). A spark.read...collect() of the same file is
+    one whole Spark job (~0.2-0.3s scheduler overhead on this box),
+    and a serving composition pays it per meta table per call
+    (VERDICT r10 #7 profile: the PQ gate ran 6+ such jobs before its
+    first real stage). Always fresh — it reads the files themselves,
+    no cache to invalidate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:  # partitioned or nested layouts fall back to a walk
+        files = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    out: list[dict] = []
+    for f in files:
+        out.extend(pq.read_table(f).to_pylist())
+    return out
+
+
 def begin_staged_build(path: str) -> str:
     """Where an index (re)build should write its subtrees (VERDICT r10
     #8). Fresh build (nothing live at ``path``): build in place — a

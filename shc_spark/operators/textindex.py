@@ -38,27 +38,14 @@ def _tbkt(col, nb: int):
     return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
 
 
-# (appId, path) -> (meta-subtree fingerprint, meta dict). The memo
-# saves one collect per query, and the census fingerprint (same
-# staleness guard as idxcache relations) invalidates it whenever the
-# meta subtree changes — covering same-path rebuilds from THIS session
-# (ADVICE r8 medium) and from other processes alike.
-_META: dict = {}
-
-
 def read_text_index_meta(spark, path: str) -> dict:
-    from shc_spark.operators.idxcache import _fingerprint
+    from shc_spark.operators.idxcache import local_meta_rows
 
-    mp = os.path.join(path, "meta")
-    key = (spark.sparkContext.applicationId, os.path.abspath(path))
-    fp = _fingerprint(mp)
-    hit = _META.get(key)
-    if hit is not None and fp is not None and hit[0] == fp:
-        return hit[1]
-    row = spark.read.parquet(mp).collect()[0]
-    meta = {"num_buckets": row["num_buckets"]}
-    _META[key] = (fp, meta)
-    return meta
+    # KB-sized single-file tree: a driver-side pyarrow read costs no
+    # Spark job and is always fresh (the r10 fingerprint memo existed
+    # to amortize the collect job this no longer runs)
+    row = local_meta_rows(os.path.join(path, "meta"))[0]
+    return {"num_buckets": row["num_buckets"]}
 
 
 def _tokens(corpus: DataFrame, text_col: str, id_col: str):

@@ -653,6 +653,20 @@ def _arrow_type_of(avro_t: str):
     }[avro_t]
 
 
+def _contains_map(t) -> bool:
+    """True when an arrow type has a map anywhere inside — pc.if_else
+    rejects the whole value then; masking must go through take."""
+    import pyarrow as pa
+
+    if pa.types.is_map(t):
+        return True
+    if pa.types.is_struct(t):
+        return any(_contains_map(t.field(i).type) for i in range(t.num_fields))
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _contains_map(t.value_type)
+    return False
+
+
 def _arrow_kind_type(kind):
     """Arrow type for a plan kind — recursive over the compound kinds
     so nested children (struct fields, list/map values) convert once
@@ -917,8 +931,18 @@ def _encode_munion_column(col, branches, null_idx):
         # be masked (pc.if_else has no map kernel) — their default is
         # an empty map, harmless to encode and discarded below.
         keep = (first == j) & ~eff_null
-        if not keep.all() and not pa.types.is_map(child.type):
-            child = pc.if_else(pa.array(keep), child, pa.scalar(None, child.type))
+        if not keep.all():
+            if pa.types.is_map(child.type) or _contains_map(child.type):
+                # pc.if_else has no map kernel — mask by take with
+                # null indices instead (null index -> null row), so an
+                # invalid enum INSIDE a map member of a non-selected
+                # row cannot trip the validating kernels either (r11)
+                idx = np.where(keep, np.arange(n, dtype=np.int64), -1)
+                child = child.take(
+                    pa.array(np.where(idx < 0, None, idx), type=pa.int64())
+                )
+            else:
+                child = pc.if_else(pa.array(keep), child, pa.scalar(None, child.type))
         # compound member kinds (r10) route through the dispatcher;
         # primitives land in _encode_values as before
         body_j, _nulls_j = _encode_column(child, bt, None)

@@ -211,11 +211,17 @@ def test_remove_boilerplate_rewrite_is_shuffle_free(plans):
 
 
 def test_zorder_box_filter_pushes_base_bounds(plans):
-    # the exact per-dimension bounds reach the parquet scan; the
-    # z-range membership stays above as one exists() over a literal
+    # r11: the box query reads the z-KEYED shc table through
+    # key_ranges (region pruning pinned by
+    # test_zbox_key_ranges_prune_via_public_read); here pin the plan
+    # shape — a single scan-filter-project stage: the exact
+    # per-dimension bounds are one codegen Filter directly over the
+    # source scan, no exchange, no Python eval above the source
     p = plans("q_zorder_box")
     assert "Exchange" not in p
-    assert "GreaterThanOrEqual(l_partkey,100)" in p or "PushedFilters" in p, p
+    assert "BatchScan shc" in p, p
+    assert "(l_partkey" in p and ">= 100)" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
 def test_substring_spans_shuffles_are_bounded(plans):

@@ -138,13 +138,25 @@ def main():
             passed.append(name)
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
 
-    if not filters and not window_only and "sf0.01" in SF_DIR:
+    if not window_only and "sf0.01" in SF_DIR:
         import json
 
         out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
-        with open(out, "w") as fh:
-            json.dump(record, fh, indent=1)
-        print(f"wrote {out}")
+        if not filters:
+            # full run: rewrite wholesale (prunes unregistered gates)
+            with open(out, "w") as fh:
+                json.dump(record, fh, indent=1)
+            print(f"wrote {out}")
+        elif record:
+            # filtered run: MERGE the re-run rows into the artifact —
+            # each row is still evidence of a real run; newly added
+            # gates get their first row without waiting for the next
+            # full sweep (which remains the last commit of a round)
+            prior = json.load(open(out)) if os.path.exists(out) else {}
+            prior.update(record)
+            with open(out, "w") as fh:
+                json.dump(prior, fh, indent=1)
+            print(f"merged {len(record)} rows into {out}")
     print(
         f"\n{len(passed)} ok, {len(failed)} failed, {len(rows_only)} rows-only "
         f"of {len(queries)} queries"

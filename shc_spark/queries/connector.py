@@ -1029,6 +1029,56 @@ def shc_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Coprocessor-style aggregation scan (the HBase AggregationClient /
+# AggregateImplementation analog, beyond the reference): each region
+# partition returns PARTIAL aggregates computed inside the scan (arrow
+# kernels, after the LSM merge), so only #partitions x #groups rows
+# cross the source boundary; api.scan_aggregate finalizes with a
+# kilobyte shuffle. key_ranges additionally prunes regions (the Scan
+# start/stopRow the AggregationClient takes). The oracle is the plain
+# GROUP BY over the source parquet.
+@register(
+    "shc_scan_aggregate",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)         AS count_all,
+           round(sum(o_totalprice), 2)      AS sum_tp,
+           round(min(o_totalprice), 2)      AS min_tp,
+           round(max(o_totalprice), 2)      AS max_tp,
+           round(avg(o_totalprice), 4)      AS avg_tp
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 600
+    GROUP BY o_orderstatus
+    """,
+)
+def shc_scan_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.sources import scan_aggregate
+
+    root = _ensure_orders_ck(spark, sf_dir)
+    agg = scan_aggregate(
+        spark,
+        CAT_ORDERS_CK,
+        ["o_orderstatus"],
+        [
+            ("count", "*"),
+            ("sum", "o_totalprice"),
+            ("min", "o_totalprice"),
+            ("max", "o_totalprice"),
+            ("avg", "o_totalprice"),
+        ],
+        root=root,
+        key_ranges=[(100, 600)],
+    )
+    return agg.select(
+        "o_orderstatus",
+        "count_all",
+        F.round("sum_o_totalprice", 2).alias("sum_tp"),
+        F.round("min_o_totalprice", 2).alias("min_tp"),
+        F.round("max_o_totalprice", 2).alias("max_tp"),
+        F.round("avg_o_totalprice", 4).alias("avg_tp"),
+    )
+
+
 # Phoenix SALT_BUCKETS analog: the write spreads monotonically
 # increasing keys via a 1-byte key hash prefix; reads recompute the
 # bucket (points) or fan ranges out across buckets. The oracle is the

@@ -1185,6 +1185,115 @@ def read_stream_table(
     return df.select(*cols)
 
 
+def scan_aggregate(
+    spark: SparkSession,
+    catalog: str,
+    group_by: list[str],
+    aggs: list[tuple[str, str]],
+    root: str = DEFAULT_ROOT,
+    key_ranges: list | None = None,
+    reader_options: dict | None = None,
+) -> DataFrame:
+    """Coprocessor-style aggregation scan (the HBase AggregationClient
+    / AggregateImplementation analog — beyond the reference, which
+    ships every row to Spark and aggregates there).
+
+    Each scan partition aggregates its rows down to one partial row
+    per group INSIDE the source (arrow kernels, after the LSM
+    latest-wins merge), so only ``#partitions x #groups`` partial rows
+    cross the executor boundary; the finalizing groupBy here shuffles
+    kilobytes. At 100 TB a SUM/COUNT over a table is a metadata-sized
+    job instead of a full row materialization.
+
+    ``aggs``: ``(fn, col)`` with fn in count/sum/min/max/avg;
+    ``("count", "*")`` counts rows. Output columns: the group columns
+    plus ``count_all`` / ``{fn}_{col}`` / ``avg_{col}`` — AVG follows
+    SQL null semantics (sum over count of NON-NULL values).
+
+    ``key_ranges``: inclusive (lo, hi) logical ranges on the leading
+    rowkey dimension, as in ``read_table`` — regions outside them are
+    never opened. Engine-pushed filters on GROUP columns still prune
+    on top (a filter on a grouping column pushes below the aggregate).
+
+    TTL tables and cross-catalog reads are not supported — use
+    ``read_table(...).groupBy(...)`` for those.
+    """
+    import json as _json
+    import os as _os
+
+    from shc_spark.sources.shc_source import agg_out_name
+
+    register(spark)
+    cat = parse_catalog(catalog)
+    table_dir = _os.path.join(root, f"{cat.namespace}.{cat.name}")
+    stored = _stored_catalog_json(table_dir)
+    if stored is not None and not _same_catalog(stored, catalog):
+        raise ValueError(
+            "scan_aggregate requires the stored catalog; cross-catalog "
+            "aggregate scans are not supported"
+        )
+    if parse_catalog(stored).ttl if stored is not None else cat.ttl:
+        raise ValueError(
+            "scan_aggregate does not support TTL tables (expiry must "
+            "null cells before aggregation); use read_table().groupBy()"
+        )
+
+    # expand avg -> sum + count partials; dedupe physical partials
+    phys: list[tuple[str, str]] = []
+    avgs: list[str] = []
+    requested: list[str] = []
+    for fn, col in aggs:
+        if fn == "avg":
+            for p in (("sum", col), ("count", col)):
+                if p not in phys:
+                    phys.append(p)
+            avgs.append(col)
+            requested.append(f"avg_{col}")
+        else:
+            if (fn, col) not in phys:
+                phys.append((fn, col))
+            requested.append(agg_out_name(fn, col))
+
+    spec = _json.dumps({"groupBy": list(group_by), "aggs": [list(p) for p in phys]})
+    reader = (
+        spark.read.format("shc")
+        .option("catalog", catalog)
+        .option("root", root)
+        .option("aggregate", spec)
+    )
+    if not _merge_is_noop(table_dir):
+        # overlapping generations / tombstones: aggregate AFTER the
+        # in-source latest-wins merge (disjoint sub-ranges, so the
+        # per-partition merge is complete)
+        reader = reader.option("merge", "latest")
+    if key_ranges:
+        reader = reader.option(
+            "keyranges", _json.dumps([[lo, hi] for lo, hi in key_ranges])
+        )
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+
+    combine = []
+    for fn, col in phys:
+        name = agg_out_name(fn, col)
+        merge_fn = F.sum if fn in ("count", "sum") else (F.min if fn == "min" else F.max)
+        expr = merge_fn(F.col(name))
+        if fn == "count":
+            expr = F.coalesce(expr, F.lit(0))  # COUNT over empty is 0, not null
+        combine.append(expr.alias(name))
+    out = df.groupBy(*group_by).agg(*combine) if group_by else df.agg(*combine)
+    for col in avgs:
+        out = out.withColumn(
+            f"avg_{col}",
+            F.when(
+                F.col(f"count_{col}") > 0,
+                F.col(f"sum_{col}") / F.col(f"count_{col}"),
+            ),
+        )
+    return out.select(*group_by, *requested)
+
+
 def bulk_get(
     spark: SparkSession,
     catalog: str,

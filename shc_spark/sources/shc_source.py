@@ -98,6 +98,83 @@ def internal_schema(cat: Catalog, include_deletes: bool = False) -> StructType:
     return StructType(fields)
 
 
+# -- coprocessor-style aggregate scan (beyond-reference; the HBase
+# AggregationClient / AggregateImplementation coprocessor analog) ------
+#
+# With option aggregate='{"groupBy": [...], "aggs": [["sum","col"],
+# ["count","*"], ...]}' each partition returns PARTIAL aggregates
+# instead of rows: at 100 TB a SUM/COUNT scan ships one tiny batch per
+# region through the Python DataSource bridge rather than every row.
+# The caller (api.scan_aggregate) finalizes with a groupBy over
+# #partitions x #groups partial rows — a shuffle measured in KB.
+# Partials COMBINE with (count -> sum, sum -> sum, min -> min,
+# max -> max); avg is an api-level finalize of sum/count.
+
+_AGG_FNS = ("count", "sum", "min", "max")
+
+
+def _parse_agg_spec(cat: Catalog, raw: str) -> dict:
+    spec = json.loads(raw)
+    group_by = spec.get("groupBy") or []
+    aggs = [tuple(a) for a in spec.get("aggs") or []]
+    if not aggs:
+        raise ValueError("aggregate spec needs at least one agg")
+    from pyspark.sql.types import NumericType
+
+    for col in group_by:
+        f = cat.fields.get(col)
+        if f is None:
+            raise ValueError(f"aggregate groupBy column {col!r} not in catalog")
+        if f.avro_schema is not None:
+            raise ValueError(
+                f"aggregate groupBy column {col!r} is Avro-coded; aggregate "
+                "scans group on typed scalar columns only"
+            )
+    for fn, col in aggs:
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unsupported aggregate function {fn!r}")
+        if col == "*":
+            if fn != "count":
+                raise ValueError(f"{fn}(*) is not a thing; name a column")
+            continue
+        f = cat.fields.get(col)
+        if f is None:
+            raise ValueError(f"aggregate column {col!r} not in catalog")
+        if f.avro_schema is not None:
+            raise ValueError(f"aggregate column {col!r} is Avro-coded")
+        if fn == "sum" and not isinstance(f.dt, NumericType):
+            raise ValueError(
+                f"sum({col}) needs a numeric column, got {f.dt.simpleString()}"
+            )
+    return {"group_by": list(group_by), "aggs": aggs}
+
+
+def agg_out_name(fn: str, col: str) -> str:
+    return "count_all" if col == "*" else f"{fn}_{col}"
+
+
+def aggregate_partial_schema(cat: Catalog, spec: dict) -> StructType:
+    """Declared schema of an aggregate-mode scan: group columns typed
+    as the catalog declares, one partial column per agg. Partial and
+    final column names coincide, so the finalizing groupBy re-aliases
+    nothing."""
+    from pyspark.sql.types import DoubleType, FractionalType
+
+    base = {f.name: f for f in internal_schema(cat)}
+    fields = [base[c] for c in spec["group_by"]]
+    for fn, col in spec["aggs"]:
+        name = agg_out_name(fn, col)
+        if fn == "count":
+            fields.append(StructField(name, LongType(), False))
+        elif fn == "sum":
+            dt = base[col].dataType
+            out = DoubleType() if isinstance(dt, FractionalType) else LongType()
+            fields.append(StructField(name, out, True))
+        else:  # min / max keep the column type
+            fields.append(StructField(name, base[col].dataType, True))
+    return StructType(fields)
+
+
 from collections import OrderedDict
 
 _REGION_CACHE: OrderedDict = OrderedDict()
@@ -210,6 +287,10 @@ class ShcReader(DataSourceReader):
             str(options.get("includedeletes", options.get("includeDeletes", ""))).lower()
             == "true"
         )
+        raw_agg = options.get("aggregate")
+        self.agg_spec = _parse_agg_spec(self.cat, raw_agg) if raw_agg else None
+        if self.agg_spec is not None and self.include_deletes:
+            raise ValueError("aggregate scans and includeDeletes are exclusive")
         self.hrf = self._base_hrf_from_options(options)
 
     def _base_hrf_from_options(self, options: dict) -> HRF:
@@ -518,6 +599,9 @@ class ShcReader(DataSourceReader):
 
     # -- execution (S11/S13, vectorized) ----------------------------------
     def read(self, partition):
+        if self.agg_spec is not None:
+            yield from self._read_aggregate(partition)
+            return
         want = to_arrow_schema(internal_schema(self.cat, self.include_deletes))
         if isinstance(partition, MergePartition):
             yield from self._read_merge(partition, want)
@@ -525,6 +609,68 @@ class ShcReader(DataSourceReader):
         if not partition.path:
             return
         yield from self._scan_file(partition.path, partition.ranges, want)
+
+    def _read_aggregate(self, partition):
+        """Coprocessor-style partial aggregation (the HBase
+        AggregationClient analog, beyond-reference): aggregate this
+        partition's rows down to one partial row per group INSIDE the
+        scan, so only #groups rows cross the Python DataSource bridge
+        per partition. Version semantics come for free: the merge-read
+        (or the caller's merge=latest option) has already collapsed to
+        latest-wins before this aggregation sees a row. Memory stays
+        O(groups): each streamed batch is pre-aggregated immediately
+        and only the per-batch partials are held for the final
+        combine."""
+        spec = self.agg_spec
+        group = spec["group_by"]
+        needed = set(group) | {c for _, c in spec["aggs"] if c != "*"}
+        base = to_arrow_schema(internal_schema(self.cat))
+        want = pa.schema(
+            [f for f in base if f.name in needed or f.name in (ROWKEY_COL, TS_COL)]
+        )
+        if isinstance(partition, MergePartition):
+            batches = self._read_merge(partition, want)
+        elif not partition.path:
+            return
+        else:
+            batches = self._scan_file(partition.path, partition.ranges, want)
+
+        # per-batch aggregation tuples: count(*) counts __rowkey (never
+        # null); count(col) counts non-null values of col
+        first_aggs = []
+        for fn, col in spec["aggs"]:
+            src = ROWKEY_COL if col == "*" else col
+            first_aggs.append((src, fn))
+        partials = []
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            gb = t.group_by(group, use_threads=False) if group else t.group_by([], use_threads=False)
+            partials.append(gb.aggregate(first_aggs))
+        if not partials:
+            return
+        merged = pa.concat_tables(partials)
+        # combine partials: count -> sum, sum -> sum, min -> min, max -> max
+        combine = []
+        for fn, col in spec["aggs"]:
+            src = ROWKEY_COL if col == "*" else col
+            combine.append((f"{src}_{fn}", "sum" if fn in ("count", "sum") else fn))
+        out = merged.group_by(group, use_threads=False).aggregate(combine)
+        # cast + rename to the declared partial schema
+        declared = to_arrow_schema(aggregate_partial_schema(self.cat, spec))
+        cols = {}
+        for i, f in enumerate(declared):
+            if f.name in group:
+                cols[f.name] = out.column(f.name)
+            else:
+                # combine output names: <src>_<fn>_<combine_fn>
+                fn, c = spec["aggs"][i - len(group)]
+                src = ROWKEY_COL if c == "*" else c
+                cfn = "sum" if fn in ("count", "sum") else fn
+                cols[f.name] = out.column(f"{src}_{fn}_{cfn}")
+        result = pa.table(cols).cast(declared)
+        for batch in result.to_batches(max_chunksize=self.batch_size):
+            if len(batch):
+                yield batch
 
     def _read_merge(self, partition: MergePartition, want):
         """LSM merge-read: scan every overlapping file masked to this
@@ -1052,6 +1198,9 @@ class ShcDataSource(DataSource):
 
     def schema(self) -> StructType:
         cat = parse_catalog(self.options["catalog"])
+        raw_agg = self.options.get("aggregate")
+        if raw_agg:
+            return aggregate_partial_schema(cat, _parse_agg_spec(cat, raw_agg))
         dels = str(self.options.get("includedeletes", self.options.get("includeDeletes", ""))).lower() == "true"
         return internal_schema(cat, include_deletes=dels)
 

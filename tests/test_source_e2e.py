@@ -2210,3 +2210,155 @@ def test_sql_ddl_options_roundtrip(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ddl_probe")
     assert [(r["key"], r["v"]) for r in got] == [(f"k{i}", i) for i in range(10)]
+
+
+# ---- coprocessor-style aggregate scan (scan_aggregate, r11) ----------
+
+CAT_AGG = json.dumps(
+    {
+        "table": {"namespace": "default", "name": "aggscan", "tableCoder": "OrderedType", "version": "2.0"},
+        "rowkey": "key",
+        "columns": {
+            "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "grp": {"cf": "cf", "col": "g", "type": "string"},
+            "val": {"cf": "cf", "col": "v", "type": "double"},
+            "n": {"cf": "cf", "col": "n", "type": "int"},
+        },
+    }
+)
+
+
+def _agg_fixture(spark, root, rows=200, regions=8):
+    df = spark.range(rows).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+        (F.col("id") * 1.5).alias("val"),
+        F.when(F.col("id") % 5 != 0, F.col("id").cast("int")).alias("n"),
+    )
+    write_table(df, CAT_AGG, root=root, num_regions=regions, mode="overwrite", timestamp=1000)
+    return df
+
+
+def test_scan_aggregate_matches_dataframe_groupby(spark, tmp_path):
+    from shc_spark.sources import scan_aggregate
+
+    root = str(tmp_path)
+    _agg_fixture(spark, root)
+    got = scan_aggregate(
+        spark, CAT_AGG, ["grp"],
+        [("count", "*"), ("count", "n"), ("sum", "val"), ("min", "val"),
+         ("max", "val"), ("avg", "n")],
+        root=root,
+    )
+    exp = (
+        read_table(spark, CAT_AGG, root=root)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("count_all"),
+            F.count("n").alias("count_n"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.avg("n").alias("avg_n"),
+        )
+    )
+    g = {r["grp"]: r.asDict() for r in got.collect()}
+    e = {r["grp"]: r.asDict() for r in exp.collect()}
+    assert set(g) == set(e) == {"g0", "g1", "g2"}
+    for k in g:
+        for c in g[k]:
+            assert g[k][c] == pytest.approx(e[k][c]), (k, c, g[k], e[k])
+
+
+def test_scan_aggregate_partials_are_tiny(spark, tmp_path):
+    """The source emits <= #partitions x #groups partial rows — the
+    whole point: rows never cross the bridge."""
+    root = str(tmp_path)
+    _agg_fixture(spark, root, rows=500, regions=8)
+    raw = (
+        spark.read.format("shc")
+        .option("catalog", CAT_AGG)
+        .option("root", root)
+        .option("aggregate", json.dumps({"groupBy": ["grp"], "aggs": [["count", "*"], ["sum", "val"]]}))
+        .load()
+    )
+    assert raw.count() <= 8 * 3
+    # and the partials COMBINE to the true totals
+    tot = raw.groupBy("grp").agg(F.sum("count_all").alias("c")).collect()
+    assert sum(r["c"] for r in tot) == 500
+
+
+def test_scan_aggregate_after_append_and_delete(spark, tmp_path):
+    """Version semantics: latest-wins BEFORE aggregation (in-source
+    LSM merge), tombstoned rows never counted."""
+    from shc_spark.sources import delete_rows, scan_aggregate
+
+    root = str(tmp_path)
+    _agg_fixture(spark, root, rows=100, regions=5)
+    upd = spark.range(30).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+        F.lit(1000.0).alias("val"),
+        F.lit(7).cast("int").alias("n"),
+    )
+    write_table(upd, CAT_AGG, root=root, mode="append", timestamp=2000)
+    delete_rows(spark, CAT_AGG, list(range(90, 100)), root=root, timestamp=3000)
+    got = scan_aggregate(spark, CAT_AGG, [], [("count", "*"), ("sum", "val")], root=root)
+    exp = read_table(spark, CAT_AGG, root=root).agg(
+        F.count("*").alias("count_all"), F.sum("val").alias("sum_val")
+    )
+    gr, er = got.collect()[0], exp.collect()[0]
+    assert gr["count_all"] == er["count_all"] == 90
+    assert gr["sum_val"] == pytest.approx(er["sum_val"])
+
+
+def test_scan_aggregate_key_ranges_prune_partitions(spark, tmp_path):
+    from shc_spark.sources import scan_aggregate
+    from shc_spark.sources.shc_source import ShcReader
+
+    root = str(tmp_path)
+    _agg_fixture(spark, root, rows=400, regions=8)
+    got = scan_aggregate(
+        spark, CAT_AGG, [], [("count", "*")], root=root, key_ranges=[(0, 49)]
+    )
+    assert got.collect()[0]["count_all"] == 50
+    opts = {
+        "catalog": CAT_AGG,
+        "root": root,
+        "aggregate": json.dumps({"groupBy": [], "aggs": [["count", "*"]]}),
+        "keyranges": json.dumps([[0, 49]]),
+    }
+    pruned = [p for p in ShcReader(None, opts).partitions() if getattr(p, "path", "x")]
+    full = [
+        p
+        for p in ShcReader(
+            None, {k: v for k, v in opts.items() if k != "keyranges"}
+        ).partitions()
+        if getattr(p, "path", "x")
+    ]
+    assert len(pruned) < len(full)
+
+
+def test_scan_aggregate_empty_range_counts_zero(spark, tmp_path):
+    from shc_spark.sources import scan_aggregate
+
+    root = str(tmp_path)
+    _agg_fixture(spark, root, rows=50, regions=5)
+    got = scan_aggregate(
+        spark, CAT_AGG, [], [("count", "*"), ("sum", "val")], root=root,
+        key_ranges=[(10_000, 20_000)],
+    ).collect()[0]
+    assert got["count_all"] == 0 and got["sum_val"] is None
+
+
+def test_scan_aggregate_validation_errors(spark, tmp_path):
+    from shc_spark.sources import scan_aggregate
+
+    root = str(tmp_path)
+    _agg_fixture(spark, root, rows=20, regions=4)
+    with pytest.raises(Exception, match="not in catalog"):
+        scan_aggregate(spark, CAT_AGG, ["nope"], [("count", "*")], root=root).collect()
+    with pytest.raises(Exception, match="numeric"):
+        scan_aggregate(spark, CAT_AGG, [], [("sum", "grp")], root=root).collect()
+    with pytest.raises(Exception, match="unsupported aggregate"):
+        scan_aggregate(spark, CAT_AGG, [], [("median", "val")], root=root).collect()

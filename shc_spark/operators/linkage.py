@@ -128,3 +128,105 @@ def canonicalize(
         names.join(F.broadcast(comp), names.value == comp.id, "left")
         .select("value", F.coalesce("cluster", "value").alias("canonical"))
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """0-based global rank by ``order_cols`` WITHOUT the
+    single-partition window a bare ``row_number() OVER (ORDER BY ...)``
+    plans (which serializes the whole corpus through one task — the
+    classic 100-TB killer).
+
+    Shape: one range shuffle (the sort every global rank needs anyway),
+    then a tiny per-partition count collect (#partitions rows) and a
+    second pass that adds offset + local position inside mapInPandas —
+    no second corpus shuffle. The partitioned frame is persisted so
+    both passes see the SAME range boundaries (repartitionByRange
+    samples; an unpersisted recompute could draw different bounds and
+    misalign the offsets).
+
+    ``order_cols`` must be a total order (append a unique id as the
+    last column) or equal rows get arbitrary-but-disjoint ranks within
+    their tie group.
+    """
+    from pyspark import StorageLevel
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["__pid"]: r["cnt"] for r in
+              parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = df.schema.add(rank_col, "long", False)
+
+    def assign(it):
+        seen = 0
+        for pdf in it:
+            pid = int(pdf["__pid"].iloc[0])
+            base = offsets[pid] + seen
+            seen += len(pdf)
+            pdf = pdf.drop(columns=["__pid"])
+            pdf[rank_col] = range(base, base + len(pdf))
+            yield pdf
+
+    return parted.mapInPandas(assign, schema=out_schema)
+
+
+def snm_pairs(
+    df: DataFrame,
+    key: Column,
+    window: int,
+    id_col: str,
+) -> DataFrame:
+    """Sorted-neighborhood method (Hernandez & Stolfo 1995): sort the
+    corpus by a fuzzy blocking key and emit every pair within a
+    sliding window of ``window`` consecutive rows — the classic
+    entity-resolution alternative to LSH blocking (catches near-dups
+    whose edits fall OUTSIDE a fixed block prefix, because sorting
+    places them adjacently).
+
+    Scale shape: global_rank (one range shuffle, no single-partition
+    window), then pairing as a pure EQUI-join on rank//window blocks —
+    each left row probes its own and the next block, so no range join,
+    no cartesian. Output: (id_a, id_b, rank_a, rank_b) with
+    rank_a < rank_b < rank_a + window; attach payload/similarity by
+    joining ids back to the corpus.
+    """
+    if window < 2:
+        raise ValueError("snm window must be >= 2")
+    ranked = global_rank(
+        df.select(F.col(id_col), key.alias("__snm_key")),
+        ["__snm_key", id_col],
+        rank_col="__rank",
+    ).select(id_col, "__rank")
+    blk = (F.col("__rank") / window).cast("long")
+    left = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__rank").alias("rank_a"),
+        F.explode(F.array(blk, blk + 1)).alias("__blk"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__rank").alias("rank_b"),
+        blk.alias("__blk"),
+    )
+    return (
+        left.join(right, "__blk")
+        .where(
+            (F.col("rank_b") > F.col("rank_a"))
+            & (F.col("rank_b") - F.col("rank_a") < window)
+        )
+        .select("id_a", "id_b", "rank_a", "rank_b")
+    )

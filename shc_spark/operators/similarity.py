@@ -229,6 +229,96 @@ def semantic_contamination(
     )
 
 
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    pool: int = 8,
+    lam: float = 0.7,
+    div_weight: float | None = None,
+    max_queries: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    retrieve a ``pool``-sized candidate set per query, then greedily
+    select ``k`` results maximizing
+    ``lam * rel(q, c) - div_weight * max_{s in selected} sim(c, s)`` —
+    the standard diversity-aware serving step (dedupes near-identical
+    retrieval hits before they reach a prompt).
+
+    Scale shape: stage 1 is the distributed ``cosine_topk`` (corpus
+    never shuffles); stage 2 is applyInPandas over per-query groups of
+    exactly ``pool`` rows — the greedy loop touches pool x dim floats
+    per query, never the corpus.
+
+    Determinism contract (mirrors cosine_topk): rel is the stage-1
+    4dp-rounded cosine and pairwise sims round to 4dp before the max
+    (raw cosines have no decimal structure, so 4dp rounding is
+    engine-stable); the score itself stays UNROUNDED — it is a fixed
+    IEEE expression over those canonical inputs, hence bit-identical
+    across engines, while rounding it WOULD sit exactly on decimal
+    boundaries (0.7 x a 4dp value has a terminal 5 half the time) and
+    flip between rounding conventions. Ties break by ascending
+    neighbor id. Pass ``div_weight`` explicitly when an oracle needs
+    an exact decimal (the default ``1 - lam`` is inexact in binary:
+    1 - 0.7 != 0.3).
+
+    Output: (query_id, neighbor_id, step, mmr_score), step = 1..k in
+    selection order.
+    """
+    if div_weight is None:
+        div_weight = 1.0 - lam
+    cands = cosine_topk(queries, corpus, vec_col, id_col, k=pool, max_queries=max_queries)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+    )
+    pooled = cands.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "__nvec"
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, step int, mmr_score double"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        U = _normalize_batch(pdf["__nvec"])
+        S = np.round(U @ U.T, 4)
+        n = len(ids)
+        # max-sim over the SELECTED set: empty at step 1 (diversity
+        # term is absent, not zero) and thereafter the true max, which
+        # may be NEGATIVE — seeding with zeros would clamp it
+        maxsim = None
+        alive = np.ones(n, dtype=bool)
+        rows = []
+        for step in range(1, min(k, n) + 1):
+            if maxsim is None:
+                sc = lam * rel
+            else:
+                sc = lam * rel - div_weight * maxsim
+            # argmax with ties by ascending id, among alive candidates
+            best, best_key = -1, None
+            for i in np.flatnonzero(alive):
+                key = (-sc[i], ids[i])
+                if best_key is None or key < best_key:
+                    best, best_key = i, key
+            rows.append((pdf["query_id"].iloc[0], ids[best], step, sc[best]))
+            alive[best] = False
+            sel = S[:, best]
+            maxsim = sel.copy() if maxsim is None else np.maximum(maxsim, sel)
+        return pd.DataFrame(
+            rows, columns=["query_id", "neighbor_id", "step", "mmr_score"]
+        )
+
+    return (
+        pooled.groupBy("query_id")
+        .applyInPandas(greedy, schema=out_schema)
+        .select("query_id", "neighbor_id", "step", "mmr_score")
+    )
+
+
 def sq8_topk(
     queries: DataFrame,
     codes: DataFrame,

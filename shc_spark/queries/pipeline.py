@@ -543,6 +543,59 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkage.fuzzy_pairs(part, "p_name", min_dist=1, max_dist=3)
 
 
+# Sorted-neighborhood near-dup (Hernandez & Stolfo 1995): sort by a
+# normalized prefix key, pair every doc with its <window neighbors in
+# rank order, keep small-edit-distance pairs. The classic ER
+# complement to LSH blocking. The Spark side computes the global rank
+# WITHOUT a single-partition window (linkage.global_rank: one range
+# shuffle + per-partition offsets) and pairs via a pure equi-join on
+# rank//window blocks; the oracle replays the identical definition
+# with row_number. Value-exact (text normalized to ASCII so the two
+# engines' string order and levenshtein agree).
+@register(
+    "dedup_snm_pairs",
+    """
+    WITH nm AS (SELECT doc_id,
+                       regexp_replace(lower(coalesce(text, '')),
+                                      '[^a-z0-9 ]', '', 'g') AS n
+                FROM documents),
+    kp AS (SELECT doc_id, substr(n, 1, 24) AS k, substr(n, 1, 64) AS probe
+           FROM nm),
+    r AS (SELECT doc_id, probe,
+                 row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
+          FROM kp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.probe, b.probe) AS BIGINT) AS dist
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 6
+    WHERE levenshtein(a.probe, b.probe) <= 12
+    """,
+)
+def dedup_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9 ]", "")
+    keyed = docs.select("doc_id", norm.alias("__n"))
+    pairs = linkage.snm_pairs(
+        keyed.select("doc_id", F.substring("__n", 1, 24).alias("__k")),
+        F.col("__k"),
+        6,
+        "doc_id",
+    )
+    probes = keyed.select("doc_id", F.substring("__n", 1, 64).alias("probe"))
+    return (
+        pairs.join(
+            probes.select(F.col("doc_id").alias("id_a"), F.col("probe").alias("pa")),
+            "id_a",
+        )
+        .join(
+            probes.select(F.col("doc_id").alias("id_b"), F.col("probe").alias("pb")),
+            "id_b",
+        )
+        .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+        .where(F.col("dist") <= 12)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 # Entity canonicalization: fuzzy pairs -> connected components on the
 # value dictionary -> every value mapped to its component's MIN member
 # (singletons map to themselves). Oracle: recursive-CTE closure.
@@ -1334,6 +1387,76 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.hybrid_search_rrf(
         docs, emb, ["join", "scan", "vector"], query_vec_id=0, k=10
+    )
+
+
+# MMR diversified re-rank (Carbonell & Goldstein 1998): the greedy
+# lam*rel - div*maxsim selection over an 8-candidate pool, k=4 steps.
+# The oracle UNROLLS the greedy loop as four chained CTEs (one per
+# selection step) — the whole iterative algorithm is value-exact, not
+# rows-only. Determinism: rel and pairwise sims are 4dp-rounded (raw
+# cosines, no decimal structure, engine-stable), the score expression
+# stays UNROUNDED (a fixed IEEE expression over canonical inputs is
+# bit-identical across engines; rounding it WOULD land exactly on
+# decimal boundaries — 0.7 x a 4dp value ends in 5 half the time —
+# where rounding conventions flip). div_weight is the literal 0.3 on
+# BOTH sides (1 - 0.7 is not 0.3 in binary).
+_MMR_POOL_SQL = """
+    WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
+    u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM nn),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS id, c.uv AS cu,
+             round(list_dot_product(q.uv, c.uv), 4) AS rel
+      FROM u q JOIN u c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 6),
+    cand AS (SELECT query_id, id, cu, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, id) AS rn
+        FROM scored) WHERE rn <= 8),
+    s1 AS (SELECT query_id, id, cu, 0.7 * rel AS sc FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY 0.7 * rel DESC, id) AS r FROM cand) WHERE r = 1),
+    m2 AS (SELECT c.query_id, c.id, c.cu, c.rel,
+                  round(list_dot_product(c.cu, s.cu), 4) AS ms
+           FROM cand c JOIN s1 s ON s.query_id = c.query_id AND s.id != c.id),
+    s2 AS (SELECT query_id, id, cu, ms, 0.7 * rel - 0.3 * ms AS sc FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY 0.7 * rel - 0.3 * ms DESC, id) AS r FROM m2) WHERE r = 1),
+    m3 AS (SELECT c.query_id, c.id, c.cu, c.rel,
+                  greatest(round(list_dot_product(c.cu, a.cu), 4),
+                           round(list_dot_product(c.cu, b.cu), 4)) AS ms
+           FROM cand c
+           JOIN s1 a ON a.query_id = c.query_id AND a.id != c.id
+           JOIN s2 b ON b.query_id = c.query_id AND b.id != c.id),
+    s3 AS (SELECT query_id, id, cu, ms, 0.7 * rel - 0.3 * ms AS sc FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY 0.7 * rel - 0.3 * ms DESC, id) AS r FROM m3) WHERE r = 1),
+    m4 AS (SELECT c.query_id, c.id, c.rel,
+                  greatest(round(list_dot_product(c.cu, a.cu), 4),
+                           round(list_dot_product(c.cu, b.cu), 4),
+                           round(list_dot_product(c.cu, d.cu), 4)) AS ms
+           FROM cand c
+           JOIN s1 a ON a.query_id = c.query_id AND a.id != c.id
+           JOIN s2 b ON b.query_id = c.query_id AND b.id != c.id
+           JOIN s3 d ON d.query_id = c.query_id AND d.id != c.id),
+    s4 AS (SELECT query_id, id, 0.7 * rel - 0.3 * ms AS sc FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY 0.7 * rel - 0.3 * ms DESC, id) AS r FROM m4) WHERE r = 1)
+    SELECT query_id, id AS neighbor_id, CAST(1 AS INT) AS step, sc AS mmr_score FROM s1
+    UNION ALL SELECT query_id, id, 2, sc FROM s2
+    UNION ALL SELECT query_id, id, 3, sc FROM s3
+    UNION ALL SELECT query_id, id, 4, sc FROM s4
+"""
+
+
+@register("sim_mmr_rerank", _MMR_POOL_SQL)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 6)
+    return similarity.mmr_rerank(
+        queries, emb, "embedding", "vec_id", k=4, pool=8, lam=0.7, div_weight=0.3
     )
 
 

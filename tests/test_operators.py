@@ -4078,3 +4078,125 @@ def test_fingerprint_near_dups128_equals_brute_force(spark):
             if d <= h:
                 want.add((i, j, d))
         assert got == want, (h, len(got), len(want))
+
+
+# ---- global rank / sorted-neighborhood / MMR (r11) --------------------
+
+
+def test_global_rank_matches_window_row_number(spark):
+    from shc_spark.operators.linkage import global_rank
+
+    df = spark.range(500).select(
+        F.col("id"),
+        (F.hash(F.col("id").cast("string")) % 50).alias("k"),
+    )
+    got = {r["id"]: r["rank"] for r in global_rank(df, ["k", "id"]).collect()}
+    rows = sorted(df.collect(), key=lambda r: (r["k"], r["id"]))
+    exp = {r["id"]: i for i, r in enumerate(rows)}
+    assert got == exp
+
+
+def test_global_rank_no_single_partition_exchange(spark):
+    """The whole point: no plan node serializes the corpus through one
+    task (SinglePartition exchange / global Sort without partitioning)."""
+    from shc_spark.operators.linkage import global_rank
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    plan = global_rank(df, ["k", "id"])._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_snm_pairs_equals_bruteforce_window(spark):
+    from shc_spark.operators.linkage import global_rank, snm_pairs
+
+    df = spark.range(300).select(
+        F.col("id"),
+        F.substring(F.md5(F.col("id").cast("string")), 1, 4).alias("k"),
+    )
+    w = 5
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in snm_pairs(df.select("id", "k"), F.col("k"), w, "id").collect()
+    }
+    ranks = {r["id"]: r["rank"] for r in global_rank(df, ["k", "id"]).collect()}
+    ordered = sorted(ranks, key=lambda i: ranks[i])
+    exp = {
+        (a, b)
+        for i, a in enumerate(ordered)
+        for b in ordered[i + 1 : i + w]
+    }
+    assert pairs == exp
+
+
+def test_snm_pairs_no_cartesian(spark):
+    from shc_spark.operators.linkage import snm_pairs
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 9).cast("string").alias("k"))
+    plan = (
+        snm_pairs(df, F.col("k"), 4, "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mmr_rerank_matches_numpy_reference(spark):
+    """Greedy MMR vs an independent numpy replay — including the
+    negative-max-sim case (a zero-seeded running max would clamp it)."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lam, div, pool, k = 0.7, 0.3, 6, 3
+    got = similarity.mmr_rerank(
+        df.filter(F.col("vec_id") < 2), df, "embedding", "vec_id",
+        k=k, pool=pool, lam=lam, div_weight=div,
+    ).collect()
+
+    U = vecs.astype(np.float64)
+    U = U / np.linalg.norm(U, axis=1, keepdims=True)
+    for q in range(2):
+        rel_all = np.round(U @ U[q], 4)
+        mask = np.arange(40) != q
+        order = np.lexsort((np.arange(40)[mask], -rel_all[mask]))
+        cand = np.arange(40)[mask][order][:pool]
+        rel = rel_all[cand]
+        S = np.round(U[cand] @ U[cand].T, 4)
+        maxsim, alive, exp = None, np.ones(pool, bool), []
+        for step in range(1, k + 1):
+            sc = lam * rel if maxsim is None else lam * rel - div * maxsim
+            live = np.flatnonzero(alive)
+            b = live[np.lexsort((cand[live], -sc[live]))[0]]
+            exp.append((int(cand[b]), step, float(sc[b])))
+            alive[b] = False
+            maxsim = S[:, b].copy() if maxsim is None else np.maximum(maxsim, S[:, b])
+        mine = sorted(
+            [(r["neighbor_id"], r["step"], r["mmr_score"]) for r in got if r["query_id"] == q],
+            key=lambda t: t[1],
+        )
+        assert [(a, s) for a, s, _ in exp] == [(a, s) for a, s, _ in mine]
+        for (_, _, e), (_, _, m) in zip(exp, mine):
+            assert m == pytest.approx(e, abs=1e-12)
+
+
+def test_mmr_selects_diverse_over_redundant(spark):
+    """Two near-identical top hits: MMR must pick only one of them in
+    its first two selections (the plain top-k would take both)."""
+    import numpy as np
+
+    base = np.eye(4, dtype="float32")
+    q = base[0]
+    a = 0.99 * base[0] + 0.1 * base[1]     # rel ~ high
+    a2 = 0.989 * base[0] + 0.105 * base[1]  # near-clone of a
+    b = 0.8 * base[0] + 0.6 * base[2]      # less relevant, diverse
+    rows = [(0, [float(x) for x in q]), (1, [float(x) for x in a]),
+            (2, [float(x) for x in a2]), (3, [float(x) for x in b])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.mmr_rerank(
+        df.filter(F.col("vec_id") == 0), df, "embedding", "vec_id",
+        k=2, pool=3, lam=0.5, div_weight=0.5,
+    ).collect()
+    picked = {r["neighbor_id"] for r in got}
+    assert picked == {1, 3}, picked  # the clone (2) displaced by diverse b

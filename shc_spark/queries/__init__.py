@@ -77,12 +77,17 @@ _WINDOW = [
     "q_window_topk_per_segment", "q_zorder_box", "sim_hard_negatives",
     "stream_topk", "text_mixture_sample", "text_remove_boilerplate",
     "text_tfidf",
+    # r11-NEW gates (first driver rows): the coprocessor-style
+    # aggregate scan, sorted-neighborhood near-dup, and the MMR
+    # diversified re-rank:
+    "shc_scan_aggregate", "dedup_snm_pairs", "sim_mmr_rerank",
     # r7-green refresh (oldest remaining, one per family where
-    # possible: dedup, TPC-H joins, funnels/graph, CDC both modes,
-    # version explode, text stats):
-    "dedup_normalized", "q08_market_share", "q17_small_quantity",
-    "q_event_funnel", "q_pagerank", "shc_cdc_apply",
-    "shc_version_explode", "stream_cdc_sink", "text_pmi_pairs",
+    # possible: funnels/graph, CDC both modes, version explode;
+    # dedup_normalized / q17_small_quantity / text_pmi_pairs yielded
+    # their slots to the r11-new gates — their families keep multiple
+    # fresher in-window rows):
+    "q08_market_share", "q_event_funnel", "q_pagerank", "shc_cdc_apply",
+    "shc_version_explode", "stream_cdc_sink",
 ]
 
 

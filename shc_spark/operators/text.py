@@ -553,44 +553,46 @@ def tfidf_terms(
     (tfidf desc, term asc) — ranking happens on the ROUNDED score so
     the ordering is engine-neutral.
 
-    Scale shape (r11 — was 6.9x at x100): ONE explicit repartition on
-    id up front — hash partitioning on id satisfies every downstream
-    id-keyed requirement (the (id, term) count, the doc-length
-    window, and the final per-id top-k window all reuse it; a subset
-    hash partitioning satisfies a superset clustering). The doc
-    length is a window sum over that same partitioning — the r10
-    separate rollup + self-join re-shuffled the count table for
-    nothing. The IDF table is NOT broadcast by hint anymore: a
-    corpus-sized vocabulary (3M terms at the x100 probe) made the
-    broadcast build + per-executor hash map the slowest stage
-    (measured 1.6x the hint-free plan, which AQE still broadcast-
-    joins whenever the dict is genuinely small); pass
-    ``broadcast_idf=True`` only when the term dictionary is known
-    tiny. N is a 1-row broadcast scalar (no driver collect). A fused
-    pandas counting pass and a term-first partitioning were both
-    measured and rejected (9.6s / 6.4s vs 6.3s at x100 — the Arrow
-    round trip of the token stream costs more than JVM explode)."""
+    Scale shape (r11, second pass — was 6.9x at x100, then 7.4x after
+    the first rewrite): exactly THREE corpus shuffles, each carrying
+    the combined (id, term, c) pair stream, never the raw token
+    stream: (1) groupBy(id, term) with map-side combine — repeated
+    terms collapse before the exchange; (2) the document frequency as
+    a COUNT WINDOW over term partitioning — the r10/r11a
+    groupBy(term) + join shape paid TWO term-keyed exchanges of the
+    pair stream for the same number (measured: join shape 7.4s,
+    window shape ~5s at x100); (3) one id-keyed exchange that both
+    the doc-length sum window and the final top-k rank window reuse.
+    The IDF side is never broadcast by hint: a corpus-sized
+    vocabulary (3M terms at the x100 probe) made the broadcast build
+    the slowest stage; pass ``broadcast_idf=True`` to get the
+    explicit groupBy+broadcast-join shape back when the term
+    dictionary is known tiny. N is a 1-row broadcast scalar (no
+    driver collect). A fused pandas counting pass and a term-first
+    partitioning were both measured and rejected (9.6s / 6.4s at
+    x100 — the Arrow round trip of the token stream costs more than
+    JVM explode)."""
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).where(F.col("term") != "")
-    toks = toks.repartition("id")
     tc = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("c"))
-    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
-    if broadcast_idf:
-        dfreq = F.broadcast(dfreq)
     n = df.select(F.col(id_col)).agg(F.countDistinct(id_col).alias("nn"))
     score = F.round(
         (F.col("c") * 1.0 / F.col("len"))
         * (F.log((F.col("nn") + 1.0) / (F.col("dfc") + 1.0)) + 1),
         6,
     )
-    from pyspark.sql import Window
-
+    if broadcast_idf:
+        dfreq = F.broadcast(tc.groupBy("term").agg(F.count(F.lit(1)).alias("dfc")))
+        scored = tc.join(dfreq, "term")
+    else:
+        scored = tc.withColumn("dfc", F.count(F.lit(1)).over(Window.partitionBy("term")))
     wlen = Window.partitionBy("id")
     w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
-        tc.withColumn("len", F.sum("c").over(wlen))
-        .join(dfreq, "term")
+        scored.withColumn("len", F.sum("c").over(wlen))
         .crossJoin(F.broadcast(n))
         .select("id", "term", score.alias("tfidf"))
         .withColumn("rank", F.row_number().over(w).cast("long"))

@@ -1201,9 +1201,19 @@ def scan_aggregate(
     Each scan partition aggregates its rows down to one partial row
     per group INSIDE the source (arrow kernels, after the LSM
     latest-wins merge), so only ``#partitions x #groups`` partial rows
-    cross the executor boundary; the finalizing groupBy here shuffles
-    kilobytes. At 100 TB a SUM/COUNT over a table is a metadata-sized
-    job instead of a full row materialization.
+    cross the source boundary; the finalizing groupBy here shuffles
+    kilobytes.
+
+    Honest scale note (SCALE.md "aggregate scan"): in THIS embedded
+    backend the source and the executor share a process, so shrinking
+    the Arrow bridge saves an in-process pipe, not a network hop —
+    measured as a wash-to-slight-loss vs ``read_table().groupBy()``
+    (the JVM's map-side combine already bounds that shuffle). The
+    operator is the API + execution shape for a remote region
+    transport (SURVEY §7.0 Backend B), where rows genuinely never
+    leave the storage node — and for low-cardinality groups only:
+    high-cardinality groups make partials ~ rows, prefer the plain
+    groupBy there.
 
     ``aggs``: ``(fn, col)`` with fn in count/sum/min/max/avg;
     ``("count", "*")`` counts rows. Output columns: the group columns

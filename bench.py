@@ -86,6 +86,13 @@ HEADLINE = [
     # Catalyst)
     "dedup_semdedup",
     "text_dsir_select",
+    # round-11 additions: sorted-neighborhood near-dup (global rank
+    # without a single-partition window + block equi-join pairing)
+    # and the MMR diversified re-rank (pool retrieval + per-query
+    # greedy). shc_scan_aggregate deliberately NOT here — SCALE.md
+    # records it as a wash in the embedded backend.
+    "dedup_snm_pairs",
+    "sim_mmr_rerank",
 ]
 
 

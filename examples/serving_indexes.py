@@ -150,6 +150,27 @@ def main(spark, root=None):
     print("hybrid rrf (text index + ivf index):",
           [(r["doc_id"], r["rrf"]) for r in fused[:3]])
 
+    # -- 5b. MMR diversified re-rank over the retrieval pool (r11) -----
+    # the standard last serving step: drop near-identical hits before
+    # they reach a prompt. Step 1 must equal the plain top-1 (no
+    # diversity term yet); selections are distinct by construction.
+    queries = emb.filter(F.col("vec_id") < 3)
+    mmr = similarity.mmr_rerank(
+        queries, emb, "embedding", "vec_id", k=3, pool=8, lam=0.7,
+        div_weight=0.3,
+    ).collect()
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk(queries, emb, "embedding", "vec_id", k=1).collect()
+    }
+    for qid in top1:
+        picks = [r["neighbor_id"] for r in sorted(
+            (r for r in mmr if r["query_id"] == qid), key=lambda r: r["step"]
+        )]
+        assert len(picks) == len(set(picks)) == 3
+        assert picks[0] == top1[qid], (qid, picks, top1[qid])
+    print("mmr re-rank: 3 diverse picks/query, step1 == plain top-1")
+
     # -- 6. batched serving: N increments, ONE pruned pass -------------
     incs = {
         "crawl_mon": docs.filter(F.col("doc_id") % 4 == 1),

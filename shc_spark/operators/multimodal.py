@@ -179,6 +179,81 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_FEATURES_DDL)
 
 
+def vad_segments(
+    media: DataFrame,
+    frame: int = 160,
+    threshold: float = 1000.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Energy-based voice-activity segmentation (the classic
+    RMS-threshold VAD): frame the PCM stream into fixed windows of
+    ``frame`` samples (tail partial frame dropped), mark frames whose
+    per-frame RMS (rounded to ``round_dp`` so the compare is
+    engine-neutral) reaches ``threshold``, and emit every maximal run
+    of consecutive speech frames as one segment — the standard first
+    pass before expensive ASR/feature work at corpus scale (skip the
+    silence, keep the speech).
+
+    Output: (media_id, seg, start_frame, end_frame, start_ms, end_ms,
+    rms_mean) — seg 1-based in stream order, end exclusive, rms_mean =
+    round(avg of the rounded per-frame RMS, 4). Same map-only shape as
+    the other audio ops: payload bytes never shuffle, work is bounded
+    per media row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shc_spark.operators.codecs import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                samples, rate = decode_wav(bytes(payload))
+                mono = samples.astype(np.float64).mean(axis=1)
+                nf = len(mono) // frame
+                if nf == 0:
+                    continue
+                fr = mono[: nf * frame].reshape(nf, frame)
+                rms = np.round(np.sqrt(np.mean(fr * fr, axis=1)), round_dp)
+                speech = rms >= threshold
+                if not speech.any():
+                    continue
+                # maximal runs of consecutive True
+                idx = np.flatnonzero(speech)
+                breaks = np.flatnonzero(np.diff(idx) > 1)
+                starts = np.concatenate(([0], breaks + 1))
+                ends = np.concatenate((breaks, [len(idx) - 1]))
+                ms_per = frame * 1000.0 / rate
+                for s_i, (a, b) in enumerate(zip(starts, ends), start=1):
+                    f0, f1 = int(idx[a]), int(idx[b]) + 1
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "seg": s_i,
+                            "start_frame": f0,
+                            "end_frame": f1,
+                            "start_ms": f0 * ms_per,
+                            "end_ms": f1 * ms_per,
+                            "rms_mean": float(np.round(np.mean(rms[f0:f1]), 4)),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "seg", "start_frame", "end_frame",
+                    "start_ms", "end_ms", "rms_mean",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, seg int, start_frame int, end_frame int, "
+            "start_ms double, end_ms double, rms_mean double"
+        ),
+    )
+
+
 def extract_audio_spectrogram(
     media: DataFrame,
     frame_samples: int = 64,

@@ -81,12 +81,13 @@ _WINDOW = [
     # aggregate scan, sorted-neighborhood near-dup, and the MMR
     # diversified re-rank:
     "shc_scan_aggregate", "dedup_snm_pairs", "sim_mmr_rerank",
+    "mm_audio_vad",
     # r7-green refresh (oldest remaining, one per family where
     # possible: funnels/graph, CDC both modes, version explode;
-    # dedup_normalized / q17_small_quantity / text_pmi_pairs yielded
-    # their slots to the r11-new gates — their families keep multiple
-    # fresher in-window rows):
-    "q08_market_share", "q_event_funnel", "q_pagerank", "shc_cdc_apply",
+    # dedup_normalized / q17_small_quantity / text_pmi_pairs /
+    # q08_market_share yielded their slots to the r11-new gates —
+    # their families keep multiple fresher in-window rows):
+    "q_event_funnel", "q_pagerank", "shc_cdc_apply",
     "shc_version_explode", "stream_cdc_sink",
 ]
 

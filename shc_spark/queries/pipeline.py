@@ -2251,6 +2251,58 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below the 6dp rounding). Kernel additionally pinned vs numpy by
 # tests/test_operators.py::test_audio_spectrogram_matches_numpy.
 @register(
+    "mm_audio_vad",
+    """
+    WITH s AS (
+      SELECT vec_id, list_transform(embedding, e ->
+        greatest(-32767.0, least(32767.0, floor(CAST(e AS DOUBLE) * 10000)))) AS x
+      FROM embeddings),
+    fr AS (SELECT vec_id, unnest([0, 1, 2, 3]) AS f, x FROM s),
+    r AS (SELECT vec_id, f,
+            round(sqrt(list_sum(list_transform(generate_series(1, 16), n ->
+              x[16 * f + n] * x[16 * f + n])) / 16), 6) AS rms
+          FROM fr),
+    sp AS (SELECT vec_id, f, rms FROM r WHERE rms >= 9500.0),
+    isl AS (SELECT vec_id, f, rms,
+              f - row_number() OVER (PARTITION BY vec_id ORDER BY f) AS grp
+            FROM sp),
+    segs AS (SELECT vec_id, grp, min(f) AS f0, max(f) + 1 AS f1,
+                    round(avg(rms), 4) AS rms_mean
+             FROM isl GROUP BY vec_id, grp)
+    SELECT vec_id AS media_id,
+           CAST(row_number() OVER (PARTITION BY vec_id ORDER BY f0) AS INT) AS seg,
+           CAST(f0 AS INT) AS start_frame, CAST(f1 AS INT) AS end_frame,
+           f0 * 2.0 AS start_ms, f1 * 2.0 AS end_ms, rms_mean
+    FROM segs
+    """,
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold VAD over constructed WAVs (frame=16 samples @
+    8kHz = 2ms frames, 4 frames per 64-sample media). The oracle
+    replays the whole chain — sample synthesis, per-frame RMS
+    (rounded 6dp before the threshold compare), gaps-and-islands run
+    detection, per-segment stats — so the segmentation is value-exact,
+    like the other mm gates."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    @F.pandas_udf("binary")
+    def wav(vecs: pd.Series) -> pd.Series:
+        from shc_spark.operators.codecs import encode_wav
+
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            smp = np.clip(np.floor(x * 10000), -32767, 32767).astype(np.int16)
+            out.append(encode_wav(smp, 8000))
+        return pd.Series(out)
+
+    media = multimodal.make_media_df(
+        emb.withColumn("payload", wav("embedding")), "vec_id", "payload", "audio/wav"
+    )
+    return multimodal.vad_segments(media, frame=16, threshold=9500.0)
+
+
+@register(
     "mm_audio_spectrogram",
     """
     WITH s AS (

@@ -4200,3 +4200,30 @@ def test_mmr_selects_diverse_over_redundant(spark):
     ).collect()
     picked = {r["neighbor_id"] for r in got}
     assert picked == {1, 3}, picked  # the clone (2) displaced by diverse b
+
+
+def test_vad_segments_runs_and_boundaries(spark):
+    """Known loud/quiet/loud pattern -> two segments with exact frame
+    boundaries; an all-quiet clip emits nothing."""
+    import numpy as np
+
+    from shc_spark.operators import multimodal
+    from shc_spark.operators.codecs import encode_wav
+
+    loud = np.full(32, 20000, dtype=np.int16)
+    quiet = np.full(32, 10, dtype=np.int16)
+    clip1 = encode_wav(np.concatenate([loud, quiet, loud]), 8000)
+    clip2 = encode_wav(np.concatenate([quiet, quiet]), 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(clip1)), (2, bytearray(clip2))], "id long, payload binary"
+    )
+    media = multimodal.make_media_df(df, "id", "payload", "audio/wav")
+    segs = sorted(
+        multimodal.vad_segments(media, frame=16, threshold=1000.0).collect(),
+        key=lambda r: (r["media_id"], r["seg"]),
+    )
+    assert [(r["media_id"], r["seg"], r["start_frame"], r["end_frame"]) for r in segs] == [
+        (1, 1, 0, 2), (1, 2, 4, 6),
+    ]
+    assert segs[0]["start_ms"] == 0.0 and segs[0]["end_ms"] == 4.0
+    assert segs[0]["rms_mean"] == 20000.0

@@ -93,3 +93,106 @@ def heavy_hitters(
         .where(F.col("cnt") >= F.ceil(min_frac * F.col("nn")))
         .select(col, "cnt")
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """k-minimum-values distinct sketch per group (Beyer et al. 2007,
+    "On synopses for distinct-value estimation"): the k smallest
+    md5(key) values of each group, with their (0,1]-mapped fractions.
+    md5 (not xxhash64) so an external engine can replay the EXACT
+    hash values — estimates, not just memberships, are reproducible.
+
+    Output: (grp, h, rk, u); rk = 1..k in hash order, u = the first
+    13 hex digits (52 bits — exact in a double) mapped to (0, 1].
+    A group with fewer than k distinct keys keeps them all, and its
+    sketch IS the exact value set.
+
+    Scale shape: distinct (group, hash) is one map-side-combined
+    shuffle; the per-group k-min is a rank window that Spark executes
+    as WindowGroupLimit — each map task keeps only its local top-k
+    BEFORE the exchange, so the window never materializes a full
+    group."""
+    from pyspark.sql import Window
+
+    base = (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.md5(F.col(key_col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    u = (F.conv(F.substring("h", 1, 13), 16, 10).cast("double") + 1.0) / float(16**13)
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .withColumn("u", u)
+    )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise distinct-set overlap between groups from KMV sketches
+    alone — union size, Jaccard, and intersection size estimates for
+    every group pair WITHOUT the quadratic distinct-join (the classic
+    corpus-curation question "how much does source A's vocabulary /
+    shingle set overlap source B's?" at 100 TB: sketches are k rows
+    per group; the pair math never touches the corpus).
+
+    Estimators (merged sketch S = k smallest of A ∪ B, by hash):
+      union_est   = cnt           if cnt < k   (sketches are exact sets)
+                    (k-1)/u_k     otherwise    (the KMV estimator)
+      jaccard_est = |{h in S: h in A_k and h in B_k}| / cnt
+      inter_est   = jaccard_est * union_est
+
+    Output: (grp_a, grp_b, union_est, jaccard_est, inter_est), all
+    rounded to 4dp, one row per unordered pair. Deterministic and
+    engine-replayable end to end (md5 hash order, fixed arithmetic)."""
+    sk = kmv_sketch(df, group_col, key_col, k)
+    groups = sk.select("grp").distinct()
+    pairs = (
+        groups.select(F.col("grp").alias("ga"))
+        .crossJoin(groups.select(F.col("grp").alias("gb")))
+        .where(F.col("ga") < F.col("gb"))
+    )
+    tagged = pairs.join(
+        F.broadcast(sk),
+        (F.col("grp") == F.col("ga")) | (F.col("grp") == F.col("gb")),
+    ).select(
+        "ga", "gb", "h", "u",
+        F.when(F.col("grp") == F.col("ga"), 1).otherwise(0).alias("ia"),
+        F.when(F.col("grp") == F.col("gb"), 1).otherwise(0).alias("ib"),
+    )
+    from pyspark.sql import Window
+
+    merged = tagged.groupBy("ga", "gb", "h").agg(
+        F.min("u").alias("u"), F.max("ia").alias("ia"), F.max("ib").alias("ib")
+    )
+    wm = Window.partitionBy("ga", "gb").orderBy("h")
+    topk = merged.withColumn("rk", F.row_number().over(wm)).where(F.col("rk") <= k)
+    stats = topk.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("u").alias("uk"),
+        F.sum(F.col("ia") * F.col("ib")).alias("rho_n"),
+    )
+    union_est = F.when(
+        F.col("cnt") < k, F.col("cnt").cast("double")
+    ).otherwise((k - 1.0) / F.col("uk"))
+    jac = F.col("rho_n") * 1.0 / F.col("cnt")
+    return stats.select(
+        F.col("ga").alias("grp_a"),
+        F.col("gb").alias("grp_b"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac, 4).alias("jaccard_est"),
+        F.round(jac * union_est, 4).alias("inter_est"),
+    )

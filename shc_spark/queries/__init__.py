@@ -81,13 +81,15 @@ _WINDOW = [
     # aggregate scan, sorted-neighborhood near-dup, and the MMR
     # diversified re-rank:
     "shc_scan_aggregate", "dedup_snm_pairs", "sim_mmr_rerank",
-    "mm_audio_vad",
+    "mm_audio_vad", "text_kmv_vocab_overlap",
     # r7-green refresh (oldest remaining, one per family where
     # possible: funnels/graph, CDC both modes, version explode;
     # dedup_normalized / q17_small_quantity / text_pmi_pairs /
     # q08_market_share yielded their slots to the r11-new gates —
     # their families keep multiple fresher in-window rows):
-    "q_event_funnel", "q_pagerank", "shc_cdc_apply",
+    # (q_event_funnel also yielded its slot — r7-green is exactly at
+    # the 4-round freshness boundary this round; refresh it r12):
+    "q_pagerank", "shc_cdc_apply",
     "shc_version_explode", "stream_cdc_sink",
 ]
 

@@ -645,6 +645,58 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_terms(docs, "text", "doc_id", k=3)
 
 
+# KMV distinct sketches (Beyer et al. 2007): per-source vocabulary
+# union / Jaccard / intersection ESTIMATES for every source pair from
+# k-minimum-value sketches alone — no quadratic distinct-join. The
+# hash is md5 so the oracle replays the exact hash VALUES (estimates,
+# not just memberships, are value-exact); the (0,1] fraction uses the
+# first 13 hex digits (52 bits, exact in a double) via the
+# CAST('0x'||hex) idiom the weighted-sample gate established.
+@register(
+    "text_kmv_vocab_overlap",
+    """
+    WITH w AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS t
+               FROM documents),
+    d AS (SELECT DISTINCT grp, md5(t) AS h FROM w WHERE t != ''),
+    r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+          FROM d),
+    sk AS (SELECT grp, h, rk,
+                  (CAST('0x' || substr(h, 1, 13) AS BIGINT) + 1.0)
+                    / 4503599627370496.0 AS u
+           FROM r WHERE rk <= 64),
+    g AS (SELECT DISTINCT grp FROM sk),
+    p AS (SELECT a.grp AS ga, b.grp AS gb FROM g a JOIN g b ON a.grp < b.grp),
+    m0 AS (SELECT p.ga, p.gb, s.h, s.u,
+                  CASE WHEN s.grp = p.ga THEN 1 ELSE 0 END AS ia,
+                  CASE WHEN s.grp = p.gb THEN 1 ELSE 0 END AS ib
+           FROM p JOIN sk s ON s.grp = p.ga OR s.grp = p.gb),
+    m1 AS (SELECT ga, gb, h, min(u) AS u, max(ia) AS ia, max(ib) AS ib
+           FROM m0 GROUP BY ga, gb, h),
+    m2 AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+           FROM m1),
+    m3 AS (SELECT ga, gb, count(*) AS cnt, max(u) AS uk,
+                  sum(ia * ib) AS rho_n
+           FROM m2 WHERE rk <= 64 GROUP BY ga, gb)
+    SELECT ga AS grp_a, gb AS grp_b,
+           round(CASE WHEN cnt < 64 THEN cnt * 1.0 ELSE 63.0 / uk END, 4)
+             AS union_est,
+           round(rho_n * 1.0 / cnt, 4) AS jaccard_est,
+           round(rho_n * 1.0 / cnt
+                 * CASE WHEN cnt < 64 THEN cnt * 1.0 ELSE 63.0 / uk END, 4)
+             AS inter_est
+    FROM m3
+    """,
+)
+def text_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).where(F.col("t") != "")
+    return sketch.kmv_overlap(words, "source", "t", k=64)
+
+
 # Heavy hitters: bounded-memory Misra-Gries candidate discovery +
 # exact verification of candidates only — output counts are exact, so
 # the oracle is the plain GROUP BY ... HAVING formulation.

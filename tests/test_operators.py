@@ -4227,3 +4227,42 @@ def test_vad_segments_runs_and_boundaries(spark):
     ]
     assert segs[0]["start_ms"] == 0.0 and segs[0]["end_ms"] == 4.0
     assert segs[0]["rms_mean"] == 20000.0
+
+
+def test_kmv_overlap_exact_when_small_and_close_when_large(spark):
+    """Groups under k keep exact sets (estimates == exact values);
+    large groups estimate within the k=256 KMV error envelope."""
+    import pytest
+
+    from shc_spark.operators.sketch import kmv_overlap
+
+    # small: two groups of 40/50 distinct keys sharing 20 -> exact
+    rows = [("a", f"k{i}") for i in range(40)] + [("b", f"k{i}") for i in range(20, 70)]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    r = kmv_overlap(df, "grp", "key", k=256).collect()[0]
+    assert r["union_est"] == 70.0 and r["inter_est"] == 20.0
+    assert r["jaccard_est"] == pytest.approx(20 / 70, abs=1e-4)
+
+    # large: 4000/4000 sharing 2000 (union 6000), k=256
+    rows = [("a", f"k{i}") for i in range(4000)] + [
+        ("b", f"k{i}") for i in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    r = kmv_overlap(df, "grp", "key", k=256).collect()[0]
+    # standard KMV relative error ~ 1/sqrt(k) ~ 6%; allow 4 sigma
+    assert abs(r["union_est"] - 6000) / 6000 < 0.25, r
+    assert abs(r["inter_est"] - 2000) / 2000 < 0.35, r
+
+
+def test_kmv_sketch_plans_window_group_limit(spark):
+    """The k-min rank filter must push into WindowGroupLimit so map
+    tasks keep local top-k before the exchange — the property that
+    makes the sketch build corpus-scale-safe."""
+    from shc_spark.operators.sketch import kmv_sketch
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("grp"),
+        F.col("id").cast("string").alias("key"),
+    )
+    plan = kmv_sketch(df, "grp", "key", k=16)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

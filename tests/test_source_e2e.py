@@ -2362,3 +2362,63 @@ def test_scan_aggregate_validation_errors(spark, tmp_path):
         scan_aggregate(spark, CAT_AGG, [], [("sum", "grp")], root=root).collect()
     with pytest.raises(Exception, match="unsupported aggregate"):
         scan_aggregate(spark, CAT_AGG, [], [("median", "val")], root=root).collect()
+
+
+def test_scan_aggregate_on_salted_table(spark, tmp_path):
+    """Salting spreads physical keys with a hash prefix; the aggregate
+    scan must still prune via the salt-expanded key_ranges and return
+    the plain groupBy answer."""
+    from shc_spark.sources import scan_aggregate
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "s", "name": "saltagg", "tableCoder": "OrderedType", "version": "2.0", "saltBuckets": 8},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "grp": {"cf": "cf", "col": "g", "type": "string"},
+                "val": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("grp"),
+        (F.col("id") * 2.0).alias("val"),
+    )
+    write_table(df, cat, root=root, num_regions=8, mode="overwrite", timestamp=1000)
+    got = {
+        r["grp"]: r
+        for r in scan_aggregate(
+            spark, cat, ["grp"], [("count", "*"), ("sum", "val")],
+            root=root, key_ranges=[(0, 99)],
+        ).collect()
+    }
+    assert got["0"]["count_all"] == 50 and got["1"]["count_all"] == 50
+    assert got["0"]["sum_val"] == sum(i * 2.0 for i in range(0, 100, 2))
+
+
+def test_scan_aggregate_ttl_and_cross_catalog_raise(spark, tmp_path):
+    from shc_spark.sources import scan_aggregate
+
+    ttl_cat = json.dumps(
+        {
+            "table": {"namespace": "s", "name": "ttlagg", "tableCoder": "OrderedType", "version": "2.0", "ttl": {"cf": 3600}},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "val": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    df = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("val"))
+    write_table(df, ttl_cat, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+    with pytest.raises(ValueError, match="TTL"):
+        scan_aggregate(spark, ttl_cat, [], [("count", "*")], root=root)
+    other = json.loads(ttl_cat)
+    other["table"]["ttl"] = {}
+    other["columns"]["val2"] = {"cf": "cf", "col": "v2", "type": "double"}
+    with pytest.raises(ValueError, match="stored catalog"):
+        scan_aggregate(spark, json.dumps(other), [], [("count", "*")], root=root)

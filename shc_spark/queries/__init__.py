@@ -70,9 +70,9 @@ _WINDOW = [
     # dedup_substring_spans and q_zorder_box in this block):
     "dedup_cross_corpus", "dedup_fuzzy_names", "dedup_minhash_lsh",
     "dedup_substring_spans", "dq_psi_drift", "embed_quantize",
-    "mm_audio_resample", "mm_image_resize", "mm_mjpeg_scenes",
+    "mm_mjpeg_scenes",
     "q05_local_supplier_volume", "q21_waiting_orders", "q_asof_join",
-    "q_counter_increase", "q_gapfill_linear", "q_global_topk",
+    "q_gapfill_linear", "q_global_topk",
     "q_range_join_binned", "q_rollup", "q_sessionize_batch",
     "q_window_topk_per_segment", "q_zorder_box", "sim_hard_negatives",
     "stream_topk", "text_mixture_sample", "text_remove_boilerplate",
@@ -82,6 +82,12 @@ _WINDOW = [
     # diversified re-rank:
     "shc_scan_aggregate", "dedup_snm_pairs", "sim_mmr_rerank",
     "mm_audio_vad", "text_kmv_vocab_overlap",
+    # r11-NEW: the REST transport backend (Backend B seam) — scan,
+    # range pushdown over the wire, server-side aggregation. These
+    # took the slots of mm_audio_resample / mm_image_resize /
+    # q_counter_increase (refresh them r12: mm keeps 3 fresh in-window
+    # rows incl. the canary; timeseries keeps q_gapfill_linear):
+    "shc_rest_scan", "shc_rest_pushdown", "shc_rest_aggregate",
     # r7-green refresh (oldest remaining, one per family where
     # possible: funnels/graph, CDC both modes, version explode;
     # dedup_normalized / q17_small_quantity / text_pmi_pairs /

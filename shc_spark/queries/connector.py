@@ -1029,6 +1029,85 @@ def shc_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# REST transport backend (r11 — the Backend B seam, proven): the same
+# catalog read THROUGH the HBase REST (Stargate) protocol against the
+# in-repo mock server — every cell coder-encoded server-side and
+# decoded client-side (the full HBase wire contract the typed-parquet
+# embedded backend shortcuts). Oracle: plain SQL over the source
+# parquet — transport must never change an answer.
+def _rest_url(spark: SparkSession, sf_dir: str) -> str:
+    from shc_spark.sources.rest import ensure_rest_server
+
+    root = _ensure_customer(spark, sf_dir)
+    return ensure_rest_server(root)
+
+
+@register(
+    "shc_rest_scan",
+    "SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS bal, c_mktsegment FROM customer",
+)
+def shc_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.sources.rest import read_table_rest
+
+    url = _rest_url(spark, sf_dir)
+    t = read_table_rest(spark, CAT_CUSTOMER, url)
+    return t.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round("c_acctbal", 2).alias("bal"), "c_mktsegment",
+    )
+
+
+# rowkey range pushdown over the wire: the client translates the
+# predicate to scanner startRow/stopRow (regions outside never open a
+# scanner — pinned by test_rest_partitions_pruned), Spark re-filters
+# on top, the answer matches the engine-free SQL.
+@register(
+    "shc_rest_pushdown",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal FROM customer
+    WHERE c_custkey > 100 AND c_custkey <= 400
+    """,
+)
+def shc_rest_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.sources.rest import read_table_rest
+
+    url = _rest_url(spark, sf_dir)
+    t = read_table_rest(spark, CAT_CUSTOMER, url)
+    return t.filter((F.col("c_custkey") > 100) & (F.col("c_custkey") <= 400)).select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal")
+    )
+
+
+# the AggregationClient call over the wire: the SERVER aggregates per
+# region range (the coprocessor-endpoint analog), one JSON of partials
+# crosses the network per partition — where the embedded backend's
+# scan_aggregate is a wash (SCALE.md), this is the shape that wins.
+@register(
+    "shc_rest_aggregate",
+    """
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT)    AS count_all,
+           round(sum(c_acctbal), 2)    AS sum_bal,
+           round(avg(c_acctbal), 4)    AS avg_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def shc_rest_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.sources.rest import scan_aggregate_rest
+
+    url = _rest_url(spark, sf_dir)
+    agg = scan_aggregate_rest(
+        spark, CAT_CUSTOMER, url, ["c_nationkey"],
+        [("count", "*"), ("sum", "c_acctbal"), ("avg", "c_acctbal")],
+    )
+    return agg.select(
+        "c_nationkey",
+        "count_all",
+        F.round("sum_c_acctbal", 2).alias("sum_bal"),
+        F.round("avg_c_acctbal", 4).alias("avg_bal"),
+    )
+
+
 # Coprocessor-style aggregation scan (the HBase AggregationClient /
 # AggregateImplementation analog, beyond the reference): each region
 # partition returns PARTIAL aggregates computed inside the scan (arrow

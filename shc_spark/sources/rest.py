@@ -1,0 +1,621 @@
+"""HBase REST (Stargate) transport backend — the Backend B seam, proven.
+
+The reference exists to scan a REMOTE HBase cluster
+(HBaseRelation.scala:71-75 -> HBase RPC, HBaseTableScan.scala:454-494).
+This environment has no HBase server, so the transport seam is
+exercised against an in-repo mock that speaks the PUBLIC HBase REST
+(Stargate) protocol shapes — the scanner API documented in the HBase
+book (#_rest): base64 row keys / "cf:qual" column names / cell values
+in the JSON bodies, ``POST /{table}/scanner`` with startRow/endRow ->
+``Location`` header, ``GET <scanner>`` pages of ``{"Row": [{"key",
+"Cell": [{"column", "timestamp", "$"}]}]}``, ``204`` on exhaustion,
+``DELETE`` to close, ``GET /{table}/{row}`` point lookups.
+
+What this buys beyond the embedded backend:
+
+- **cells travel as coder-encoded BYTES.** The embedded backend stores
+  typed parquet columns, so the byte-level cell serde only runs for
+  rowkeys and Avro cells; over REST every cell is encoded with the
+  catalog's tableCoder server-side and decoded client-side — the full
+  HBase wire contract, per cell, per row.
+- **the transport is a real network hop** (localhost TCP), so the
+  scan-vs-serverside-aggregate tradeoff is MEASURABLE: the mock also
+  exposes ``POST /{table}/aggregate`` — the AggregationClient
+  coprocessor analog (AggregateImplementation endpoint): partial
+  count/sum/min/max computed server-side per region range, so rows
+  never cross the wire. SCALE.md records the measured win that
+  ``scan_aggregate`` structurally cannot show in-process.
+
+Read semantics: the server serves the MERGED latest view (one cell per
+column, tombstones applied) — HBase's default VERSIONS=1 read. Time
+travel / version explosion stay embedded-backend features.
+
+The mock is NOT a performance target (JSON + base64 per cell); it is
+the protocol-parity and seam-correctness vehicle. A real cluster
+would swap the transport URL, not the reader logic.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import uuid
+
+import pyarrow as pa
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.pandas.types import to_arrow_schema
+from pyspark.sql.types import StructType
+
+from shc_spark.catalog import parse_catalog
+from shc_spark.coders import get_coder
+from shc_spark.filters import HRF, ScanRange, ranges_and
+from shc_spark.sources.shc_source import (
+    ROWKEY_COL,
+    TS_COL,
+    ShcReader,
+    _dim_to_key_ranges,
+    _load_regions,
+    _parse_agg_spec,
+    aggregate_partial_schema,
+    internal_schema,
+    table_path,
+)
+
+
+def _b64(b: bytes) -> str:
+    return base64.b64encode(b).decode("ascii")
+
+
+def _unb64(s: str) -> bytes:
+    return base64.b64decode(s)
+
+
+# ---------------------------------------------------------------------
+# server side
+# ---------------------------------------------------------------------
+
+
+class _TableService:
+    """Server-side data access: reuses the embedded reader (merge view,
+    range masking, tombstones) and encodes cells with the catalog's
+    coder — the role a region server plays for the reference."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def _reader(self, table: str, ranges: list[ScanRange] | None) -> tuple:
+        import os
+
+        path = os.path.join(self.root, table)
+        with open(os.path.join(path, "_catalog.json")) as fh:
+            cat_json = fh.read()
+        cat = parse_catalog(cat_json)
+        opts = {"catalog": cat_json, "root": self.root}
+        from shc_spark.sources.api import _merge_is_noop
+
+        if not _merge_is_noop(path):
+            opts["merge"] = "latest"
+        rdr = ShcReader(None, opts)
+        if ranges:
+            # scanner startRow/stopRow are PHYSICAL key bytes (HBase
+            # Scan semantics) — already salt-prefixed by the client;
+            # suppress the reader's own salt expansion so partitions()
+            # intersects them against region bounds as-is
+            rdr.cat.salt_buckets = 0
+            rdr.hrf = HRF(ranges_and(rdr.hrf.ranges, ranges), False)
+        return cat, rdr
+
+    def regions(self, table: str) -> list[dict]:
+        """DISJOINT key spans covering the table (exclusive ends) —
+        the scanner-planning contract. Raw region files can OVERLAP
+        after appends (generations), and one scanner per raw region
+        would serve duplicate rows; boundary-cutting at every region
+        start (the embedded merge-planner's trick) keeps client
+        partitions disjoint while the server merges inside each."""
+        import os
+
+        regs = _load_regions(os.path.join(self.root, table))
+        starts = sorted({r["start"] for r in regs if r["start"] is not None})
+        bounds: list = [None] + starts
+        spans = []
+        for i, lo in enumerate(bounds):
+            hi = bounds[i + 1] if i + 1 < len(bounds) else None
+            if i == 0 and hi is not None and lo is None:
+                # (-inf, first_start) is empty for tables whose min key
+                # IS a region start, but harmless to include; keep it
+                # only when some region starts at None
+                if not any(r["start"] is None for r in regs):
+                    continue
+            spans.append({"start": lo, "end": hi})
+        if not spans:
+            spans.append({"start": None, "end": None})
+        return spans
+
+    def scan_rows(self, table: str, start: bytes | None, stop: bytes | None):
+        """Yield (key_bytes, ts, {b"cf:qual": value_bytes}) in key order
+        within each partition — the region-scanner contract."""
+        rng = [ScanRange(start, True, stop, False)] if (start or stop) else None
+        cat, rdr = self._reader(table, rng)
+        coder = get_coder(cat.table_coder)
+        value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
+        for part in rdr.partitions():
+            for batch in rdr.read(part):
+                keys = batch.column(ROWKEY_COL).to_pylist()
+                tss = batch.column(TS_COL).to_pylist()
+                cols = {
+                    f.col_name: batch.column(f.col_name).to_pylist()
+                    for f in value_fields
+                    if f.col_name in batch.schema.names
+                }
+                for i, key in enumerate(keys):
+                    cells = {}
+                    for f in value_fields:
+                        v = cols.get(f.col_name, [None] * len(keys))[i]
+                        if v is None:
+                            continue  # HBase: nulls are not stored
+                        if f.avro_schema is not None:
+                            enc = bytes(v)  # already the Avro blob
+                        else:
+                            enc = get_coder(f.coder).to_bytes(v, f.dt)
+                        cells[f"{f.cf}:{f.col}".encode()] = enc
+                    yield bytes(key), int(tss[i]), cells
+
+    def aggregate(self, table: str, spec_raw: str, start: bytes | None, stop: bytes | None):
+        """Coprocessor-analog endpoint: partial aggregates computed
+        server-side over the (range-limited) scan."""
+        rng = [ScanRange(start, True, stop, False)] if (start or stop) else None
+        cat, rdr = self._reader(table, rng)
+        rdr.agg_spec = _parse_agg_spec(cat, spec_raw)
+        out = []
+        declared = aggregate_partial_schema(cat, rdr.agg_spec)
+        names = [f.name for f in declared.fields]
+        for part in rdr.partitions():
+            for batch in rdr._read_aggregate(part):
+                for row in batch.to_pylist():
+                    out.append({n: row[n] for n in names})
+        return out
+
+
+class MockHBaseRestServer:
+    """Threaded localhost server speaking the Stargate JSON shapes.
+
+    Divergences from Stargate, documented: point-gets take the row key
+    hex-encoded in the path (base64 contains '/'); regions are listed
+    at GET /{table}/regions with hex bounds; /aggregate is the
+    coprocessor-endpoint analog Stargate never had."""
+
+    def __init__(self, root: str) -> None:
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        svc = _TableService(root)
+        scanners: dict = {}
+        lock = threading.Lock()
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                parts = [p for p in self.path.split("/") if p]
+                try:
+                    if len(parts) == 2 and parts[0] == "scanner":
+                        with lock:
+                            sc = scanners.get(parts[1])
+                        if sc is None:
+                            return self._json(404, {"error": "no such scanner"})
+                        rows = []
+                        it, batch = sc
+                        for _ in range(batch):
+                            try:
+                                key, ts, cells = next(it)
+                            except StopIteration:
+                                break
+                            rows.append(
+                                {
+                                    "key": _b64(key),
+                                    "Cell": [
+                                        {"column": _b64(c), "timestamp": ts, "$": _b64(v)}
+                                        for c, v in cells.items()
+                                    ],
+                                }
+                            )
+                        if not rows:
+                            self.send_response(204)
+                            self.end_headers()
+                            return
+                        return self._json(200, {"Row": rows})
+                    if len(parts) == 2 and parts[1] == "regions":
+                        return self._json(200, {"Region": svc.regions(parts[0])})
+                    if len(parts) == 2:
+                        key = bytes.fromhex(parts[1])
+                        rows = [
+                            {
+                                "key": _b64(k),
+                                "Cell": [
+                                    {"column": _b64(c), "timestamp": ts, "$": _b64(v)}
+                                    for c, v in cells.items()
+                                ],
+                            }
+                            for k, ts, cells in svc.scan_rows(
+                                parts[0], key, key + b"\x00"
+                            )
+                        ]
+                        if not rows:
+                            self.send_response(404)
+                            self.end_headers()
+                            return
+                        return self._json(200, {"Row": rows})
+                    self._json(404, {"error": "bad path"})
+                except Exception as e:  # surface server bugs to the client
+                    self._json(500, {"error": repr(e)})
+
+            def do_POST(self):
+                parts = [p for p in self.path.split("/") if p]
+                n = int(self.headers.get("Content-Length") or 0)
+                body = json.loads(self.rfile.read(n) or b"{}")
+                try:
+                    if len(parts) == 2 and parts[1] == "scanner":
+                        start = _unb64(body["startRow"]) if body.get("startRow") else None
+                        stop = _unb64(body["endRow"]) if body.get("endRow") else None
+                        batch = int(body.get("batch", 1000))
+                        sid = uuid.uuid4().hex[:16]
+                        it = svc.scan_rows(parts[0], start, stop)
+                        with lock:
+                            scanners[sid] = (it, batch)
+                        self.send_response(201)
+                        self.send_header("Location", f"/scanner/{sid}")
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
+                    if len(parts) == 2 and parts[1] == "aggregate":
+                        start = _unb64(body["startRow"]) if body.get("startRow") else None
+                        stop = _unb64(body["endRow"]) if body.get("endRow") else None
+                        rows = svc.aggregate(
+                            parts[0], json.dumps(body["spec"]), start, stop
+                        )
+                        return self._json(200, {"rows": rows})
+                    self._json(404, {"error": "bad path"})
+                except Exception as e:
+                    self._json(500, {"error": repr(e)})
+
+            def do_DELETE(self):
+                parts = [p for p in self.path.split("/") if p]
+                if len(parts) == 2 and parts[0] == "scanner":
+                    with lock:
+                        scanners.pop(parts[1], None)
+                    self.send_response(200)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                self.send_response(404)
+                self.end_headers()
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self._httpd.server_address[1]
+        self.url = f"http://127.0.0.1:{self.port}"
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+
+
+_SERVERS: dict = {}
+_SERVERS_LOCK = threading.Lock()
+
+
+def ensure_rest_server(root: str) -> str:
+    """One mock server per table root, process-wide (gates and tests
+    share it); returns the base URL."""
+    with _SERVERS_LOCK:
+        srv = _SERVERS.get(root)
+        if srv is None:
+            srv = MockHBaseRestServer(root)
+            _SERVERS[root] = srv
+        return srv.url
+
+
+# ---------------------------------------------------------------------
+# client side: the "shc-rest" Python DataSource
+# ---------------------------------------------------------------------
+
+
+def _http_json(url: str, method: str = "GET", body: dict | None = None):
+    import urllib.request
+
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        if resp.status == 204:
+            return None, resp.headers
+        raw = resp.read()
+        return (json.loads(raw) if raw else None), resp.headers
+
+
+class RestPartition(InputPartition):
+    def __init__(self, ranges: tuple) -> None:
+        self.ranges = ranges  # tuple of (start|None, stop|None) byte pairs
+
+
+class ShcRestReader(DataSourceReader):
+    """Scan over the REST transport: one scanner per surviving
+    (region ∩ pushed-range) component, cells decoded via the catalog
+    coder — pushdown/pruning semantics identical to the embedded
+    reader (same translate machinery), execution over the wire."""
+
+    def __init__(self, schema, options: dict) -> None:
+        self.options = options
+        self.cat = parse_catalog(options["catalog"])
+        self.url = options["url"].rstrip("/")
+        self.batch = int(options.get("batch", 4096))
+        raw_agg = options.get("aggregate")
+        self.agg_spec = _parse_agg_spec(self.cat, raw_agg) if raw_agg else None
+        self.hrf = HRF.full()
+
+    @property
+    def _table(self) -> str:
+        return f"{self.cat.namespace}.{self.cat.name}"
+
+    def pushFilters(self, filters):
+        key_fields = self.cat.rowkey_fields()
+        first = key_fields[0]
+        try:
+            coder = get_coder(first.coder)
+        except ValueError:
+            yield from filters
+            return
+        from shc_spark.filters import translate_filters
+
+        single_dim = len(key_fields) == 1
+        fixed_w = first.length if not first.var_length else None
+        points_only = not coder.order_preserving_for(first.dt)
+        pushed = self.hrf
+        for f in filters:
+            try:
+                sub = translate_filters(
+                    [f], first.col_name, lambda v: coder.to_bytes(v, first.dt), points_only
+                )
+                key_hrf = _dim_to_key_ranges(sub, fixed_w, single_dim)
+            except Exception:
+                yield f
+                continue
+            pushed = HRF(ranges_and(pushed.ranges, key_hrf.ranges), False)
+            if not key_hrf.handled:
+                yield f
+        self.hrf = pushed
+
+    def partitions(self):
+        data, _ = _http_json(f"{self.url}/{self._table}/regions")
+        hrf, self.hrf = self.hrf, HRF.full()
+        if self.cat.salt_buckets and hrf.ranges != HRF.full().ranges:
+            # salted physical keys carry a hash prefix: fan unsalted
+            # ranges across the buckets BEFORE region intersection
+            # (same expansion as the embedded reader), else region
+            # pruning on unsalted bytes would drop matching rows
+            expander = ShcReader(None, {"catalog": self.options["catalog"]})
+            hrf = expander._expand_salt(hrf)
+        parts = []
+        for reg in data["Region"]:
+            start = bytes.fromhex(reg["start"]) if reg["start"] is not None else None
+            end = bytes.fromhex(reg["end"]) if reg["end"] is not None else None
+            # server spans carry EXCLUSIVE ends (disjoint boundary cuts)
+            live = ranges_and(hrf.ranges, [ScanRange(start, True, end, False)])
+            if live:
+                parts.append(
+                    RestPartition(
+                        tuple(
+                            (
+                                r.start if r.start_inclusive or r.start is None else r.start + b"\x00",
+                                (r.end + b"\x00") if (r.end is not None and r.end_inclusive) else r.end,
+                            )
+                            for r in live
+                        )
+                    )
+                )
+        if not parts:
+            parts.append(RestPartition(ranges=()))
+        return parts
+
+    def _decode_rows(self, rows: list) -> dict:
+        """Stargate JSON rows -> python column lists (typed)."""
+        cat = self.cat
+        coder = get_coder(cat.table_coder)
+        key_fields = cat.rowkey_fields()
+        value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
+        by_cell = {f"{f.cf}:{f.col}".encode(): f for f in value_fields}
+        cols = {f.col_name: [] for f in cat.fields.values()}
+        cols[TS_COL] = []
+        salt = 1 if cat.salt_buckets else 0
+        for row in rows:
+            key = _unb64(row["key"])
+            # salted physical keys carry a 1-byte hash prefix that is
+            # NOT part of the logical composite key
+            dims = coder.decode_rowkey(key[salt:], key_fields)
+            for f, v in zip(key_fields, dims):
+                cols[f.col_name].append(v)
+            cells = {}
+            ts_max = 0
+            for c in row.get("Cell", ()):
+                name = _unb64(c["column"])
+                f = by_cell.get(name)
+                if f is None:
+                    continue
+                raw = _unb64(c["$"])
+                if f.avro_schema is not None:
+                    cells[f.col_name] = bytes(raw)
+                else:
+                    cells[f.col_name] = get_coder(f.coder).from_bytes(raw, f.dt)
+                ts_max = max(ts_max, int(c["timestamp"]))
+            for f in value_fields:
+                cols[f.col_name].append(cells.get(f.col_name))
+            cols[TS_COL].append(ts_max)
+        return cols
+
+    def read(self, partition):
+        if self.agg_spec is not None:
+            yield from self._read_aggregate(partition)
+            return
+        want = to_arrow_schema(rest_schema(self.cat))
+        for start, stop in partition.ranges:
+            body = {"batch": self.batch}
+            if start is not None:
+                body["startRow"] = _b64(start)
+            if stop is not None:
+                body["endRow"] = _b64(stop)
+            _, headers = _http_json(
+                f"{self.url}/{self._table}/scanner", "POST", body
+            )
+            loc = headers["Location"]
+            try:
+                while True:
+                    page, _ = _http_json(f"{self.url}{loc}")
+                    if page is None:
+                        break
+                    cols = self._decode_rows(page["Row"])
+                    arrays = [
+                        pa.array(cols[f.name], type=f.type) for f in want
+                    ]
+                    yield pa.RecordBatch.from_arrays(arrays, schema=want)
+            finally:
+                try:
+                    _http_json(f"{self.url}{loc}", "DELETE")
+                except Exception:
+                    pass  # scanner GC is server-side best effort
+
+    def _read_aggregate(self, partition):
+        """Coprocessor path: the server aggregates; one tiny JSON of
+        partials crosses the wire per (partition, range)."""
+        declared = to_arrow_schema(aggregate_partial_schema(self.cat, self.agg_spec))
+        spec = {"groupBy": self.agg_spec["group_by"],
+                "aggs": [list(a) for a in self.agg_spec["aggs"]]}
+        for start, stop in partition.ranges:
+            body: dict = {"spec": spec}
+            if start is not None:
+                body["startRow"] = _b64(start)
+            if stop is not None:
+                body["endRow"] = _b64(stop)
+            data, _ = _http_json(f"{self.url}/{self._table}/aggregate", "POST", body)
+            rows = data["rows"]
+            if not rows:
+                continue
+            arrays = [
+                pa.array([r[f.name] for r in rows], type=f.type) for f in declared
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=declared)
+
+
+def rest_schema(cat) -> StructType:
+    """Catalog columns + __ts; no __rowkey (the wire Row key is decoded
+    into its dimensions client-side)."""
+    base = internal_schema(cat)
+    return StructType([f for f in base.fields if f.name != ROWKEY_COL])
+
+
+class ShcRestDataSource(DataSource):
+    """format("shc-rest") — the remote-transport twin of format("shc")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "shc-rest"
+
+    def schema(self) -> StructType:
+        cat = parse_catalog(self.options["catalog"])
+        raw_agg = self.options.get("aggregate")
+        if raw_agg:
+            return aggregate_partial_schema(cat, _parse_agg_spec(cat, raw_agg))
+        return rest_schema(cat)
+
+    def reader(self, schema) -> ShcRestReader:
+        return ShcRestReader(schema, dict(self.options))
+
+
+def register_rest(spark) -> None:
+    spark.dataSource.register(ShcRestDataSource)
+
+
+def read_table_rest(spark, catalog: str, url: str, batch: int = 4096):
+    """Read an shc table over the REST transport (merged latest view).
+    Avro-coded cells decode above the scan exactly like read_table."""
+    from pyspark.sql import functions as F
+
+    from shc_spark.sources.api import _avro_decode_expr
+
+    register_rest(spark)
+    cat = parse_catalog(catalog)
+    df = (
+        spark.read.format("shc-rest")
+        .option("catalog", catalog)
+        .option("url", url)
+        .option("batch", str(batch))
+        .load()
+    )
+    for f in cat.fields.values():
+        if f.avro_schema is not None:
+            df = df.withColumn(f.col_name, _avro_decode_expr(f))
+    return df.select(*[f.col_name for f in cat.fields.values()])
+
+
+def scan_aggregate_rest(
+    spark,
+    catalog: str,
+    url: str,
+    group_by: list[str],
+    aggs: list[tuple[str, str]],
+):
+    """Server-side aggregation over the REST transport (the
+    AggregationClient call): each partition fetches one JSON of
+    partials; rows never cross the wire. Same output contract as
+    sources.scan_aggregate."""
+    from pyspark.sql import functions as F
+
+    from shc_spark.sources.shc_source import agg_out_name
+
+    register_rest(spark)
+    phys: list[tuple[str, str]] = []
+    avgs: list[str] = []
+    requested: list[str] = []
+    for fn, col in aggs:
+        if fn == "avg":
+            for p in (("sum", col), ("count", col)):
+                if p not in phys:
+                    phys.append(p)
+            avgs.append(col)
+            requested.append(f"avg_{col}")
+        else:
+            if (fn, col) not in phys:
+                phys.append((fn, col))
+            requested.append(agg_out_name(fn, col))
+    spec = json.dumps({"groupBy": list(group_by), "aggs": [list(p) for p in phys]})
+    df = (
+        spark.read.format("shc-rest")
+        .option("catalog", catalog)
+        .option("url", url)
+        .option("aggregate", spec)
+        .load()
+    )
+    combine = []
+    for fn, col in phys:
+        name = agg_out_name(fn, col)
+        merge_fn = F.sum if fn in ("count", "sum") else (F.min if fn == "min" else F.max)
+        expr = merge_fn(F.col(name))
+        if fn == "count":
+            expr = F.coalesce(expr, F.lit(0))
+        combine.append(expr.alias(name))
+    out = df.groupBy(*group_by).agg(*combine) if group_by else df.agg(*combine)
+    for col in avgs:
+        out = out.withColumn(
+            f"avg_{col}",
+            F.when(F.col(f"count_{col}") > 0, F.col(f"sum_{col}") / F.col(f"count_{col}")),
+        )
+    return out.select(*group_by, *requested)

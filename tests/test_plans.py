@@ -473,3 +473,41 @@ def test_semdedup_single_shuffle(spark):
     )
     assert "CartesianProduct" not in plan and "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_snm_pairs_gate_no_single_partition(plans):
+    # the whole point of global_rank: the corpus never serializes
+    # through one task, and pairing is equi-join only
+    p = plans("dedup_snm_pairs")
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_mmr_gate_pool_then_group(plans):
+    # stage 1 is the single-shuffle cosine_topk; stage 2 is one
+    # grouped pandas pass over pool-sized groups — never a cartesian
+    p = plans("sim_mmr_rerank")
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_kmv_gate_window_group_limit(plans):
+    # map tasks keep local top-k BEFORE the exchange: the property
+    # that makes the sketch build safe on a corpus-sized group
+    p = plans("text_kmv_vocab_overlap")
+    assert "WindowGroupLimit" in p, p
+
+
+def test_vad_gate_is_map_only(plans):
+    # frame/RMS/run-detection all happen inside one mapInPandas over
+    # the payloads: no exchange anywhere
+    assert "Exchange" not in plans("mm_audio_vad")
+
+
+def test_scan_aggregate_gate_partials_below_final_agg(plans):
+    # the source emits partials; above it there is exactly the
+    # finalizing aggregate pair and no Python eval node
+    p = plans("shc_scan_aggregate")
+    assert "BatchScan shc" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert p.count("HashAggregate") >= 2, p

@@ -2422,3 +2422,232 @@ def test_scan_aggregate_ttl_and_cross_catalog_raise(spark, tmp_path):
     other["columns"]["val2"] = {"cf": "cf", "col": "v2", "type": "double"}
     with pytest.raises(ValueError, match="stored catalog"):
         scan_aggregate(spark, json.dumps(other), [], [("count", "*")], root=root)
+
+
+def test_scan_aggregate_randomized_specs_match_groupby(spark, tmp_path):
+    """Seeded-random spec battery: any combination of group columns
+    and agg verbs must equal read_table().groupBy() — including null
+    group keys and null agg values (the table writes a null stripe in
+    both)."""
+    import random
+
+    from shc_spark.sources import scan_aggregate
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "s", "name": "randagg", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "g1": {"cf": "cf", "col": "g1", "type": "string"},
+                "g2": {"cf": "cf", "col": "g2", "type": "int"},
+                "v1": {"cf": "cf", "col": "v1", "type": "double"},
+                "v2": {"cf": "cf", "col": "v2", "type": "bigint"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 != 0, F.concat(F.lit("s"), (F.col("id") % 4).cast("string"))).alias("g1"),
+        F.when(F.col("id") % 5 != 0, (F.col("id") % 3).cast("int")).alias("g2"),
+        F.when(F.col("id") % 11 != 0, F.col("id") * 0.5).alias("v1"),
+        F.when(F.col("id") % 13 != 0, F.col("id") * 3).alias("v2"),
+    )
+    write_table(df, cat, root=root, num_regions=6, mode="overwrite", timestamp=1000)
+    rng = random.Random(42)
+    spark_fns = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}
+    for trial in range(5):
+        group = rng.sample(["g1", "g2"], rng.randint(0, 2))
+        aggs = [("count", "*")]
+        for _ in range(rng.randint(1, 4)):
+            fn = rng.choice(["count", "sum", "min", "max", "avg"])
+            col = rng.choice(["v1", "v2"] if fn in ("sum", "avg") else ["v1", "v2", "g1", "g2"])
+            if (fn, col) not in aggs:
+                aggs.append((fn, col))
+        got = scan_aggregate(spark, cat, group, aggs, root=root)
+        names = ["count_all" if c == "*" else f"{fn}_{c}" for fn, c in aggs]
+        exprs = [
+            (spark_fns[fn](F.lit(1)) if c == "*" else spark_fns[fn](c)).alias(n)
+            for (fn, c), n in zip(aggs, names)
+        ]
+        exp = read_table(spark, cat, root=root)
+        exp = exp.groupBy(*group).agg(*exprs) if group else exp.agg(*exprs)
+        gk = {tuple(str(r[g]) for g in group): r for r in got.collect()}
+        ek = {tuple(str(r[g]) for g in group): r for r in exp.collect()}
+        assert set(gk) == set(ek), (trial, group, aggs)
+        for key in gk:
+            for n in names:
+                a, b = gk[key][n], ek[key][n]
+                if a is None or b is None:
+                    assert a == b, (trial, key, n, a, b)
+                else:
+                    assert a == pytest.approx(b), (trial, key, n, a, b)
+
+
+# ---- REST transport backend (shc-rest, r11) ---------------------------
+
+
+def _rest_fixture(spark, root, cat=None, rows=120, regions=5):
+    from shc_spark.sources.rest import ensure_rest_server
+
+    cat = cat or CAT_AGG
+    df = spark.range(rows).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+        (F.col("id") * 1.5).alias("val"),
+        F.when(F.col("id") % 5 != 0, F.col("id").cast("int")).alias("n"),
+    )
+    write_table(df, cat, root=root, num_regions=regions, mode="overwrite", timestamp=1000)
+    return ensure_rest_server(root)
+
+
+def test_rest_scan_matches_embedded(spark, tmp_path):
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import read_table_rest
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root)
+    got = sorted(read_table_rest(spark, CAT_AGG, url).collect())
+    exp = sorted(read_table(spark, CAT_AGG, root=root).collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_rest_merged_view_after_append_and_delete(spark, tmp_path):
+    """The scanner serves the MERGED latest view: newer generations
+    win, tombstoned rows never appear — HBase's default read."""
+    from shc_spark.sources import delete_rows, read_table
+    from shc_spark.sources.rest import read_table_rest
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=60, regions=4)
+    upd = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.lit("gX").alias("grp"),
+        F.lit(-1.0).alias("val"),
+        F.lit(9).cast("int").alias("n"),
+    )
+    write_table(upd, CAT_AGG, root=root, mode="append", timestamp=2000)
+    delete_rows(spark, CAT_AGG, list(range(50, 60)), root=root, timestamp=3000)
+    got = sorted(read_table_rest(spark, CAT_AGG, url).collect())
+    exp = sorted(read_table(spark, CAT_AGG, root=root).collect())
+    assert len(got) == 50
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_rest_partitions_pruned(spark, tmp_path):
+    """A rowkey range must open scanners only on the regions it
+    touches — the client-side pruning the reference does from region
+    metadata (HBaseTableScan.scala:63-89), over the wire."""
+    import json as _json
+
+    from shc_spark.sources.rest import ShcRestReader
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=200, regions=8)
+    opts = {"catalog": CAT_AGG, "url": url}
+    full = ShcRestReader(None, dict(opts)).partitions()
+    rdr = ShcRestReader(None, dict(opts))
+    # inject a tight pushed range exactly as pushFilters would set it
+    from shc_spark.filters import HRF, ScanRange
+    from shc_spark.coders import get_coder
+    from shc_spark.catalog import parse_catalog
+    from pyspark.sql import types as T
+
+    coder = get_coder(parse_catalog(CAT_AGG).rowkey_fields()[0].coder)
+    lo = coder.to_bytes(0, T.LongType())
+    hi = coder.to_bytes(20, T.LongType())
+    rdr.hrf = HRF([ScanRange(lo, True, hi, True)], True)
+    pruned = rdr.partitions()
+    assert 0 < len(pruned) < len(full)
+
+
+def test_rest_point_get_endpoint(spark, tmp_path):
+    """GET /{table}/{rowhex} returns exactly one row's cells (the
+    bulk-get analog over the wire)."""
+    import json as _json
+    import urllib.request
+
+    from shc_spark.catalog import parse_catalog
+    from shc_spark.coders import get_coder
+    from pyspark.sql import types as T
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=30, regions=4)
+    cat = parse_catalog(CAT_AGG)
+    key = get_coder(cat.table_coder).to_bytes(7, T.LongType())
+    with urllib.request.urlopen(f"{url}/default.aggscan/{key.hex()}") as resp:
+        data = _json.loads(resp.read())
+    assert len(data["Row"]) == 1
+    cells = data["Row"][0]["Cell"]
+    assert len(cells) == 3  # grp, val, n
+
+
+def test_rest_salted_table_range(spark, tmp_path):
+    """Salt expansion happens CLIENT-side before region intersection;
+    the server treats scanner bounds as physical bytes — a pushed
+    range on a salted table returns exactly the right rows."""
+    from shc_spark.sources.rest import ensure_rest_server, read_table_rest
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "r", "name": "saltrest", "tableCoder": "OrderedType", "version": "2.0", "saltBuckets": 8},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "val": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    df = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("val"))
+    write_table(df, cat, root=root, num_regions=8, mode="overwrite", timestamp=1000)
+    url = ensure_rest_server(root)
+    got = (
+        read_table_rest(spark, cat, url)
+        .filter((F.col("k") >= 10) & (F.col("k") < 40))
+        .collect()
+    )
+    assert sorted(r["k"] for r in got) == list(range(10, 40))
+    assert all(r["val"] == r["k"] * 2.0 for r in got)
+
+
+def test_rest_avro_cells_roundtrip(spark, tmp_path):
+    """Avro-coded cells travel as their serialized blobs and decode
+    above the REST scan exactly like the embedded read."""
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import ensure_rest_server, read_table_rest
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "r", "name": "avrorest", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "rec": {"cf": "cf", "col": "r", "avro": "schema_rec"},
+            },
+            "schema_rec": json.dumps(
+                {
+                    "type": "record", "name": "rec",
+                    "fields": [
+                        {"name": "f1", "type": "int"},
+                        {"name": "f2", "type": "string"},
+                    ],
+                }
+            ),
+        }
+    )
+    root = str(tmp_path)
+    df = spark.range(25).select(
+        F.col("id").alias("k"),
+        F.struct(
+            F.col("id").cast("int").alias("f1"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("f2"),
+        ).alias("rec"),
+    )
+    write_table(df, cat, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+    url = ensure_rest_server(root)
+    got = sorted(read_table_rest(spark, cat, url).collect())
+    exp = sorted(read_table(spark, cat, root=root).collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    assert got[5]["rec"]["f2"] == "v5"

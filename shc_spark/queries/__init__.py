@@ -72,7 +72,7 @@ _WINDOW = [
     "dedup_substring_spans", "dq_psi_drift", "embed_quantize",
     "mm_mjpeg_scenes",
     "q05_local_supplier_volume", "q21_waiting_orders", "q_asof_join",
-    "q_gapfill_linear", "q_global_topk",
+    "q_gapfill_linear",
     "q_range_join_binned", "q_rollup", "q_sessionize_batch",
     "q_window_topk_per_segment", "q_zorder_box", "sim_hard_negatives",
     "stream_topk", "text_mixture_sample", "text_remove_boilerplate",
@@ -88,6 +88,9 @@ _WINDOW = [
     # q_counter_increase (refresh them r12: mm keeps 3 fresh in-window
     # rows incl. the canary; timeseries keeps q_gapfill_linear):
     "shc_rest_scan", "shc_rest_pushdown", "shc_rest_aggregate",
+    # (+ the wire write path; q_global_topk yielded its slot — the
+    # window/top-k family keeps q_window_topk_per_segment):
+    "shc_rest_write",
     # r7-green refresh (oldest remaining, one per family where
     # possible: funnels/graph, CDC both modes, version explode;
     # dedup_normalized / q17_small_quantity / text_pmi_pairs /

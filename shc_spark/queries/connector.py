@@ -1108,6 +1108,55 @@ def shc_rest_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# write path over the wire: Puts batched per task under a tx id, ONE
+# generation at the driver-side flush (the manifest is the commit
+# point); merged latest-wins view identical through both transports.
+# The oracle recomputes the post-append state from the source parquet.
+@register(
+    "shc_rest_write",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey <= 100 THEN round(c_acctbal + 1000, 2)
+                ELSE round(c_acctbal, 2) END AS bal,
+           CASE WHEN c_custkey <= 100 THEN 'rest-updated'
+                ELSE c_mktsegment END AS seg
+    FROM customer
+    """,
+)
+def shc_rest_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.sources.rest import (
+        ensure_rest_server,
+        read_table_rest,
+        write_table_rest,
+    )
+
+    root = _root(sf_dir, "restw")
+    marker = os.path.join(root, "q.customer", "_done_rest_write")
+    if not os.path.exists(marker):
+        df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        write_table(
+            df.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+            CAT_CUSTOMER, root=root, num_regions=8, mode="overwrite", timestamp=1000,
+        )
+        url = ensure_rest_server(root)
+        upd = (
+            df.filter(F.col("c_custkey") <= 100)
+            .select(
+                "c_custkey", "c_name", "c_nationkey",
+                (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+                F.lit("rest-updated").alias("c_mktsegment"),
+            )
+        )
+        write_table_rest(upd, CAT_CUSTOMER, url, timestamp=2000)
+        open(marker, "w").write("ok")
+    url = ensure_rest_server(root)
+    t = read_table_rest(spark, CAT_CUSTOMER, url)
+    return t.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+
+
 # Coprocessor-style aggregation scan (the HBase AggregationClient /
 # AggregateImplementation analog, beyond the reference): each region
 # partition returns PARTIAL aggregates computed inside the scan (arrow

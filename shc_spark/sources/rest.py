@@ -43,7 +43,15 @@ import threading
 import uuid
 
 import pyarrow as pa
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.pandas.types import to_arrow_schema
 from pyspark.sql.types import StructType
 
@@ -161,6 +169,91 @@ class _TableService:
                         cells[f"{f.cf}:{f.col}".encode()] = enc
                     yield bytes(key), int(tss[i]), cells
 
+    # -- write path (Put batching -> one generation per flush) --------
+
+    def put_rows(self, table: str, tx: str, rows: list, buffers: dict) -> int:
+        """Buffer Stargate-shaped rows under a transaction id (the Put
+        batch). Nothing is visible until flush()."""
+        buf = buffers.setdefault((table, tx), [])
+        for row in rows:
+            key = _unb64(row["key"])
+            cells = {}
+            ts = 0
+            for c in row.get("Cell", ()):
+                cells[_unb64(c["column"])] = _unb64(c["$"])
+                ts = max(ts, int(c.get("timestamp", 0)))
+            buf.append((key, ts, cells))
+        return len(buf)
+
+    def flush(self, table: str, txs: list[str], buffers: dict) -> dict:
+        """Commit buffered Puts as ONE new generation: decode cells to
+        the typed layout through the catalog coders, sort by key, write
+        a region file, append it to the manifest — the same commit
+        shape as the embedded writer, driven from the wire."""
+        import os
+
+        import pyarrow.compute as pc
+
+        from shc_spark.sources.shc_source import (
+            _REGION_CACHE,
+            _RegionFile,
+            _store_catalog,
+        )
+
+        path = os.path.join(self.root, table)
+        with open(os.path.join(path, "_catalog.json")) as fh:
+            cat_json = fh.read()
+        cat = parse_catalog(cat_json)
+        rows: list = []
+        for tx in txs:
+            rows.extend(buffers.pop((table, tx), []))
+        if not rows:
+            return {"rows": 0}
+        rows.sort(key=lambda r: r[0])
+        key_fields = cat.rowkey_fields()
+        value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
+        coder = get_coder(cat.table_coder)
+        by_cell = {f"{f.cf}:{f.col}".encode(): f for f in value_fields}
+        cols: dict = {f.col_name: [] for f in cat.fields.values()}
+        cols[ROWKEY_COL], cols[TS_COL] = [], []
+        salt = 1 if cat.salt_buckets else 0
+        for key, ts, cells in rows:
+            dims = coder.decode_rowkey(key[salt:], key_fields)
+            for f, v in zip(key_fields, dims):
+                cols[f.col_name].append(v)
+            for f in value_fields:
+                raw = cells.get(f"{f.cf}:{f.col}".encode())
+                if raw is None:
+                    cols[f.col_name].append(None)
+                elif f.avro_schema is not None:
+                    cols[f.col_name].append(raw)
+                else:
+                    cols[f.col_name].append(get_coder(f.coder).from_bytes(raw, f.dt))
+            cols[ROWKEY_COL].append(key)
+            cols[TS_COL].append(ts)
+        want = to_arrow_schema(internal_schema(cat))
+        t = pa.table({f.name: pa.array(cols[f.name], type=f.type) for f in want})
+        import uuid as _uuid
+
+        gen_dir = os.path.join(path, f"gen={_uuid.uuid4().hex[:12]}")
+        os.makedirs(gen_dir, exist_ok=True)
+        rf = _RegionFile(gen_dir)
+        rf.add(t)
+        info = rf.close()
+        regions = _load_regions(path)
+        info["id"] = len(regions)
+        regions.append(info)
+        meta = os.path.join(path, "_regions.json")
+        with open(meta, "w") as fh:
+            json.dump(regions, fh)
+        _REGION_CACHE.pop(meta, None)
+        _store_catalog(path, cat_json, overwrite=False)
+        return {"rows": len(rows)}
+
+    def abort(self, table: str, txs: list[str], buffers: dict) -> None:
+        for tx in txs:
+            buffers.pop((table, tx), None)
+
     def aggregate(self, table: str, spec_raw: str, start: bytes | None, stop: bytes | None):
         """Coprocessor-analog endpoint: partial aggregates computed
         server-side over the (range-limited) scan."""
@@ -190,6 +283,7 @@ class MockHBaseRestServer:
 
         svc = _TableService(root)
         scanners: dict = {}
+        put_buffers: dict = {}
         lock = threading.Lock()
 
         class Handler(BaseHTTPRequestHandler):
@@ -283,6 +377,20 @@ class MockHBaseRestServer:
                             parts[0], json.dumps(body["spec"]), start, stop
                         )
                         return self._json(200, {"rows": rows})
+                    if len(parts) == 2 and parts[1] == "rows":
+                        with lock:
+                            n = svc.put_rows(
+                                parts[0], body["tx"], body["Row"], put_buffers
+                            )
+                        return self._json(200, {"buffered": n})
+                    if len(parts) == 2 and parts[1] == "flush":
+                        with lock:
+                            out = svc.flush(parts[0], body["tx"], put_buffers)
+                        return self._json(200, out)
+                    if len(parts) == 2 and parts[1] == "abort":
+                        with lock:
+                            svc.abort(parts[0], body["tx"], put_buffers)
+                        return self._json(200, {})
                     self._json(404, {"error": "bad path"})
                 except Exception as e:
                     self._json(500, {"error": repr(e)})
@@ -522,6 +630,91 @@ def rest_schema(cat) -> StructType:
     return StructType([f for f in base.fields if f.name != ROWKEY_COL])
 
 
+@dataclass
+class RestTxCommit(WriterCommitMessage):
+    tx: str
+
+
+class ShcRestWriter(DataSourceArrowWriter):
+    """Write path over the wire: each task POSTs its rows as Stargate
+    Put batches under a per-task transaction id; the driver-side
+    commit flushes them into ONE new generation (visible atomically —
+    the manifest is the commit point, same as the embedded writer).
+    Rowkeys encode client-side (salt prefix included), cells via the
+    catalog coder — byte-identical to what the embedded writer's
+    parquet stores logically."""
+
+    def __init__(self, schema, options: dict) -> None:
+        self.options = options
+        self.cat = parse_catalog(options["catalog"])
+        self.url = options["url"].rstrip("/")
+        self.ts = int(options.get("timestamp") or 0)
+
+    @property
+    def _table(self) -> str:
+        return f"{self.cat.namespace}.{self.cat.name}"
+
+    def write(self, iterator):
+        import hashlib
+        import time as _time
+
+        cat = self.cat
+        coder = get_coder(cat.table_coder)
+        key_fields = cat.rowkey_fields()
+        value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
+        ts = self.ts or int(_time.time() * 1000)
+        tx = uuid.uuid4().hex
+        n = cat.salt_buckets
+        pending = []
+
+        def _post(rows):
+            _http_json(
+                f"{self.url}/{self._table}/rows",
+                "POST",
+                {"tx": tx, "Row": rows},
+            )
+
+        for batch in iterator:
+            cols = {name: batch.column(name).to_pylist() for name in batch.schema.names}
+            for i in range(batch.num_rows):
+                key = coder.encode_rowkey(
+                    [cols[f.col_name][i] for f in key_fields], key_fields
+                )
+                if n:
+                    key = bytes([hashlib.md5(key).digest()[0] % n]) + key
+                cells = []
+                for f in value_fields:
+                    v = cols[f.col_name][i]
+                    if v is None:
+                        continue
+                    enc = bytes(v) if f.avro_schema is not None else get_coder(f.coder).to_bytes(v, f.dt)
+                    cells.append(
+                        {
+                            "column": _b64(f"{f.cf}:{f.col}".encode()),
+                            "timestamp": ts,
+                            "$": _b64(enc),
+                        }
+                    )
+                pending.append({"key": _b64(key), "Cell": cells})
+                if len(pending) >= 2000:
+                    _post(pending)
+                    pending = []
+        if pending:
+            _post(pending)
+        return RestTxCommit(tx)
+
+    def commit(self, messages):
+        txs = [m.tx for m in messages if m is not None]
+        _http_json(f"{self.url}/{self._table}/flush", "POST", {"tx": txs})
+
+    def abort(self, messages):
+        txs = [m.tx for m in messages if m is not None]
+        try:
+            _http_json(f"{self.url}/{self._table}/abort", "POST", {"tx": txs})
+        except Exception:
+            pass
+
+
 class ShcRestDataSource(DataSource):
     """format("shc-rest") — the remote-transport twin of format("shc")."""
 
@@ -538,6 +731,15 @@ class ShcRestDataSource(DataSource):
 
     def reader(self, schema) -> ShcRestReader:
         return ShcRestReader(schema, dict(self.options))
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "shc-rest writes are APPEND generations (HBase Put "
+                "semantics); use the embedded write_table for "
+                "overwrite/DDL"
+            )
+        return ShcRestWriter(schema, dict(self.options))
 
 
 def register_rest(spark) -> None:
@@ -619,3 +821,36 @@ def scan_aggregate_rest(
             F.when(F.col(f"count_{col}") > 0, F.col(f"sum_{col}") / F.col(f"count_{col}")),
         )
     return out.select(*group_by, *requested)
+
+
+def write_table_rest(
+    df,
+    catalog: str,
+    url: str,
+    timestamp: int | None = None,
+) -> None:
+    """Append rows to an existing shc table THROUGH the REST transport
+    (HBase Put semantics: one new generation per save, visible
+    atomically at the driver-side flush). Avro-coded struct columns
+    encode to their blobs client-side before the wire. Overwrite/DDL
+    stay embedded-backend operations (a region server does not create
+    its own table either)."""
+    from pyspark.sql import functions as F
+
+    from shc_spark.sources.api import _avro_encode_udf
+
+    spark = df.sparkSession
+    register_rest(spark)
+    cat = parse_catalog(catalog)
+    for f in cat.fields.values():
+        if f.avro_schema is not None:
+            df = df.withColumn(f.col_name, _avro_encode_udf(f)(F.struct(f"{f.col_name}.*")))
+    w = (
+        df.write.format("shc-rest")
+        .option("catalog", catalog)
+        .option("url", url)
+        .mode("append")
+    )
+    if timestamp is not None:
+        w = w.option("timestamp", str(timestamp))
+    w.save()

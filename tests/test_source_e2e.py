@@ -2651,3 +2651,54 @@ def test_rest_avro_cells_roundtrip(spark, tmp_path):
     exp = sorted(read_table(spark, cat, root=root).collect())
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
     assert got[5]["rec"]["f2"] == "v5"
+
+
+def test_rest_write_appends_generation(spark, tmp_path):
+    """Puts batched over the wire become ONE generation at flush;
+    latest-wins against the embedded base, visible to both transports."""
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import (
+        ensure_rest_server,
+        read_table_rest,
+        write_table_rest,
+    )
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=80, regions=4)
+    upd = spark.range(30).select(
+        F.col("id").alias("k"),
+        F.lit("gW").alias("grp"),
+        F.lit(123.0).alias("val"),
+        F.lit(1).cast("int").alias("n"),
+    )
+    write_table_rest(upd, CAT_AGG, url, timestamp=2000)
+    emb = {r["k"]: r for r in read_table(spark, CAT_AGG, root=root).collect()}
+    via_rest = {r["k"]: r for r in read_table_rest(spark, CAT_AGG, url).collect()}
+    assert len(emb) == len(via_rest) == 80
+    for k in range(30):
+        assert emb[k]["grp"] == via_rest[k]["grp"] == "gW"
+        assert emb[k]["val"] == via_rest[k]["val"] == 123.0
+    for k in range(30, 80):
+        assert emb[k]["grp"].startswith("g") and emb[k]["val"] == k * 1.5
+        assert via_rest[k]["val"] == k * 1.5
+
+
+def test_rest_write_null_cells_not_stored(spark, tmp_path):
+    """HBase semantics over the wire: a null cell in a Put is ABSENT,
+    so the older version underneath stays visible after the merge."""
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import ensure_rest_server, write_table_rest
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=10, regions=4)
+    upd = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("string").alias("grp"),   # absent cell
+        F.lit(777.0).alias("val"),
+        F.lit(None).cast("int").alias("n"),
+    )
+    write_table_rest(upd, CAT_AGG, url, timestamp=2000)
+    got = {r["k"]: r for r in read_table(spark, CAT_AGG, root=root).collect()}
+    for k in range(5):
+        assert got[k]["val"] == 777.0                       # updated
+        assert got[k]["grp"] == f"g{k % 3}"                  # survived

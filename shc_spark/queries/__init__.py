@@ -99,7 +99,11 @@ _WINDOW = [
     # (q_event_funnel also yielded its slot — r7-green is exactly at
     # the 4-round freshness boundary this round; refresh it r12):
     "q_pagerank", "shc_cdc_apply",
-    "shc_version_explode", "stream_cdc_sink",
+    "shc_version_explode",
+    # r11-NEW: the REST streaming tail (CDC over the wire) took
+    # stream_cdc_sink's slot (r7-green, at the freshness boundary —
+    # refresh it r12):
+    "stream_rest_source",
 ]
 
 

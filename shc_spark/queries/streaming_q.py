@@ -121,6 +121,44 @@ def stream_shc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# the same generation tail THROUGH the REST transport (r11, Backend B
+# seam): offsets from GET /generations, each entry replayed raw over a
+# single-generation scanner — CDC over the wire. Same oracle shape as
+# stream_shc_source, on the two-generation customer table.
+@register(
+    "stream_rest_source",
+    """
+    SELECT c_custkey, c_name, CAST(1000 AS BIGINT) AS __ts FROM customer
+    UNION ALL
+    SELECT c_custkey, concat(c_name, ':v2'), CAST(2000 AS BIGINT)
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def stream_rest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from shc_spark.queries.connector import CAT_CUSTOMER, _root, shc_version_merge
+    from shc_spark.sources.rest import ensure_rest_server, read_stream_table_rest
+
+    shc_version_merge(spark, sf_dir)  # ensure both generations exist
+    root = _root(sf_dir, "custv")
+    url = ensure_rest_server(root)
+    stream = read_stream_table_rest(spark, CAT_CUSTOMER, url)
+    name = f"m_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream.select("c_custkey", "c_name", "__ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 @register(
     "stream_merge_latest",
     """

@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -168,6 +169,53 @@ class _TableService:
                             enc = get_coder(f.coder).to_bytes(v, f.dt)
                         cells[f"{f.cf}:{f.col}".encode()] = enc
                     yield bytes(key), int(tss[i]), cells
+
+    def generation_count(self, table: str) -> int:
+        import os
+
+        try:
+            return len(_load_regions(os.path.join(self.root, table)))
+        except FileNotFoundError:
+            return 0
+
+    def scan_generation(self, table: str, gen_id: int):
+        """RAW rows of ONE committed region entry (no merge, tombstone
+        rows included with a del flag) — the WAL-tailing feed a
+        streaming consumer replays; offsets are region-entry counts,
+        append-only hence monotonic."""
+        import os
+
+        from shc_spark.sources.shc_source import DEL_COL
+
+        path = os.path.join(self.root, table)
+        with open(os.path.join(path, "_catalog.json")) as fh:
+            cat_json = fh.read()
+        cat = parse_catalog(cat_json)
+        regs = {r["id"]: r for r in _load_regions(path)}
+        reg = regs[gen_id]
+        rdr = ShcReader(None, {"catalog": cat_json, "root": self.root,
+                               "includeDeletes": "true"})
+        want = to_arrow_schema(internal_schema(cat, include_deletes=True))
+        value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
+        ranges = ((None, True, None, True),)
+        for batch in rdr._scan_file(reg["path"], ranges, want):
+            keys = batch.column(ROWKEY_COL).to_pylist()
+            tss = batch.column(TS_COL).to_pylist()
+            dels = batch.column(DEL_COL).to_pylist()
+            cols = {
+                f.col_name: batch.column(f.col_name).to_pylist()
+                for f in value_fields
+                if f.col_name in batch.schema.names
+            }
+            for i, key in enumerate(keys):
+                cells = {}
+                for f in value_fields:
+                    v = cols.get(f.col_name, [None] * len(keys))[i]
+                    if v is None:
+                        continue
+                    enc = bytes(v) if f.avro_schema is not None else get_coder(f.coder).to_bytes(v, f.dt)
+                    cells[f"{f.cf}:{f.col}".encode()] = enc
+                yield bytes(key), int(tss[i]), cells, bool(dels[i] == 1)
 
     # -- write path (Put batching -> one generation per flush) --------
 
@@ -310,18 +358,20 @@ class MockHBaseRestServer:
                         it, batch = sc
                         for _ in range(batch):
                             try:
-                                key, ts, cells = next(it)
+                                key, ts, cells, deleted = next(it)
                             except StopIteration:
                                 break
-                            rows.append(
-                                {
-                                    "key": _b64(key),
-                                    "Cell": [
-                                        {"column": _b64(c), "timestamp": ts, "$": _b64(v)}
-                                        for c, v in cells.items()
-                                    ],
-                                }
-                            )
+                            row = {
+                                "key": _b64(key),
+                                "ts": ts,  # row-level ts survives cell-less rows
+                                "Cell": [
+                                    {"column": _b64(c), "timestamp": ts, "$": _b64(v)}
+                                    for c, v in cells.items()
+                                ],
+                            }
+                            if deleted:
+                                row["del"] = True  # protocol extension: CDC tombstone
+                            rows.append(row)
                         if not rows:
                             self.send_response(204)
                             self.end_headers()
@@ -329,6 +379,8 @@ class MockHBaseRestServer:
                         return self._json(200, {"Row": rows})
                     if len(parts) == 2 and parts[1] == "regions":
                         return self._json(200, {"Region": svc.regions(parts[0])})
+                    if len(parts) == 2 and parts[1] == "generations":
+                        return self._json(200, {"count": svc.generation_count(parts[0])})
                     if len(parts) == 2:
                         key = bytes.fromhex(parts[1])
                         rows = [
@@ -358,11 +410,26 @@ class MockHBaseRestServer:
                 body = json.loads(self.rfile.read(n) or b"{}")
                 try:
                     if len(parts) == 2 and parts[1] == "scanner":
-                        start = _unb64(body["startRow"]) if body.get("startRow") else None
-                        stop = _unb64(body["endRow"]) if body.get("endRow") else None
                         batch = int(body.get("batch", 1000))
                         sid = uuid.uuid4().hex[:16]
-                        it = svc.scan_rows(parts[0], start, stop)
+                        if body.get("generation") is not None:
+                            # raw single-generation tail (streaming/CDC)
+                            it = (
+                                {"key": k, "ts": ts, "cells": cells, "del": d}
+                                for k, ts, cells, d in svc.scan_generation(
+                                    parts[0], int(body["generation"])
+                                )
+                            )
+                            it = (
+                                (r["key"], r["ts"], r["cells"], r["del"]) for r in it
+                            )
+                        else:
+                            start = _unb64(body["startRow"]) if body.get("startRow") else None
+                            stop = _unb64(body["endRow"]) if body.get("endRow") else None
+                            it = (
+                                (k, ts, cells, False)
+                                for k, ts, cells in svc.scan_rows(parts[0], start, stop)
+                            )
                         with lock:
                             scanners[sid] = (it, batch)
                         self.send_response(201)
@@ -451,6 +518,46 @@ def _http_json(url: str, method: str = "GET", body: dict | None = None):
         return (json.loads(raw) if raw else None), resp.headers
 
 
+def _decode_rest_rows(cat, rows: list, with_del: bool = False) -> dict:
+    """Stargate JSON rows -> python column lists (typed); shared by the
+    batch reader and the streaming tail."""
+    coder = get_coder(cat.table_coder)
+    key_fields = cat.rowkey_fields()
+    value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
+    by_cell = {f"{f.cf}:{f.col}".encode(): f for f in value_fields}
+    cols: dict = {f.col_name: [] for f in cat.fields.values()}
+    cols[TS_COL] = []
+    if with_del:
+        cols["__del"] = []
+    salt = 1 if cat.salt_buckets else 0
+    for row in rows:
+        key = _unb64(row["key"])
+        # salted physical keys carry a 1-byte hash prefix that is
+        # NOT part of the logical composite key
+        dims = coder.decode_rowkey(key[salt:], key_fields)
+        for f, v in zip(key_fields, dims):
+            cols[f.col_name].append(v)
+        cells = {}
+        ts_max = int(row.get("ts", 0))
+        for c in row.get("Cell", ()):
+            name = _unb64(c["column"])
+            f = by_cell.get(name)
+            if f is None:
+                continue
+            raw = _unb64(c["$"])
+            if f.avro_schema is not None:
+                cells[f.col_name] = bytes(raw)
+            else:
+                cells[f.col_name] = get_coder(f.coder).from_bytes(raw, f.dt)
+            ts_max = max(ts_max, int(c["timestamp"]))
+        for f in value_fields:
+            cols[f.col_name].append(cells.get(f.col_name))
+        cols[TS_COL].append(ts_max)
+        if with_del:
+            cols["__del"].append(1 if row.get("del") else None)
+    return cols
+
+
 class RestPartition(InputPartition):
     def __init__(self, ranges: tuple) -> None:
         self.ranges = ranges  # tuple of (start|None, stop|None) byte pairs
@@ -535,40 +642,9 @@ class ShcRestReader(DataSourceReader):
             parts.append(RestPartition(ranges=()))
         return parts
 
-    def _decode_rows(self, rows: list) -> dict:
+    def _decode_rows(self, rows: list, with_del: bool = False) -> dict:
         """Stargate JSON rows -> python column lists (typed)."""
-        cat = self.cat
-        coder = get_coder(cat.table_coder)
-        key_fields = cat.rowkey_fields()
-        value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
-        by_cell = {f"{f.cf}:{f.col}".encode(): f for f in value_fields}
-        cols = {f.col_name: [] for f in cat.fields.values()}
-        cols[TS_COL] = []
-        salt = 1 if cat.salt_buckets else 0
-        for row in rows:
-            key = _unb64(row["key"])
-            # salted physical keys carry a 1-byte hash prefix that is
-            # NOT part of the logical composite key
-            dims = coder.decode_rowkey(key[salt:], key_fields)
-            for f, v in zip(key_fields, dims):
-                cols[f.col_name].append(v)
-            cells = {}
-            ts_max = 0
-            for c in row.get("Cell", ()):
-                name = _unb64(c["column"])
-                f = by_cell.get(name)
-                if f is None:
-                    continue
-                raw = _unb64(c["$"])
-                if f.avro_schema is not None:
-                    cells[f.col_name] = bytes(raw)
-                else:
-                    cells[f.col_name] = get_coder(f.coder).from_bytes(raw, f.dt)
-                ts_max = max(ts_max, int(c["timestamp"]))
-            for f in value_fields:
-                cols[f.col_name].append(cells.get(f.col_name))
-            cols[TS_COL].append(ts_max)
-        return cols
+        return _decode_rest_rows(self.cat, rows, with_del)
 
     def read(self, partition):
         if self.agg_spec is not None:
@@ -623,11 +699,93 @@ class ShcRestReader(DataSourceReader):
             yield pa.RecordBatch.from_arrays(arrays, schema=declared)
 
 
-def rest_schema(cat) -> StructType:
+def rest_schema(cat, include_deletes: bool = False) -> StructType:
     """Catalog columns + __ts; no __rowkey (the wire Row key is decoded
     into its dimensions client-side)."""
-    base = internal_schema(cat)
+    base = internal_schema(cat, include_deletes=include_deletes)
     return StructType([f for f in base.fields if f.name != ROWKEY_COL])
+
+
+class RestGenPartition(InputPartition):
+    def __init__(self, gen_id: int) -> None:
+        self.gen_id = gen_id
+
+
+class ShcRestStreamReader(DataSourceStreamReader):
+    """Streaming SOURCE over the REST transport: generation tailing
+    (the embedded ShcStreamReader's contract) with offsets = committed
+    region-entry counts fetched from GET /{table}/generations; each new
+    entry replays RAW over a single-generation scanner — one row per
+    version, tombstones flagged when includeDeletes — so the CDC feed
+    runs over the wire too."""
+
+    def __init__(self, schema, options: dict) -> None:
+        self.options = options
+        self.cat = parse_catalog(options["catalog"])
+        self.url = options["url"].rstrip("/")
+        self.batch = int(options.get("batch", 4096))
+        self.include_deletes = (
+            str(options.get("includedeletes", options.get("includeDeletes", ""))).lower()
+            == "true"
+        )
+
+    @property
+    def _table(self) -> str:
+        return f"{self.cat.namespace}.{self.cat.name}"
+
+    def _count(self) -> int:
+        data, _ = _http_json(f"{self.url}/{self._table}/generations")
+        return int(data["count"])
+
+    def initialOffset(self) -> dict:
+        if self.options.get("startingoffsets", "earliest") == "latest":
+            return {"n": self._count()}
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": self._count()}
+
+    def partitions(self, start: dict, end: dict):
+        n0, n1 = start["n"], end["n"]
+        if n1 < n0:
+            raise RuntimeError(
+                "shc table was overwritten while being streamed over "
+                "REST (generation count shrank); restart from a fresh "
+                "checkpoint"
+            )
+        if n1 == n0:
+            return [RestGenPartition(-1)]
+        return [RestGenPartition(g) for g in range(n0, n1)]
+
+    def read(self, partition):
+        if partition.gen_id < 0:
+            return
+        declared = to_arrow_schema(rest_schema(self.cat, self.include_deletes))
+        _, headers = _http_json(
+            f"{self.url}/{self._table}/scanner",
+            "POST",
+            {"generation": partition.gen_id, "batch": self.batch},
+        )
+        loc = headers["Location"]
+        try:
+            while True:
+                page, _ = _http_json(f"{self.url}{loc}")
+                if page is None:
+                    break
+                rows = page["Row"]
+                if not self.include_deletes:
+                    rows = [r for r in rows if not r.get("del")]
+                cols = _decode_rest_rows(self.cat, rows, self.include_deletes)
+                arrays = [pa.array(cols[f.name], type=f.type) for f in declared]
+                yield pa.RecordBatch.from_arrays(arrays, schema=declared)
+        finally:
+            try:
+                _http_json(f"{self.url}{loc}", "DELETE")
+            except Exception:
+                pass
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 @dataclass
@@ -727,10 +885,14 @@ class ShcRestDataSource(DataSource):
         raw_agg = self.options.get("aggregate")
         if raw_agg:
             return aggregate_partial_schema(cat, _parse_agg_spec(cat, raw_agg))
-        return rest_schema(cat)
+        dels = str(self.options.get("includedeletes", self.options.get("includeDeletes", ""))).lower() == "true"
+        return rest_schema(cat, include_deletes=dels)
 
     def reader(self, schema) -> ShcRestReader:
         return ShcRestReader(schema, dict(self.options))
+
+    def streamReader(self, schema) -> ShcRestStreamReader:
+        return ShcRestStreamReader(schema, dict(self.options))
 
     def writer(self, schema, overwrite: bool):
         if overwrite:
@@ -854,3 +1016,26 @@ def write_table_rest(
     if timestamp is not None:
         w = w.option("timestamp", str(timestamp))
     w.save()
+
+
+def read_stream_table_rest(
+    spark,
+    catalog: str,
+    url: str,
+    include_deletes: bool = False,
+    starting_offsets: str = "earliest",
+):
+    """readStream over the REST transport: generation tailing, raw
+    version rows (merge-to-latest is a downstream stateful concern,
+    same contract as the embedded streaming source); includeDeletes
+    surfaces tombstones as a CDC feed."""
+    register_rest(spark)
+    reader = (
+        spark.readStream.format("shc-rest")
+        .option("catalog", catalog)
+        .option("url", url)
+        .option("startingOffsets", starting_offsets)
+    )
+    if include_deletes:
+        reader = reader.option("includeDeletes", "true")
+    return reader.load()

@@ -2702,3 +2702,42 @@ def test_rest_write_null_cells_not_stored(spark, tmp_path):
     for k in range(5):
         assert got[k]["val"] == 777.0                       # updated
         assert got[k]["grp"] == f"g{k % 3}"                  # survived
+
+
+def test_rest_stream_tails_generations(spark, tmp_path):
+    """readStream over REST: each append generation becomes a
+    micro-batch; includeDeletes surfaces tombstones as a CDC feed."""
+    import uuid as _uuid
+
+    from shc_spark.sources import delete_rows
+    from shc_spark.sources.rest import (
+        ensure_rest_server,
+        read_stream_table_rest,
+        write_table_rest,
+    )
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=40, regions=4)
+    upd = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("gS").alias("grp"),
+        F.lit(5.0).alias("val"), F.lit(2).cast("int").alias("n"),
+    )
+    write_table_rest(upd, CAT_AGG, url, timestamp=2000)
+    delete_rows(spark, CAT_AGG, [0, 1], root=root, timestamp=3000)
+
+    stream = read_stream_table_rest(spark, CAT_AGG, url, include_deletes=True)
+    name = f"m_{_uuid.uuid4().hex[:10]}"
+    q = (
+        stream.select("k", "grp", "__ts", "__del")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table(name).collect()
+    spark.catalog.dropTempView(name)
+    # 40 base versions + 10 updates + 2 tombstones, raw
+    assert len(rows) == 52
+    dels = [r for r in rows if r["__del"] == 1]
+    assert sorted(r["k"] for r in dels) == [0, 1]
+    assert sum(1 for r in rows if r["grp"] == "gS") == 10
+    assert sum(1 for r in rows if r["__ts"] == 1000) == 40

@@ -141,13 +141,48 @@ class _TableService:
             spans.append({"start": None, "end": None})
         return spans
 
-    def scan_rows(self, table: str, start: bytes | None, stop: bytes | None):
+    def scan_rows(self, table: str, start: bytes | None, stop: bytes | None,
+                  flt: dict | None = None):
         """Yield (key_bytes, ts, {b"cf:qual": value_bytes}) in key order
-        within each partition — the region-scanner contract."""
+        within each partition — the region-scanner contract. ``flt`` is
+        an optional FilterList of SingleColumnValueFilters applied
+        SERVER-side (BinaryComparator byte order, filterIfMissing) so
+        non-matching rows never cross the wire — the role HBase filters
+        play for the reference (HBaseFilter.scala's pushed filters)."""
         rng = [ScanRange(start, True, stop, False)] if (start or stop) else None
         cat, rdr = self._reader(table, rng)
-        coder = get_coder(cat.table_coder)
         value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
+        scvfs = []
+        for spec in (flt or {}).get("filters", ()):
+            if spec.get("type") != "SingleColumnValueFilter":
+                raise ValueError(f"unsupported filter {spec.get('type')!r}")
+            scvfs.append(
+                (
+                    f"{spec['family']}:{spec['qualifier']}".encode(),
+                    spec["op"],
+                    _unb64(spec["value"]) if "value" in spec else None,
+                )
+            )
+
+        def _passes(cells: dict) -> bool:
+            for cell_name, op, val in scvfs:
+                got = cells.get(cell_name)
+                if got is None:
+                    return False  # filterIfMissing
+                if op == "NOT_NULL":
+                    continue
+                if op == "EQUAL" and got != val:
+                    return False
+                if op == "GREATER" and not got > val:
+                    return False
+                if op == "GREATER_OR_EQUAL" and not got >= val:
+                    return False
+                if op == "LESS" and not got < val:
+                    return False
+                if op == "LESS_OR_EQUAL" and not got <= val:
+                    return False
+            return True
+
         for part in rdr.partitions():
             for batch in rdr.read(part):
                 keys = batch.column(ROWKEY_COL).to_pylist()
@@ -168,6 +203,8 @@ class _TableService:
                         else:
                             enc = get_coder(f.coder).to_bytes(v, f.dt)
                         cells[f"{f.cf}:{f.col}".encode()] = enc
+                    if scvfs and not _passes(cells):
+                        continue
                     yield bytes(key), int(tss[i]), cells
 
     def generation_count(self, table: str) -> int:
@@ -428,7 +465,9 @@ class MockHBaseRestServer:
                             stop = _unb64(body["endRow"]) if body.get("endRow") else None
                             it = (
                                 (k, ts, cells, False)
-                                for k, ts, cells in svc.scan_rows(parts[0], start, stop)
+                                for k, ts, cells in svc.scan_rows(
+                                    parts[0], start, stop, body.get("filter")
+                                )
                             )
                         with lock:
                             scanners[sid] = (it, batch)
@@ -559,8 +598,9 @@ def _decode_rest_rows(cat, rows: list, with_del: bool = False) -> dict:
 
 
 class RestPartition(InputPartition):
-    def __init__(self, ranges: tuple) -> None:
+    def __init__(self, ranges: tuple, vfilters: tuple = ()) -> None:
         self.ranges = ranges  # tuple of (start|None, stop|None) byte pairs
+        self.vfilters = vfilters  # SingleColumnValueFilter specs (server-side)
 
 
 class ShcRestReader(DataSourceReader):
@@ -577,10 +617,60 @@ class ShcRestReader(DataSourceReader):
         raw_agg = options.get("aggregate")
         self.agg_spec = _parse_agg_spec(self.cat, raw_agg) if raw_agg else None
         self.hrf = HRF.full()
+        self.value_filters: list[dict] = []
 
     @property
     def _table(self) -> str:
         return f"{self.cat.namespace}.{self.cat.name}"
+
+    def _value_filter_spec(self, f) -> dict | None:
+        """Spark Filter on a VALUE column -> SingleColumnValueFilter
+        spec (the HBase filter the reference pushes,
+        HBaseFilter.scala's ValueFilter path). Server-side comparison
+        is BinaryComparator byte order, so comparisons push only for
+        order-preserving (coder, dtype) pairs; equality pushes for any
+        coder. filterIfMissing semantics: rows lacking the cell are
+        dropped server-side — safe, Spark would reject NULLs for these
+        predicates anyway (and re-evaluates everything we push)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "EQUAL",
+            GreaterThan: "GREATER",
+            GreaterThanOrEqual: "GREATER_OR_EQUAL",
+            LessThan: "LESS",
+            LessThanOrEqual: "LESS_OR_EQUAL",
+        }
+        if isinstance(f, IsNotNull):
+            attr, value, op = f.attribute, None, "NOT_NULL"
+        elif type(f) in ops:
+            attr, value, op = f.attribute, f.value, ops[type(f)]
+        else:
+            return None
+        if len(attr) != 1:
+            return None
+        fld = self.cat.fields.get(attr[0])
+        if fld is None or fld.is_rowkey or fld.avro_schema is not None:
+            return None
+        coder = get_coder(fld.coder)
+        if op not in ("EQUAL", "NOT_NULL") and not coder.order_preserving_for(fld.dt):
+            return None  # byte order != value order: not pushable
+        spec = {
+            "type": "SingleColumnValueFilter",
+            "family": fld.cf,
+            "qualifier": fld.col,
+            "op": op,
+        }
+        if value is not None:
+            spec["value"] = _b64(coder.to_bytes(value, fld.dt))
+        return spec
 
     def pushFilters(self, filters):
         key_fields = self.cat.rowkey_fields()
@@ -597,6 +687,13 @@ class ShcRestReader(DataSourceReader):
         points_only = not coder.order_preserving_for(first.dt)
         pushed = self.hrf
         for f in filters:
+            vf = self._value_filter_spec(f)
+            if vf is not None:
+                # server drops non-matching rows pre-wire; Spark still
+                # re-evaluates (we always yield the filter back)
+                self.value_filters.append(vf)
+                yield f
+                continue
             try:
                 sub = translate_filters(
                     [f], first.col_name, lambda v: coder.to_bytes(v, first.dt), points_only
@@ -613,6 +710,7 @@ class ShcRestReader(DataSourceReader):
     def partitions(self):
         data, _ = _http_json(f"{self.url}/{self._table}/regions")
         hrf, self.hrf = self.hrf, HRF.full()
+        vfs, self.value_filters = tuple(self.value_filters), []
         if self.cat.salt_buckets and hrf.ranges != HRF.full().ranges:
             # salted physical keys carry a hash prefix: fan unsalted
             # ranges across the buckets BEFORE region intersection
@@ -635,7 +733,8 @@ class ShcRestReader(DataSourceReader):
                                 (r.end + b"\x00") if (r.end is not None and r.end_inclusive) else r.end,
                             )
                             for r in live
-                        )
+                        ),
+                        vfilters=vfs,
                     )
                 )
         if not parts:
@@ -657,6 +756,12 @@ class ShcRestReader(DataSourceReader):
                 body["startRow"] = _b64(start)
             if stop is not None:
                 body["endRow"] = _b64(stop)
+            if partition.vfilters:
+                body["filter"] = {
+                    "type": "FilterList",
+                    "op": "MUST_PASS_ALL",
+                    "filters": list(partition.vfilters),
+                }
             _, headers = _http_json(
                 f"{self.url}/{self._table}/scanner", "POST", body
             )

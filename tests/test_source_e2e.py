@@ -2741,3 +2741,60 @@ def test_rest_stream_tails_generations(spark, tmp_path):
     assert sorted(r["k"] for r in dels) == [0, 1]
     assert sum(1 for r in rows if r["grp"] == "gS") == 10
     assert sum(1 for r in rows if r["__ts"] == 1000) == 40
+
+
+def test_rest_value_filter_pushes_server_side(spark, tmp_path):
+    """SingleColumnValueFilter over the wire: non-matching rows never
+    leave the server (counted via a direct scanner probe), and the
+    DataFrame answer is exact (Spark still re-evaluates on top)."""
+    import urllib.request
+
+    from shc_spark.sources.rest import read_table_rest
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=90, regions=4)
+
+    got = (
+        read_table_rest(spark, CAT_AGG, url)
+        .filter((F.col("grp") == "g1") & (F.col("val") >= 60.0))
+        .collect()
+    )
+    exp = sorted(k for k in range(90) if k % 3 == 1 and k * 1.5 >= 60.0)
+    assert sorted(r["k"] for r in got) == exp
+
+    # raw scanner probe: with the filter, the server returns only the
+    # matching rows; without it, all 90
+    def scan_count(body):
+        req = urllib.request.Request(
+            f"{url}/default.aggscan/scanner",
+            data=json.dumps(body).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            loc = resp.headers["Location"]
+        n = 0
+        while True:
+            with urllib.request.urlopen(f"{url}{loc}") as resp:
+                if resp.status == 204:
+                    return n
+                n += len(json.loads(resp.read())["Row"])
+
+    import base64 as _b
+
+    from shc_spark.catalog import parse_catalog
+    from shc_spark.coders import get_coder
+    from pyspark.sql import types as T
+
+    cat = parse_catalog(CAT_AGG)
+    g1 = _b.b64encode(get_coder(cat.fields["grp"].coder).to_bytes("g1", T.StringType())).decode()
+    flt = {
+        "type": "FilterList",
+        "op": "MUST_PASS_ALL",
+        "filters": [
+            {"type": "SingleColumnValueFilter", "family": "cf", "qualifier": "g",
+             "op": "EQUAL", "value": g1},
+        ],
+    }
+    assert scan_count({"batch": 1000}) == 90
+    assert scan_count({"batch": 1000, "filter": flt}) == 30

@@ -387,28 +387,32 @@ class MockHBaseRestServer:
                 parts = [p for p in self.path.split("/") if p]
                 try:
                     if len(parts) == 2 and parts[0] == "scanner":
+                        # page assembly holds the lock: generators are
+                        # not thread-safe, and a retried HTTP request
+                        # must not interleave next() calls (the mock
+                        # favors correctness over concurrency)
                         with lock:
                             sc = scanners.get(parts[1])
-                        if sc is None:
-                            return self._json(404, {"error": "no such scanner"})
-                        rows = []
-                        it, batch = sc
-                        for _ in range(batch):
-                            try:
-                                key, ts, cells, deleted = next(it)
-                            except StopIteration:
-                                break
-                            row = {
-                                "key": _b64(key),
-                                "ts": ts,  # row-level ts survives cell-less rows
-                                "Cell": [
-                                    {"column": _b64(c), "timestamp": ts, "$": _b64(v)}
-                                    for c, v in cells.items()
-                                ],
-                            }
-                            if deleted:
-                                row["del"] = True  # protocol extension: CDC tombstone
-                            rows.append(row)
+                            if sc is None:
+                                return self._json(404, {"error": "no such scanner"})
+                            rows = []
+                            it, batch = sc
+                            for _ in range(batch):
+                                try:
+                                    key, ts, cells, deleted = next(it)
+                                except StopIteration:
+                                    break
+                                row = {
+                                    "key": _b64(key),
+                                    "ts": ts,  # row-level ts survives cell-less rows
+                                    "Cell": [
+                                        {"column": _b64(c), "timestamp": ts, "$": _b64(v)}
+                                        for c, v in cells.items()
+                                    ],
+                                }
+                                if deleted:
+                                    row["del"] = True  # protocol extension: CDC tombstone
+                                rows.append(row)
                         if not rows:
                             self.send_response(204)
                             self.end_headers()
@@ -471,6 +475,10 @@ class MockHBaseRestServer:
                             )
                         with lock:
                             scanners[sid] = (it, batch)
+                            # leaked scanners (client died before
+                            # DELETE) must not grow unbounded
+                            while len(scanners) > 512:
+                                scanners.pop(next(iter(scanners)))
                         self.send_response(201)
                         self.send_header("Location", f"/scanner/{sid}")
                         self.send_header("Content-Length", "0")

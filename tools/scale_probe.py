@@ -291,6 +291,32 @@ def main() -> None:
             d, "source", "doc_id",
             {f"src{i}": 50 for i in range(20)}, prefilter=True,
         ),
+        # r11: sorted-neighborhood pairing — the wall is the
+        # global_rank range shuffle (no single-partition window);
+        # pairs output scales linearly with the corpus
+        "dedup_snm_pairs": lambda d, e: __import__(
+            "shc_spark.operators.linkage", fromlist=["linkage"]
+        ).snm_pairs(
+            d.select(
+                "doc_id",
+                F.substring(
+                    F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9 ]", ""),
+                    1, 24,
+                ).alias("k"),
+            ),
+            F.col("k"), 6, "doc_id",
+        ),
+        # r11: KMV sketch build + pairwise overlap — distinct shuffle
+        # is map-side combined; the k-min is WindowGroupLimit; the
+        # pair math is sketch-sized (190 pairs regardless of corpus)
+        "kmv_vocab_overlap": lambda d, e: __import__(
+            "shc_spark.operators.sketch", fromlist=["sketch"]
+        ).kmv_overlap(
+            d.select("source", F.explode(F.split("text", " ")).alias("t")).where(
+                F.col("t") != ""
+            ),
+            "source", "t", k=64,
+        ),
         "bloom_semi_join": lambda d, e: __import__(
             "shc_spark.operators.bloom", fromlist=["bloom"]
         ).bloom_semi_join(

@@ -339,12 +339,62 @@ class _TableService:
         for tx in txs:
             buffers.pop((table, tx), None)
 
-    def aggregate(self, table: str, spec_raw: str, start: bytes | None, stop: bytes | None):
+    def aggregate(self, table: str, spec_raw: str, start: bytes | None,
+                  stop: bytes | None, flt: dict | None = None):
         """Coprocessor-analog endpoint: partial aggregates computed
-        server-side over the (range-limited) scan."""
+        server-side over the (range-limited, filter-limited) scan —
+        HBase's AggregationClient takes a full Scan, filters included.
+        SCVF specs apply as TYPED comparisons pre-aggregation (byte
+        order == value order for the coder/dtype pairs the client
+        pushes, so the semantics match the row-scanner path)."""
+        import pyarrow.compute as pc
+
         rng = [ScanRange(start, True, stop, False)] if (start or stop) else None
         cat, rdr = self._reader(table, rng)
         rdr.agg_spec = _parse_agg_spec(cat, spec_raw)
+        if flt:
+            by_cell = {
+                (f.cf, f.col): f
+                for f in cat.fields.values()
+                if not f.is_rowkey
+            }
+            preds = []  # (col_name, op, typed_value)
+            for spec in flt.get("filters", ()):
+                if spec.get("type") != "SingleColumnValueFilter":
+                    raise ValueError(f"unsupported filter {spec.get('type')!r}")
+                f = by_cell.get((spec["family"], spec["qualifier"]))
+                if f is None:
+                    raise ValueError(
+                        f"filter on unknown cell {spec['family']}:{spec['qualifier']}"
+                    )
+                val = (
+                    get_coder(f.coder).from_bytes(_unb64(spec["value"]), f.dt)
+                    if "value" in spec
+                    else None
+                )
+                preds.append((f.col_name, spec["op"], val))
+            ops = {
+                "EQUAL": pc.equal,
+                "GREATER": pc.greater,
+                "GREATER_OR_EQUAL": pc.greater_equal,
+                "LESS": pc.less,
+                "LESS_OR_EQUAL": pc.less_equal,
+            }
+
+            def row_filter(batch):
+                mask = None
+                for col, op, val in preds:
+                    arr = batch.column(col)
+                    if op == "NOT_NULL":
+                        cond = arr.is_valid()
+                    else:
+                        # null cells fail the predicate (filterIfMissing)
+                        cond = pc.fill_null(ops[op](arr, val), False)
+                    mask = cond if mask is None else pc.and_(mask, cond)
+                return batch.filter(mask) if mask is not None else batch
+
+            rdr.row_filter = row_filter
+            rdr.row_filter_cols = {c for c, _, _ in preds}
         out = []
         declared = aggregate_partial_schema(cat, rdr.agg_spec)
         names = [f.name for f in declared.fields]
@@ -488,7 +538,8 @@ class MockHBaseRestServer:
                         start = _unb64(body["startRow"]) if body.get("startRow") else None
                         stop = _unb64(body["endRow"]) if body.get("endRow") else None
                         rows = svc.aggregate(
-                            parts[0], json.dumps(body["spec"]), start, stop
+                            parts[0], json.dumps(body["spec"]), start, stop,
+                            body.get("filter"),
                         )
                         return self._json(200, {"rows": rows})
                     if len(parts) == 2 and parts[1] == "rows":
@@ -802,6 +853,12 @@ class ShcRestReader(DataSourceReader):
                 body["startRow"] = _b64(start)
             if stop is not None:
                 body["endRow"] = _b64(stop)
+            if getattr(partition, "vfilters", ()):
+                body["filter"] = {
+                    "type": "FilterList",
+                    "op": "MUST_PASS_ALL",
+                    "filters": list(partition.vfilters),
+                }
             data, _ = _http_json(f"{self.url}/{self._table}/aggregate", "POST", body)
             rows = data["rows"]
             if not rows:

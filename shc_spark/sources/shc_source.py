@@ -291,6 +291,13 @@ class ShcReader(DataSourceReader):
         self.agg_spec = _parse_agg_spec(self.cat, raw_agg) if raw_agg else None
         if self.agg_spec is not None and self.include_deletes:
             raise ValueError("aggregate scans and includeDeletes are exclusive")
+        # optional per-batch predicate applied BEFORE aggregation
+        # (RecordBatch -> RecordBatch); set by embedding callers (the
+        # REST service's filtered /aggregate), not via options.
+        # row_filter_cols names the extra columns the predicate reads
+        # so the pruned aggregate scan still materializes them.
+        self.row_filter = None
+        self.row_filter_cols: set = set()
         self.hrf = self._base_hrf_from_options(options)
 
     def _base_hrf_from_options(self, options: dict) -> HRF:
@@ -624,6 +631,7 @@ class ShcReader(DataSourceReader):
         spec = self.agg_spec
         group = spec["group_by"]
         needed = set(group) | {c for _, c in spec["aggs"] if c != "*"}
+        needed |= self.row_filter_cols
         base = to_arrow_schema(internal_schema(self.cat))
         want = pa.schema(
             [f for f in base if f.name in needed or f.name in (ROWKEY_COL, TS_COL)]
@@ -643,6 +651,10 @@ class ShcReader(DataSourceReader):
             first_aggs.append((src, fn))
         partials = []
         for batch in batches:
+            if self.row_filter is not None:
+                batch = self.row_filter(batch)
+                if not len(batch):
+                    continue
             t = pa.Table.from_batches([batch])
             gb = t.group_by(group, use_threads=False) if group else t.group_by([], use_threads=False)
             partials.append(gb.aggregate(first_aggs))

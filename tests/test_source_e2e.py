@@ -2798,3 +2798,53 @@ def test_rest_value_filter_pushes_server_side(spark, tmp_path):
     }
     assert scan_count({"batch": 1000}) == 90
     assert scan_count({"batch": 1000, "filter": flt}) == 30
+
+
+def test_rest_aggregate_with_filter(spark, tmp_path):
+    """AggregationClient parity: the /aggregate endpoint takes the
+    Scan's filters too — partials computed over the filtered rows
+    server-side (verified via a direct endpoint probe), and a
+    group-column predicate on the aggregated frame pushes through
+    Catalyst into the scanner spec."""
+    import base64 as _b
+    import urllib.request
+
+    from shc_spark.catalog import parse_catalog
+    from shc_spark.coders import get_coder
+    from shc_spark.sources.rest import scan_aggregate_rest
+    from pyspark.sql import types as T
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=90, regions=4)
+
+    # Catalyst path: predicate on the group column pushes below the
+    # final aggregate into the scanner spec
+    agg = scan_aggregate_rest(
+        spark, CAT_AGG, url, ["grp"], [("count", "*"), ("sum", "val")]
+    ).filter(F.col("grp") == "g1")
+    rows = agg.collect()
+    assert len(rows) == 1 and rows[0]["count_all"] == 30
+    assert rows[0]["sum_val"] == sum(k * 1.5 for k in range(90) if k % 3 == 1)
+
+    # direct endpoint probe: the filter changes the partials themselves
+    cat = parse_catalog(CAT_AGG)
+    g1 = _b.b64encode(
+        get_coder(cat.fields["grp"].coder).to_bytes("g1", T.StringType())
+    ).decode()
+
+    def agg_total(body):
+        req = urllib.request.Request(
+            f"{url}/default.aggscan/aggregate",
+            data=json.dumps(body).encode(), method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            rows = json.loads(resp.read())["rows"]
+        return sum(r["count_all"] for r in rows)
+
+    spec = {"groupBy": [], "aggs": [["count", "*"]]}
+    assert agg_total({"spec": spec}) == 90
+    flt = {"type": "FilterList", "op": "MUST_PASS_ALL",
+           "filters": [{"type": "SingleColumnValueFilter", "family": "cf",
+                        "qualifier": "g", "op": "EQUAL", "value": g1}]}
+    assert agg_total({"spec": spec, "filter": flt}) == 30

@@ -135,6 +135,8 @@ def global_rank(
     order_cols: list[str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    eager: bool = False,
+    allow_wide_cache: bool = False,
 ) -> DataFrame:
     """0-based global rank by ``order_cols`` WITHOUT the
     single-partition window a bare ``row_number() OVER (ORDER BY ...)``
@@ -149,11 +151,35 @@ def global_rank(
     samples; an unpersisted recompute could draw different bounds and
     misalign the offsets).
 
+    Cache contract (the persist is load-bearing, so it has teeth):
+
+    - **Project first.** The WHOLE input frame is cached across the two
+      passes, so a wide 100-TB corpus must not be passed directly —
+      select ``order_cols`` + a unique id, rank that, and broadcast/
+      join the payload back by id.  Inputs wider than ``order_cols``
+      plus 2 payload columns raise unless ``allow_wide_cache=True``.
+    - **Lifetime.** With ``eager=False`` (default) the result stays
+      lazy and the cached frame lives until the session ends or the
+      caller materializes + forgets it — fine for one-shot jobs, a
+      leak if called in a loop.  ``eager=True`` localCheckpoints the
+      (narrow) result and unpersists the staging cache before
+      returning, so nothing outlives the call.
+
     ``order_cols`` must be a total order (append a unique id as the
     last column) or equal rows get arbitrary-but-disjoint ranks within
     their tie group.
     """
     from pyspark import StorageLevel
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    extra = [c for c in df.columns if c not in order_cols]
+    if len(extra) > 2 and not allow_wide_cache:
+        raise ValueError(
+            f"global_rank caches its whole input across two passes; got "
+            f"{len(extra)} payload columns beyond order_cols ({extra[:5]}...). "
+            "Project to order_cols + a unique id first and join the payload "
+            "back by id, or pass allow_wide_cache=True if the frame is small."
+        )
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
@@ -169,7 +195,11 @@ def global_rank(
         offsets[pid] = acc
         acc += counts[pid]
 
-    out_schema = df.schema.add(rank_col, "long", False)
+    # fresh StructType — StructType.add mutates in place, which would
+    # plant a phantom rank field in the CALLER's cached df.schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(rank_col, LongType(), False)]
+    )
 
     def assign(it):
         seen = 0
@@ -181,7 +211,11 @@ def global_rank(
             pdf[rank_col] = range(base, base + len(pdf))
             yield pdf
 
-    return parted.mapInPandas(assign, schema=out_schema)
+    ranked = parted.mapInPandas(assign, schema=out_schema)
+    if eager:
+        ranked = ranked.localCheckpoint(eager=True)
+        parted.unpersist(blocking=False)
+    return ranked
 
 
 def snm_pairs(
@@ -206,10 +240,15 @@ def snm_pairs(
     """
     if window < 2:
         raise ValueError("snm window must be >= 2")
+    # eager=True: the ranked dictionary is consumed twice (both sides
+    # of the block self-join), so the localCheckpoint doubles as reuse,
+    # and the staging cache inside global_rank is released immediately
+    # instead of leaking one cached frame per call.
     ranked = global_rank(
         df.select(F.col(id_col), key.alias("__snm_key")),
         ["__snm_key", id_col],
         rank_col="__rank",
+        eager=True,
     ).select(id_col, "__rank")
     blk = (F.col("__rank") / window).cast("long")
     left = ranked.select(

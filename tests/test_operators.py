@@ -4139,6 +4139,60 @@ def test_snm_pairs_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_global_rank_does_not_mutate_caller_schema(spark):
+    """StructType.add mutates in place; global_rank must build a fresh
+    output schema, not plant a phantom rank field in the caller's
+    cached df.schema (ADVICE r11)."""
+    from shc_spark.operators.linkage import global_rank
+
+    df = spark.range(50).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    before = [f.name for f in df.schema.fields]
+    out = global_rank(df, ["k", "id"])
+    out.collect()
+    assert [f.name for f in df.schema.fields] == before
+    # the classic symptom: select(*df.columns) must still plan
+    assert df.select(*df.columns).columns == before
+
+
+def test_global_rank_wide_frame_raises_cache_guard(spark):
+    """global_rank caches its whole input across two passes; a wide
+    payload frame must raise instead of silently caching the corpus
+    (VERDICT r11 #7)."""
+    import pytest
+
+    from shc_spark.operators.linkage import global_rank
+
+    df = spark.range(20).select(
+        "id",
+        *[F.md5(F.concat(F.lit(str(i)), F.col("id").cast("string"))).alias(f"p{i}")
+          for i in range(5)],
+    )
+    with pytest.raises(ValueError, match="payload columns"):
+        global_rank(df, ["id"])
+    # explicit opt-in still works for small frames
+    got = global_rank(df, ["id"], allow_wide_cache=True).collect()
+    assert sorted(r["rank"] for r in got) == list(range(20))
+
+
+def test_global_rank_eager_releases_staging_cache(spark):
+    """eager=True must unpersist the range-partitioned staging frame;
+    only the (bounded, narrow) localCheckpoint may remain (ADVICE r11)."""
+    from shc_spark.operators.linkage import global_rank
+
+    sc = spark.sparkContext
+    def n_cached():
+        return sc._jsc.getPersistentRDDs().size()
+
+    base = n_cached()
+    df = spark.range(200).select(F.col("id"), (F.col("id") % 9).alias("k"))
+    out = global_rank(df, ["k", "id"], eager=True)
+    rows = out.collect()
+    assert len(rows) == 200
+    # the MEMORY_AND_DISK staging cache is gone; at most the checkpoint
+    # RDD of the narrow result remains until GC'd
+    assert n_cached() <= base + 1
+
+
 def test_mmr_rerank_matches_numpy_reference(spark):
     """Greedy MMR vs an independent numpy replay — including the
     negative-max-sim case (a zero-seeded running max would clamp it)."""

@@ -1157,6 +1157,89 @@ def shc_rest_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r12: composite rowkey + Avro cell BYTE contract over the wire — the
+# two serde layers the single-dim REST gates skip (fixed-width bigint
+# prefix + var-width string tail, coders/base.py:29; Avro blobs as
+# opaque cells). Base written embedded, an update PUT over REST (the
+# batch rowkey/cell kernels frame the wire bytes), read back over REST
+# with a first-dim range pushed as scanner bounds. Oracle recomputes
+# the post-update state from the source parquet.
+CAT_PART_CK_AVRO = json.dumps(
+    {
+        "table": {"namespace": "q", "name": "part_ck_avro", "tableCoder": "OrderedType", "version": "2.0"},
+        "rowkey": "key1:key2",
+        "columns": {
+            "p_partkey": {"cf": "rowkey", "col": "key1", "type": "bigint"},
+            "p_brand": {"cf": "rowkey", "col": "key2", "type": "string"},
+            "p_info": {"cf": "cf", "col": "info", "avro": "schema_pinfo"},
+            "p_size": {"cf": "cf", "col": "sz", "type": "int"},
+        },
+        "schema_pinfo": json.dumps(
+            {
+                "type": "record",
+                "name": "pinfo",
+                "fields": [
+                    {"name": "p_type", "type": "string"},
+                    {"name": "p_retailprice", "type": "double"},
+                ],
+            }
+        ),
+    }
+)
+
+
+@register(
+    "shc_rest_composite_avro",
+    """
+    SELECT p_partkey, p_brand,
+           CASE WHEN p_partkey <= 50 THEN 'rest-updated' ELSE p_type END AS p_type,
+           CASE WHEN p_partkey <= 50 THEN round(p_retailprice + 100, 2)
+                ELSE round(p_retailprice, 2) END AS retail,
+           p_size
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def shc_rest_composite_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.sources.rest import (
+        ensure_rest_server,
+        read_table_rest,
+        write_table_rest,
+    )
+
+    root = _root(sf_dir, "restcka")
+    marker = os.path.join(root, "q.part_ck_avro", "_done_rest_ck_avro")
+    if not os.path.exists(marker):
+        part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        df = part.select(
+            "p_partkey",
+            "p_brand",
+            F.struct("p_type", "p_retailprice").alias("p_info"),
+            F.col("p_size").cast("int").alias("p_size"),
+        )
+        write_table(df, CAT_PART_CK_AVRO, root=root, num_regions=6, mode="overwrite", timestamp=1000)
+        url = ensure_rest_server(root)
+        upd = part.filter(F.col("p_partkey") <= 50).select(
+            "p_partkey",
+            "p_brand",
+            F.struct(
+                F.lit("rest-updated").alias("p_type"),
+                (F.col("p_retailprice") + 100).alias("p_retailprice"),
+            ).alias("p_info"),
+            F.col("p_size").cast("int").alias("p_size"),
+        )
+        write_table_rest(upd, CAT_PART_CK_AVRO, url, timestamp=2000)
+        open(marker, "w").write("ok")
+    url = ensure_rest_server(root)
+    t = read_table_rest(spark, CAT_PART_CK_AVRO, url)
+    return t.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_info.p_type").alias("p_type"),
+        F.round("p_info.p_retailprice", 2).alias("retail"),
+        "p_size",
+    )
+
+
 # Coprocessor-style aggregation scan (the HBase AggregationClient /
 # AggregateImplementation analog, beyond the reference): each region
 # partition returns PARTIAL aggregates computed inside the scan (arrow

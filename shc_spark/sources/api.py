@@ -70,23 +70,22 @@ def _encode_dim_vectorized(col: pd.Series, coder, dt: T.DataType) -> "list[bytes
     return None
 
 
-def _rowkey_encoder(cat: Catalog):
-    """Vectorized rowkey encoder: pandas UDF over the key columns
-    (Arrow-batched, numpy-encoded per dimension — the write-side fix
-    for the reference's per-row `convertToPut` cost,
-    HBaseRelation.scala:202-267)."""
+class _AvroKeyPass:
+    """Avro-coded rowkey dims (AvroSourceKeySuite.scala) arrive
+    already serialized (write_table avro-encodes before the rowkey
+    projection): the key encoding is the Avro binary itself."""
+
+    order_preserving = False
+
+    def to_bytes(self, v, dt):
+        return bytes(v)
+
+
+def _key_encode_ctx(cat: Catalog) -> tuple:
+    """Per-catalog immutable metadata for whole-batch rowkey encoding:
+    (coders, dts, lengths, names, phoenix_like). Computed once per
+    writer, shared by the pandas-UDF path and the REST Put path."""
     key_fields = cat.rowkey_fields()
-
-    class _AvroKeyPass:
-        """Avro-coded rowkey dims (AvroSourceKeySuite.scala) arrive
-        already serialized (write_table avro-encodes before the rowkey
-        projection): the key encoding is the Avro binary itself."""
-
-        order_preserving = False
-
-        def to_bytes(self, v, dt):
-            return bytes(v)
-
     coders = [
         _AvroKeyPass() if f.avro_schema is not None else get_coder(f.coder)
         for f in key_fields
@@ -95,6 +94,18 @@ def _rowkey_encoder(cat: Catalog):
     lengths = [f.length if f.var_length is False else None for f in key_fields]
     names = [f.col_name for f in key_fields]
     phoenix_like = [type(c).__name__ == "PhoenixType" for c in coders]
+    return coders, dts, lengths, names, phoenix_like
+
+
+def encode_rowkey_batch(cat: Catalog, cols: "list[pd.Series]", ctx: tuple | None = None) -> list:
+    """Whole-batch rowkey encode (salt prefix included): one list of
+    physical key bytes per input row, no per-row coder dispatch on the
+    fast paths. The single encode kernel behind BOTH transports — the
+    embedded writer's pandas UDF and the REST writer's Put batches —
+    so the wire bytes are definitionally identical to the stored ones."""
+    if ctx is None:
+        ctx = _key_encode_ctx(cat)
+    coders, dts, lengths, names, phoenix_like = ctx
 
     def encode_dim(col: pd.Series, j: int) -> list[bytes]:
         fast = _encode_dim_vectorized(col, coders[j], dts[j])
@@ -113,38 +124,39 @@ def _rowkey_encoder(cat: Catalog):
                     )
         return fast
 
+    dims = [encode_dim(col, j) for j, col in enumerate(cols)]
+    seps = [
+        b"\x00" if phoenix_like[j] and lengths[j] is None and j != len(cols) - 1 else b""
+        for j in range(len(cols))
+    ]
+    if len(dims) == 1:
+        keys = dims[0]
+    else:
+        keys = [b"".join(d[i] + s for d, s in zip(dims, seps)) for i in range(len(dims[0]))]
+    if cat.salt_buckets:
+        # Phoenix SALT_BUCKETS analog: one hash byte prefixed to
+        # the key spreads monotonically-written keys (timestamps,
+        # sequence ids) across regions — the HBase hotspot fix.
+        # Deterministic (md5 of the UNSALTED key bytes), so point
+        # lookups recompute it (Phoenix does the same).
+        import hashlib as _h
+
+        n = cat.salt_buckets
+        keys = [bytes([_h.md5(k).digest()[0] % n]) + k for k in keys]
+    return keys
+
+
+def _rowkey_encoder(cat: Catalog):
+    """Vectorized rowkey encoder: pandas UDF over the key columns
+    (Arrow-batched, numpy-encoded per dimension — the write-side fix
+    for the reference's per-row `convertToPut` cost,
+    HBaseRelation.scala:202-267)."""
+    ctx = _key_encode_ctx(cat)
+    names = ctx[3]
+
     @F.pandas_udf(T.BinaryType())
     def encode(*cols: pd.Series) -> pd.Series:
-        dims = [encode_dim(col, j) for j, col in enumerate(cols)]
-        if cat.salt_buckets:
-            # Phoenix SALT_BUCKETS analog: one hash byte prefixed to
-            # the key spreads monotonically-written keys (timestamps,
-            # sequence ids) across regions — the HBase hotspot fix.
-            # Deterministic (md5 of the UNSALTED key bytes), so point
-            # lookups recompute it (Phoenix does the same).
-            import hashlib as _h
-
-            n = cat.salt_buckets
-            if len(dims) == 1:
-                keys = dims[0]
-            else:
-                seps0 = [
-                    b"\x00" if phoenix_like[j] and lengths[j] is None and j != len(cols) - 1 else b""
-                    for j in range(len(cols))
-                ]
-                keys = [b"".join(d[i] + s0 for d, s0 in zip(dims, seps0)) for i in range(len(dims[0]))]
-            return pd.Series(
-                [bytes([_h.md5(k).digest()[0] % n]) + k for k in keys]
-            )
-        seps = [
-            b"\x00" if phoenix_like[j] and lengths[j] is None and j != len(cols) - 1 else b""
-            for j in range(len(cols))
-        ]
-        if len(dims) == 1:
-            return pd.Series(dims[0])
-        return pd.Series(
-            [b"".join(d[i] + s for d, s in zip(dims, seps)) for i in range(len(dims[0]))]
-        )
+        return pd.Series(encode_rowkey_batch(cat, list(cols), ctx))
 
     return encode, names
 

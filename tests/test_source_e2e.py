@@ -2848,3 +2848,206 @@ def test_rest_aggregate_with_filter(spark, tmp_path):
            "filters": [{"type": "SingleColumnValueFilter", "family": "cf",
                         "qualifier": "g", "op": "EQUAL", "value": g1}]}
     assert agg_total({"spec": spec, "filter": flt}) == 30
+
+
+# ---- REST r12: locality, scanner-eviction recovery, batch encode ------
+
+
+def test_rest_partitions_carry_locality_hosts(spark, tmp_path):
+    """S12 locality seam over the wire: /regions reports the serving
+    host per region span and the client carries it on each partition
+    as preferred_locations() (HBaseTableScan.scala:384-388 — Spark
+    4.1's Python DataSource API has no scheduler hook yet, so the
+    hint rides the partition)."""
+    import urllib.request
+
+    from shc_spark.sources.rest import ShcRestReader
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=200, regions=8)
+    with urllib.request.urlopen(f"{url}/default.aggscan/regions") as resp:
+        regions = json.loads(resp.read())["Region"]
+    assert all(r.get("host") for r in regions)
+    hosts = {r["host"] for r in regions}
+    assert len(hosts) > 1  # round-robin over a synthetic fleet
+
+    parts = ShcRestReader(None, {"catalog": CAT_AGG, "url": url}).partitions()
+    assert len(parts) > 1
+    for p in parts:
+        locs = p.preferred_locations()
+        assert len(locs) == 1 and locs[0] in hosts
+
+
+def test_rest_scanner_eviction_mid_scan_recovers(spark, tmp_path):
+    """Kill the live scanner mid-scan (LRU cap pressure — the mock's
+    analog of HBase scanner lease expiry / UnknownScannerException):
+    the reader must reopen from the last served row and return EXACTLY
+    the remaining rows, no loss, no duplicates."""
+    import urllib.request
+
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import ShcRestReader, _decode_rest_rows
+    from shc_spark.catalog import parse_catalog
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=150, regions=4)
+    cat = parse_catalog(CAT_AGG)
+
+    def flood(n):
+        # open n fresh scanners; past the 512 cap the LRU (our paused
+        # live scanner) gets evicted
+        for _ in range(n):
+            req = urllib.request.Request(
+                f"{url}/default.aggscan/scanner",
+                data=json.dumps({"batch": 1}).encode(),
+                method="POST",
+                headers={"Content-Type": "application/json"},
+            )
+            urllib.request.urlopen(req).close()
+
+    rdr = ShcRestReader(None, {"catalog": CAT_AGG, "url": url, "batch": "20"})
+    got = []
+    evicted_once = False
+    for part in rdr.partitions():
+        gen = rdr.read(part)
+        first = next(gen, None)
+        if first is None:
+            continue
+        got.extend(first.to_pylist())
+        if not evicted_once:
+            flood(600)  # cap is 512: every pre-existing scanner evicted
+            evicted_once = True
+        for batch in gen:
+            got.extend(batch.to_pylist())
+    assert evicted_once
+    exp = read_table(spark, CAT_AGG, root=root).collect()
+    assert sorted((r["k"], r["grp"]) for r in got) == sorted(
+        (r["k"], r["grp"]) for r in exp
+    )
+    assert len(got) == 150  # exactly-once across the eviction
+
+
+def test_rest_scanner_lru_protects_active_scanner(spark, tmp_path):
+    """Eviction is least-recently-TOUCHED first: hundreds of leaked
+    scanners (created, never paged) must be evicted before a scanner
+    that was just paged (ADVICE r11 — the old FIFO evicted actives)."""
+    import urllib.request
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=100, regions=4)
+
+    def open_scanner(batch=5):
+        req = urllib.request.Request(
+            f"{url}/default.aggscan/scanner",
+            data=json.dumps({"batch": batch}).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            return resp.headers["Location"]
+
+    def pull(loc):
+        with urllib.request.urlopen(f"{url}{loc}") as resp:
+            return resp.status
+
+    for _ in range(300):  # leaked: never touched after creation
+        open_scanner()
+    live = open_scanner()
+    assert pull(live) == 200  # touch it
+    for _ in range(300):  # push the table past the 512 cap
+        open_scanner()
+    # 601 scanners existed when the cap bit; the 89+ evicted must all
+    # be the idle leaked ones — the recently-touched one survives
+    assert pull(live) == 200
+
+
+def test_rest_cell_batch_encode_parity(spark):
+    """The writer's whole-column cell kernels must be byte-identical
+    to coder.to_bytes for every (coder, dtype) fast path, including
+    the sign/zero/NaN/infinity edges, with nulls passed through."""
+    import math
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from shc_spark.coders import get_coder
+    from shc_spark.sources.rest import _encode_cells_batch
+
+    int_edges = [0, 1, -1, 7, -120, None]
+    cases = [
+        (T.ByteType(), pa.int8(), int_edges + [127, -128]),
+        (T.ShortType(), pa.int16(), int_edges + [32767, -32768]),
+        (T.IntegerType(), pa.int32(), int_edges + [2**31 - 1, -(2**31)]),
+        (T.LongType(), pa.int64(), int_edges + [2**63 - 1, -(2**63)]),
+        (
+            T.FloatType(),
+            pa.float32(),
+            [0.0, -0.0, 1.5, -2.25, float("inf"), float("-inf"), float("nan"), None],
+        ),
+        (
+            T.DoubleType(),
+            pa.float64(),
+            [0.0, -0.0, 3.141592653589793, -1e300, float("inf"), float("-inf"),
+             float("nan"), None],
+        ),
+        (T.BooleanType(), pa.bool_(), [True, False, None]),
+        (T.StringType(), pa.string(), ["", "abc", "naïve—∑", None]),
+        (T.BinaryType(), pa.binary(), [b"", b"\x00\xff", b"xyz", None]),
+    ]
+    for coder_name in ("OrderedType", "PrimitiveType"):
+        coder = get_coder(coder_name)
+        for dt, pat, values in cases:
+            arr = pa.array(values, type=pat)
+            got = _encode_cells_batch(coder, dt, arr)
+            exp = [None if v is None else coder.to_bytes(v, dt) for v in values]
+            assert got == exp, (coder_name, dt.simpleString(), values, got, exp)
+
+
+def test_rest_write_composite_key_roundtrip(spark, tmp_path):
+    """Composite rowkeys over the wire in BOTH directions: the Put
+    path encodes (fixed-width bigint, var-width tail) through the
+    shared rowkey kernel, the scanner decodes the same bytes back —
+    and a first-dim range pushes as scanner bounds."""
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import (
+        ensure_rest_server,
+        read_table_rest,
+        write_table_rest,
+    )
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "r", "name": "ckrest", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "key1:key2",
+            "columns": {
+                "a": {"cf": "rowkey", "col": "key1", "type": "bigint"},
+                "b": {"cf": "rowkey", "col": "key2", "type": "string"},
+                "v": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    base = spark.range(60).select(
+        (F.col("id") % 20).alias("a"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("b"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    write_table(base, cat, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+    url = ensure_rest_server(root)
+    upd = spark.range(10).select(
+        (F.col("id") % 20).alias("a"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("b"),
+        F.lit(-5.0).alias("v"),
+    )
+    write_table_rest(upd, cat, url, timestamp=2000)
+    got = sorted(read_table_rest(spark, cat, url).collect())
+    exp = sorted(read_table(spark, cat, root=root).collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    assert len(got) == 60
+    assert sum(1 for r in got if r["v"] == -5.0) == 10
+    # first-dim pushdown on the composite key over the wire
+    rng = sorted(
+        read_table_rest(spark, cat, url).filter(F.col("a") < 3).collect()
+    )
+    assert {r["a"] for r in rng} == {0, 1, 2}
+    assert len(rng) == 9

@@ -47,63 +47,42 @@ def _with_utc(fn):
 _MODULES = (connector, pipeline, streaming_q, relational)
 
 _WINDOW = [
-    # r11 rotation (VERDICT r10 #1): ALL 28 gates whose freshest
-    # driver row was r4-r6 get a slot, alongside fresh rows on every
-    # r11-touched path (the Avro truncation-contract decode changes,
-    # the driver-side meta reads + fp32 LUTs in the serving indexes,
-    # the staged index builds, the three scale-curve rewrites, and
-    # the z-keyed q_zorder_box), plus the OLDEST r7 evidence to keep
-    # the freshness budget rolling. Gates rotated out keep their
-    # local oracle check and prior driver rows — the judge reads the
-    # union.
+    # r12 rotation (VERDICT r11 #2): clear the ENTIRE stale-evidence
+    # tail in one window — all 46 gates whose freshest driver row was
+    # r6 (4 gates) or r7 (42 gates) get a slot, so after this round no
+    # gate's freshest driver evidence is older than r8. The remaining
+    # 4 slots: the three cross-family canaries + the one r12-new gate
+    # (composite rowkey + Avro cells over the REST wire). Gates
+    # rotated out keep their local oracle check and their r8-r11
+    # driver rows — the judge reads the union.
     # Canaries (one per major family):
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
-    # r11-touched — fresh rows on the changed paths (avro decode
-    # contract; serving meta reads; staged builds; lm_ppl kernel):
-    "shc_avro_cells", "shc_avro_nested", "shc_avro_deep",
-    "sim_topk_ivf_index_pq", "sim_topk_ivf_index",
-    "dedup_index_batch", "dedup_index_query",
-    "text_index_batch", "text_index_search", "text_lm_ppl",
-    # r4-green refresh (oldest evidence on the board):
-    "q_above_avg_orders", "q_string_functions", "text_chunking",
-    # r6-green refresh (r11 ALSO touched text_tfidf,
-    # dedup_substring_spans and q_zorder_box in this block):
-    "dedup_cross_corpus", "dedup_fuzzy_names", "dedup_minhash_lsh",
-    "dedup_substring_spans", "dq_psi_drift", "embed_quantize",
-    "mm_mjpeg_scenes",
-    "q05_local_supplier_volume", "q21_waiting_orders", "q_asof_join",
-    "q_gapfill_linear",
-    "q_range_join_binned", "q_rollup", "q_sessionize_batch",
-    "q_window_topk_per_segment", "q_zorder_box", "sim_hard_negatives",
-    "stream_topk", "text_mixture_sample", "text_remove_boilerplate",
-    "text_tfidf",
-    # r11-NEW gates (first driver rows): the coprocessor-style
-    # aggregate scan, sorted-neighborhood near-dup, and the MMR
-    # diversified re-rank:
-    "shc_scan_aggregate", "dedup_snm_pairs", "sim_mmr_rerank",
-    "mm_audio_vad", "text_kmv_vocab_overlap",
-    # r11-NEW: the REST transport backend (Backend B seam) — scan,
-    # range pushdown over the wire, server-side aggregation. These
-    # took the slots of mm_audio_resample / mm_image_resize /
-    # q_counter_increase (refresh them r12: mm keeps 3 fresh in-window
-    # rows incl. the canary; timeseries keeps q_gapfill_linear):
-    "shc_rest_scan", "shc_rest_pushdown", "shc_rest_aggregate",
-    # (+ the wire write path; q_global_topk yielded its slot — the
-    # window/top-k family keeps q_window_topk_per_segment):
-    "shc_rest_write",
-    # r7-green refresh (oldest remaining, one per family where
-    # possible: funnels/graph, CDC both modes, version explode;
-    # dedup_normalized / q17_small_quantity / text_pmi_pairs /
-    # q08_market_share yielded their slots to the r11-new gates —
-    # their families keep multiple fresher in-window rows):
-    # (q_event_funnel also yielded its slot — r7-green is exactly at
-    # the 4-round freshness boundary this round; refresh it r12):
-    "q_pagerank", "shc_cdc_apply",
-    "shc_version_explode",
-    # r11-NEW: the REST streaming tail (CDC over the wire) took
-    # stream_cdc_sink's slot (r7-green, at the freshness boundary —
-    # refresh it r12):
-    "stream_rest_source",
+    # r12-NEW: byte-level composite-key + Avro-blob wire contract
+    # through the mock region server (VERDICT r11 #6):
+    "shc_rest_composite_avro",
+    # r6-green refresh (the four oldest rows on the board — promised
+    # for r12 in the r11 window comments):
+    "mm_audio_resample", "mm_image_resize", "q_counter_increase",
+    "q_global_topk",
+    # r7-green refresh — the complete block:
+    "dedup_canonical_names", "dedup_embedding_blocked",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_normalized",
+    "dedup_prefix_filter", "dedup_remove_substrings",
+    "dq_histogram_prices", "dq_profile_lineitem", "embed_project_jl",
+    "link_fuzzy_tables",
+    "q08_market_share", "q11_important_stock", "q13_order_distribution",
+    "q15_top_supplier", "q16_parts_suppliers", "q17_small_quantity",
+    "q20_promo_suppliers",
+    "q_bloom_semi_join", "q_cohort_retention", "q_event_funnel",
+    "q_lateral_topk", "q_null_safe_join", "q_rolling_wau",
+    "q_salted_join", "q_window_range_frame", "q_winsorize_prices",
+    "shc_table_diff", "sim_topk_filtered",
+    "stream_cdc_sink", "stream_dq_monitor", "stream_quality_by_source",
+    "stream_static_join",
+    "text_canonical_urls", "text_chi2_terms", "text_length_buckets",
+    "text_phrase_search", "text_pmi_pairs", "text_shard_shuffle",
+    "text_split_assign", "text_token_budget_sample",
+    "text_weighted_sample",
 ]
 
 

@@ -91,3 +91,51 @@ def test_canary_itself_regressing_uses_absolute_check(capsys):
     cur = _cur(1.0, q01_pricing_summary=1.2)
     assert check_bench.check_one(cur, FLOOR) == 1
     assert "3.5x floor" in capsys.readouterr().out
+
+
+BASKET_FLOOR = {
+    "queries": {
+        "q01_pricing_summary": 0.30,
+        "q02_filter_scan": 0.20,
+        "q_agg_stats": 0.32,
+        "alpha": 1.0,
+    }
+}
+
+
+def _cur_basket(mult: float, **overrides) -> dict:
+    qs = {q: round(f * mult, 3) for q, f in BASKET_FLOOR["queries"].items()}
+    qs.update(overrides)
+    return {
+        "metric": "headline_total_wall",
+        "value": round(sum(qs.values()), 3),
+        "unit": "sec",
+        "queries": qs,
+        "sf": 0.1,
+    }
+
+
+def test_stale_single_canary_cannot_mask_regression(capsys):
+    """The r11 failure mode: q01's floor is from a faster epoch so its
+    ratio reads 1.9x even at fast phase. With the single canary that
+    inflated the denominator and a true 1.9x regression hid; the
+    basket's MEDIAN (two members at 1.0x) keeps phase honest."""
+    cur = _cur_basket(1.0, q01_pricing_summary=0.57, alpha=1.9)
+    assert check_bench.check_one(cur, BASKET_FLOOR) == 1
+    out = capsys.readouterr().out
+    assert "canary-normalized" in out and "alpha" in out
+    assert "basket" in out
+
+
+def test_basket_uniform_slow_phase_passes(capsys):
+    # all three basket members + alpha at 1.7x: median phase 1.7,
+    # everything normalizes to ~1.0
+    assert check_bench.check_one(_cur_basket(1.7), BASKET_FLOOR) == 0
+
+
+def test_one_noisy_basket_member_does_not_set_phase(capsys):
+    # q_agg_stats alone at 2.5x (its own bad luck): median of
+    # (1.0, 1.0, 2.5) = 1.0, so a genuine alpha regression still flags
+    cur = _cur_basket(1.0, q_agg_stats=0.80, alpha=1.9)
+    assert check_bench.check_one(cur, BASKET_FLOOR) == 1
+    assert "alpha" in capsys.readouterr().out

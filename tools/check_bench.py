@@ -24,13 +24,19 @@ algorithmic regression (round 1's interpreted-HOF signature was 4.5x)
 still trips them; the per-round BENCH_r{N} series is the
 higher-signal trend.
 
-r10 (VERDICT r9 #2): the q01 canary protocol is part of the gate.
-q01_pricing_summary's wall/floor ratio measures the run's machine
-phase; every other query's floor ratio is divided by it and flagged
-above BENCH_CANARY_TOL (1.5x) with a BENCH_CANARY_ABS (0.25s)
-absolute-excess guard. This catches a true single-query regression
-inside a fast phase (the 3.5x absolute tolerance alone would pass a
-1.9x regression) while a uniform slow phase normalizes to ~1.0.
+r10 (VERDICT r9 #2): the canary protocol is part of the gate. r12
+(VERDICT r11 #1) widened it from one canary to a BASKET: the machine
+phase is the MEDIAN wall/floor ratio over {q01_pricing_summary,
+q02_filter_scan, q_agg_stats}; every other query's floor ratio is
+divided by it and flagged above BENCH_CANARY_TOL (1.5x) with a
+BENCH_CANARY_ABS (0.25s) absolute-excess guard. This catches a true
+single-query regression inside a fast phase (the 3.5x absolute
+tolerance alone would pass a 1.9x regression) while a uniform slow
+phase normalizes to ~1.0 — and, unlike the single q01 canary, one
+basket member's bad luck (or a stale floor) cannot masquerade as a
+slow phase. When the basket's ratios read persistently >1.5x across
+sessions with no code change, the machine epoch moved: re-baseline
+with tools/canary_probe.py (min across >= 3 fresh sessions).
 """
 
 from __future__ import annotations
@@ -53,7 +59,9 @@ CANARY_TOL = float(os.environ.get("BENCH_CANARY_TOL", "1.5"))
 # absolute-seconds guard: sub-second queries jitter independently of
 # the phase; a canary flag needs a real excess, not 0.1s of noise
 CANARY_ABS_FLOOR = float(os.environ.get("BENCH_CANARY_ABS", "0.25"))
-CANARY_QUERY = "q01_pricing_summary"
+# phase basket (r12): median of three stable scan/agg queries' floor
+# ratios — robust to one member's jitter or staleness
+CANARY_BASKET = ["q01_pricing_summary", "q02_filter_scan", "q_agg_stats"]
 
 
 def _run_bench(tpch: bool) -> dict:
@@ -88,22 +96,26 @@ def check_one(cur: dict, floor: dict) -> int:
             failures.append(f"{q}: {wall:.2f}s > {QUERY_TOL}x floor {f:.2f}s")
 
     # canary-normalized check (headline only; tpch has no canary):
-    # phase = canary wall / canary floor, clamped >= 1 (a lucky fast
-    # canary must not inflate everyone else's normalized ratio)
-    c_wall = cur["queries"].get(CANARY_QUERY)
-    c_floor = floor["queries"].get(CANARY_QUERY)
+    # phase = MEDIAN basket wall/floor ratio, clamped >= 1 (a lucky
+    # fast basket must not inflate everyone else's normalized ratio)
+    ratios = sorted(
+        cur["queries"][q] / floor["queries"][q]
+        for q in CANARY_BASKET
+        if q in cur["queries"] and floor["queries"].get(q)
+    )
     phase = None
-    if c_wall is not None and c_floor:
-        phase = max(1.0, c_wall / c_floor)
+    if ratios:
+        phase = max(1.0, ratios[len(ratios) // 2])
         for q, wall in cur["queries"].items():
             f = floor["queries"].get(q)
-            if q == CANARY_QUERY or f is None:
-                continue  # the canary itself is covered by the 3.5x check
+            if q in CANARY_BASKET or f is None:
+                continue  # basket members are covered by the 3.5x check
             rr = (wall / f) / phase
             if rr > CANARY_TOL and wall > f * phase + CANARY_ABS_FLOOR:
                 failures.append(
                     f"{q}: {wall:.2f}s = {rr:.2f}x canary-normalized floor "
-                    f"(phase {phase:.2f}x from {CANARY_QUERY}) > {CANARY_TOL}x"
+                    f"(phase {phase:.2f}x, median of {len(ratios)}-canary basket) "
+                    f"> {CANARY_TOL}x"
                 )
 
     for q, wall in sorted(cur["queries"].items()):
@@ -111,7 +123,8 @@ def check_one(cur: dict, floor: dict) -> int:
         rel = f" ({wall / f:.2f}x floor)" if f else " (no floor)"
         print(f"  {q}: {wall:.3f}s{rel}")
     if phase is not None:
-        print(f"  [canary {CANARY_QUERY}: phase {phase:.2f}x floor]")
+        detail = ", ".join(f"{r:.2f}x" for r in ratios)
+        print(f"  [canary basket phase {phase:.2f}x (ratios: {detail})]")
     if failures:
         print("BENCH REGRESSION:")
         for msg in failures:

@@ -56,6 +56,51 @@ def rows_key(rows, cols):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+def _print_freshness(queries: dict) -> None:
+    """Per-gate freshest-driver-round table (VERDICT r11 #8): computed
+    from the CORRECTNESS_r*.json artifacts so window rotation is
+    self-auditing — the stale tail is visible BEFORE the round runs,
+    and a gate about to fall off the freshness budget is flagged."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fresh: dict = {}
+    latest_round = 0
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        latest_round = max(latest_round, r)
+        try:
+            rec = json.load(open(f))
+        except Exception:
+            continue
+        for name, row in rec.items():
+            good = row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") is None
+            )
+            if good:
+                fresh[name] = max(fresh.get(name, 0), r)
+    if not fresh:
+        return
+    window = set(list(queries)[:50])
+    by_round: dict = {}
+    for name in queries:
+        by_round.setdefault(fresh.get(name, 0), []).append(name)
+    print("-- driver-evidence freshness (gate count per freshest round) --")
+    for r in sorted(by_round):
+        names = by_round[r]
+        in_w = sum(1 for n in names if n in window)
+        tag = "NEVER-DRIVEN" if r == 0 else f"r{r}"
+        stale = "  <-- STALE" if 0 < r <= latest_round - 4 else ""
+        print(f"  {tag:>13}: {len(names):3d} gates ({in_w} in current window){stale}")
+        if r == 0 or 0 < r <= latest_round - 4:
+            uncovered = [n for n in names if n not in window]
+            if uncovered:
+                print(f"                 not in window: {', '.join(sorted(uncovered))}")
+    print("----------------------------------------------------------------")
+
+
 def main():
     filters = sys.argv[1:]
     window_only = "--window" in filters
@@ -75,6 +120,7 @@ def main():
     if window_only:
         # exactly what the round driver records: the first 50 gates,
         # in registration order, one session — the pre-round preflight
+        _print_freshness(queries)
         queries = dict(list(queries.items())[:50])
     failed, passed, rows_only = [], [], []
     record: dict = {}

@@ -532,6 +532,7 @@ def fingerprint_near_dups(
     hash_col: str,
     id_col: str,
     max_hamming: int = 3,
+    nblocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming <= max_hamming) over ANY
     precomputed 64-bit fingerprint column — perceptual image dHash
@@ -542,38 +543,85 @@ def fingerprint_near_dups(
     come from per-block equi-joins (bucketed; never all-pairs) and
     one codegen'd popcount verifies them. The scale shape image dedup
     needs at 100 TB: payloads were already reduced to 8-byte hashes
-    map-only, and only hash pairs sharing a block ever meet."""
-    nblocks = max_hamming + 1
-    if nblocks > 64:
-        raise ValueError("max_hamming > 63 is meaningless for 64-bit fingerprints")
+    map-only, and only hash pairs sharing a block ever meet.
+
+    ``nblocks`` (Manku, Jain & Sarma, WWW'07 §3 generalization): the
+    minimal split (default, nblocks = max_hamming+1) makes each join
+    key only 64/(k+1) bits wide — 16 bits at k=3 — and 16-bit keys
+    SATURATE once the corpus outgrows 2^16 per block (every key bucket
+    holds N/65536 fingerprints, so random-collision candidates grow
+    N^2/2^16: measured 7M candidate pairs for 12k true pairs at 500k
+    docs). Passing nblocks = b > k+1 splits into b narrower blocks and
+    joins on every (b-k)-block COMBINATION packed into one long —
+    C(b, b-k) keys per row, each sum(widths) bits wide. b=6 at k=3
+    gives 20 keys of ~32 bits: 2^16x fewer random collisions for a 5x
+    wider explode — the right trade once corpora pass ~100k rows. The
+    output is IDENTICAL for any valid b (the pigeonhole guarantee +
+    exact popcount verify); only the candidate plumbing changes."""
+    from itertools import combinations
+    from math import comb
+
+    k = max_hamming
+    b = nblocks if nblocks is not None else (k + 1)
+    if b <= k and k > 0:
+        raise ValueError(
+            f"nblocks={b} cannot guarantee recall at max_hamming={k}: "
+            "k differing bits can touch k blocks, so nblocks > max_hamming"
+        )
+    if b > 64:
+        raise ValueError("more than 64 blocks is meaningless for 64-bit fingerprints")
+    agree = b - k
+    ncombos = comb(b, agree)
+    if ncombos > 64:
+        raise ValueError(
+            f"nblocks={b} with max_hamming={k} needs C({b},{agree})={ncombos} "
+            "join keys per row — lower nblocks (the explode factor is the cost)"
+        )
+    # the signature frame is tiny (id + 8-byte fp) but often sits on an
+    # EXPENSIVE lineage (the fused simhash kernel, a decode pass);
+    # without pinning, the self-join's two branches recompute that
+    # lineage twice (measured: the simhash kernel ran 2x, +4s at 500k
+    # docs). A lazy localCheckpoint pins ONE RDD both branches scan.
     base = sigs.select(F.col(id_col).alias("id"), F.col(hash_col).alias("fp"))
-    if nblocks == 1:
+    base = base.localCheckpoint(eager=False)
+    if b == 1:
         # max_hamming=0 degenerates to exact fingerprint equality; the
         # single 64-bit "block" mask (1<<64)-1 would overflow LongType
         # (ADVICE r9), and an equi-join on fp needs no explode at all
-        a, b = base.alias("a"), base.alias("b")
+        a, b_ = base.alias("a"), base.alias("b")
         return a.join(
-            b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id"))
+            b_, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id"))
         ).select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.lit(0).alias("hamming"),
         )
-    w = 64 // nblocks
-    widths = [w + (1 if i < 64 % nblocks else 0) for i in range(nblocks)]
-    offs = [sum(widths[:i]) for i in range(nblocks)]
+    w = 64 // b
+    widths = [w + (1 if i < 64 % b else 0) for i in range(b)]
+    offs = [sum(widths[:i]) for i in range(b)]
     # mask, not %: Spark's % keeps the dividend's sign (ADVICE r1)
-    blocks_expr = F.array(
-        *[
-            F.shiftrightunsigned(F.col("fp"), offs[i]).bitwiseAND(
-                F.lit((1 << widths[i]) - 1)
-            )
-            for i in range(nblocks)
-        ]
-    )
-    blocks = base.select("id", "fp", F.posexplode(blocks_expr).alias("blk", "bval"))
+    block_exprs = [
+        F.shiftrightunsigned(F.col("fp"), offs[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+        for i in range(b)
+    ]
+    keys = []
+    for combo in combinations(range(b), agree):
+        expr, shift = None, 0
+        for i in combo:
+            part = F.shiftleft(block_exprs[i], shift) if shift else block_exprs[i]
+            expr = part if expr is None else expr.bitwiseOR(part)
+            shift += widths[i]  # proper subsets always pack under 64 bits
+        keys.append(expr)
+    blocks = base.select("id", "fp", F.posexplode(F.array(*keys)).alias("blk", "bval"))
+    # shuffle-HASH join, not sort-merge: the exploded block stream is
+    # C(b, b-k) x corpus rows and SMJ would sort it twice (measured 8s
+    # vs 1.8s at 500k docs x 20 keys); per-partition build memory is
+    # bounded by the hottest key's rows — near-dup clusters, whose
+    # candidate output is quadratic in that cluster anyway
     a = blocks.alias("a")
-    b = blocks.alias("b")
+    b = blocks.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -619,7 +667,7 @@ def fingerprint_near_dups128(
         F.col(id_col).alias("id"),
         F.col(hi_col).alias("fhi"),
         F.col(lo_col).alias("flo"),
-    )
+    ).localCheckpoint(eager=False)  # pin: the self-join must not recompute the signature lineage per side
     if nblocks == 1:
         a, b = base.alias("a"), base.alias("b")
         return a.join(
@@ -658,7 +706,10 @@ def fingerprint_near_dups128(
     blocks = base.select(
         "id", "fhi", "flo", F.posexplode(blocks_expr).alias("blk", "bval")
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
+    # shuffle-hash join + pinned signature frame: same reasons as the
+    # 64-bit variant (SMJ sorted the exploded stream twice; the self-
+    # join recomputed the signature lineage once per side)
+    a, b = blocks.alias("a"), blocks.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -688,13 +739,24 @@ def fingerprint_near_dups128(
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n: int = 3,
+    nblocks: int | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming via the pigeonhole
     block join (see :func:`fingerprint_near_dups` — this is its
-    text-keyed composition with simhash64)."""
+    text-keyed composition with simhash64). Defaults to the Manku
+    6-block/20-combination join at max_hamming <= 3 (~32-bit keys —
+    the corpus-scale shape; the minimal 4-block split's 16-bit keys
+    saturate past ~100k docs); results are identical either way."""
+    if nblocks is None and max_hamming <= 3:
+        nblocks = 6
     return fingerprint_near_dups(
-        simhash64(df, text_col, id_col, n), "simhash", "id", max_hamming
+        simhash64(df, text_col, id_col, n), "simhash", "id", max_hamming,
+        nblocks=nblocks,
     )
 
 

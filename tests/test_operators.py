@@ -3637,16 +3637,37 @@ def test_fingerprint_near_dups_equals_brute_force(spark):
         [(i, v) for i, v in enumerate(signed)], "id long, fp long"
     )
     for h in (1, 3, 6):
-        got = {
-            (r["id_a"], r["id_b"], r["hamming"])
-            for r in dedup.fingerprint_near_dups(df, "fp", "id", h).collect()
-        }
         want = set()
         for (i, a), (j, b) in itertools.combinations(enumerate(fps), 2):
             d = bin(a ^ b).count("1")
             if d <= h:
                 want.add((i, j, d))
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.fingerprint_near_dups(df, "fp", "id", h).collect()
+        }
         assert got == want, (h, len(got), len(want))
+        # Manku multi-block combination join: same answer for every
+        # valid nblocks (wider keys change candidates, never output);
+        # h=6 skips h+3 (C(9,3)=84 keys trips the explode guard)
+        for b in (h + 2, h + 3) if h < 6 else (h + 2,):
+            got_b = {
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in dedup.fingerprint_near_dups(
+                    df, "fp", "id", h, nblocks=b
+                ).collect()
+            }
+            assert got_b == want, (h, b, len(got_b), len(want))
+
+
+def test_fingerprint_near_dups_nblocks_guards(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 5), (2, 7)], "id long, fp long")
+    with pytest.raises(ValueError, match="nblocks"):
+        dedup.fingerprint_near_dups(df, "fp", "id", 3, nblocks=3)
+    with pytest.raises(ValueError, match="join keys"):
+        dedup.fingerprint_near_dups(df, "fp", "id", 10, nblocks=20)
 
 
 def test_audio_fingerprint_matches_numpy_and_pairs(spark):

@@ -388,9 +388,13 @@ def minhash_lsh_pairs(
     hb = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
+    # shuffle-HASH verify joins with the narrow candidate side as the
+    # build side: sort-merge would SORT the corpus-wide (id, hs) frame
+    # — hs is the per-doc shingle-hash array, the widest column in the
+    # pipeline — twice (r12: 6.6s -> 4.9s at 500k docs, same pairs)
     return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
+        cand.hint("shuffle_hash").join(ha, "id_a")
+        .hint("shuffle_hash").join(hb, "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -430,9 +434,11 @@ def minhash_lsh_pairs_between(
     hb = fr.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
+    # shuffle-hash verify joins, same reasoning as minhash_lsh_pairs:
+    # never sort the corpus-wide shingle-hash arrays
     return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
+        cand.hint("shuffle_hash").join(ha, "id_a")
+        .hint("shuffle_hash").join(hb, "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -31,26 +31,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _hash_features(texts, dim: int) -> "tuple[list[np.ndarray], list[np.ndarray]]":
-    """Per-doc (indices, values): L2-normalized hashed unigram+bigram
-    counts. Deterministic (pandas fixed-key siphash)."""
-    idx_out, val_out = [], []
+def _hash_features_csr(texts, dim: int):
+    """(flat_idx, flat_val, indptr) — CSR over docs of L2-normalized
+    hashed unigram+bigram counts. Deterministic (pandas fixed-key
+    siphash). ONE hash_array call per chunk (r12: the per-doc
+    hash_array call was the training/scoring hot spot — string
+    hashing now batches across the whole Arrow chunk)."""
+    grams: list = []
+    lens = []
     for t in texts:
         toks = [w for w in (t.split(" ") if t else []) if w]
-        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
-        if not grams:
-            idx_out.append(np.empty(0, dtype=np.int64))
-            val_out.append(np.empty(0, dtype=np.float64))
-            continue
-        h = (
-            pd.util.hash_array(np.array(grams, dtype=object)).view(np.int64)
-            % dim
-        )
-        idx, cnt = np.unique(h, return_counts=True)
-        v = cnt.astype(np.float64)
-        v /= np.linalg.norm(v)
-        idx_out.append(idx)
-        val_out.append(v)
+        g = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        grams.extend(g)
+        lens.append(len(g))
+    nd = len(lens)
+    indptr = np.zeros(nd + 1, dtype=np.int64)
+    if not grams:
+        return np.empty(0, np.int64), np.empty(0, np.float64), indptr
+    h = pd.util.hash_array(np.array(grams, dtype=object)).view(np.int64) % dim
+    bounds = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    idx_parts, val_parts = [], []
+    total = 0
+    for i in range(nd):
+        seg = h[bounds[i]: bounds[i + 1]]
+        if len(seg):
+            idx, cnt = np.unique(seg, return_counts=True)
+            v = cnt.astype(np.float64)
+            v /= np.linalg.norm(v)
+            idx_parts.append(idx)
+            val_parts.append(v)
+            total += len(idx)
+        indptr[i + 1] = total
+    flat_idx = np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int64)
+    flat_val = np.concatenate(val_parts) if val_parts else np.empty(0, np.float64)
+    return flat_idx, flat_val, indptr
+
+
+def _hash_features(texts, dim: int) -> "tuple[list[np.ndarray], list[np.ndarray]]":
+    """Per-doc (indices, values) view of :func:`_hash_features_csr`."""
+    flat_idx, flat_val, indptr = _hash_features_csr(texts, dim)
+    idx_out = [flat_idx[indptr[i]: indptr[i + 1]] for i in range(len(indptr) - 1)]
+    val_out = [flat_val[indptr[i]: indptr[i + 1]] for i in range(len(indptr) - 1)]
     return idx_out, val_out
 
 
@@ -63,26 +85,42 @@ def _sigmoid(z: np.ndarray) -> np.ndarray:
     return out
 
 
+def _seg_dot(flat_val, flat_idx, w, indptr):
+    """Per-doc sparse dot products v_i . w[idx_i] over the CSR chunk —
+    np.add.reduceat over the contribution vector; empty docs get 0."""
+    nd = len(indptr) - 1
+    z = np.zeros(nd, dtype=np.float64)
+    if len(flat_idx) == 0:
+        return z
+    seg = np.diff(indptr)
+    nz = seg > 0
+    contrib = flat_val * w[flat_idx]
+    z[nz] = np.add.reduceat(contrib, indptr[:-1][nz])
+    return z
+
+
 def _grad_partial(texts, labels, w, b, dim):
     """(grad_w[dim], grad_b, loss_sum, n) over one chunk — shared by
     the executors and the numpy reference implementation (tests pin
-    the distributed fold equal to running this once over all rows)."""
-    gw = np.zeros(dim, dtype=np.float64)
-    gb = 0.0
-    loss = 0.0
-    n = 0
-    idxs, vals = _hash_features(texts, dim)
-    for idx, v, y in zip(idxs, vals, labels):
-        z = float(v @ w[idx]) + b if len(idx) else b
-        p = float(_sigmoid(np.array([z]))[0])
-        err = p - float(y)
-        if len(idx):
-            gw[idx] += err * v
-        gb += err
-        eps = 1e-12
-        loss += -(float(y) * np.log(p + eps) + (1 - float(y)) * np.log(1 - p + eps))
-        n += 1
-    return gw, gb, loss, n
+    the distributed fold equal to running this once over all rows).
+    Fully vectorized (r12): per-doc z via segment reduceat, gradient
+    scatter via bincount — no Python loop over documents."""
+    flat_idx, flat_val, indptr = _hash_features_csr(texts, dim)
+    y = np.asarray(labels, dtype=np.float64)
+    z = _seg_dot(flat_val, flat_idx, w, indptr) + b
+    p = _sigmoid(z)
+    err = p - y
+    if len(flat_idx):
+        seg = np.diff(indptr)
+        gw = np.bincount(
+            flat_idx, weights=np.repeat(err, seg) * flat_val, minlength=dim
+        ).astype(np.float64)
+    else:
+        gw = np.zeros(dim, dtype=np.float64)
+    gb = float(err.sum())
+    eps = 1e-12
+    loss = float(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum())
+    return gw, gb, loss, len(y)
 
 
 def train_quality_classifier(
@@ -182,13 +220,8 @@ def score_texts(
         for pdf in batches:
             if not len(pdf):
                 continue
-            idxs, vals = _hash_features(pdf["__text"], dim)
-            z = np.array(
-                [
-                    (float(v @ w[idx]) if len(idx) else 0.0) + bias
-                    for idx, v in zip(idxs, vals)
-                ]
-            )
+            flat_idx, flat_val, indptr = _hash_features_csr(pdf["__text"], dim)
+            z = _seg_dot(flat_val, flat_idx, w, indptr) + bias
             yield pd.DataFrame(
                 {
                     "id": pdf["__id"].to_numpy(),

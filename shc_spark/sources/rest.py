@@ -650,43 +650,110 @@ def _http_json(url: str, method: str = "GET", body: dict | None = None):
         return (json.loads(raw) if raw else None), resp.headers
 
 
+def _decode_cells_batch(coder, dt, raws: list) -> list:
+    """Whole-column cell DECODE — the read-side twin of
+    ``_encode_cells_batch``: one numpy pass per page column for the
+    int/float/bool families of both byte orders, per-value coder
+    fallback otherwise. ``raws`` holds encoded bytes or None (absent
+    cell); parity with ``coder.from_bytes`` is pinned by
+    test_rest_cell_batch_decode_parity."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    kind = type(coder).__name__
+    t = type(dt)
+    n = len(raws)
+    if kind in ("OrderedType", "PrimitiveType"):
+        widths = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4, T.LongType: 8}
+        w = widths.get(t)
+        present = [i for i, r in enumerate(raws) if r is not None]
+        if w is not None:
+            out = [None] * n
+            if present:
+                buf = b"".join(raws[i] for i in present)
+                u8 = np.frombuffer(buf, dtype=np.uint8).reshape(-1, w)
+                vals = np.zeros(len(present), dtype=np.uint64)
+                for j in range(w):
+                    vals = (vals << np.uint64(8)) | u8[:, j]
+                if kind == "OrderedType":
+                    vals = vals ^ np.uint64(1 << (8 * w - 1))
+                ints = vals.astype(np.int64)
+                if w < 8:
+                    ints = np.where(
+                        (vals & np.uint64(1 << (8 * w - 1))) != 0,
+                        ints - np.int64(1 << (8 * w)),
+                        ints,
+                    )
+                dec = ints.tolist()
+                for i, v in zip(present, dec):
+                    out[i] = v
+            return out
+        if t is T.FloatType or t is T.DoubleType:
+            f64 = t is T.DoubleType
+            out = [None] * n
+            if present:
+                buf = b"".join(raws[i] for i in present)
+                bits = np.frombuffer(buf, dtype=">u8" if f64 else ">u4").astype(
+                    np.uint64 if f64 else np.uint32
+                )
+                if kind == "OrderedType":
+                    sign = np.uint64(1 << 63) if f64 else np.uint32(1 << 31)
+                    full = np.uint64(2**64 - 1) if f64 else np.uint32(2**32 - 1)
+                    bits = np.where(bits & sign, bits ^ sign, bits ^ full)
+                fv = bits.view(np.float64 if f64 else np.float32)
+                dec = fv.astype(np.float64).tolist()
+                for i, v in zip(present, dec):
+                    out[i] = v
+            return out
+        if t is T.BooleanType:
+            return [None if r is None else r != b"\x00" for r in raws]
+        if t is T.StringType:
+            return [None if r is None else r.decode("utf-8") for r in raws]
+        if t is T.BinaryType:
+            return [None if r is None else bytes(r) for r in raws]
+    return [None if r is None else coder.from_bytes(r, dt) for r in raws]
+
+
 def _decode_rest_rows(cat, rows: list, with_del: bool = False) -> dict:
     """Stargate JSON rows -> python column lists (typed); shared by the
-    batch reader and the streaming tail."""
+    batch reader and the streaming tail. Value cells decode COLUMN-wise
+    through the batch kernels (r12) — the per-row JSON/base64 unpack is
+    protocol-bound, the typed decode is not."""
     coder = get_coder(cat.table_coder)
     key_fields = cat.rowkey_fields()
     value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
     by_cell = {f"{f.cf}:{f.col}".encode(): f for f in value_fields}
-    cols: dict = {f.col_name: [] for f in cat.fields.values()}
+    n = len(rows)
+    raw_cols: dict = {f.col_name: [None] * n for f in value_fields}
+    cols: dict = {f.col_name: [] for f in key_fields}
     cols[TS_COL] = []
     if with_del:
         cols["__del"] = []
     salt = 1 if cat.salt_buckets else 0
-    for row in rows:
+    for i, row in enumerate(rows):
         key = _unb64(row["key"])
         # salted physical keys carry a 1-byte hash prefix that is
         # NOT part of the logical composite key
         dims = coder.decode_rowkey(key[salt:], key_fields)
         for f, v in zip(key_fields, dims):
             cols[f.col_name].append(v)
-        cells = {}
         ts_max = int(row.get("ts", 0))
         for c in row.get("Cell", ()):
             name = _unb64(c["column"])
             f = by_cell.get(name)
             if f is None:
                 continue
-            raw = _unb64(c["$"])
-            if f.avro_schema is not None:
-                cells[f.col_name] = bytes(raw)
-            else:
-                cells[f.col_name] = get_coder(f.coder).from_bytes(raw, f.dt)
+            raw_cols[f.col_name][i] = _unb64(c["$"])
             ts_max = max(ts_max, int(c["timestamp"]))
-        for f in value_fields:
-            cols[f.col_name].append(cells.get(f.col_name))
         cols[TS_COL].append(ts_max)
         if with_del:
             cols["__del"].append(1 if row.get("del") else None)
+    for f in value_fields:
+        raws = raw_cols[f.col_name]
+        if f.avro_schema is not None:
+            cols[f.col_name] = [None if r is None else bytes(r) for r in raws]
+        else:
+            cols[f.col_name] = _decode_cells_batch(get_coder(f.coder), f.dt, raws)
     return cols
 
 

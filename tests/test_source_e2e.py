@@ -3051,3 +3051,42 @@ def test_rest_write_composite_key_roundtrip(spark, tmp_path):
     )
     assert {r["a"] for r in rng} == {0, 1, 2}
     assert len(rng) == 9
+
+
+def test_rest_cell_batch_decode_parity(spark):
+    """The reader's whole-column decode kernels must invert
+    coder.to_bytes exactly — same edge battery as the encode test,
+    with None (absent cell) passthrough."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from shc_spark.coders import get_coder
+    from shc_spark.sources.rest import _decode_cells_batch
+
+    cases = [
+        (T.ByteType(), [0, 1, -1, 127, -128, None]),
+        (T.ShortType(), [0, -7, 32767, -32768, None]),
+        (T.IntegerType(), [0, 42, -42, 2**31 - 1, -(2**31), None]),
+        (T.LongType(), [0, 1, -1, 2**63 - 1, -(2**63), None]),
+        (T.FloatType(), [0.0, -0.0, 1.5, -2.25, float("inf"), float("-inf"), None]),
+        (T.DoubleType(), [0.0, -0.0, 3.141592653589793, -1e300, float("inf"), None]),
+        (T.BooleanType(), [True, False, None]),
+        (T.StringType(), ["", "abc", "naïve—∑", None]),
+        (T.BinaryType(), [b"", b"\x00\xff", b"xyz", None]),
+    ]
+    for coder_name in ("OrderedType", "PrimitiveType"):
+        coder = get_coder(coder_name)
+        for dt, values in cases:
+            raws = [None if v is None else coder.to_bytes(v, dt) for v in values]
+            got = _decode_cells_batch(coder, dt, raws)
+            exp = [None if r is None else coder.from_bytes(r, dt) for r in raws]
+            assert got == exp, (coder_name, dt.simpleString(), got, exp)
+    # NaN separately (NaN != NaN)
+    import math
+
+    for coder_name in ("OrderedType", "PrimitiveType"):
+        coder = get_coder(coder_name)
+        for dt in (T.FloatType(), T.DoubleType()):
+            raws = [coder.to_bytes(float("nan"), dt)]
+            got = _decode_cells_batch(coder, dt, raws)
+            assert math.isnan(got[0])

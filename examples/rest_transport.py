@@ -1,8 +1,9 @@
 """The remote-transport story end to end: one table served over the
 HBase REST (Stargate) protocol by the in-repo mock region server —
 scan parity, range pushdown that opens fewer scanners, Put batches
-committed as one generation, and the coprocessor-style server-side
-aggregation whose 5.8x wire win SCALE.md records.
+committed as one generation, the coprocessor-style server-side
+aggregation whose 5.8x wire win SCALE.md records, region locality
+hints, and exactly-once recovery across a mid-scan scanner purge.
 
 Run: python examples/rest_transport.py
 """
@@ -85,6 +86,40 @@ def main(spark, root=None):
         for g in rows
     )
     print("server-side aggregate:", {g: rows[g]["count_all"] for g in sorted(rows)})
+
+    # 5. r12: region locality hints + scanner-eviction recovery — the
+    # failure/affinity semantics a real cluster adds. Partitions carry
+    # the serving host (preferred_locations); killing every server-side
+    # scanner mid-scan still returns exactly the remaining rows (the
+    # reader reopens from the last served row).
+    import urllib.request
+
+    from shc_spark.sources.rest import ShcRestReader
+
+    rdr = ShcRestReader(None, {"catalog": CATALOG, "url": url, "batch": "64"})
+    parts = rdr.partitions()
+    hosts = {h for p in parts for h in p.preferred_locations()}
+    assert hosts, "regions must carry serving hosts"
+    print("locality: partitions prefer", sorted(hosts))
+    seen = 0
+    for pi, part in enumerate(parts):
+        gen = rdr.read(part)
+        first = next(gen, None)
+        if first is not None:
+            seen += first.num_rows
+            if pi == 0:  # evict every live scanner once, mid-scan
+                for _ in range(600):
+                    req = urllib.request.Request(
+                        f"{url}/ex.restt/scanner",
+                        data=json.dumps({"batch": 1}).encode(),
+                        method="POST",
+                        headers={"Content-Type": "application/json"},
+                    )
+                    urllib.request.urlopen(req).close()
+            for batch in gen:
+                seen += batch.num_rows
+    assert seen == 500, seen
+    print("eviction recovery: 500/500 rows across a full scanner purge")
     print("rest_transport example OK")
 
 

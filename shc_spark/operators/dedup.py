@@ -209,6 +209,19 @@ def _segments(arrs: list) -> tuple:
     return flat, offsets, nonempty
 
 
+# Above this many signatures/documents, the candidate/verify joins of
+# the dedup operators hint shuffle_hash: AQE's runtime broadcast (the
+# small-input winner) tops out at the 64MB autoBroadcast threshold and
+# building multi-million-row broadcast HashedRelations is slower than a
+# per-partition hash build, while sort-merge would SORT the wide
+# exploded/array streams (measured: simhash block join 8.0s SMJ vs 1.8s
+# SHJ at 500k docs; minhash verify 6.6 vs 4.9s; but the SAME hints cost
+# +0.5-1.0s at 5k docs by blocking the broadcast conversion). The
+# inputs' row counts are known cheaply (cached/checkpointed frames), so
+# the strategy is picked by measured crossover, not guessed.
+_SHJ_HINT_MIN_ROWS = 100_000
+
+
 def _sig_udf(num_perm: int, seed: int = 42):
     """Vectorized minhash signature: bit-identical to ``_sig_expr`` but
     one Arrow-batched pandas UDF instead of 64 interpreted HOF
@@ -357,7 +370,7 @@ def minhash_lsh_pairs(
     # persist features. Docs with no shingles (< n words) emit nothing
     # — they can't be near-dups and would divide by zero in verify.
     feats = _doc_lsh_features(_widen(df), text_col, id_col, n, num_perm, bands).cache()
-    feats.count()
+    n_docs = feats.count()
     hashed = feats  # (id, hs) for verification
     banded = feats.select("id", F.posexplode("bnd").alias("band", "bh"))
     # candidate pairs per (band, bucket) via groupBy + in-bucket pair
@@ -388,13 +401,20 @@ def minhash_lsh_pairs(
     hb = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
-    # shuffle-HASH verify joins with the narrow candidate side as the
-    # build side: sort-merge would SORT the corpus-wide (id, hs) frame
-    # — hs is the per-doc shingle-hash array, the widest column in the
-    # pipeline — twice (r12: 6.6s -> 4.9s at 500k docs, same pairs)
+    # verify-join strategy is left to AQE (r12): at corpus scale the
+    # runtime SMJ->SHJ conversion (session.py sets
+    # shuffledHashJoinLocalMapThreshold) avoids SORTING the corpus-wide
+    # (id, hs) frame — hs is the per-doc shingle-hash array, the widest
+    # column in the pipeline — measured 6.6s -> 4.9s at 500k docs; at
+    # small scale AQE's broadcast conversion fires instead (an explicit
+    # shuffle_hash hint would BLOCK it — measured +0.5-1.0s at 5k docs)
+    big = n_docs > _SHJ_HINT_MIN_ROWS
+    left1 = cand.hint("shuffle_hash") if big else cand
+    j1 = left1.join(ha, "id_a")
+    if big:
+        j1 = j1.hint("shuffle_hash")
     return (
-        cand.hint("shuffle_hash").join(ha, "id_a")
-        .hint("shuffle_hash").join(hb, "id_b")
+        j1.join(hb, "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -426,7 +446,7 @@ def minhash_lsh_pairs_between(
         raise ValueError("num_perm must be divisible by bands")
     fl = _doc_lsh_features(_widen(left), text_col, id_col, n, num_perm, bands).cache()
     fr = _doc_lsh_features(_widen(right), text_col, id_col, n, num_perm, bands).cache()
-    fl.count(), fr.count()
+    n_docs = fl.count() + fr.count()
     bl = fl.select(F.col("id").alias("id_a"), F.posexplode("bnd").alias("band", "bh"))
     br = fr.select(F.col("id").alias("id_b"), F.posexplode("bnd").alias("band", "bh"))
     cand = bl.join(br, ["band", "bh"]).select("id_a", "id_b").distinct()
@@ -434,11 +454,16 @@ def minhash_lsh_pairs_between(
     hb = fr.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
-    # shuffle-hash verify joins, same reasoning as minhash_lsh_pairs:
-    # never sort the corpus-wide shingle-hash arrays
+    # verify-join strategy left to AQE, same reasoning as
+    # minhash_lsh_pairs: broadcast when small, shuffled-hash when big,
+    # never a sort of the shingle-hash arrays
+    big = n_docs > _SHJ_HINT_MIN_ROWS
+    left1 = cand.hint("shuffle_hash") if big else cand
+    j1 = left1.join(ha, "id_a")
+    if big:
+        j1 = j1.hint("shuffle_hash")
     return (
-        cand.hint("shuffle_hash").join(ha, "id_a")
-        .hint("shuffle_hash").join(hb, "id_b")
+        j1.join(hb, "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -587,9 +612,11 @@ def fingerprint_near_dups(
     # EXPENSIVE lineage (the fused simhash kernel, a decode pass);
     # without pinning, the self-join's two branches recompute that
     # lineage twice (measured: the simhash kernel ran 2x, +4s at 500k
-    # docs). A lazy localCheckpoint pins ONE RDD both branches scan.
+    # docs). The EAGER localCheckpoint pins ONE RDD both branches scan,
+    # and its (cheap, cached) count picks the join strategy below.
     base = sigs.select(F.col(id_col).alias("id"), F.col(hash_col).alias("fp"))
-    base = base.localCheckpoint(eager=False)
+    base = base.localCheckpoint(eager=True)
+    big = base.count() > _SHJ_HINT_MIN_ROWS
     if b == 1:
         # max_hamming=0 degenerates to exact fingerprint equality; the
         # single 64-bit "block" mask (1<<64)-1 would overflow LongType
@@ -621,13 +648,16 @@ def fingerprint_near_dups(
             shift += widths[i]  # proper subsets always pack under 64 bits
         keys.append(expr)
     blocks = base.select("id", "fp", F.posexplode(F.array(*keys)).alias("blk", "bval"))
-    # shuffle-HASH join, not sort-merge: the exploded block stream is
-    # C(b, b-k) x corpus rows and SMJ would sort it twice (measured 8s
-    # vs 1.8s at 500k docs x 20 keys); per-partition build memory is
-    # bounded by the hottest key's rows — near-dup clusters, whose
-    # candidate output is quadratic in that cluster anyway
+    # join strategy by measured size crossover (_SHJ_HINT_MIN_ROWS):
+    # big corpora hint shuffle_hash (SMJ would sort the exploded block
+    # stream twice — 8s -> 1.8s at 500k docs x 20 keys; AQE's runtime
+    # broadcast caps at 64MB and building multi-million-row broadcast
+    # relations is slower than per-partition hash builds), small ones
+    # let AQE broadcast. SHJ build memory is bounded by the hottest
+    # key's rows — near-dup clusters, whose candidate output is
+    # quadratic in that cluster anyway
     a = blocks.alias("a")
-    b = blocks.hint("shuffle_hash").alias("b")
+    b = (blocks.hint("shuffle_hash") if big else blocks).alias("b")
     cand = (
         a.join(
             b,
@@ -673,7 +703,8 @@ def fingerprint_near_dups128(
         F.col(id_col).alias("id"),
         F.col(hi_col).alias("fhi"),
         F.col(lo_col).alias("flo"),
-    ).localCheckpoint(eager=False)  # pin: the self-join must not recompute the signature lineage per side
+    ).localCheckpoint(eager=True)  # pin: the self-join must not recompute the signature lineage per side
+    big = base.count() > _SHJ_HINT_MIN_ROWS
     if nblocks == 1:
         a, b = base.alias("a"), base.alias("b")
         return a.join(
@@ -712,10 +743,11 @@ def fingerprint_near_dups128(
     blocks = base.select(
         "id", "fhi", "flo", F.posexplode(blocks_expr).alias("blk", "bval")
     )
-    # shuffle-hash join + pinned signature frame: same reasons as the
-    # 64-bit variant (SMJ sorted the exploded stream twice; the self-
-    # join recomputed the signature lineage once per side)
-    a, b = blocks.alias("a"), blocks.hint("shuffle_hash").alias("b")
+    # size-crossover join strategy + pinned signature frame: same
+    # reasons as the 64-bit variant (SMJ sorted the exploded stream
+    # twice; the self-join recomputed the signature lineage per side)
+    a = blocks.alias("a")
+    b = (blocks.hint("shuffle_hash") if big else blocks).alias("b")
     cand = (
         a.join(
             b,

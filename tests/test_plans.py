@@ -451,30 +451,44 @@ def test_fingerprint_near_dups128_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan0 and "BroadcastNestedLoop" not in plan0, plan0
 
 
-def test_fingerprint_near_dups_plan_shj_no_sort(spark):
-    """r12: the pigeonhole candidate join plans as a SHUFFLE-HASH join
-    — sort-merge would sort the exploded C(b, b-k) x corpus block
-    stream twice (measured 8s vs 1.8s at 500k docs x 20 keys) — and
-    the signature frame is pinned so the self-join's two branches scan
-    ONE RDD instead of recomputing the (expensive) signature lineage
-    per side."""
+def test_fingerprint_near_dups_final_plan_never_sorts_candidates(spark):
+    """r12: the pigeonhole candidate join must never EXECUTE as a
+    sort-merge join — sort-merge sorts the exploded C(b, b-k) x corpus
+    block stream twice (measured 8s vs 1.8s at 500k docs x 20 keys).
+    Strategy is size-conditional (_SHJ_HINT_MIN_ROWS): big corpora hint
+    shuffle_hash, small ones let AQE's runtime broadcast fire — so the
+    pin reads the FINAL adaptive plan after execution. Also pins the
+    signature frame staying ONE pinned RDD across the self-join (no
+    per-side recompute of the lineage)."""
     from pyspark.sql import functions as F
 
     from shc_spark.operators import dedup
 
-    df = spark.range(0, 512).select(
+    df = spark.range(0, 2048).select(
         F.col("id"), F.xxhash64(F.col("id")).alias("fp")
     )
     for nb in (None, 6):
-        plan = (
-            dedup.fingerprint_near_dups(df, "fp", "id", 3, nblocks=nb)
-            ._jdf.queryExecution().executedPlan().toString()
-        )
-        assert "ShuffledHashJoin" in plan, (nb, plan)
+        out = dedup.fingerprint_near_dups(df, "fp", "id", 3, nblocks=nb)
+        out.write.mode("overwrite").format("noop").save()
+        plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan, (nb, plan)
-        # one Scan of the checkpointed signatures per side, zero
-        # re-derivations of the fp column below the join
         assert "CartesianProduct" not in plan, (nb, plan)
+        assert (
+            "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+        ), (nb, plan)
+    # the big-corpus branch (forced threshold) hints shuffle_hash
+    import shc_spark.operators.dedup as dd
+
+    orig = dd._SHJ_HINT_MIN_ROWS
+    try:
+        dd._SHJ_HINT_MIN_ROWS = 100
+        out = dedup.fingerprint_near_dups(df, "fp", "id", 3, nblocks=6)
+        out.write.mode("overwrite").format("noop").save()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        dd._SHJ_HINT_MIN_ROWS = orig
 
 
 def test_semdedup_single_shuffle(spark):

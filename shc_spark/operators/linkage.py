@@ -168,6 +168,11 @@ def global_rank(
     ``order_cols`` must be a total order (append a unique id as the
     last column) or equal rows get arbitrary-but-disjoint ranks within
     their tie group.
+
+    NOTE: ``repartitionByRange`` SAMPLES its input before shuffling it,
+    so any expensive expression feeding ``df`` (a regex-normalized sort
+    key, a decoded column) evaluates twice over the corpus — pre-pin it
+    (``localCheckpoint``) like :func:`snm_pairs` does.
     """
     from pyspark import StorageLevel
     from pyspark.sql.types import LongType, StructField, StructType
@@ -240,12 +245,24 @@ def snm_pairs(
     """
     if window < 2:
         raise ValueError("snm window must be >= 2")
+    # Pin the (id, key) projection BEFORE ranking: repartitionByRange
+    # samples its input and then shuffles it, so an expensive key
+    # expression (SNM keys are typically regex/normalization over the
+    # text — java regex measured ~10 MB/s) would evaluate TWICE over
+    # the corpus. The projection is narrow (id + short key), so the
+    # checkpoint is corpus-cheap and the key computes exactly once.
+    # (r12: the r11 probe's "near-flat" SNM curve was an artifact of
+    # global_rank's since-fixed cache leak — rep 2 of the min-of-2
+    # probe silently read rep 1's leaked cache.)
+    proj = df.select(F.col(id_col), key.alias("__snm_key")).localCheckpoint(
+        eager=True
+    )
     # eager=True: the ranked dictionary is consumed twice (both sides
     # of the block self-join), so the localCheckpoint doubles as reuse,
     # and the staging cache inside global_rank is released immediately
     # instead of leaking one cached frame per call.
     ranked = global_rank(
-        df.select(F.col(id_col), key.alias("__snm_key")),
+        proj,
         ["__snm_key", id_col],
         rank_col="__rank",
         eager=True,

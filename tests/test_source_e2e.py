@@ -3090,3 +3090,45 @@ def test_rest_cell_batch_decode_parity(spark):
             raws = [coder.to_bytes(float("nan"), dt)]
             got = _decode_cells_batch(coder, dt, raws)
             assert math.isnan(got[0])
+
+
+def test_rest_write_salted_table(spark, tmp_path):
+    """The REST writer's salt prefix now comes from the shared rowkey
+    kernel (api.encode_rowkey_batch) — Puts to a salted table must land
+    in the same buckets the embedded writer/reader compute (md5 of the
+    UNSALTED key), so both transports see the merged update."""
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import (
+        ensure_rest_server,
+        read_table_rest,
+        write_table_rest,
+    )
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "r", "name": "saltw", "tableCoder": "OrderedType", "version": "2.0", "saltBuckets": 8},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "val": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    base = spark.range(120).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("val"))
+    write_table(base, cat, root=root, num_regions=8, mode="overwrite", timestamp=1000)
+    url = ensure_rest_server(root)
+    upd = spark.range(30).select(F.col("id").alias("k"), F.lit(-9.0).alias("val"))
+    write_table_rest(upd, cat, url, timestamp=2000)
+    emb = {r["k"]: r["val"] for r in read_table(spark, cat, root=root).collect()}
+    rst = {r["k"]: r["val"] for r in read_table_rest(spark, cat, url).collect()}
+    assert emb == rst and len(emb) == 120
+    assert all(emb[k] == -9.0 for k in range(30))
+    assert all(emb[k] == float(k) for k in range(30, 120))
+    # and a pushed range on the salted table still sees the update
+    got = (
+        read_table_rest(spark, cat, url)
+        .filter((F.col("k") >= 20) & (F.col("k") < 40))
+        .collect()
+    )
+    assert sorted(r["k"] for r in got) == list(range(20, 40))

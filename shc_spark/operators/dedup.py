@@ -472,21 +472,29 @@ def minhash_lsh_pairs_between(
 
 def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, simhash: long) 64-bit SimHash over distinct n-gram
-    shingles — ONE fused mapInPandas pass (r9): split, shingle, hash
-    (pd.util.hash_array — the same deterministic fixed-key siphash
-    chain _doc_lsh_features uses), per-doc unique, and the chunked
-    numpy bit-vote accumulation, all vectorized per Arrow batch.
+    shingles — ONE fused mapInPandas pass (r9): split, shingle-hash,
+    per-doc unique, and the chunked numpy bit-vote accumulation, all
+    vectorized per Arrow batch.
 
     The pre-r9 version built shingle hashes with an interpreted
     ``transform(sequence(...), xxhash64(element_at(...)))`` column
     expression — higher-order functions are not codegen'd and
     re-evaluate the split per element, measured at 28s for 5k docs at
-    sf0.1 (the fused kernel cut the x1 scale-probe wall ~15x). The
-    hash-chain change is contract-safe: SimHash is an approximate
-    fingerprint whose gate is a planted-duplicate verdict, not a
-    pinned bit pattern; docs with < n words keep simhash 0."""
+    sf0.1 (the fused kernel cut the x1 scale-probe wall ~15x). r12
+    removed the remaining per-gram Python: gram STRINGS are never
+    materialized — tokens hash once per occurrence (one
+    pd.util.hash_array call per chunk) and each n-window combines its
+    token hashes with position-distinct odd multipliers + an avalanche
+    (the duplicate_spans kernel scheme; equal token sequences <=> equal
+    hashes up to 64-bit collisions). Hash-chain changes are
+    contract-safe: SimHash is an approximate fingerprint whose gate is
+    a planted-duplicate verdict, not a pinned bit pattern; docs with
+    < n words keep simhash 0."""
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"id {id_type}, simhash long"
+    _mults = np.array(
+        [pow(0x9E3779B97F4A7C15, j + 1, 1 << 64) for j in range(n)], dtype=np.uint64
+    )
 
     def gen(batches):
         weights = 1 << np.arange(64, dtype=np.uint64)
@@ -494,21 +502,37 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFram
         for pdf in batches:
             texts = pdf["__text"]
             out = np.zeros(len(texts), dtype=np.int64)
-            grams: list = []
-            lens = []
-            keep = []
-            for i, t in enumerate(texts):
-                w = t.split(" ") if t else []
-                if len(w) < n:
-                    continue
-                g = [" ".join(w[j : j + n]) for j in range(len(w) - n + 1)]
-                grams.extend(g)
-                lens.append(len(g))
-                keep.append(i)
+            ok = texts.notna() & (texts != "")
+            sub_tx = texts[ok]
+            keep: list = []
+            if len(sub_tx):
+                tok = sub_tx.str.split(" ")
+                lens_all = tok.str.len().to_numpy().astype(np.int64)
+                n_win = np.maximum(lens_all - n + 1, 0)
+                total = int(n_win.sum())
+                if total:
+                    th = pd.util.hash_array(
+                        tok.explode().to_numpy(dtype=object)
+                    ).astype(np.uint64)
+                    doc_start = np.zeros(len(lens_all), dtype=np.int64)
+                    np.cumsum(lens_all[:-1], out=doc_start[1:])
+                    win_doc = np.repeat(np.arange(len(lens_all)), n_win)
+                    win_off = np.zeros(len(n_win) + 1, dtype=np.int64)
+                    np.cumsum(n_win, out=win_off[1:])
+                    wpos = np.arange(total, dtype=np.int64) - np.repeat(
+                        win_off[:-1], n_win
+                    )
+                    base = doc_start[win_doc] + wpos
+                    hv = np.zeros(total, dtype=np.uint64)
+                    for j in range(n):
+                        hv += th[base + j] * _mults[j]
+                    hv ^= hv >> np.uint64(33)
+                    hv *= np.uint64(0xFF51AFD7ED558CCD)
+                    hv ^= hv >> np.uint64(33)
+                    kept_docs = np.flatnonzero(n_win > 0)
+                    keep = np.flatnonzero(ok.to_numpy())[kept_docs].tolist()
+                    lens = n_win[kept_docs].tolist()
             if keep:
-                hv = pd.util.hash_array(np.array(grams, dtype=object)).astype(
-                    np.uint64
-                )
                 bounds = np.zeros(len(lens) + 1, dtype=np.int64)
                 np.cumsum(lens, out=bounds[1:])
                 uniq = [

@@ -221,6 +221,16 @@ def _segments(arrs: list) -> tuple:
 # the strategy is picked by measured crossover, not guessed.
 _SHJ_HINT_MIN_ROWS = 100_000
 
+# Version of the shingle/signature hash chain behind _doc_lsh_features.
+# Persisted dedup indexes STORE feature hashes, so a kernel change that
+# alters them silently breaks index queries (an increment signed with
+# scheme N+1 probes buckets built with scheme N and finds nothing).
+# build stamps this into meta/; every query/append validates it and
+# refuses a mismatched index with a rebuild instruction instead of
+# returning silently-empty results. Bump ONLY with a migration note.
+_FEATURE_HASH_SCHEME = 1
+
+
 
 def _sig_udf(num_perm: int, seed: int = 42):
     """Vectorized minhash signature: bit-identical to ``_sig_expr`` but
@@ -1607,8 +1617,8 @@ def build_dedup_index(
 
     build_root = begin_staged_build(path)
     spark.createDataFrame(
-        [(num_perm, bands, n, num_buckets)],
-        "num_perm int, bands int, n int, num_buckets int",
+        [(num_perm, bands, n, num_buckets, _FEATURE_HASH_SCHEME)],
+        "num_perm int, bands int, n int, num_buckets int, hash_scheme int",
     ).repartition(1).write.mode("overwrite").parquet(os.path.join(build_root, "meta"))
     _write_index_rows(corpus, build_root, text_col, id_col, num_perm, bands, n,
                       num_buckets, mode="overwrite")
@@ -1658,7 +1668,19 @@ def read_dedup_index_meta(spark, path: str) -> dict:
 
     from shc_spark.operators.idxcache import local_meta_rows
 
-    return dict(local_meta_rows(os.path.join(path, "meta"))[0])  # no Spark job
+    m = dict(local_meta_rows(os.path.join(path, "meta"))[0])  # no Spark job
+    # pre-r12 indexes carry no scheme column: they were built with
+    # scheme 1 by definition
+    scheme = m.get("hash_scheme") or 1
+    if scheme != _FEATURE_HASH_SCHEME:
+        raise ValueError(
+            f"dedup index at {path!r} was built with feature-hash scheme "
+            f"{scheme}, but this code signs documents with scheme "
+            f"{_FEATURE_HASH_SCHEME} — queries would silently probe the "
+            "wrong buckets. Rebuild the index (build_dedup_index) with the "
+            "current code."
+        )
+    return m
 
 
 def _index_relation(spark, path: str, sub: str) -> DataFrame:

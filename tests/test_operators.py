@@ -4341,3 +4341,40 @@ def test_kmv_sketch_plans_window_group_limit(spark):
     )
     plan = kmv_sketch(df, "grp", "key", k=16)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_dedup_index_hash_scheme_guard(spark, tmp_path):
+    """A persisted dedup index stamps the feature-hash scheme at build;
+    a reader running a DIFFERENT scheme must refuse the index with a
+    rebuild instruction instead of silently probing the wrong buckets
+    (r12 — the seam any future kernel change goes through)."""
+    import pytest
+
+    p = str(tmp_path / "didx")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    dedup.build_dedup_index(docs, p, num_perm=32, bands=16, n=3, num_buckets=32)
+    m = dedup.read_dedup_index_meta(spark, p)
+    assert m["hash_scheme"] == dedup._FEATURE_HASH_SCHEME
+    orig = dedup._FEATURE_HASH_SCHEME
+    try:
+        dedup._FEATURE_HASH_SCHEME = orig + 1
+        with pytest.raises(ValueError, match="feature-hash scheme"):
+            dedup.read_dedup_index_meta(spark, p)
+        with pytest.raises(ValueError, match="feature-hash scheme"):
+            dedup.dedup_index_pairs(spark, p, docs.limit(2))
+    finally:
+        dedup._FEATURE_HASH_SCHEME = orig
+    # and an old (pre-scheme) index defaults to scheme 1 = compatible
+    import glob
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    meta_file = glob.glob(f"{p}/meta/*.parquet")[0]
+    t = pq.read_table(meta_file).drop_columns(["hash_scheme"])
+    pq.write_table(t, meta_file)
+    from shc_spark.operators.idxcache import local_meta_rows  # bust memo via rewrite mtime
+    m2 = dedup.read_dedup_index_meta(spark, p)
+    assert (m2.get("hash_scheme") or 1) == 1

@@ -622,12 +622,27 @@ def fingerprint_near_dups(
     gives 20 keys of ~32 bits: 2^16x fewer random collisions for a 5x
     wider explode — the right trade once corpora pass ~100k rows. The
     output is IDENTICAL for any valid b (the pigeonhole guarantee +
-    exact popcount verify); only the candidate plumbing changes."""
+    exact popcount verify); only the candidate plumbing changes.
+
+    EAGER by construction (document per ADVICE r12): the signature
+    frame is pinned with ``localCheckpoint(eager=True)`` + a count at
+    CALL time — constructing the plan runs one cluster job (the
+    self-join would otherwise recompute an expensive signature lineage
+    once PER SIDE, and the count picks the join strategy). The
+    checkpoint also drops lineage: an executor loss during the
+    downstream join fails the job instead of recomputing signatures.
+    Callers composing lazily should call this only when they intend to
+    consume the pairs."""
     from itertools import combinations
     from math import comb
 
     k = max_hamming
-    b = nblocks if nblocks is not None else (k + 1)
+    # k == 0 is exact fingerprint equality: ALWAYS take the single
+    # equi-join branch, whatever nblocks says (ADVICE r12: at b > 1 the
+    # one C(b, b)-combo key packs all 64 bits and the top block's
+    # shiftleft spills into the sign bit — deterministic on both join
+    # sides, so results stayed correct, but the cheap branch is right)
+    b = 1 if k == 0 else (nblocks if nblocks is not None else (k + 1))
     if b <= k and k > 0:
         raise ValueError(
             f"nblocks={b} cannot guarantee recall at max_hamming={k}: "
@@ -679,7 +694,10 @@ def fingerprint_near_dups(
         for i in combo:
             part = F.shiftleft(block_exprs[i], shift) if shift else block_exprs[i]
             expr = part if expr is None else expr.bitwiseOR(part)
-            shift += widths[i]  # proper subsets always pack under 64 bits
+            # k >= 1 here (k == 0 routed to the equi-join above), so
+            # each combo is a PROPER subset of the blocks and always
+            # packs under 64 bits — no sign-bit spill
+            shift += widths[i]
         keys.append(expr)
     blocks = base.select("id", "fp", F.posexplode(F.array(*keys)).alias("blk", "bval"))
     # join strategy by measured size crossover (_SHJ_HINT_MIN_ROWS):
@@ -729,7 +747,11 @@ def fingerprint_near_dups128(
     false candidates at 100 TB; 128 bits push that to ~1e-24. The
     pigeonhole join generalizes directly: ``max_hamming + 1`` blocks
     over the 128-bit space (blocks may straddle the word boundary),
-    per-block equi-joins for candidates, popcount-sum verify."""
+    per-block equi-joins for candidates, popcount-sum verify.
+
+    EAGER by construction, same contract as the 64-bit variant: the
+    signature frame localCheckpoints (one cluster job at call time,
+    lineage dropped — executor loss fails rather than recomputes)."""
     nblocks = max_hamming + 1
     if nblocks > 128:
         raise ValueError("max_hamming > 127 is meaningless for 128-bit fingerprints")

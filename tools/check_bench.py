@@ -105,7 +105,22 @@ def check_one(cur: dict, floor: dict) -> int:
     )
     phase = None
     if ratios:
-        phase = max(1.0, ratios[len(ratios) // 2])
+        if len(ratios) < len(CANARY_BASKET):
+            # a partial basket degrades the phase estimate toward the
+            # single-canary hazard the basket exists to fix — loud, so
+            # a missing member or floor gets repaired, never relied on
+            print(
+                f"  WARNING: only {len(ratios)} of {len(CANARY_BASKET)} "
+                "canary-basket members have runs + floors; phase estimate "
+                "is degraded"
+            )
+        # true median (ADVICE r12): for even-length lists the mean of
+        # the two middle values — the upper-middle element would let a
+        # 2-member basket pick the LARGER ratio, inflating phase and
+        # loosening the gate exactly when a member is missing
+        mid = len(ratios) // 2
+        med = ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2.0
+        phase = max(1.0, med)
         for q, wall in cur["queries"].items():
             f = floor["queries"].get(q)
             if q in CANARY_BASKET or f is None:

@@ -163,16 +163,34 @@ def semantic_dedup(
     )
 
 
+# semdedup auto-k clamp: centroids are a driver-side (k, dim) float64
+# array shipped in the Arrow closure, and every assign batch pays a
+# |batch| x k matmul — 16384 x 1024d x 8B = 128 MB of centroids is the
+# sane ceiling for one-level Lloyd. Corpora wanting more clusters than
+# this should pre-partition (e.g. by language/source) and semdedup
+# each shard — which is also how the paper runs at scale.
+SEMDEDUP_MAX_AUTO_K = 16384
+
+# per-cluster hard cap: prune() holds a |c| x |c| float64 cosine
+# matrix in ONE task — 8192^2 x 8B ≈ 0.5 GB is the most a straggler
+# task should ever allocate; anything bigger means k is undersized
+# for the corpus and the job concentrates quadratic work in single
+# tasks (the 100-TB killer pattern).
+SEMDEDUP_MAX_CLUSTER_ROWS = 8192
+
+
 def semdedup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k: int | None = None,
     threshold: float = 0.45,
     centroids=None,
     max_iter: int = 5,
     keep: str = "farthest",
     round_dp: int = 4,
+    target_cluster_size: int = 512,
+    max_cluster_rows: int = SEMDEDUP_MAX_CLUSTER_ROWS,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embeddings, then WITHIN each cluster drop every example that has a
@@ -186,16 +204,36 @@ def semdedup(
     Scale design (the paper's own): assignment is a broadcast argmin
     (no shuffle); the ONLY shuffle is the cluster-keyed group, and
     per-cluster work is a |c| x |c| cosine matmul — bounded by cluster
-    size, so pick k ~ corpus_size / target_cluster_size. Distances
-    round to 6dp and cosines to ``round_dp`` BEFORE any comparison,
-    making the whole decision chain engine-exact (replayable in SQL —
-    the dedup_semdedup gate's oracle replays assignment, ranking and
-    domination verbatim).
+    size. Because that bound is the operator's one quadratic hazard,
+    it is GUARDED (VERDICT r12 #1):
+
+    - ``k=None`` (the default, when no ``centroids`` are given)
+      auto-sizes from a cheap count: k = ceil(n / target_cluster_size)
+      clamped to [1, min(n, SEMDEDUP_MAX_AUTO_K)] — a naive caller at
+      100x the corpus gets 100x the clusters, not 100x the cluster
+      size. Pass an explicit ``k`` to override.
+    - ``max_cluster_rows`` is a HARD cap enforced inside the grouped
+      kernel: a cluster larger than it raises with a retrain
+      instruction instead of silently allocating a multi-GB cosine
+      matrix in one task (same refusal discipline as
+      ``dedup.embedding_near_dups``). Skewed corpora (one dominant
+      near-duplicate mass) should raise k or pre-split by a cheap key.
+
+    Distances round to 6dp and cosines to ``round_dp`` BEFORE any
+    comparison, making the whole decision chain engine-exact
+    (replayable in SQL — the dedup_semdedup gate's oracle replays
+    assignment, ranking and domination verbatim).
 
     Returns one row per input vector: (id, cluster, kept, dup_of) —
     ``dup_of`` is the highest-ranked ε-neighbor that dominated a
     dropped row (NULL for kept rows).
     """
+    if centroids is None and k is None:
+        n = df.count()  # one cheap aggregate; the corpus is scanned anyway
+        if n == 0:
+            raise ValueError("semdedup on an empty corpus")
+        k = max(1, min((n + target_cluster_size - 1) // target_cluster_size,
+                       n, SEMDEDUP_MAX_AUTO_K))
     cents = np.asarray(
         centroids
         if centroids is not None
@@ -231,8 +269,21 @@ def semdedup(
     )
     out_schema = f"{id_col} long, cluster long, kept boolean, dup_of long"
 
+    cap = int(max_cluster_rows)
+
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        if n > cap:
+            cl_over = int(pdf["cluster"].iloc[0])
+            raise ValueError(
+                f"semdedup cluster {cl_over} has {n} rows > "
+                f"max_cluster_rows={cap}: the per-cluster cosine matrix "
+                f"would be {n * n * 8 / 1e9:.1f} GB in ONE task. Retrain "
+                "with a larger k (or pass centroids fitted with more "
+                "clusters / pre-split the corpus by a cheap key); raise "
+                "max_cluster_rows only if the executors really have the "
+                "memory."
+            )
         ids = pdf[id_col].to_numpy()
         dist = pdf["__dist"].to_numpy()
         cl = int(pdf["cluster"].iloc[0])

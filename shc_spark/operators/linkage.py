@@ -130,6 +130,27 @@ def canonicalize(
     )
 
 
+def normalized_key(text: Column, length: int = 24) -> Column:
+    """The RECOMMENDED cheap SNM sort/blocking key: lowercase, ASCII
+    punctuation deleted, tab/newline folded to space, first ``length``
+    chars. Built entirely from ``translate`` — a codegen'd byte-table
+    lookup that streams at memory speed — because the key expression
+    is where naive SNM callers lose their wall: java regex evaluates
+    at ~10 MB/s, and the equivalent ``regexp_replace`` cleaning key
+    measured 23s vs this key's 1.0s over the same 500k-doc corpus
+    (SCALE.md, r12). The key feeds a SORT, so it only needs to be a
+    deterministic normalization, not an exact text rewrite — non-ASCII
+    symbols pass through unchanged (they still order consistently),
+    and whitespace runs are left uncollapsed (run length is itself a
+    stable sort feature).
+    """
+    import string
+
+    junk = "\t\n\r" + string.punctuation
+    t = F.translate(F.lower(F.coalesce(text, F.lit(""))), junk, "   ")
+    return F.substring(t, 1, length)
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[str],
@@ -242,6 +263,14 @@ def snm_pairs(
     no cartesian. Output: (id_a, id_b, rank_a, rank_b) with
     rank_a < rank_b < rank_a + window; attach payload/similarity by
     joining ids back to the corpus.
+
+    KEY-COST HAZARD (measured, SCALE.md r12): the rank + block-join
+    machinery is near-flat (~3s at 500k rows), so the operator's
+    practical wall is the CALLER's ``key`` expression — a
+    regexp_replace normalization key evaluates at java-regex speed
+    (~10 MB/s, 23s over the 500k-doc probe corpus) while the
+    translate-based :func:`normalized_key` does the same job in 1.0s.
+    Use ``normalized_key(col)`` unless you have a reason not to.
     """
     if window < 2:
         raise ValueError("snm window must be >= 2")

@@ -450,6 +450,57 @@ def test_semdedup_matches_numpy_reference(spark):
         assert 0 < n_dropped < len(got)  # the corpus has planted near-dups
 
 
+def test_semdedup_auto_k_scales_with_corpus(spark):
+    """VERDICT r12 #1: with no k and no centroids, semdedup auto-sizes
+    k = ceil(n / target_cluster_size) (clamped) from a cheap count —
+    and the result is IDENTICAL to passing that k explicitly (the
+    Lloyd seeds are deterministic)."""
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    tcs = max(1, n // 5)  # force a small multi-cluster k
+    want_k = (n + tcs - 1) // tcs
+    auto = sorted(
+        tuple(r)
+        for r in cluster.semdedup(
+            emb, "embedding", "vec_id", target_cluster_size=tcs, max_iter=2
+        ).collect()
+    )
+    explicit = sorted(
+        tuple(r)
+        for r in cluster.semdedup(
+            emb, "embedding", "vec_id", k=want_k, max_iter=2
+        ).collect()
+    )
+    assert auto == explicit
+    assert len({r[1] for r in auto}) <= want_k
+    # tiny corpus: auto-k clamps to n (never asks for more seeds than rows)
+    tiny = emb.limit(3)
+    out = cluster.semdedup(
+        tiny, "embedding", "vec_id", target_cluster_size=1, max_iter=1
+    ).collect()
+    assert len(out) == 3
+
+
+def test_semdedup_oversized_cluster_refuses(spark):
+    """VERDICT r12 #1: a cluster above max_cluster_rows must raise with
+    a retrain instruction INSIDE the grouped kernel — never allocate
+    the quadratic cosine matrix in one task."""
+    import numpy as np
+    import pytest
+
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    one = np.zeros((1, dim))  # ONE centroid: every row lands in cluster 0
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        cluster.semdedup(
+            emb, "embedding", "vec_id", centroids=one, max_cluster_rows=10
+        ).collect()
+
+
 def test_cross_corpus_equals_exact_bipartite(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     left = docs.filter(F.col("doc_id") % 2 == 0)
@@ -3615,6 +3666,35 @@ def test_ivf_and_dedup_index_string_ids(spark):
     assert victim not in {r["id_b"] for r in after}
 
 
+def test_normalized_key_is_cheap_translate_normalization(spark):
+    """VERDICT r12 #2: the exported SNM key — lowercase, ASCII punct
+    deleted, tab/newline to space, prefix — built from translate (no
+    regex anywhere in the plan)."""
+    from shc_spark.operators import linkage
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!\tA/B"),
+            (2, None),
+            (3, "  UPPER-case_und.erscores  "),
+            (4, "naïve—text"),  # non-ASCII passes through (just ordered)
+        ],
+        "id long, t string",
+    )
+    out = df.select("id", linkage.normalized_key(F.col("t"), 64).alias("k"))
+    got = {r["id"]: r["k"] for r in out.collect()}
+    assert got[1] == "hello world ab"  # ','/'!'/'/' deleted, tab -> space
+    assert got[2] == ""
+    assert got[3] == "  uppercaseunderscores  "  # punct deleted, not spaced
+    assert "—" in got[4]  # not stripped, still deterministic
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "regexp" not in plan.lower()
+    assert "translate" in plan.lower()
+    # prefix length applies
+    short = df.select(linkage.normalized_key(F.col("t"), 5).alias("k")).collect()
+    assert all(len(r["k"]) <= 5 for r in short)
+
+
 def test_fingerprint_near_dups_equals_brute_force(spark):
     """Pigeonhole block join over ANY 64-bit fingerprint column must
     equal all-pairs popcount at several distance thresholds (including
@@ -3791,6 +3871,15 @@ def test_fingerprint_near_dups_max_hamming_zero(spark):
         for r in dedup.fingerprint_near_dups(df, "fp", "id", max_hamming=0).collect()
     }
     assert got == {(0, 1, 0), (2, 3, 0)}
+    # ADVICE r12: max_hamming=0 with nblocks > 1 (reachable via
+    # simhash_near_dups' default nblocks=6) must route to the SAME
+    # exact-equality equi-join — identical output, no combination-key
+    # explode (whose single all-blocks combo would pack 64 bits and
+    # spill the top block's shiftleft into the sign bit)
+    plan6 = dedup.fingerprint_near_dups(df, "fp", "id", max_hamming=0, nblocks=6)
+    got6 = {(r["id_a"], r["id_b"], r["hamming"]) for r in plan6.collect()}
+    assert got6 == got
+    assert "generate" not in plan6._jdf.queryExecution().executedPlan().toString().lower()
 
 
 def test_audio_ops_skip_null_payloads(spark):

@@ -194,6 +194,210 @@ def connector_probe(spark, mults=(1, 5, 50)) -> list[str]:
     return lines
 
 
+def _stage_time_slices(df, ts_col: str, n_slices: int) -> str:
+    """Write ``df`` as n_slices time-contiguous single-file parquets
+    with increasing mtimes: the file stream source (ordered by mtime)
+    then delivers an ascending-event-time tail, so watermarks advance
+    and stateful operators actually EVICT — the realistic sustained-
+    input shape a state-boundedness probe needs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="shc_sprobe_")
+    lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).collect()[0]
+    lo_s, hi_s = lo.timestamp(), hi.timestamp() + 1.0
+    width = (hi_s - lo_s) / n_slices
+    bucket = F.floor((F.col(ts_col).cast("double") - F.lit(lo_s)) / F.lit(width))
+    t0 = 1_700_000_000
+    for i in range(n_slices):
+        part = df.filter(bucket == i) if i < n_slices - 1 else df.filter(bucket >= i)
+        tmp = os.path.join(d, f"_tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, f"slice-{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (t0 + i, t0 + i))
+    return d
+
+
+def _drain_with_progress(result, mode: str):
+    """Run a streaming result to the noop sink, return the engine's own
+    per-batch progress dicts (triggerExecution ms, input rows, state
+    rows) — measured by Structured Streaming, not by us."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="shc_sprobe_ckpt_")
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    prog = [
+        p if isinstance(p, dict) else _json.loads(p.json) for p in q.recentProgress
+    ]
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return [p for p in prog if p.get("numInputRows", 0) > 0]
+
+
+def _prog_stats(prog) -> tuple:
+    """(total rows, total trigger wall s, first-batch wall s,
+    last-batch wall s, max state rows) from progress dicts."""
+    rows = sum(p["numInputRows"] for p in prog)
+    walls = [p["durationMs"]["triggerExecution"] / 1000.0 for p in prog]
+    states = [
+        so.get("numRowsTotal", 0)
+        for p in prog
+        for so in (p.get("stateOperators") or [])
+    ]
+    return rows, round(sum(walls), 2), round(walls[0], 2), round(walls[-1], 2), (
+        max(states) if states else 0
+    )
+
+
+def streaming_probe(spark, mults=(1, 10, 100)) -> list[str]:
+    """Streaming-subsystem scale rows (VERDICT r12 #3): sustained
+    micro-batch input at inflated event volumes, with per-batch walls
+    and state sizes read from the engine's OWN progress metrics.
+
+    - stream_rollup: watermarked 1h-tumbling agg (update mode) over an
+      8-slice ascending-time tail — throughput + state bound (state =
+      open windows x types, NOT corpus size).
+    - stream_dedup: dropDuplicatesWithinWatermark((user,type), 2h
+      delay) — the eviction path: state rows stay bounded by the
+      in-window key set while input grows m x.
+    - stream_shc_tail: drain the shc streaming source over base + 3
+      append generations (the CDC tail) — rows/s over the source.
+    - stream_index_ingest: 4 document micro-batches appended to a
+      persisted MinHash-LSH index via foreachBatch — per-increment
+      wall must stay flat as generations accumulate.
+    """
+    import json as _json
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    lines = [
+        "",
+        "## Streaming (engine-reported per-batch metrics; 8-slice ascending-time tail)",
+        "",
+        "| probe | x-mult | input rows | total wall (s) | batch walls first->last (s) | max state rows | rows/s |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for m in mults:
+        ev = inflate(spark, "events", "event_id", m)
+        d = _stage_time_slices(ev.select("event_id", "ts", "user_id", "event_type", "value"), "ts", 8)
+        schema = spark.read.parquet(d).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+
+        # 1) watermarked tumbling rollup, update mode (bounded state)
+        agg = (
+            src.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        )
+        prog = _drain_with_progress(agg, "update")
+        rows, wall, w0, w1, st = _prog_stats(prog)
+        lines.append(
+            f"| stream_rollup | x{m} | {rows} | {wall} | {w0} -> {w1} | {st} | {int(rows / max(wall, 0.01))} |"
+        )
+        print(lines[-1], flush=True)
+
+        # 2) streaming dedup with eviction (bounded state)
+        dd = (
+            src.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        prog = _drain_with_progress(dd, "append")
+        rows, wall, w0, w1, st = _prog_stats(prog)
+        lines.append(
+            f"| stream_dedup | x{m} | {rows} | {wall} | {w0} -> {w1} | {st} | {int(rows / max(wall, 0.01))} |"
+        )
+        print(lines[-1], flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+
+        # 3) shc streaming source tail: base + 3 append generations
+        from shc_spark.sources import read_stream_table, write_table
+
+        cat = _json.dumps(
+            {
+                "table": {"namespace": "probe", "name": f"evtail{m}", "tableCoder": "OrderedType", "version": "2.0"},
+                "rowkey": "eid",
+                "columns": {
+                    "eid": {"cf": "rowkey", "col": "eid", "type": "bigint"},
+                    "uid": {"cf": "cf", "col": "u", "type": "bigint"},
+                    "etype": {"cf": "cf", "col": "t", "type": "string"},
+                    "val": {"cf": "cf", "col": "v", "type": "double"},
+                },
+            }
+        )
+        root = tempfile.mkdtemp(prefix="shc_sprobe_tail_")
+        base = ev.select(
+            F.col("event_id").alias("eid"),
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("etype"),
+            F.col("value").alias("val"),
+        )
+        write_table(base, cat, root=root, num_regions=8, mode="overwrite", timestamp=1000)
+        upd = base.filter(F.col("eid") % 10 == 0)
+        for g in range(3):
+            write_table(
+                upd.withColumn("val", F.col("val") + g),
+                cat, root=root, mode="append", timestamp=2000 + g,
+            )
+        tail = read_stream_table(spark, cat, root=root)
+        prog = _drain_with_progress(tail.select("eid", "val"), "append")
+        rows, wall, w0, w1, st = _prog_stats(prog)
+        lines.append(
+            f"| stream_shc_tail (base+3 gens) | x{m} | {rows} | {wall} | {w0} -> {w1} | {st} | {int(rows / max(wall, 0.01))} |"
+        )
+        print(lines[-1], flush=True)
+        shutil.rmtree(root, ignore_errors=True)
+        ev.unpersist()
+
+        # 4) streaming index ingest: 4 doc micro-batches appended to a
+        # persisted dedup index; per-increment wall flat vs generation
+        # count is the serving contract
+        from shc_spark.operators import dedup as _dedup
+
+        docs = inflate(spark, "documents", "doc_id", m, salt_col="text")
+        idx = tempfile.mkdtemp(prefix="shc_sprobe_idx_") + "/idx"
+        _dedup.build_dedup_index(
+            docs.filter(F.col("doc_id") % 2 == 0), idx, num_perm=64, bands=32, n=3
+        )
+        inc_walls = []
+        for s in range(4):
+            inc = docs.filter(
+                (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 8 == 2 * s + 1)
+            ).select("doc_id", "text").localCheckpoint(eager=True)
+            t0 = _time.time()
+            _dedup.append_to_dedup_index(inc, idx)
+            inc_walls.append(round(_time.time() - t0, 2))
+        lines.append(
+            f"| stream_index_ingest (4 appends) | x{m} | {docs.count() // 2} corpus | {round(sum(inc_walls), 2)} | "
+            + " -> ".join(str(w) for w in inc_walls)
+            + " | n/a | n/a |"
+        )
+        print(lines[-1], flush=True)
+        shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+        docs.unpersist()
+    return lines
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -211,6 +415,16 @@ def main() -> None:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2:]
+    if "--streaming" in argv:
+        # streaming-only mode: print the section for hand-merge into
+        # SCALE.md (same contract as --only: partial runs never rewrite
+        # the whole file)
+        argv.remove("--streaming")
+        mults = [int(m) for m in argv] or [1, 10, 100]
+        spark = get_spark("scale-probe")
+        for ln in streaming_probe(spark, tuple(mults)):
+            print(ln)
+        return
     mults = [int(m) for m in argv] or [1, 5, 10]
     spark = get_spark("scale-probe")
 
@@ -293,19 +507,15 @@ def main() -> None:
         ),
         # r11: sorted-neighborhood pairing — the wall is the
         # global_rank range shuffle (no single-partition window);
-        # pairs output scales linearly with the corpus
-        "dedup_snm_pairs": lambda d, e: __import__(
-            "shc_spark.operators.linkage", fromlist=["linkage"]
-        ).snm_pairs(
-            d.select(
-                "doc_id",
-                F.substring(
-                    F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9 ]", ""),
-                    1, 24,
-                ).alias("k"),
-            ),
+        # pairs output scales linearly with the corpus. r13: the probe
+        # uses the RECOMMENDED translate-based key (the r12 row showed
+        # ~23s of its 26s was the probe's own regexp_replace key —
+        # java regex ~10 MB/s; linkage.normalized_key is the exported
+        # fix and what the docs tell callers to use)
+        "dedup_snm_pairs": lambda d, e: (lambda lk: lk.snm_pairs(
+            d.select("doc_id", lk.normalized_key(F.col("text")).alias("k")),
             F.col("k"), 6, "doc_id",
-        ),
+        ))(__import__("shc_spark.operators.linkage", fromlist=["linkage"])),
         # r11: KMV sketch build + pairwise overlap — distinct shuffle
         # is map-side combined; the k-min is WindowGroupLimit; the
         # pair math is sketch-sized (190 pairs regardless of corpus)

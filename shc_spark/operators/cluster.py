@@ -251,11 +251,26 @@ def semdedup(
         # the oracle's left-to-right list_sum than the cancellation-
         # prone ||x||^2 - 2xc + ||c||^2 form; 6dp rounding absorbs the
         # remaining ulps BEFORE the argmin (ties -> first centroid,
-        # matching ORDER BY dist, cid)
-        diff = mat[:, None, :] - cents[None, :, :]
-        d = np.round((diff * diff).sum(axis=2), 6)
-        a = d.argmin(axis=1)
-        return pd.DataFrame({"cluster": a, "dist": d[np.arange(len(a)), a]})
+        # matching ORDER BY dist, cid). CHUNKED over centroids (r13):
+        # the one-shot broadcast materializes |batch| x k x dim float64
+        # — 2 GB/batch at auto-k ~400 on 10k-row batches, measured 7x
+        # slower end to end — so cap the intermediate at ~128 MB and
+        # fold a running (best dist, first-min cid) across chunks;
+        # strict < keeps argmin's first-minimum tie rule exactly.
+        n, dim = mat.shape
+        step = max(1, (1 << 24) // max(1, n * dim))
+        best_d = np.full(n, np.inf)
+        best_c = np.zeros(n, dtype=np.int64)
+        for c0 in range(0, len(cents), step):
+            chunk = cents[c0 : c0 + step]
+            diff = mat[:, None, :] - chunk[None, :, :]
+            d = np.round((diff * diff).sum(axis=2), 6)
+            a = d.argmin(axis=1)
+            dv = d[np.arange(n), a]
+            take = dv < best_d
+            best_d[take] = dv[take]
+            best_c[take] = a[take] + c0
+        return pd.DataFrame({"cluster": best_c, "dist": best_d})
 
     assigned = (
         df.select(id_col, vec_col)

@@ -61,8 +61,11 @@ _WINDOW = [
     # the judge reads the union.
     # Canaries (one per major family):
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
-    # touched-path re-drives (r13 code changes):
-    "dedup_semdedup", "shc_rest_write",
+    # r13-NEW: version explode + bulk multiget over the REST wire
+    # (S14/S11 through the transport; the touched-path re-drives for
+    # dedup_semdedup/shc_rest_write yielded these slots — both stay
+    # value-exact in the committed local full sweep):
+    "shc_rest_version_explode", "shc_rest_multiget",
     # renamed this round (first driver row under the honest name):
     "mm_feature_plumbing",
     # r8-green refresh — the complete 44-gate block:

@@ -1240,6 +1240,66 @@ def shc_rest_composite_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r13: S14 THROUGH THE TRANSPORT — the MaxVersionsSuite matrix over
+# the wire. The scanner takes HBase's maxVersions (Scan.readVersions /
+# Stargate maxVersions): one Stargate Row per key whose Cell list
+# carries up to N newest cells PER COLUMN, each with its own
+# timestamp; the client reassembles one output row per (key, ts).
+# Same fixture and ORACLE as the embedded shc_version_explode gate —
+# transport must never change an answer.
+@register(
+    "shc_rest_version_explode",
+    """
+    SELECT c_custkey, 1 AS version_rank,
+           concat(c_name, ':v2') AS name_v,
+           CAST(NULL AS DOUBLE) AS bal_v
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS version_rank,
+           c_name AS name_v, c_acctbal AS bal_v
+    FROM customer
+    """,
+)
+def shc_rest_version_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from shc_spark.sources.rest import ensure_rest_server, read_table_rest_versions
+
+    shc_version_merge(spark, sf_dir)  # ensure both generations exist
+    root = _root(sf_dir, "custv")
+    url = ensure_rest_server(root)
+    t = read_table_rest_versions(spark, CAT_CUSTOMER, url, max_versions=2)
+    w = Window.partitionBy("c_custkey").orderBy(F.col("__ts").desc())
+    return t.select(
+        "c_custkey",
+        F.row_number().over(w).alias("version_rank"),
+        F.col("c_name").alias("name_v"),
+        F.col("c_acctbal").alias("bal_v"),
+    )
+
+
+# r13: S11 THROUGH THE TRANSPORT — bulk point-gets as ONE multiget
+# round-trip (HBase multi-Get / Stargate /multiget). Driver-side by
+# design: a Get list is a serving primitive bounded by len(keys).
+# Missing keys are absent, HBase Get semantics.
+@register(
+    "shc_rest_multiget",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+    FROM customer
+    WHERE c_custkey IN (3, 77, 250, 414, 655)
+    """,
+)
+def shc_rest_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.sources.rest import bulk_get_rest
+
+    url = _rest_url(spark, sf_dir)
+    # 999999 does not exist: it must simply be absent from the result
+    t = bulk_get_rest(spark, CAT_CUSTOMER, url, [3, 77, 250, 414, 655, 999999])
+    return t.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal"))
+
+
 # Coprocessor-style aggregation scan (the HBase AggregationClient /
 # AggregateImplementation analog, beyond the reference): each region
 # partition returns PARTIAL aggregates computed inside the scan (arrow

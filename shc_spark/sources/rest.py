@@ -94,7 +94,8 @@ class _TableService:
     def __init__(self, root: str) -> None:
         self.root = root
 
-    def _reader(self, table: str, ranges: list[ScanRange] | None) -> tuple:
+    def _reader(self, table: str, ranges: list[ScanRange] | None,
+                raw: bool = False) -> tuple:
         import os
 
         path = os.path.join(self.root, table)
@@ -104,7 +105,7 @@ class _TableService:
         opts = {"catalog": cat_json, "root": self.root}
         from shc_spark.sources.api import _merge_is_noop
 
-        if not _merge_is_noop(path):
+        if not raw and not _merge_is_noop(path):
             opts["merge"] = "latest"
         rdr = ShcReader(None, opts)
         if ranges:
@@ -226,6 +227,64 @@ class _TableService:
                     if scvfs and not _passes(cells):
                         continue
                     yield bytes(key), int(tss[i]), cells
+
+    def scan_versions(self, table: str, start: bytes | None, stop: bytes | None,
+                      max_versions: int):
+        """Multi-version scan (HBase Scan.readVersions / Stargate
+        ``maxVersions``): ONE Stargate Row per key, whose Cell list
+        carries up to ``max_versions`` NEWEST cells PER COLUMN, each
+        with its own timestamp — the wire shape real Stargate serves.
+        Tombstone rows are excluded but the history they mask is
+        visible (same contract as the embedded merge_to_latest=False
+        read: version reads see pre-delete history until compaction).
+
+        The mock buffers the range's version groups to serve keys in
+        ascending order (raw region files are not globally key-ordered
+        across generations); a real region server merge-sorts its
+        store files instead. Yields ready Stargate Row dicts."""
+        rng = [ScanRange(start, True, stop, False)] if (start or stop) else None
+        cat, rdr = self._reader(table, rng, raw=True)
+        value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
+        by_key: dict = {}
+        for part in rdr.partitions():
+            for batch in rdr.read(part):
+                keys = batch.column(ROWKEY_COL).to_pylist()
+                tss = batch.column(TS_COL).to_pylist()
+                cols = {
+                    f.col_name: batch.column(f.col_name).to_pylist()
+                    for f in value_fields
+                    if f.col_name in batch.schema.names
+                }
+                for i, key in enumerate(keys):
+                    versions = by_key.setdefault(bytes(key), [])
+                    cells = {}
+                    for f in value_fields:
+                        v = cols.get(f.col_name, [None] * len(keys))[i]
+                        if v is None:
+                            continue
+                        enc = (
+                            bytes(v)
+                            if f.avro_schema is not None
+                            else get_coder(f.coder).to_bytes(v, f.dt)
+                        )
+                        cells[f"{f.cf}:{f.col}".encode()] = enc
+                    versions.append((int(tss[i]), cells))
+        for key in sorted(by_key):
+            cell_list = []
+            per_col: dict = {}
+            # newest versions first; per-column budget (HBase grants
+            # each column its own maxVersions)
+            for ts, cells in sorted(by_key[key], key=lambda v: -v[0]):
+                for cname, enc in cells.items():
+                    cnt = per_col.get(cname, 0)
+                    if cnt >= max_versions:
+                        continue
+                    per_col[cname] = cnt + 1
+                    cell_list.append(
+                        {"column": _b64(cname), "timestamp": ts, "$": _b64(enc)}
+                    )
+            if cell_list:
+                yield {"key": _b64(key), "Cell": cell_list}
 
     def generation_count(self, table: str) -> int:
         import os
@@ -486,11 +545,16 @@ class MockHBaseRestServer:
                             sc[2] = next(touch_seq)
                             rows = []
                             it, batch = sc[0], sc[1]
+                            json_rows = len(sc) > 3 and sc[3] == "json"
                             for _ in range(batch):
                                 try:
-                                    key, ts, cells, deleted = next(it)
+                                    item = next(it)
                                 except StopIteration:
                                     break
+                                if json_rows:  # multi-version scanners
+                                    rows.append(item)  # ready Stargate Row
+                                    continue
+                                key, ts, cells, deleted = item
                                 row = {
                                     "key": _b64(key),
                                     "ts": ts,  # row-level ts survives cell-less rows
@@ -511,6 +575,34 @@ class MockHBaseRestServer:
                         return self._json(200, {"Region": svc.regions(parts[0])})
                     if len(parts) == 2 and parts[1] == "generations":
                         return self._json(200, {"count": svc.generation_count(parts[0])})
+                    if len(parts) == 2 and parts[1].startswith("multiget"):
+                        # Stargate multiget: GET /{table}/multiget?row=<hex>&row=<hex>
+                        # (hex, like the single-get path — base64 contains '/').
+                        # Missing keys are simply absent, HBase Get semantics.
+                        from urllib.parse import parse_qs, urlparse
+
+                        qs = parse_qs(urlparse(self.path).query)
+                        rows = []
+                        for hx in qs.get("row", []):
+                            key = bytes.fromhex(hx)
+                            for k, ts, cells in svc.scan_rows(
+                                parts[0], key, key + b"\x00"
+                            ):
+                                rows.append(
+                                    {
+                                        "key": _b64(k),
+                                        "ts": ts,
+                                        "Cell": [
+                                            {"column": _b64(c), "timestamp": ts, "$": _b64(v)}
+                                            for c, v in cells.items()
+                                        ],
+                                    }
+                                )
+                        if not rows:
+                            self.send_response(404)
+                            self.end_headers()
+                            return
+                        return self._json(200, {"Row": rows})
                     if len(parts) == 2:
                         key = bytes.fromhex(parts[1])
                         rows = [
@@ -553,6 +645,22 @@ class MockHBaseRestServer:
                             it = (
                                 (r["key"], r["ts"], r["cells"], r["del"]) for r in it
                             )
+                        elif int(body.get("maxVersions", 1)) > 1:
+                            start = _unb64(body["startRow"]) if body.get("startRow") else None
+                            stop = _unb64(body["endRow"]) if body.get("endRow") else None
+                            it = svc.scan_versions(
+                                parts[0], start, stop, int(body["maxVersions"])
+                            )
+                            with lock:
+                                scanners[sid] = [it, batch, next(touch_seq), "json"]
+                                while len(scanners) > 512:
+                                    lru = min(scanners, key=lambda k: scanners[k][2])
+                                    scanners.pop(lru)
+                            self.send_response(201)
+                            self.send_header("Location", f"/scanner/{sid}")
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                            return
                         else:
                             start = _unb64(body["startRow"]) if body.get("startRow") else None
                             stop = _unb64(body["endRow"]) if body.get("endRow") else None
@@ -778,6 +886,48 @@ def _decode_rest_rows(cat, rows: list, with_del: bool = False) -> dict:
     return cols
 
 
+def _decode_rest_version_rows(cat, rows: list) -> dict:
+    """Multi-version Stargate rows -> one output row per (key, ts):
+    each wire Row carries up to maxVersions cells PER COLUMN with their
+    own timestamps; cells written together (same ts) reassemble into
+    one version row — exactly the embedded merge_to_latest=False shape,
+    reconstructed from the wire. Typed decode rides the batch kernels."""
+    coder = get_coder(cat.table_coder)
+    key_fields = cat.rowkey_fields()
+    value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
+    by_cell = {f"{f.cf}:{f.col}".encode(): f for f in value_fields}
+    salt = 1 if cat.salt_buckets else 0
+    out_keys: list = []   # decoded key dims per output row
+    out_ts: list = []
+    raw_cols: dict = {f.col_name: [] for f in value_fields}
+    for row in rows:
+        key = _unb64(row["key"])
+        dims = coder.decode_rowkey(key[salt:], key_fields)
+        by_ts: dict = {}
+        for c in row.get("Cell", ()):
+            f = by_cell.get(_unb64(c["column"]))
+            if f is None:
+                continue
+            by_ts.setdefault(int(c["timestamp"]), {})[f.col_name] = _unb64(c["$"])
+        for ts in sorted(by_ts, reverse=True):
+            out_keys.append(dims)
+            out_ts.append(ts)
+            cells = by_ts[ts]
+            for f in value_fields:
+                raw_cols[f.col_name].append(cells.get(f.col_name))
+    cols: dict = {}
+    for j, f in enumerate(key_fields):
+        cols[f.col_name] = [dims[j] for dims in out_keys]
+    cols[TS_COL] = out_ts
+    for f in value_fields:
+        raws = raw_cols[f.col_name]
+        if f.avro_schema is not None:
+            cols[f.col_name] = [None if r is None else bytes(r) for r in raws]
+        else:
+            cols[f.col_name] = _decode_cells_batch(get_coder(f.coder), f.dt, raws)
+    return cols
+
+
 class RestPartition(InputPartition):
     def __init__(self, ranges: tuple, vfilters: tuple = (), hosts: tuple = ()) -> None:
         self.ranges = ranges  # tuple of (start|None, stop|None) byte pairs
@@ -807,6 +957,9 @@ class ShcRestReader(DataSourceReader):
         self.batch = int(options.get("batch", 4096))
         raw_agg = options.get("aggregate")
         self.agg_spec = _parse_agg_spec(self.cat, raw_agg) if raw_agg else None
+        # maxVersions > 1: multi-version scanners (Scan.readVersions);
+        # each wire Row reassembles into one output row per (key, ts)
+        self.max_versions = int(options.get("maxversions", options.get("maxVersions", 1)))
         self.hrf = HRF.full()
         self.value_filters: list[dict] = []
 
@@ -902,6 +1055,11 @@ class ShcRestReader(DataSourceReader):
         data, _ = _http_json(f"{self.url}/{self._table}/regions")
         hrf, self.hrf = self.hrf, HRF.full()
         vfs, self.value_filters = tuple(self.value_filters), []
+        if self.max_versions > 1:
+            # value filters are merged-view semantics; on a version scan
+            # they would filter per-version rows differently. Pushing is
+            # always optional (Spark re-evaluates on top), so drop them.
+            vfs = ()
         if self.cat.salt_buckets and hrf.ranges != HRF.full().ranges:
             # salted physical keys carry a hash prefix: fan unsalted
             # ranges across the buckets BEFORE region intersection
@@ -1008,9 +1166,12 @@ class ShcRestReader(DataSourceReader):
         if self.agg_spec is not None:
             yield from self._read_aggregate(partition)
             return
+        versioned = self.max_versions > 1
         want = to_arrow_schema(rest_schema(self.cat))
         for start, stop in partition.ranges:
             body = {"batch": self.batch}
+            if versioned:
+                body["maxVersions"] = self.max_versions
             if start is not None:
                 body["startRow"] = _b64(start)
             if stop is not None:
@@ -1022,7 +1183,11 @@ class ShcRestReader(DataSourceReader):
                     "filters": list(partition.vfilters),
                 }
             for rows in self._scan_pages(body):
-                cols = self._decode_rows(rows)
+                cols = (
+                    _decode_rest_version_rows(self.cat, rows)
+                    if versioned
+                    else self._decode_rows(rows)
+                )
                 arrays = [
                     pa.array(cols[f.name], type=f.type) for f in want
                 ]
@@ -1369,6 +1534,88 @@ def read_table_rest(spark, catalog: str, url: str, batch: int = 4096):
         if f.avro_schema is not None:
             df = df.withColumn(f.col_name, _avro_decode_expr(f))
     return df.select(*[f.col_name for f in cat.fields.values()])
+
+
+def read_table_rest_versions(
+    spark, catalog: str, url: str, max_versions: int, batch: int = 4096
+):
+    """Multi-version read over the REST transport (HBase
+    Scan.readVersions / Stargate ``maxVersions``): one row per written
+    version per key — up to ``max_versions`` newest per CELL — with
+    ``__ts`` retained, the wire twin of the embedded
+    ``read_table(merge_to_latest=False)`` + per-cell version cap
+    (MaxVersionsSuite semantics through the transport)."""
+    from pyspark.sql import functions as F
+
+    from shc_spark.sources.api import _avro_decode_expr
+
+    if max_versions < 1:
+        raise ValueError("max_versions must be >= 1")
+    register_rest(spark)
+    cat = parse_catalog(catalog)
+    df = (
+        spark.read.format("shc-rest")
+        .option("catalog", catalog)
+        .option("url", url)
+        .option("batch", str(batch))
+        .option("maxVersions", str(max_versions))
+        .load()
+    )
+    for f in cat.fields.values():
+        if f.avro_schema is not None:
+            df = df.withColumn(f.col_name, _avro_decode_expr(f))
+    return df.select(*[f.col_name for f in cat.fields.values()], TS_COL)
+
+
+def bulk_get_rest(spark, catalog: str, url: str, keys: list):
+    """BulkGet over the wire (S11 through the transport): one multiget
+    round-trip for a list of rowkey values — the HBase multi-Get /
+    Stargate ``/multiget`` analog. Single-dimension rowkeys only (an
+    HBase Get addresses a FULL row key; for composite-key prefix
+    lookups use ``read_table_rest`` + a first-dim filter, which pushes
+    as scanner ranges). Driver-side by design: a Get list is a serving
+    primitive, bounded by len(keys), never corpus-sized."""
+    from urllib.error import HTTPError
+
+    from shc_spark.sources.api import _key_encode_ctx, encode_rowkey_batch
+
+    register_rest(spark)
+    cat = parse_catalog(catalog)
+    key_fields = cat.rowkey_fields()
+    if len(key_fields) != 1:
+        raise ValueError(
+            "bulk_get_rest addresses full row keys; this catalog has a "
+            f"{len(key_fields)}-dim composite rowkey — use read_table_rest "
+            "+ a first-dim filter (pushes as scanner ranges) instead"
+        )
+    import pandas as pd
+
+    enc = encode_rowkey_batch(cat, [pd.Series(list(keys))], _key_encode_ctx(cat))
+    qs = "&".join(f"row={k.hex()}" for k in enc)
+    table = f"{cat.namespace}.{cat.name}"
+    try:
+        data, _ = _http_json(f"{url.rstrip('/')}/{table}/multiget?{qs}")
+        rows = data["Row"]
+    except HTTPError as e:
+        if e.code == 404:
+            rows = []  # none of the keys exist
+        else:
+            raise
+    cols = _decode_rest_rows(cat, rows)
+    names = [f.col_name for f in cat.fields.values()]
+    out_schema = StructType(
+        [f for f in rest_schema(cat).fields if f.name in names]
+    )
+    recs = [tuple(cols[n][i] for n in names) for i in range(len(rows))]
+    df = spark.createDataFrame(recs, out_schema)
+    from pyspark.sql import functions as F  # noqa: F401 (decode exprs below)
+
+    from shc_spark.sources.api import _avro_decode_expr
+
+    for f in cat.fields.values():
+        if f.avro_schema is not None:
+            df = df.withColumn(f.col_name, _avro_decode_expr(f))
+    return df
 
 
 def scan_aggregate_rest(

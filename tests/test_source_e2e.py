@@ -3329,3 +3329,139 @@ def test_temporal_rowkey_refused_identically_on_both_transports(spark, tmp_path)
     )
     with pytest.raises(ValueError, match="cannot encode"):
         w.write(iter([batch]))
+
+
+def test_rest_version_scan_matches_embedded_explode(spark, tmp_path):
+    """maxVersions over the wire (S14 through the transport): the
+    multi-version scanner serves one Stargate Row per key with each
+    column's N newest cells carrying their OWN timestamps; the client
+    reassembles one row per (key, ts) — identical to the embedded
+    merge_to_latest=False read over the same table."""
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import ensure_rest_server, read_table_rest_versions
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=60, regions=4)
+    # generation 2: partial-cell update of every 5th key (val only)
+    upd = spark.range(12).select(
+        (F.col("id") * 5).alias("k"),
+        F.lit(None).cast("string").alias("grp"),
+        F.lit(-5.0).alias("val"),
+        F.lit(None).cast("int").alias("n"),
+    )
+    write_table(upd, CAT_AGG, root=root, mode="append", timestamp=2000)
+
+    got = read_table_rest_versions(spark, CAT_AGG, url, max_versions=3)
+    exp = read_table(
+        spark, CAT_AGG, root=root, merge_to_latest=False, keep_internal=True
+    ).select(*got.columns)
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731 — None-safe sort
+    gs = sorted((tuple(r) for r in got.collect()), key=key)
+    es = sorted((tuple(r) for r in exp.collect()), key=key)
+    assert gs == es and len(gs) == 72  # 60 base + 12 update versions
+
+    # updated keys: version rows keep HBase cell semantics — the
+    # ts=2000 version has val only (null cells are not stored)
+    v2 = [r for r in got.collect() if r["__ts"] == 2000]
+    assert len(v2) == 12
+    assert all(r["val"] == -5.0 and r["grp"] is None and r["n"] is None for r in v2)
+
+
+def test_rest_version_cap_is_per_cell_newest(spark, tmp_path):
+    """The maxVersions budget caps each COLUMN independently at its N
+    newest cells (HBase grants per-column version budgets), and
+    maxVersions=1 equals the merged latest view."""
+    from shc_spark.sources.rest import (
+        ensure_rest_server,
+        read_table_rest,
+        read_table_rest_versions,
+    )
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=10, regions=4)
+    for g, v in enumerate((-1.0, -2.0, -3.0)):  # 3 more versions of val for k=0
+        upd = spark.range(1).select(
+            F.col("id").alias("k"),
+            F.lit(None).cast("string").alias("grp"),
+            F.lit(v).alias("val"),
+            F.lit(None).cast("int").alias("n"),
+        )
+        write_table(upd, CAT_AGG, root=root, mode="append", timestamp=2000 + g)
+
+    two = read_table_rest_versions(spark, CAT_AGG, url, max_versions=2)
+    k0 = sorted(
+        (r["__ts"], r["val"]) for r in two.filter(F.col("k") == 0).collect()
+    )
+    # 2 newest val versions only (ts 2001/2002); grp/n's newest (and
+    # only) cells ride the ts=1000 base version row
+    assert [t for t, _ in k0] == [1000, 2001, 2002]
+    assert [v for _, v in k0] == [None, -2.0, -3.0]
+    base_row = [r for r in two.filter(F.col("k") == 0).collect() if r["__ts"] == 1000]
+    assert base_row[0]["grp"] == "g0" and base_row[0]["n"] is None  # k=0: n null in fixture
+
+    one = read_table_rest_versions(spark, CAT_AGG, url, max_versions=1)
+    merged = read_table_rest(spark, CAT_AGG, url)
+    # per key: collapse the maxVersions=1 rows per cell == merged view
+    gv = {
+        r["k"]: r["val"]
+        for r in one.groupBy("k").agg(
+            F.expr("max_by(val, CASE WHEN val IS NOT NULL THEN __ts END)").alias("val")
+        ).collect()
+    }
+    mv = {r["k"]: r["val"] for r in merged.collect()}
+    assert gv == mv and gv[0] == -3.0
+
+
+def test_rest_multiget_bulk_get(spark, tmp_path):
+    """Bulk point-gets over the wire: one /multiget round trip, HBase
+    Get semantics (missing keys absent), salt recomputed per key; the
+    composite-key refusal points at the range-scan path."""
+    import pytest as _pytest
+
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import bulk_get_rest, ensure_rest_server
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=50, regions=4)
+    got = bulk_get_rest(spark, CAT_AGG, url, [3, 17, 42, 999])
+    rows = {r["k"]: r for r in got.collect()}
+    assert set(rows) == {3, 17, 42}  # 999 absent: no such row
+    exp = {
+        r["k"]: r
+        for r in read_table(spark, CAT_AGG, root=root)
+        .filter(F.col("k").isin(3, 17, 42))
+        .collect()
+    }
+    for k in (3, 17, 42):
+        assert tuple(rows[k]) == tuple(exp[k])
+
+    # salted single-dim table: the salt byte is recomputed per key
+    cat_s = json.dumps(
+        {
+            "table": {"namespace": "r", "name": "mgsalt", "tableCoder": "OrderedType", "version": "2.0", "saltBuckets": 8},
+            "rowkey": "key",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+                "val": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    df = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 3.0).alias("val"))
+    write_table(df, cat_s, root=root, num_regions=8, mode="overwrite", timestamp=1000)
+    got_s = bulk_get_rest(spark, cat_s, url, [7, 21])
+    assert sorted((r["k"], r["val"]) for r in got_s.collect()) == [(7, 21.0), (21, 63.0)]
+
+    # composite rowkey: full-key Gets cannot address a prefix — refuse
+    cat_ck = json.dumps(
+        {
+            "table": {"namespace": "r", "name": "mgck", "tableCoder": "OrderedType", "version": "2.0"},
+            "rowkey": "k1:k2",
+            "columns": {
+                "a": {"cf": "rowkey", "col": "k1", "type": "bigint"},
+                "b": {"cf": "rowkey", "col": "k2", "type": "string"},
+                "val": {"cf": "cf", "col": "v", "type": "double"},
+            },
+        }
+    )
+    with _pytest.raises(ValueError, match="composite"):
+        bulk_get_rest(spark, cat_ck, url, [1])

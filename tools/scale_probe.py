@@ -484,6 +484,14 @@ def main() -> None:
         "dedup_semdedup": lambda d, e: cluster.semdedup(
             e, "embedding", "vec_id", k=64, max_iter=2, threshold=0.45
         ),
+        # r13 (VERDICT r12 #1): the AUTO default — k sizes itself from
+        # the corpus count (ceil(n/512), clamped), so cluster sizes
+        # stay ~constant as the corpus grows and the per-cluster
+        # quadratic never concentrates; the fixed-k row above is kept
+        # as the contrast (its clusters grow with the corpus)
+        "dedup_semdedup_auto": lambda d, e: cluster.semdedup(
+            e, "embedding", "vec_id", max_iter=2, threshold=0.45
+        ),
         "embed_quantize": lambda d, e: quantize.quantize_embeddings(
             e, "embedding", "vec_id"
         ),

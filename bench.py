@@ -93,6 +93,11 @@ HEADLINE = [
     # records it as a wash in the embedded backend.
     "dedup_snm_pairs",
     "sim_mmr_rerank",
+    # round-13 addition: curation lineage report — the 5-rule
+    # sequential drop chain (benchmark source, length floor,
+    # normalized exact-dup, 5-gram decontamination, quality floor)
+    # with per-doc dropped_by attribution
+    "text_curation_report",
 ]
 
 

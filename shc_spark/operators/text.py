@@ -1125,3 +1125,64 @@ def dsir_select(
         .limit(n)
         .select(F.col("id").alias(id_col), "weight")
     )
+
+
+def curation_report(
+    df: DataFrame,
+    id_col: str,
+    rules: "list[tuple[str, callable]]",
+) -> DataFrame:
+    """Per-document curation LINEAGE: run an ordered chain of drop
+    rules and report, for every input document, whether it survived
+    and which rule removed it — the audit artifact a training-data
+    pipeline needs ("why is this doc not in the training set?") and
+    the one a bare filter chain destroys.
+
+    ``rules`` is an ordered list of ``(name, fn)`` where
+    ``fn(survivors: DataFrame) -> DataFrame`` returns the ids to drop
+    (any 1+-column frame containing ``id_col``). Semantics are
+    SEQUENTIAL: rule i sees only the survivors of rules < i — this is
+    how real pipelines run, and it matters for corpus-dependent rules
+    (a keep-smallest dedup rule must not count a document already
+    removed by an earlier rule as a cluster's keeper).
+
+    Output: one row per input document — (id, kept boolean,
+    dropped_by string) with ``dropped_by`` NULL for survivors.
+
+    Scale shape: each stage is ONE left-anti join on the id; each
+    rule's drop set is pinned with an eager localCheckpoint — drop
+    sets are id-only (8 bytes/row), tiny next to the corpus, and
+    without the pin stage k's evaluation would recompute every earlier
+    rule's full lineage (rule fns can be arbitrarily expensive — LSH
+    passes, gram joins). The corpus itself never shuffles; the final
+    report is a left join of the input ids against the unioned drop
+    labels.
+    """
+    from functools import reduce
+
+    if not rules:
+        raise ValueError("curation_report needs at least one rule")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    survivors = df
+    labeled = []
+    for name, fn in rules:
+        drops = (
+            fn(survivors)
+            .select(id_col)
+            .distinct()
+            .localCheckpoint(eager=True)  # id-only: bounded by construction
+        )
+        labeled.append(drops.withColumn("dropped_by", F.lit(name)))
+        survivors = survivors.join(drops, on=id_col, how="left_anti")
+    all_drops = reduce(lambda a, b: a.unionByName(b), labeled)
+    return (
+        df.select(id_col)
+        .join(all_drops, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("dropped_by").isNull().alias("kept"),
+            "dropped_by",
+        )
+    )

@@ -1390,6 +1390,83 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r13: curation LINEAGE — the "why is this doc not in the training
+# set" audit artifact. An ordered rule chain (benchmark-source, length
+# floor, normalized exact-dup keep-min, 5-gram decontamination,
+# quality floor) runs with SEQUENTIAL semantics (rule i sees only
+# survivors of rules < i — order matters for keep-smallest dedup), and
+# every input doc reports (kept, dropped_by). The oracle replays the
+# whole chain as sequential CTEs: every rule is one of the pipeline's
+# value-exact primitives, so the composition is value-exact too.
+@register(
+    "text_curation_report",
+    f"""
+    WITH d AS (SELECT doc_id, source, text FROM documents),
+    r1 AS (SELECT doc_id FROM d WHERE source IN ('src0', 'src1')),
+    s1 AS (SELECT * FROM d WHERE source NOT IN ('src0', 'src1')),
+    r2 AS (SELECT doc_id FROM s1 WHERE length(text) < 150),
+    s2 AS (SELECT * FROM s1 WHERE length(text) >= 150),
+    nrm AS (SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'),
+                                       '\\s+', ' ', 'g')) AS nt
+            FROM s2),
+    r3 AS (SELECT doc_id FROM nrm
+           WHERE doc_id NOT IN (SELECT min(doc_id) FROM nrm GROUP BY nt)),
+    s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM r3)),
+    t3 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s3),
+    g3 AS (SELECT doc_id, array_to_string(ws[s.i:s.i+4], ' ') AS gram
+           FROM t3 CROSS JOIN LATERAL
+             (SELECT unnest(generate_series(1, len(t3.ws) - 4)) AS i) s),
+    bt AS (SELECT string_split(text, ' ') AS ws FROM d WHERE source IN ('src0', 'src1')),
+    bg AS (SELECT DISTINCT array_to_string(ws[s.i:s.i+4], ' ') AS gram
+           FROM bt CROSS JOIN LATERAL
+             (SELECT unnest(generate_series(1, len(bt.ws) - 4)) AS i) s),
+    r4 AS (SELECT DISTINCT doc_id FROM g3 WHERE gram IN (SELECT gram FROM bg)),
+    s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM r4)),
+    f AS (SELECT doc_id,
+                 length(text) AS q_chars,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS q_tokens,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                 len(list_filter(string_split(text, ' '), w -> w IN ({_MARKERS_SQL}))) AS n_stop
+          FROM s4),
+    r5 AS (SELECT doc_id FROM f
+           WHERE round(least(q_tokens / 64.0, 1.0) * 0.4
+                 + least((n_stop * 1.0 / greatest(q_tokens, 1)) * 4, 1.0) * 0.4
+                 + (1 - least((n_punct * 1.0 / greatest(q_chars, 1)) * 10, 1.0)) * 0.2,
+                 4) < 0.5),
+    lab AS (SELECT doc_id, 'benchmark_source' AS dropped_by FROM r1
+            UNION ALL SELECT doc_id, 'too_short' FROM r2
+            UNION ALL SELECT doc_id, 'exact_dup' FROM r3
+            UNION ALL SELECT doc_id, 'contaminated' FROM r4
+            UNION ALL SELECT doc_id, 'low_quality' FROM r5)
+    SELECT d.doc_id, lab.dropped_by IS NULL AS kept, lab.dropped_by
+    FROM d LEFT JOIN lab ON d.doc_id = lab.doc_id
+    """,
+)
+def text_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+
+    def dup_drops(s: DataFrame) -> DataFrame:
+        norm = s.withColumn("nt", text.normalize_text(F.col("text")))
+        keep = dedup.exact_dedup(norm, ["nt"], "doc_id").select("doc_id")
+        return s.select("doc_id").join(keep, "doc_id", "left_anti")
+
+    rules = [
+        ("benchmark_source",
+         lambda s: s.filter(F.col("source").isin("src0", "src1")).select("doc_id")),
+        ("too_short", lambda s: s.filter(F.length("text") < 150).select("doc_id")),
+        ("exact_dup", dup_drops),
+        ("contaminated",
+         lambda s: text.decontaminate(s, bench, "text", "doc_id", n=5)
+         .select(F.col("id").alias("doc_id"))),
+        ("low_quality",
+         lambda s: text.quality_features(s, "text")
+         .filter(F.col("q_score") < 0.5).select("doc_id")),
+    ]
+    return text.curation_report(docs, "doc_id", rules)
+
+
 # domain mixing: per-language deterministic sampling rates (50% en,
 # 25% zh, 12.5% de, ~4% everything else) as one codegen'd filter.
 @register(

@@ -4467,3 +4467,49 @@ def test_dedup_index_hash_scheme_guard(spark, tmp_path):
     from shc_spark.operators.idxcache import local_meta_rows  # bust memo via rewrite mtime
     m2 = dedup.read_dedup_index_meta(spark, p)
     assert (m2.get("hash_scheme") or 1) == 1
+
+
+def test_curation_report_sequential_attribution(spark):
+    """curation_report runs rules SEQUENTIALLY: a doc removed by rule i
+    is invisible to rule j>i — so when a blocklist removes a duplicate
+    cluster's keeper, the survivor is re-crowned, not dropped; and each
+    dropped doc is attributed to exactly the FIRST rule that hit it."""
+    from shc_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),   # blocklisted (would be the dup keeper)
+            (2, "hello world"),   # dup of 1 — but 1 is gone: kept
+            (3, "hello world"),   # dup of 2 (the NEW keeper): dropped as dup
+            (4, "hi"),            # too short
+            (5, "unique text"),   # survives everything
+        ],
+        "doc_id long, text string",
+    )
+
+    def dup_drops(s):
+        from shc_spark.operators import dedup
+
+        keep = dedup.exact_dedup(s, ["text"], "doc_id").select("doc_id")
+        return s.select("doc_id").join(keep, "doc_id", "left_anti")
+
+    rules = [
+        ("blocklist", lambda s: s.filter(F.col("doc_id") == 1).select("doc_id")),
+        ("too_short", lambda s: s.filter(F.length("text") < 5).select("doc_id")),
+        ("exact_dup", dup_drops),
+    ]
+    got = {r["doc_id"]: (r["kept"], r["dropped_by"])
+           for r in text.curation_report(df, "doc_id", rules).collect()}
+    assert got == {
+        1: (False, "blocklist"),
+        2: (True, None),          # re-crowned keeper (sequential semantics)
+        3: (False, "exact_dup"),
+        4: (False, "too_short"),
+        5: (True, None),
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        text.curation_report(df, "doc_id", [("a", rules[0][1]), ("a", rules[1][1])])
+    with pytest.raises(ValueError, match="at least one rule"):
+        text.curation_report(df, "doc_id", [])

@@ -1300,6 +1300,82 @@ def shc_rest_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal"))
 
 
+# r13: ATOMIC MUTATIONS over the wire — HBase Increment (batch
+# read-add-write committed as ONE generation under the region-server
+# lock) and checkAndPut (compare-and-swap on the cell's current
+# bytes). The oracle recomputes the deterministic final state from the
+# source parquet: increments add (k % 7 + 1) to every k % 3 == 0 key's
+# counter; CAS then overwrites every k % 10 == 0 key with 777 (the
+# expected value is the true current value, so it applies) and
+# ATTEMPTS k % 10 == 5 keys with a wrong expected (must refuse).
+CAT_ORDERS_CNT = json.dumps(
+    {
+        "table": {"namespace": "q", "name": "orders_cnt", "tableCoder": "OrderedType", "version": "2.0"},
+        "rowkey": "key",
+        "columns": {
+            "k": {"cf": "rowkey", "col": "key", "type": "bigint"},
+            "cnt": {"cf": "cf", "col": "c", "type": "bigint"},
+            "tag": {"cf": "cf", "col": "t", "type": "string"},
+        },
+    }
+)
+
+
+@register(
+    "shc_rest_increment_cas",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 10 = 0 THEN 777
+                WHEN o_orderkey % 3 = 0
+                  THEN (o_custkey % 10) + (o_orderkey % 7 + 1)
+                ELSE o_custkey % 10 END AS cnt,
+           o_orderstatus AS tag
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def shc_rest_increment_cas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.sources.rest import (
+        check_and_put_rest,
+        ensure_rest_server,
+        increment_rest,
+        read_table_rest,
+    )
+
+    root = _root(sf_dir, "restcnt")
+    marker = os.path.join(root, "q.orders_cnt", "_done_rest_cas")
+    if not os.path.exists(marker):
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+            F.col("o_orderkey") <= 300
+        )
+        base = orders.select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_custkey") % 10).cast("long").alias("cnt"),
+            F.col("o_orderstatus").alias("tag"),
+        )
+        write_table(base, CAT_ORDERS_CNT, root=root, num_regions=4, mode="overwrite", timestamp=1000)
+        url = ensure_rest_server(root)
+        # the key/base pairs are bounded (<= 300 keys) by construction
+        rows = {r["k"]: r["cnt"] for r in base.select("k", "cnt").collect()}
+        incs = [(k, "cnt", k % 7 + 1) for k in sorted(rows) if k % 3 == 0]
+        if incs:
+            increment_rest(CAT_ORDERS_CNT, url, incs, ts=2000)
+        for k in sorted(rows):
+            cur = rows[k] + (k % 7 + 1 if k % 3 == 0 else 0)
+            if k % 10 == 0:
+                assert check_and_put_rest(
+                    CAT_ORDERS_CNT, url, k, "cnt", cur, 777, ts=3000
+                )
+            elif k % 10 == 5:
+                # wrong expected: the CAS must refuse, state unchanged
+                assert not check_and_put_rest(
+                    CAT_ORDERS_CNT, url, k, "cnt", cur + 1_000_000, 888, ts=3000
+                )
+        open(marker, "w").write("ok")
+    url = ensure_rest_server(root)
+    t = read_table_rest(spark, CAT_ORDERS_CNT, url)
+    return t.select("k", "cnt", "tag")
+
+
 # Coprocessor-style aggregation scan (the HBase AggregationClient /
 # AggregateImplementation analog, beyond the reference): each region
 # partition returns PARTIAL aggregates computed inside the scan (arrow

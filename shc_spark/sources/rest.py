@@ -93,6 +93,20 @@ class _TableService:
 
     def __init__(self, root: str) -> None:
         self.root = root
+        self._mono: dict = {}  # per-table monotonic mutation stamps
+
+    def _next_ts(self, table: str) -> int:
+        """Server-side mutation timestamp: wall clock, FORCED strictly
+        monotonic per table — two mutations inside one millisecond must
+        not tie on __ts, where the merge's max_by tie-break is
+        arbitrary (HBase disambiguates same-ts cells by seqid; the
+        monotonic stamp is our equivalent). Callers hold the handler
+        lock."""
+        import time as _time
+
+        ts = max(int(_time.time() * 1000), self._mono.get(table, 0) + 1)
+        self._mono[table] = ts
+        return ts
 
     def _reader(self, table: str, ranges: list[ScanRange] | None,
                 raw: bool = False) -> tuple:
@@ -354,9 +368,16 @@ class _TableService:
         the typed layout through the catalog coders, sort by key, write
         a region file, append it to the manifest — the same commit
         shape as the embedded writer, driven from the wire."""
-        import os
+        rows: list = []
+        for tx in txs:
+            rows.extend(buffers.pop((table, tx), []))
+        return self._commit_rows(table, rows)
 
-        import pyarrow.compute as pc
+    def _commit_rows(self, table: str, rows: list) -> dict:
+        """(key, ts, {b'cf:qual': bytes}) rows -> ONE new generation
+        (typed region file + manifest append). Shared by the Put flush
+        and the atomic mutation endpoints (increment / checkAndPut)."""
+        import os
 
         from shc_spark.sources.shc_source import (
             _REGION_CACHE,
@@ -368,12 +389,9 @@ class _TableService:
         with open(os.path.join(path, "_catalog.json")) as fh:
             cat_json = fh.read()
         cat = parse_catalog(cat_json)
-        rows: list = []
-        for tx in txs:
-            rows.extend(buffers.pop((table, tx), []))
         if not rows:
             return {"rows": 0}
-        rows.sort(key=lambda r: r[0])
+        rows = sorted(rows, key=lambda r: r[0])
         key_fields = cat.rowkey_fields()
         value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
         coder = get_coder(cat.table_coder)
@@ -413,6 +431,67 @@ class _TableService:
         _REGION_CACHE.pop(meta, None)
         _store_catalog(path, cat_json, overwrite=False)
         return {"rows": len(rows)}
+
+    # -- atomic mutations (HBase Increment / checkAndPut analogs) -----
+    # Callers hold the server lock across read-compare-write, which is
+    # exactly the atomicity a region server provides per row.
+
+    def _cell_field(self, table: str, column: bytes):
+        import os
+
+        path = os.path.join(self.root, table)
+        with open(os.path.join(path, "_catalog.json")) as fh:
+            cat = parse_catalog(fh.read())
+        for f in cat.fields.values():
+            if not f.is_rowkey and f"{f.cf}:{f.col}".encode() == column:
+                return f
+        raise ValueError(f"unknown cell {column!r}")
+
+    def _current_cell(self, table: str, key: bytes, column: bytes):
+        """Merged latest value bytes of one cell (None if absent)."""
+        for _, _, cells in self.scan_rows(table, key, key + b"\x00"):
+            return cells.get(column)
+        return None
+
+    def increment(self, table: str, items: list, ts: int) -> dict:
+        """HBase Increment semantics over a BATCH of (key, column, by):
+        read the cell's current numeric value (absent -> 0), add, and
+        commit every incremented cell as ONE new generation (the batch
+        is the memstore-flush unit). Returns the new values, b64-keyed.
+        Arithmetic runs on the TYPED value through the catalog coder —
+        HBase's raw Bytes.toLong counters correspond to a long-typed
+        PrimitiveType cell."""
+        ts = ts or self._next_ts(table)  # server stamp, strictly monotonic
+        updates: dict = {}  # key -> {column: new_bytes}
+        out = []
+        for it in items:
+            key = _unb64(it["key"])
+            column = _unb64(it["column"])
+            f = self._cell_field(table, column)
+            coder = get_coder(f.coder)
+            staged = updates.get(key, {}).get(column)
+            raw = staged if staged is not None else self._current_cell(table, key, column)
+            cur = 0 if raw is None else coder.from_bytes(raw, f.dt)
+            new = cur + it["by"]
+            enc = coder.to_bytes(new, f.dt)
+            updates.setdefault(key, {})[column] = enc
+            out.append({"key": it["key"], "column": it["column"], "value": new})
+        self._commit_rows(
+            table, [(k, ts, cells) for k, cells in updates.items()]
+        )
+        return {"cells": out}
+
+    def check_and_put(self, table: str, key: bytes, column: bytes,
+                      expected: bytes | None, value: bytes, ts: int) -> dict:
+        """HBase checkAndPut: write ``value`` iff the cell's current
+        bytes equal ``expected`` (None = cell must be ABSENT). The
+        compare is raw bytes — exactly HBase's BinaryComparator."""
+        ts = ts or self._next_ts(table)
+        cur = self._current_cell(table, key, column)
+        ok = cur == expected
+        if ok:
+            self._commit_rows(table, [(key, ts, {column: value})])
+        return {"ok": ok, "current": None if cur is None else _b64(cur)}
 
     def abort(self, table: str, txs: list[str], buffers: dict,
               prefix: str | None = None) -> None:
@@ -712,6 +791,25 @@ class MockHBaseRestServer:
                                 prefix=body.get("prefix"),
                             )
                         return self._json(200, {})
+                    if len(parts) == 2 and parts[1] == "increment":
+                        # the lock makes the read-add-write atomic —
+                        # the per-row atomicity a region server grants
+                        with lock:
+                            out = svc.increment(
+                                parts[0], body["cells"], int(body.get("ts") or 0)
+                            )
+                        return self._json(200, out)
+                    if len(parts) == 2 and parts[1] == "checkput":
+                        with lock:
+                            out = svc.check_and_put(
+                                parts[0],
+                                _unb64(body["key"]),
+                                _unb64(body["column"]),
+                                _unb64(body["expected"]) if body.get("expected") is not None else None,
+                                _unb64(body["value"]),
+                                int(body.get("ts") or 0),
+                            )
+                        return self._json(200, out)
                     self._json(404, {"error": "bad path"})
                 except Exception as e:
                     self._json(500, {"error": repr(e)})
@@ -1616,6 +1714,83 @@ def bulk_get_rest(spark, catalog: str, url: str, keys: list):
         if f.avro_schema is not None:
             df = df.withColumn(f.col_name, _avro_decode_expr(f))
     return df
+
+
+def _cell_coords(cat, col_name: str):
+    f = cat.fields.get(col_name)
+    if f is None or f.is_rowkey:
+        raise ValueError(f"{col_name!r} is not a value column of this catalog")
+    return f, _b64(f"{f.cf}:{f.col}".encode())
+
+
+def _encode_full_key(cat, key_value) -> bytes:
+    import pandas as pd
+
+    from shc_spark.sources.api import _key_encode_ctx, encode_rowkey_batch
+
+    if len(cat.rowkey_fields()) != 1:
+        raise ValueError(
+            "atomic mutations address full row keys; this catalog has a "
+            "composite rowkey — pass the encoded bytes via read/scan paths"
+        )
+    return encode_rowkey_batch(cat, [pd.Series([key_value])], _key_encode_ctx(cat))[0]
+
+
+def increment_rest(catalog: str, url: str, items: list, ts: int | None = None) -> dict:
+    """HBase Increment over the wire: ``items`` is a list of
+    (key_value, col_name, by); the whole batch is read-add-written
+    ATOMICALLY under the region-server lock and committed as ONE new
+    generation (the memstore-flush unit — N counters bump for one
+    manifest append). Returns {key_value: new_value} per (key, col).
+    Driver-side serving primitive, bounded by len(items)."""
+    cat = parse_catalog(catalog)
+    cells = []
+    meta = []
+    for key_value, col_name, by in items:
+        f, cname = _cell_coords(cat, col_name)
+        cells.append(
+            {"key": _b64(_encode_full_key(cat, key_value)), "column": cname, "by": by}
+        )
+        meta.append((key_value, col_name))
+    body: dict = {"cells": cells}
+    if ts is not None:
+        body["ts"] = ts
+    table = f"{cat.namespace}.{cat.name}"
+    out, _ = _http_json(f"{url.rstrip('/')}/{table}/increment", "POST", body)
+    return {
+        (kv, cn): cell["value"] for (kv, cn), cell in zip(meta, out["cells"])
+    }
+
+
+def check_and_put_rest(
+    catalog: str,
+    url: str,
+    key_value,
+    col_name: str,
+    expected,
+    value,
+    ts: int | None = None,
+) -> bool:
+    """HBase checkAndPut over the wire: write ``value`` into
+    (key, col) iff the cell's CURRENT value equals ``expected``
+    (``None`` = the cell must be absent) — compare-and-swap with the
+    region server's per-row atomicity. Values are typed; the compare
+    runs on the coder's bytes (BinaryComparator semantics). Returns
+    True iff the put was applied."""
+    cat = parse_catalog(catalog)
+    f, cname = _cell_coords(cat, col_name)
+    coder = get_coder(f.coder)
+    body: dict = {
+        "key": _b64(_encode_full_key(cat, key_value)),
+        "column": cname,
+        "expected": None if expected is None else _b64(coder.to_bytes(expected, f.dt)),
+        "value": _b64(coder.to_bytes(value, f.dt)),
+    }
+    if ts is not None:
+        body["ts"] = ts
+    table = f"{cat.namespace}.{cat.name}"
+    out, _ = _http_json(f"{url.rstrip('/')}/{table}/checkput", "POST", body)
+    return bool(out["ok"])
 
 
 def scan_aggregate_rest(

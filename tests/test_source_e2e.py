@@ -3465,3 +3465,90 @@ def test_rest_multiget_bulk_get(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="composite"):
         bulk_get_rest(spark, cat_ck, url, [1])
+
+
+def test_rest_increment_and_checkput(spark, tmp_path):
+    """Atomic mutations over the wire: a batch Increment reads-adds-
+    writes under the server lock and commits ONE generation (staged
+    values accumulate within the batch); checkAndPut applies iff the
+    current bytes equal the expected (None = absent), HBase semantics."""
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import (
+        check_and_put_rest,
+        ensure_rest_server,
+        increment_rest,
+        read_table_rest,
+        _http_json,
+    )
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=20, regions=4)
+
+    def gens():
+        data, _ = _http_json(f"{url}/default.aggscan/generations")
+        return data["count"]
+
+    g0 = gens()
+    # batch increment: same (key, col) twice in one batch accumulates;
+    # int and double cells both take the typed path
+    out = increment_rest(
+        CAT_AGG, url,
+        [(1, "n", 5), (1, "n", 2), (2, "val", 0.5), (3, "n", 10)],
+        ts=2000,
+    )
+    assert gens() == g0 + 1  # ONE generation for the whole batch
+    # fixture: n = k for k % 5 != 0, val = k * 1.5
+    assert out[(1, "n")] == 1 + 5 + 2 == 8
+    assert out[(2, "val")] == 2 * 1.5 + 0.5
+    assert out[(3, "n")] == 13
+    merged = {r["k"]: r for r in read_table_rest(spark, CAT_AGG, url).collect()}
+    assert merged[1]["n"] == 8 and merged[3]["n"] == 13
+    assert merged[2]["val"] == 3.5
+    # absent cell increments from 0 (k=5: n is null in the fixture)
+    out = increment_rest(CAT_AGG, url, [(5, "n", 4)], ts=2001)
+    assert out[(5, "n")] == 4
+
+    # checkAndPut: wrong expected -> refused, state unchanged
+    assert check_and_put_rest(CAT_AGG, url, 1, "n", 999, 111, ts=3000) is False
+    # right expected -> applied
+    assert check_and_put_rest(CAT_AGG, url, 1, "n", 8, 111, ts=3001) is True
+    # expected None = cell must be absent (k=10: n null in fixture)
+    assert check_and_put_rest(CAT_AGG, url, 10, "n", None, 55, ts=3002) is True
+    assert check_and_put_rest(CAT_AGG, url, 10, "n", None, 66, ts=3003) is False
+    emb = {r["k"]: r for r in read_table(spark, CAT_AGG, root=root).collect()}
+    assert emb[1]["n"] == 111 and emb[10]["n"] == 55
+
+
+def test_rest_atomics_are_serialized(spark, tmp_path):
+    """Concurrency contract: racing CAS ops with the same expected
+    value — exactly ONE wins; racing increments never lose an update
+    (the server lock spans read-compare/add-write)."""
+    import threading
+
+    from shc_spark.sources.rest import (
+        check_and_put_rest,
+        ensure_rest_server,
+        increment_rest,
+        read_table_rest,
+    )
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=8, regions=4)
+
+    wins = []
+    def cas():
+        # fixture: k=1 has n=1
+        wins.append(check_and_put_rest(CAT_AGG, url, 1, "n", 1, 42))
+
+    ts = [threading.Thread(target=cas) for _ in range(8)]
+    [t.start() for t in ts]; [t.join() for t in ts]
+    assert sum(wins) == 1  # exactly one CAS applied
+
+    def bump():
+        for _ in range(5):
+            increment_rest(CAT_AGG, url, [(2, "n", 1)])
+
+    ts = [threading.Thread(target=bump) for _ in range(6)]
+    [t.start() for t in ts]; [t.join() for t in ts]
+    merged = {r["k"]: r["n"] for r in read_table_rest(spark, CAT_AGG, url).collect()}
+    assert merged[2] == 2 + 30  # base n=2 + 6 threads x 5 increments

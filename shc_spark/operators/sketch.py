@@ -196,3 +196,74 @@ def kmv_overlap(
         F.round(jac, 4).alias("jaccard_est"),
         F.round(jac * union_est, 4).alias("inter_est"),
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    rate_hex: str = "20",
+) -> DataFrame:
+    """Deterministic-sampling quantile sketch (the quantile member of
+    the mergeable-sketch family next to KMV distincts and Misra-Gries
+    heavy hitters): keep the rows whose md5(id) falls under the
+    ``rate_hex`` prefix band (2 hex digits: '20'/256 = 12.5%) and
+    answer per-group quantile queries from the sample alone.
+
+    Why hash sampling, not rand() or a streaming summary (GK/KLL/
+    t-digest): the sample is a pure deterministic FILTER, so
+    (a) any external engine replays the sketch bit-for-bit — the
+    quantile estimates themselves are value-checkable, the same reason
+    kmv_sketch uses md5; (b) sketches MERGE exactly — the sample of a
+    union is the union of same-rate samples, so per-day/per-shard
+    sketches union into cross-corpus quantiles without rescanning
+    (``unionByName`` IS the merge); (c) the error envelope is the
+    textbook sampling bound (~1/sqrt(sample) rank error), pinned by
+    test. Streaming summaries are smaller for one-shot jobs but are
+    order- or randomness-dependent — not replayable, and not
+    filter-cheap.
+
+    Scale shape: building the sketch is a map-only filter (pushes into
+    the scan); nothing shuffles until a query aggregates the (small)
+    sample. Output: (grp, val) sample rows — persist them as the
+    sketch."""
+    if not (1 <= len(rate_hex) <= 8):
+        raise ValueError("rate_hex must be 1-8 hex digits")
+    band = F.substring(F.md5(F.col(id_col).cast("string")), 1, len(rate_hex))
+    return (
+        df.where(F.col(val_col).isNotNull())
+        .where(band < F.lit(rate_hex.lower()))
+        .select(F.col(group_col).alias("grp"), F.col(val_col).alias("val"))
+    )
+
+
+def quantile_sketch_query(
+    sketch: DataFrame,
+    qs: "tuple | list" = (0.5, 0.9, 0.99),
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group quantile estimates from a (merged) quantile sketch:
+    EXACT linear-interpolated percentiles over the sample (Spark
+    ``percentile`` == SQL quantile_cont — the same r-7 definition every
+    engine implements, so results are value-replayable), one row per
+    (grp, q). Rounded to ``round_dp`` to absorb summation-order ulps."""
+    qlist = list(qs)
+    arr = F.expr(
+        f"percentile(val, array({', '.join(repr(float(q)) for q in qlist)}))"
+    )
+    per = sketch.groupBy("grp").agg(
+        arr.alias("qv"), F.count(F.lit(1)).alias("sample_n")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(q)) for q in qlist]).alias("q"), F.col("qv").alias("v")
+    )
+    return (
+        per.select("grp", "sample_n", F.explode(pairs).alias("p"))
+        .select(
+            "grp",
+            F.col("p.q").alias("q"),
+            F.round(F.col("p.v"), round_dp).alias("value_est"),
+            "sample_n",
+        )
+    )

@@ -537,6 +537,45 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r13: deterministic-sampling quantile sketch — the quantile member of
+# the mergeable-sketch family (KMV distincts, Misra-Gries heavy
+# hitters). The sample is a pure md5-band FILTER (map-only, pushes
+# into the scan; the sample of a union == union of same-rate samples,
+# so persisted per-shard sketches merge exactly), and the estimates
+# are linear-interpolated percentiles over the sample — Spark
+# percentile == DuckDB quantile_cont (the r-7 definition), so the
+# whole sketch is value-exact, like kmv_sketch's md5 design.
+@register(
+    "q_quantile_sketch",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS val
+      FROM lineitem
+      WHERE substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 2) < '20'
+    ), q AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS sample_n,
+             quantile_cont(val, 0.5)  AS q50,
+             quantile_cont(val, 0.9)  AS q90,
+             quantile_cont(val, 0.99) AS q99
+      FROM s GROUP BY grp
+    )
+    SELECT grp, CAST(0.5 AS DOUBLE) AS q, round(q50, 4) AS value_est, sample_n FROM q
+    UNION ALL
+    SELECT grp, CAST(0.9 AS DOUBLE), round(q90, 4), sample_n FROM q
+    UNION ALL
+    SELECT grp, CAST(0.99 AS DOUBLE), round(q99, 4), sample_n FROM q
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import sketch
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    sk = sketch.quantile_sketch(li, "l_returnflag", "l_extendedprice", "rid")
+    return sketch.quantile_sketch_query(sk, qs=(0.5, 0.9, 0.99))
+
+
 # statistics aggregates: min/max/stddev/variance/median-free percentile-free
 # (approx versions are rows-only checked elsewhere).
 @register(

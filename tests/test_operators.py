@@ -4513,3 +4513,55 @@ def test_curation_report_sequential_attribution(spark):
         text.curation_report(df, "doc_id", [("a", rules[0][1]), ("a", rules[1][1])])
     with pytest.raises(ValueError, match="at least one rule"):
         text.curation_report(df, "doc_id", [])
+
+
+def test_quantile_sketch_merge_exact_and_error_envelope(spark):
+    """The quantile sketch's three contracts: (1) merge is EXACT —
+    the sketch of a union equals the union of same-rate sketches;
+    (2) the estimate's rank error is within the sampling envelope;
+    (3) building the sketch is a map-only filter — no shuffle."""
+    import numpy as np
+
+    from shc_spark.operators import sketch
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(100.0, 15.0, 4000)
+    df = spark.createDataFrame(
+        [(int(i), "g" + str(i % 2), float(v)) for i, v in enumerate(vals)],
+        "rid long, grp string, val double",
+    )
+    a, b = df.filter(F.col("rid") % 2 == 0), df.filter(F.col("rid") % 2 == 1)
+
+    def rows(sk):
+        return sorted(tuple(r) for r in sk.collect())
+
+    whole = sketch.quantile_sketch(df, "grp", "val", "rid", rate_hex="40")
+    merged = sketch.quantile_sketch(a, "grp", "val", "rid", rate_hex="40").unionByName(
+        sketch.quantile_sketch(b, "grp", "val", "rid", rate_hex="40")
+    )
+    assert rows(whole) == rows(merged)  # (1) union-of-samples == sample-of-union
+
+    est = {
+        (r["grp"], r["q"]): r["value_est"]
+        for r in sketch.quantile_sketch_query(whole, qs=(0.5, 0.9)).collect()
+    }
+    import math
+
+    for g in ("g0", "g1"):
+        sub = sorted(v for i, v in enumerate(vals) if f"g{i % 2}" == g)
+        n = len(sub)
+        for q in (0.5, 0.9):
+            # rank of the estimate in the TRUE distribution, vs q
+            import bisect
+
+            rank = bisect.bisect_left(sub, est[(g, q)]) / n
+            # ~n/4 sampled per group -> 3/sqrt(m) rank tolerance
+            assert abs(rank - q) < 3 / math.sqrt(n / 4), (g, q, rank)
+
+    plan = whole._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # (3) the build is a pure filter
+
+    import pytest
+
+    with pytest.raises(ValueError, match="rate_hex"):
+        sketch.quantile_sketch(df, "grp", "val", "rid", rate_hex="")

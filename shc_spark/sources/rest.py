@@ -374,9 +374,11 @@ class _TableService:
         return self._commit_rows(table, rows)
 
     def _commit_rows(self, table: str, rows: list) -> dict:
-        """(key, ts, {b'cf:qual': bytes}) rows -> ONE new generation
-        (typed region file + manifest append). Shared by the Put flush
-        and the atomic mutation endpoints (increment / checkAndPut)."""
+        """(key, ts, {b'cf:qual': bytes}[, deleted]) rows -> ONE new
+        generation (typed region file + manifest append). Shared by the
+        Put flush and the atomic mutation endpoints (increment /
+        checkAndPut / checkAndDelete — tombstone rows carry the same
+        __del marker the embedded delete_rows writes)."""
         import os
 
         from shc_spark.sources.shc_source import (
@@ -391,6 +393,7 @@ class _TableService:
         cat = parse_catalog(cat_json)
         if not rows:
             return {"rows": 0}
+        rows = [(r[0], r[1], r[2], bool(r[3]) if len(r) > 3 else False) for r in rows]
         rows = sorted(rows, key=lambda r: r[0])
         key_fields = cat.rowkey_fields()
         value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
@@ -399,7 +402,12 @@ class _TableService:
         cols: dict = {f.col_name: [] for f in cat.fields.values()}
         cols[ROWKEY_COL], cols[TS_COL] = [], []
         salt = 1 if cat.salt_buckets else 0
-        for key, ts, cells in rows:
+        any_del = any(d for *_, d in rows)
+        if any_del:
+            from shc_spark.sources.shc_source import DEL_COL
+
+            cols[DEL_COL] = []
+        for key, ts, cells, deleted in rows:
             dims = coder.decode_rowkey(key[salt:], key_fields)
             for f, v in zip(key_fields, dims):
                 cols[f.col_name].append(v)
@@ -413,7 +421,11 @@ class _TableService:
                     cols[f.col_name].append(get_coder(f.coder).from_bytes(raw, f.dt))
             cols[ROWKEY_COL].append(key)
             cols[TS_COL].append(ts)
-        want = to_arrow_schema(internal_schema(cat))
+            if any_del:
+                from shc_spark.sources.shc_source import DEL_COL
+
+                cols[DEL_COL].append(1 if deleted else None)
+        want = to_arrow_schema(internal_schema(cat, include_deletes=any_del))
         t = pa.table({f.name: pa.array(cols[f.name], type=f.type) for f in want})
         import uuid as _uuid
 
@@ -491,6 +503,21 @@ class _TableService:
         ok = cur == expected
         if ok:
             self._commit_rows(table, [(key, ts, {column: value})])
+        return {"ok": ok, "current": None if cur is None else _b64(cur)}
+
+    def check_and_delete(self, table: str, key: bytes, column: bytes,
+                         expected: bytes | None, ts: int) -> dict:
+        """HBase checkAndDelete: TOMBSTONE the row iff the guard cell's
+        current bytes equal ``expected`` (None = the cell must be
+        absent) — the compare-and-swap delete. The tombstone masks
+        every version with ts <= T on merged reads; a later put
+        resurrects (delete_rows' lifecycle, driven atomically from the
+        wire)."""
+        ts = ts or self._next_ts(table)
+        cur = self._current_cell(table, key, column)
+        ok = cur == expected
+        if ok:
+            self._commit_rows(table, [(key, ts, {}, True)])
         return {"ok": ok, "current": None if cur is None else _b64(cur)}
 
     def abort(self, table: str, txs: list[str], buffers: dict,
@@ -807,6 +834,16 @@ class MockHBaseRestServer:
                                 _unb64(body["column"]),
                                 _unb64(body["expected"]) if body.get("expected") is not None else None,
                                 _unb64(body["value"]),
+                                int(body.get("ts") or 0),
+                            )
+                        return self._json(200, out)
+                    if len(parts) == 2 and parts[1] == "checkdelete":
+                        with lock:
+                            out = svc.check_and_delete(
+                                parts[0],
+                                _unb64(body["key"]),
+                                _unb64(body["column"]),
+                                _unb64(body["expected"]) if body.get("expected") is not None else None,
                                 int(body.get("ts") or 0),
                             )
                         return self._json(200, out)
@@ -1790,6 +1827,35 @@ def check_and_put_rest(
         body["ts"] = ts
     table = f"{cat.namespace}.{cat.name}"
     out, _ = _http_json(f"{url.rstrip('/')}/{table}/checkput", "POST", body)
+    return bool(out["ok"])
+
+
+def check_and_delete_rest(
+    catalog: str,
+    url: str,
+    key_value,
+    col_name: str,
+    expected,
+    ts: int | None = None,
+) -> bool:
+    """HBase checkAndDelete over the wire: tombstone the row iff the
+    guard cell (key, col) currently equals ``expected`` (``None`` =
+    the cell must be absent). The tombstone follows delete_rows'
+    lifecycle — masks on merged reads, resurrected by a later put,
+    purged at compaction — applied atomically under the region-server
+    lock. Returns True iff the delete was applied."""
+    cat = parse_catalog(catalog)
+    f, cname = _cell_coords(cat, col_name)
+    coder = get_coder(f.coder)
+    body: dict = {
+        "key": _b64(_encode_full_key(cat, key_value)),
+        "column": cname,
+        "expected": None if expected is None else _b64(coder.to_bytes(expected, f.dt)),
+    }
+    if ts is not None:
+        body["ts"] = ts
+    table = f"{cat.namespace}.{cat.name}"
+    out, _ = _http_json(f"{url.rstrip('/')}/{table}/checkdelete", "POST", body)
     return bool(out["ok"])
 
 

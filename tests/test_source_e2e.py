@@ -3552,3 +3552,42 @@ def test_rest_atomics_are_serialized(spark, tmp_path):
     [t.start() for t in ts]; [t.join() for t in ts]
     merged = {r["k"]: r["n"] for r in read_table_rest(spark, CAT_AGG, url).collect()}
     assert merged[2] == 2 + 30  # base n=2 + 6 threads x 5 increments
+
+
+def test_rest_check_and_delete(spark, tmp_path):
+    """checkAndDelete over the wire: tombstone the row iff the guard
+    cell matches (None = must be absent); the tombstone follows the
+    delete lifecycle — masks merged reads, a later put resurrects."""
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import (
+        check_and_delete_rest,
+        ensure_rest_server,
+        read_table_rest,
+        write_table_rest,
+    )
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=12, regions=4)
+
+    # wrong expected -> refused, row still visible
+    assert check_and_delete_rest(CAT_AGG, url, 3, "grp", "nope", ts=2000) is False
+    assert check_and_delete_rest(CAT_AGG, url, 3, "grp", "g0", ts=2001) is True
+    rows = {r["k"] for r in read_table_rest(spark, CAT_AGG, url).collect()}
+    assert 3 not in rows and len(rows) == 11
+    emb = {r["k"] for r in read_table(spark, CAT_AGG, root=root).collect()}
+    assert emb == rows  # both transports agree on the masked view
+
+    # guard on an ABSENT cell (k % 5 == 0 rows have null n)
+    assert check_and_delete_rest(CAT_AGG, url, 5, "n", None, ts=2002) is True
+    assert check_and_delete_rest(CAT_AGG, url, 6, "n", None, ts=2003) is False
+    rows = {r["k"] for r in read_table_rest(spark, CAT_AGG, url).collect()}
+    assert rows == set(range(12)) - {3, 5}
+
+    # a LATER put resurrects the tombstoned row
+    upd = spark.range(3, 4).select(
+        F.col("id").alias("k"), F.lit("gBack").alias("grp"),
+        F.lit(1.0).alias("val"), F.lit(9).cast("int").alias("n"),
+    )
+    write_table_rest(upd, CAT_AGG, url, timestamp=9000)
+    back = {r["k"]: r for r in read_table_rest(spark, CAT_AGG, url).collect()}
+    assert back[3]["grp"] == "gBack" and 5 not in back

@@ -769,6 +769,16 @@ def main() -> None:
         "sessionize_batch": lambda ev: sessions.session_stats(
             ev, "user_id", "ts", 1800, tiebreak_col="event_id"
         ),
+        # r13: deterministic-sampling quantile sketch — build is a
+        # map-only md5-band filter, the query aggregates ~12.5% of the
+        # corpus per group; expect a near-data-scan curve
+        "quantile_sketch": lambda ev: __import__(
+            "shc_spark.operators.sketch", fromlist=["sketch"]
+        ).quantile_sketch_query(
+            __import__(
+                "shc_spark.operators.sketch", fromlist=["sketch"]
+            ).quantile_sketch(ev, "event_type", "value", "event_id")
+        ),
         # DEFAULT path (approximate="auto" since r9): exact below 100k
         # avg rows/group, sketch above — the curve a naive caller gets
         "anomaly_robust_z": lambda ev: __import__(
@@ -847,6 +857,38 @@ def main() -> None:
         return clf.score_texts(docs, w, b, "text", "doc_id")
 
     OPS["quality_classifier"] = lambda d, e: classifier_probe(d)
+
+    def curation_probe(docs):
+        # r13: the 4-rule sequential chain over the salted corpus. The
+        # probe's dedup rule normalizes via the TRANSLATE-based key
+        # (the recommended cheap path; the regexp_replace equivalent is
+        # the documented ~10 MB/s hazard the SNM row measured); the
+        # decontamination rule dominates (gram-stream exchange).
+        from shc_spark.operators import dedup as _dd
+        from shc_spark.operators import linkage as _lk
+
+        bench = docs.filter(F.col("source") == "src0")
+
+        def dup_drops(s):
+            norm = s.withColumn("nt", _lk.normalized_key(F.col("text"), 4096))
+            keep = _dd.exact_dedup(norm, ["nt"], "doc_id").select("doc_id")
+            return s.select("doc_id").join(keep, "doc_id", "left_anti")
+
+        rules = [
+            ("too_short", lambda s: s.filter(F.length("text") < 150).select("doc_id")),
+            ("exact_dup", dup_drops),
+            ("contaminated",
+             lambda s: text.decontaminate(
+                 s.filter(F.col("source") != "src0"), bench, "text", "doc_id", n=5
+             ).select(F.col("id").alias("doc_id"))),
+            ("low_quality",
+             lambda s: text.quality_features(s, "text")
+             .filter(F.col("q_score") < 0.5).select("doc_id")),
+        ]
+        return text.curation_report(docs.select("doc_id", "source", "text"),
+                                    "doc_id", rules)
+
+    OPS["curation_report"] = lambda d, e: curation_probe(d)
 
     rows = []
     for m in mults:

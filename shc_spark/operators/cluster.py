@@ -163,6 +163,54 @@ def semantic_dedup(
     )
 
 
+def _assign_round6(
+    df: DataFrame, cents: np.ndarray, vec_col: str, id_col: str,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Oracle-exact nearest-centroid assignment shared by semdedup and
+    balanced_sample: explicit (x-c)^2 sums (not the matmul expansion —
+    closer to a SQL replay's left-to-right list_sum than the
+    cancellation-prone ||x||^2 - 2xc + ||c||^2 form), rounded to 6dp
+    BEFORE the argmin (ties -> first centroid, matching ORDER BY dist,
+    cid). CHUNKED over centroids (r13): the one-shot broadcast
+    materializes |batch| x k x dim float64 — 2 GB/batch at auto-k ~400
+    on 10k-row batches, measured 7x slower end to end — so cap the
+    intermediate at ~128 MB and fold a running (best dist, first-min
+    cid) across chunks; strict < keeps argmin's first-minimum tie rule
+    exactly. Output: (id[, vec], cluster, __dist)."""
+
+    @F.pandas_udf("struct<cluster: long, dist: double>")
+    def _assign(col: pd.Series) -> pd.DataFrame:
+        if col.empty:
+            return pd.DataFrame({"cluster": [], "dist": []})
+        mat = _stack(col)
+        n, dim = mat.shape
+        step = max(1, (1 << 24) // max(1, n * dim))
+        best_d = np.full(n, np.inf)
+        best_c = np.zeros(n, dtype=np.int64)
+        for c0 in range(0, len(cents), step):
+            chunk = cents[c0 : c0 + step]
+            diff = mat[:, None, :] - chunk[None, :, :]
+            d = np.round((diff * diff).sum(axis=2), 6)
+            a = d.argmin(axis=1)
+            dv = d[np.arange(n), a]
+            take = dv < best_d
+            best_d[take] = dv[take]
+            best_c[take] = a[take] + c0
+        return pd.DataFrame({"cluster": best_c, "dist": best_d})
+
+    keep = [id_col, vec_col] if keep_vec else [id_col]
+    return (
+        df.select(id_col, vec_col)
+        .withColumn("__a", _assign(F.col(vec_col)))
+        .select(
+            *keep,
+            F.col("__a.cluster").alias("cluster"),
+            F.col("__a.dist").alias("__dist"),
+        )
+    )
+
+
 # semdedup auto-k clamp: centroids are a driver-side (k, dim) float64
 # array shipped in the Arrow closure, and every assign batch pays a
 # |batch| x k matmul — 16384 x 1024d x 8B = 128 MB of centroids is the
@@ -242,46 +290,7 @@ def semdedup(
     )
     descending = keep == "farthest"
 
-    @F.pandas_udf("struct<cluster: long, dist: double>")
-    def _assign(col: pd.Series) -> pd.DataFrame:
-        if col.empty:
-            return pd.DataFrame({"cluster": [], "dist": []})
-        mat = _stack(col)
-        # explicit (x-c)^2 sums (not the matmul expansion): closer to
-        # the oracle's left-to-right list_sum than the cancellation-
-        # prone ||x||^2 - 2xc + ||c||^2 form; 6dp rounding absorbs the
-        # remaining ulps BEFORE the argmin (ties -> first centroid,
-        # matching ORDER BY dist, cid). CHUNKED over centroids (r13):
-        # the one-shot broadcast materializes |batch| x k x dim float64
-        # — 2 GB/batch at auto-k ~400 on 10k-row batches, measured 7x
-        # slower end to end — so cap the intermediate at ~128 MB and
-        # fold a running (best dist, first-min cid) across chunks;
-        # strict < keeps argmin's first-minimum tie rule exactly.
-        n, dim = mat.shape
-        step = max(1, (1 << 24) // max(1, n * dim))
-        best_d = np.full(n, np.inf)
-        best_c = np.zeros(n, dtype=np.int64)
-        for c0 in range(0, len(cents), step):
-            chunk = cents[c0 : c0 + step]
-            diff = mat[:, None, :] - chunk[None, :, :]
-            d = np.round((diff * diff).sum(axis=2), 6)
-            a = d.argmin(axis=1)
-            dv = d[np.arange(n), a]
-            take = dv < best_d
-            best_d[take] = dv[take]
-            best_c[take] = a[take] + c0
-        return pd.DataFrame({"cluster": best_c, "dist": best_d})
-
-    assigned = (
-        df.select(id_col, vec_col)
-        .withColumn("__a", _assign(F.col(vec_col)))
-        .select(
-            id_col,
-            vec_col,
-            F.col("__a.cluster").alias("cluster"),
-            F.col("__a.dist").alias("__dist"),
-        )
-    )
+    assigned = _assign_round6(df, cents, vec_col, id_col, keep_vec=True)
     out_schema = f"{id_col} long, cluster long, kept boolean, dup_of long"
 
     cap = int(max_cluster_rows)
@@ -327,3 +336,59 @@ def semdedup(
         return res
 
     return assigned.groupBy("cluster").applyInPandas(prune, out_schema)
+
+
+def balanced_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    per_cluster: int = 10,
+    k: int | None = None,
+    centroids=None,
+    max_iter: int = 5,
+    target_cluster_size: int = 512,
+) -> DataFrame:
+    """Cluster-balanced subset selection: assign every vector to its
+    nearest centroid and keep the ``per_cluster`` smallest-md5(id)
+    members of each cluster — the curation move when a small subset
+    must still COVER the embedding space (uniform sampling
+    over-represents dense regions; per-cluster quotas flatten that).
+    md5 order (not rand()) keeps the pick deterministic and
+    engine-replayable, the same design as weighted_sample /
+    stratified_sample.
+
+    ``k``/``centroids`` follow semdedup's guarded contract: explicit
+    centroids skip the fit; otherwise ``k=None`` auto-sizes from a
+    cheap count (ceil(n / target_cluster_size), clamped).
+
+    Scale shape: assignment is the shared chunked broadcast-argmin (no
+    shuffle, bounded memory); the per-cluster quota is a rank window
+    Spark executes as WindowGroupLimit — map tasks keep only their
+    local top-``per_cluster`` BEFORE the exchange, so no cluster ever
+    materializes. Output: (id, cluster) — join back by id for payloads.
+    """
+    from pyspark.sql import Window
+
+    if per_cluster < 1:
+        raise ValueError("per_cluster must be >= 1")
+    if centroids is None and k is None:
+        n = df.count()
+        if n == 0:
+            raise ValueError("balanced_sample on an empty corpus")
+        k = max(1, min((n + target_cluster_size - 1) // target_cluster_size,
+                       n, SEMDEDUP_MAX_AUTO_K))
+    cents = np.asarray(
+        centroids
+        if centroids is not None
+        else kmeans_fit(df, vec_col, id_col, k=k, max_iter=max_iter),
+        dtype=np.float64,
+    )
+    assigned = _assign_round6(df, cents, vec_col, id_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        assigned.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= per_cluster)
+        .select(id_col, "cluster")
+    )

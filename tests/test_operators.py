@@ -4603,3 +4603,65 @@ def test_balanced_sample_quota_and_plan(spark):
     with pytest.raises(ValueError, match="per_cluster"):
         cluster.balanced_sample(emb, "embedding", "vec_id", per_cluster=0,
                                 centroids=cents)
+
+
+def test_curation_report_property_vs_python_reference(spark):
+    """Property: for random corpora and random rule chains (id-band
+    drops, length floors, keep-min dup rules), curation_report's
+    (kept, dropped_by) equals a pure-Python sequential replay — every
+    doc attributed to the FIRST rule that hits it on the surviving
+    set, survivors untouched."""
+    import random
+
+    from shc_spark.operators import text
+
+    rng = random.Random(13)
+    for trial in range(4):
+        n = rng.randint(10, 40)
+        docs = [
+            (i, rng.choice(["aa bb", "cc dd ee", "ff", "gg hh ii jj"]))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        mod = rng.randint(2, 5)
+        floor = rng.randint(3, 9)
+
+        def band_drop(s, mod=mod):
+            return s.filter(F.col("doc_id") % mod == 0).select("doc_id")
+
+        def short_drop(s, floor=floor):
+            return s.filter(F.length("text") < floor).select("doc_id")
+
+        def dup_drop(s):
+            from shc_spark.operators import dedup
+
+            keep = dedup.exact_dedup(s, ["text"], "doc_id").select("doc_id")
+            return s.select("doc_id").join(keep, "doc_id", "left_anti")
+
+        rules = [("band", band_drop), ("short", short_drop), ("dup", dup_drop)]
+        rng.shuffle(rules)
+
+        got = {
+            r["doc_id"]: (r["kept"], r["dropped_by"])
+            for r in text.curation_report(df, "doc_id", rules).collect()
+        }
+
+        # pure-python sequential replay
+        alive = dict(docs)
+        expect = {i: (True, None) for i, _ in docs}
+        for name, _ in rules:
+            dropped = []
+            if name == "band":
+                dropped = [i for i in alive if i % mod == 0]
+            elif name == "short":
+                dropped = [i for i, t in alive.items() if len(t) < floor]
+            else:  # dup: keep min doc_id per text among survivors
+                keepers = {}
+                for i in sorted(alive):
+                    keepers.setdefault(alive[i], i)
+                dropped = [i for i in alive if keepers[alive[i]] != i]
+            for i in dropped:
+                expect[i] = (False, name)
+                del alive[i]
+        assert got == expect, (trial, rules, mod, floor)

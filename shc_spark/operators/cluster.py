@@ -163,6 +163,30 @@ def semantic_dedup(
     )
 
 
+def _round6_chunked_argmin(
+    mat: np.ndarray, cents: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Oracle-exact nearest-centroid kernel shared by every assign
+    path: explicit (x-c)^2 sums rounded to 6dp BEFORE the argmin
+    (ties -> first centroid), chunked over centroids so the
+    |batch| x chunk x dim intermediate stays under ~128 MB. Strict <
+    across chunks keeps argmin's first-minimum tie rule exactly."""
+    n, dim = mat.shape
+    step = max(1, (1 << 24) // max(1, n * dim))
+    best_d = np.full(n, np.inf)
+    best_c = np.zeros(n, dtype=np.int64)
+    for c0 in range(0, len(cents), step):
+        chunk = cents[c0 : c0 + step]
+        diff = mat[:, None, :] - chunk[None, :, :]
+        d = np.round((diff * diff).sum(axis=2), 6)
+        a = d.argmin(axis=1)
+        dv = d[np.arange(n), a]
+        take = dv < best_d
+        best_d[take] = dv[take]
+        best_c[take] = a[take] + c0
+    return best_c, best_d
+
+
 def _assign_round6(
     df: DataFrame, cents: np.ndarray, vec_col: str, id_col: str,
     keep_vec: bool = False,
@@ -183,20 +207,7 @@ def _assign_round6(
     def _assign(col: pd.Series) -> pd.DataFrame:
         if col.empty:
             return pd.DataFrame({"cluster": [], "dist": []})
-        mat = _stack(col)
-        n, dim = mat.shape
-        step = max(1, (1 << 24) // max(1, n * dim))
-        best_d = np.full(n, np.inf)
-        best_c = np.zeros(n, dtype=np.int64)
-        for c0 in range(0, len(cents), step):
-            chunk = cents[c0 : c0 + step]
-            diff = mat[:, None, :] - chunk[None, :, :]
-            d = np.round((diff * diff).sum(axis=2), 6)
-            a = d.argmin(axis=1)
-            dv = d[np.arange(n), a]
-            take = dv < best_d
-            best_d[take] = dv[take]
-            best_c[take] = a[take] + c0
+        best_c, best_d = _round6_chunked_argmin(_stack(col), cents)
         return pd.DataFrame({"cluster": best_c, "dist": best_d})
 
     keep = [id_col, vec_col] if keep_vec else [id_col]
@@ -209,6 +220,32 @@ def _assign_round6(
             F.col("__a.dist").alias("__dist"),
         )
     )
+
+
+def _prune_neighborhood(
+    ids: np.ndarray,
+    dist: np.ndarray,
+    mat: np.ndarray,
+    descending: bool,
+    threshold: float,
+    round_dp: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The SemDeDup within-cluster decision core shared by semdedup and
+    semdedup_sharded: rank members by (dist desc|asc, id asc), round
+    pairwise cosines to ``round_dp``, and dominate every member that
+    has a >= threshold neighbor of strictly higher rank. Returns
+    (ids in rank order, dominated mask, dominator id per row)."""
+    order = np.lexsort((ids, -dist if descending else dist))
+    m = mat[order]
+    nrm = np.sqrt((m * m).sum(axis=1))
+    nrm[nrm == 0.0] = 1.0
+    S = np.round(m @ m.T / np.outer(nrm, nrm), round_dp)
+    dom = np.tril(S >= threshold, k=-1)  # j strictly higher-ranked
+    has = dom.any(axis=1)
+    first = dom.argmax(axis=1)  # first True = smallest rank j
+    ids_sorted = ids[order]
+    dup_of = np.where(has, ids_sorted[first], 0)
+    return ids_sorted, has, dup_of
 
 
 # semdedup auto-k clamp: centroids are a driver-side (k, dim) float64
@@ -311,17 +348,9 @@ def semdedup(
         ids = pdf[id_col].to_numpy()
         dist = pdf["__dist"].to_numpy()
         cl = int(pdf["cluster"].iloc[0])
-        # rank order: (dist desc|asc, id asc) — lexsort keys minor first
-        order = np.lexsort((ids, -dist if descending else dist))
-        mat = _stack(pdf[vec_col])[order]
-        nrm = np.sqrt((mat * mat).sum(axis=1))
-        nrm[nrm == 0.0] = 1.0
-        S = np.round(mat @ mat.T / np.outer(nrm, nrm), round_dp)
-        dom = np.tril(S >= threshold, k=-1)  # j strictly higher-ranked
-        has = dom.any(axis=1)
-        first = dom.argmax(axis=1)  # first True = smallest rank j
-        ids_sorted = ids[order]
-        dup_of = np.where(has, ids_sorted[first], 0)
+        ids_sorted, has, dup_of = _prune_neighborhood(
+            ids, dist, _stack(pdf[vec_col]), descending, threshold, round_dp
+        )
         res = pd.DataFrame(
             {
                 id_col: ids_sorted,
@@ -392,3 +421,142 @@ def balanced_sample(
         .where(F.col("__rk") <= per_cluster)
         .select(id_col, "cluster")
     )
+
+
+# semdedup_sharded per-task ceiling: one task holds its whole shard —
+# shard_rows x dim float64 vectors plus the chunked distance buffers.
+# 262144 rows x 1024d x 8B = 2 GB is already generous; md5 shards are
+# uniform by construction, so only an explicit skewed shard_col can
+# trip this.
+SEMDEDUP_MAX_SHARD_ROWS = 262144
+
+
+def semdedup_sharded(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    shard_col: str | None = None,
+    num_shards: int | None = None,
+    shard_rows: int = 65536,
+    target_cluster_size: int = 512,
+    threshold: float = 0.45,
+    keep: str = "farthest",
+    round_dp: int = 4,
+    max_iter: int = 5,
+    max_shard_rows: int = SEMDEDUP_MAX_SHARD_ROWS,
+) -> DataFrame:
+    """One-call LINEAR-total-work SemDeDup (VERDICT r13 #3) — the
+    paper's shard-first guidance (Abbas et al. 2023 §3: dedup within
+    clusters of a pre-partition) as an operator instead of prose.
+
+    ``semdedup``'s AUTO-k default does n x (n/512) assign multiply-adds
+    (quadratic/512 — the paper runs that on GPUs). This variant
+    pre-splits the corpus into shards of ~``shard_rows`` rows by a
+    cheap deterministic key, then runs the ENTIRE per-shard pipeline
+    (seed -> Lloyd ``max_iter`` -> round6 assign -> ε-neighbor prune)
+    inside ONE task per shard:
+
+    - total assign work = Σ n_s * k_s ≈ n * (shard_rows /
+      target_cluster_size) — CONSTANT per row, so linear in n;
+    - exactly ONE shuffle (the shard exchange); no driver-side
+      centroid materialization at all — each task fits its own
+      centroids from its shard (k_s = ceil(n_s / target_cluster_size),
+      seeded from the shard's k_s smallest-id vectors, deterministic);
+    - per-task memory is bounded by ``max_shard_rows`` (hard refusal,
+      embedding_near_dups' discipline) and the shared <=128 MB chunked
+      assign kernel.
+
+    Sharding key: ``shard_col`` (pre-split by language/source — the
+    paper's own recipe) or, by default, md5(id) mod S with
+    S = ``num_shards`` or ceil(n / shard_rows) from one cheap count —
+    deterministic and engine-replayable (CAST('0x'||substr(md5,1,4))
+    in DuckDB == conv(substring(md5,1,4),16,10) in Spark).
+
+    Within-shard semantics are EXACTLY ``semdedup``'s: the round6
+    first-min assignment (_round6_chunked_argmin) and the rank/cosine
+    domination core (_prune_neighborhood) are the same shared kernels,
+    so a shard equals a standalone semdedup of its rows. Near-dup
+    pairs SPLIT ACROSS shards are not compared — the documented recall
+    trade the paper makes; key by a locality-bearing shard_col to
+    bias duplicates into the same shard.
+
+    Returns one row per input vector: (id, shard, cluster, kept,
+    dup_of) — cluster ids are local to their shard.
+    """
+    if keep not in ("farthest", "closest"):
+        raise ValueError("keep must be 'farthest' or 'closest'")
+    descending = keep == "farthest"
+    if shard_col is None:
+        s = num_shards
+        if s is None:
+            n = df.count()
+            if n == 0:
+                raise ValueError("semdedup_sharded on an empty corpus")
+            s = max(1, (n + shard_rows - 1) // shard_rows)
+        if s > 65536:
+            raise ValueError("num_shards > 65536: widen shard_rows or pre-split")
+        sharded = df.select(
+            id_col,
+            vec_col,
+            (
+                F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+                .cast("long") % F.lit(int(s))
+            ).alias("__shard"),
+        )
+    else:
+        sharded = df.select(
+            id_col, vec_col, F.col(shard_col).cast("long").alias("__shard")
+        )
+
+    cap = int(max_shard_rows)
+    tgt = int(target_cluster_size)
+    iters = int(max_iter)
+    out_schema = f"{id_col} long, shard long, cluster long, kept boolean, dup_of long"
+
+    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_s = len(pdf)
+        shard = int(pdf["__shard"].iloc[0])
+        if n_s > cap:
+            raise ValueError(
+                f"semdedup_sharded shard {shard} has {n_s} rows > "
+                f"max_shard_rows={cap}: one task would hold the whole "
+                "shard. Lower shard_rows / raise num_shards (or fix the "
+                "skewed shard_col); raise max_shard_rows only if the "
+                "executors really have the memory."
+            )
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        mat = _stack(pdf[vec_col])
+        k_s = max(1, min((n_s + tgt - 1) // tgt, n_s))
+        cents = mat[:k_s].copy()  # k_s smallest ids — deterministic seeds
+        for _ in range(iters):
+            a = _sq_dists(mat, cents).argmin(axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, a, mat)
+            cnt = np.bincount(a, minlength=k_s).astype(np.float64)
+            nz = cnt > 0
+            cents[nz] = sums[nz] / cnt[nz, None]  # empty clusters keep seeds
+        assign, dist = _round6_chunked_argmin(mat, cents)
+        frames = []
+        for cl in np.unique(assign):
+            sel = assign == cl
+            ids_sorted, has, dup_of = _prune_neighborhood(
+                ids[sel], dist[sel], mat[sel], descending, threshold, round_dp
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: ids_sorted,
+                        "shard": np.full(len(ids_sorted), shard, dtype=np.int64),
+                        "cluster": np.full(len(ids_sorted), int(cl), dtype=np.int64),
+                        "kept": ~has,
+                        "dup_of": pd.array(
+                            [int(d) if h else None for d, h in zip(dup_of, has)],
+                            dtype="Int64",
+                        ),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return sharded.groupBy("__shard").applyInPandas(run_shard, out_schema)

@@ -141,6 +141,93 @@ def extract_image_features(
     return media.mapInPandas(run, schema=IMAGE_FEATURES_DDL)
 
 
+def _int_luma(img: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 -> (H, W) int64 luma in [0, 255].
+
+    Integer BT.601 ((299R + 587G + 114B) // 1000) so every downstream
+    feature is exact integer math an SQL oracle can replay; a 1-channel
+    plane (grayscale, gray+alpha) is the luma verbatim.
+    """
+    p = img.astype(np.int64)
+    if img.shape[2] >= 3:
+        return (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+    return p[:, :, 0]
+
+
+def image_descriptor_ddl(grid: int = 2, bins: int = 4) -> str:
+    cols = ["media_id long", "width int", "height int", "mean_luma double"]
+    cols += [f"b_{i}_{j} double" for i in range(grid) for j in range(grid)]
+    cols += [f"h{k} int" for k in range(bins)]
+    cols += ["grad_x double", "grad_y double"]
+    return ", ".join(cols)
+
+
+def extract_image_descriptor(media: DataFrame, grid: int = 2, bins: int = 4) -> DataFrame:
+    """REAL pixel-level image descriptor (no fake path): decode via the
+    from-scratch codecs (PNG/PPM/BMP/JPEG), reduce to the integer luma
+    plane, and emit deterministic features whose math is exactly
+    SQL-replayable on the pixel values:
+
+    - ``mean_luma``     — sum(luma) / n / 255 (luma sum is integer ⇒
+      one float division per side, bit-identical across engines);
+    - ``b_i_j``         — (grid × grid) block means of the luma plane
+      (integer block sums / block size);
+    - ``h0..h{bins-1}`` — intensity histogram counts over equal-width
+      bins of [0, 256) (pure integer);
+    - ``grad_x/grad_y`` — mean absolute horizontal / vertical adjacent-
+      pixel difference (integer |Δ| sums / count), the gradient-energy
+      stat a blur/flat-image detector thresholds on.
+
+    Reference parity: the reference ships no image ops — this is the
+    training-data-pipeline extension mandated by the build brief, the
+    real-features successor to the retired fake-vector plumbing gate.
+
+    At 100 TB: map-only over Arrow batches (payload bytes never
+    shuffle); each output row is ~(4 + grid² + bins) scalars, so the
+    downstream exchange is feature-sized, not pixel-sized.
+    """
+    if 256 % bins:
+        raise ValueError("bins must divide 256 (equal-width integer bins)")
+    width = 256 // bins
+    ddl = image_descriptor_ddl(grid, bins)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shc_spark.operators.codecs import decode_image
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                payload = bytes(payload) if payload is not None else b""
+                img = decode_image(payload, (meta or {}).get("mime"))
+                lum = _int_luma(img)
+                h, w = lum.shape
+                row = {
+                    "media_id": mid,
+                    "width": w,
+                    "height": h,
+                    "mean_luma": float(int(lum.sum())) / lum.size / 255,
+                }
+                ys = np.array_split(np.arange(h), grid)
+                xs = np.array_split(np.arange(w), grid)
+                for i, yy in enumerate(ys):
+                    for j, xx in enumerate(xs):
+                        blk = lum[np.ix_(yy, xx)]
+                        row[f"b_{i}_{j}"] = (
+                            float(int(blk.sum())) / blk.size if blk.size else 0.0
+                        )
+                counts = np.bincount(lum.ravel() // width, minlength=bins)
+                for k in range(bins):
+                    row[f"h{k}"] = int(counts[k])
+                dx = np.abs(np.diff(lum, axis=1))
+                dy = np.abs(np.diff(lum, axis=0))
+                row["grad_x"] = float(int(dx.sum())) / dx.size if dx.size else 0.0
+                row["grad_y"] = float(int(dy.sum())) / dy.size if dy.size else 0.0
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=ddl)
+
+
 AUDIO_FEATURES_DDL = (
     "media_id long, n_samples int, sample_rate int, duration_ms double, "
     "rms double, peak int, zero_cross double"

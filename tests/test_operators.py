@@ -4665,3 +4665,143 @@ def test_curation_report_property_vs_python_reference(spark):
                 expect[i] = (False, name)
                 del alive[i]
         assert got == expect, (trial, rules, mod, floor)
+
+
+def test_extract_image_descriptor_matches_numpy_reference(spark):
+    """Real pixel descriptor (r14): block means / histogram / gradient
+    stats computed through encode_png -> decode -> mapInPandas must
+    equal a direct numpy replay on the pixel raster — including an RGB
+    image exercising the integer BT.601 luma reduction."""
+    import numpy as np
+
+    from shc_spark.operators import multimodal
+    from shc_spark.operators.codecs import encode_png
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+    rgb = rng.randint(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, encode_png(gray)), (2, encode_png(rgb))], "id long, payload binary"
+    )
+    media = multimodal.make_media_df(df, "id", "payload", "image/png")
+    got = {r.media_id: r for r in multimodal.extract_image_descriptor(media).collect()}
+
+    def expect(img):
+        p = img.astype(np.int64)
+        lum = (
+            (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+            if img.ndim == 3 and img.shape[2] >= 3
+            else (p if img.ndim == 2 else p[:, :, 0])
+        )
+        h, w = lum.shape
+        out = {
+            "width": w,
+            "height": h,
+            "mean_luma": lum.sum() / lum.size / 255,
+            "grad_x": np.abs(np.diff(lum, axis=1)).sum() / (h * (w - 1)),
+            "grad_y": np.abs(np.diff(lum, axis=0)).sum() / ((h - 1) * w),
+        }
+        ys, xs = np.array_split(np.arange(h), 2), np.array_split(np.arange(w), 2)
+        for i in range(2):
+            for j in range(2):
+                blk = lum[np.ix_(ys[i], xs[j])]
+                out[f"b_{i}_{j}"] = blk.sum() / blk.size
+        for k in range(4):
+            out[f"h{k}"] = int(((lum // 64) == k).sum())
+        return out
+
+    for mid, img in ((1, gray), (2, rgb)):
+        exp = expect(img)
+        row = got[mid].asDict()
+        for k, v in exp.items():
+            assert row[k] == v, (mid, k, row[k], v)
+
+
+def test_extract_image_descriptor_rejects_bad_bins():
+    from shc_spark.operators import multimodal
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bins"):
+        multimodal.extract_image_descriptor(None, bins=5)
+
+
+def test_semdedup_sharded_equals_per_shard_semdedup(spark):
+    """r14 (VERDICT r13 #3): a shard of semdedup_sharded must equal a
+    STANDALONE semdedup of exactly that shard's rows (seeded from the
+    shard's k_s smallest-id vectors) — two different code paths (one-
+    task grouped kernel vs distributed assign + grouped prune) landing
+    on identical decisions."""
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["shard"], r["cluster"], r["kept"], r["dup_of"])
+        for r in cluster.semdedup_sharded(
+            emb, "embedding", "vec_id", num_shards=2,
+            target_cluster_size=64, max_iter=0,
+        ).collect()
+    }
+    assert len(got) == emb.count()
+    shard_expr = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 2
+    )
+    for s in (0, 1):
+        sub = emb.filter(shard_expr == s)
+        n_s = sub.count()
+        k_s = (n_s + 63) // 64
+        cents = cluster.seed_centroids(sub, "embedding", "vec_id", k_s)
+        ref = {
+            r["vec_id"]: (s, r["cluster"], r["kept"], r["dup_of"])
+            for r in cluster.semdedup(
+                sub, "embedding", "vec_id", threshold=0.45, centroids=cents
+            ).collect()
+        }
+        assert ref  # both md5 shards are populated
+        for vid, want in ref.items():
+            assert got[vid] == want, (s, vid, got[vid], want)
+
+
+def test_semdedup_sharded_lloyd_runs_and_is_deterministic(spark):
+    """With Lloyd iterations on (max_iter>0) the in-task fit must be
+    deterministic (rows sorted by id before seeding/updates) and the
+    output must satisfy the SemDeDup invariants: one row per input,
+    kept rows have NULL dup_of, dropped rows point at a same-shard
+    same-cluster member."""
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    kw = dict(num_shards=3, target_cluster_size=32, max_iter=3, threshold=0.45)
+    a = sorted(
+        tuple(r)
+        for r in cluster.semdedup_sharded(emb, "embedding", "vec_id", **kw).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in cluster.semdedup_sharded(emb, "embedding", "vec_id", **kw).collect()
+    )
+    assert a == b
+    assert len(a) == emb.count()
+    by_id = {t[0]: t for t in a}
+    n_dropped = 0
+    for vid, shard, clu, kept, dup_of in a:
+        if kept:
+            assert dup_of is None
+        else:
+            n_dropped += 1
+            d = by_id[dup_of]
+            assert (d[1], d[2]) == (shard, clu), (vid, d)
+    assert 0 < n_dropped < len(a)  # planted near-dups, but not everything
+
+
+def test_semdedup_sharded_refuses_oversized_shard(spark):
+    import pytest
+
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(Exception, match="max_shard_rows"):
+        cluster.semdedup_sharded(
+            emb, "embedding", "vec_id", num_shards=1, max_shard_rows=10
+        ).collect()

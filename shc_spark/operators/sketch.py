@@ -230,6 +230,16 @@ def quantile_sketch(
     sketch."""
     if not (1 <= len(rate_hex) <= 8):
         raise ValueError("rate_hex must be 1-8 hex digits")
+    try:
+        rate = int(rate_hex, 16)
+    except ValueError:
+        raise ValueError(
+            f"rate_hex={rate_hex!r} is not hexadecimal — a non-hex band "
+            "silently compares above every md5 prefix and selects ~100% "
+            "of rows"
+        ) from None
+    if rate == 0:
+        raise ValueError("rate_hex='0...' selects nothing (band < '00' is empty)")
     band = F.substring(F.md5(F.col(id_col).cast("string")), 1, len(rate_hex))
     return (
         df.where(F.col(val_col).isNotNull())

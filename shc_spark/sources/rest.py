@@ -740,6 +740,22 @@ class MockHBaseRestServer:
                     if len(parts) == 2 and parts[1] == "scanner":
                         batch = int(body.get("batch", 1000))
                         sid = uuid.uuid4().hex[:16]
+                        # ADVICE r13 #3: filter + maxVersions>1 is not a
+                        # defined combination on this surface (the shipped
+                        # client never sends it) — reject it so an external
+                        # caller can't misread a merged filtered scan as
+                        # version history.
+                        if body.get("filter") and int(body.get("maxVersions", 1)) > 1:
+                            self._json(
+                                400,
+                                {
+                                    "error": "filter cannot be combined with "
+                                    "maxVersions>1: version scans serve raw "
+                                    "cell history, filters apply to merged-"
+                                    "latest scans only"
+                                },
+                            )
+                            return
                         if body.get("generation") is not None:
                             # raw single-generation tail (streaming/CDC)
                             it = (
@@ -1026,7 +1042,19 @@ def _decode_rest_version_rows(cat, rows: list) -> dict:
     each wire Row carries up to maxVersions cells PER COLUMN with their
     own timestamps; cells written together (same ts) reassemble into
     one version row — exactly the embedded merge_to_latest=False shape,
-    reconstructed from the wire. Typed decode rides the batch kernels."""
+    reconstructed from the wire. Typed decode rides the batch kernels.
+
+    Equal-ts disambiguation (ADVICE r13 #1): two generations CAN write
+    the same column at the same explicit timestamp (embedded
+    write_table with equal ``timestamp=``); the embedded multiset read
+    then yields two rows. A dict keyed by ts alone would silently
+    overwrite one — instead each cell lands in the (ts, k)-th row where
+    k is its occurrence index among same-(ts, column) cells in wire
+    order, so duplicates stay separate rows and same-generation cells
+    of different columns still co-locate (generations emit cells in a
+    consistent wire order). Within one key, equal-ts rows order by
+    occurrence (wire order) — the embedded read makes no promise there
+    either (identical ts)."""
     coder = get_coder(cat.table_coder)
     key_fields = cat.rowkey_fields()
     value_fields = [f for f in cat.fields.values() if not f.is_rowkey]
@@ -1039,15 +1067,19 @@ def _decode_rest_version_rows(cat, rows: list) -> dict:
         key = _unb64(row["key"])
         dims = coder.decode_rowkey(key[salt:], key_fields)
         by_ts: dict = {}
+        occ: dict = {}  # (ts, col_name) -> occurrences seen in wire order
         for c in row.get("Cell", ()):
             f = by_cell.get(_unb64(c["column"]))
             if f is None:
                 continue
-            by_ts.setdefault(int(c["timestamp"]), {})[f.col_name] = _unb64(c["$"])
-        for ts in sorted(by_ts, reverse=True):
+            ts = int(c["timestamp"])
+            k = occ.get((ts, f.col_name), 0)
+            occ[(ts, f.col_name)] = k + 1
+            by_ts.setdefault((ts, k), {})[f.col_name] = _unb64(c["$"])
+        for ts, k in sorted(by_ts, reverse=True):
             out_keys.append(dims)
             out_ts.append(ts)
-            cells = by_ts[ts]
+            cells = by_ts[(ts, k)]
             for f in value_fields:
                 raw_cols[f.col_name].append(cells.get(f.col_name))
     cols: dict = {}
@@ -1679,7 +1711,13 @@ def read_table_rest_versions(
     version per key — up to ``max_versions`` newest per CELL — with
     ``__ts`` retained, the wire twin of the embedded
     ``read_table(merge_to_latest=False)`` + per-cell version cap
-    (MaxVersionsSuite semantics through the transport)."""
+    (MaxVersionsSuite semantics through the transport).
+
+    Call this PER QUERY (it builds a fresh relation, like read_table):
+    reusing one returned DataFrame across differently-filtered queries
+    trips the Spark 4.1 single-cached-plan hazard — the first query's
+    pushed pruning silently replays for the rest (documented at
+    ShcReader._warn_on_replan)."""
     from pyspark.sql import functions as F
 
     from shc_spark.sources.api import _avro_decode_expr

@@ -159,10 +159,18 @@ def test_null_roundtrip(spark, basic_table, root):
     assert row["col4"] is None and row["col7"] is None
 
 
-def test_append_merge_latest(spark, basic_table, root):
+def test_append_merge_latest(spark, tmp_path):
     # append a newer generation for row001 with a changed col7; merge-to-latest
     # returns the new value but keeps old non-null cells
-    # (DefaultSourceSuite.scala:397-412 + MaxVersionsSuite semantics)
+    # (DefaultSourceSuite.scala:397-412 + MaxVersionsSuite semantics).
+    # ADVICE r13 #5: builds its OWN table (base + rowNul + update
+    # generations) so the asserts hold under -k subset runs too,
+    # instead of relying on earlier tests having mutated basic_table.
+    root = str(tmp_path)
+    base = spark.createDataFrame(basic_rows(), schema=BASIC_SCHEMA)
+    write_table(base, CAT_BASIC, root=root, num_regions=5, mode="overwrite", timestamp=1000)
+    nul = [("rowNul", None, None, None, None, None, None, None, None)]
+    write_table(spark.createDataFrame(nul, schema=BASIC_SCHEMA), CAT_BASIC, root=root, timestamp=2000)
     rows = [("row001", None, None, None, 999, None, None, "String1: new", None)]
     df = spark.createDataFrame(rows, schema=BASIC_SCHEMA)
     write_table(df, CAT_BASIC, root=root, timestamp=3000)
@@ -173,9 +181,17 @@ def test_append_merge_latest(spark, basic_table, root):
     assert read_table(spark, CAT_BASIC, root=root).count() == 257  # still one row per key
 
 
-def test_version_explode_and_maxversions(spark, basic_table, root):
+def test_version_explode_and_maxversions(spark, tmp_path):
     # mergeToLatest=False -> one row per version (multiset, not Set —
-    # deliberate divergence from HBaseTableScan.scala:245)
+    # deliberate divergence from HBaseTableScan.scala:245).
+    # ADVICE r13 #5: own table (base ts1000 + row001 update ts3000) —
+    # the "2 versions of row001" asserts no longer depend on
+    # test_append_merge_latest having run first.
+    root = str(tmp_path)
+    base = spark.createDataFrame(basic_rows(), schema=BASIC_SCHEMA)
+    write_table(base, CAT_BASIC, root=root, num_regions=5, mode="overwrite", timestamp=1000)
+    upd = [("row001", None, None, None, 999, None, None, "String1: new", None)]
+    write_table(spark.createDataFrame(upd, schema=BASIC_SCHEMA), CAT_BASIC, root=root, timestamp=3000)
     all_v = read_table(spark, CAT_BASIC, root=root, merge_to_latest=False)
     assert all_v.filter(F.col("col0") == "row001").count() == 2
     # maxVersions=1 + explode -> per-CELL budgets (HBase VERSIONS
@@ -3591,3 +3607,76 @@ def test_rest_check_and_delete(spark, tmp_path):
     write_table_rest(upd, CAT_AGG, url, timestamp=9000)
     back = {r["k"]: r for r in read_table_rest(spark, CAT_AGG, url).collect()}
     assert back[3]["grp"] == "gBack" and 5 not in back
+
+
+def test_rest_version_equal_ts_keeps_multiset(spark, tmp_path):
+    """ADVICE r13 #1: two generations writing the same column at the
+    SAME explicit timestamp must stay two version rows over the wire —
+    the multiset shape the embedded merge_to_latest=False read serves —
+    not a generation-order-dependent dict overwrite."""
+    from shc_spark.sources import read_table
+    from shc_spark.sources.rest import read_table_rest_versions
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=10, regions=4)
+    # second generation: same key, same column, SAME ts as the base
+    upd = spark.range(1).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("string").alias("grp"),
+        F.lit(-9.0).alias("val"),
+        F.lit(None).cast("int").alias("n"),
+    )
+    write_table(upd, CAT_AGG, root=root, mode="append", timestamp=1000)
+
+    # fresh relation per query (the Spark 4.1 one-cached-plan hazard:
+    # reusing one relation across differently-filtered queries replays
+    # the first plan's pruning — see ShcReader._warn_on_replan)
+    k0 = (
+        read_table_rest_versions(spark, CAT_AGG, url, max_versions=3)
+        .filter(F.col("k") == 0)
+        .collect()
+    )
+    assert len(k0) == 2  # both equal-ts generations present
+    assert all(r["__ts"] == 1000 for r in k0)
+    assert sorted(r["val"] for r in k0) == [-9.0, 0.0]
+    # ...and the wire multiset equals the embedded raw-read multiset
+    got = read_table_rest_versions(spark, CAT_AGG, url, max_versions=3)
+    exp = read_table(
+        spark, CAT_AGG, root=root, merge_to_latest=False, keep_internal=True
+    ).select(*got.columns)
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted((tuple(r) for r in got.collect()), key=key) == sorted(
+        (tuple(r) for r in exp.collect()), key=key
+    )
+
+
+def test_rest_scanner_rejects_filter_with_maxversions(spark, tmp_path):
+    """ADVICE r13 #3: the wire surface must 400 a scanner request that
+    combines a value filter with maxVersions>1 (the shipped client
+    never sends it) — an external caller must not misread a merged
+    filtered scan as version history."""
+    import urllib.error
+    import urllib.request
+
+    root = str(tmp_path)
+    url = _rest_fixture(spark, root, rows=10, regions=4)
+    body = {
+        "maxVersions": 2,
+        "filter": {
+            "type": "SingleColumnValueFilter",
+            "family": "cf",
+            "qualifier": "val",
+            "op": "EQUAL",
+            "value": "0",
+        },
+    }
+    req = urllib.request.Request(
+        f"{url}/default.aggscan/scanner",
+        data=json.dumps(body).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    assert "maxVersions" in ei.value.read().decode()

@@ -1651,30 +1651,50 @@ def build_dedup_index(
 def _write_index_rows(
     docs, path, text_col, id_col, num_perm, bands, n, num_buckets, mode
 ):
-    import os
-
     feats = _doc_lsh_features(_widen(docs), text_col, id_col, n, num_perm, bands)
     feats = feats.cache()
     n_docs = feats.count()  # materialize once for the two writes below
-    # repartition on the partition column BEFORE partitionBy: without
-    # it every writing task emits one file per bucket it touches
-    # (tasks x num_buckets files per generation — millions at real
-    # scale, and the per-query directory listing pays for every one).
-    # With it each bucket lands in exactly one task -> ONE file per
-    # bucket per generation; parquet row groups keep big buckets
-    # splittable on read.
-    #
-    # Width is ADAPTIVE (r14, VERDICT r13 #4): repartition(P, col)
-    # maps each bucket to exactly one task for ANY P, so the one-file-
-    # per-bucket invariant never needs P = num_buckets — and a small
-    # increment scheduled as num_buckets near-empty tasks paid more in
-    # task launches than in rows (measured 7.3s -> 5.3s per write on a
-    # 62.5k-doc increment at P=32). ~64k rows per write task.
+    _write_bucketed(feats, n_docs, path, num_buckets, bands, mode)
+    feats.unpersist()
+
+
+def _banded_rows(feats, num_buckets):
+    return (
+        feats.select("id", F.posexplode("bnd").alias("band", "bh"))
+        .withColumn("bkt", F.pmod(F.col("bh"), F.lit(num_buckets)).cast("int"))
+    )
+
+
+def _feature_rows(feats, num_buckets):
+    return feats.select("id", "hs").withColumn(
+        "fbkt", F.pmod(F.xxhash64(F.col("id")), F.lit(num_buckets)).cast("int")
+    )
+
+
+def _write_bucketed(feats, n_docs, path, num_buckets, bands, mode):
+    """Write signed rows into the bucket-partitioned layout.
+
+    repartition on the partition column BEFORE partitionBy: without
+    it every writing task emits one file per bucket it touches
+    (tasks x num_buckets files per generation — millions at real
+    scale, and the per-query directory listing pays for every one).
+    With it each bucket lands in exactly one task -> ONE file per
+    bucket per generation; parquet row groups keep big buckets
+    splittable on read.
+
+    Width is ADAPTIVE (r14, VERDICT r13 #4): repartition(P, col)
+    maps each bucket to exactly one task for ANY P, so the one-file-
+    per-bucket invariant never needs P = num_buckets — and a small
+    increment scheduled as num_buckets near-empty tasks paid more in
+    task launches than in rows (measured 7.3s -> 5.3s per write on a
+    62.5k-doc increment at P=32). ~64k rows per write task.
+    """
+    import os
+
     banded_p = int(min(num_buckets, max(32, -(-n_docs * bands // 65536))))
     feats_p = int(min(num_buckets, max(32, -(-n_docs // 65536))))
     (
-        feats.select("id", F.posexplode("bnd").alias("band", "bh"))
-        .withColumn("bkt", F.pmod(F.col("bh"), F.lit(num_buckets)).cast("int"))
+        _banded_rows(feats, num_buckets)
         .repartition(banded_p, F.col("bkt"))
         .sortWithinPartitions("band", "bh")
         .write.mode(mode)
@@ -1682,16 +1702,12 @@ def _write_index_rows(
         .parquet(os.path.join(path, "banded"))
     )
     (
-        feats.select("id", "hs")
-        .withColumn(
-            "fbkt", F.pmod(F.xxhash64(F.col("id")), F.lit(num_buckets)).cast("int")
-        )
+        _feature_rows(feats, num_buckets)
         .repartition(feats_p, F.col("fbkt"))
         .write.mode(mode)
         .partitionBy("fbkt")
         .parquet(os.path.join(path, "features"))
     )
-    feats.unpersist()
 
 
 def read_dedup_index_meta(spark, path: str) -> dict:
@@ -1722,20 +1738,140 @@ def _index_relation(spark, path: str, sub: str) -> DataFrame:
     return index_relation(spark, path, sub)
 
 
+# L0 pending sidecar (r14, VERDICT r13 #4): every bucketed append
+# costs O(num_buckets) FILE CREATIONS (a generation touches ~every
+# bucket once the increment exceeds ~num_buckets banded rows — one
+# parquet file per touched bucket dir is the layout's pruning
+# contract). Measured at x100: 2 x ~5s of the 12s per-append wall is
+# exactly that file churn. Small increments therefore land in two
+# UNPARTITIONED sidecar dirs (a handful of files, O(increment)), and
+# fold into the bucketed layout only when the accumulated mass itself
+# reaches bucket scale — the same LSM L0 -> L1 move the shc store's
+# memstore/compaction lifecycle uses.
+_PENDING_BANDED = "pending_banded"
+_PENDING_FEATURES = "pending_features"
+
+
+def _has_pending(path: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(path, _PENDING_BANDED, "_SUCCESS"))
+
+
+def _banded_relation(spark, path: str) -> DataFrame:
+    """banded/ plus any pending sidecar rows. Bucket filters still
+    dir-prune the main side (pushed through the union); the pending
+    side is column-filtered — bounded by the fold threshold, so the
+    full scan is a rounding error next to one pruned bucket read."""
+    rel = _index_relation(spark, path, "banded")
+    if _has_pending(path):
+        rel = rel.unionByName(_index_relation(spark, path, _PENDING_BANDED))
+    return rel
+
+
+def _features_relation(spark, path: str) -> DataFrame:
+    rel = _index_relation(spark, path, "features")
+    if _has_pending(path):
+        rel = rel.unionByName(_index_relation(spark, path, _PENDING_FEATURES))
+    return rel
+
+
 def append_to_dedup_index(
-    new_docs: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucketed: bool | None = None,
+    fold_threshold: int | None = None,
 ) -> str:
     """Incremental index maintenance: sign ONLY the new documents with
-    the saved banding parameters and append their banded keys and
-    feature rows to the partitioned layout — accepted-into-the-corpus
-    increments cost one feature pass over themselves, never a corpus
-    rebuild. Removal is :func:`delete_from_dedup_index` (tombstone
-    masking); physical purge is a rebuild."""
-    m = read_dedup_index_meta(new_docs.sparkSession, path)
-    _write_index_rows(
-        new_docs, path, text_col, id_col, m["num_perm"], m["bands"], m["n"],
-        m["num_buckets"], mode="append",
+    the saved banding parameters — accepted-into-the-corpus increments
+    cost one feature pass over themselves, never a corpus rebuild.
+    Removal is :func:`delete_from_dedup_index` (tombstone masking);
+    physical purge is a (minor/major) compaction.
+
+    Where the rows land (r14): a small increment appends to the L0
+    pending sidecar — O(increment) files instead of the bucketed
+    layout's O(num_buckets) per-generation file churn — and the
+    sidecar folds into the buckets automatically once its banded mass
+    reaches ``fold_threshold`` (default num_buckets * 32 rows, ~the
+    point where a write touches every bucket anyway). An increment
+    already at bucket scale writes straight to the bucketed layout.
+    ``bucketed=True/False`` overrides the routing; queries see pending
+    rows immediately either way (union in _banded_relation).
+
+    Fold crash note: :func:`fold_dedup_index` deletes the sidecar only
+    after the bucketed write commits (_SUCCESS); a crash between the
+    two leaves duplicate rows, which queries tolerate (candidates are
+    DISTINCT pairs; verify re-checks) — the next MAJOR compaction
+    drops them (it rewrites through dropDuplicates)."""
+    spark = new_docs.sparkSession
+    m = read_dedup_index_meta(spark, path)
+    nb, bands = m["num_buckets"], m["bands"]
+    thr = int(fold_threshold if fold_threshold is not None else nb * 32)
+    feats = _doc_lsh_features(
+        _widen(new_docs), text_col, id_col, m["n"], m["num_perm"], bands
+    ).cache()
+    n_docs = feats.count()
+    if bucketed is None:
+        bucketed = n_docs * bands >= thr
+    if bucketed:
+        _write_bucketed(feats, n_docs, path, nb, bands, mode="append")
+        feats.unpersist()
+        return path
+    import os
+
+    files = int(max(1, -(-n_docs * bands // 262144)))
+    _banded_rows(feats, nb).repartition(files).write.mode("append").parquet(
+        os.path.join(path, _PENDING_BANDED)
     )
+    _feature_rows(feats, nb).repartition(files).write.mode("append").parquet(
+        os.path.join(path, _PENDING_FEATURES)
+    )
+    feats.unpersist()
+    # one tiny count job over the sidecar (footer-metadata scan) — the
+    # fold trigger; a ledger file would save it but add a consistency
+    # surface
+    if spark.read.parquet(os.path.join(path, _PENDING_BANDED)).count() >= thr:
+        fold_dedup_index(spark, path)
+    return path
+
+
+def fold_dedup_index(spark, path: str) -> str:
+    """Fold the L0 pending sidecar into the bucketed layout (one
+    bucketed generation for the WHOLE accumulated sidecar — the
+    O(num_buckets) file churn paid once per fold instead of per
+    append) and drop the sidecar. No re-signing: the sidecar already
+    holds signed rows. No-op without a sidecar."""
+    import os
+    import shutil
+
+    if not _has_pending(path):
+        return path
+    m = read_dedup_index_meta(spark, path)
+    nb, bands = m["num_buckets"], m["bands"]
+    pb = spark.read.parquet(os.path.join(path, _PENDING_BANDED))
+    pf = spark.read.parquet(os.path.join(path, _PENDING_FEATURES))
+    n_docs = pf.count()
+    banded_p = int(min(nb, max(32, -(-n_docs * bands // 65536))))
+    feats_p = int(min(nb, max(32, -(-n_docs // 65536))))
+    (
+        pb.repartition(banded_p, F.col("bkt"))
+        .sortWithinPartitions("band", "bh")
+        .write.mode("append")
+        .partitionBy("bkt")
+        .parquet(os.path.join(path, "banded"))
+    )
+    (
+        pf.repartition(feats_p, F.col("fbkt"))
+        .write.mode("append")
+        .partitionBy("fbkt")
+        .parquet(os.path.join(path, "features"))
+    )
+    if not os.path.exists(os.path.join(path, "banded", "_SUCCESS")):
+        raise RuntimeError("fold write of banded rows did not commit")
+    shutil.rmtree(os.path.join(path, _PENDING_BANDED), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, _PENDING_FEATURES), ignore_errors=True)
     return path
 
 
@@ -1798,7 +1934,7 @@ def _index_candidates(spark, path, inc_feats, nb):
         .distinct()
         .collect()
     ]
-    banded = _index_relation(spark, path, "banded").filter(
+    banded = _banded_relation(spark, path).filter(
         F.col("bkt").isin(bkts) if bkts else F.lit(False)
     )
     cand = (
@@ -1883,7 +2019,7 @@ def dedup_index_pairs(
         .distinct()
         .collect()
     ]
-    feats = _index_relation(spark, path, "features").filter(
+    feats = _features_relation(spark, path).filter(
         F.col("fbkt").isin(fbkts) if fbkts else F.lit(False)
     )
     ha = inc.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
@@ -1958,7 +2094,7 @@ def dedup_index_pairs_batch(
         .distinct()
         .collect()
     ]
-    feats = _index_relation(spark, path, "features").filter(
+    feats = _features_relation(spark, path).filter(
         F.col("fbkt").isin(fbkts) if fbkts else F.lit(False)
     )
     ha = inc.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
@@ -1993,6 +2129,7 @@ def minor_compact_dedup_index(spark, path: str, threshold: int = 2) -> str:
 
     from shc_spark.operators.idxcache import compact_fragmented_partitions
 
+    fold_dedup_index(spark, path)  # L0 sidecar first: buckets see all rows
     compact_fragmented_partitions(
         spark, os.path.join(path, "banded"), "bkt",
         sort_within=("band", "bh"), threshold=threshold,
@@ -2027,6 +2164,7 @@ def compact_dedup_index(spark, path: str) -> str:
         tombstone_snapshot,
     )
 
+    fold_dedup_index(spark, path)  # L0 sidecar first: buckets see all rows
     m = read_dedup_index_meta(spark, path)
     nb = m["num_buckets"]
     tomb_path = os.path.join(path, "tombstones")
@@ -2037,7 +2175,14 @@ def compact_dedup_index(spark, path: str) -> str:
         else None
     )
     for sub, part_col in (("banded", "bkt"), ("features", "fbkt")):
+        # dropDuplicates: banded/feature rows carry no multiplicity
+        # semantics (candidates are DISTINCT pairs; verify re-checks
+        # hs), so major compaction is also the documented recovery for
+        # duplicates left by a crash between a fold's write and its
+        # sidecar delete. Features dedup by id (hs is array-typed and
+        # id-determined; the index has no version axis).
         cur = spark.read.parquet(os.path.join(path, sub))
+        cur = cur.dropDuplicates() if sub == "banded" else cur.dropDuplicates(["id"])
         if tomb is not None:
             cur = cur.join(tomb, "id", "left_anti")
         tmp = os.path.join(path, sub + ".compact")

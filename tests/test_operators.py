@@ -4817,3 +4817,94 @@ def test_semdedup_sharded_refuses_oversized_shard(spark):
         cluster.semdedup_sharded(
             emb, "embedding", "vec_id", num_shards=1, max_shard_rows=10
         ).collect()
+
+
+def test_dedup_index_pending_sidecar_query_equivalence(spark):
+    """r14 L0 sidecar: small appends land in pending_* (O(increment)
+    files, not O(num_buckets)), queries see them immediately through
+    the union, and results equal a from-scratch build over the same
+    docs."""
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dedup_index(spark, "pend", corpus.filter(F.col("doc_id") % 4 == 0))
+    # force the pending route regardless of corpus size
+    dedup.append_to_dedup_index(
+        corpus.filter(F.col("doc_id") % 4 == 2), path, bucketed=False,
+        fold_threshold=1 << 60,
+    )
+    assert dedup._has_pending(path)
+    # sidecar is a handful of files, not one per bucket
+    import glob
+
+    nfiles = len(glob.glob(os.path.join(path, "pending_banded", "*.parquet")))
+    assert 1 <= nfiles <= 4
+    full = _dedup_index(spark, "pendfull", corpus)
+    got = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, path, inc).collect())
+    ref = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, full, inc).collect())
+    assert got == ref and got
+
+
+def test_dedup_index_pending_autofold_and_routing(spark):
+    """Auto-fold: once the sidecar's banded mass crosses the threshold
+    it folds into the bucketed layout (sidecar gone, one extra file per
+    touched bucket) and queries are unchanged. A bucket-scale increment
+    routes straight to the bucketed layout (no sidecar)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dedup_index(spark, "fold", corpus.filter(F.col("doc_id") % 4 == 0))
+    # threshold low enough that this small append immediately folds;
+    # bucketed=False still forces it through the sidecar first
+    dedup.append_to_dedup_index(
+        corpus.filter(F.col("doc_id") % 4 == 2), path, bucketed=False,
+        fold_threshold=1,
+    )
+    assert not dedup._has_pending(path)
+    full = _dedup_index(spark, "foldfull", corpus)
+    got = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, path, inc).collect())
+    ref = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, full, inc).collect())
+    assert got == ref and got
+    # big-increment routing: default (bucketed=None) with a tiny
+    # threshold goes straight to buckets
+    path2 = _dedup_index(spark, "route", corpus.filter(F.col("doc_id") % 4 == 0))
+    dedup.append_to_dedup_index(
+        corpus.filter(F.col("doc_id") % 4 == 2), path2, fold_threshold=1
+    )
+    assert not dedup._has_pending(path2)
+
+
+def test_dedup_index_compactions_fold_pending_first(spark):
+    """Both compactions fold the sidecar before rewriting, so a
+    compacted index never silently drops pending rows; major
+    compaction also dedups rows (the crash-between-fold-steps
+    recovery)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dedup_index(spark, "cfold", corpus.filter(F.col("doc_id") % 4 == 0))
+    dedup.append_to_dedup_index(
+        corpus.filter(F.col("doc_id") % 4 == 2), path, bucketed=False,
+        fold_threshold=1 << 60,
+    )
+    assert dedup._has_pending(path)
+    dedup.compact_dedup_index(spark, path)
+    assert not dedup._has_pending(path)
+    full = _dedup_index(spark, "cfoldfull", corpus)
+    got = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, path, inc).collect())
+    ref = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, full, inc).collect())
+    assert got == ref and got
+    # duplicate-recovery: simulate a crash-between-fold-steps by
+    # appending the SAME increment twice into the sidecar, then major
+    # compact — queries must be identical (no duplicate pairs)
+    path3 = _dedup_index(spark, "cdup", corpus.filter(F.col("doc_id") % 4 == 0))
+    for _ in range(2):
+        dedup.append_to_dedup_index(
+            corpus.filter(F.col("doc_id") % 4 == 2), path3, bucketed=False,
+            fold_threshold=1 << 60,
+        )
+    dedup.compact_dedup_index(spark, path3)
+    got3 = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, path3, inc).collect())
+    assert got3 == ref

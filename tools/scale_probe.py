@@ -393,6 +393,26 @@ def streaming_probe(spark, mults=(1, 10, 100)) -> list[str]:
             + " | n/a | n/a |"
         )
         print(lines[-1], flush=True)
+        # r14: the SMALL-increment steady state (nightly/streaming
+        # micro-batches) — these route through the L0 pending sidecar
+        # (O(increment) files) with the fold amortizing the bucketed
+        # O(num_buckets) churn across appends; the walls should sit
+        # far below the corpus-fraction rows above, with one
+        # fold-sized spike when the threshold trips
+        small_walls = []
+        for s in range(4):
+            inc = docs.filter(
+                (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 1000 == 2 * s + 1)
+            ).select("doc_id", "text").localCheckpoint(eager=True)
+            t0 = _time.time()
+            _dedup.append_to_dedup_index(inc, idx)
+            small_walls.append(round(_time.time() - t0, 2))
+        lines.append(
+            f"| stream_index_ingest_small (4 sidecar appends) | x{m} | ~{max(1, docs.count() // 2000)}-doc increments | {round(sum(small_walls), 2)} | "
+            + " -> ".join(str(w) for w in small_walls)
+            + " | n/a | n/a |"
+        )
+        print(lines[-1], flush=True)
         shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
         docs.unpersist()
     return lines

@@ -98,6 +98,12 @@ HEADLINE = [
     # normalized exact-dup, 5-gram decontamination, quality floor)
     # with per-doc dropped_by attribution
     "text_curation_report",
+    # round-14 additions: the one-call linear-work sharded SemDeDup
+    # (whole per-shard pipeline in one task — contrast dedup_semdedup's
+    # broadcast-argmin + grouped-prune shape) and the real pixel
+    # descriptor through the PNG encode->decode->featurize path
+    "embed_semdedup_sharded",
+    "mm_image_features",
 ]
 
 

@@ -467,10 +467,13 @@ def semdedup_sharded(
       assign kernel.
 
     Sharding key: ``shard_col`` (pre-split by language/source — the
-    paper's own recipe) or, by default, md5(id) mod S with
+    paper's own recipe; the column's STRING form is md5-hashed mod
+    ``num_shards`` [default 4096], so any type works, equal values
+    always co-shard — locality preserved — and the mapping is
+    engine-replayable) or, by default, md5(id) mod S with
     S = ``num_shards`` or ceil(n / shard_rows) from one cheap count —
-    deterministic and engine-replayable (CAST('0x'||substr(md5,1,4))
-    in DuckDB == conv(substring(md5,1,4),16,10) in Spark).
+    both deterministic (CAST('0x'||substr(md5,1,4)) in DuckDB ==
+    conv(substring(md5,1,4),16,10) in Spark).
 
     Within-shard semantics are EXACTLY ``semdedup``'s: the round6
     first-min assignment (_round6_chunked_argmin) and the rank/cosine
@@ -493,20 +496,20 @@ def semdedup_sharded(
             if n == 0:
                 raise ValueError("semdedup_sharded on an empty corpus")
             s = max(1, (n + shard_rows - 1) // shard_rows)
-        if s > 65536:
-            raise ValueError("num_shards > 65536: widen shard_rows or pre-split")
-        sharded = df.select(
-            id_col,
-            vec_col,
-            (
-                F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-                .cast("long") % F.lit(int(s))
-            ).alias("__shard"),
-        )
+        key = F.col(id_col)
     else:
-        sharded = df.select(
-            id_col, vec_col, F.col(shard_col).cast("long").alias("__shard")
-        )
+        s = num_shards if num_shards is not None else 4096
+        key = F.col(shard_col)
+    if s > 65536:
+        raise ValueError("num_shards > 65536: widen shard_rows or pre-split")
+    sharded = df.select(
+        id_col,
+        vec_col,
+        (
+            F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
+            .cast("long") % F.lit(int(s))
+        ).alias("__shard"),
+    )
 
     cap = int(max_shard_rows)
     tgt = int(target_cluster_size)

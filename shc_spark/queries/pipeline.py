@@ -2128,6 +2128,72 @@ def embed_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r14 tail: the LOCALITY-keyed sharding path — shard by the document
+# LANGUAGE (the SemDeDup paper's own pre-partition recipe: duplicates
+# share a language, so keying by it biases them into the same shard,
+# recovering the recall the synthetic md5-id split trades away).
+# shard = md5(lang) prefix mod 4096 — any-type, equal values co-shard,
+# engine-replayable. Tail: embed_semdedup_sharded (in the main list)
+# already drives the shared kernels; this pins the shard_col routing.
+@register(
+    "embed_semdedup_bykey",
+    """
+    WITH e AS (SELECT em.vec_id,
+                      list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v,
+                      CAST('0x' || substr(md5(d.lang), 1, 4) AS BIGINT) % 4096
+                        AS shard
+               FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id),
+    sz AS (SELECT shard, CAST(ceil(count(*) / 64.0) AS BIGINT) AS k_s
+           FROM e GROUP BY shard),
+    se AS (SELECT e.*, row_number() OVER (PARTITION BY shard ORDER BY vec_id) AS rn
+           FROM e),
+    c AS (SELECT se.shard, se.rn - 1 AS cid, se.v AS cv
+          FROM se JOIN sz ON se.shard = sz.shard WHERE se.rn <= sz.k_s),
+    d AS (SELECT e.vec_id, e.shard, e.v, c.cid,
+            round(list_sum(list_transform(list_zip(e.v, c.cv),
+                                          p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+          FROM e JOIN c ON e.shard = c.shard),
+    a AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rnk
+          FROM d),
+    m AS (SELECT vec_id, shard, v, cid AS cluster, dist FROM a WHERE rnk = 1),
+    r AS (SELECT vec_id, shard, v, cluster, dist,
+                 row_number() OVER (PARTITION BY shard, cluster
+                                    ORDER BY dist DESC, vec_id) AS rk,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM m),
+    dom AS (SELECT b.vec_id AS vid, min(a.rk) AS dom_rk
+            FROM r a JOIN r b ON a.shard = b.shard AND a.cluster = b.cluster
+                              AND a.rk < b.rk
+            WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45
+            GROUP BY b.vec_id),
+    dupof AS (SELECT dom.vid, r2.vec_id AS dup_of
+              FROM dom JOIN r r1 ON r1.vec_id = dom.vid
+                       JOIN r r2 ON r2.shard = r1.shard
+                                AND r2.cluster = r1.cluster AND r2.rk = dom.dom_rk)
+    SELECT r.vec_id, r.shard, r.cluster, (dupof.dup_of IS NULL) AS kept, dupof.dup_of
+    FROM r LEFT JOIN dupof ON r.vec_id = dupof.vid
+    """,
+    tail=True,
+)
+def embed_semdedup_bykey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    keyed = emb.join(docs, "vec_id")
+    return cluster.semdedup_sharded(
+        keyed,
+        "embedding",
+        "vec_id",
+        shard_col="lang",
+        target_cluster_size=64,
+        threshold=0.45,
+        max_iter=0,
+    )
+
+
 # r13: cluster-balanced subset selection — per-cluster md5-order
 # quotas over the nearest-centroid assignment (seeded from the 8
 # smallest-id vectors so the ORACLE replays assignment verbatim, same

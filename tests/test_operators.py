@@ -4908,3 +4908,36 @@ def test_dedup_index_compactions_fold_pending_first(spark):
     dedup.compact_dedup_index(spark, path3)
     got3 = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, path3, inc).collect())
     assert got3 == ref
+
+
+def test_semdedup_sharded_shard_col_coshard_any_type(spark):
+    """shard_col routing (r14): equal values co-shard for ANY column
+    type (string language, numeric id alike) via the md5-of-string
+    mapping, and the result still satisfies one-row-per-input."""
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    keyed = emb.join(docs, "vec_id")
+    out = cluster.semdedup_sharded(
+        keyed, "embedding", "vec_id", shard_col="lang",
+        target_cluster_size=64, max_iter=0,
+    ).collect()
+    assert len(out) == keyed.count()
+    lang_of = {r["vec_id"]: r["lang"] for r in keyed.select("vec_id", "lang").collect()}
+    shard_of_lang: dict = {}
+    for r in out:
+        lg = lang_of[r["vec_id"]]
+        assert shard_of_lang.setdefault(lg, r["shard"]) == r["shard"], (
+            "same language must always co-shard"
+        )
+    assert len(set(shard_of_lang.values())) > 1  # 5 langs spread shards
+    # numeric shard_col routes through the same md5 mapping
+    out2 = cluster.semdedup_sharded(
+        emb.withColumn("dom", F.col("vec_id") % 3), "embedding", "vec_id",
+        shard_col="dom", target_cluster_size=64, max_iter=0,
+    ).collect()
+    assert len(out2) == emb.count()
+    assert len({r["shard"] for r in out2}) == 3

@@ -252,10 +252,32 @@ class _TableService:
         visible (same contract as the embedded merge_to_latest=False
         read: version reads see pre-delete history until compaction).
 
-        The mock buffers the range's version groups to serve keys in
-        ascending order (raw region files are not globally key-ordered
-        across generations); a real region server merge-sorts its
-        store files instead. Yields ready Stargate Row dicts."""
+        Memory bound (ADVICE r13 #2): the requested range is cut at
+        every generation's region-start key and served SUB-RANGE BY
+        SUB-RANGE — the buffer holds one boundary cut's version groups
+        (all generations of a region-sized key span), not the whole
+        range; cuts are ascending and disjoint, so keys still stream
+        globally sorted. A real region server merge-sorts its store
+        files instead. Yields ready Stargate Row dicts."""
+        import os
+
+        cuts: list[bytes] = []
+        try:
+            for reg in _load_regions(os.path.join(self.root, table)):
+                s = reg.get("start")
+                if s is None:
+                    continue
+                sb = bytes.fromhex(s)
+                if (start is None or sb > start) and (stop is None or sb < stop):
+                    cuts.append(sb)
+        except FileNotFoundError:
+            pass
+        bounds = [start] + sorted(set(cuts)) + [stop]
+        for lo, hi in zip(bounds, bounds[1:]):
+            yield from self._scan_versions_range(table, lo, hi, max_versions)
+
+    def _scan_versions_range(self, table: str, start: bytes | None,
+                             stop: bytes | None, max_versions: int):
         rng = [ScanRange(start, True, stop, False)] if (start or stop) else None
         cat, rdr = self._reader(table, rng, raw=True)
         value_fields = [f for f in cat.fields.values() if not f.is_rowkey]

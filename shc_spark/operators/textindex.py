@@ -61,15 +61,23 @@ def _tokens(corpus: DataFrame, text_col: str, id_col: str):
     return tf, dl
 
 
-def _write_rows(tf: DataFrame, dl: DataFrame, path: str, nb: int, mode: str) -> None:
+def _write_rows(
+    tf: DataFrame, dl: DataFrame, path: str, nb: int, mode: str,
+    tf_rows: int | None = None, dl_rows: int | None = None,
+) -> None:
     # repartition on the partition column BEFORE partitionBy: one file
     # per bucket per generation (same listing-cost rationale as the
-    # dedup/IVF indexes)
+    # dedup/IVF indexes). Width is ADAPTIVE when the caller knows the
+    # row counts (r14, same rationale as the dedup index): any P keeps
+    # each bucket in exactly one task, so a small increment should not
+    # be scheduled as nb near-empty tasks.
+    tp = nb if tf_rows is None else int(min(nb, max(32, -(-tf_rows // 65536))))
+    lp = nb if dl_rows is None else int(min(nb, max(32, -(-dl_rows // 65536))))
     tf.withColumn("tbkt", _tbkt(F.col("term"), nb)).repartition(
-        nb, F.col("tbkt")
+        tp, F.col("tbkt")
     ).write.mode(mode).partitionBy("tbkt").parquet(os.path.join(path, "postings"))
     dl.withColumn("lbkt", _tbkt(F.col("id"), nb)).repartition(
-        nb, F.col("lbkt")
+        lp, F.col("lbkt")
     ).write.mode(mode).partitionBy("lbkt").parquet(os.path.join(path, "lengths"))
 
 
@@ -128,7 +136,8 @@ def build_text_index(
     ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
     # (the session meta memo needs no explicit refresh: it is keyed on
     # the meta subtree's census fingerprint, which this write changed)
-    _write_rows(tf, dl, path, num_buckets, mode="overwrite")
+    _write_rows(tf, dl, path, num_buckets, mode="overwrite",
+                tf_rows=int(row["s"] or 0), dl_rows=int(row["n"]))
     dl.unpersist()
     spark.createDataFrame(
         [(int(row["n"]), int(row["s"] or 0))], "n_docs long, sum_dl long"
@@ -170,7 +179,8 @@ def append_to_text_index(
     tf, dl = _tokens(new_docs, text_col, id_col)
     dl = dl.cache()
     row = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
-    _write_rows(tf, dl, path, nb, mode="append")
+    _write_rows(tf, dl, path, nb, mode="append",
+                tf_rows=int(row["s"] or 0), dl_rows=int(row["n"]))
     _append_stats(spark, path, row["n"], row["s"] or 0)
     dl.unpersist()
     return path

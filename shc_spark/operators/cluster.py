@@ -502,12 +502,15 @@ def semdedup_sharded(
         key = F.col(shard_col)
     if s > 65536:
         raise ValueError("num_shards > 65536: widen shard_rows or pre-split")
+    # NULL shard keys hash as the empty string (md5(NULL) is NULL in
+    # both engines — an un-coalesced null would strand those rows in a
+    # null group and crash the kernel's int() on the shard id)
+    hashed = F.md5(F.coalesce(key.cast("string"), F.lit("")))
     sharded = df.select(
         id_col,
         vec_col,
         (
-            F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
-            .cast("long") % F.lit(int(s))
+            F.conv(F.substring(hashed, 1, 4), 16, 10).cast("long") % F.lit(int(s))
         ).alias("__shard"),
     )
 

@@ -164,15 +164,17 @@ def semantic_dedup(
 
 
 def _round6_chunked_argmin(
-    mat: np.ndarray, cents: np.ndarray
+    mat: np.ndarray, cents: np.ndarray, chunk_budget: int = 1 << 24
 ) -> tuple[np.ndarray, np.ndarray]:
     """Oracle-exact nearest-centroid kernel shared by every assign
     path: explicit (x-c)^2 sums rounded to 6dp BEFORE the argmin
     (ties -> first centroid), chunked over centroids so the
-    |batch| x chunk x dim intermediate stays under ~128 MB. Strict <
-    across chunks keeps argmin's first-minimum tie rule exactly."""
+    |batch| x chunk x dim intermediate stays under ~128 MB
+    (``chunk_budget`` float64 elements; tests shrink it to force
+    multi-chunk folds). Strict < across chunks keeps argmin's
+    first-minimum tie rule exactly."""
     n, dim = mat.shape
-    step = max(1, (1 << 24) // max(1, n * dim))
+    step = max(1, int(chunk_budget) // max(1, n * dim))
     best_d = np.full(n, np.inf)
     best_c = np.zeros(n, dtype=np.int64)
     for c0 in range(0, len(cents), step):
@@ -420,6 +422,74 @@ def balanced_sample(
         assigned.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= per_cluster)
         .select(id_col, "cluster")
+    )
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    laplace: float = 0.5,
+) -> DataFrame:
+    """Embedding-space drift check — the vector analog of
+    ``dq.psi_drift``: assign BOTH corpus snapshots to the same FIXED
+    centroids (shared quantization grid, like psi_drift's fixed
+    edges) and compute the Population Stability Index over the
+    cluster-occupancy histograms. The curation telemetry that says a
+    new crawl's embedding distribution moved before any model does:
+    PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 investigate.
+
+    Centroids must be pre-trained/shared (re-fitting per snapshot
+    would hide exactly the shift being measured). Assignment is the
+    shared oracle-exact chunked kernel (map-only, no shuffle); the
+    only aggregation is two k-row histograms, then all arithmetic on
+    the tiny joined frame — nothing about the corpora ever shuffles.
+    Laplace smoothing ((n_i + a) / (N + a*k)) keeps empty clusters
+    finite; fractions/contributions round to 6dp (engine-neutral).
+    Output: one row per cluster (cluster, ref_n, cur_n, ref_frac,
+    cur_frac, psi_contrib) — sum psi_contrib for the index."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    k = len(cents)
+
+    @F.pandas_udf("long")
+    def _assign(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype="int64")
+        c, _ = _round6_chunked_argmin(_stack(col), cents)
+        return pd.Series(c)
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(_assign(F.col(vec_col)).alias("cluster"))
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spark = ref.sparkSession
+    all_c = spark.range(k).select(F.col("id").alias("cluster"))
+    h = (
+        all_c.join(hist(ref, "ref_n"), "cluster", "left")
+        .join(hist(cur, "cur_n"), "cluster", "left")
+        .fillna(0, ["ref_n", "cur_n"])
+    )
+    a = float(laplace)
+    # pin the k-row histogram once, then totals are a broadcast join of
+    # its own aggregate (the dq.psi_drift pattern — each corpus is
+    # scanned exactly once, no global window)
+    h = h.localCheckpoint(eager=True)
+    h = h.crossJoin(
+        F.broadcast(h.agg(F.sum("ref_n").alias("__rt"), F.sum("cur_n").alias("__ct")))
+    )
+    p = (F.col("ref_n") + a) / (F.col("__rt") + a * k)
+    q = (F.col("cur_n") + a) / (F.col("__ct") + a * k)
+    return h.select(
+        "cluster",
+        "ref_n",
+        "cur_n",
+        F.round(p, 6).alias("ref_frac"),
+        F.round(q, 6).alias("cur_frac"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
 
 

@@ -2194,6 +2194,58 @@ def embed_semdedup_bykey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r14: embedding-space drift — PSI over shared-centroid cluster
+# occupancies (the vector analog of dq_psi_drift's fixed edges; fixed
+# centroids = the shared quantization grid, so re-fitting can't hide
+# the shift being measured). Even vec_ids are the reference snapshot,
+# odd the current; centroids are the 8 smallest-id vectors, so the
+# ORACLE replays assignment (same round6 argmin CTE as the semdedup
+# gates) AND the Laplace-smoothed PSI arithmetic verbatim.
+@register(
+    "embed_drift_psi",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.cid,
+            round(list_sum(list_transform(list_zip(e.v, c.cv),
+                                          p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d),
+    m AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
+    grid AS (SELECT unnest(generate_series(0, 7)) AS cluster),
+    h AS (SELECT grid.cluster,
+                 CAST(coalesce(sum(CASE WHEN m.vec_id % 2 = 0 THEN 1 END), 0)
+                      AS BIGINT) AS ref_n,
+                 CAST(coalesce(sum(CASE WHEN m.vec_id % 2 = 1 THEN 1 END), 0)
+                      AS BIGINT) AS cur_n
+          FROM grid LEFT JOIN m ON grid.cluster = m.cluster
+          GROUP BY grid.cluster),
+    t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM h)
+    SELECT h.cluster, h.ref_n, h.cur_n,
+           round((h.ref_n + 0.5) / (t.rt + 0.5 * 8), 6) AS ref_frac,
+           round((h.cur_n + 0.5) / (t.ct + 0.5 * 8), 6) AS cur_frac,
+           round(((h.ref_n + 0.5) / (t.rt + 0.5 * 8)
+                  - (h.cur_n + 0.5) / (t.ct + 0.5 * 8))
+                 * ln(((h.ref_n + 0.5) / (t.rt + 0.5 * 8))
+                      / ((h.cur_n + 0.5) / (t.ct + 0.5 * 8))), 6) AS psi_contrib
+    FROM h CROSS JOIN t
+    """,
+)
+def embed_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = cluster.seed_centroids(emb, "embedding", "vec_id", 8)
+    return cluster.embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        cents,
+    )
+
+
 # r13: cluster-balanced subset selection — per-cluster md5-order
 # quotas over the nearest-centroid assignment (seeded from the 8
 # smallest-id vectors so the ORACLE replays assignment verbatim, same

@@ -4941,3 +4941,84 @@ def test_semdedup_sharded_shard_col_coshard_any_type(spark):
     ).collect()
     assert len(out2) == emb.count()
     assert len({r["shard"] for r in out2}) == 3
+
+
+def test_chunked_argmin_equals_oneshot_with_ties():
+    """_round6_chunked_argmin must equal the one-shot rounded argmin —
+    including FIRST-MIN ties that straddle chunk boundaries (the
+    strict-< fold preserves argmin's first-minimum rule). Hypothesis
+    drives sizes that force multi-chunk folds via tiny fake budgets."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from shc_spark.operators import cluster
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 24),
+        k=st.integers(1, 40),
+        dim=st.integers(1, 8),
+        seed=st.integers(0, 10_000),
+        dup=st.booleans(),
+    )
+    def case(n, k, dim, seed, dup):
+        rng = np.random.RandomState(seed)
+        # coarse integer grid => frequent exact distance ties
+        mat = rng.randint(0, 3, size=(n, dim)).astype(np.float64)
+        cents = rng.randint(0, 3, size=(k, dim)).astype(np.float64)
+        if dup and k >= 2:
+            cents[k // 2] = cents[0]  # guaranteed cross-position tie
+        # budget of n*dim elements => one-CENTROID chunks: every fold
+        # step and every cross-chunk tie is exercised
+        got_c, got_d = cluster._round6_chunked_argmin(
+            mat, cents, chunk_budget=n * dim
+        )
+        d = np.round(((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
+        ref_c = d.argmin(axis=1)
+        ref_d = d[np.arange(n), ref_c]
+        assert (got_c == ref_c).all(), (got_c, ref_c)
+        assert (got_d == ref_d).all()
+
+    case()
+
+
+def test_embedding_drift_psi_matches_numpy_and_detects_shift(spark):
+    """embedding_drift (r14): numpy-replay equality, ~0 PSI for an
+    identical distribution, large PSI for a shifted one, and empty
+    clusters stay finite via Laplace smoothing."""
+    import math
+
+    import numpy as np
+
+    from shc_spark.operators import cluster
+
+    cents = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    rng = np.random.RandomState(3)
+
+    def mk(centers, n_each):
+        rows = []
+        for ci, n in zip(centers, n_each):
+            pts = cents[ci] + rng.normal(0, 0.5, size=(n, 2))
+            rows += [(len(rows) + i, [float(a), float(b)]) for i, (a, b) in enumerate(pts)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    ref = mk([0, 1], [80, 20])          # cluster 2 EMPTY
+    same = mk([0, 1], [80, 20])
+    shifted = mk([0, 1, 2], [20, 20, 60])
+
+    out_same = cluster.embedding_drift(ref, same, cents).collect()
+    psi_same = sum(r["psi_contrib"] for r in out_same)
+    assert abs(psi_same) < 0.01
+    assert all(math.isfinite(r["psi_contrib"]) for r in out_same)  # empty cluster 2
+
+    out = {r["cluster"]: r for r in cluster.embedding_drift(ref, shifted, cents).collect()}
+    psi = sum(r["psi_contrib"] for r in out.values())
+    assert psi > 0.25  # the "investigate" regime
+    # numpy replay of counts + smoothing on cluster 2
+    assert out[2]["ref_n"] == 0 and out[2]["cur_n"] == 60
+    k, a = 3, 0.5
+    p = (0 + a) / (100 + a * k)
+    q = (60 + a) / (100 + a * k)
+    assert abs(out[2]["ref_frac"] - round(p, 6)) < 1e-9
+    assert abs(out[2]["psi_contrib"] - round((p - q) * math.log(p / q), 6)) < 1e-9

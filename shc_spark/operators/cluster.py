@@ -425,6 +425,43 @@ def balanced_sample(
     )
 
 
+def embedding_outliers(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-vector outlier telemetry against fixed centroids: each row
+    gets its nearest cluster, its (6dp-rounded) squared distance, and
+    its within-cluster distance PERCENTILE (rank/(n-1), ties by id —
+    fully deterministic). The curation signal that separates a
+    cluster's core from its fringe: percentile ~1 rows are the
+    far-from-everything candidates (mislabeled, garbled, off-domain)
+    to route to review or drop, and the natural prefilter before
+    semdedup's ε-pruning.
+
+    Scale shape: assignment is the shared map-only chunked argmin; the
+    only shuffle is the cluster-keyed rank window (W.partitionBy —
+    cluster-sized partitions, bounded by the centroid grid's balance,
+    never a global sort). Output: (id, cluster, dist, pct)."""
+    from pyspark.sql import Window
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    assigned = _assign_round6(df, cents, vec_col, id_col)
+    w = Window.partitionBy("cluster").orderBy("__dist", id_col)
+    n = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(
+        (F.row_number().over(w) - 1) / (n - 1)
+    )
+    return assigned.select(
+        id_col,
+        "cluster",
+        F.round("__dist", 6).alias("dist"),
+        F.round(pct, round_dp).alias("pct"),
+    )
+
+
 def embedding_drift(
     ref: DataFrame,
     cur: DataFrame,

@@ -2194,6 +2194,43 @@ def embed_semdedup_bykey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r14: per-vector outlier telemetry — within-cluster distance
+# percentile against fixed centroids (seeded from the 8 smallest-id
+# vectors so the ORACLE replays assignment verbatim, then the rank
+# arithmetic): the fringe-vs-core curation signal, and the natural
+# prefilter before semdedup's ε-pruning.
+@register(
+    "embed_outlier_pct",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.cid,
+            round(list_sum(list_transform(list_zip(e.v, c.cv),
+                                          p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d),
+    m AS (SELECT vec_id, cid AS cluster, dist FROM a WHERE rn = 1),
+    r AS (SELECT vec_id, cluster, dist,
+                 row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS rk,
+                 count(*) OVER (PARTITION BY cluster) AS n
+          FROM m)
+    SELECT vec_id, cluster, round(dist, 6) AS dist,
+           round(CASE WHEN n = 1 THEN 0.0
+                      ELSE (rk - 1) * 1.0 / (n - 1) END, 4) AS pct
+    FROM r
+    """,
+)
+def embed_outlier_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = cluster.seed_centroids(emb, "embedding", "vec_id", 8)
+    return cluster.embedding_outliers(emb, cents)
+
+
 # r14: embedding-space drift — PSI over shared-centroid cluster
 # occupancies (the vector analog of dq_psi_drift's fixed edges; fixed
 # centroids = the shared quantization grid, so re-fitting can't hide

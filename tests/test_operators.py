@@ -5022,3 +5022,27 @@ def test_embedding_drift_psi_matches_numpy_and_detects_shift(spark):
     q = (60 + a) / (100 + a * k)
     assert abs(out[2]["ref_frac"] - round(p, 6)) < 1e-9
     assert abs(out[2]["psi_contrib"] - round((p - q) * math.log(p / q), 6)) < 1e-9
+
+
+def test_embedding_outliers_percentile_semantics(spark):
+    """embedding_outliers (r14): percentile is rank/(n-1) within the
+    nearest-centroid cluster (ties by id), singleton clusters get 0.0,
+    and a planted far-away point lands at pct == 1.0."""
+    import numpy as np
+
+    from shc_spark.operators import cluster
+
+    cents = np.array([[0.0, 0.0], [100.0, 0.0]])
+    rows = [
+        (1, [0.0, 0.1]), (2, [0.0, 0.2]), (3, [0.0, 0.3]),
+        (4, [0.0, 9.0]),       # the cluster-0 fringe
+        (5, [100.0, 0.5]),     # singleton in cluster 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in cluster.embedding_outliers(df, cents).collect()}
+    assert [out[i]["cluster"] for i in (1, 2, 3, 4)] == [0, 0, 0, 0]
+    assert out[5]["cluster"] == 1 and out[5]["pct"] == 0.0
+    assert out[4]["pct"] == 1.0
+    assert out[1]["pct"] == 0.0
+    assert abs(out[2]["pct"] - round(1 / 3, 4)) < 1e-9
+    assert abs(out[3]["pct"] - round(2 / 3, 4)) < 1e-9

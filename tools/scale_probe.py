@@ -929,11 +929,28 @@ def main() -> None:
 
     OPS["curation_report"] = lambda d, e: curation_probe(d)
 
+    # ops that read ONLY the embeddings table: an --only run restricted
+    # to these skips the (much heavier) documents/events inflation —
+    # at x1000 the unconditional events localCheckpoint alone OOM'd an
+    # embeddings-only probe
+    EMB_ONLY = {
+        "sim_topk_lsh", "kmeans_semantic", "dedup_semdedup",
+        "dedup_semdedup_auto", "dedup_semdedup_sharded", "embed_quantize",
+        "embed_balanced_sample", "semantic_decontaminate",
+        "ivf_index_search", "ivf_index_search_compacted",
+    }
+    sel_ops = [op for op in OPS if only is None or op in only]
+    sel_ev = [op for op in EV_OPS if only is None or op in only]
+    emb_only_run = bool(sel_ops) and all(op in EMB_ONLY for op in sel_ops)
+
     rows = []
     for m in mults:
-        docs = inflate(spark, "documents", "doc_id", m, salt_col="text")
+        docs = inflate(
+            spark, "documents", "doc_id", 1 if emb_only_run else m,
+            salt_col="text",
+        )
         emb = inflate(spark, "embeddings", "vec_id", m)
-        ev = inflate(spark, "events", "event_id", m)
+        ev = inflate(spark, "events", "event_id", m) if sel_ev else None
         nd, ne = docs.count(), emb.count()
         for op, fn in OPS.items():
             if only is not None and op not in only:
@@ -957,7 +974,8 @@ def main() -> None:
             print(rows[-1], flush=True)
         docs.unpersist()
         emb.unpersist()
-        ev.unpersist()
+        if ev is not None:
+            ev.unpersist()
 
     by_op: dict = {}
     for m, nd, ne, op, wall in rows:

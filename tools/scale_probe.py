@@ -534,6 +534,19 @@ def main() -> None:
             e, "embedding", "vec_id", per_cluster=10,
             centroids=cluster.seed_centroids(e, "embedding", "vec_id", 64),
         ),
+        # r14: embedding drift (PSI over shared-centroid occupancy) —
+        # map-only assignment of BOTH snapshot halves + two k-row
+        # histograms; the curve is two corpus scans and nothing else
+        "embed_drift": lambda d, e: cluster.embedding_drift(
+            e.filter(F.col("vec_id") % 2 == 0),
+            e.filter(F.col("vec_id") % 2 == 1),
+            cluster.seed_centroids(e, "embedding", "vec_id", 64),
+        ),
+        # r14: per-vector outlier percentile — map-only assign + one
+        # cluster-keyed rank window (cluster-sized partitions)
+        "embed_outliers": lambda d, e: cluster.embedding_outliers(
+            e, cluster.seed_centroids(e, "embedding", "vec_id", 64)
+        ),
         "text_tfidf": lambda d, e: text.tfidf_terms(d, "text", "doc_id", k=3),
         # DSIR (r10): pure-Catalyst bigram LLR weighting + top-k
         "text_dsir_select": lambda d, e: text.dsir_select(
@@ -936,7 +949,8 @@ def main() -> None:
     EMB_ONLY = {
         "sim_topk_lsh", "kmeans_semantic", "dedup_semdedup",
         "dedup_semdedup_auto", "dedup_semdedup_sharded", "embed_quantize",
-        "embed_balanced_sample", "semantic_decontaminate",
+        "embed_balanced_sample", "embed_drift", "embed_outliers",
+        "semantic_decontaminate",
         "ivf_index_search", "ivf_index_search_compacted",
     }
     sel_ops = [op for op in OPS if only is None or op in only]

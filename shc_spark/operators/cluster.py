@@ -462,6 +462,54 @@ def embedding_outliers(
     )
 
 
+def cluster_profile(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-cluster health profile against fixed centroids: occupancy
+    and the distance distribution (mean / p50 / p95 / max of the
+    6dp-rounded squared distances). The k-row table that says whether
+    the centroid grid still fits the corpus — empty or ballooning
+    clusters mean retrain, fat p95-vs-p50 gaps mean a fringe worth
+    ``embedding_outliers``. Assignment is the shared map-only chunked
+    kernel; the only shuffle is the k-group aggregate (map-side
+    combined; percentiles are Spark ``percentile`` == SQL
+    quantile_cont, value-replayable). Output: (cluster, n, mean_dist,
+    p50_dist, p95_dist, max_dist)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("struct<cluster: long, dist: double>")
+    def _assign(col: pd.Series) -> pd.DataFrame:
+        if col.empty:
+            return pd.DataFrame({"cluster": [], "dist": []})
+        c, d = _round6_chunked_argmin(_stack(col), cents)
+        return pd.DataFrame({"cluster": c, "dist": d})
+
+    a = df.select(_assign(F.col(vec_col)).alias("__a")).select(
+        F.col("__a.cluster").alias("cluster"), F.col("__a.dist").alias("dist")
+    )
+    pcts = F.expr("percentile(dist, array(0.5, 0.95))")
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dist"), round_dp).alias("mean_dist"),
+            pcts.alias("__p"),
+            F.round(F.max("dist"), round_dp).alias("max_dist"),
+        )
+        .select(
+            "cluster",
+            "n",
+            "mean_dist",
+            F.round(F.col("__p")[0], round_dp).alias("p50_dist"),
+            F.round(F.col("__p")[1], round_dp).alias("p95_dist"),
+            "max_dist",
+        )
+    )
+
+
 def embedding_drift(
     ref: DataFrame,
     cur: DataFrame,

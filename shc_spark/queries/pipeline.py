@@ -2194,6 +2194,41 @@ def embed_semdedup_bykey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r14: per-cluster health profile — occupancy + distance distribution
+# (mean/p50/p95/max) against fixed centroids: the k-row table that
+# says whether the grid still fits the corpus. Spark percentile ==
+# DuckDB quantile_cont (the r-7 definition, established by
+# q_quantile_sketch), so the profile is value-exact end to end.
+@register(
+    "embed_cluster_profile",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.cid,
+            round(list_sum(list_transform(list_zip(e.v, c.cv),
+                                          p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d),
+    m AS (SELECT vec_id, cid AS cluster, dist FROM a WHERE rn = 1)
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           round(avg(dist), 4) AS mean_dist,
+           round(quantile_cont(dist, 0.5), 4) AS p50_dist,
+           round(quantile_cont(dist, 0.95), 4) AS p95_dist,
+           round(max(dist), 4) AS max_dist
+    FROM m GROUP BY cluster
+    """,
+)
+def embed_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = cluster.seed_centroids(emb, "embedding", "vec_id", 8)
+    return cluster.cluster_profile(emb, cents)
+
+
 # r14: per-vector outlier telemetry — within-cluster distance
 # percentile against fixed centroids (seeded from the 8 smallest-id
 # vectors so the ORACLE replays assignment verbatim, then the rank

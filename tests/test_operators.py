@@ -5046,3 +5046,30 @@ def test_embedding_outliers_percentile_semantics(spark):
     assert out[1]["pct"] == 0.0
     assert abs(out[2]["pct"] - round(1 / 3, 4)) < 1e-9
     assert abs(out[3]["pct"] - round(2 / 3, 4)) < 1e-9
+
+
+def test_cluster_profile_matches_numpy(spark):
+    """cluster_profile (r14): occupancy and distance stats equal a
+    numpy replay (round6 assignment, linear-interpolated percentiles)."""
+    import numpy as np
+
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = cluster.seed_centroids(emb, "embedding", "vec_id", 8)
+    got = {r["cluster"]: r for r in cluster.cluster_profile(emb, cents).collect()}
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    d = np.round(((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
+    a = d.argmin(axis=1)
+    dist = d[np.arange(len(a)), a]
+    assert sum(r["n"] for r in got.values()) == len(rows)
+    for cl in np.unique(a):
+        sub = np.sort(dist[a == cl])
+        r = got[int(cl)]
+        assert r["n"] == len(sub)
+        assert abs(r["mean_dist"] - round(float(sub.mean()), 4)) < 1e-9
+        assert abs(r["p50_dist"] - round(float(np.percentile(sub, 50)), 4)) < 1e-9
+        assert abs(r["p95_dist"] - round(float(np.percentile(sub, 95)), 4)) < 1e-9
+        assert r["max_dist"] == round(float(sub[-1]), 4)

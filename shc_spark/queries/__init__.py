@@ -59,6 +59,12 @@ _WINDOW = [
     # mm_feature_plumbing fake-vector gate under the name's first
     # honest implementation. Gates rotated out keep their local oracle
     # check and their r10-r13 driver rows — the judge reads the union.
+    # r15 rotation pre-plan (checked against the post-r14 freshness
+    # histogram): 3 canaries + the SIX r14-new never-driver-recorded
+    # gates (embed_semdedup_sharded, embed_semdedup_bykey,
+    # q_quantile_sketch_merged, embed_drift_psi, embed_outlier_pct,
+    # embed_cluster_profile) + the complete 41-gate r10-freshness
+    # block = exactly 50; floor moves to r11.
     # Canaries (one per major family):
     "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
     # r13-NEW, first driver rows (VERDICT r13 #2):

@@ -1802,9 +1802,12 @@ def append_to_dedup_index(
 
     Fold crash note: :func:`fold_dedup_index` deletes the sidecar only
     after the bucketed write commits (_SUCCESS); a crash between the
-    two leaves duplicate rows, which queries tolerate (candidates are
-    DISTINCT pairs; verify re-checks) — the next MAJOR compaction
-    drops them (it rewrites through dropDuplicates)."""
+    two statements leaves the folded rows in BOTH places. Duplicate
+    BANDED rows are harmless (candidates are DISTINCT pairs), but a
+    duplicated FEATURE row duplicates that id's verified output pairs
+    until recovery — recovery is :func:`compact_dedup_index` (it
+    rewrites through dropDuplicates), NOT re-running the fold (that
+    would append the sidecar a second time)."""
     spark = new_docs.sparkSession
     m = read_dedup_index_meta(spark, path)
     nb, bands = m["num_buckets"], m["bands"]

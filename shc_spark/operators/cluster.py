@@ -635,8 +635,11 @@ def semdedup_sharded(
     domination core (_prune_neighborhood) are the same shared kernels,
     so a shard equals a standalone semdedup of its rows. Near-dup
     pairs SPLIT ACROSS shards are not compared — the documented recall
-    trade the paper makes; key by a locality-bearing shard_col to
-    bias duplicates into the same shard.
+    trade the paper makes. Measured (SCALE.md): drop-recall vs
+    unsharded = 1.000 single-shard and 0.766 under an adversarial
+    100-way exact-duplicate flood scattered uniformly over 25 md5
+    shards (no spurious drops either way); key by a locality-bearing
+    shard_col to bias duplicates into the same shard and recover it.
 
     Returns one row per input vector: (id, shard, cluster, kept,
     dup_of) — cluster ids are local to their shard.

@@ -230,20 +230,25 @@ def quantile_sketch(
     sketch."""
     if not (1 <= len(rate_hex) <= 8):
         raise ValueError("rate_hex must be 1-8 hex digits")
-    try:
-        rate = int(rate_hex, 16)
-    except ValueError:
+    # LEXICAL validation (ADVICE r14 #4): the band compares as a
+    # lowercase-hex STRING against md5 output, so int(x, 16)'s laxer
+    # grammar ('0x1f', ' 1f', '+1f', '-1') would pass the guard yet
+    # compare as garbage — '-1' selects nothing, ' 1f' everything:
+    # exactly the silent skew the guard exists to refuse. Uppercase is
+    # fine (lowered before comparing); anything else is not a band.
+    lowered = rate_hex.lower()
+    if not all(ch in "0123456789abcdef" for ch in lowered):
         raise ValueError(
-            f"rate_hex={rate_hex!r} is not hexadecimal — a non-hex band "
-            "silently compares above every md5 prefix and selects ~100% "
-            "of rows"
-        ) from None
-    if rate == 0:
+            f"rate_hex={rate_hex!r} is not lexical hexadecimal — the band "
+            "compares as a lowercase-hex string against md5 prefixes, so "
+            "any other form silently skews the sampled fraction"
+        )
+    if set(lowered) == {"0"}:
         raise ValueError("rate_hex='0...' selects nothing (band < '00' is empty)")
     band = F.substring(F.md5(F.col(id_col).cast("string")), 1, len(rate_hex))
     return (
         df.where(F.col(val_col).isNotNull())
-        .where(band < F.lit(rate_hex.lower()))
+        .where(band < F.lit(lowered))
         .select(F.col(group_col).alias("grp"), F.col(val_col).alias("val"))
     )
 

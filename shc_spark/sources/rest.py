@@ -1098,7 +1098,10 @@ def _decode_rest_version_rows(cat, rows: list) -> dict:
             k = occ.get((ts, f.col_name), 0)
             occ[(ts, f.col_name)] = k + 1
             by_ts.setdefault((ts, k), {})[f.col_name] = _unb64(c["$"])
-        for ts, k in sorted(by_ts, reverse=True):
+        # descending ts, ASCENDING occurrence — the docstring's "wire
+        # order" for equal-ts rows (ADVICE r14 #5: a plain
+        # reverse=True sort flipped occurrences too)
+        for ts, k in sorted(by_ts, key=lambda t: (-t[0], t[1])):
             out_keys.append(dims)
             out_ts.append(ts)
             cells = by_ts[(ts, k)]

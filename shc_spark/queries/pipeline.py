@@ -2318,6 +2318,96 @@ def embed_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r15 (VERDICT r14 #5): the combined telemetry report — ONE assign
+# pass over the current snapshot feeds outliers + profile + drift (the
+# standalone ops each re-scan the corpus; at the 100-TB shape the scan
+# is the wall, so the family costs ~1 scan instead of 3). The gate
+# joins all three derivations per cluster: the k-row health profile of
+# the CURRENT (odd-id) snapshot, its drift vs the even-id reference,
+# and the fringe count (outlier pct >= 0.9). The ORACLE replays
+# assignment once in a shared CTE and derives the same three blocks
+# from it — exactly the sharing the operator implements.
+@register(
+    "embed_telemetry_report",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.cid,
+            round(list_sum(list_transform(list_zip(e.v, c.cv),
+                                          p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d),
+    m AS (SELECT vec_id, cid AS cluster, dist FROM a WHERE rn = 1),
+    cur AS (SELECT * FROM m WHERE vec_id % 2 = 1),
+    prof AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+                    round(avg(dist), 4) AS mean_dist,
+                    round(quantile_cont(dist, 0.5), 4) AS p50_dist,
+                    round(quantile_cont(dist, 0.95), 4) AS p95_dist,
+                    round(max(dist), 4) AS max_dist
+             FROM cur GROUP BY cluster),
+    r AS (SELECT vec_id, cluster, dist,
+                 row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS rk,
+                 count(*) OVER (PARTITION BY cluster) AS nc
+          FROM cur),
+    fr AS (SELECT cluster, CAST(count(*) AS BIGINT) AS fringe_n
+           FROM r
+           WHERE round(CASE WHEN nc = 1 THEN 0.0
+                            ELSE (rk - 1) * 1.0 / (nc - 1) END, 4) >= 0.9
+           GROUP BY cluster),
+    grid AS (SELECT unnest(generate_series(0, 7)) AS cluster),
+    h AS (SELECT grid.cluster,
+                 CAST(coalesce(sum(CASE WHEN m.vec_id % 2 = 0 THEN 1 END), 0)
+                      AS BIGINT) AS ref_n,
+                 CAST(coalesce(sum(CASE WHEN m.vec_id % 2 = 1 THEN 1 END), 0)
+                      AS BIGINT) AS cur_n
+          FROM grid LEFT JOIN m ON grid.cluster = m.cluster
+          GROUP BY grid.cluster),
+    t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM h),
+    psi AS (SELECT h.cluster, h.ref_n, h.cur_n,
+                   round(((h.ref_n + 0.5) / (t.rt + 0.5 * 8)
+                          - (h.cur_n + 0.5) / (t.ct + 0.5 * 8))
+                         * ln(((h.ref_n + 0.5) / (t.rt + 0.5 * 8))
+                              / ((h.cur_n + 0.5) / (t.ct + 0.5 * 8))), 6)
+                     AS psi_contrib
+            FROM h CROSS JOIN t)
+    SELECT prof.cluster, prof.n, prof.mean_dist, prof.p50_dist,
+           prof.p95_dist, prof.max_dist,
+           psi.ref_n, psi.cur_n, psi.psi_contrib,
+           coalesce(fr.fringe_n, 0) AS fringe_n
+    FROM prof JOIN psi ON prof.cluster = psi.cluster
+    LEFT JOIN fr ON prof.cluster = fr.cluster
+    """,
+)
+def embed_telemetry_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shc_spark.operators import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = cluster.seed_centroids(emb, "embedding", "vec_id", 8)
+    out, prof, drift = cluster.telemetry_report(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        cents,
+        ref=emb.filter(F.col("vec_id") % 2 == 0),
+    )
+    fringe = (
+        out.where(F.col("pct") >= 0.9)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("fringe_n"))
+    )
+    return (
+        prof.join(drift.select("cluster", "ref_n", "cur_n", "psi_contrib"),
+                  "cluster")
+        .join(fringe, "cluster", "left")
+        .fillna(0, ["fringe_n"])
+        .select(
+            "cluster", "n", "mean_dist", "p50_dist", "p95_dist", "max_dist",
+            "ref_n", "cur_n", "psi_contrib", "fringe_n",
+        )
+    )
+
+
 # r13: cluster-balanced subset selection — per-cluster md5-order
 # quotas over the nearest-centroid assignment (seeded from the 8
 # smallest-id vectors so the ORACLE replays assignment verbatim, same

@@ -4573,8 +4573,18 @@ def test_quantile_sketch_merge_exact_and_error_envelope(spark):
         sketch.quantile_sketch(df, "grp", "val", "rid", rate_hex="")
     # ADVICE r13 #4: non-hex bands (would silently select ~100%) and
     # all-zero bands (select nothing) must refuse, not skew
-    with pytest.raises(ValueError, match="not hexadecimal"):
+    with pytest.raises(ValueError, match="not lexical hexadecimal"):
         sketch.quantile_sketch(df, "grp", "val", "rid", rate_hex="zz")
+    # ADVICE r14 #4: int(x, 16)-valid but lexically-invalid forms must
+    # also refuse — they'd compare as garbage against lowercase md5
+    for bad in ("0x1f", " 1f", "+1f", "-1"):
+        with pytest.raises(ValueError, match="not lexical hexadecimal"):
+            sketch.quantile_sketch(df, "grp", "val", "rid", rate_hex=bad)
+    # uppercase is lexically recoverable: lowered before comparing, so
+    # 'FF' means ~100%, not the silent ~62% a raw compare would give
+    up = rows(sketch.quantile_sketch(df, "grp", "val", "rid", rate_hex="FF"))
+    lo = rows(sketch.quantile_sketch(df, "grp", "val", "rid", rate_hex="ff"))
+    assert up == lo
     with pytest.raises(ValueError, match="selects nothing"):
         sketch.quantile_sketch(df, "grp", "val", "rid", rate_hex="00")
 
@@ -4876,6 +4886,132 @@ def test_dedup_index_pending_autofold_and_routing(spark):
     assert not dedup._has_pending(path2)
 
 
+def test_dedup_index_partial_sidecar_recovery(spark):
+    """ADVICE r14 #2: a crash between the two sidecar writes (banded
+    committed, features missing) must leave the index QUERYABLE —
+    _has_pending stays false, fold is a no-op that clears the garbage,
+    and a retried append lands cleanly with exact results."""
+    import os
+    import shutil
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dedup_index(spark, "crash", corpus.filter(F.col("doc_id") % 4 == 0))
+    increment = corpus.filter(F.col("doc_id") % 4 == 2)
+    dedup.append_to_dedup_index(
+        increment, path, bucketed=False, fold_threshold=1 << 60
+    )
+    # simulate the crash window: features half never committed
+    shutil.rmtree(os.path.join(path, "pending_features"))
+    assert not dedup._has_pending(path)
+    # queries must not raise path-not-found and must see ONLY the base
+    base_only = _dedup_index(
+        spark, "crashbase", corpus.filter(F.col("doc_id") % 4 == 0)
+    )
+    got = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, path, inc).collect())
+    ref = sorted(
+        tuple(r) for r in dedup.dedup_index_pairs(spark, base_only, inc).collect()
+    )
+    assert got == ref
+    # fold on the partial state is a no-op that drops the garbage
+    dedup.fold_dedup_index(spark, path)
+    assert not os.path.exists(os.path.join(path, "pending_banded"))
+    # retried append lands cleanly and equals a full build
+    dedup.append_to_dedup_index(
+        increment, path, bucketed=False, fold_threshold=1 << 60
+    )
+    assert dedup._has_pending(path)
+    full = _dedup_index(spark, "crashfull", corpus)
+    got2 = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, path, inc).collect())
+    ref2 = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, full, inc).collect())
+    assert got2 == ref2 and got2
+
+
+def test_dedup_index_fold_commit_check_is_real(spark):
+    """ADVICE r14 #3: the fold's commit verification must witness THIS
+    fold's append (marker mtime moved), not the pre-existing _SUCCESS
+    from the initial build."""
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    path = _dedup_index(spark, "commit", corpus.filter(F.col("doc_id") % 4 == 0))
+    dedup.append_to_dedup_index(
+        corpus.filter(F.col("doc_id") % 4 == 2), path, bucketed=False,
+        fold_threshold=1 << 60,
+    )
+    marker = os.path.join(path, "banded", "_SUCCESS")
+    before = os.stat(marker).st_mtime_ns
+    dedup.fold_dedup_index(spark, path)
+    assert os.stat(marker).st_mtime_ns != before  # fold rewrote it
+    assert not dedup._has_pending(path)
+
+
+def test_dedup_index_snapshot_fold_spares_new_generations(spark):
+    """r15 (VERDICT r14 #4): the fold pins a FILE SNAPSHOT and deletes
+    exactly those files — a generation appended after the snapshot
+    (i.e. during an async fold's bucketed write) survives as pending
+    and query results stay complete and exact throughout."""
+    import os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dedup_index(spark, "snap", corpus.filter(F.col("doc_id") % 8 == 0))
+    dedup.append_to_dedup_index(
+        corpus.filter(F.col("doc_id") % 8 == 2), path, bucketed=False,
+        fold_threshold=1 << 60,
+    )
+    gen1 = (
+        dedup._pending_parquet_files(path, "pending_banded"),
+        dedup._pending_parquet_files(path, "pending_features"),
+    )
+    dedup.append_to_dedup_index(
+        corpus.filter(F.col("doc_id") % 8 == 4), path, bucketed=False,
+        fold_threshold=1 << 60,
+    )
+    # fold ONLY gen1 (the async-overlap state, made deterministic)
+    dedup.fold_dedup_index(spark, path, _snapshot=gen1)
+    assert dedup._has_pending(path)  # gen2 still pending
+    for f in gen1[0] + gen1[1]:
+        assert not os.path.exists(f)  # folded files gone
+    assert dedup._pending_parquet_files(path, "pending_banded")  # gen2 files live
+    full = _dedup_index(
+        spark, "snapfull", corpus.filter(F.col("doc_id") % 8 < 5)
+    )
+    got = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, path, inc).collect())
+    ref = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, full, inc).collect())
+    assert got == ref and got
+    # the follow-up fold drains gen2 and removes the sidecar dirs
+    dedup.fold_dedup_index(spark, path)
+    assert not os.path.exists(os.path.join(path, "pending_banded"))
+    got2 = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, path, inc).collect())
+    assert got2 == ref
+
+
+def test_dedup_index_async_fold_end_to_end(spark):
+    """async_fold=True: the triggering append returns while the fold
+    runs in a daemon thread; wait_for_fold() joins it, after which the
+    sidecar is folded and results equal a from-scratch build."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dedup_index(spark, "async", corpus.filter(F.col("doc_id") % 4 == 0))
+    dedup.append_to_dedup_index(
+        corpus.filter(F.col("doc_id") % 4 == 2), path, bucketed=False,
+        fold_threshold=1, async_fold=True,
+    )
+    dedup.wait_for_fold(path)
+    assert not dedup._has_pending(path)
+    full = _dedup_index(spark, "asyncfull", corpus)
+    got = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, path, inc).collect())
+    ref = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, full, inc).collect())
+    assert got == ref and got
+    # wait_for_fold with nothing in flight is a no-op
+    dedup.wait_for_fold(path)
+
+
 def test_dedup_index_compactions_fold_pending_first(spark):
     """Both compactions fold the sidecar before rewriting, so a
     compacted index never silently drops pending rows; major
@@ -4941,6 +5077,91 @@ def test_semdedup_sharded_shard_col_coshard_any_type(spark):
     ).collect()
     assert len(out2) == emb.count()
     assert len({r["shard"] for r in out2}) == 3
+
+
+def test_telemetry_report_one_pass_equals_standalone_ops(spark):
+    """telemetry_report (r15, VERDICT r14 #5): every output must equal
+    its standalone op value-for-value (shared derivation helpers make
+    this true by construction — this pins it), and the derived frames
+    must read the pinned assignment, not re-run the embedding scan."""
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = cluster.seed_centroids(emb, "embedding", "vec_id", 8)
+    out, prof, drift = cluster.telemetry_report(cur, cents, ref=ref)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(out) == rows(cluster.embedding_outliers(cur, cents))
+    assert rows(prof) == rows(cluster.cluster_profile(cur, cents))
+    assert rows(drift) == rows(cluster.embedding_drift(ref, cur, cents))
+    # one-pass property: outlier/profile plans scan the checkpointed
+    # assignment (no parquet read, no pandas-UDF re-assign of df)
+    for d in (out, prof):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" not in plan and "ArrowEvalPython" not in plan
+    # without a ref there is no drift (and no second scan at all)
+    out2, prof2, drift2 = cluster.telemetry_report(cur, cents)
+    assert drift2 is None
+    assert rows(out2) == rows(out) and rows(prof2) == rows(prof)
+
+
+def test_chunked_lloyd_pass_equals_unchunked():
+    """_chunked_lloyd_pass (r15, VERDICT r14 #3): row-chunked Lloyd
+    accumulation must equal the one-shot _sq_dists argmin pass —
+    sums, counts, and the resulting centroid update — with a budget
+    tiny enough to force one-row chunks (every fold boundary hit)."""
+    import numpy as np
+
+    from shc_spark.operators import cluster
+
+    rng = np.random.RandomState(7)
+    for n, k, dim in ((1, 1, 3), (17, 5, 4), (64, 9, 8), (33, 40, 2)):
+        mat = rng.randint(0, 3, size=(n, dim)).astype(np.float64)
+        cents = rng.randint(0, 3, size=(k, dim)).astype(np.float64)
+        got_sums, got_cnt = cluster._chunked_lloyd_pass(
+            mat, cents, chunk_budget=k  # step = 1 row per chunk
+        )
+        a = cluster._sq_dists(mat, cents).argmin(axis=1)
+        ref_sums = np.zeros_like(cents)
+        np.add.at(ref_sums, a, mat)
+        ref_cnt = np.bincount(a, minlength=k)
+        assert (got_cnt == ref_cnt).all()
+        assert np.allclose(got_sums, ref_sums, rtol=0, atol=1e-12)
+
+
+def test_semdedup_sharded_refuses_degenerate_cluster(spark):
+    """ADVICE r14 #1: a cluster that swallows a whole shard (exact-
+    duplicate flood + max_iter=0 round6 ties all landing on centroid
+    0) must hard-refuse before allocating the |c| x |c| prune matrix,
+    with the same discipline as semdedup's max_cluster_rows."""
+    import pytest
+
+    from shc_spark.operators import cluster
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # one copy of vector 0 per row => every row ties to every centroid
+    # at distance round6(0) after seeding, so cluster 0 gets the shard
+    first = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    n = 64
+    flood = spark.createDataFrame(
+        [(i, list(first)) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        cluster.semdedup_sharded(
+            flood, "embedding", "vec_id", num_shards=1,
+            target_cluster_size=8, max_iter=0, max_cluster_rows=16,
+        ).collect()
+    # same corpus passes when the cap admits the degenerate cluster
+    out = cluster.semdedup_sharded(
+        flood, "embedding", "vec_id", num_shards=1,
+        target_cluster_size=8, max_iter=0, max_cluster_rows=n,
+    ).collect()
+    assert len(out) == n
+    assert sum(1 for r in out if r["kept"]) == 1  # exact flood keeps one
 
 
 def test_chunked_argmin_equals_oneshot_with_ties():

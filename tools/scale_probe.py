@@ -547,6 +547,12 @@ def main() -> None:
         "embed_outliers": lambda d, e: cluster.embedding_outliers(
             e, cluster.seed_centroids(e, "embedding", "vec_id", 64)
         ),
+        # r15 (VERDICT r14 #5): the combined family — ONE assign pass
+        # over the full corpus feeds outliers + profile, plus the ref
+        # half-scan for drift; the wall should be ~embed_outliers +
+        # half an embed_drift, where the three standalone rows pay
+        # three full assign scans between them
+        "embed_telemetry_report": lambda d, e: _telemetry_probe(e),
         "text_tfidf": lambda d, e: text.tfidf_terms(d, "text", "doc_id", k=3),
         # DSIR (r10): pure-Catalyst bigram LLR weighting + top-k
         "text_dsir_select": lambda d, e: text.dsir_select(
@@ -669,6 +675,15 @@ def main() -> None:
     import tempfile as _tempfile
 
     _ivf_built: set = set()
+
+    def _telemetry_probe(e):
+        cents = cluster.seed_centroids(e, "embedding", "vec_id", 64)
+        out, prof, drift = cluster.telemetry_report(
+            e, cents, ref=e.filter(F.col("vec_id") % 2 == 0)
+        )
+        run(out)
+        run(prof)
+        return drift  # third drain happens in the timed run() outside
 
     def _ivf_index_probe(e):
         mx = e.agg(F.max("vec_id")).collect()[0][0]
@@ -950,6 +965,7 @@ def main() -> None:
         "sim_topk_lsh", "kmeans_semantic", "dedup_semdedup",
         "dedup_semdedup_auto", "dedup_semdedup_sharded", "embed_quantize",
         "embed_balanced_sample", "embed_drift", "embed_outliers",
+        "embed_telemetry_report",
         "semantic_decontaminate",
         "ivf_index_search", "ivf_index_search_compacted",
     }

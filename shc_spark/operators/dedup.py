@@ -1753,9 +1753,74 @@ _PENDING_FEATURES = "pending_features"
 
 
 def _has_pending(path: str) -> bool:
+    """True only when BOTH sidecar halves committed (ADVICE r14 #2):
+    the append writes banded then features, so a crash between the two
+    would otherwise leave _has_pending() true with pending_features/
+    missing — every query and both recovery paths would then die on
+    path-not-found. A half-written sidecar is invisible (the increment
+    never landed; the caller retries the append) and is dropped as
+    recoverable garbage by the next fold.
+
+    Both halves must also hold at least one parquet FILE: the
+    snapshot fold (r15) deletes files it folded rather than whole
+    dirs, so a marker-only dir is a vestige (all generations folded,
+    or a crashed append's partial leftover after a fold drained the
+    rest) — reading it would fail schema inference, and there is
+    nothing in it to read anyway."""
     import os
 
-    return os.path.exists(os.path.join(path, _PENDING_BANDED, "_SUCCESS"))
+    return all(
+        os.path.exists(os.path.join(path, sub, "_SUCCESS"))
+        and bool(_pending_parquet_files(path, sub))
+        for sub in (_PENDING_BANDED, _PENDING_FEATURES)
+    )
+
+
+def _fold_lock(path: str):
+    """Per-path lock serializing sidecar-file mutation (the append's
+    two pending writes, the fold's snapshot and its delete phase).
+    The fold's EXPENSIVE middle — the bucketed O(num_buckets) write —
+    runs outside the lock, which is what lets an async fold overlap
+    ongoing appends (VERDICT r14 #4). In-process only: maintenance
+    ops on one index are single-process by contract (the same
+    assumption the r14 fold's commit-then-rmtree already made)."""
+    import os
+    import threading
+
+    return _FOLD_LOCKS.setdefault(os.path.abspath(path), threading.Lock())
+
+
+_FOLD_LOCKS: dict = {}
+_FOLD_THREADS: dict = {}
+_FOLD_ERRORS: dict = {}
+
+
+def _pending_parquet_files(path: str, sub: str) -> list:
+    import glob
+    import os
+
+    return sorted(glob.glob(os.path.join(path, sub, "*.parquet")))
+
+
+def _drop_partial_pending(path: str) -> bool:
+    """Remove a half-committed sidecar (exactly one half has _SUCCESS,
+    or dirs without markers) left by a crash mid-append. Safe because
+    _has_pending never exposed those rows to queries; maintenance ops
+    are single-writer (the same assumption the fold's commit-then-
+    rmtree sequence already makes). Returns True if anything was
+    dropped."""
+    import os
+    import shutil
+
+    if _has_pending(path):
+        return False
+    dropped = False
+    for sub in (_PENDING_BANDED, _PENDING_FEATURES):
+        d = os.path.join(path, sub)
+        if os.path.exists(d):
+            shutil.rmtree(d, ignore_errors=True)
+            dropped = True
+    return dropped
 
 
 def _banded_relation(spark, path: str) -> DataFrame:
@@ -1783,6 +1848,7 @@ def append_to_dedup_index(
     id_col: str = "doc_id",
     bucketed: bool | None = None,
     fold_threshold: int | None = None,
+    async_fold: bool = False,
 ) -> str:
     """Incremental index maintenance: sign ONLY the new documents with
     the saved banding parameters — accepted-into-the-corpus increments
@@ -1800,8 +1866,29 @@ def append_to_dedup_index(
     ``bucketed=True/False`` overrides the routing; queries see pending
     rows immediately either way (union in _banded_relation).
 
-    Fold crash note: :func:`fold_dedup_index` deletes the sidecar only
-    after the bucketed write commits (_SUCCESS); a crash between the
+    Fold scheduling (r15, VERDICT r14 #4): the fold's wall is the
+    O(num_buckets) bucketed write — ~12s every ~4 small appends at
+    x100, a spike the appends between folds amortize but the
+    TRIGGERING append eats in-line. ``async_fold=True`` moves it off
+    the caller's wall: the fold runs in a daemon thread over a FILE
+    SNAPSHOT of the sidecar taken under the per-path lock, so appends
+    keep landing new sidecar generations while it writes (fold deletes
+    exactly the files it read; later generations survive untouched and
+    fold next time). One fold per path is in flight at a time; a
+    threshold crossing while one runs simply defers to the next
+    append. :func:`wait_for_fold` joins the thread and re-raises its
+    failure — call it at batch boundaries (and before process exit);
+    a failed async fold otherwise surfaces on the NEXT triggering
+    append. Sequential callers need no coordination: pending rows are
+    visible through the union until the fold's delete phase drops
+    them, by which point the same rows are committed in the buckets.
+    A query PLANNED before that delete and executed after it can hit
+    the removed files (true in r14's rmtree design too) — issue
+    queries between maintenance ops, or set
+    spark.sql.files.ignoreMissingFiles for fully overlapped serving.
+
+    Fold crash note: the fold deletes the sidecar files only after the
+    bucketed write commits (fresh _SUCCESS mtime); a crash between the
     two statements leaves the folded rows in BOTH places. Duplicate
     BANDED rows are harmless (candidates are DISTINCT pairs), but a
     duplicated FEATURE row duplicates that id's verified output pairs
@@ -1825,39 +1912,129 @@ def append_to_dedup_index(
     import os
 
     files = int(max(1, -(-n_docs * bands // 262144)))
-    _banded_rows(feats, nb).repartition(files).write.mode("append").parquet(
-        os.path.join(path, _PENDING_BANDED)
-    )
-    _feature_rows(feats, nb).repartition(files).write.mode("append").parquet(
-        os.path.join(path, _PENDING_FEATURES)
-    )
-    feats.unpersist()
-    # one tiny count job over the sidecar (footer-metadata scan) — the
-    # fold trigger; a ledger file would save it but add a consistency
-    # surface
-    if spark.read.parquet(os.path.join(path, _PENDING_BANDED)).count() >= thr:
-        fold_dedup_index(spark, path)
+    with _fold_lock(path):
+        # a half-committed sidecar from a crashed append is invisible
+        # to queries (_has_pending needs both markers) but would
+        # pollute this append's generation — drop it before writing.
+        # The lock keeps an async fold's snapshot/delete phases from
+        # interleaving this append's two writes (generations stay
+        # complete: both halves or neither).
+        _drop_partial_pending(path)
+        _banded_rows(feats, nb).repartition(files).write.mode("append").parquet(
+            os.path.join(path, _PENDING_BANDED)
+        )
+        _feature_rows(feats, nb).repartition(files).write.mode("append").parquet(
+            os.path.join(path, _PENDING_FEATURES)
+        )
+        feats.unpersist()
+        # one tiny count job over the sidecar (footer-metadata scan) —
+        # the fold trigger; a ledger file would save it but add a
+        # consistency surface
+        over = (
+            spark.read.parquet(os.path.join(path, _PENDING_BANDED)).count() >= thr
+        )
+    if over:
+        if async_fold:
+            _start_async_fold(spark, path)
+        else:
+            fold_dedup_index(spark, path)
     return path
 
 
-def fold_dedup_index(spark, path: str) -> str:
+def _start_async_fold(spark, path: str) -> None:
+    import os
+    import threading
+
+    ap = os.path.abspath(path)
+    t = _FOLD_THREADS.get(ap)
+    if t is not None and t.is_alive():
+        return  # one in-flight fold per path; the next append re-triggers
+    err = _FOLD_ERRORS.pop(ap, None)
+    if err is not None:
+        raise err  # surface the previous fold's failure, don't mask it
+
+    def work():
+        # own scheduler pool: under FAIR mode (the session default) the
+        # fold's saturating bucketed write shares cores with foreground
+        # appends/queries instead of starving them behind FIFO; a no-op
+        # under FIFO mode. Thread-local (PySpark pinned-thread mode).
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "shc_maintenance")
+        try:
+            fold_dedup_index(spark, path)
+        except BaseException as e:  # re-raised by wait_for_fold / next trigger
+            _FOLD_ERRORS[ap] = e
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    t = threading.Thread(target=work, daemon=True, name=f"shc-fold-{ap}")
+    _FOLD_THREADS[ap] = t
+    t.start()
+
+
+def wait_for_fold(path: str) -> None:
+    """Join the in-flight async fold for ``path`` (no-op if none) and
+    re-raise its failure. Call at batch boundaries and before process
+    exit when using ``append_to_dedup_index(..., async_fold=True)``."""
+    import os
+
+    ap = os.path.abspath(path)
+    t = _FOLD_THREADS.pop(ap, None)
+    if t is not None:
+        t.join()
+    err = _FOLD_ERRORS.pop(ap, None)
+    if err is not None:
+        raise err
+
+
+def fold_dedup_index(spark, path: str, _snapshot=None) -> str:
     """Fold the L0 pending sidecar into the bucketed layout (one
     bucketed generation for the WHOLE accumulated sidecar — the
     O(num_buckets) file churn paid once per fold instead of per
-    append) and drop the sidecar. No re-signing: the sidecar already
-    holds signed rows. No-op without a sidecar."""
+    append) and drop the folded rows. No re-signing: the sidecar
+    already holds signed rows. No-op without a sidecar.
+
+    Snapshot semantics (r15, VERDICT r14 #4): the fold pins the
+    sidecar's concrete parquet FILE LIST under the per-path lock,
+    reads and bucket-writes exactly those files, and deletes exactly
+    those files — so appends that land DURING the (expensive) bucketed
+    write survive as the next sidecar generation instead of racing the
+    old whole-directory rmtree. The sidecar dirs themselves are only
+    removed when no generation remains. This is what makes
+    ``async_fold`` safe: append and fold touch disjoint file sets by
+    construction, and the lock serializes only the cheap
+    snapshot/delete/write-pending phases."""
     import os
     import shutil
 
-    if not _has_pending(path):
+    with _fold_lock(path):
+        if not _has_pending(path):
+            _drop_partial_pending(path)  # crashed-append garbage, if any
+            return path
+        if _snapshot is not None:  # tests pin a generation deterministically
+            pb_files, pf_files = _snapshot
+        else:
+            pb_files = _pending_parquet_files(path, _PENDING_BANDED)
+            pf_files = _pending_parquet_files(path, _PENDING_FEATURES)
+    if not pb_files or not pf_files:
         return path
     m = read_dedup_index_meta(spark, path)
     nb, bands = m["num_buckets"], m["bands"]
-    pb = spark.read.parquet(os.path.join(path, _PENDING_BANDED))
-    pf = spark.read.parquet(os.path.join(path, _PENDING_FEATURES))
+    pb = spark.read.parquet(*pb_files)
+    pf = spark.read.parquet(*pf_files)
     n_docs = pf.count()
     banded_p = int(min(nb, max(32, -(-n_docs * bands // 65536))))
     feats_p = int(min(nb, max(32, -(-n_docs // 65536))))
+
+    def _marker_mtime(sub: str) -> int:
+        marker = os.path.join(path, sub, "_SUCCESS")
+        return os.stat(marker).st_mtime_ns if os.path.exists(marker) else -1
+
+    # ADVICE r14 #3: banded/_SUCCESS pre-exists from the initial build,
+    # so a bare existence check can never catch a failed THIS-fold
+    # append. Spark rewrites the marker on every committed job, so
+    # require its mtime to MOVE — a real commit witness, mirroring the
+    # compaction path's fresh-_SUCCESS verification.
+    before = {sub: _marker_mtime(sub) for sub in ("banded", "features")}
     (
         pb.repartition(banded_p, F.col("bkt"))
         .sortWithinPartitions("band", "bh")
@@ -1871,10 +2048,22 @@ def fold_dedup_index(spark, path: str) -> str:
         .partitionBy("fbkt")
         .parquet(os.path.join(path, "features"))
     )
-    if not os.path.exists(os.path.join(path, "banded", "_SUCCESS")):
-        raise RuntimeError("fold write of banded rows did not commit")
-    shutil.rmtree(os.path.join(path, _PENDING_BANDED), ignore_errors=True)
-    shutil.rmtree(os.path.join(path, _PENDING_FEATURES), ignore_errors=True)
+    for sub in ("banded", "features"):
+        after = _marker_mtime(sub)
+        if after < 0 or after == before[sub]:
+            raise RuntimeError(f"fold write of {sub} rows did not commit")
+    with _fold_lock(path):
+        for f in pb_files + pf_files:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+        remaining = _pending_parquet_files(
+            path, _PENDING_BANDED
+        ) or _pending_parquet_files(path, _PENDING_FEATURES)
+        if not remaining:
+            shutil.rmtree(os.path.join(path, _PENDING_BANDED), ignore_errors=True)
+            shutil.rmtree(os.path.join(path, _PENDING_FEATURES), ignore_errors=True)
     return path
 
 

@@ -51,6 +51,13 @@ def get_spark(app_name: str = "shc_spark", cpus: str | int | None = None) -> Spa
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # FAIR so background maintenance (async dedup-index folds tag
+        # themselves into the "shc_maintenance" pool) shares cores with
+        # foreground work instead of starving it behind a saturating
+        # FIFO job — measured r15: the append-during-fold wall drops
+        # ~10s -> ~4s at x100. Sequential single-thread workloads are
+        # unaffected (one pool in use == FIFO order).
+        .config("spark.scheduler.mode", os.environ.get("SHC_SPARK_SCHEDULER", "FAIR"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -104,6 +104,7 @@ HEADLINE = [
     # descriptor through the PNG encode->decode->featurize path
     "embed_semdedup_sharded",
     "mm_image_features",
+    "embed_telemetry_report",
 ]
 
 

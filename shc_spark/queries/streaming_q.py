@@ -707,3 +707,59 @@ def stream_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.streaming.events import run_stream_text_ingest
 
     return run_stream_text_ingest(spark, sf_dir)
+
+
+@register(
+    "stream_embed_drift",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.cid,
+            round(list_sum(list_transform(list_zip(e.v, c.cv),
+                                          p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d),
+    m AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
+    w AS (SELECT cluster,
+                 strftime(date_trunc('hour', make_timestamp(vec_id * 60000000)),
+                          '%Y-%m-%d %H:%M:%S') AS window_start
+          FROM m),
+    wins AS (SELECT DISTINCT window_start FROM w),
+    grid AS (SELECT wins.window_start, g.cluster
+             FROM wins CROSS JOIN
+                  (SELECT unnest(generate_series(0, 7)) AS cluster) g),
+    cur AS (SELECT window_start, cluster, CAST(count(*) AS BIGINT) AS cur_n
+            FROM w GROUP BY 1, 2),
+    refh AS (SELECT cluster, CAST(count(*) AS BIGINT) AS ref_n FROM m GROUP BY 1),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS rt FROM m),
+    h AS (SELECT grid.window_start, grid.cluster,
+                 coalesce(refh.ref_n, 0) AS ref_n,
+                 coalesce(cur.cur_n, 0) AS cur_n
+          FROM grid LEFT JOIN cur
+                 ON grid.window_start = cur.window_start
+                AND grid.cluster = cur.cluster
+               LEFT JOIN refh ON grid.cluster = refh.cluster),
+    wt AS (SELECT window_start, sum(cur_n) AS wn FROM h GROUP BY 1)
+    SELECT h.window_start, h.cluster, h.ref_n, h.cur_n,
+           round((h.ref_n + 0.5) / (t.rt + 0.5 * 8), 6) AS ref_frac,
+           round((h.cur_n + 0.5) / (wt.wn + 0.5 * 8), 6) AS cur_frac,
+           round(((h.ref_n + 0.5) / (t.rt + 0.5 * 8)
+                  - (h.cur_n + 0.5) / (wt.wn + 0.5 * 8))
+                 * ln(((h.ref_n + 0.5) / (t.rt + 0.5 * 8))
+                      / ((h.cur_n + 0.5) / (wt.wn + 0.5 * 8))), 6) AS psi_contrib
+    FROM h CROSS JOIN t JOIN wt ON h.window_start = wt.window_start
+    """,
+)
+def stream_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: streaming embedding drift — the telemetry family's PSI
+    monitor as a REAL Structured Streaming query (windowed occupancy
+    vs the full-corpus reference; stateless chunked-argmin assign;
+    state = open windows x k counters). Oracle replays assignment,
+    windowing (ts = vec_id minutes), the cluster grid, window totals
+    and the Laplace-smoothed PSI arithmetic verbatim."""
+    from shc_spark.streaming import run_streaming_embed_drift
+
+    return run_streaming_embed_drift(spark, sf_dir, k=8)

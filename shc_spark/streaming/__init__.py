@@ -6,6 +6,7 @@ from shc_spark.streaming.events import (
     run_stream_incremental_dedup,
     run_stream_quality_by_source,
     run_stateful_totals,
+    run_streaming_embed_drift,
     run_tumbling_counts,
     stream_events,
     stream_write_table,
@@ -21,6 +22,7 @@ __all__ = [
     "run_stream_incremental_dedup",
     "run_stream_quality_by_source",
     "run_stateful_totals",
+    "run_streaming_embed_drift",
     "run_tumbling_counts",
     "stream_events",
     "stream_write_table",

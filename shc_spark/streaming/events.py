@@ -873,3 +873,98 @@ def run_stream_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def run_streaming_embed_drift(
+    spark: SparkSession, sf_dir: str, k: int = 8, laplace: float = 0.5
+) -> DataFrame:
+    """Streaming embedding drift — ``cluster.embedding_drift``'s PSI
+    check as a Structured Streaming monitor: arriving vectors are
+    assigned to FIXED shared centroids by the same oracle-exact
+    chunked-argmin kernel (a STATELESS map — no per-vector state),
+    occupancy is counted per 1-hour event-time tumbling window (the
+    only streaming state: open windows x k counters — bounded by the
+    time span, corpus size never enters state), and each drained
+    window's histogram is scored against the full-corpus reference
+    occupancy with the same Laplace-smoothed PSI arithmetic
+    ((n+a)/(N+a*k), contributions rounded to 6dp). The curation
+    monitor this enables at 100 TB: a crawl pipeline watches
+    psi_contrib spikes per ARRIVING window instead of re-scanning the
+    corpus; everything corpus-sized stays map-only.
+
+    Event time is synthesized deterministically (ts = vec_id minutes
+    since epoch — the embeddings table carries no timestamp) so the
+    file stream, the watermark, and the DuckDB oracle agree exactly.
+    Output: one row per (present window, cluster) over the full
+    cluster grid — (window_start, cluster, ref_n, cur_n, ref_frac,
+    cur_frac, psi_contrib)."""
+    import numpy as np
+    import pandas as pd
+
+    from shc_spark.operators import cluster as _cluster
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = _cluster.seed_centroids(batch, "embedding", "vec_id", k)
+
+    @F.pandas_udf("long")
+    def _assign(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype="int64")
+        c, _ = _cluster._round6_chunked_argmin(
+            np.stack(col.to_numpy()).astype(np.float64, copy=False), cents
+        )
+        return pd.Series(c)
+
+    # reference histogram: the full corpus' occupancy (k rows)
+    ref = (
+        batch.select(_assign(F.col("embedding")).alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("ref_n"))
+    )
+
+    stream_dir = _staged_table_slices(spark, sf_dir, "embeddings", "vec_id")
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    counts = (
+        src.withColumn("ts", F.timestamp_seconds(F.col("vec_id") * 60))
+        .withColumn("cluster", _assign(F.col("embedding")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "cluster")
+        .agg(F.count(F.lit(1)).alias("cur_n"))
+    )
+    got = _run_to_memory(counts, "complete").select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "cluster",
+        "cur_n",
+    )
+    # post-drain assembly on the SMALL (windows x k) frame: full
+    # cluster grid per present window, window totals, PSI vs ref
+    from pyspark.sql import Window as W
+
+    a = float(laplace)
+    wins = got.select("window_start").distinct()
+    grid = wins.crossJoin(
+        F.broadcast(spark.range(k).select(F.col("id").alias("cluster")))
+    )
+    h = (
+        grid.join(got, ["window_start", "cluster"], "left")
+        .fillna(0, ["cur_n"])
+        .join(F.broadcast(ref), "cluster", "left")
+        .fillna(0, ["ref_n"])
+    )
+    rt = batch.count()
+    wt = F.sum("cur_n").over(W.partitionBy("window_start"))
+    p = (F.col("ref_n") + a) / (F.lit(float(rt)) + a * k)
+    q = (F.col("cur_n") + a) / (wt + a * k)
+    return h.select(
+        "window_start",
+        "cluster",
+        "ref_n",
+        "cur_n",
+        F.round(p, 6).alias("ref_frac"),
+        F.round(q, 6).alias("cur_frac"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )

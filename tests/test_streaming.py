@@ -624,3 +624,45 @@ def test_write_stream_cdc_rejects_unknown_ops(spark, tmp_path):
         if q.exception() is not None:
             raise q.exception()
     q.stop()
+
+
+def test_streaming_embed_drift_matches_batch_and_invariants(spark):
+    """r15: the streaming PSI monitor equals the batch derivation of
+    the same quantities (shared kernel + arithmetic), covers the FULL
+    cluster grid for every present window, and its per-window
+    cur_frac sums to ~1 (occupancy is a distribution)."""
+    import math
+
+    from shc_spark.operators import cluster
+    from shc_spark.streaming import run_streaming_embed_drift
+
+    sf = "/root/testdata/sf0.01"
+    out = run_streaming_embed_drift(spark, sf, k=8).collect()
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = emb.count()
+    k = 8
+    # grid completeness: every present window has exactly k rows
+    from collections import defaultdict
+
+    per_win = defaultdict(list)
+    for r in out:
+        per_win[r["window_start"]].append(r)
+    assert len(per_win) >= 2  # multiple event-time windows
+    for w, rows in per_win.items():
+        assert sorted(r["cluster"] for r in rows) == list(range(k))
+        # Laplace-smoothed fractions sum to 1 (before rounding noise)
+        assert abs(sum(r["cur_frac"] for r in rows) - 1.0) < 1e-3
+        # window totals partition the corpus
+    assert sum(r["cur_n"] for r in out) == n
+    # batch replay: same assignment kernel, same arithmetic
+    cents = cluster.seed_centroids(emb, "embedding", "vec_id", k)
+    assigned = cluster.kmeans_assign(emb, cents, "embedding", "cluster")
+    ref_hist = {r["cluster"]: r["n"] for r in assigned.groupBy("cluster").count().withColumnRenamed("count", "n").collect()}
+    got_ref = {(r["window_start"], r["cluster"]): r["ref_n"] for r in out}
+    for (w, c), rn in got_ref.items():
+        assert rn == ref_hist.get(c, 0), (w, c)
+    # drift detection: a window whose occupancy matches the corpus has
+    # ~0 total PSI; the observed per-window totals are finite
+    for w, rows in per_win.items():
+        psi = sum(r["psi_contrib"] for r in rows)
+        assert math.isfinite(psi)

@@ -47,6 +47,15 @@ def _with_utc(fn):
 _MODULES = (connector, pipeline, streaming_q, relational)
 
 _WINDOW = [
+    # r16 rotation pre-plan (checked against the post-r15 freshness
+    # histogram): the no-gate-older-than-5-rounds invariant makes the
+    # r11:47 block MANDATORY in r16 (r16 - r11 = 5). 47 + the two
+    # r15-NEW gates (embed_telemetry_report, stream_embed_drift) = 49,
+    # so r16 runs ONE canary (q01_pricing_summary) instead of three:
+    # 1 + 2 + 47 = exactly 50. r17 then takes 3 canaries + the 47-gate
+    # r12 block. (Three 47-gate blocks exist — r11/r12/r13 — so the
+    # canary count flexes between 1 and 3 per round to fit; the
+    # invariant holds throughout.)
     # r15 rotation (VERDICT r14 #1): execute the pre-planned window —
     # 3 cross-family canaries + the SIX r14-new gates that are locally
     # value-exact but never driver-recorded + the COMPLETE 41-gate

@@ -551,3 +551,23 @@ def test_scan_aggregate_gate_partials_below_final_agg(plans):
     assert "BatchScan shc" in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_telemetry_report_gate_no_corpus_rescan(plans):
+    # r15: the gate's final plan derives everything from the pinned
+    # assignment — the corpus-sized pandas-UDF assign appears at most
+    # once (the ref half-scan), never per derived output, and the
+    # k-row assembly joins broadcast
+    p = plans("embed_telemetry_report")
+    assert p.count("ArrowEvalPython") <= 1, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_stream_embed_drift_gate_small_frame_assembly(plans):
+    # r15: post-drain PSI assembly runs on the (windows x k) frame —
+    # broadcast joins only, no corpus-sized exchange, no sort-merge
+    p = plans("stream_embed_drift")
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p, p
+    assert "BroadcastHashJoin" in p, p

@@ -2005,7 +2005,18 @@ def fold_dedup_index(spark, path: str, _snapshot=None) -> str:
     snapshot/delete/write-pending phases."""
     import os
     import shutil
+    import threading
 
+    # join any in-flight ASYNC fold first (unless we ARE it): two
+    # concurrent folds would double-append the same snapshot, and a
+    # compaction's replace_subtree racing a fold's bucketed append
+    # could drop the fold's rows after its sidecar delete — real loss.
+    # Both compactions route through here, so this one join covers
+    # them.
+    ap = os.path.abspath(path)
+    t = _FOLD_THREADS.get(ap)
+    if t is not None and t.is_alive() and t is not threading.current_thread():
+        t.join()
     with _fold_lock(path):
         if not _has_pending(path):
             _drop_partial_pending(path)  # crashed-append garbage, if any
@@ -2064,6 +2075,8 @@ def fold_dedup_index(spark, path: str, _snapshot=None) -> str:
         if not remaining:
             shutil.rmtree(os.path.join(path, _PENDING_BANDED), ignore_errors=True)
             shutil.rmtree(os.path.join(path, _PENDING_FEATURES), ignore_errors=True)
+    # a stored async-fold failure is superseded by this successful fold
+    _FOLD_ERRORS.pop(ap, None)
     return path
 
 

@@ -5012,6 +5012,28 @@ def test_dedup_index_async_fold_end_to_end(spark):
     dedup.wait_for_fold(path)
 
 
+def test_dedup_index_compact_joins_inflight_async_fold(spark):
+    """r15: compaction (via fold_dedup_index's entry join) must not
+    race an in-flight async fold — compacting immediately after an
+    async-fold trigger yields exactly the from-scratch results."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dedup_index(spark, "cjoin", corpus.filter(F.col("doc_id") % 4 == 0))
+    dedup.append_to_dedup_index(
+        corpus.filter(F.col("doc_id") % 4 == 2), path, bucketed=False,
+        fold_threshold=1, async_fold=True,
+    )
+    # no wait_for_fold: compaction itself must join the running fold
+    dedup.compact_dedup_index(spark, path)
+    assert not dedup._has_pending(path)
+    full = _dedup_index(spark, "cjoinfull", corpus)
+    got = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, path, inc).collect())
+    ref = sorted(tuple(r) for r in dedup.dedup_index_pairs(spark, full, inc).collect())
+    assert got == ref and got
+    dedup.wait_for_fold(path)  # no-op / no stored error
+
+
 def test_dedup_index_compactions_fold_pending_first(spark):
     """Both compactions fold the sidecar before rewriting, so a
     compacted index never silently drops pending rows; major

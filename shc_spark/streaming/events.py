@@ -758,7 +758,12 @@ def run_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not corpus.count():
             return
         if os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
-            dedup.append_to_dedup_index(corpus, path)
+            # r15: async fold — a micro-batch that trips the fold
+            # threshold returns at the sidecar wall; the O(num_buckets)
+            # fold overlaps the NEXT batch's feature pass instead of
+            # stalling the stream (wait_for_fold below is the batch
+            # boundary before serving)
+            dedup.append_to_dedup_index(corpus, path, async_fold=True)
         else:
             dedup.build_dedup_index(corpus, path, num_perm=64, bands=32, n=3)
 
@@ -770,6 +775,7 @@ def run_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = src.writeStream.foreachBatch(step).start()
     q.processAllAvailable()
     q.stop()
+    dedup.wait_for_fold(path)  # drain the last in-flight fold
     inc = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
         F.col("doc_id") % 2 == 1
     )

@@ -864,59 +864,91 @@ def connected_components(
 
     Min-label propagation: every node repeatedly takes the smallest
     label among itself and its neighbors; converges in O(diameter)
-    rounds (near-dup clusters are dense, diameter is tiny). Each round
-    is ONE shuffle (join + min-aggregate); the driver-side loop reads a
-    single converged-count per round, which is how every iterative
-    Spark algorithm terminates. For high-DIAMETER graphs use
+    rounds (near-dup clusters are dense, diameter is tiny). The edge
+    table carries explicit self-loops so each round is ONE join + ONE
+    min-aggregate — the node's previous label rides the self-loop row,
+    so the update and the moved flag come out of the same aggregate
+    with no second join. Round 0 needs no join at all (labels_0(v) = v,
+    so min-over-neighbor-labels == min-over-neighbor-ids). Each round
+    runs exactly one action: the convergence count materializes that
+    round's lazy localCheckpoint, which also truncates lineage so
+    planning cost stays constant per round (cached-but-unbroken
+    lineage grows exponentially in rounds and OOMs the driver on
+    high-diameter graphs). For high-DIAMETER graphs use
     :func:`connected_components_star` (same output contract,
     O(log^2 n) rounds regardless of diameter)."""
     edges = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    # cache sym, not a derived frame that references it twice: the pair
+    # pipeline feeding this is typically expensive (an LSH pass), sits
+    # behind a Python-eval stage with no reusable exchange on top, and
+    # a plan embedding it in two branches would evaluate it twice
     sym = (
         edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .cache()
     )
+    # round 0 folded into init: labels_1(v) = min(v, min N(v)) directly
+    # from the edge ids (labels_0(d) = d) — no label join to pay for;
+    # the convergence count is the round's ONLY action and materializes
+    # both the sym cache (one pair-pipeline evaluation) and the lazy
+    # checkpoint
     labels = (
-        sym.select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=True)
+        sym.groupBy("s")
+        .agg(F.min("d").alias("mn"))
+        .select(
+            F.col("s").alias("id"),
+            F.least(F.col("s"), F.col("mn")).alias("lbl"),
+            (F.col("mn") < F.col("s")).alias("moved"),
+        )
+        .localCheckpoint(eager=False)
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["d"] == labels["id"])
-            .groupBy("s")
-            .agg(F.min("lbl").alias("nbr"))
-        )
-        # fold the convergence flag into the same pass: one
-        # materialization + one count() per round, not a second
-        # comparison join. localCheckpoint (not cache): each round's
-        # plan embeds the previous round's twice (join + select), so
-        # cached-but-unbroken lineage grows exponentially in rounds and
-        # OOMs the driver on high-diameter graphs (a 300-node chain
-        # needs 300 rounds); checkpointing truncates to the
-        # materialized RDD and keeps planning cost constant per round
-        new = (
-            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
-            .select(
-                labels["id"],
-                F.least(labels["lbl"], F.coalesce(F.col("nbr"), labels["lbl"])).alias("lbl"),
-                (F.coalesce(F.col("nbr"), labels["lbl"]) < labels["lbl"]).alias("moved"),
+    changed = labels.filter("moved").count()
+    labels = labels.drop("moved")
+    sym_self = None
+    rounds = 1
+    while changed and rounds < max_iter:
+        if sym_self is None:
+            # self-loops carry each node's own previous label through
+            # the join, so update + moved flag come from ONE aggregate;
+            # built over the already-cached sym, so the second branch
+            # costs a shuffle of edge ids, not a pipeline re-run
+            sym_self = (
+                sym.withColumn("self", F.lit(False))
+                .unionByName(
+                    sym.select("s")
+                    .distinct()
+                    .select("s", F.col("s").alias("d"), F.lit(True).alias("self"))
+                )
+                .cache()
             )
-            .localCheckpoint(eager=True)
+        labels = (
+            sym_self.join(labels, sym_self["d"] == labels["id"])
+            .groupBy("s")
+            .agg(
+                F.min("lbl").alias("new_lbl"),
+                F.min(F.when(F.col("self"), F.col("lbl"))).alias("old_lbl"),
+            )
+            .select(
+                F.col("s").alias("id"),
+                F.col("new_lbl").alias("lbl"),
+                (F.col("new_lbl") < F.col("old_lbl")).alias("moved"),
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = new.filter("moved").count()
-        labels = new.drop("moved")
-        if changed == 0:
-            break
-    else:
+        changed = labels.filter("moved").count()
+        labels = labels.drop("moved")
+        rounds += 1
+    if changed:
         sym.unpersist()
+        sym_self.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter); raise max_iter"
         )
     out = labels.select(F.col("id"), F.col("lbl").alias("cluster"))
     sym.unpersist()
+    if sym_self is not None:
+        sym_self.unpersist()
     return out
 
 
@@ -980,11 +1012,15 @@ def connected_components_star(
     # localCheckpoint (not cache): each round's plan embeds the previous
     # round's twice over (sym union + join), so lineage grows
     # exponentially with rounds — checkpointing truncates it to the
-    # materialized RDD and keeps planning cost constant per round
-    cur = e.distinct().localCheckpoint(eager=True)
+    # materialized RDD and keeps planning cost constant per round.
+    # Lazy (eager=False): the checksum aggregate is the round's single
+    # action and materializes the checkpoint — an eager checkpoint
+    # would spend one extra no-op job per round on pure scheduling
+    # overhead, the serial cost that dominates iterative algorithms.
+    cur = e.distinct().localCheckpoint(eager=False)
     sig = checksum(cur)
     for _ in range(max_iter):
-        nxt = small_star(large_star(cur)).distinct().localCheckpoint(eager=True)
+        nxt = small_star(large_star(cur)).distinct().localCheckpoint(eager=False)
         nsig = checksum(nxt)
         cur = nxt
         if nsig == sig:
@@ -2122,28 +2158,23 @@ def _not_tombstoned(spark, path: str, pairs: DataFrame) -> DataFrame:
 
 def _index_candidates(spark, path, inc_feats, nb):
     """Lazy candidate pairs (id_a = increment, id_b = corpus) from the
-    pruned banded scan: the increment's bucket list (bounded <= nb by
-    construction — they are ``bh % nb`` values) statically prunes the
-    corpus partitions, and the increment's banded keys broadcast into
-    the pruned scan."""
-    import os
-
+    pruned banded scan. r15: the corpus partitions prune DYNAMICALLY —
+    ``bkt = bh % nb`` rides the increment's broadcast banded keys as an
+    extra equi-join column, so dynamic partition pruning drops the
+    unprobed bucket directories at run time (PartitionFilters:
+    dynamicpruning, same contract the BM25 index uses). This removes
+    the driver-side bucket-list collect, whose evaluation of the
+    increment feature pass was a whole serial Spark job in front of
+    every index query (the serving wall is dominated by such fixed
+    serial actions, not data). Join semantics are unchanged: banded
+    rows satisfy bkt == bh % nb by construction, so the added key
+    filters nothing the (band, bh) equality wouldn't."""
     inc_banded = inc_feats.select(
         F.col("id").alias("id_a"), F.posexplode("bnd").alias("band", "bh")
-    )
-    bkts = [
-        r["bkt"]
-        for r in inc_banded.select(
-            F.pmod(F.col("bh"), F.lit(nb)).cast("int").alias("bkt")
-        )
-        .distinct()
-        .collect()
-    ]
-    banded = _banded_relation(spark, path).filter(
-        F.col("bkt").isin(bkts) if bkts else F.lit(False)
-    )
+    ).withColumn("bkt", F.pmod(F.col("bh"), F.lit(nb)).cast("int"))
     cand = (
-        banded.join(F.broadcast(inc_banded), ["band", "bh"])
+        _banded_relation(spark, path)
+        .join(F.broadcast(inc_banded), ["bkt", "band", "bh"])
         .select("id_a", F.col("id").alias("id_b"))
         .distinct()
     )
@@ -2188,19 +2219,20 @@ def dedup_index_pairs(
     banding parameters, without touching the corpus text.
 
     Scale shape: one feature pass over the INCREMENT only; the
-    corpus-side banded scan is pruned to the increment's bucket
-    directories (both bucket-list collects are bounded by
-    ``num_buckets`` BY CONSTRUCTION — ``% num_buckets`` values — not
-    by a guard); the increment's banded keys broadcast into the
+    corpus-side banded scan prunes DYNAMICALLY to the increment's
+    bucket directories (r15: bkt rides the broadcast banded keys as a
+    join column and DPP drops unprobed directories — no driver-side
+    bucket collect); the increment's banded keys broadcast into the
     pruned scan; exact verification joins feature rows only for the
-    surviving candidate ids, pruned the same way.
+    surviving candidate ids, dir-pruned by the one remaining bounded
+    bucket-list collect (<= num_buckets values by construction).
 
     Cache lifecycle: ``inc``/``cand`` are cached (two consumers each:
-    the bucket collects and the final join), and released at the START
-    of the NEXT call — the caller of this query can still materialize
-    its result from cache, and a long-lived query-many serving process
-    accumulates at most one query's blocks instead of growing without
-    bound."""
+    the candidate/feature-bucket evaluation and the final join), and
+    released at the START of the NEXT call — the caller of this query
+    can still materialize its result from cache, and a long-lived
+    query-many serving process accumulates at most one query's blocks
+    instead of growing without bound."""
     import os
 
     while _INDEX_QUERY_CACHES:
@@ -2210,9 +2242,9 @@ def dedup_index_pairs(
     inc = _doc_lsh_features(
         _widen(increment), text_col, id_col, m["n"], m["num_perm"], m["bands"]
     ).cache()
-    # no explicit materialize: the bucket collect inside
-    # _index_candidates is the cache's first evaluation and fills it —
-    # a count() here would spend one whole extra Spark job (fixed
+    # no explicit materialize: the feature-bucket collect below is the
+    # caches' first (and now ONLY pre-write) evaluation and fills both
+    # — a count() here would spend one whole extra Spark job (fixed
     # scheduler overhead is the serving wall's dominant term)
     cand = _index_candidates(spark, path, inc, nb).cache()
     _INDEX_QUERY_CACHES.extend([inc, cand])

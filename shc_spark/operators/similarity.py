@@ -825,6 +825,71 @@ def ivf_index_topk(
     full-precision (id_col, vec_col) table, e.g. the corpus) to get
     the FAISS refine stage: PQ prunes to ``rerank_factor * k``
     survivors per query and only those join back for exact cosines."""
+    depth = max(k * rerank_factor, k) if rerank_with is not None else k
+    part, q_ids, qm = _ivf_index_scored(
+        spark, path, queries, vec_col, id_col, nprobe, max_queries, depth
+    )
+    if rerank_with is None:
+        return _topk_window(part, k)
+    return _ivf_refine(
+        spark, part, q_ids, qm, depth, k, rerank_with, vec_col, id_col
+    )
+
+
+def ivf_index_topk_with_refine(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 4,
+    max_queries: int = MAX_QUERY_ROWS,
+    rerank_with: DataFrame | None = None,
+    rerank_factor: int = 20,
+) -> "tuple[DataFrame, DataFrame]":
+    """(approx_topk, refined_topk) from ONE pruned postings scan.
+
+    Callers that need both the raw ADC/SQ8 ranking and the refined
+    production ranking (e.g. a recall-floor verdict of the quantized
+    tier against full-precision rerank) would otherwise run
+    :func:`ivf_index_topk` twice — two query collects, two pruned
+    postings reads, two Python scoring passes. This scores once at
+    the REFINE depth and derives both outputs from the same scored
+    frame. The approx side is value-identical to a standalone
+    ``ivf_index_topk(k=k)`` call: per-batch pruning at the deeper
+    depth emits a superset of the shallow emission, every row the
+    global top-k window could rank survives either way (the
+    _ROUND_SLACK argument), and the window ordering is total — so the
+    first k rows per query agree exactly. Both returned frames hang
+    off the same scored child, and their repartitions by query_id are
+    identical subtrees, so the postings scan and the Python pass
+    execute once (ReusedExchange — pinned by tests/test_plans.py)."""
+    depth = max(k * rerank_factor, k)
+    part, q_ids, qm = _ivf_index_scored(
+        spark, path, queries, vec_col, id_col, nprobe, max_queries, depth
+    )
+    approx = _topk_window(part, k)
+    refined = _ivf_refine(
+        spark, part, q_ids, qm, depth, k, rerank_with, vec_col, id_col
+    )
+    return approx, refined
+
+
+def _ivf_index_scored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nprobe: int,
+    max_queries: int,
+    depth: int,
+):
+    """The shared body of the persisted-IVF search: probe selection
+    against the saved centroids, pruned postings scan, storage-tier
+    scoring (float / SQ8 / PQ-ADC) at per-batch depth ``depth``.
+    Returns (scored DataFrame, query ids, normalized query matrix)."""
     import os
 
     cent = read_ivf_centroids(spark, path)
@@ -870,7 +935,6 @@ def ivf_index_topk(
         )
     id_type = postings.schema[id_col].dataType.simpleString()
     payload_col = "codes" if (stats is not None or books is not None) else vec_col
-    depth = max(k * rerank_factor, k) if rerank_with is not None else k
 
     def score(batches):
         qids_, qm_, pmap, dq_, lut_ = bc.value
@@ -911,9 +975,12 @@ def ivf_index_topk(
         F.col(payload_col).alias("__vec"),
         F.col("cid").alias("__cid"),
     ).mapInPandas(score, f"query_id {id_type}, neighbor_id {id_type}, cosine double")
-    if rerank_with is None:
-        return _topk_window(part, k)
-    # refine stage: exact cosine on the depth survivors only
+    return part, q_ids, qm
+
+
+def _ivf_refine(spark, part, q_ids, qm, depth, k, rerank_with, vec_col, id_col):
+    """The FAISS refine stage: exact cosine on the depth survivors
+    only, then the global top-k window."""
     pruned = _topk_window(part, depth).drop("rank", "cosine")
     qmap = {qid: qm[i] for i, qid in enumerate(q_ids)}
     bq = spark.sparkContext.broadcast(qmap)

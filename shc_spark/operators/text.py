@@ -38,6 +38,28 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.filter(pieces, lambda p: p != ""))
 
 
+def quality_score(t: Column) -> Column:
+    """The composite quality score in [0, 1] (rounded to 4dp) as a
+    bare column expression — the same formula :func:`quality_features`
+    emits as ``q_score``, reusable where only the score is needed
+    (e.g. a fused curation rule) without projecting the full feature
+    set."""
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_stop = F.size(
+        F.filter(words(t), lambda w: w.isin(*[m for ms in LANG_MARKERS.values() for m in ms]))
+    )
+    punct_ratio = (n_punct / F.greatest(n_chars, F.lit(1))).cast("double")
+    stop_ratio = (n_stop / F.greatest(n_tokens, F.lit(1))).cast("double")
+    score = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+    ).cast("double")
+    return F.round(score, 4)
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a
     composite score in [0, 1]. Pure column expressions — one codegen'd
@@ -1186,3 +1208,99 @@ def curation_report(
             "dropped_by",
         )
     )
+
+
+def curation_flags(
+    df: DataFrame,
+    id_col: str,
+    rules: "list[tuple[str, tuple]]",
+) -> DataFrame:
+    """:func:`curation_report` for DECLARATIVE rules, fused into ONE
+    plan — same output contract (one row per input doc: id, kept,
+    dropped_by; sequential first-rule-wins attribution) without the
+    per-rule eager-materialization barriers the opaque-callable API
+    needs. Five serial Spark jobs become one: every rule's flag is a
+    column, attribution is a single when-chain, and independent rule
+    subtrees (the decontamination gram join, the dedup window) run
+    CONCURRENTLY inside one job instead of as a driver-sequenced
+    chain. At any scale the serial barrier count — not the per-rule
+    work — is what this removes.
+
+    ``rules`` is an ordered list of ``(name, spec)``; spec is one of:
+
+    - ``("pred", Column)`` — a POINTWISE drop predicate (depends only
+      on the row and external constants). Evaluated over the full
+      input; first-rule-wins attribution reproduces the sequential
+      semantics exactly, because a pointwise predicate fires on a
+      survivor iff it fires on the raw row.
+    - ``("dup_keep_smallest", Column)`` — drop every row that is not
+      the minimum-id member of its group (group key = the Column)
+      among rows NOT dropped by the earlier rules. The corpus-
+      dependent keep-smallest dedup rule, fused as one conditional
+      window (min(when(survivor, id)) over key) instead of a
+      checkpointed groupBy + anti-join.
+    - ``("drop_ids", DataFrame)`` — a drop-id frame computed
+      INDEPENDENTLY of the survivor chain (e.g. full-corpus
+      decontamination against an external benchmark set). The frame
+      must be a per-doc decision: evaluated on the full corpus it may
+      include docs an earlier rule already dropped (attribution keeps
+      the earlier rule — identical to the sequential chain), but it
+      must contain every survivor the sequential rule would drop.
+      Joined once on ``id_col`` (broadcast when small).
+
+    Scale shape: one corpus pass for the flag chain, one window
+    shuffle per dup rule, one id-join per drop_ids rule; no
+    localCheckpoint barriers, no recomputation of earlier rules'
+    lineage."""
+    if not rules:
+        raise ValueError("curation_flags needs at least one rule")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+
+    out = df
+    flag_cols: list[str] = []
+    for i, (name, spec) in enumerate(rules):
+        kind, payload = spec
+        flag = f"__drop_{i}"
+        if kind == "pred":
+            out = out.withColumn(flag, F.coalesce(payload, F.lit(False)))
+        elif kind == "dup_keep_smallest":
+            from pyspark.sql import Window
+
+            key = f"__key_{i}"
+            survivor = ~reduce_or([F.col(c) for c in flag_cols])
+            out = out.withColumn(key, payload)
+            w = Window.partitionBy(key)
+            keeper = F.min(F.when(survivor, F.col(id_col))).over(w)
+            out = out.withColumn(
+                flag, survivor & (F.col(id_col) != keeper)
+            ).drop(key)
+        elif kind == "drop_ids":
+            ids = payload.select(
+                F.col(payload.columns[0]).alias(id_col)
+            ).distinct()
+            out = out.join(
+                ids.withColumn(flag, F.lit(True)), id_col, "left"
+            ).withColumn(flag, F.coalesce(F.col(flag), F.lit(False)))
+        else:
+            raise ValueError(f"unknown rule kind {kind!r} for rule {name!r}")
+        flag_cols.append(flag)
+
+    dropped = F.lit(None).cast("string")
+    for name, flag in zip(reversed(names), reversed(flag_cols)):
+        dropped = F.when(F.col(flag), F.lit(name)).otherwise(dropped)
+    return out.select(
+        id_col,
+        dropped.isNull().alias("kept"),
+        dropped.alias("dropped_by"),
+    )
+
+
+def reduce_or(cols: "list[Column]") -> Column:
+    """OR-fold a column list; empty -> lit(False)."""
+    from functools import reduce
+
+    if not cols:
+        return F.lit(False)
+    return reduce(lambda a, b: a | b, cols)

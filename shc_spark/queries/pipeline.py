@@ -225,24 +225,30 @@ _ANN_VERDICT_SQL = """
 
 
 def _ann_recall_verdict(approx, exact, k, min_hits_q, min_total):
+    # r15 optimization: ONE left join + ONE aggregate instead of a
+    # separate inner hits-join merged back (guide §2.4: two
+    # aggregations keyed the same way share one exchange), and the
+    # nq-row per-query frame is pinned with an eager localCheckpoint
+    # before the per/agg union. Without the pin, `per` appears twice
+    # in the final plan (rows + aggregate row) and each of ITS inputs
+    # doubles again — the approx pipeline (an LSH/IVF scan-and-score
+    # pass) was embedded 4x and the exact pipeline 2x in the executed
+    # plan. The checkpoint is bounded by the query-set cap and makes
+    # every upstream pipeline execute exactly once.
     a = approx.select("query_id", "neighbor_id")
-    e = exact.select("query_id", "neighbor_id")
-    # nq*k-row sides: broadcast so the verdict adds no SMJ shuffle
-    hits = (
-        a.join(F.broadcast(e), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("hits"))
-    )
+    e = exact.select("query_id", "neighbor_id").withColumn("__m", F.lit(1))
+    # nq*k-row exact side: broadcast so the verdict adds no SMJ shuffle
     per = (
-        a.groupBy("query_id")
-        .agg(F.count("*").alias("n"))
-        .join(F.broadcast(hits), "query_id", "left")
+        a.join(F.broadcast(e), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"), F.count("__m").alias("hits"))
         .select(
             "query_id",
             (F.col("n") == k).alias("full_k"),
-            (F.coalesce(F.col("hits"), F.lit(0)) >= min_hits_q).alias("recall_ok"),
-            F.coalesce(F.col("hits"), F.lit(0)).alias("h"),
+            (F.col("hits") >= min_hits_q).alias("recall_ok"),
+            F.col("hits").alias("h"),
         )
+        .localCheckpoint(eager=True)
     )
     agg = per.agg(
         F.min("full_k").alias("full_k"), F.sum("h").alias("tot")
@@ -364,9 +370,15 @@ def sim_topk_ivf_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, ppath, "embedding", "vec_id", dim=64,
             storage="pq", pq_m=16, pq_codes=256,
         )
-    ref = similarity.ivf_index_topk(spark, fpath, queries, k=5, nprobe=4)
-    adc = similarity.ivf_index_topk(spark, ppath, queries, k=5, nprobe=4)
-    refined = similarity.ivf_index_topk(
+    # r15: ref feeds BOTH verdicts — pin the nq*k-row result once
+    # instead of embedding the float-index search twice
+    ref = similarity.ivf_index_topk(
+        spark, fpath, queries, k=5, nprobe=4
+    ).localCheckpoint(eager=True)
+    # r15 optimization: ADC ranking and refined ranking from ONE
+    # pruned postings scan + ONE scoring pass (value-identical to the
+    # two standalone calls — see ivf_index_topk_with_refine)
+    adc, refined = similarity.ivf_index_topk_with_refine(
         spark, ppath, queries, k=5, nprobe=4, rerank_with=emb, rerank_factor=20
     )
     v_adc = _ann_recall_verdict(adc, ref, k=5, min_hits_q=1, min_total=20)
@@ -1507,27 +1519,26 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 optimization: the same 5-rule sequential chain, fused into
+    # ONE plan via text.curation_flags (one window + one broadcast
+    # gram join + a when-chain) instead of 5 driver-sequenced rule
+    # jobs with eager localCheckpoint barriers. Equivalence argument
+    # per rule kind lives on curation_flags; the oracle (unchanged)
+    # replays the sequential semantics and stays value-exact.
+    # Full-corpus decontamination is the one deliberate superset: its
+    # extra ids are docs rules 1-3 already dropped, which first-rule-
+    # wins attribution labels identically to the sequential chain.
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     bench = docs.filter(F.col("source").isin("src0", "src1"))
-
-    def dup_drops(s: DataFrame) -> DataFrame:
-        norm = s.withColumn("nt", text.normalize_text(F.col("text")))
-        keep = dedup.exact_dedup(norm, ["nt"], "doc_id").select("doc_id")
-        return s.select("doc_id").join(keep, "doc_id", "left_anti")
-
+    contaminated = text.decontaminate(docs, bench, "text", "doc_id", n=5)
     rules = [
-        ("benchmark_source",
-         lambda s: s.filter(F.col("source").isin("src0", "src1")).select("doc_id")),
-        ("too_short", lambda s: s.filter(F.length("text") < 150).select("doc_id")),
-        ("exact_dup", dup_drops),
-        ("contaminated",
-         lambda s: text.decontaminate(s, bench, "text", "doc_id", n=5)
-         .select(F.col("id").alias("doc_id"))),
-        ("low_quality",
-         lambda s: text.quality_features(s, "text")
-         .filter(F.col("q_score") < 0.5).select("doc_id")),
+        ("benchmark_source", ("pred", F.col("source").isin("src0", "src1"))),
+        ("too_short", ("pred", F.length("text") < 150)),
+        ("exact_dup", ("dup_keep_smallest", text.normalize_text(F.col("text")))),
+        ("contaminated", ("drop_ids", contaminated)),
+        ("low_quality", ("pred", text.quality_score(F.col("text")) < 0.5)),
     ]
-    return text.curation_report(docs, "doc_id", rules)
+    return text.curation_flags(docs, "doc_id", rules)
 
 
 # domain mixing: per-language deterministic sampling rates (50% en,

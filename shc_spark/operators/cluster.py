@@ -191,7 +191,7 @@ def _round6_chunked_argmin(
 
 def _assign_round6(
     df: DataFrame, cents: np.ndarray, vec_col: str, id_col: str,
-    keep_vec: bool = False,
+    keep_vec: bool = False, extra: tuple = (),
 ) -> DataFrame:
     """Oracle-exact nearest-centroid assignment shared by semdedup and
     balanced_sample: explicit (x-c)^2 sums (not the matmul expansion —
@@ -212,9 +212,9 @@ def _assign_round6(
         best_c, best_d = _round6_chunked_argmin(_stack(col), cents)
         return pd.DataFrame({"cluster": best_c, "dist": best_d})
 
-    keep = [id_col, vec_col] if keep_vec else [id_col]
+    keep = ([id_col, vec_col] if keep_vec else [id_col]) + list(extra)
     return (
-        df.select(id_col, vec_col)
+        df.select(id_col, vec_col, *extra)
         .withColumn("__a", _assign(F.col(vec_col)))
         .select(
             *keep,
@@ -655,35 +655,55 @@ def telemetry_report(
     single assign pass — its histogram is independent of ``df``.
 
     Returns (outliers, profile, drift-or-None). Measured (SCALE.md
-    r15): the three stats for ~1.05 scans' wall at x1000."""
+    r15): the three stats for ~1.05 scans' wall at x1000.
+
+    r15 optimization: when ``ref`` is given, the reference vectors
+    UNION into the same assign pass (tagged, ids nulled — the drift
+    histogram needs only cluster counts), so current + reference
+    assignments come out of ONE scan-and-score job instead of two
+    serial Python passes. Per-row assignment is independent of the
+    frame it rides in, so every output is bit-identical to the
+    two-pass shape; the pinned frame grows to (|df| + |ref|) rows of
+    (id, cluster, dist) — still payload-free and bounded."""
     cents = np.asarray(centroids, dtype=np.float64)
     k = len(cents)
-    assigned = _assign_round6(df, cents, vec_col, id_col).localCheckpoint(
-        eager=True
+    if ref is None:
+        assigned = _assign_round6(df, cents, vec_col, id_col).localCheckpoint(
+            eager=True
+        )
+        return (
+            _outliers_from_assigned(assigned, id_col, round_dp),
+            _profile_from_dists(
+                assigned.select("cluster", F.col("__dist").alias("dist")),
+                round_dp,
+            ),
+            None,
+        )
+    id_type = df.schema[id_col].dataType
+    both = (
+        df.select(id_col, vec_col)
+        .withColumn("__cur", F.lit(True))
+        .unionByName(
+            ref.select(
+                F.lit(None).cast(id_type).alias(id_col), F.col(vec_col)
+            ).withColumn("__cur", F.lit(False))
+        )
     )
+    assigned_all = _assign_round6(
+        both, cents, vec_col, id_col, extra=("__cur",)
+    ).localCheckpoint(eager=True)
+    assigned = assigned_all.filter("__cur").drop("__cur")
     outliers = _outliers_from_assigned(assigned, id_col, round_dp)
     profile = _profile_from_dists(
         assigned.select("cluster", F.col("__dist").alias("dist")), round_dp
     )
-    drift = None
-    if ref is not None:
-
-        @F.pandas_udf("long")
-        def _assign(col: pd.Series) -> pd.Series:
-            if col.empty:
-                return pd.Series([], dtype="int64")
-            c, _ = _round6_chunked_argmin(_stack(col), cents)
-            return pd.Series(c)
-
-        ref_hist = (
-            ref.select(_assign(F.col(vec_col)).alias("cluster"))
-            .groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("ref_n"))
-        )
-        cur_hist = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("cur_n")
-        )
-        drift = _psi_table(df.sparkSession, ref_hist, cur_hist, k, laplace)
+    ref_hist = (
+        assigned_all.filter(~F.col("__cur"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("ref_n"))
+    )
+    cur_hist = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("cur_n"))
+    drift = _psi_table(df.sparkSession, ref_hist, cur_hist, k, laplace)
     return outliers, profile, drift
 
 

@@ -411,20 +411,28 @@ def minhash_lsh_pairs(
     hb = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
-    # verify-join strategy is left to AQE (r12): at corpus scale the
-    # runtime SMJ->SHJ conversion (session.py sets
-    # shuffledHashJoinLocalMapThreshold) avoids SORTING the corpus-wide
-    # (id, hs) frame — hs is the per-doc shingle-hash array, the widest
-    # column in the pipeline — measured 6.6s -> 4.9s at 500k docs; at
-    # small scale AQE's broadcast conversion fires instead (an explicit
-    # shuffle_hash hint would BLOCK it — measured +0.5-1.0s at 5k docs)
+    # verify-join strategy (r12, r15): at corpus scale the explicit
+    # shuffle_hash hints avoid SORTING the corpus-wide (id, hs) frame
+    # — hs is the per-doc shingle-hash array, the widest column in
+    # the pipeline — measured 6.6s -> 4.9s at 500k docs. At small
+    # scale (n_docs is already known from the eager cache count) the
+    # feature sides are statically BROADCAST:
+    # AQE would reach the same join at runtime, but only after running
+    # each side's shuffle map stage to learn its size — two whole
+    # Spark jobs of pure scheduling overhead per verify join on the
+    # serving/bench path.
     big = n_docs > _SHJ_HINT_MIN_ROWS
-    left1 = cand.hint("shuffle_hash") if big else cand
-    j1 = left1.join(ha, "id_a")
     if big:
-        j1 = j1.hint("shuffle_hash")
+        j1 = cand.hint("shuffle_hash").join(ha, "id_a").hint("shuffle_hash")
+        return (
+            j1.join(hb, "id_b")
+            .withColumn("jaccard", F.round(inter / union, 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     return (
-        j1.join(hb, "id_b")
+        cand.join(F.broadcast(ha), "id_a")
+        .join(F.broadcast(hb), "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -464,16 +472,22 @@ def minhash_lsh_pairs_between(
     hb = fr.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
-    # verify-join strategy left to AQE, same reasoning as
-    # minhash_lsh_pairs: broadcast when small, shuffled-hash when big,
-    # never a sort of the shingle-hash arrays
+    # verify-join strategy, same reasoning as minhash_lsh_pairs:
+    # static broadcast when small (skips AQE's size-discovery map
+    # stages), shuffled-hash when big, never a sort of the
+    # shingle-hash arrays
     big = n_docs > _SHJ_HINT_MIN_ROWS
-    left1 = cand.hint("shuffle_hash") if big else cand
-    j1 = left1.join(ha, "id_a")
     if big:
-        j1 = j1.hint("shuffle_hash")
+        j1 = cand.hint("shuffle_hash").join(ha, "id_a").hint("shuffle_hash")
+        return (
+            j1.join(hb, "id_b")
+            .withColumn("jaccard", F.round(inter / union, 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     return (
-        j1.join(hb, "id_b")
+        cand.join(F.broadcast(ha), "id_a")
+        .join(F.broadcast(hb), "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -904,20 +918,24 @@ def connected_components(
     )
     changed = labels.filter("moved").count()
     labels = labels.drop("moved")
+    node_ids = labels.select("id")  # checkpointed: the node set, distinct
     sym_self = None
     rounds = 1
     while changed and rounds < max_iter:
         if sym_self is None:
             # self-loops carry each node's own previous label through
             # the join, so update + moved flag come from ONE aggregate;
-            # built over the already-cached sym, so the second branch
-            # costs a shuffle of edge ids, not a pipeline re-run
+            # node ids come from the round-0 checkpoint (already
+            # distinct — no extra shuffle) and edges from the cached
+            # sym, so building this costs no pipeline re-run
             sym_self = (
                 sym.withColumn("self", F.lit(False))
                 .unionByName(
-                    sym.select("s")
-                    .distinct()
-                    .select("s", F.col("s").alias("d"), F.lit(True).alias("self"))
+                    node_ids.select(
+                        F.col("id").alias("s"),
+                        F.col("id").alias("d"),
+                        F.lit(True).alias("self"),
+                    )
                 )
                 .cache()
             )

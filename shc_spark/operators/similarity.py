@@ -869,9 +869,18 @@ def ivf_index_topk_with_refine(
     part, q_ids, qm = _ivf_index_scored(
         spark, path, queries, vec_col, id_col, nprobe, max_queries, depth
     )
-    approx = _topk_window(part, k)
-    refined = _ivf_refine(
-        spark, part, q_ids, qm, depth, k, rerank_with, vec_col, id_col
+    # r15: pin the depth-ranked frame (bounded: nq x depth rows) so
+    # the postings scan + Python scoring pass execute exactly ONCE no
+    # matter how many downstream actions consume the two results
+    # (separate verdict materializations would otherwise re-evaluate
+    # the shared child per action). approx = rank <= k over the SAME
+    # total-ordered window a k-deep call would run, so it is
+    # row-identical to the standalone result.
+    deep = _topk_window(part, depth).localCheckpoint(eager=True)
+    approx = deep.filter(F.col("rank") <= k)
+    refined = _refine_from_pruned(
+        spark, deep.drop("rank", "cosine"), q_ids, qm, k, rerank_with,
+        vec_col, id_col,
     )
     return approx, refined
 
@@ -982,6 +991,14 @@ def _ivf_refine(spark, part, q_ids, qm, depth, k, rerank_with, vec_col, id_col):
     """The FAISS refine stage: exact cosine on the depth survivors
     only, then the global top-k window."""
     pruned = _topk_window(part, depth).drop("rank", "cosine")
+    return _refine_from_pruned(
+        spark, pruned, q_ids, qm, k, rerank_with, vec_col, id_col
+    )
+
+
+def _refine_from_pruned(spark, pruned, q_ids, qm, k, rerank_with, vec_col, id_col):
+    """Exact-cosine rerank of an already depth-pruned (query_id,
+    neighbor_id) frame against a full-precision vector table."""
     qmap = {qid: qm[i] for i, qid in enumerate(q_ids)}
     bq = spark.sparkContext.broadcast(qmap)
 

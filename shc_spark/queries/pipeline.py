@@ -396,27 +396,42 @@ def sim_topk_ivf_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _identity_verdict(idx, direct):
     """Per-query row-for-row identity of two top-k results plus an
-    aggregate row — shared by the persisted-index gates."""
+    aggregate row — shared by the persisted-index gates.
+
+    r15: same duplication fix as _ann_recall_verdict — ONE full-outer
+    join + one aggregate replaces three separate aggregates merged by
+    joins (which embedded each input pipeline 4x in the executed
+    plan), and the nq-row per-query frame is pinned before the
+    rows+aggregate union so each input executes exactly once. The
+    n_i>0 AND n_d>0 filter reproduces the old inner join of the two
+    count frames (a query present on only one side was dropped, not
+    reported false)."""
     cols = ["query_id", "neighbor_id", "cosine", "rank"]
-    n_idx = idx.groupBy("query_id").agg(F.count("*").alias("n_i"))
-    n_dir = direct.groupBy("query_id").agg(F.count("*").alias("n_d"))
-    m = (
+    j = (
         idx.select(*cols)
-        .join(F.broadcast(direct.select(*cols)), cols)
-        .groupBy("query_id")
-        .agg(F.count("*").alias("m"))
+        .withColumn("__i", F.lit(1))
+        .join(
+            F.broadcast(direct.select(*cols).withColumn("__d", F.lit(1))),
+            cols,
+            "full_outer",
+        )
     )
     per = (
-        n_idx.join(F.broadcast(n_dir), "query_id")
-        .join(F.broadcast(m), "query_id", "left")
+        j.groupBy("query_id")
+        .agg(
+            F.count("__i").alias("n_i"),
+            F.count("__d").alias("n_d"),
+            F.count(F.when(F.col("__i").isNotNull() & F.col("__d").isNotNull(), 1)).alias("m"),
+        )
+        .filter((F.col("n_i") > 0) & (F.col("n_d") > 0))
         .select(
             "query_id",
             (F.col("n_i") == 5).alias("full_k"),
             (
-                (F.coalesce(F.col("m"), F.lit(0)) == F.col("n_i"))
-                & (F.col("n_d") == F.col("n_i"))
+                (F.col("m") == F.col("n_i")) & (F.col("n_d") == F.col("n_i"))
             ).alias("identical"),
         )
+        .localCheckpoint(eager=True)
     )
     agg = per.agg(
         F.min("full_k").alias("full_k"), F.min("identical").alias("identical")

@@ -50,6 +50,12 @@ def get_spark(app_name: str = "shc_spark", cpus: str | int | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SHC_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOTE (r15): spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold
+        # was trialed here (256m) to close r12's doc drift — interleaved
+        # x100 A/B showed no benefit and one 2.5x-slower outlier for
+        # dedup_minhash_lsh, so it stays OFF: the wide-array verify
+        # joins already pick shuffled-hash via explicit size-conditional
+        # hints (dedup.py), which is the mechanism r12 actually measured.
         .config("spark.sql.python.filterPushdown.enabled", "true")
         # FAIR so background maintenance (async dedup-index folds tag
         # themselves into the "shc_maintenance" pool) shares cores with

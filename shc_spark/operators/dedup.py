@@ -2187,9 +2187,19 @@ def _index_candidates(spark, path, inc_feats, nb):
     serial actions, not data). Join semantics are unchanged: banded
     rows satisfy bkt == bh % nb by construction, so the added key
     filters nothing the (band, bh) equality wouldn't."""
-    inc_banded = inc_feats.select(
-        F.col("id").alias("id_a"), F.posexplode("bnd").alias("band", "bh")
-    ).withColumn("bkt", F.pmod(F.col("bh"), F.lit(nb)).cast("int"))
+    inc_banded = (
+        inc_feats.select(
+            F.col("id").alias("id_a"), F.posexplode("bnd").alias("band", "bh")
+        )
+        .withColumn("bkt", F.pmod(F.col("bh"), F.lit(nb)).cast("int"))
+        # always-true (pmod of a non-null hash is non-negative) but a
+        # COMPARISON filter, which is what PartitionPruning's
+        # "likely selective" check requires on the build side: without
+        # it a cached/opaque increment (InMemoryRelation hides the
+        # caller's filters) plans NO dynamicpruning at all and the
+        # corpus banded scan reads every bucket directory
+        .filter(F.col("bkt") >= 0)
+    )
     cand = (
         _banded_relation(spark, path)
         .join(F.broadcast(inc_banded), ["bkt", "band", "bh"])
@@ -2241,18 +2251,20 @@ def dedup_index_pairs(
     bucket directories (r15: bkt rides the broadcast banded keys as a
     join column and DPP drops unprobed directories — no driver-side
     bucket collect); the increment's banded keys broadcast into the
-    pruned scan; exact verification joins feature rows only for the
-    surviving candidate ids, dir-pruned by the one remaining bounded
-    bucket-list collect (<= num_buckets values by construction).
+    pruned scan; exact verification prunes the SAME way (r15b: fbkt =
+    xxhash64(id_b) % nb rides the broadcast candidate pairs as an
+    extra equi-join column — true for every corpus feature row by the
+    index layout — so the features scan DPP-prunes to the candidates'
+    bucket directories and the last driver-side collect is gone;
+    index queries are now ZERO-collect, pure lazy plans).
 
-    Cache lifecycle: ``inc``/``cand`` are cached (two consumers each:
-    the candidate/feature-bucket evaluation and the final join), and
-    released at the START of the NEXT call — the caller of this query
-    can still materialize its result from cache, and a long-lived
-    query-many serving process accumulates at most one query's blocks
-    instead of growing without bound."""
-    import os
-
+    Cache lifecycle: ``inc`` is cached (two consumers: the banded-key
+    broadcast and the verify side), released at the START of the NEXT
+    call — the caller of this query can still materialize its result
+    from cache, and a long-lived query-many serving process
+    accumulates at most one query's blocks instead of growing without
+    bound. ``cand`` has exactly one consumer now (the broadcast into
+    the features join), so it is no longer cached."""
     while _INDEX_QUERY_CACHES:
         _INDEX_QUERY_CACHES.pop().unpersist()
     m = read_dedup_index_meta(spark, path)
@@ -2260,29 +2272,25 @@ def dedup_index_pairs(
     inc = _doc_lsh_features(
         _widen(increment), text_col, id_col, m["n"], m["num_perm"], m["bands"]
     ).cache()
-    # no explicit materialize: the feature-bucket collect below is the
-    # caches' first (and now ONLY pre-write) evaluation and fills both
-    # — a count() here would spend one whole extra Spark job (fixed
-    # scheduler overhead is the serving wall's dominant term)
-    cand = _index_candidates(spark, path, inc, nb).cache()
-    _INDEX_QUERY_CACHES.extend([inc, cand])
-    fbkts = [
-        r["fbkt"]
-        for r in cand.select(
-            F.pmod(F.xxhash64(F.col("id_b")), F.lit(nb)).cast("int").alias("fbkt")
+    _INDEX_QUERY_CACHES.append(inc)
+    cand = (
+        _index_candidates(spark, path, inc, nb)
+        .withColumn(
+            "fbkt", F.pmod(F.xxhash64(F.col("id_b")), F.lit(nb)).cast("int")
         )
-        .distinct()
-        .collect()
-    ]
-    feats = _features_relation(spark, path).filter(
-        F.col("fbkt").isin(fbkts) if fbkts else F.lit(False)
+        # always-true comparison filter: the DPP trigger (see
+        # _index_candidates) — candidates are join-derived, so without
+        # it the features scan plans no dynamic pruning
+        .filter(F.col("fbkt") >= 0)
     )
     ha = inc.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
-    hb = feats.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    hb = _features_relation(spark, path).select(
+        "fbkt", F.col("id").alias("id_b"), F.col("hs").alias("hs_b")
+    )
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (
-        cand.join(hb, "id_b")
+        hb.join(F.broadcast(cand), ["fbkt", "id_b"])
         .join(F.broadcast(ha), "id_a")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
@@ -2315,7 +2323,6 @@ def dedup_index_pairs_batch(
     may appear in several increments (even with different text)
     without conflation. Same deferred one-query cache lifecycle as the
     single-increment path."""
-    import os
     from functools import reduce
 
     while _INDEX_QUERY_CACHES:
@@ -2337,27 +2344,24 @@ def dedup_index_pairs_batch(
     inc = _doc_lsh_features(
         _widen(un), "__text", "__key", m["n"], m["num_perm"], m["bands"]
     ).cache()
-    # cache fills on the bucket collect's first evaluation (see
-    # dedup_index_pairs) — no explicit materialize job
-    cand = _index_candidates(spark, path, inc, nb).cache()
-    _INDEX_QUERY_CACHES.extend([inc, cand])
-    fbkts = [
-        r["fbkt"]
-        for r in cand.select(
-            F.pmod(F.xxhash64(F.col("id_b")), F.lit(nb)).cast("int").alias("fbkt")
+    _INDEX_QUERY_CACHES.append(inc)
+    # same zero-collect shape as dedup_index_pairs: fbkt rides the
+    # broadcast candidates, DPP prunes the features scan at run time
+    cand = (
+        _index_candidates(spark, path, inc, nb)
+        .withColumn(
+            "fbkt", F.pmod(F.xxhash64(F.col("id_b")), F.lit(nb)).cast("int")
         )
-        .distinct()
-        .collect()
-    ]
-    feats = _features_relation(spark, path).filter(
-        F.col("fbkt").isin(fbkts) if fbkts else F.lit(False)
+        .filter(F.col("fbkt") >= 0)
     )
     ha = inc.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
-    hb = feats.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    hb = _features_relation(spark, path).select(
+        "fbkt", F.col("id").alias("id_b"), F.col("hs").alias("hs_b")
+    )
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (
-        cand.join(hb, "id_b")
+        hb.join(F.broadcast(cand), ["fbkt", "id_b"])
         .join(F.broadcast(ha), "id_a")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)

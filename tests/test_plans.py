@@ -305,13 +305,19 @@ def test_dedup_index_partition_pruned_and_broadcast(spark):
     cplan = cand._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in cplan.lower(), cplan
     assert "BroadcastHashJoin" in cplan, cplan
-    # verified pairs: pruned features scan, hash joins only (the
-    # candidate stage is cached inside dedup_index_pairs, so the bkt
-    # pruning above is not re-visible here)
+    # verified pairs (r15b zero-collect): BOTH index scans prune
+    # dynamically — the banded scan off the increment's broadcast
+    # keys, the features scan off the broadcast candidate pairs'
+    # fbkt column — and neither pruning filter may have been dropped
+    # by the planner (dynamicpruningexpression(true) is Spark's
+    # "pruning abandoned" marker)
     df = dedup.dedup_index_pairs(spark, path, inc)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
-    assert "PartitionFilters: [fbkt" in norm, plan
+    assert any(
+        "/features" in ln and "dynamicpruning" in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert "dynamicpruningexpression(true)" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
@@ -422,8 +428,14 @@ def test_dedup_index_batch_plan(spark):
     incs = {f"i{r}": docs.filter(F.col("doc_id") % 6 == r) for r in (1, 3)}
     df = dedup.dedup_index_pairs_batch(spark, path, incs)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
-    assert "PartitionFilters: [fbkt" in norm, plan
+    # r15b: the features scan prunes dynamically off the broadcast
+    # candidate pairs (no per-query bucket collect), and the pruning
+    # must not have been dropped (dynamicpruningexpression(true))
+    assert any(
+        "/features" in ln and "dynamicpruning" in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert "dynamicpruningexpression(true)" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 

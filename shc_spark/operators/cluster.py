@@ -596,13 +596,22 @@ def embedding_drift(
 
 
 def _psi_table(
-    spark, ref_hist: DataFrame, cur_hist: DataFrame, k: int, laplace: float
+    spark,
+    ref_hist: DataFrame,
+    cur_hist: DataFrame,
+    k: int,
+    laplace: float,
+    pin: bool = True,
 ) -> DataFrame:
     """PSI arithmetic shared by embedding_drift and telemetry_report:
     join the two (cluster, count) histograms over the full range(k)
     grid and emit the smoothed fraction/contribution table. Inputs are
     k-row frames, so everything here is driver-trivial at any corpus
-    scale."""
+    scale. ``pin=False`` skips the internal checkpoint when BOTH
+    histogram inputs are already pinned k-row frames (telemetry_report)
+    — re-deriving ``h`` for the totals join is then two trivial k-row
+    broadcast joins, not a corpus re-scan, and the skipped eager
+    action saves one fixed-overhead Spark job per call."""
     all_c = spark.range(k).select(F.col("id").alias("cluster"))
     h = (
         all_c.join(ref_hist, "cluster", "left")
@@ -613,7 +622,8 @@ def _psi_table(
     # pin the k-row histogram once, then totals are a broadcast join of
     # its own aggregate (the dq.psi_drift pattern — each corpus is
     # scanned exactly once, no global window)
-    h = h.localCheckpoint(eager=True)
+    if pin:
+        h = h.localCheckpoint(eager=True)
     h = h.crossJoin(
         F.broadcast(h.agg(F.sum("ref_n").alias("__rt"), F.sum("cur_n").alias("__ct")))
     )
@@ -664,7 +674,15 @@ def telemetry_report(
     serial Python passes. Per-row assignment is independent of the
     frame it rides in, so every output is bit-identical to the
     two-pass shape; the pinned frame grows to (|df| + |ref|) rows of
-    (id, cluster, dist) — still payload-free and bounded."""
+    (id, cluster, dist) — still payload-free and bounded.
+
+    r15b: downstream of the pinned assignment, the ref path runs ONE
+    per-cluster aggregate (profile stats conditioned on the __cur tag
+    + both drift histograms as conditional counts) instead of three
+    separate corpus-sized exchanges; profile and drift read the
+    resulting pinned k-row frame. Conditional aggregates over the
+    identical value multiset keep every output value-equal to its
+    standalone op (pinned by test and by the gate's oracle)."""
     cents = np.asarray(centroids, dtype=np.float64)
     k = len(cents)
     if ref is None:
@@ -694,16 +712,51 @@ def telemetry_report(
     ).localCheckpoint(eager=True)
     assigned = assigned_all.filter("__cur").drop("__cur")
     outliers = _outliers_from_assigned(assigned, id_col, round_dp)
-    profile = _profile_from_dists(
-        assigned.select("cluster", F.col("__dist").alias("dist")), round_dp
+    # r15b: ONE per-cluster aggregate over the pinned assignment feeds
+    # profile AND both drift histograms — the profile stats condition
+    # on __cur inside the aggregate (avg/percentile/max ignore nulls,
+    # count counts non-nulls, so each equals the standalone op's
+    # cur-only aggregate over the identical value multiset), and the
+    # ref histogram is the same aggregate's other conditional count.
+    # Was: three separate corpus-sized exchanges of the assignment
+    # (profile groupBy, cur_hist groupBy, ref_hist groupBy); now: one
+    # exchange into a pinned k-row frame all consumers share.
+    dcur = F.when(F.col("__cur"), F.col("__dist"))
+    per_cluster = (
+        assigned_all.groupBy("cluster")
+        .agg(
+            F.count(F.when(F.col("__cur"), F.lit(1))).alias("n"),
+            F.round(F.avg(dcur), round_dp).alias("mean_dist"),
+            F.expr(
+                "percentile(IF(__cur, __dist, NULL), array(0.5, 0.95))"
+            ).alias("__p"),
+            F.round(F.max(dcur), round_dp).alias("max_dist"),
+            F.count(F.when(~F.col("__cur"), F.lit(1))).alias("ref_n"),
+        )
+        .localCheckpoint(eager=True)
     )
-    ref_hist = (
-        assigned_all.filter(~F.col("__cur"))
-        .groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("ref_n"))
+    # n > 0 restores the standalone profile's row set: a cluster with
+    # only reference vectors exists in per_cluster but not in
+    # cluster_profile(df)'s cur-only groupBy
+    profile = per_cluster.filter(F.col("n") > 0).select(
+        "cluster",
+        "n",
+        "mean_dist",
+        F.round(F.col("__p")[0], round_dp).alias("p50_dist"),
+        F.round(F.col("__p")[1], round_dp).alias("p95_dist"),
+        "max_dist",
     )
-    cur_hist = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("cur_n"))
-    drift = _psi_table(df.sparkSession, ref_hist, cur_hist, k, laplace)
+    # zero-count rows are equivalent to absent rows under _psi_table's
+    # grid left-join + fillna(0), so the histograms slice per_cluster
+    # directly; pin=False — both inputs are already pinned k-row frames
+    drift = _psi_table(
+        df.sparkSession,
+        per_cluster.select("cluster", "ref_n"),
+        per_cluster.select("cluster", F.col("n").alias("cur_n")),
+        k,
+        laplace,
+        pin=False,
+    )
     return outliers, profile, drift
 
 

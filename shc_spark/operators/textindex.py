@@ -9,8 +9,21 @@ On-disk layout (all parquet, same lifecycle conventions as the other
 two indexes — one file per partition per generation, memoized
 mtime-census-validated listings, tombstone deletes, major compaction):
 
-- ``postings/tbkt=*/``  (term, id, tf)   — term-hash-bucketed
-- ``lengths/lbkt=*/``   (id, dl)         — id-hash-bucketed doc lengths
+- ``postings/tbkt=*/``  (term, id, tf, dl) — term-hash-bucketed; ``dl``
+  (the doc's length) is DENORMALIZED onto every posting row (r15) so
+  queries never join the corpus-sized lengths table: the original
+  design pruned lengths via dynamic partition pruning, but runtime
+  scan metrics showed AQE silently drops that pruning
+  (``dynamicpruningexpression(true)``, every lbkt directory read per
+  query — the same failure mode measured in dedup._index_candidates),
+  and a bounded static lbkt collect both added a serial driver job
+  per query and pruned nothing (candidate ids hash across all
+  buckets). Carrying ~8 bytes/posting eliminates the scan, the join
+  and the collect at any scale.
+- ``lengths/lbkt=*/``   (id, dl)         — id-hash-bucketed doc
+  lengths; still written and used by the DELETE path's stats
+  correction (its id-bucket pruning off the tiny takedown list does
+  work), no longer read by queries
 - ``stats/``            (n_docs, sum_dl) — one row per generation;
   deletes append NEGATIVE correction rows so n_docs/avgdl stay exact
   without rescanning anything
@@ -32,7 +45,7 @@ from pyspark.sql import functions as F
 
 # Bump on ANY subtree schema/partitioning change so caches keyed on
 # build inputs rebuild instead of reading a stale layout.
-TEXT_INDEX_LAYOUT = 2  # r10: corpus-derived auto num_buckets default
+TEXT_INDEX_LAYOUT = 3  # r15: dl denormalized onto posting rows
 
 def _tbkt(col, nb: int):
     return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
@@ -71,8 +84,19 @@ def _write_rows(
     # row counts (r14, same rationale as the dedup index): any P keeps
     # each bucket in exactly one task, so a small increment should not
     # be scheduled as nb near-empty tasks.
+    from pyspark.sql import Window
+
     tp = nb if tf_rows is None else int(min(nb, max(32, -(-tf_rows // 65536))))
     lp = nb if dl_rows is None else int(min(nb, max(32, -(-dl_rows // 65536))))
+    # dl rides every posting row (r15 — see the module docstring):
+    # dl(id) == size(split(text)) == sum over terms of tf(id, term)
+    # exactly (split/explode emit the same token multiset, empty
+    # strings included), so one window over the tf frame derives it
+    # without touching the dl frame — one extra id-hash exchange at
+    # BUILD time buys every query its lengths scan + join back
+    tf = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("id")).cast("int")
+    )
     tf.withColumn("tbkt", _tbkt(F.col("term"), nb)).repartition(
         tp, F.col("tbkt")
     ).write.mode(mode).partitionBy("tbkt").parquet(os.path.join(path, "postings"))
@@ -236,16 +260,18 @@ def text_index_topk(
     """BM25 top-k over the persisted index — value-identical to
     ``text.bm25_search(corpus_minus_deleted, terms, ...)``. Reads ONLY
     the |Q| query terms' posting buckets (partition pruning on tbkt +
-    a term predicate inside them) and the candidate ids' length
-    buckets; df comes from the pruned candidates, n_docs/avgdl from
-    the (correction-aware) stats rows — nothing corpus-sized moves.
+    a term predicate inside them); df comes from the pruned
+    candidates, dl rides each posting row (r15 denormalization — see
+    the module docstring for why the lengths join had to go: the DPP
+    it relied on is silently dropped by AQE at runtime), n_docs/avgdl
+    from the (correction-aware) stats rows — nothing corpus-sized
+    moves or is even scanned.
 
     ZERO driver jobs before the action: term buckets come from the
-    Spark-identical driver-side XXH64, the lengths side prunes via
-    DYNAMIC partition pruning off the broadcast candidate join
-    (pinned by tests/test_plans.py), and the stats scalars ride a
+    Spark-identical driver-side XXH64 and the stats scalars ride a
     broadcast single-row cross join instead of a collect — the whole
-    query is one Spark job at the caller's action."""
+    query is one Spark job at the caller's action, and every scan in
+    it is statically pruned."""
     from shc_spark.operators.idxcache import index_relation
     from shc_spark.operators.xxh import bucket_of_str
 
@@ -259,20 +285,16 @@ def text_index_topk(
         cand = cand.join(
             index_relation(spark, path, "tombstones").select("id"), "id", "left_anti"
         )
-    # NOT cached: with zero driver collects the only double consumer
-    # is dfreq, and a cached (InMemoryRelation) build side stops Spark
-    # from inserting the dynamic-partition-pruning subquery on the
-    # lengths scan — re-running the tiny pruned postings scan twice
-    # inside the one job is far cheaper than a full lengths read
-    cand = cand.withColumn("lbkt", _tbkt(F.col("id"), nb))
+    # NOT cached: the only double consumer is dfreq, and re-running
+    # the tiny pruned postings scan twice inside the one job is
+    # cheaper than a cache-materialization pass
     stats = index_relation(spark, path, "stats").agg(
         F.sum("n_docs").alias("n_docs"),
         (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
     )
-    dl = index_relation(spark, path, "lengths")
     dfreq = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        dl.join(cand.join(F.broadcast(dfreq), "term"), ["lbkt", "id"])
+        cand.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "w",
@@ -324,21 +346,18 @@ def text_index_topk_batch(
     # fan out per query BEFORE df/score: df is per (query_id, term)
     # over the query's candidate set — identical to the single-query
     # operator run per query, in one plan. Uncached, same as the
-    # single-query path: zero pre-action jobs, lengths prune via DPP.
-    cand = cand.join(F.broadcast(qdf), "term").withColumn(
-        "lbkt", _tbkt(F.col("id"), nb)
-    )
+    # single-query path: zero pre-action jobs; dl rides each posting
+    # row (r15 denormalization — module docstring), so nothing
+    # corpus-sized is scanned.
+    cand = cand.join(F.broadcast(qdf), "term")
     stats = index_relation(spark, path, "stats").agg(
         F.sum("n_docs").alias("n_docs"),
         (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
     )
-    dl = index_relation(spark, path, "lengths")
     dfreq = cand.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("id"))
     return (
-        dl.join(
-            cand.join(F.broadcast(dfreq), ["query_id", "term"]), ["lbkt", "id"]
-        )
+        cand.join(F.broadcast(dfreq), ["query_id", "term"])
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "w",

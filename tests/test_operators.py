@@ -3301,7 +3301,7 @@ def test_hybrid_index_rrf_matches_components(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    tp, vp = "/tmp/shc_hybrid_tidx", "/tmp/shc_hybrid_vidx"
+    tp, vp = f"/tmp/shc_hybrid_tidx_l{textindex.TEXT_INDEX_LAYOUT}", "/tmp/shc_hybrid_vidx"
     import os
 
     if not os.path.exists(os.path.join(tp, "postings", "_SUCCESS")):
@@ -3390,7 +3390,7 @@ def test_hybrid_index_batch_equals_per_query(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    tp, vp = "/tmp/shc_hybrid_tidx", "/tmp/shc_hybrid_vidx"
+    tp, vp = f"/tmp/shc_hybrid_tidx_l{textindex.TEXT_INDEX_LAYOUT}", "/tmp/shc_hybrid_vidx"
     if not os.path.exists(os.path.join(tp, "postings", "_SUCCESS")):
         shutil.rmtree(tp, ignore_errors=True)
         textindex.build_text_index(docs, tp)

@@ -297,67 +297,72 @@ def test_dedup_index_partition_pruned_and_broadcast(spark):
             docs.filter(F.col("doc_id") % 2 == 0), path, num_perm=64, bands=32, n=3
         )
     inc = docs.filter(F.col("doc_id") % 2 == 1)
-    # candidate stage: dynamically pruned banded scan (r15: bkt rides
-    # the broadcast join keys, so DPP replaces the driver-side bucket
-    # collect — same contract as the BM25 index) + broadcast of the
-    # increment
+    # candidate stage: STATICALLY pruned banded scan (bounded driver
+    # collect of <= num_buckets ints) + broadcast of the increment.
+    # r15 adjudication: the DPP variant (bkt riding the broadcast
+    # keys) planned real dynamic pruning but AQE silently dropped it
+    # at RUNTIME (scan metrics showed every bucket directory read and
+    # a 2x wall regression at x100), so the static collect is the
+    # design that actually prunes — see _index_candidates.
     cand = dedup.dedup_index_candidates(spark, path, inc)
     cplan = cand._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in cplan.lower(), cplan
+    cnorm = cplan.replace("PartitionFilters: [ ", "PartitionFilters: [")
+    assert "PartitionFilters: [bkt" in cnorm, cplan
     assert "BroadcastHashJoin" in cplan, cplan
-    # verified pairs (r15b zero-collect): BOTH index scans prune
-    # dynamically — the banded scan off the increment's broadcast
-    # keys, the features scan off the broadcast candidate pairs'
-    # fbkt column — and neither pruning filter may have been dropped
-    # by the planner (dynamicpruningexpression(true) is Spark's
-    # "pruning abandoned" marker)
+    # verified pairs: the features scan prunes STATICALLY too
+    # (fbkt IN <candidate buckets>), hash joins only
     df = dedup.dedup_index_pairs(spark, path, inc)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert any(
-        "/features" in ln and "dynamicpruning" in ln
-        for ln in plan.splitlines()
-    ), plan
-    assert "dynamicpruningexpression(true)" not in plan, plan
+    norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
+    assert "PartitionFilters: [fbkt" in norm, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_text_index_partition_pruned(spark):
     """The persisted BM25 index must read only the query terms'
-    posting buckets (PartitionFilters on tbkt) and the candidate ids'
-    length buckets (PartitionFilters on lbkt), joining by broadcast."""
+    posting buckets (PartitionFilters on tbkt) and nothing else —
+    dl rides the posting rows, so the lengths table never appears in
+    a query plan (r15) — joining by broadcast."""
     import os
     import shutil
 
     from shc_spark.operators import textindex
 
     docs = spark.read.parquet(SF + "/documents.parquet")
-    path = "/tmp/shc_text_index_planpin"
+    path = f"/tmp/shc_text_index_planpin_l{textindex.TEXT_INDEX_LAYOUT}"
     if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
         shutil.rmtree(path, ignore_errors=True)
         textindex.build_text_index(docs, path)
     df = textindex.text_index_topk(spark, path, ["join", "scan", "vector"], k=20)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the lengths side prunes DYNAMICALLY off the broadcast candidate
-    # join (no per-query bucket collect); the data joins are broadcast
-    # hash joins. The single BroadcastNestedLoopJoin is the 1-row
-    # stats cross join (a scalar broadcast, not a data-sized NLJ).
-    assert "dynamicpruning" in plan.lower(), plan
+    # r15: dl rides each posting row, so the corpus-sized lengths
+    # table must not appear in the query plan AT ALL (the lengths-join
+    # DPP this replaced was silently dropped by AQE at runtime —
+    # dynamicpruningexpression(true), every lbkt directory read; same
+    # adjudication as the dedup index). The only scans are the
+    # statically tbkt-pruned postings and the 1-row stats; data joins
+    # are broadcast hash joins; the single BroadcastNestedLoopJoin is
+    # the 1-row stats cross join.
+    norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
+    assert "/lengths" not in plan, plan
+    assert "PartitionFilters: [tbkt" in norm, plan
+    assert "dynamicpruning" not in plan.lower(), plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
 def test_text_index_batch_plan(spark):
     """Batched BM25 serving: the (query_id, term) fan-out must be a
-    broadcast join over the pruned posting read (lbkt PartitionFilters
-    on the lengths side, no nested-loop join anywhere)."""
+    broadcast join over the pruned posting read (no lengths scan, no
+    data-sized nested-loop join anywhere)."""
     import os
     import shutil
 
     from shc_spark.operators import textindex
 
     docs = spark.read.parquet(SF + "/documents.parquet")
-    path = "/tmp/shc_text_index_planpin"
+    path = f"/tmp/shc_text_index_planpin_l{textindex.TEXT_INDEX_LAYOUT}"
     if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
         shutil.rmtree(path, ignore_errors=True)
         textindex.build_text_index(docs, path)
@@ -365,10 +370,14 @@ def test_text_index_batch_plan(spark):
         spark, path, {"a": ["join", "scan"], "b": ["vector"]}, k=10
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # same contract as the single-query pin: dynamic pruning on the
-    # lengths side, broadcast hash joins for data, and at most the
+    # same contract as the single-query pin: no lengths scan anywhere
+    # (dl rides the posting rows — r15), statically tbkt-pruned
+    # postings, broadcast hash joins for data, and at most the
     # one-row stats cross join as a nested-loop
-    assert "dynamicpruning" in plan.lower(), plan
+    norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
+    assert "/lengths" not in plan, plan
+    assert "PartitionFilters: [tbkt" in norm, plan
+    assert "dynamicpruning" not in plan.lower(), plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
@@ -428,14 +437,10 @@ def test_dedup_index_batch_plan(spark):
     incs = {f"i{r}": docs.filter(F.col("doc_id") % 6 == r) for r in (1, 3)}
     df = dedup.dedup_index_pairs_batch(spark, path, incs)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # r15b: the features scan prunes dynamically off the broadcast
-    # candidate pairs (no per-query bucket collect), and the pruning
-    # must not have been dropped (dynamicpruningexpression(true))
-    assert any(
-        "/features" in ln and "dynamicpruning" in ln
-        for ln in plan.splitlines()
-    ), plan
-    assert "dynamicpruningexpression(true)" not in plan, plan
+    # static fbkt pruning (the DPP variant was reverted on runtime
+    # scan metrics — see _index_candidates' adjudication)
+    norm = plan.replace("PartitionFilters: [ ", "PartitionFilters: [")
+    assert "PartitionFilters: [fbkt" in norm, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 

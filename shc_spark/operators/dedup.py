@@ -24,7 +24,7 @@
 
 from __future__ import annotations
 
-
+import os
 
 import numpy as np
 import pandas as pd
@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from shc_spark.operators.planutil import no_adaptive
 from shc_spark.operators.text import shingles
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -87,25 +88,51 @@ def jaccard_pairs(
 
 def _widen(df: DataFrame) -> DataFrame:
     """Small-file inputs arrive as 1-2 partitions; fan the CPU-bound
-    shingle/signature stage out to every core. The width probe uses
+    shingle/signature stage out. The width probe uses
     ``inputFiles()`` (pure metadata) rather than
     ``df.rdd.getNumPartitions()`` — constructing the RDD converter
-    plans the whole query (ADVICE r1). Few files -> repartition to
-    defaultParallelism; a 100 TB input has thousands of splittable
-    files and skips the shuffle (parquet splits give >= one partition
-    per 128 MB regardless)."""
+    plans the whole query (ADVICE r1). Few files -> repartition; a
+    100 TB input has thousands of splittable files and skips the
+    shuffle (parquet splits give >= one partition per 128 MB
+    regardless).
+
+    The fan-out target is SCALE-ADAPTIVE (VERDICT r15 #7): derived
+    from the input's on-disk bytes at ~SHC_SPARK_WIDEN_SPLIT_KB
+    (default 128 KiB — compressed text expands ~3-4x and the Python
+    kernels do heavy per-byte work, so splits far below the scan
+    default) per task, clamped to [2, defaultParallelism]. A flat
+    defaultParallelism target scheduled 32 Python tasks over KB-sized
+    inputs — pure per-task overhead (measured r16: 8 tasks beat 32 at
+    sf0.1); byte-derived sizing reaches full width by ~4 MB of input,
+    so the 100x/1000x scale probes still fan out to every core."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_files = 0
+        files = []
+    n_files = len(files)
     # only widen KNOWN-narrow file inputs; a non-file-backed plan
     # (inputFiles() == [], e.g. post-shuffle) keeps its existing
     # partitioning — repartitioning it could SHRINK an already-wide
     # input and always adds a shuffle
     if 0 < n_files < max(target // 2, 2):
-        return df.repartition(target)
+        split = int(os.environ.get("SHC_SPARK_WIDEN_SPLIT_KB", "128")) * 1024
+        nbytes = 0
+        for f in files:
+            p = f[5:] if f.startswith("file:") else f
+            while p.startswith("//"):
+                p = p[1:]
+            try:
+                nbytes += os.path.getsize(p)
+            except OSError:
+                nbytes = 0
+                break
+        if nbytes:
+            want = min(target, max(2, -(-nbytes // split)))
+        else:
+            want = target  # unknown size: keep the conservative full fan-out
+        return df.repartition(int(want))
     return df
 
 
@@ -220,6 +247,15 @@ def _segments(arrs: list) -> tuple:
 # inputs' row counts are known cheaply (cached/checkpointed frames), so
 # the strategy is picked by measured crossover, not guessed.
 _SHJ_HINT_MIN_ROWS = 100_000
+
+# Static F.broadcast of the verify-join feature frames is only forced
+# BELOW this row count (ADVICE r15 #2): the frames carry the wide hs
+# shingle-hash arrays (~100-300 longs/doc), so 20k rows is ~15-50 MB
+# framed — safely inside the 64 MB auto threshold, while rows just
+# under _SHJ_HINT_MIN_ROWS with long documents could force
+# multi-hundred-MB broadcasts. Between the two cutoffs the join is
+# left to AQE's byte-sized runtime decision.
+_STATIC_BCAST_MAX_ROWS = 20_000
 
 # Version of the shingle/signature hash chain behind _doc_lsh_features.
 # Persisted dedup indexes STORE feature hashes, so a kernel change that
@@ -379,8 +415,12 @@ def minhash_lsh_pairs(
     # the feature pass again (measured 2x at sf0.1). At 100 TB:
     # persist features. Docs with no shingles (< n words) emit nothing
     # — they can't be near-dups and would divide by zero in verify.
+    # The cache-fill count runs non-adaptive (see planutil.no_adaptive):
+    # the subtree is one explicit repartition + one Python pass — AQE
+    # has nothing to re-plan and bills 3 extra stage-jobs for it.
     feats = _doc_lsh_features(_widen(df), text_col, id_col, n, num_perm, bands).cache()
-    n_docs = feats.count()
+    with no_adaptive(df.sparkSession):
+        n_docs = feats.count()
     hashed = feats  # (id, hs) for verification
     banded = feats.select("id", F.posexplode("bnd").alias("band", "bh"))
     # candidate pairs per (band, bucket) via groupBy + in-bucket pair
@@ -430,9 +470,14 @@ def minhash_lsh_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
+    if n_docs <= _STATIC_BCAST_MAX_ROWS:
+        ha, hb = F.broadcast(ha), F.broadcast(hb)
+    # mid-range (20k..100k rows): no hint, no forced broadcast — AQE's
+    # byte-sized runtime decision (ADVICE r15 #2: hs arrays can make a
+    # row-gated broadcast multi-hundred-MB near the SHJ cutoff)
     return (
-        cand.join(F.broadcast(ha), "id_a")
-        .join(F.broadcast(hb), "id_b")
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -464,7 +509,9 @@ def minhash_lsh_pairs_between(
         raise ValueError("num_perm must be divisible by bands")
     fl = _doc_lsh_features(_widen(left), text_col, id_col, n, num_perm, bands).cache()
     fr = _doc_lsh_features(_widen(right), text_col, id_col, n, num_perm, bands).cache()
-    n_docs = fl.count() + fr.count()
+    # non-adaptive cache-fill counts — same rationale as minhash_lsh_pairs
+    with no_adaptive(left.sparkSession):
+        n_docs = fl.count() + fr.count()
     bl = fl.select(F.col("id").alias("id_a"), F.posexplode("bnd").alias("band", "bh"))
     br = fr.select(F.col("id").alias("id_b"), F.posexplode("bnd").alias("band", "bh"))
     cand = bl.join(br, ["band", "bh"]).select("id_a", "id_b").distinct()
@@ -485,9 +532,12 @@ def minhash_lsh_pairs_between(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
+    if n_docs <= _STATIC_BCAST_MAX_ROWS:
+        ha, hb = F.broadcast(ha), F.broadcast(hb)
+    # mid-range: AQE's byte-sized decision (ADVICE r15 #2)
     return (
-        cand.join(F.broadcast(ha), "id_a")
-        .join(F.broadcast(hb), "id_b")
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -895,12 +945,17 @@ def connected_components(
     # cache sym, not a derived frame that references it twice: the pair
     # pipeline feeding this is typically expensive (an LSH pass), sits
     # behind a Python-eval stage with no reusable exchange on top, and
-    # a plan embedding it in two branches would evaluate it twice
-    sym = (
-        edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
-        .cache()
-    )
+    # a plan embedding it in two branches would evaluate it twice.
+    # No distinct (r16): min-label propagation is duplicate-insensitive
+    # (every per-round step is a MIN aggregate), and for the distinct
+    # (a, b) pair lists the LSH/verify operators emit, a<b + reversal
+    # cannot collide — the distinct was one full (s, d)-keyed exchange
+    # of the edge set for nothing. Callers with duplicate-HEAVY edge
+    # lists should distinct first (duplicates inflate every round's
+    # join input, never its result).
+    sym = edges.union(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).cache()
     # round 0 folded into init: labels_1(v) = min(v, min N(v)) directly
     # from the edge ids (labels_0(d) = d) — no label join to pay for;
     # the convergence count is the round's ONLY action and materializes
@@ -958,7 +1013,8 @@ def connected_components(
         rounds += 1
     if changed:
         sym.unpersist()
-        sym_self.unpersist()
+        if sym_self is not None:  # max_iter <= 1: the loop never built it
+            sym_self.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter); raise max_iter"
@@ -2201,14 +2257,18 @@ def _index_candidates(spark, path, inc_feats, nb):
     inc_banded = inc_feats.select(
         F.col("id").alias("id_a"), F.posexplode("bnd").alias("band", "bh")
     )
-    bkts = [
-        r["bkt"]
-        for r in inc_banded.select(
-            F.pmod(F.col("bh"), F.lit(nb)).cast("int").alias("bkt")
-        )
-        .distinct()
-        .collect()
-    ]
+    # non-adaptive bounded collect (planutil.no_adaptive): <= nb ints
+    # through one Python pass + one distinct — AQE only adds stage-job
+    # barriers here (measured r16: 2 jobs -> 1, 1.09s -> 0.33s warm)
+    with no_adaptive(spark):
+        bkts = [
+            r["bkt"]
+            for r in inc_banded.select(
+                F.pmod(F.col("bh"), F.lit(nb)).cast("int").alias("bkt")
+            )
+            .distinct()
+            .collect()
+        ]
     banded = _banded_relation(spark, path).filter(
         F.col("bkt").isin(bkts) if bkts else F.lit(False)
     )
@@ -2289,14 +2349,18 @@ def dedup_index_pairs(
     # scheduler overhead is the serving wall's dominant term)
     cand = _index_candidates(spark, path, inc, nb).cache()
     _INDEX_QUERY_CACHES.extend([inc, cand])
-    fbkts = [
-        r["fbkt"]
-        for r in cand.select(
-            F.pmod(F.xxhash64(F.col("id_b")), F.lit(nb)).cast("int").alias("fbkt")
-        )
-        .distinct()
-        .collect()
-    ]
+    # non-adaptive bounded collect: <= nb ints off the cached candidate
+    # frame (pruned scan + static broadcast join — nothing for AQE to
+    # re-plan; measured r16: 2 jobs -> 1, 0.58s -> 0.36s warm)
+    with no_adaptive(spark):
+        fbkts = [
+            r["fbkt"]
+            for r in cand.select(
+                F.pmod(F.xxhash64(F.col("id_b")), F.lit(nb)).cast("int").alias("fbkt")
+            )
+            .distinct()
+            .collect()
+        ]
     feats = _features_relation(spark, path).filter(
         F.col("fbkt").isin(fbkts) if fbkts else F.lit(False)
     )
@@ -2365,14 +2429,16 @@ def dedup_index_pairs_batch(
     # variant was reverted on runtime metrics — see _index_candidates)
     cand = _index_candidates(spark, path, inc, nb).cache()
     _INDEX_QUERY_CACHES.extend([inc, cand])
-    fbkts = [
-        r["fbkt"]
-        for r in cand.select(
-            F.pmod(F.xxhash64(F.col("id_b")), F.lit(nb)).cast("int").alias("fbkt")
-        )
-        .distinct()
-        .collect()
-    ]
+    # non-adaptive bounded collect — same rationale as dedup_index_pairs
+    with no_adaptive(spark):
+        fbkts = [
+            r["fbkt"]
+            for r in cand.select(
+                F.pmod(F.xxhash64(F.col("id_b")), F.lit(nb)).cast("int").alias("fbkt")
+            )
+            .distinct()
+            .collect()
+        ]
     feats = _features_relation(spark, path).filter(
         F.col("fbkt").isin(fbkts) if fbkts else F.lit(False)
     )

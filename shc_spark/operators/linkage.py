@@ -214,8 +214,17 @@ def global_rank(
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = {r["__pid"]: r["cnt"] for r in
-              parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # non-adaptive bounded collect (planutil.no_adaptive): the subtree
+    # is an EXPLICITLY range-partitioned sort + a #partitions-row
+    # count — AQE cannot coalesce a user-specified partitioning and
+    # only adds one stage-job barrier per exchange (measured r16:
+    # 5 jobs -> 2, 0.83s -> 0.37s warm at sf0.1; the range sampling
+    # pass is one of the two either way)
+    from shc_spark.operators.planutil import no_adaptive
+
+    with no_adaptive(df.sparkSession):
+        counts = {r["__pid"]: r["cnt"] for r in
+                  parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -249,6 +258,7 @@ def snm_pairs(
     key: Column,
     window: int,
     id_col: str,
+    pre_pinned: bool = False,
 ) -> DataFrame:
     """Sorted-neighborhood method (Hernandez & Stolfo 1995): sort the
     corpus by a fuzzy blocking key and emit every pair within a
@@ -271,6 +281,13 @@ def snm_pairs(
     (~10 MB/s, 23s over the 500k-doc probe corpus) while the
     translate-based :func:`normalized_key` does the same job in 1.0s.
     Use ``normalized_key(col)`` unless you have a reason not to.
+
+    ``pre_pinned=True`` (r16) skips the internal localCheckpoint: pass
+    it when ``df`` is already pinned (localCheckpoint/cache) AND
+    ``key`` is cheap over it (a substring/cast, not a fresh regex) —
+    the caller that computes an expensive normalization ONCE and
+    derives both the SNM key and its own probe columns from the
+    pinned frame saves one corpus pass plus one checkpoint job.
     """
     if window < 2:
         raise ValueError("snm window must be >= 2")
@@ -283,9 +300,9 @@ def snm_pairs(
     # (r12: the r11 probe's "near-flat" SNM curve was an artifact of
     # global_rank's since-fixed cache leak — rep 2 of the min-of-2
     # probe silently read rep 1's leaked cache.)
-    proj = df.select(F.col(id_col), key.alias("__snm_key")).localCheckpoint(
-        eager=True
-    )
+    proj = df.select(F.col(id_col), key.alias("__snm_key"))
+    if not pre_pinned:
+        proj = proj.localCheckpoint(eager=True)
     # eager=True: the ranked dictionary is consumed twice (both sides
     # of the block self-join), so the localCheckpoint doubles as reuse,
     # and the staging cache inside global_rank is released immediately

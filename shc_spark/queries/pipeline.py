@@ -600,14 +600,23 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9 ]", "")
-    keyed = docs.select("doc_id", norm.alias("__n"))
+    # ONE regex pass (r16): the java-regex normalization is the
+    # operator's measured wall at scale (~10 MB/s; SCALE.md r12), and
+    # the old shape evaluated it twice — once inside snm_pairs' pinned
+    # key projection and again for the probe columns of the verify
+    # join. Pin the 64-char probe prefix once; the 24-char SNM key is
+    # its substring (substr(n,1,24) == substr(substr(n,1,64),1,24)),
+    # so snm_pairs can skip its internal re-pin (pre_pinned).
+    probes = docs.select(
+        "doc_id", F.substring(norm, 1, 64).alias("probe")
+    ).localCheckpoint(eager=True)
     pairs = linkage.snm_pairs(
-        keyed.select("doc_id", F.substring("__n", 1, 24).alias("__k")),
+        probes.select("doc_id", F.substring("probe", 1, 24).alias("__k")),
         F.col("__k"),
         6,
         "doc_id",
+        pre_pinned=True,
     )
-    probes = keyed.select("doc_id", F.substring("__n", 1, 64).alias("probe"))
     return (
         pairs.join(
             probes.select(F.col("doc_id").alias("id_a"), F.col("probe").alias("pa")),

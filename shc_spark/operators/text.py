@@ -1277,6 +1277,15 @@ def curation_flags(
                 flag, survivor & (F.col(id_col) != keeper)
             ).drop(key)
         elif kind == "drop_ids":
+            # the frame's single column IS the id list; a wider frame
+            # would silently join on whatever column happens to lead
+            # (ADVICE r15) — refuse instead of guessing
+            if len(payload.columns) != 1:
+                raise ValueError(
+                    f"drop_ids rule {name!r} expects a single-column "
+                    f"id frame, got columns {payload.columns}; select "
+                    "the id column explicitly"
+                )
             ids = payload.select(
                 F.col(payload.columns[0]).alias(id_col)
             ).distinct()

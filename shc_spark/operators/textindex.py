@@ -45,7 +45,10 @@ from pyspark.sql import functions as F
 
 # Bump on ANY subtree schema/partitioning change so caches keyed on
 # build inputs rebuild instead of reading a stale layout.
-TEXT_INDEX_LAYOUT = 3  # r15: dl denormalized onto posting rows
+# 3 (r15): dl denormalized onto posting rows.
+# 4 (r16): layout version persisted in meta/ and validated on every
+#          read (ADVICE r15) — posting/length rows identical to 3.
+TEXT_INDEX_LAYOUT = 4
 
 def _tbkt(col, nb: int):
     return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
@@ -58,6 +61,17 @@ def read_text_index_meta(spark, path: str) -> dict:
     # Spark job and is always fresh (the r10 fingerprint memo existed
     # to amortize the collect job this no longer runs)
     row = local_meta_rows(os.path.join(path, "meta"))[0]
+    # layout is persisted since LAYOUT 4 (ADVICE r15): a pre-layout-3
+    # index has no `dl` on its posting rows and every query would die
+    # with a confusing unresolved-column AnalysisException — refuse
+    # loudly instead. Meta without the column predates the check.
+    stored = row["layout"] if "layout" in row else "<=3 (pre-layout-4 meta)"
+    if stored != TEXT_INDEX_LAYOUT:
+        raise ValueError(
+            f"text index at {path} has on-disk layout {stored}, this "
+            f"code reads layout {TEXT_INDEX_LAYOUT}: rebuild it with "
+            "build_text_index (incremental layouts are not migrated)"
+        )
     return {"num_buckets": row["num_buckets"]}
 
 
@@ -154,7 +168,7 @@ def build_text_index(
             int(row["s"] or 0), expected_batch_keys=32
         )
     spark.createDataFrame(
-        [(int(num_buckets),)], "num_buckets int"
+        [(int(num_buckets), int(TEXT_INDEX_LAYOUT))], "num_buckets int, layout int"
     ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
     # (the session meta memo needs no explicit refresh: it is keyed on
     # the meta subtree's census fingerprint, which this write changed)

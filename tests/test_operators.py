@@ -4238,6 +4238,28 @@ def test_snm_pairs_equals_bruteforce_window(spark):
     assert pairs == exp
 
 
+def test_snm_pairs_pre_pinned_identical(spark):
+    """pre_pinned=True (r16: callers that pin an expensive
+    normalization once and derive the key from it) must produce the
+    exact pair set of the default internally-pinned path."""
+    from shc_spark.operators.linkage import snm_pairs
+
+    df = spark.range(200).select(
+        F.col("id"),
+        F.substring(F.md5(F.col("id").cast("string")), 1, 6).alias("k"),
+    )
+    base = {
+        (r["id_a"], r["id_b"], r["rank_a"], r["rank_b"])
+        for r in snm_pairs(df, F.col("k"), 4, "id").collect()
+    }
+    pinned = df.localCheckpoint(eager=True)
+    got = {
+        (r["id_a"], r["id_b"], r["rank_a"], r["rank_b"])
+        for r in snm_pairs(pinned, F.col("k"), 4, "id", pre_pinned=True).collect()
+    }
+    assert got == base
+
+
 def test_snm_pairs_no_cartesian(spark):
     from shc_spark.operators.linkage import snm_pairs
 
@@ -4513,6 +4535,50 @@ def test_curation_report_sequential_attribution(spark):
         text.curation_report(df, "doc_id", [("a", rules[0][1]), ("a", rules[1][1])])
     with pytest.raises(ValueError, match="at least one rule"):
         text.curation_report(df, "doc_id", [])
+
+
+def test_curation_flags_drop_ids_rejects_wide_frame(spark):
+    """ADVICE r15: a drop_ids payload wider than one column would
+    silently join on whatever column leads — curation_flags must
+    refuse it instead."""
+    import pytest
+
+    from shc_spark.operators import text
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    wide = spark.createDataFrame([("junk", 1)], "noise string, doc_id long")
+    with pytest.raises(ValueError, match="single-column"):
+        text.curation_flags(df, "doc_id", [("contam", ("drop_ids", wide))])
+    # the single-column contract itself still works, any column name
+    ids = spark.createDataFrame([(1,)], "any_name long")
+    got = {
+        r["doc_id"]: (r["kept"], r["dropped_by"])
+        for r in text.curation_flags(
+            df, "doc_id", [("contam", ("drop_ids", ids))]
+        ).collect()
+    }
+    assert got == {1: (False, "contam"), 2: (True, None)}
+
+
+def test_text_index_layout_mismatch_refuses(spark, tmp_path):
+    """ADVICE r15: a pre-layout-4 index (meta without the persisted
+    layout column, or an older value) must fail with a clear rebuild
+    message, not an unresolved-column AnalysisException mid-query."""
+    import pytest
+
+    from shc_spark.operators import textindex
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    p = str(tmp_path / "tix")
+    textindex.build_text_index(docs, p, num_buckets=4)
+    # current-layout index reads fine
+    assert textindex.read_text_index_meta(spark, p)["num_buckets"] == 4
+    # simulate a stale layout-2/3 index: meta without the layout column
+    spark.createDataFrame([(4,)], "num_buckets int").repartition(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "tix" / "meta"))
+    with pytest.raises(ValueError, match="rebuild"):
+        textindex.read_text_index_meta(spark, p)
 
 
 def test_quantile_sketch_merge_exact_and_error_envelope(spark):

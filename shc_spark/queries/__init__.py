@@ -47,48 +47,53 @@ def _with_utc(fn):
 _MODULES = (connector, pipeline, streaming_q, relational)
 
 _WINDOW = [
-    # r16 rotation pre-plan (checked against the post-r15 freshness
-    # histogram): the no-gate-older-than-5-rounds invariant makes the
-    # r11:47 block MANDATORY in r16 (r16 - r11 = 5). 47 + the two
-    # r15-NEW gates (embed_telemetry_report, stream_embed_drift) = 49,
-    # so r16 runs ONE canary (q01_pricing_summary) instead of three:
-    # 1 + 2 + 47 = exactly 50. r17 then takes 3 canaries + the 47-gate
-    # r12 block. (Three 47-gate blocks exist — r11/r12/r13 — so the
-    # canary count flexes between 1 and 3 per round to fit; the
-    # invariant holds throughout.)
-    # r15 rotation (VERDICT r14 #1): execute the pre-planned window —
-    # 3 cross-family canaries + the SIX r14-new gates that are locally
-    # value-exact but never driver-recorded + the COMPLETE 41-gate
-    # block whose freshest driver row is r10 (recomputed from the
-    # CORRECTNESS_r01..r14 union this round: exactly 41 names) = 50.
-    # After this round the freshness floor moves to r11 and every
-    # registered gate has a driver row. Gates rotated out keep their
-    # local oracle check and their r11-r14 driver rows — the judge
-    # reads the union.
-    # Canaries (one per major family):
-    "shc_roundtrip_scan", "q01_pricing_summary", "mm_jpeg_decode",
-    # r14-NEW, first driver rows (VERDICT r14 #1):
-    "embed_semdedup_sharded", "embed_semdedup_bykey",
-    "q_quantile_sketch_merged", "embed_drift_psi",
-    "embed_outlier_pct", "embed_cluster_profile",
-    # r10-green refresh — the complete 41-gate block:
-    "cluster_assign", "dedup_semdedup", "dq_validate_orders",
-    "mm_dhash128_near_dup", "mm_image_dhash",
-    "mm_mjpeg_fingerprint_pairs", "mm_video_scenes",
-    "q03_top_revenue_orders", "q10_returned_items",
-    "q_gapfill_locf", "q_json_props", "q_percentiles_datetime",
-    "q_pivot_linestatus", "q_set_ops",
-    "shc_colocated_join", "shc_composite_key", "shc_delete",
-    "shc_dynamic_map", "shc_merge_into", "shc_phoenix_composite",
-    "shc_pushdown_range", "shc_rollup", "shc_salted_table",
-    "shc_secondary_index", "shc_ttl_read", "shc_typed_columns",
-    "shc_value_filters", "shc_version_merge", "shc_versions_map",
-    "sim_topk_bruteforce",
-    "stream_incremental_dedup", "stream_join_outer",
-    "stream_range_tag", "stream_sessionization", "stream_shc_sink",
-    "stream_shc_source", "stream_stateful_totals",
-    "stream_stream_join",
-    "text_dsir_select", "text_heavy_hitters", "text_pack_sequences",
+    # r16 rotation — VERDICT r15 #1 OVERRIDES the pre-planned r11-block
+    # rotation: "r16's window must include every r15-rewritten gate".
+    # The r15 optimization round rewrote 8 query paths and NONE were in
+    # the driver's r15 window; this round (r16, optimization 2/2) also
+    # touches operator internals (_widen, CC, bounded-collect AQE
+    # scoping, snm restructure, text-index layout meta) shared by ~34
+    # gates. Composition, in priority order:
+    #   1 canary (q01) +
+    #   every gate whose operator internals r15 OR r16 changed (the
+    #   VERDICT #1 list, the two r15-NEW never-driver-recorded gates
+    #   embed_telemetry_report / stream_embed_drift, and all consumers
+    #   of this round's touched operators) +
+    #   15 fill slots from the r11-freshness block (bench queries
+    #   first, then connector/stream family coverage).
+    # The freshness invariant is knowingly relaxed for the ~23 r11
+    # gates that do not fit: verifying rewritten paths beats
+    # re-verifying untouched ones in the final round. All rotated-out
+    # gates keep their local oracle check (CORRECTNESS_LOCAL.json
+    # covers the full registry) and their r11-r15 driver rows.
+    "q01_pricing_summary",
+    # r15/r16-rewritten core (VERDICT r15 #1):
+    "dedup_minhash_lsh", "dedup_keep_best", "text_curation_report",
+    "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_index_pq",
+    "text_index_search", "dedup_index_query", "dedup_index_batch",
+    "embed_telemetry_report", "stream_embed_drift",
+    "embed_semdedup_sharded",
+    # r16-touched operator consumers (_widen byte-sizing, CC distinct
+    # removal, no_adaptive bounded collects, static-broadcast gate,
+    # snm one-pass restructure, curation drop_ids guard, text-index
+    # layout-4 meta):
+    "dedup_clusters", "dedup_clusters_star", "dedup_near_corpus",
+    "dedup_cross_corpus", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_embedding_cosine", "dedup_canonical_names",
+    "link_fuzzy_tables", "dedup_substring_spans",
+    "dedup_remove_substrings", "dedup_snm_pairs",
+    "text_decontaminate", "text_index_batch",
+    "sim_hybrid_index_rrf", "sim_hybrid_index_batch",
+    "sim_mmr_rerank", "text_dsir_select",
+    "stream_dedup", "stream_decontaminate", "stream_text_ingest",
+    "stream_index_ingest",
+    # r11-freshness fill — bench queries first, then family coverage:
+    "q05_local_supplier_volume", "q_asof_join", "q_range_join_binned",
+    "q_sessionize_batch", "q_window_topk_per_segment", "q_zorder_box",
+    "text_remove_boilerplate", "text_tfidf", "dq_psi_drift",
+    "dedup_fuzzy_names",
+    "shc_rest_scan", "shc_avro_cells", "shc_cdc_apply",
+    "sim_topk_ivf_index", "mm_mjpeg_scenes",
 ]
 
 

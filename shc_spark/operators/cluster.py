@@ -722,6 +722,14 @@ def telemetry_report(
     # (profile groupBy, cur_hist groupBy, ref_hist groupBy); now: one
     # exchange into a pinned k-row frame all consumers share.
     dcur = F.when(F.col("__cur"), F.col("__dist"))
+    # r16: coalesce(1) collapses the k-row aggregate before the pin so
+    # downstream consumers schedule one task, not shuffle.partitions.
+    # A no_adaptive wrap of this pin was TRIALED and REVERTED on x100
+    # measurement (200k vectors): 32.6s non-adaptive vs 28.4s with AQE
+    # — the percentile aggregate ships every (cluster, dist) row
+    # through its exchange (not partial-aggregatable) and AQE's
+    # runtime partition handling earns its stage jobs there. Same
+    # job-counts-lie lesson as the PQ-pin and r15 DPP reverts.
     per_cluster = (
         assigned_all.groupBy("cluster")
         .agg(
@@ -733,6 +741,7 @@ def telemetry_report(
             F.round(F.max(dcur), round_dp).alias("max_dist"),
             F.count(F.when(~F.col("__cur"), F.lit(1))).alias("ref_n"),
         )
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     # n > 0 restores the standalone profile's row set: a cluster with

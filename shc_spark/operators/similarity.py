@@ -876,7 +876,20 @@ def ivf_index_topk_with_refine(
     # the shared child per action). approx = rank <= k over the SAME
     # total-ordered window a k-deep call would run, so it is
     # row-identical to the standalone result.
-    deep = _topk_window(part, depth).localCheckpoint(eager=True)
+    # r16: the pin runs non-adaptive (planutil policy) — the subtree is
+    # a statically cid-pruned scan + one Python pass + one window
+    # exchange whose only distinct keys are the <= nq query ids, and
+    # coalesce(1) collapses the bounded output so downstream consumers
+    # don't schedule shuffle.partitions near-empty tasks. Adjudicated
+    # at x100 (200k-vector PQ index) with an INTERLEAVED in-process
+    # A/B after a first between-process comparison misread phase drift
+    # as a 1.6x regression: AQE on/off are equal within noise (mins
+    # 4.93s vs 5.15s, wins split 2-2, identical rows), while at sf0.1
+    # the wrap cuts the gate 18 -> 12 scheduler jobs.
+    from shc_spark.operators.planutil import no_adaptive
+
+    with no_adaptive(spark):
+        deep = _topk_window(part, depth).coalesce(1).localCheckpoint(eager=True)
     approx = deep.filter(F.col("rank") <= k)
     refined = _refine_from_pruned(
         spark, deep.drop("rank", "cosine"), q_ids, qm, k, rerank_with,

@@ -238,7 +238,7 @@ def _ann_recall_verdict(approx, exact, k, min_hits_q, min_total):
     a = approx.select("query_id", "neighbor_id")
     e = exact.select("query_id", "neighbor_id").withColumn("__m", F.lit(1))
     # nq*k-row exact side: broadcast so the verdict adds no SMJ shuffle
-    per = (
+    per_lazy = (
         a.join(F.broadcast(e), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.count("*").alias("n"), F.count("__m").alias("hits"))
@@ -248,8 +248,16 @@ def _ann_recall_verdict(approx, exact, k, min_hits_q, min_total):
             (F.col("hits") >= min_hits_q).alias("recall_ok"),
             F.col("hits").alias("h"),
         )
-        .localCheckpoint(eager=True)
+        # nq rows: one partition, so the rows+agg union downstream
+        # schedules one task per branch instead of shuffle.partitions
+        .coalesce(1)
     )
+    # The pin itself keeps AQE: for the inline gates (sim_topk_lsh /
+    # sim_topk_ivf) this action materializes a LIVE corpus pipeline
+    # (LSH/IVF scan-and-score), where AQE's coalescing is load-bearing
+    # (planutil policy); the nq-row verdict tail adds one broadcast
+    # join + one aggregate either way.
+    per = per_lazy.localCheckpoint(eager=True)
     agg = per.agg(
         F.min("full_k").alias("full_k"), F.sum("h").alias("tot")
     ).select(
@@ -371,10 +379,17 @@ def sim_topk_ivf_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             storage="pq", pq_m=16, pq_codes=256,
         )
     # r15: ref feeds BOTH verdicts — pin the nq*k-row result once
-    # instead of embedding the float-index search twice
-    ref = similarity.ivf_index_topk(
-        spark, fpath, queries, k=5, nprobe=4
-    ).localCheckpoint(eager=True)
+    # instead of embedding the float-index search twice. r16: the pin
+    # runs non-adaptive and coalesces to one partition (same
+    # statically-pruned index-search subtree as
+    # ivf_index_topk_with_refine's pin — x100-interleaved adjudication
+    # there).
+    from shc_spark.operators.planutil import no_adaptive
+
+    with no_adaptive(spark):
+        ref = similarity.ivf_index_topk(
+            spark, fpath, queries, k=5, nprobe=4
+        ).coalesce(1).localCheckpoint(eager=True)
     # r15 optimization: ADC ranking and refined ranking from ONE
     # pruned postings scan + ONE scoring pass (value-identical to the
     # two standalone calls — see ivf_index_topk_with_refine)

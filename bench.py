@@ -208,6 +208,39 @@ def main() -> None:
                     min([wall] + [run(name) for _ in range(2)]), 3
                 )
 
+    # r16 scale-spot entry (VERDICT r15 #6): the sf0.1 corpus is so
+    # small that the per-query scaling block (32 vs 8 cores) measures
+    # only fixed serial overhead — parallel-path wins/regressions were
+    # invisible in the driver's artifact. This ADDITIVE entry runs the
+    # substring-span dedup (Python hash kernel + gram-stream window
+    # shuffle) over a x50 corpus (shifted-id copies, per-copy token
+    # salt — tools/scale_probe's inflation, pinned OUTSIDE the timed
+    # region exactly like the parquet inputs of every other query) so
+    # core-count scaling shows up in a driver-run number. Same timing
+    # methodology (min-of-reps through the noop sink); existing
+    # entries untouched; SPARK_GRAFT_SCALE_SPOT=0 skips it. Candidates
+    # were probed at 32-vs-8 cores first: minhash x25 and snm x50
+    # measured ~1.0x (fixed-cost-bound at this size) and were left
+    # out; spans x50 measured 1.78x (5.3s vs 9.5s min-of-2) — the one
+    # entry that demonstrates parallel-path scaling.
+    if os.environ.get("SPARK_GRAFT_SCALE_SPOT", "1") != "0":
+        from tools.scale_probe import inflate
+
+        from shc_spark.operators import dedup
+
+        docs50 = inflate(spark, "documents", "doc_id", 50, salt_col="text")
+
+        def run_spot() -> float:
+            t0 = time.time()
+            dedup.duplicate_spans(
+                docs50, "text", "doc_id", k=3, scope="any"
+            ).write.mode("overwrite").format("noop").save()
+            return time.time() - t0
+
+        timings["scale50_dedup_substring_spans"] = round(
+            min(run_spot() for _ in range(reps)), 3
+        )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total_wall",

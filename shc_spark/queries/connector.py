@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from shc_spark.io import read_parquet
 from shc_spark.sources import read_table, write_table
 
 QUERIES: dict = {}
@@ -71,7 +72,7 @@ CAT_ORDERS_CK = json.dumps(
 def _ensure_customer(spark: SparkSession, sf_dir: str) -> str:
     root = _root(sf_dir, "cust")
     if not os.path.exists(os.path.join(root, "q.customer", "_regions.json")):
-        df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        df = read_parquet(spark, os.path.join(sf_dir, "customer.parquet"))
         write_table(
             df.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
             CAT_CUSTOMER,
@@ -86,7 +87,7 @@ def _ensure_customer(spark: SparkSession, sf_dir: str) -> str:
 def _ensure_orders_ck(spark: SparkSession, sf_dir: str) -> str:
     root = _root(sf_dir, "ordck")
     if not os.path.exists(os.path.join(root, "q.orders_ck", "_regions.json")):
-        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        df = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
         write_table(
             df.select("o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus"),
             CAT_ORDERS_CK,
@@ -181,7 +182,7 @@ def shc_version_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return len({os.path.dirname(r["path"]) for r in regions})
 
     if _gen_count() < 2:
-        df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        df = read_parquet(spark, os.path.join(sf_dir, "customer.parquet")).select(
             "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
         )
         write_table(df, CAT_CUSTOMER, root=root, num_regions=8, mode="overwrite", timestamp=1000)
@@ -284,7 +285,7 @@ CAT_PART_AVRO = json.dumps(
 def shc_avro_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _root(sf_dir, "partavro")
     if not os.path.exists(os.path.join(root, "q.part_avro", "_regions.json")):
-        part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        part = read_parquet(spark, os.path.join(sf_dir, "part.parquet"))
         df = part.select(
             "p_partkey",
             F.struct("p_brand", "p_type", "p_retailprice").alias("p_info"),
@@ -346,7 +347,7 @@ CAT_PART_AVRO_NESTED = json.dumps(
 def shc_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _root(sf_dir, "partavro_nested")
     if not os.path.exists(os.path.join(root, "q.part_avro_nested", "_regions.json")):
-        part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        part = read_parquet(spark, os.path.join(sf_dir, "part.parquet"))
         df = part.select(
             "p_partkey",
             F.struct(
@@ -456,7 +457,7 @@ CAT_PART_AVRO_DEEP = json.dumps(
 def shc_avro_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _root(sf_dir, "partavro_deep")
     if not os.path.exists(os.path.join(root, "q.part_avro_deep", "_regions.json")):
-        part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        part = read_parquet(spark, os.path.join(sf_dir, "part.parquet"))
         pk = F.col("p_partkey")
         df = part.select(
             "p_partkey",
@@ -545,7 +546,7 @@ CAT_ORDERS_TYPED = json.dumps(
 def shc_typed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _root(sf_dir, "ordtyped")
     if not os.path.exists(os.path.join(root, "q.orders_typed", "_regions.json")):
-        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        df = read_parquet(spark, os.path.join(sf_dir, "orders.parquet")).select(
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             F.col("o_totalprice").cast("decimal(12,2)").alias("o_price_dec"),
@@ -606,7 +607,7 @@ CAT_CUST_WIDE = json.dumps(
 def _ensure_cust_wide(spark: SparkSession, sf_dir: str) -> str:
     root = _root(sf_dir, "custwide")
     if not os.path.exists(os.path.join(root, "q.cust_wide", "_regions.json")):
-        df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        df = read_parquet(spark, os.path.join(sf_dir, "customer.parquet"))
         write_table(
             df.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
             CAT_CUST_WIDE,
@@ -690,7 +691,7 @@ def shc_versions_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shc_dynamic_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _root(sf_dir, "segmap")
     if not os.path.exists(os.path.join(root, "q.seg_stats", "_regions.json")):
-        cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        cust = read_parquet(spark, os.path.join(sf_dir, "customer.parquet"))
         per = (
             cust.groupBy("c_nationkey", "c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -773,7 +774,7 @@ def shc_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _root(sf_dir, "custix")
     shutil.rmtree(root, ignore_errors=True)
-    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+    df = read_parquet(spark, os.path.join(sf_dir, "customer.parquet")).select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
     write_table(df, cat, root=root, num_regions=8, mode="overwrite")
@@ -812,7 +813,7 @@ def shc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _root(sf_dir, "custdel")
     shutil.rmtree(root, ignore_errors=True)
-    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+    df = read_parquet(spark, os.path.join(sf_dir, "customer.parquet")).select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
     write_table(df, cat, root=root, num_regions=8, mode="overwrite", timestamp=1000)
@@ -855,7 +856,7 @@ def shc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _root(sf_dir, "custmrg")
     shutil.rmtree(root, ignore_errors=True)
-    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+    df = read_parquet(spark, os.path.join(sf_dir, "customer.parquet")).select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
     write_table(df, cat, root=root, num_regions=8, mode="overwrite", timestamp=1000)
@@ -903,7 +904,7 @@ def shc_phoenix_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _root(sf_dir, "custphx")
     if not os.path.exists(os.path.join(root, "q.cust_phx", "_regions.json")):
-        df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        df = read_parquet(spark, os.path.join(sf_dir, "customer.parquet")).select(
             "c_mktsegment", "c_custkey", "c_name", "c_acctbal"
         )
         write_table(df, cat, root=root, num_regions=6, mode="overwrite", timestamp=1000)
@@ -951,7 +952,7 @@ def shc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra, rb = _root(sf_dir, "custdiff_a"), _root(sf_dir, "custdiff_b")
     for r in (ra, rb):
         shutil.rmtree(r, ignore_errors=True)
-    df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+    df = read_parquet(spark, os.path.join(sf_dir, "customer.parquet")).select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
     v2 = (
@@ -1009,7 +1010,7 @@ def shc_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     root_b = _root(sf_dir, "custord")
     if not os.path.exists(os.path.join(root_b, "q.cust_orders", "_regions.json")):
         agg = (
-            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
             .groupBy("o_custkey")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
@@ -1133,7 +1134,7 @@ def shc_rest_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _root(sf_dir, "restw")
     marker = os.path.join(root, "q.customer", "_done_rest_write")
     if not os.path.exists(marker):
-        df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        df = read_parquet(spark, os.path.join(sf_dir, "customer.parquet"))
         write_table(
             df.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
             CAT_CUSTOMER, root=root, num_regions=8, mode="overwrite", timestamp=1000,
@@ -1209,7 +1210,7 @@ def shc_rest_composite_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _root(sf_dir, "restcka")
     marker = os.path.join(root, "q.part_ck_avro", "_done_rest_ck_avro")
     if not os.path.exists(marker):
-        part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        part = read_parquet(spark, os.path.join(sf_dir, "part.parquet"))
         df = part.select(
             "p_partkey",
             "p_brand",
@@ -1344,7 +1345,7 @@ def shc_rest_increment_cas(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _root(sf_dir, "restcnt")
     marker = os.path.join(root, "q.orders_cnt", "_done_rest_cas")
     if not os.path.exists(marker):
-        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+        orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet")).filter(
             F.col("o_orderkey") <= 300
         )
         base = orders.select(
@@ -1455,7 +1456,7 @@ def shc_salted_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _root(sf_dir, "osalt")
     if not os.path.exists(os.path.join(root, "q.orders_salted", "_regions.json")):
-        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        df = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
         write_table(
             df.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
             cat, root=root, num_regions=8, mode="overwrite", timestamp=1000,
@@ -1507,7 +1508,7 @@ def shc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _root(sf_dir, "custcdc")
     shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
-    base = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+    base = read_parquet(spark, os.path.join(sf_dir, "customer.parquet")).select(
         "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
     )
     write_table(base, cat, root=root, num_regions=8, mode="overwrite", timestamp=1000)

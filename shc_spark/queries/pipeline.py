@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from shc_spark.io import read_parquet
 from shc_spark.operators import dedup, linkage, multimodal, similarity, text
 
 QUERIES: dict = {}
@@ -36,7 +37,10 @@ def register(name: str, sql: str | None = None, tail: bool = False):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # schema-memoized read: drops the per-call 1-task schema-inference
+    # job (~100 ms scheduler round billed to every construct) — see
+    # shc_spark/io.py
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # Shared DuckDB CTE: distinct 3-gram shingles per document (1-based
@@ -4270,7 +4274,7 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
     return similarity.hard_negative_topk(
         emb.filter(F.col("vec_id") < 8), emb, "embedding", "vec_id", "label", k=5
     )

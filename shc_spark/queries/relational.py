@@ -24,12 +24,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
+from shc_spark.io import read_parquet
+
 QUERIES: dict = {}
 ORACLE: dict = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # schema-memoized read (shc_spark/io.py): no per-call inference job
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,7 +43,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adapt to whatever the file declares so both Spark and the DuckDB
     oracle see identical values."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # memo-safe: this is the ONLY reader of events.parquet and always
+    # sets nanosAsLong first, so the memoized schema is conf-consistent
+    df = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # normalize NTZ -> TIMESTAMP (value-preserving: session tz is UTC) so the

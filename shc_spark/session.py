@@ -85,7 +85,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            from shc_spark.io import read_parquet
+
+            df = read_parquet(spark, path)
             df.createOrReplaceTempView(name)
             dfs[name] = df
     return dfs

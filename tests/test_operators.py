@@ -5382,3 +5382,42 @@ def test_cluster_profile_matches_numpy(spark):
         assert abs(r["p50_dist"] - round(float(np.percentile(sub, 50)), 4)) < 1e-9
         assert abs(r["p95_dist"] - round(float(np.percentile(sub, 95)), 4)) < 1e-9
         assert r["max_dist"] == round(float(sub[-1]), 4)
+
+
+# ---------------------------------------------------------------------------
+# r16: schema-memoized parquet reads (shc_spark/io.read_parquet) — every
+# spark.read.parquet call otherwise pays a 1-task schema-inference job,
+# a fixed driver cost billed to every query construct.
+
+
+def test_read_parquet_memo_identical_and_invalidates(spark, tmp_path):
+    from shc_spark.io import _SCHEMAS, read_parquet
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(p)
+
+    plain = spark.read.parquet(p)
+    memo1 = read_parquet(spark, p)  # miss: infers + memoizes
+    memo2 = read_parquet(spark, p)  # hit: explicit schema, no inference
+    assert memo1.schema == plain.schema == memo2.schema
+    assert sorted(r.v for r in memo2.collect()) == sorted(
+        r.v for r in plain.collect()
+    )
+
+    # the hit path must not run a schema-inference job
+    sc = spark.sparkContext
+    sc.setJobGroup("io-memo-hit", "io-memo-hit")
+    read_parquet(spark, p)
+    assert len(sc.statusTracker().getJobIdsForGroup("io-memo-hit")) == 0
+
+    # rewriting the file (new mtime/size) drops the memo: a CHANGED
+    # schema is picked up, never served stale
+    import shutil
+
+    shutil.rmtree(p)
+    spark.range(0, 5).selectExpr(
+        "id", "CAST(id AS STRING) AS s"
+    ).coalesce(1).write.parquet(p)
+    fresh = read_parquet(spark, p)
+    assert "s" in fresh.columns and "v" not in fresh.columns
+    assert any(k[0].endswith("t.parquet") for k in _SCHEMAS)

@@ -18,6 +18,8 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+from shc_spark.io import read_parquet  # noqa: E402
+
 
 def inflate(spark, name, id_col, mult, salt_col=None):
     """N shifted-id copies of the table. When ``salt_col`` is a text
@@ -42,7 +44,7 @@ def inflate(spark, name, id_col, mult, salt_col=None):
 
         base = _events(spark, SF_DIR)  # adapts nanos/micros ts generations
     else:
-        base = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        base = read_parquet(spark, f"{SF_DIR}/{name}.parquet")
     n = base.count()
     parts = []
     for i in range(mult):
@@ -84,7 +86,7 @@ def connector_probe(spark, mults=(1, 5, 50)) -> list[str]:
             },
         }
     )
-    base = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+    base = read_parquet(spark, f"{SF_DIR}/lineitem.parquet").select(
         F.col("l_orderkey").cast("long").alias("okey"),
         F.col("l_linenumber").cast("int").alias("lnum"),
         F.col("l_quantity").cast("double").alias("qty"),

@@ -86,6 +86,23 @@ def _collect_queries(
     return ids, qm / n
 
 
+def collect_query_side(
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_queries: int = MAX_QUERY_ROWS,
+):
+    """ONE bounded driver collect of the query side, reusable across
+    several top-k calls over the SAME query frame via their
+    ``precollected`` parameter. A gate that scores two rankings over
+    one query set (an index search judged against an exact or
+    reference ranking) otherwise collects — and re-runs the query
+    frame's upstream scan — once PER ranking; at any corpus scale
+    that is duplicated driver ingress and a duplicated source job for
+    byte-identical (ids, normalized matrix) output."""
+    return _collect_queries(queries, vec_col, id_col, max_queries)
+
+
 def _normalize_batch(vecs) -> np.ndarray:
     M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
     n = np.linalg.norm(M, axis=1, keepdims=True)
@@ -160,13 +177,20 @@ def cosine_topk(
     id_col: str = "vec_id",
     k: int = 5,
     max_queries: int = MAX_QUERY_ROWS,
+    precollected: "tuple | None" = None,
 ) -> DataFrame:
     """Exact cosine top-k of corpus for each query vector.
 
     Output: query_id, neighbor_id, cosine (4dp), rank. Ties broken by
-    neighbor id -> fully deterministic. Self-matches excluded."""
+    neighbor id -> fully deterministic. Self-matches excluded.
+    ``precollected`` accepts a collect_query_side() result to share
+    one query collect across several rankings of the same frame."""
     spark = corpus.sparkSession
-    bq = spark.sparkContext.broadcast(_collect_queries(queries, vec_col, id_col, max_queries))
+    bq = spark.sparkContext.broadcast(
+        precollected
+        if precollected is not None
+        else _collect_queries(queries, vec_col, id_col, max_queries)
+    )
 
     def score(batches):
         q_ids, q_mat = bq.value
@@ -329,6 +353,7 @@ def sq8_topk(
     k: int = 5,
     levels: int = 256,
     max_queries: int = MAX_QUERY_ROWS,
+    precollected: "tuple | None" = None,
 ) -> DataFrame:
     """Cosine top-k over an SQ8-COMPRESSED corpus (see
     operators/quantize.py): the scan reads int8-range codes — 4x less
@@ -341,7 +366,11 @@ def sq8_topk(
     mn = np.array([s[0] for s in stats], dtype=np.float64)
     step = np.array([(s[1] - s[0]) / (levels - 1) for s in stats], dtype=np.float64)
     spark = codes.sparkSession
-    bq = spark.sparkContext.broadcast(_collect_queries(queries, vec_col, id_col, max_queries))
+    bq = spark.sparkContext.broadcast(
+        precollected
+        if precollected is not None
+        else _collect_queries(queries, vec_col, id_col, max_queries)
+    )
 
     def score(batches):
         q_ids, q_mat = bq.value
@@ -373,6 +402,7 @@ def lsh_topk(
     multiprobe: bool = True,
     seed: int = 7,
     max_queries: int = MAX_QUERY_ROWS,
+    precollected: "tuple | None" = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH.
 
@@ -394,7 +424,11 @@ def lsh_topk(
     weights = (1 << np.arange(planes_per_table)).astype(np.int64)
     flat = planes.reshape(num_tables * planes_per_table, dim)
 
-    q_ids, qm = _collect_queries(queries, vec_col, id_col, max_queries)
+    q_ids, qm = (
+        precollected
+        if precollected is not None
+        else _collect_queries(queries, vec_col, id_col, max_queries)
+    )
     probe_map: dict = {}
     for t in range(num_tables if q_ids else 0):
         b0 = (((qm @ planes[t].T) > 0) * weights).sum(axis=1).astype(np.int64)
@@ -493,6 +527,7 @@ def ivf_topk(
     seed: int = 11,
     max_queries: int = MAX_QUERY_ROWS,
     centroids=None,
+    precollected: "tuple | None" = None,
 ) -> DataFrame:
     """IVF ANN with a spherical-k-means coarse quantizer trained on a
     bounded corpus sample: corpus rows attach to their single nearest
@@ -509,7 +544,11 @@ def ivf_topk(
         else _train_centroids(corpus, vec_col, num_centroids, dim, seed)
     )
 
-    q_ids, qm = _collect_queries(queries, vec_col, id_col, max_queries)
+    q_ids, qm = (
+        precollected
+        if precollected is not None
+        else _collect_queries(queries, vec_col, id_col, max_queries)
+    )
     probe_map: dict = {}
     if q_ids:
         probe_idx = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
@@ -808,6 +847,7 @@ def ivf_index_topk(
     max_queries: int = MAX_QUERY_ROWS,
     rerank_with: DataFrame | None = None,
     rerank_factor: int = 20,
+    precollected: "tuple | None" = None,
 ) -> DataFrame:
     """Search a persisted IVF index (build_ivf_index): probe lists are
     chosen against the tiny centroids table, and the postings scan is
@@ -827,7 +867,8 @@ def ivf_index_topk(
     survivors per query and only those join back for exact cosines."""
     depth = max(k * rerank_factor, k) if rerank_with is not None else k
     part, q_ids, qm = _ivf_index_scored(
-        spark, path, queries, vec_col, id_col, nprobe, max_queries, depth
+        spark, path, queries, vec_col, id_col, nprobe, max_queries, depth,
+        precollected=precollected,
     )
     if rerank_with is None:
         return _topk_window(part, k)
@@ -847,6 +888,7 @@ def ivf_index_topk_with_refine(
     max_queries: int = MAX_QUERY_ROWS,
     rerank_with: DataFrame | None = None,
     rerank_factor: int = 20,
+    precollected: "tuple | None" = None,
 ) -> "tuple[DataFrame, DataFrame]":
     """(approx_topk, refined_topk) from ONE pruned postings scan.
 
@@ -867,7 +909,8 @@ def ivf_index_topk_with_refine(
     execute once (ReusedExchange — pinned by tests/test_plans.py)."""
     depth = max(k * rerank_factor, k)
     part, q_ids, qm = _ivf_index_scored(
-        spark, path, queries, vec_col, id_col, nprobe, max_queries, depth
+        spark, path, queries, vec_col, id_col, nprobe, max_queries, depth,
+        precollected=precollected,
     )
     # r15: pin the depth-ranked frame (bounded: nq x depth rows) so
     # the postings scan + Python scoring pass execute exactly ONCE no
@@ -907,6 +950,7 @@ def _ivf_index_scored(
     nprobe: int,
     max_queries: int,
     depth: int,
+    precollected: "tuple | None" = None,
 ):
     """The shared body of the persisted-IVF search: probe selection
     against the saved centroids, pruned postings scan, storage-tier
@@ -925,7 +969,11 @@ def _ivf_index_scored(
             np.array([(s[1] - s[0]) / 255.0 for s in stats], dtype=np.float64),
         )
     )
-    q_ids, qm = _collect_queries(queries, vec_col, id_col, max_queries)
+    q_ids, qm = (
+        precollected
+        if precollected is not None
+        else _collect_queries(queries, vec_col, id_col, max_queries)
+    )
     probe_map: dict = {}
     lut = None
     if books is not None and len(q_ids):
@@ -1247,6 +1295,7 @@ def ivf_pq_topk(
     rerank_factor: int = 20,
     seed: int = 11,
     max_queries: int = MAX_QUERY_ROWS,
+    precollected: "tuple | None" = None,
 ) -> DataFrame:
     """The full billion-scale ANN recipe in one operator — IVF routing
     x PQ asymmetric-distance scoring x exact re-rank (the FAISS
@@ -1270,7 +1319,11 @@ def ivf_pq_topk(
 
     cent = _train_centroids(corpus, vec_col, num_centroids, dim, seed)
     books = quantize.train_pq(corpus, vec_col, id_col, m=m, k=num_codes)
-    q_ids, qm = _collect_queries(queries, vec_col, id_col, max_queries)
+    q_ids, qm = (
+        precollected
+        if precollected is not None
+        else _collect_queries(queries, vec_col, id_col, max_queries)
+    )
     probe_map: dict = {}
     lut = np.zeros((len(q_ids), m, num_codes))
     sub = dim // m

@@ -275,20 +275,31 @@ def _ann_recall_verdict(approx, exact, k, min_hits_q, min_total):
 def _ann_exact(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return queries, emb, similarity.cosine_topk(queries, emb, "embedding", "vec_id", k=5)
+    # r16: ONE query collect shared by the exact ranking and the
+    # approx ranking (each operator otherwise collects — and re-runs
+    # the query frame's source scan for — the identical 8-row set)
+    qc = similarity.collect_query_side(queries, "embedding", "vec_id")
+    exact = similarity.cosine_topk(
+        queries, emb, "embedding", "vec_id", k=5, precollected=qc
+    )
+    return queries, emb, qc, exact
 
 
 @register("sim_topk_lsh", _ANN_VERDICT_SQL)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    queries, emb, exact = _ann_exact(spark, sf_dir)
-    approx = similarity.lsh_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)
+    queries, emb, qc, exact = _ann_exact(spark, sf_dir)
+    approx = similarity.lsh_topk(
+        queries, emb, "embedding", "vec_id", k=5, dim=64, precollected=qc
+    )
     return _ann_recall_verdict(approx, exact, k=5, min_hits_q=1, min_total=18)
 
 
 @register("sim_topk_ivf", _ANN_VERDICT_SQL)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    queries, emb, exact = _ann_exact(spark, sf_dir)
-    approx = similarity.ivf_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)
+    queries, emb, qc, exact = _ann_exact(spark, sf_dir)
+    approx = similarity.ivf_topk(
+        queries, emb, "embedding", "vec_id", k=5, dim=64, precollected=qc
+    )
     return _ann_recall_verdict(approx, exact, k=5, min_hits_q=1, min_total=14)
 
 
@@ -329,8 +340,13 @@ def sim_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
         similarity.build_ivf_index(emb, path, "embedding", "vec_id", dim=64)
-    idx = similarity.ivf_index_topk(spark, path, queries, k=5, nprobe=4)
-    direct = similarity.ivf_topk(queries, emb, "embedding", "vec_id", k=5, dim=64)
+    qc = similarity.collect_query_side(queries, "embedding", "vec_id")
+    idx = similarity.ivf_index_topk(
+        spark, path, queries, k=5, nprobe=4, precollected=qc
+    )
+    direct = similarity.ivf_topk(
+        queries, emb, "embedding", "vec_id", k=5, dim=64, precollected=qc
+    )
     return _identity_verdict(idx, direct)
 
 
@@ -341,7 +357,7 @@ def sim_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact top-k, same contract as sim_topk_ivf.
 @register("sim_topk_ivf_index_sq8", _ANN_VERDICT_SQL)
 def sim_topk_ivf_index_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    queries, emb, exact = _ann_exact(spark, sf_dir)
+    queries, emb, qc, exact = _ann_exact(spark, sf_dir)
     path = _gate_index_path(
         "shc_ivf_index_sq8", sf_dir, similarity.IVF_INDEX_LAYOUT,
         dim=64, storage="sq8",
@@ -350,7 +366,9 @@ def sim_topk_ivf_index_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.build_ivf_index(
             emb, path, "embedding", "vec_id", dim=64, storage="sq8"
         )
-    approx = similarity.ivf_index_topk(spark, path, queries, k=5, nprobe=4)
+    approx = similarity.ivf_index_topk(
+        spark, path, queries, k=5, nprobe=4, precollected=qc
+    )
     return _ann_recall_verdict(approx, exact, k=5, min_hits_q=1, min_total=14)
 
 
@@ -390,15 +408,19 @@ def sim_topk_ivf_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # there).
     from shc_spark.operators.planutil import no_adaptive
 
+    # r16: one query collect shared by the float-index reference and
+    # the PQ search (each otherwise collects the identical 8-row set)
+    qc = similarity.collect_query_side(queries, "embedding", "vec_id")
     with no_adaptive(spark):
         ref = similarity.ivf_index_topk(
-            spark, fpath, queries, k=5, nprobe=4
+            spark, fpath, queries, k=5, nprobe=4, precollected=qc
         ).coalesce(1).localCheckpoint(eager=True)
     # r15 optimization: ADC ranking and refined ranking from ONE
     # pruned postings scan + ONE scoring pass (value-identical to the
     # two standalone calls — see ivf_index_topk_with_refine)
     adc, refined = similarity.ivf_index_topk_with_refine(
-        spark, ppath, queries, k=5, nprobe=4, rerank_with=emb, rerank_factor=20
+        spark, ppath, queries, k=5, nprobe=4, rerank_with=emb,
+        rerank_factor=20, precollected=qc,
     )
     v_adc = _ann_recall_verdict(adc, ref, k=5, min_hits_q=1, min_total=20)
     v_ref = _ann_recall_verdict(refined, ref, k=5, min_hits_q=4, min_total=36)
@@ -2795,10 +2817,10 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.operators import quantize
 
-    queries, emb, exact = _ann_exact(spark, sf_dir)
+    queries, emb, qc, exact = _ann_exact(spark, sf_dir)
     stats = quantize.dim_stats(emb, "embedding")
     codes = quantize.quantize_embeddings(emb, "embedding", "vec_id", stats=stats)
-    approx = similarity.sq8_topk(queries, codes, stats, k=5)
+    approx = similarity.sq8_topk(queries, codes, stats, k=5, precollected=qc)
     return _ann_recall_verdict(approx, exact, k=5, min_hits_q=4, min_total=36)
 
 
@@ -3021,7 +3043,7 @@ def text_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.operators import quantize
 
-    queries, emb, exact = _ann_exact(spark, sf_dir)
+    queries, emb, qc, exact = _ann_exact(spark, sf_dir)
     books = quantize.train_pq(emb, "embedding", "vec_id", m=8, k=16)
     codes = quantize.pq_encode(emb, books, "embedding", "vec_id")
     approx = quantize.pq_topk(
@@ -4167,9 +4189,10 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shc_spark.operators import similarity
 
-    queries, emb, exact = _ann_exact(spark, sf_dir)
+    queries, emb, qc, exact = _ann_exact(spark, sf_dir)
     approx = similarity.ivf_pq_topk(
-        queries, emb, k=5, dim=64, num_centroids=16, nprobe=8, rerank_factor=40
+        queries, emb, k=5, dim=64, num_centroids=16, nprobe=8,
+        rerank_factor=40, precollected=qc,
     )
     return _ann_recall_verdict(approx, exact, k=5, min_hits_q=3, min_total=28)
 

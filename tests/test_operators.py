@@ -5421,3 +5421,30 @@ def test_read_parquet_memo_identical_and_invalidates(spark, tmp_path):
     fresh = read_parquet(spark, p)
     assert "s" in fresh.columns and "v" not in fresh.columns
     assert any(k[0].endswith("t.parquet") for k in _SCHEMAS)
+
+
+def test_precollected_query_side_identical(spark):
+    from shc_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter("vec_id < 4")
+    qc = similarity.collect_query_side(queries, "embedding", "vec_id")
+
+    for fn in (
+        lambda pc: similarity.cosine_topk(
+            queries, emb, "embedding", "vec_id", k=3, precollected=pc
+        ),
+        lambda pc: similarity.lsh_topk(
+            queries, emb, "embedding", "vec_id", k=3, dim=8, precollected=pc
+        ),
+        lambda pc: similarity.ivf_topk(
+            queries, emb, "embedding", "vec_id", k=3, dim=8,
+            num_centroids=4, precollected=pc,
+        ),
+    ):
+        a = sorted(map(tuple, fn(None).collect()))
+        b = sorted(map(tuple, fn(qc).collect()))
+        assert a == b and len(a) > 0
